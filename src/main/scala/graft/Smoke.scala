@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{SimJoin, SimJoinOptions}
+
+/**
+ * Manual end-to-end smoke drive of the public API against the driver's test
+ * parquet. Not part of the driver contract — a human/CI convenience:
+ *   sbt "runMain graft.Smoke [sfDir]"
+ */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val out = SimJoin.simJoin(
+      part.select("p_partkey", "p_name"), part.select("p_name"),
+      SimJoinOptions(on = Some("p_name"), topN = 3))
+    out.show(8, truncate = false)
+    println("simJoin rows=" + out.count())
+
+    val kp = SimJoin.keyedPairs(
+      part, "p_partkey", "p_name",
+      part.withColumnRenamed("p_partkey", "rk"), "rk", "p_name",
+      SimJoinOptions(topN = 2), "lid", "rid", "sim")
+    kp.show(5, truncate = false)
+    println("keyedPairs rows=" + kp.count())
+
+    // error-surface probes
+    try SimJoinOptions(topN = 0)
+    catch { case e: IllegalArgumentException => println("PROBE topN=0 -> " + e.getMessage) }
+    try SimJoin.simJoin(part, part, SimJoinOptions(on = Some("nope")))
+    catch { case e: IllegalArgumentException => println("PROBE missing col -> " + e.getMessage) }
+
+    spark.stop()
+  }
+}
