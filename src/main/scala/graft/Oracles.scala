@@ -1,0 +1,163 @@
+package graft
+
+/**
+ * DuckDB oracle SQL builders for [[SparkEntry.oracleSql]].
+ *
+ * Every query registered in [[SparkEntry.queries]] has a 1:1 ANSI-SQL
+ * re-statement here, executed by the driver against the same parquet tables.
+ * The SQL mirrors the Spark expressions OPERATION BY OPERATION (same casts,
+ * same arithmetic order, same tie-breaks) so results hash-match bit-for-bit
+ * (doubles from non-associative reductions are rounded identically on both
+ * sides before comparison).
+ */
+object Oracles {
+
+  /** Character-trigram token CTEs over `sel` (must project `id`, `s`).
+    * Mirrors graft.functions.Trigrams: 3-char windows, all chars in [a-z],
+    * set semantics. Generates CTEs `{p}src`, `{p}tok`, `{p}cnt`. */
+  def trigramCtes(p: String, sel: String): String =
+    s"""${p}src AS ($sel),
+       |${p}tok AS (
+       |  SELECT DISTINCT id, substring(s, g, 3) AS tok
+       |  FROM (SELECT id, s, unnest(generate_series(1, greatest(length(s)-2, 0))) AS g FROM ${p}src)
+       |  WHERE regexp_matches(substring(s, g, 3), '^[a-z]{3}$$')
+       |),
+       |${p}cnt AS (SELECT id, count(*) AS n FROM ${p}tok GROUP BY id)""".stripMargin
+
+  /** Top-n trigram-similarity pairs (mirrors SimJoin.keyedPairs + round(sim,6)).
+    * `leftSel`/`rightSel` must project `id`, `s`. */
+  def trigramPairs(
+      leftSel: String, rightSel: String, topN: Int, l2: Boolean,
+      outL: String = "lid", outR: String = "rid"): String = {
+    val simExpr =
+      if (l2) "CAST(d.dot AS DOUBLE) / (sqrt(lc.n) * sqrt(rc.n))"
+      else "CAST(d.dot AS DOUBLE)"
+    s"""WITH ${trigramCtes("l", leftSel)},
+       |${trigramCtes("r", rightSel)},
+       |dots AS (
+       |  SELECT lt.id AS lid, rt.id AS rid, count(*) AS dot
+       |  FROM ltok lt JOIN rtok rt ON lt.tok = rt.tok GROUP BY 1, 2
+       |),
+       |sims AS (
+       |  SELECT d.lid, d.rid, $simExpr AS sim
+       |  FROM dots d JOIN lcnt lc ON d.lid = lc.id JOIN rcnt rc ON d.rid = rc.id
+       |),
+       |ranked AS (
+       |  SELECT lid, rid, sim,
+       |         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+       |  FROM sims
+       |)
+       |SELECT lid AS "$outL", rid AS "$outR", round(sim, 6) AS sim
+       |FROM ranked WHERE rn <= $topN""".stripMargin
+  }
+
+  /** Same as [[trigramPairs]] but full-precision float sim (mirrors SimJoin.pairs). */
+  def trigramPairsFloat(leftSel: String, rightSel: String, topN: Int, l2: Boolean): String = {
+    val base = trigramPairs(leftSel, rightSel, topN, l2)
+    base.replace("""SELECT lid AS "lid", rid AS "rid", round(sim, 6) AS sim""",
+      """SELECT lid AS "row", rid AS "col", CAST(sim AS REAL) AS sim""")
+  }
+
+  /** Full simJoin assembly on a part self-join (mirrors SimJoin.simJoin with
+    * indexBy=p_partkey, suffix "_right"). */
+  def simJoinFullPart(topN: Int): String = {
+    val idSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part"
+    s"""WITH ${trigramCtes("l", idSel)},
+       |${trigramCtes("r", idSel)},
+       |dots AS (
+       |  SELECT lt.id AS lid, rt.id AS rid, count(*) AS dot
+       |  FROM ltok lt JOIN rtok rt ON lt.tok = rt.tok GROUP BY 1, 2
+       |),
+       |sims AS (
+       |  SELECT d.lid, d.rid, CAST(d.dot AS DOUBLE) / (sqrt(lc.n) * sqrt(rc.n)) AS sim
+       |  FROM dots d JOIN lcnt lc ON d.lid = lc.id JOIN rcnt rc ON d.rid = rc.id
+       |),
+       |ranked AS (
+       |  SELECT lid, rid, sim,
+       |         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+       |  FROM sims
+       |),
+       |pw AS (SELECT *, row_number() OVER (ORDER BY p_partkey) - 1 AS _rid FROM part),
+       |fin AS (SELECT lid, rid, CAST(sim AS REAL) AS sim FROM ranked WHERE rn <= $topN)
+       |SELECT l.p_partkey, l.p_name, l.p_brand, l.p_type, l.p_size, l.p_retailprice, f.sim,
+       |       r.p_partkey AS p_partkey_right, r.p_name AS p_name_right,
+       |       r.p_brand AS p_brand_right, r.p_type AS p_type_right,
+       |       r.p_size AS p_size_right, r.p_retailprice AS p_retailprice_right
+       |FROM fin f JOIN pw l ON f.lid = l._rid JOIN pw r ON f.rid = r._rid""".stripMargin
+  }
+
+  /** Word + 3-word-shingle CTEs over documents: `dwords`, `dsh`, `dcnt`. */
+  val shingleCtes: String =
+    """dwords AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+      |dsh AS (
+      |  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS sh
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS g FROM dwords)
+      |),
+      |dcnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)""".stripMargin
+
+  /** Brute-force 3-word-shingle Jaccard pairs ≥ threshold (mirrors
+    * Dedup.jaccardPairs AND the verified output of Dedup.minHashLshPairs). */
+  def jaccardPairs(threshold: Double): String =
+    s"""WITH $shingleCtes,
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jac AS (
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
+       |)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
+
+  /** Deterministic polynomial string hash (mirrors TextFunctions.tHash). */
+  def tHashSql(sExpr: String): String =
+    s"CAST(COALESCE(list_sum(list_transform(generate_series(1, length($sExpr)), i -> " +
+      s"ascii(substring($sExpr, i, 1)) * " +
+      "([1,31,961,29791,923521,28629151,887503681,27512614111])[((i-1)%8)+1])), 0) AS BIGINT)"
+
+  /** SimHash fingerprint CTEs over document shingles: emits `fp(doc_id, simhash1, simhash2)`.
+    * Mirrors Dedup.simHashFingerprints. */
+  val simHashCtes: String = {
+    val sums = (1 to 2).flatMap { h =>
+      (0 until 32).map(b => s"SUM(((g$h >> $b) & 1) * 2 - 1) AS s${h}_$b")
+    }.mkString(",\n    ")
+    def halfExpr(h: Int) =
+      (0 until 32).map(b => s"(CASE WHEN s${h}_$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""$shingleCtes,
+       |dth AS (
+       |  SELECT doc_id,
+       |    (2654435761 * (th % 65521)) % 4294967296 AS g1,
+       |    (2246822519 * (th % 65521)) % 4294967296 AS g2
+       |  FROM (SELECT doc_id, ${tHashSql("sh")} AS th FROM dsh)
+       |),
+       |ssum AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM dth GROUP BY doc_id
+       |),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(${halfExpr(1)} AS BIGINT) AS simhash1,
+       |    CAST(${halfExpr(2)} AS BIGINT) AS simhash2
+       |  FROM ssum
+       |)""".stripMargin
+  }
+
+  /** Embedding pair CTEs: emits `cosims(id_a, id_b, cosine)` over all vec pairs a<b. */
+  val embeddingPairCtes: String =
+    """ep AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |),
+      |cosims AS (
+      |  SELECT id_a, id_b,
+      |    list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cosine
+      |  FROM ep
+      |)""".stripMargin
+
+  /** English stopword list as a SQL IN-list (mirrors TextFunctions.StopwordLists head). */
+  def stopIn(words: Seq[String]): String = words.map(w => s"'$w'").mkString("(", ", ", ")")
+}

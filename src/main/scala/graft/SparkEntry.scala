@@ -1,13 +1,292 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, Trigrams}
+import graft.functions.TextFunctions._
+import graft.operators._
+import graft.streaming.EventWindows
+
+/**
+ * Driver contract: one registered query (+ DuckDB oracle SQL) per implemented
+ * operator — SURVEY.md §2 reference-parity surface plus the LLM-data-pipeline
+ * operators (dedup / similarity search / text analysis / multimodal).
+ *
+ * Column names and value formulas are mirrored 1:1 between each query and its
+ * oracle (see [[Oracles]]); non-associative double reductions are rounded
+ * identically on both sides.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rd(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** Flagship query on sf=0.001: full similarity self-join of part names. */
+  def entry(spark: SparkSession): DataFrame = {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    SimJoin.simJoin(part, part,
+      SimJoinOptions(on = Some("p_name"), topN = 3, indexBy = Some("p_partkey")))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 + pipeline extensions. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference-parity surface: the simJoin operator family -------------
+    "simjoin_l2" -> ((s, dir) => {
+      val part = rd(s, dir, "part")
+      SimJoin.keyedPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name",
+          SimJoinOptions(topN = 3, normalization = "l2", strategy = "dedup"),
+          outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
+    "simjoin_count" -> ((s, dir) => {
+      val part = rd(s, dir, "part")
+      SimJoin.keyedPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name",
+          SimJoinOptions(topN = 5, normalization = "count", strategy = "dedup"),
+          outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
+    "simjoin_top1" -> ((s, dir) => {
+      val part = rd(s, dir, "part")
+      SimJoin.keyedPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name",
+          SimJoinOptions(topN = 1, normalization = "l2", strategy = "dedup"),
+          outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
+    "simjoin_direct" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
+      SimJoin.keyedPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name",
+          SimJoinOptions(topN = 3, normalization = "l2", strategy = "direct"),
+          outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
+    "pairs_raw" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
+      SimJoin.pairs(part, part,
+        SimJoinOptions(on = Some("p_name"), topN = 3, strategy = "direct",
+          indexBy = Some("p_partkey")))
+    }),
+    "simjoin_full" -> ((s, dir) => {
+      val part = rd(s, dir, "part")
+      SimJoin.simJoin(part, part,
+        SimJoinOptions(on = Some("p_name"), topN = 2, indexBy = Some("p_partkey")))
+    }),
+    "word_normalization" -> ((s, dir) => {
+      SimJoin.normalizeStringCol(rd(s, dir, "part"), "p_name")
+        .select(col("p_partkey"), col("p_name_normalized"))
+    }),
+    "trigram_tokens" -> ((s, dir) => {
+      rd(s, dir, "part").select(col("p_partkey").as("id"),
+        explode(Trigrams.tokenStringsUdf(col("p_name"))).as("tok")).distinct()
+    }),
+    "trigram_count" -> ((s, dir) => {
+      rd(s, dir, "part").select(col("p_partkey").as("id"),
+        size(Trigrams.tokensUdf(col("p_name"))).cast("long").as("n_tokens"))
+    }),
+    "simsearch_strings" -> ((s, dir) => {
+      val part = rd(s, dir, "part")
+      SimSearch.topKStrings(part.filter(col("p_partkey") < 50), "p_partkey", "p_name",
+          part, "p_partkey", "p_name", 5)
+        .select(col("query_id"), col("match_id"), round(col("sim"), 6).as("sim"))
+    }),
+    // ---- LLM-pipeline: deduplication --------------------------------------
+    "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"), "doc_id", "text")),
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minHashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", 7)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+    "simhash_fp" -> ((s, dir) =>
+      Dedup.simHashFingerprints(rd(s, dir, "documents"), "doc_id", "text")),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val edges = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
+    }),
+    // ---- LLM-pipeline: similarity search ----------------------------------
+    "ann_topk" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, excludeSelf = true)
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKLsh(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, nPlanes = 8, excludeSelf = true)
+    }),
+    // ---- LLM-pipeline: text analysis --------------------------------------
+    "text_tokens" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        regexTokenCount(col("text")).as("re_tokens"))
+    }),
+    "text_quality" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        qualityScoreCol(col("text")).as("quality"))
+    }),
+    "text_langid" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        langIdCol(wordsCol(col("text"))).as("langid"))
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        tHashUdf(col("text")).as("fingerprint"))
+    }),
+    // ---- LLM-pipeline: multimodal plumbing --------------------------------
+    "mm_meta" -> ((s, dir) => {
+      val withPayload = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
+      Multimodal.withDecodedMeta(withPayload, "payload")
+        .select(col("doc_id"),
+          col("media_meta.format").as("format"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          col("media_meta.n_bytes").as("n_bytes"),
+          col("media_sha"))
+    }),
+    // ---- streaming-compatible windowed aggregation ------------------------
+    "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))))
+
+  private val partSel = "SELECT p_partkey AS id, p_name AS s FROM part"
+  private val part300Sel = partSel + " WHERE p_partkey < 300"
+
+  /** DuckDB-equivalent SQL per query; `ann_lsh` is intentionally omitted
+    * (approximate operator — driver records a rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "simjoin_l2" -> Oracles.trigramPairs(partSel, partSel, 3, l2 = true),
+    "simjoin_count" -> Oracles.trigramPairs(partSel, partSel, 5, l2 = false),
+    "simjoin_top1" -> Oracles.trigramPairs(partSel, partSel, 1, l2 = true),
+    "simjoin_direct" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
+    "pairs_raw" -> Oracles.trigramPairsFloat(
+      "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",
+      "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",
+      3, l2 = true),
+    "simjoin_full" -> Oracles.simJoinFullPart(2),
+    "word_normalization" ->
+      """SELECT p_partkey, lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS p_name_normalized FROM part""",
+    "trigram_tokens" ->
+      s"""WITH ${Oracles.trigramCtes("l", partSel)}
+         |SELECT id, tok FROM ltok""".stripMargin,
+    "trigram_count" ->
+      s"""WITH ${Oracles.trigramCtes("l", partSel)}
+         |SELECT s.id, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens
+         |FROM lsrc s LEFT JOIN lcnt c ON s.id = c.id""".stripMargin,
+    "simsearch_strings" -> Oracles.trigramPairs(
+      partSel + " WHERE p_partkey < 50", partSel, 5, l2 = true,
+      outL = "query_id", outR = "match_id"),
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
+    "dedup_jaccard" -> Oracles.jaccardPairs(0.8),
+    "dedup_minhash_lsh" -> Oracles.jaccardPairs(0.8),
+    "dedup_simhash" ->
+      s"""WITH ${Oracles.simHashCtes}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) <= 7""".stripMargin,
+    "simhash_fp" ->
+      s"""WITH ${Oracles.simHashCtes}
+         |SELECT doc_id, simhash1, simhash2 FROM fp""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH ${Oracles.embeddingPairCtes}
+         |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM cosims WHERE cosine >= 0.4""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.shingleCtes},
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |jac AS (
+         |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+         |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
+         |),
+         |jp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b AS a, id_a AS b FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+         |)
+         |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS ea, c.embedding AS eb
+        |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cosine
+        |  FROM p
+        |),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= 5""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" -> {
+      val stops = Oracles.stopIn(TextFunctions.StopwordLists.head._2)
+      s"""WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, length(text) AS rawchars, len(ws) AS rawwords,
+         |    CAST(length(text) AS DOUBLE) AS nchars,
+         |    CAST(len(ws) AS DOUBLE) AS nwords,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         |    CAST(len(list_filter(ws, w -> w IN $stops)) AS DOUBLE) AS stops
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN rawchars = 0 OR rawwords = 0 THEN 0.0
+         |       ELSE round(0.4 * (alpha / nchars) + 0.4 * least(3.0 * (stops / nwords), 1.0)
+         |                 + 0.2 * least((alpha / nwords) / 8.0, 1.0), 6) END AS quality
+         |FROM m""".stripMargin
+    },
+    "text_langid" -> {
+      val counts = TextFunctions.StopwordLists.map { case (lang, list) =>
+        s"CAST(len(list_filter(ws, w -> w IN ${Oracles.stopIn(list)})) AS BIGINT) AS c_$lang"
+      }.mkString(",\n    ")
+      val langs = TextFunctions.StopwordLists.map(_._1)
+      val cases = langs.zipWithIndex.init.map { case (lang, i) =>
+        val conds = langs.drop(i + 1).map(l2 => s"c_$lang >= c_$l2").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    $counts
+         |  FROM d
+         |)
+         |SELECT doc_id,
+         |  CASE $cases
+         |    ELSE '${langs.last}' END AS langid
+         |FROM m""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"SELECT doc_id, ${Oracles.tHashSql("text")} AS fingerprint FROM documents",
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  'stub/raw' AS format,
+        |  CAST((octet_length(encode(text)) * 7919) % 1024 + 1 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 104729) % 1024 + 1 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS media_sha
+        |FROM documents""".stripMargin,
+    "events_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for the LLM-data-pipeline surface: word
+ * extraction, shingling, deterministic hashing (document fingerprints, MinHash /
+ * SimHash token hashes), language-ID heuristic, quality scoring, token counting.
+ *
+ * Everything here is built from exact integer arithmetic or fixed-order double
+ * arithmetic so each function has a 1:1 ANSI-SQL mirror (DuckDB oracle) — the
+ * formulas are the spec. Native Catalyst expressions only (no Python UDFs); the
+ * single Scala UDF ([[tHashUdf]]) implements the same integer recurrence as the
+ * SQL mirror, so results are bit-identical.
+ *
+ * Reference scope note: the reference library has no text-analysis surface
+ * beyond `normalize_string_col` (/root/reference/python/polars_sim/dataframe/
+ * join.py:6-12); these operators extend it for large-scale training-data
+ * pipelines per the build brief.
+ */
+object TextFunctions {
+
+  /** Position weights of [[tHash]]: 31^(i mod 8), precomputed to stay in exact Long range. */
+  val HashWeights: Array[Long] =
+    Array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
+
+  /**
+   * Deterministic polynomial string hash: sum over characters of
+   * `codepoint(c_i) * 31^((i-1) mod 8)` (1-based i). No modulus — bounded by
+   * 255 · 31^7 · len, exact in Long for len ≤ ~10k ASCII chars. Cycling the
+   * weight every 8 chars keeps products small while staying order-sensitive
+   * within an 8-char window. SQL mirror: aggregate/transform lambda, see
+   * SparkEntry oracle builders.
+   */
+  def tHash(s: String): Long = {
+    if (s == null) return 0L
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc += s.charAt(i).toLong * HashWeights(i % 8)
+      i += 1
+    }
+    acc
+  }
+
+  val tHashUdf = udf((s: String) => tHash(s))
+
+  /** Lowercase alphabetic word runs of `c` — the shared word extractor. */
+  def wordsCol(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
+
+  /** Distinct 3-word shingles of a words array (space-joined); empty when < 3 words. */
+  def shingles3(ws: Column): Column =
+    array_distinct(
+      when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>")))
+
+  // ---------------------------------------------------------------------------
+  // MinHash / SimHash parameters — inlined as literals in the oracle SQL too.
+  // ---------------------------------------------------------------------------
+
+  /** Number of MinHash hash functions; bands of [[MinHashBandRows]] rows each. */
+  val MinHashK = 32
+  val MinHashBandRows = 4
+  val MinHashP1 = 1000003L      // token-hash compression modulus
+  val MinHashP2 = 1000000007L   // permutation modulus
+
+  /** (a_j, b_j) of the j-th MinHash permutation `(a·x + b) mod P2`, j in [0, K). */
+  def minHashParams(j: Int): (Long, Long) =
+    ((j.toLong * 2654435761L + 1L) % MinHashP2, (j.toLong * 2654446111L + 12345L) % MinHashP2)
+
+  /** MinHash value j for a token-hash column: `(a_j·(th mod P1) + b_j) mod P2`. */
+  def minHashCol(th: Column, j: Int): Column = {
+    val (a, b) = minHashParams(j)
+    (lit(a) * (th % lit(MinHashP1)) + lit(b)) % lit(MinHashP2)
+  }
+
+  /** SimHash 32-bit token mixes (two independent halves => 64-bit fingerprint). */
+  val SimHashMult1 = 2654435761L
+  val SimHashMult2 = 2246822519L
+  val SimHashMod = 4294967296L // 2^32
+  val SimHashCompress = 65521L
+
+  /** 32-bit token mix for SimHash half `half` (1 or 2). */
+  def simHashMixCol(th: Column, half: Int): Column = {
+    val m = if (half == 1) SimHashMult1 else SimHashMult2
+    (lit(m) * (th % lit(SimHashCompress))) % lit(SimHashMod)
+  }
+
+  // ---------------------------------------------------------------------------
+  // Language-ID heuristic + quality scoring + token counts.
+  // ---------------------------------------------------------------------------
+
+  /** Per-language stopword lists for the language-ID heuristic (fixed spec). */
+  val StopwordLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une"),
+    "es" -> Seq("el", "los", "las", "y", "es", "uno", "como"),
+    "zh" -> Seq("zhe", "shi", "bu", "wo", "ni"))
+
+  /** Count of words of `ws` contained in `list`. */
+  def stopwordCount(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(list)))
+
+  /**
+   * Language-ID heuristic: argmax of per-language stopword counts, ties broken
+   * in [[StopwordLists]] order. A deliberately simple n-gram-free heuristic —
+   * deterministic and SQL-mirrorable; on corpora with no language signal it
+   * degrades to the first list that matches anything.
+   */
+  def langIdCol(ws: Column): Column = {
+    val counts = StopwordLists.map { case (lang, list) => lang -> stopwordCount(ws, list) }
+    // nested CASE: lang_i wins iff its count >= every later lang's count
+    counts.zipWithIndex.init.foldRight(lit(counts.last._1)) { case (((lang, cnt), i), elseCol) =>
+      val laterCounts = counts.drop(i + 1).map(_._2)
+      when(laterCounts.map(c => cnt >= c).reduce(_ && _), lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /**
+   * Heuristic document quality score in [0,1]:
+   * `0.4·alphaRatio + 0.4·min(3·stopRatio, 1) + 0.2·min(avgWordLen/8, 1)`,
+   * where alphaRatio = alphabetic chars / chars, stopRatio = english stopwords /
+   * words, avgWordLen = alphabetic chars / words. Rounded to 6 decimals; 0.0 for
+   * empty docs. Each arithmetic step is written identically in the SQL oracle.
+   */
+  def qualityScoreCol(text: Column): Column = {
+    val ws = wordsCol(text)
+    val nChars = length(text).cast("double")
+    val nWords = size(ws).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val stops = stopwordCount(ws, StopwordLists.head._2).cast("double")
+    val score = lit(0.4) * (alpha / nChars) +
+      lit(0.4) * least(lit(3.0) * (stops / nWords), lit(1.0)) +
+      lit(0.2) * least((alpha / nWords) / lit(8.0), lit(1.0))
+    when(length(text) === 0 || size(ws) === 0, lit(0.0)).otherwise(round(score, 6))
+  }
+
+  /** Whitespace token count (trim + split on runs of whitespace). */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish regex token count: letter runs | digit runs | single other non-space. */
+  val RegexTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(RegexTokenPattern), lit(0))).cast("long")
+}

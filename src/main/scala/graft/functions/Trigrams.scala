@@ -68,6 +68,9 @@ object Trigrams {
   /** UDF form: string -> array<int> of distinct token ids. */
   val tokensUdf: UserDefinedFunction = udf((s: String) => tokenIds(s))
 
+  /** UDF form: string -> array<string> of distinct trigram strings (ascending). */
+  val tokenStringsUdf: UserDefinedFunction = udf((s: String) => tokenStrings(s))
+
   /** Column helper: distinct trigram token ids of a string column. */
   def trigramTokens(c: Column): Column = tokensUdf(c)
 }

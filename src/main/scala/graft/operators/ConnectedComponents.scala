@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components by iterative min-label propagation — the clustering step
+ * of near-duplicate deduplication (doc → canonical cluster id).
+ *
+ * Each iteration: every node takes the min of its own label and its neighbors'
+ * labels; converges in O(component diameter) joins. Near-dup graphs are
+ * overwhelmingly tiny components (pairs/triples), so 2-3 iterations suffice;
+ * the iteration count, not the data, is the driver-side loop (each step is a
+ * distributed join — no collect()). For adversarial long-chain graphs switch to
+ * the large-star/small-star algorithm (Kiveris et al.), which squares path
+ * lengths per round; not needed for dedup workloads.
+ */
+object ConnectedComponents {
+
+  /**
+   * @param nodes  one row per node
+   * @param idCol  node id column (orderable; min id becomes the component label)
+   * @param edges  undirected edge list (aCol, bCol) — direction ignored
+   * @return (idCol, component) — component = min node id reachable
+   */
+  def run(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+      .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+      .distinct()
+      .cache()
+    var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("__comp")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min label among each node's neighbors
+      val neighborMin = sym
+        .join(labels.select(col("__id").as("__dst"), col("__comp")), "__dst")
+        .groupBy(col("__src")).agg(min(col("__comp")).as("__nmin"))
+        .select(col("__src").as("__id"), col("__nmin"))
+      val next = labels.join(neighborMin, Seq("__id"), "left")
+        .select(col("__id"),
+          least(col("__comp"), coalesce(col("__nmin"), col("__comp"))).as("__comp"))
+        .cache()
+      val changed = next.join(labels.select(col("__id"), col("__comp").as("__old")), "__id")
+        .filter(col("__comp") < col("__old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("__id").as(idCol), col("__comp").as("component"))
+  }
+}

@@ -20,8 +20,20 @@ import graft.functions.Trigrams
  * @param addMapping             keep the (row, col) index mapping columns
  * @param addSimilarity          keep the `sim` score column
  * @param broadcastSide          "left" | "right" | "auto" — which token relation to broadcast
- *                               (≙ reference `threading_dimension`; auto defers to Catalyst/AQE)
- * @param strategy               "dedup" | "direct" | "auto" — physical plan choice, see [[SimJoin]]
+ *                               (≙ reference `threading_dimension`; auto applies the reference's
+ *                               100× size rule on Catalyst plan statistics, see [[SimJoin.autoBroadcastSide]])
+ * @param strategy               "dedup" | "direct" | "auto" — physical plan choice, see [[SimJoin]];
+ *                               auto picks by distinct-key ratio (one slim stats pass per side)
+ * @param indexBy                for the positional APIs ([[SimJoin.pairs]]/[[SimJoin.simJoin]]):
+ *                               a UNIQUE column per side whose ascending order defines the dense
+ *                               0-based row index. Deterministic and avoids the RDD zipWithIndex
+ *                               pass (ids computed on a slim projection + joined back). When None,
+ *                               falls back to physical-order zipWithIndex (localCheckpoint'd so
+ *                               both plan subtrees see one consistent id assignment).
+ * @param maxTokenFrequency      if > 0, drop tokens whose RIGHT-side posting list exceeds this
+ *                               cap before the candidate join (skew guard; the reference's own
+ *                               tf-idf TODO, /root/reference/src/cossim.rs:45-48). RESULT-CHANGING:
+ *                               off (0) by default.
  */
 case class SimJoinOptions(
     on: Option[String] = None,
@@ -34,7 +46,9 @@ case class SimJoinOptions(
     addMapping: Boolean = false,
     addSimilarity: Boolean = true,
     broadcastSide: String = "auto",
-    strategy: String = "auto") {
+    strategy: String = "auto",
+    indexBy: Option[String] = None,
+    maxTokenFrequency: Long = 0L) {
   require(topN > 0, s"topN must be positive, got $topN")
   require(Set("l2", "count")(normalization), s"normalization must be l2|count, got $normalization")
   require(Set("left", "right", "auto")(broadcastSide), s"broadcastSide must be left|right|auto")
@@ -107,7 +121,7 @@ object SimJoin {
       right: DataFrame, rightId: String, rightKey: String,
       opts: SimJoinOptions = SimJoinOptions(),
       outLeft: String = "row", outRight: String = "col", outSim: String = "sim"): DataFrame = {
-    val strategy = if (opts.strategy == "auto") "dedup" else opts.strategy
+    val strategy = if (opts.strategy == "auto") autoStrategy(left, leftKey, right, rightKey) else opts.strategy
     strategy match {
       case "direct" => directPairs(left, leftId, leftKey, right, rightId, rightKey, opts, outLeft, outRight, outSim)
       case "dedup"  => dedupPairs(left, leftId, leftKey, right, rightId, rightKey, opts, outLeft, outRight, outSim)
@@ -128,10 +142,25 @@ object SimJoin {
       right: DataFrame, rightId: String, rightKey: String,
       opts: SimJoinOptions): DataFrame = {
     val lt0 = tokenRelation(left, leftId, leftKey, "__row", "__nl")
-    val rt0 = tokenRelation(right, rightId, rightKey, "__col", "__nr")
+    // Skew guard (off by default): drop tokens with oversized RIGHT posting lists
+    // before the candidate join — a stop-trigram's postings join is quadratic in
+    // its row counts. Result-changing, mirrors the reference's tf-idf TODO.
+    val rt1 = tokenRelation(right, rightId, rightKey, "__col", "__nr")
+    val rt0 =
+      if (opts.maxTokenFrequency <= 0) rt1
+      else {
+        val freq = rt1.groupBy(col("__tok")).agg(count(lit(1)).as("__tf"))
+          .filter(col("__tf") <= opts.maxTokenFrequency).select(col("__tok"))
+        rt1.join(broadcast(freq), "__tok")
+      }
     // broadcastSide ≙ the reference's threading_dimension: replicate one side,
-    // partition the other (/root/reference/src/cossim.rs:143-201).
-    val (lt, rt) = opts.broadcastSide match {
+    // partition the other (/root/reference/src/cossim.rs:143-201). "auto" applies
+    // the reference's 100× rule on Catalyst size estimates.
+    val side = opts.broadcastSide match {
+      case "auto" => autoBroadcastSide(left, right)
+      case s      => s
+    }
+    val (lt, rt) = side match {
       case "left"  => (broadcast(lt0), rt0)
       case "right" => (lt0, broadcast(rt0))
       case _       => (lt0, rt0)
@@ -198,10 +227,53 @@ object SimJoin {
    */
   def pairs(left: DataFrame, right: DataFrame, opts: SimJoinOptions): DataFrame = {
     val (lOn, rOn) = opts.resolveKeys(left, right)
-    val li = withDenseIndex(left, "row")
-    val ri = withDenseIndex(right, "col")
+    requireNoReservedNames(left, right)
+    val li = withDenseIndex(left, "row", opts.indexBy)
+    val ri = withDenseIndex(right, "col", opts.indexBy)
     keyedPairs(li, "row", lOn, ri, "col", rOn, opts)
       .withColumn("sim", col("sim").cast(FloatType))
+  }
+
+  /** Output names `row`/`col`/`sim` are reserved in the positional APIs; colliding
+    * input columns would make later resolution ambiguous — fail early instead. */
+  private def requireNoReservedNames(left: DataFrame, right: DataFrame): Unit = {
+    val reserved = Set("row", "col", "sim")
+    val bad = (left.columns ++ right.columns).filter(reserved)
+    require(bad.isEmpty,
+      s"input columns ${bad.mkString(",")} collide with reserved output names row/col/sim; " +
+      "rename them or use keyedPairs")
+  }
+
+  /**
+   * Reference `threading_dimension="auto"`: parallelize right iff `100·|L| ≤ |R|`
+   * (/root/reference/python/polars_sim/dataframe/join.py:107-114). Parallelizing
+   * right ≙ replicating (broadcasting) LEFT. We apply the rule on Catalyst's
+   * size-in-bytes estimates and only hint when the broadcast side is plausibly
+   * broadcastable (< 512 MB estimated) — at 100 TB an unconditional hint would OOM.
+   */
+  private[graft] def autoBroadcastSide(left: DataFrame, right: DataFrame): String = {
+    val maxBroadcastBytes = BigInt(512L << 20)
+    val l = left.queryExecution.optimizedPlan.stats.sizeInBytes
+    val r = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (l * 100 <= r && l <= maxBroadcastBytes) "left"
+    else if (r * 100 <= l && r <= maxBroadcastBytes) "right"
+    else "none"
+  }
+
+  /**
+   * strategy="auto": score distinct keys ("dedup") only when keys actually repeat.
+   * One slim aggregation per side (key column only — parquet-pruned) pays for
+   * itself whenever duplication ≥ 2×; explicit strategy skips the stats pass.
+   */
+  private[graft] def autoStrategy(
+      left: DataFrame, leftKey: String, right: DataFrame, rightKey: String): String = {
+    def ratio(df: DataFrame, key: String): Double = {
+      val row = df.select(
+        count(col(key)).as("n"), approx_count_distinct(col(key)).as("d")).head()
+      val n = row.getLong(0); val d = row.getLong(1)
+      if (n == 0) 1.0 else d.toDouble / n
+    }
+    if (ratio(left, leftKey) <= 0.5 || ratio(right, rightKey) <= 0.5) "dedup" else "direct"
   }
 
   /**
@@ -212,14 +284,15 @@ object SimJoin {
    */
   def simJoin(left0: DataFrame, right0: DataFrame, opts: SimJoinOptions): DataFrame = {
     var (lOn, rOn) = opts.resolveKeys(left0, right0)
+    requireNoReservedNames(left0, right0)
     var left = left0
     var right = right0
     if (opts.applyWordNormalization) {
       left = normalizeStringCol(left, lOn); lOn = lOn + "_normalized"
       right = normalizeStringCol(right, rOn); rOn = rOn + "_normalized"
     }
-    val li = withDenseIndex(left, "row")
-    val ri = withDenseIndex(right, "col")
+    val li = withDenseIndex(left, "row", opts.indexBy)
+    val ri = withDenseIndex(right, "col", opts.indexBy)
     val p = keyedPairs(li, "row", lOn, ri, "col", rOn, opts)
       .withColumn("sim", col("sim").cast(FloatType))
     val leftSide = li.join(p, "row")
@@ -240,12 +313,27 @@ object SimJoin {
 
   /**
    * Dense 0-based row index (≙ polars `with_row_index`, reference join.py:144-145).
-   * `monotonically_increasing_id` is NOT dense, so this forces one zipWithIndex
-   * pass — only the positional-parity API pays it; [[keyedPairs]] uses existing keys.
+   *
+   * Preferred path (`sortBy` given): index = rank in ascending `sortBy` order,
+   * computed as `row_number()` on a SLIM (sortBy-only) projection and hash-joined
+   * back — deterministic across retries/shuffles, keeps parquet column pruning,
+   * no RDD round-trip. Requires `sortBy` values unique (caller contract).
+   *
+   * Fallback (no `sortBy`): physical-order `zipWithIndex`, localCheckpoint'd so
+   * the two consumers of the indexed frame (pair scoring + join-back) see ONE
+   * consistent id assignment even if upstream order is nondeterministic.
+   * `monotonically_increasing_id` is not dense, hence unusable for parity.
    */
-  def withDenseIndex(df: DataFrame, name: String): DataFrame = {
-    val schema = df.schema.add(name, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def withDenseIndex(df: DataFrame, name: String, sortBy: Option[String] = None): DataFrame =
+    sortBy match {
+      case Some(k) =>
+        val w = Window.orderBy(col(k))
+        val ids = df.select(col(k))
+          .withColumn(name, (row_number().over(w) - 1).cast(LongType))
+        df.join(ids, k)
+      case None =>
+        val schema = df.schema.add(name, LongType, nullable = false)
+        val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+        df.sparkSession.createDataFrame(rdd, schema).localCheckpoint(eager = false)
+    }
 }

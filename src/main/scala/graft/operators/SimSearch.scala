@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`) and strings.
+ *
+ *  - [[topK]]     — brute-force cosine top-k: broadcast the (small) query side,
+ *                   linear-scan the corpus, per-query top-k via window (Spark
+ *                   pushes the rank filter down as WindowGroupLimit). The
+ *                   correctness baseline and the right plan when queries ≪ corpus.
+ *  - [[topKLsh]]  — the scale path: sign-random-hyperplane LSH buckets on both
+ *                   sides; only same-bucket pairs are scored, then per-query
+ *                   top-k. Approximate (bucket boundary misses); deterministic
+ *                   (hyperplanes derived from a fixed integer formula).
+ *  - [[topKStrings]] — string similarity search = thin wrapper over
+ *                   [[SimJoin.keyedPairs]] with the query side broadcast.
+ *
+ * Cosine is computed as a sequential left-to-right fold in Double (UDF with a
+ * tight while-loop — same result as SQL `aggregate`/`list_sum` folds, mirrored
+ * in the DuckDB oracle; outputs are rounded before comparison).
+ */
+object SimSearch {
+
+  /** dot(a,b) / (||a||·||b||), sequential fold in Double; null/empty/mismatch → null. */
+  val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    if (a == null || b == null || a.isEmpty || a.length != b.length) None
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) None
+      else Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+  }
+
+  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  /**
+   * Brute-force cosine top-k: for each query row, the k corpus rows with highest
+   * cosine; ties broken by corpus id ascending. Output:
+   * (query_id, neighbor_id, cosine rounded to 4 decimals).
+   * Plan shape: corpus scan × broadcast(queries) → window top-k. Scales linearly
+   * in |corpus| with |queries| replicated — the right brute-force layout.
+   */
+  def topK(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored0 = c.join(broadcast(q),
+      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("__cos", cosineCol(col("__qv"), col("__cv")))
+      .filter(col("__cos").isNotNull)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored0.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /** Fixed pseudo-random hyperplane component d of plane j (integer formula). */
+  private[operators] def planeComponent(j: Int, d: Int): Double =
+    (((j.toLong * 8191L + d.toLong) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
+
+  /** LSH bucket id: sign bits of dot(v, plane_j) for j in [0, nPlanes). */
+  def lshBucketUdf(nPlanes: Int) = udf { (v: Seq[Float]) =>
+    if (v == null) None
+    else {
+      var bucket = 0L
+      var j = 0
+      while (j < nPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) { dot += v(d).toDouble * planeComponent(j, d); d += 1 }
+        if (dot > 0) bucket |= (1L << j)
+        j += 1
+      }
+      Some(bucket)
+    }
+  }
+
+  /**
+   * Approximate cosine top-k via sign-LSH bucketing: both sides hashed into
+   * 2^nPlanes buckets; only same-bucket pairs scored. At 100 TB this replaces
+   * the |Q|×|C| scan with a bucket-partitioned equi-join; recall is tunable via
+   * nPlanes (fewer planes → bigger buckets → higher recall, more work).
+   */
+  def topKLsh(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nPlanes: Int = 8, excludeSelf: Boolean = false): DataFrame = {
+    val bucket = lshBucketUdf(nPlanes)
+    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .withColumn("__bucket", bucket(col("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .withColumn("__bucket", bucket(col("__cv")))
+    val joined = c.join(q, "__bucket")
+    val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
+      .withColumn("__cos", cosineCol(col("__qv"), col("__cv")))
+      .filter(col("__cos").isNotNull)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /**
+   * String similarity search: top-k most-similar corpus strings per query string
+   * (trigram cosine, = the reference's join_sim semantics with the query side as
+   * `left`). Output: (query_id, match_id, sim).
+   */
+  def topKStrings(
+      queries: DataFrame, qId: String, qKey: String,
+      corpus: DataFrame, cId: String, cKey: String,
+      k: Int, normalization: String = "l2"): DataFrame =
+    SimJoin.keyedPairs(
+      queries, qId, qKey, corpus, cId, cKey,
+      SimJoinOptions(topN = k, normalization = normalization, broadcastSide = "left",
+        strategy = "direct"),
+      outLeft = "query_id", outRight = "match_id", outSim = "sim")
+}

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Event-time windowed aggregation over the `events` table — written so the SAME
+ * transformation runs in batch (driver-verifiable against a SQL oracle) and as a
+ * Structured Streaming query (watermark + append mode), which is the Spark-idiomatic
+ * way to keep one definition for both. The reference has no streaming surface
+ * (SURVEY §2.2); this is the pipeline extension.
+ */
+object EventWindows {
+
+  /** Event timestamp, tolerant of nanosecond parquet timestamps: with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) a
+    * TIMESTAMP(NANOS) column arrives as Long nanos — convert via exact integer
+    * division to micros; a native TimestampType passes through. */
+  private def tsCol(df: DataFrame): Column =
+    if (df.schema("ts").dataType == LongType) expr("timestamp_micros(ts DIV 1000)")
+    else col("ts")
+
+  /**
+   * Tumbling 1-hour counts + value sums per event type.
+   * Output: (ws: String "yyyy-MM-dd HH:mm:ss" window start, event_type, n, sum_value).
+   * Window starts align to the epoch, so they equal date_trunc('hour', ts) for
+   * 1-hour tumbling windows — which is exactly the SQL oracle.
+   */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(tsCol(events), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming form of [[hourlyByType]]: same aggregation behind a watermark. */
+  def hourlyByTypeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+}

@@ -1,0 +1,207 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators._
+import graft.streaming.EventWindows
+
+/** Specs for the LLM-pipeline operators: text analysis, dedup family,
+  * similarity search, connected components, multimodal plumbing, streaming. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- TextFunctions ------------------------------------------------------
+
+  test("tHash matches the SQL-mirror golden value") {
+    // golden value computed independently with the DuckDB mirror expression
+    assert(TextFunctions.tHash("small ring") == 2991019091831L)
+    assert(TextFunctions.tHash("") == 0L)
+    assert(TextFunctions.tHash(null) == 0L)
+  }
+
+  test("words/shingles/quality/langid are deterministic and sane") {
+    val df = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"), // < 3 words after extraction => no shingles
+      (3L, "")))
+    val out = df.select(col("doc_id"),
+      TextFunctions.wordsCol(col("text")).as("ws"),
+      TextFunctions.shingles3(TextFunctions.wordsCol(col("text"))).as("sh"),
+      TextFunctions.qualityScoreCol(col("text")).as("q"),
+      TextFunctions.langIdCol(TextFunctions.wordsCol(col("text"))).as("lang"),
+      TextFunctions.wsTokenCount(col("text")).as("wst"),
+      TextFunctions.regexTokenCount(col("text")).as("ret"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getSeq[String](1).length == 9)
+    assert(out(1L).getSeq[String](2).length == 7) // 9 words -> 7 shingles
+    assert(out(1L).getString(4) == "en")
+    assert(out(1L).getDouble(3) > 0.5 && out(1L).getDouble(3) <= 1.0)
+    assert(out(2L).getSeq[String](2).isEmpty)
+    assert(out(3L).getDouble(3) == 0.0)
+    assert(out(1L).getLong(5) == 9L && out(1L).getLong(6) == 9L)
+  }
+
+  // ---- Dedup family -------------------------------------------------------
+
+  val nearDupDocs: Seq[(Long, String)] = Seq(
+    (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (11L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 10
+    (12L, "one two three four five six seven eight nine ten"),
+    (13L, "one two three four five six seven eight nine ten"), // exact dup of 12
+    (14L, "completely different words appear here in this sentence now yes"))
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docsDf(nearDupDupFree), "doc_id", "text")
+    assert(out.count() == nearDupDupFree.size)
+    val canon = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(canon(12L) == 12L && canon(13L) == 12L)
+    assert(canon(10L) == 10L && canon(11L) == 11L)
+  }
+  def nearDupDupFree: Seq[(Long, String)] = nearDupDocs
+
+  test("jaccardPairs finds near-dups and minHashLshPairs agrees") {
+    val df = docsDf(nearDupDocs)
+    val brute = Dedup.jaccardPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 10-11: 8 shingles each, 7 shared => 7/9; 12-13 identical => 1.0
+    assert(brute.map(p => (p._1, p._2)) == Set((10L, 11L), (12L, 13L)))
+    val lsh = Dedup.minHashLshPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute)
+  }
+
+  test("simHash: identical docs distance 0, near-dups close, others far") {
+    val df = docsDf(nearDupDocs)
+    val fp = Dedup.simHashFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp(12L) == fp(13L))
+    def ham(a: (Long, Long), b: (Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(ham(fp(10L), fp(11L)) < ham(fp(10L), fp(14L)))
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((12L, 13L)))
+  }
+
+  test("connected components: chains collapse to min id") {
+    val s = spark
+    import s.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (6L, 7L)).toDF("a", "b")
+    val comp = ConnectedComponents.run(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L))
+  }
+
+  test("embeddingPairs + SimSearch.topK on hand-built vectors") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f)),  // ~parallel to 0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to 0
+      (3L, Seq(-1.0f, 0.0f))). // opposite to 0
+      toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+    val top = SimSearch.topK(vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      vecs, "vec_id", "embedding", 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(top.map(_._1).toSeq == Seq(1L, 2L)) // nearest first, then orthogonal
+    assert(math.abs(top.head._2 - 1.0) < 1e-3)
+  }
+
+  test("SimSearch.topKLsh returns same top hit as brute force for tight clusters") {
+    val s = spark
+    import s.implicits._
+    val base = (0 until 20).map { i =>
+      val angle = if (i < 10) 0.1 * i else math.Pi / 2 + 0.1 * (i - 10)
+      (i.toLong, Seq(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }
+    val df = base.toDF("vec_id", "embedding")
+    val brute = SimSearch.topK(df, "vec_id", "embedding", df, "vec_id", "embedding",
+      1, excludeSelf = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = SimSearch.topKLsh(df, "vec_id", "embedding", df, "vec_id", "embedding",
+      1, nPlanes = 2, excludeSelf = true).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // LSH with few planes keeps same-cluster neighbors together
+    val agree = brute.keys.count(k => lsh.get(k).contains(brute(k)))
+    assert(agree >= 15, s"only $agree/20 LSH top-1 hits agree with brute force")
+  }
+
+  test("topKStrings finds the most similar part-like names") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "small ring"), (2L, "small rings"), (3L, "blue bolt")).toDF("id", "name")
+    val queries = Seq((100L, "small ring")).toDF("id", "name")
+    val out = SimSearch.topKStrings(queries, "id", "name", corpus, "id", "name", 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(math.abs(out.head._2 - 1.0) < 1e-9)
+  }
+
+  // ---- Multimodal ---------------------------------------------------------
+
+  test("multimodal: payload/meta/features plumbing") {
+    val df = docsDf(Seq((1L, "hello world"), (2L, "")))
+    val withP = Multimodal.withBinaryPayload(df, "text", "payload")
+    val meta = Multimodal.withDecodedMeta(withP, "payload")
+    val m = meta.select(col("doc_id"), col("media_meta.n_bytes"), col("media_sha"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m(1L)._1 == 11L)
+    assert(m(1L)._2.length == 64) // sha-256 hex
+    val feats = Multimodal.extractFeatures(withP, "doc_id", "payload", 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L).length == 8)
+    assert(math.abs(feats(1L).sum - 1.0f) < 1e-5) // normalized histogram
+    assert(feats(2L).sum == 0.0f)
+  }
+
+  // ---- Streaming ----------------------------------------------------------
+
+  test("events windowed agg: batch and streaming paths agree") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:05:00"), "click", 1.5),
+      (Timestamp.valueOf("2024-01-01 00:55:00"), "click", 2.5),
+      (Timestamp.valueOf("2024-01-01 01:05:00"), "view", 4.0))
+    val batch = rows.toDF("ts", "event_type", "value")
+    val got = EventWindows.hourlyByType(batch)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("2024-01-01 00:00:00", "click", 2L, 4.0),
+      ("2024-01-01 01:00:00", "view", 1L, 4.0)))
+
+    // streaming path: same transformation behind a file stream, update mode
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    batch.write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir + "/in")
+    val q = EventWindows.hourlyByTypeStream(stream).writeStream
+      .format("memory").queryName("evt_stream").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("evt_stream")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == got)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs graft.Verify at a given SF dir, then executes each oracle_sql.json entry
+in DuckDB against the same parquet tables and compares: row count, schema
+(column names), and a hash of all values with columns sorted by name and rows
+sorted. Usage: check_correctness.py [sfdir] [outdir] [--skip-verify]
+"""
+import sys, os, json, subprocess, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def run_verify(sfdir, outdir):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}']
+    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-5000:]); print(r.stderr[-3000:])
+        sys.exit("verify failed")
+
+def norm_cell(v):
+    import math, datetime
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    if isinstance(v, datetime.datetime): return v.isoformat()
+    return repr(v)
+
+def table_digest(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.sha256()
+    for r in data: h.update(("|".join(r) + "\n").encode())
+    return h.hexdigest(), len(rows)
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    if "--skip-verify" not in sys.argv:
+        run_verify(sfdir, outdir)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+    for qdir in sorted(glob.glob(f"{outdir}/*/")):
+        name = os.path.basename(qdir.rstrip("/"))
+        results[name] = check_one(con, name, qdir, oracle.get(name))
+    print(json.dumps(results, indent=1))
+    bad = [k for k, v in results.items() if v.get("status") not in ("match", "rows_only")]
+    print(f"\n{len(results)-len(bad)}/{len(results)} ok; failing: {bad}")
+
+def check_one(con, name, qdir, sql):
+    try:
+        spark_rel = con.sql(f"SELECT * FROM '{qdir}*.parquet'")
+        scols = spark_rel.columns
+        srows = spark_rel.fetchall()
+    except Exception as e:
+        return {"status": "spark_read_error", "err": str(e)[:300]}
+    if sql is None:
+        return {"status": "rows_only", "rows": len(srows)}
+    try:
+        orel = con.sql(sql)
+        ocols = orel.columns
+        orows = orel.fetchall()
+    except Exception as e:
+        return {"status": "oracle_error", "err": str(e)[:300]}
+    schema_match = sorted(scols) == sorted(ocols)
+    sh, sn = table_digest(srows, scols)
+    oh, on = table_digest(orows, ocols)
+    st = "match" if (schema_match and sh == oh and sn == on) else "MISMATCH"
+    out = {"status": st, "rows": sn, "oracle_rows": on, "schema_match": schema_match,
+           "hash_match": sh == oh}
+    if st == "MISMATCH":
+        out["spark_cols"] = scols; out["oracle_cols"] = ocols
+    return out
+
+if __name__ == "__main__":
+    main()
