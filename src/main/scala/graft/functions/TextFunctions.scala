@@ -49,6 +49,81 @@ object TextFunctions {
   /** Lowercase alphabetic word runs of `c` — the shared word extractor. */
   def wordsCol(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
 
+  private val WordPattern = java.util.regex.Pattern.compile("[a-z]+")
+
+  /** Single-pass Scala form of words + 3-word shingles + distinct — the hot-path
+    * variant of [[shingles3]]([[wordsCol]]): identical output set, but the regex
+    * extraction runs ONCE per row (the HOF-lambda form re-evaluates the words
+    * subtree per element_at reference, which dominated the dedup benchmarks). */
+  def shingles3Array(s: String): Array[String] = {
+    if (s == null) return Array.empty
+    val m = WordPattern.matcher(s.toLowerCase(java.util.Locale.ROOT))
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) words += m.group()
+    if (words.length < 3) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= words.length - 3) {
+      seen.add(words(i) + " " + words(i + 1) + " " + words(i + 2))
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out
+  }
+
+  val shinglesUdf = udf((s: String) => shingles3Array(s))
+
+  /** MinHash signature of a distinct-shingle set: K mins of
+    * `(a_j·(tHash(sh) mod P1) + b_j) mod P2` — same integers as [[minHashCol]]. */
+  def minHashSig(shingles: Array[String]): Array[Long] = {
+    val sig = Array.fill(MinHashK)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val th = tHash(shingles(i)) % MinHashP1
+      var j = 0
+      while (j < MinHashK) {
+        val (a, b) = minHashParamsArr(j)
+        val h = (a * th + b) % MinHashP2
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  private lazy val minHashParamsArr: Array[(Long, Long)] =
+    (0 until MinHashK).map(minHashParams).toArray
+
+  val minHashSigUdf = udf((shs: Seq[String]) => minHashSig(shs.toArray))
+
+  /** One 32-bit SimHash half over a distinct-shingle set — same integers as
+    * [[simHashMixCol]] + the per-bit majority in Dedup.simHashFingerprints. */
+  def simHashHalf(shingles: Array[String], mult: Long): Long = {
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < shingles.length) {
+      val g = (mult * (tHash(shingles(i)) % SimHashCompress)) % SimHashMod
+      var b = 0
+      while (b < 32) {
+        if (((g >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) h |= (1L << b)
+      b += 1
+    }
+    h
+  }
+
+  val simHash1Udf = udf((shs: Seq[String]) => simHashHalf(shs.toArray, SimHashMult1))
+  val simHash2Udf = udf((shs: Seq[String]) => simHashHalf(shs.toArray, SimHashMult2))
+
   /** Distinct 3-word shingles of a words array (space-joined); empty when < 3 words. */
   def shingles3(ws: Column): Column =
     array_distinct(

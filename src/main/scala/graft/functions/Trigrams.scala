@@ -56,6 +56,36 @@ object Trigrams {
     out
   }
 
+  /**
+   * Byte-level variant of [[tokenIds]] over raw UTF-8 bytes (no decode).
+   * Equivalent: only 'a'..'z' bytes can form a token, and non-ASCII chars
+   * contribute only bytes ≥ 0x80 — see [[TrigramTokensExpr]] scaladoc.
+   */
+  def tokenIdsBytes(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 3) return Array.emptyIntArray
+    val n = b.length
+    val seen = new java.util.BitSet(VocabSize)
+    var count = 0
+    var i = 0
+    while (i <= n - 3) {
+      val c0 = b(i); val c1 = b(i + 1); val c2 = b(i + 2)
+      if (c0 >= 'a' && c0 <= 'z' && c1 >= 'a' && c1 <= 'z' && c2 >= 'a' && c2 <= 'z') {
+        val id = (c0 - 'a') * 676 + (c1 - 'a') * 26 + (c2 - 'a')
+        if (!seen.get(id)) { seen.set(id); count += 1 }
+      }
+      i += 1
+    }
+    if (count == 0) return Array.emptyIntArray
+    val out = new Array[Int](count)
+    var id = seen.nextSetBit(0)
+    var j = 0
+    while (id >= 0) {
+      out(j) = id; j += 1
+      id = seen.nextSetBit(id + 1)
+    }
+    out
+  }
+
   /** Distinct trigram strings of `s` (same windows as [[tokenIds]]), ascending. */
   def tokenStrings(s: String): Array[String] =
     tokenIds(s).map { id =>
@@ -71,6 +101,10 @@ object Trigrams {
   /** UDF form: string -> array<string> of distinct trigram strings (ascending). */
   val tokenStringsUdf: UserDefinedFunction = udf((s: String) => tokenStrings(s))
 
-  /** Column helper: distinct trigram token ids of a string column. */
-  def trigramTokens(c: Column): Column = tokensUdf(c)
+  /** Column helper: distinct trigram token ids of a string column.
+    * Uses the codegen'd Catalyst expression ([[TrigramTokensExpr]]) — stays in
+    * whole-stage codegen; [[tokensUdf]] remains as the boxed fallback. */
+  def trigramTokens(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TrigramTokensExpr(org.apache.spark.sql.GraftBridge.expression(c)))
 }

@@ -30,11 +30,11 @@ import graft.functions.TextFunctions._
  */
 object Dedup {
 
-  /** Distinct (id, shingle, tokenHash) relation over 3-word shingles of `textCol`. */
+  /** Distinct (id, shingle) relation over 3-word shingles of `textCol`
+    * (single-pass tokenizer — see [[graft.functions.TextFunctions.shingles3Array]]). */
   def shingleRelation(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
-        explode(shingles3(wordsCol(col(textCol)))).as("__sh"))
-      .withColumn("__th", tHashUdf(col("__sh")))
+      explode(shinglesUdf(col(textCol))).as("__sh"))
 
   /**
    * Exact dedup: rows grouped by md5 of `textCol`; canonical id = min id within
@@ -50,18 +50,25 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("canonical_id"))
   }
 
-  /** Internal: exact Jaccard for given candidate doc pairs (columns __a < __b). */
-  private def verifyJaccard(tokens: DataFrame, candidates: DataFrame): DataFrame = {
+  /** Internal: Jaccard from per-pair intersection counts (columns __a, __b, __i). */
+  private def jaccardFromInter(tokens: DataFrame, inter: DataFrame): DataFrame = {
     val cnt = tokens.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val ta = tokens.select(col("__id").as("__a"), col("__sh"))
-    val tb = tokens.select(col("__id").as("__b"), col("__sh"))
-    val inter = candidates.join(ta, "__a").join(tb, Seq("__b", "__sh"))
-      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
     inter
       .join(cnt.select(col("__id").as("__a"), col("__n").as("__na")), "__a")
       .join(cnt.select(col("__id").as("__b"), col("__n").as("__nb")), "__b")
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
+  }
+
+  /** Internal: exact Jaccard for given candidate doc pairs (columns __a < __b).
+    * Expands candidates by the left side's shingles — right cost model only when
+    * candidates ≪ all-pairs (the LSH path). */
+  private def verifyJaccard(tokens: DataFrame, candidates: DataFrame): DataFrame = {
+    val ta = tokens.select(col("__id").as("__a"), col("__sh"))
+    val tb = tokens.select(col("__id").as("__b"), col("__sh"))
+    val inter = candidates.join(ta, "__a").join(tb, Seq("__b", "__sh"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
+    jaccardFromInter(tokens, inter)
   }
 
   /**
@@ -71,28 +78,24 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     val t = shingleRelation(df, idCol, textCol)
-    val cand = t.select(col("__id").as("__a"), col("__sh"))
+    // ONE pass over the inverted index: intersection counts straight off the
+    // shingle equi-join (no candidate materialization + re-expansion).
+    val inter = t.select(col("__id").as("__a"), col("__sh"))
       .join(t.select(col("__id").as("__b"), col("__sh")), "__sh")
       .filter(col("__a") < col("__b"))
-      .select(col("__a"), col("__b")).distinct()
-    verifyJaccard(t, cand)
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
+    jaccardFromInter(t, inter)
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature relation: (id, j, mh) for j in [0, MinHashK). */
-  def minHashSignatures(tokens: DataFrame): DataFrame = {
-    val spark = tokens.sparkSession
-    import spark.implicits._
-    val params = (0 until MinHashK).map { j =>
-      val (a, b) = minHashParams(j); (j, a, b)
-    }.toDF("__j", "__ma", "__mb")
-    tokens.join(broadcast(params))
-      .groupBy(col("__id"), col("__j"))
-      .agg(min((col("__ma") * (col("__th") % lit(MinHashP1)) + col("__mb")) % lit(MinHashP2))
-        .as("__mh"))
-  }
+  /** MinHash signature relation: (id, j, mh) for j in [0, MinHashK) — one
+    * tight-loop UDF pass per doc, exploded (no K-way crossjoin shuffle). */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("__id"), posexplode(minHashSigUdf(col("__shs"))).as(Seq("__j", "__mh")))
 
   /**
    * MinHash + LSH near-dup pairs — identical OUTPUT CONTRACT to [[jaccardPairs]]
@@ -105,7 +108,7 @@ object Dedup {
    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     val t = shingleRelation(df, idCol, textCol)
-    val sig = minHashSignatures(t)
+    val sig = minHashSignatures(df, idCol, textCol)
     val bands = sig.withColumn("__band", floor(col("__j") / lit(MinHashBandRows)))
       .groupBy(col("__id"), col("__band"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("__j"), col("__mh")))),
@@ -126,22 +129,12 @@ object Dedup {
    * bit b, the bit is set iff Σ_tokens (2·bit_b(mix(tokenHash)) - 1) > 0.
    * Output: (idCol, simhash1, simhash2), both Long in [0, 2^32).
    */
-  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = shingleRelation(df, idCol, textCol)
-      .withColumn("__g1", simHashMixCol(col("__th"), 1))
-      .withColumn("__g2", simHashMixCol(col("__th"), 2))
-    val sums = (1 to 2).flatMap { half =>
-      (0 until 32).map { b =>
-        sum((shiftright(col(s"__g$half"), b) % 2L) * 2L - 1L).as(s"__s${half}_$b")
-      }
-    }
-    val grouped = t.groupBy(col("__id")).agg(sums.head, sums.tail: _*)
-    def half(h: Int): Column =
-      (0 until 32).map { b =>
-        when(col(s"__s${h}_$b") > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    grouped.select(col("__id").as(idCol), half(1).as("simhash1"), half(2).as("simhash2"))
-  }
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("__id").as(idCol),
+        simHash1Udf(col("__shs")).as("simhash1"),
+        simHash2Udf(col("__shs")).as("simhash2"))
 
   /**
    * SimHash near-dup pairs: Hamming distance over the 64-bit fingerprint ≤
@@ -182,14 +175,9 @@ object Dedup {
    * 100 TB path use [[SimSearch.topKLsh]]-style bucketing first. Output:
    * (id_a, id_b, cosine rounded to 4 decimals).
    */
-  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val slim = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val a = slim.select(col("__id").as("__a"), col("__v").as("__va"))
-    val b = slim.select(col("__id").as("__b"), col("__v").as("__vb"))
-    a.join(b, col("__a") < col("__b"))
-      .withColumn("cosine", SimSearch.cosineCol(col("__va"), col("__vb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("__a").as("id_a"), col("__b").as("id_b"),
-        round(col("cosine"), 4).as("cosine"))
-  }
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame =
+    SimSearch.broadcastCosine(df, idCol, vecCol, df, idCol, vecCol,
+        minCos = threshold, onlyQueryLess = true)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
+        round(col("__cos"), 4).as("cosine"))
 }

@@ -43,6 +43,75 @@ object SimSearch {
   def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /**
+   * Broadcast cosine kernel — the fast path for all-pairs scoring: collect the
+   * (small) query side as primitive float arrays with precomputed norms,
+   * broadcast it, and scan the corpus with tight primitive loops in
+   * mapPartitions (no per-pair boxing). The double arithmetic is the exact
+   * sequential fold of [[cosineUdf]], so results are bit-identical.
+   *
+   * This is the Spark analogue of the reference's "replicate one side,
+   * partition the other" drivers (/root/reference/src/cossim.rs:143-201) —
+   * per-executor dense kernels under a partitioned outer relation.
+   *
+   * @param minCos        emit only pairs with cosine ≥ minCos
+   * @param onlyQueryLess emit only pairs with query_id < corpus id (unordered
+   *                      pairs exactly once — the near-dup shape)
+   * @return (query_id: Long, neighbor_id: Long, __cos: Double)
+   */
+  private[operators] def broadcastCosine(
+      corpus: DataFrame, cId: String, cVec: String,
+      queries: DataFrame, qId: String, qVec: String,
+      minCos: Double = Double.NegativeInfinity,
+      onlyQueryLess: Boolean = false,
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else {
+        val v = r.getSeq[Float](1).toArray
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
+      }
+    }
+    val bc = spark.sparkContext.broadcast(qRows)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val qs = bc.value
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val cid = r.getLong(0)
+          val cv = r.getSeq[Float](1).toArray
+          var cn = 0.0; var i = 0
+          while (i < cv.length) { cn += cv(i).toDouble * cv(i).toDouble; i += 1 }
+          if (cn == 0.0) Iterator.empty
+          else {
+            val cSqrt = math.sqrt(cn)
+            qs.iterator.flatMap { case (qid, qv, qSqrt) =>
+              if (qv.length != cv.length) None
+              else if (excludeSelf && qid == cid) None
+              else if (onlyQueryLess && qid >= cid) None
+              else {
+                var dot = 0.0; var d = 0
+                while (d < qv.length) { dot += qv(d).toDouble * cv(d).toDouble; d += 1 }
+                val cos = dot / (qSqrt * cSqrt)
+                if (cos >= minCos) Some(Row(qid, cid, cos)) else None
+              }
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
    * Brute-force cosine top-k: for each query row, the k corpus rows with highest
    * cosine; ties broken by corpus id ascending. Output:
    * (query_id, neighbor_id, cosine rounded to 4 decimals).
@@ -53,14 +122,10 @@ object SimSearch {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, excludeSelf: Boolean = false): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
-    val scored0 = c.join(broadcast(q),
-      if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("__cos", cosineCol(col("__qv"), col("__cv")))
-      .filter(col("__cos").isNotNull)
+    val scored = broadcastCosine(corpus, cId, cVec, queries, qId, qVec,
+      excludeSelf = excludeSelf)
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
-    scored0.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
   }
 

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Trigrams
+import graft.operators.{SimJoin, SimJoinOptions}
+
+/** Physical-plan assertions + heuristic pins: the plans we DESIGNED for are the
+  * plans Spark actually runs (VERDICT r1 items 5, 7, 8). */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def strDf(vals: Seq[String]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+  }
+
+  test("trigram expression matches the UDF on tricky strings") {
+    val rng = new scala.util.Random(42)
+    val tricky = Seq("", "ab", "abc", "abcabc", "héllo wörld", "ABC abc",
+      "a b c", "zzz...zzz", "名前 test abc", "small ring", "x" * 100) ++
+      (1 to 50).map(_ => rng.alphanumeric.take(rng.nextInt(20)).mkString) ++
+      (1 to 20).map(_ => (1 to 10).map(_ => rng.nextPrintableChar()).mkString)
+    val both = strDf(tricky).select(
+      Trigrams.trigramTokens(col("s")).as("expr"),
+      Trigrams.tokensUdf(col("s")).as("udf")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+  }
+
+  test("trigram expression stays inside whole-stage codegen") {
+    // needs a non-local source: local relations are constant-folded entirely
+    val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(Trigrams.trigramTokens(col("p_name")).as("t"))
+    val plan = df.queryExecution.executedPlan
+    // WholeStageCodegen renders as "*(n)" in the plan string; check the node type
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      plan.toString)
+    // the UDF-free plan must not contain a ScalaUDF invocation for tokenization
+    assert(!plan.toString.contains("UDF"), plan.toString)
+    assert(df.count() > 0)
+  }
+
+  test("per-row top-n uses WindowGroupLimit below the window sort") {
+    val l = strDf(Seq("small ring", "small rings", "blue bolt"))
+    val plan = SimJoin.keyedPairs(l, "id", "s", l, "id", "s",
+      SimJoinOptions(topN = 2, strategy = "direct"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("broadcastSide=auto applies the reference 100x rule on plan stats") {
+    val tiny = strDf(Seq("abc"))
+    val big = strDf((1 to 5000).map(i => s"name number $i"))
+    assert(SimJoin.autoBroadcastSide(tiny, big) == "left")
+    assert(SimJoin.autoBroadcastSide(big, tiny) == "right")
+    assert(SimJoin.autoBroadcastSide(big, big) == "none")
+  }
+
+  test("strategy=auto picks dedup only under key duplication") {
+    val dupes = strDf((1 to 400).map(i => s"name ${i % 10}"))
+    val unique = strDf((1 to 400).map(i => s"name $i"))
+    assert(SimJoin.autoStrategy(dupes, "s", unique, "s") == "dedup")
+    assert(SimJoin.autoStrategy(unique, "s", unique, "s") == "direct")
+  }
+
+  test("maxTokenFrequency drops hot tokens (result-changing skew guard)") {
+    val l = strDf(Seq("aaab"))
+    // right side: "aaa" appears in every row (hot token), "aab" only in one
+    val r = strDf(Seq("aaab", "aaax", "aaay", "aaaz"))
+    val unguarded = SimJoin.keyedPairs(l, "id", "s", r, "id", "s",
+      SimJoinOptions(topN = 10, strategy = "direct")).count()
+    val guarded = SimJoin.keyedPairs(l, "id", "s", r, "id", "s",
+      SimJoinOptions(topN = 10, strategy = "direct", maxTokenFrequency = 1)).count()
+    assert(unguarded == 4L) // all rows share token "aaa"
+    assert(guarded == 1L)   // only the exact "aab" partner survives the cap
+  }
+}
