@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.{SimJoin, SimJoinOptions}
+
+/**
+ * Reproduction of the reference's published benchmark workload
+ * (/root/reference/justfile:46-52 + benchmark/bench.py:52-75): fuzzy name-join
+ * of 5 000 person names against 100 000, top_n=10, l2 normalization, one
+ * wall-clock measurement per call. The reference publishes no absolute numbers
+ * (BASELINE.md); this records ours on the same shape.
+ *
+ * Names are deterministic "First Last" pairs from a seeded LCG over fixed name
+ * pools (Faker itself isn't available offline; the trigram profile — cased
+ * initials, lowercase runs, ~10 tokens/name — matches).
+ */
+object RefWorkloadBench {
+
+  private val First = Array(
+    "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael", "Linda",
+    "David", "Elizabeth", "William", "Barbara", "Richard", "Susan", "Joseph", "Jessica",
+    "Thomas", "Sarah", "Charles", "Karen", "Christopher", "Lisa", "Daniel", "Nancy",
+    "Matthew", "Betty", "Anthony", "Sandra", "Mark", "Margaret", "Donald", "Ashley",
+    "Steven", "Kimberly", "Andrew", "Emily", "Paul", "Donna", "Joshua", "Michelle",
+    "Kenneth", "Carol", "Kevin", "Amanda", "Brian", "Melissa", "George", "Deborah",
+    "Timothy", "Stephanie", "Ronald", "Rebecca", "Jason", "Sharon", "Edward", "Laura",
+    "Jeffrey", "Cynthia", "Ryan", "Dorothy", "Jacob", "Amy", "Gary", "Kathleen")
+
+  private val Last = Array(
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller", "Davis",
+    "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez", "Wilson", "Anderson",
+    "Thomas", "Taylor", "Moore", "Jackson", "Martin", "Lee", "Perez", "Thompson",
+    "White", "Harris", "Sanchez", "Clark", "Ramirez", "Lewis", "Robinson", "Walker",
+    "Young", "Allen", "King", "Wright", "Scott", "Torres", "Nguyen", "Hill", "Flores",
+    "Green", "Adams", "Nelson", "Baker", "Hall", "Rivera", "Campbell", "Mitchell",
+    "Carter", "Roberts", "Gomez", "Phillips", "Evans", "Turner", "Diaz", "Parker",
+    "Cruz", "Edwards", "Collins", "Reyes", "Stewart", "Morris", "Morales", "Murphy")
+
+  private def names(n: Int, seed: Long): Seq[(Long, String)] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    (0 until n).map { i =>
+      val f = First(((next() >>> 33) % First.length).toInt)
+      val l = Last(((next() >>> 33) % Last.length).toInt)
+      (i.toLong, s"$f $l")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val left = names(5000, seed = 4321L).toDF("id", "name")
+    val right = names(100000, seed = 8765L).toDF("id", "name")
+    left.write.mode("overwrite").parquet("/tmp/ref_workload/left")
+    right.write.mode("overwrite").parquet("/tmp/ref_workload/right")
+    val l = spark.read.parquet("/tmp/ref_workload/left")
+    val r = spark.read.parquet("/tmp/ref_workload/right")
+
+    // warmup
+    SimJoin.keyedPairs(l, "id", "name", r, "id", "name",
+      SimJoinOptions(topN = 10, strategy = "direct")).count()
+
+    def time(strategy: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SimJoin.keyedPairs(l, "id", "name", r, "id", "name",
+        SimJoinOptions(topN = 10, normalization = "l2", strategy = strategy)).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (tDirect, nDirect) = time("direct")
+    val (tDedup, nDedup) = time("dedup")
+    println(f"""{"workload":"faker-names 5000x100000 top10 l2","direct_sec":$tDirect%.3f,"dedup_sec":$tDedup%.3f,"rows_direct":$nDirect,"rows_dedup":$nDedup}""")
+    spark.stop()
+  }
+}

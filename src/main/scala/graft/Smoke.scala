@@ -35,11 +35,25 @@ object Smoke {
     kp.show(5, truncate = false)
     println("keyedPairs rows=" + kp.count())
 
+    // SQL surface drive (idempotent registration + a query through spark.sql)
+    graft.functions.GraftFunctions.registerAll(spark)
+    graft.functions.GraftFunctions.registerAll(spark)
+    println("SQL " + spark.sql(
+      "SELECT trigrams('small ring') AS t, normalize_words('Small Ring!') AS n, thash('small ring') AS h").head())
+
+    // fuzzy dedup drive
+    val dd = graft.operators.SimDedup.dedup(part, "p_partkey", "p_name", 0.85)
+    println("simDedup rows=" + dd.count() + " clusters=" +
+      dd.select("canonical_id").distinct().count())
+
     // error-surface probes
     try SimJoinOptions(topN = 0)
     catch { case e: IllegalArgumentException => println("PROBE topN=0 -> " + e.getMessage) }
     try SimJoin.simJoin(part, part, SimJoinOptions(on = Some("nope")))
     catch { case e: IllegalArgumentException => println("PROBE missing col -> " + e.getMessage) }
+    val badType = try { spark.sql("SELECT trigrams(42)").head().toString }
+      catch { case e: Exception => "error: " + Option(e.getMessage).getOrElse("").take(120) }
+    println("PROBE trigrams(int) -> " + badType)
 
     spark.stop()
   }

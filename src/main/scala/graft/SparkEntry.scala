@@ -107,6 +107,8 @@ object SparkEntry {
       val edges = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
       ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
     }),
+    "simdedup" -> ((s, dir) =>
+      SimDedup.dedup(rd(s, dir, "part"), "p_partkey", "p_name", 0.85)),
     // ---- LLM-pipeline: similarity search ----------------------------------
     "ann_topk" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -214,6 +216,29 @@ object SparkEntry {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
          |)
          |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+    "simdedup" ->
+      s"""WITH RECURSIVE ${Oracles.trigramCtes("l", "SELECT DISTINCT p_name AS id, p_name AS s FROM part")},
+         |dots AS (
+         |  SELECT a.id AS lid, b.id AS rid, count(*) AS dot
+         |  FROM ltok a JOIN ltok b ON a.tok = b.tok GROUP BY 1, 2
+         |),
+         |sims AS (
+         |  SELECT d.lid, d.rid, CAST(d.dot AS DOUBLE) / (sqrt(lc.n) * sqrt(rc.n)) AS sim
+         |  FROM dots d JOIN lcnt lc ON d.lid = lc.id JOIN lcnt rc ON d.rid = rc.id
+         |),
+         |edges AS (SELECT lid AS a, rid AS b FROM sims WHERE sim >= 0.85 AND lid <> rid),
+         |reach(src, dst) AS (
+         |  SELECT id, id FROM lsrc
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+         |),
+         |comp AS (SELECT src AS name, min(dst) AS component FROM reach GROUP BY src),
+         |canon AS (
+         |  SELECT c.component, min(p.p_partkey) AS canonical_id
+         |  FROM part p JOIN comp c ON p.p_name = c.name GROUP BY 1
+         |)
+         |SELECT p.p_partkey, p.p_name, n.canonical_id
+         |FROM part p JOIN comp c ON p.p_name = c.name JOIN canon n ON c.component = n.component""".stripMargin,
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (

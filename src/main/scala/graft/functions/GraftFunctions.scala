@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * SQL-surface registration: makes the graft scalar functions callable from
+ * `spark.sql(...)` — the Spark analogue of the reference being a Python-callable
+ * library (/root/reference/python/polars_sim/__init__.py). Idempotent.
+ *
+ * Registered functions:
+ *  - `trigrams(s)`          -> array<int> distinct trigram token ids
+ *  - `trigram_strings(s)`   -> array<string> distinct trigram strings
+ *  - `normalize_words(s)`   -> lowercase, non-alphanumerics stripped
+ *                              (≙ reference normalize_string_col, join.py:6-12)
+ *  - `thash(s)`             -> deterministic polynomial string hash
+ *  - `word_shingles(s)`     -> array<string> distinct 3-word shingles
+ *  - `minhash_sig(arr)`     -> array<bigint> MinHash signature of a shingle set
+ */
+object GraftFunctions {
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("trigrams", (s: String) => Trigrams.tokenIds(s))
+    spark.udf.register("trigram_strings", (s: String) => Trigrams.tokenStrings(s))
+    spark.udf.register("normalize_words",
+      (s: String) => if (s == null) null else s.replaceAll("[^a-zA-Z0-9]", "").toLowerCase)
+    spark.udf.register("thash", (s: String) => TextFunctions.tHash(s))
+    spark.udf.register("word_shingles", (s: String) => TextFunctions.shingles3Array(s))
+    spark.udf.register("minhash_sig",
+      (shs: Seq[String]) => TextFunctions.minHashSig(shs.toArray))
+  }
+}

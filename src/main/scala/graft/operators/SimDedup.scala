@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity-based (fuzzy) deduplication over a STRING KEY: rows whose keys are
+ * trigram-similar (sim ≥ threshold, transitively) share a cluster; each row gets
+ * the cluster's canonical id (min row id in the cluster).
+ *
+ * 100 TB shape: similarity depends only on the key string, so edges are built
+ * between DISTINCT keys (the [[SimJoin]] "dedup" insight — candidate space
+ * O(distinct²), not O(rows²)), components run on the distinct-key graph, and
+ * rows join back by key at the end. The reference library has no dedup
+ * operator; this composes its one operator (the similarity join) with
+ * [[ConnectedComponents]], per SURVEY §7.3.4.
+ */
+object SimDedup {
+
+  /**
+   * @return (idCol, keyCol, canonical_id) — canonical_id = min idCol among all
+   *         rows whose key is in the same similarity component.
+   */
+  def dedup(
+      df: DataFrame, idCol: String, keyCol: String,
+      threshold: Double, normalization: String = "l2"): DataFrame = {
+    val keys = df.select(col(keyCol).as("__key")).filter(col("__key").isNotNull).distinct()
+    val edges = SimJoin.thresholdPairs(
+        keys, "__key", "__key", keys, "__key", "__key", threshold,
+        SimJoinOptions(normalization = normalization, strategy = "direct"),
+        outLeft = "__ka", outRight = "__kb")
+      .filter(col("__ka") =!= col("__kb"))
+      .select(col("__ka"), col("__kb"))
+    val comp = ConnectedComponents.run(keys, "__key", edges, "__ka", "__kb")
+      .select(col("__key"), col("component").as("__comp"))
+    val withComp = df.select(col(idCol), col(keyCol))
+      .join(comp, df(keyCol) === comp("__key"))
+    val canon = withComp.groupBy(col("__comp")).agg(min(col(idCol)).as("canonical_id"))
+    withComp.join(canon, "__comp").select(col(idCol), col(keyCol), col("canonical_id"))
+  }
+}

@@ -220,6 +220,20 @@ object SimJoin {
   }
 
   /**
+   * All similarity pairs with `sim >= threshold` — no top-n cap; the edge
+   * generator for similarity-based clustering ([[SimDedup]]). Same scoring
+   * plan as [[keyedPairs]] minus the window.
+   */
+  def thresholdPairs(
+      left: DataFrame, leftId: String, leftKey: String,
+      right: DataFrame, rightId: String, rightKey: String,
+      threshold: Double, opts: SimJoinOptions = SimJoinOptions(),
+      outLeft: String = "row", outRight: String = "col", outSim: String = "sim"): DataFrame =
+    scoredPairs(left, leftId, leftKey, right, rightId, rightKey, opts)
+      .filter(col("__sim") >= threshold)
+      .select(col("__row").as(outLeft), col("__col").as(outRight), col("__sim").as(outSim))
+
+  /**
    * Raw pairs with dense positional row indexes — parity with the reference FFI
    * surface `awesome_cossim` → DataFrame(row, col, sim)
    * (/root/reference/src/lib.rs:12-40). sim is Float (reference casts Float32,

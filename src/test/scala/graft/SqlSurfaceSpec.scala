@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.SimDedup
+
+/** The SQL-callable surface + similarity dedup operator. */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sql-surface-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("registered SQL functions are callable from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT trigrams('abcd') AS t, trigram_strings('abcd') AS ts,
+        |       normalize_words('Small Ring!') AS n, thash('small ring') AS h,
+        |       word_shingles('a b c d') AS sh,
+        |       minhash_sig(array('a b c')) AS mh""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(28, 731)) // abc, bcd
+    assert(r.getSeq[String](1) == Seq("abc", "bcd"))
+    assert(r.getString(2) == "smallring")
+    assert(r.getLong(3) == 2991019091831L)
+    assert(r.getSeq[String](4) == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](5).length == 32)
+  }
+
+  test("SimDedup clusters similar keys transitively with min-id canonicals") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (10L, "cold widget"), (11L, "old widget"), (12L, "cold widget"),
+      (20L, "blue bolt"), (21L, "completely unrelated")).toDF("id", "name")
+    val out = SimDedup.dedup(df, "id", "name", 0.85)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // cold widget ~ old widget (sim 0.913) -> one cluster, canonical = 10
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+}
