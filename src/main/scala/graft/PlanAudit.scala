@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Prints formatted physical plans of the flagship queries — the
+ * design-for-scale audit trail: parquet column pruning (ReadSchema), filter
+ * pushdown (PushedFilters), broadcast vs shuffle joins, WindowGroupLimit,
+ * whole-stage codegen spans. Run: `sbt "runMain graft.PlanAudit [sfDir]"`.
+ */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "simjoin_l2", "simjoin_direct", "simjoin_full", "ann_topk",
+      "dedup_jaccard", "dedup_minhash_lsh", "events_windowed", "text_quality")
+    for (name <- interesting) {
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

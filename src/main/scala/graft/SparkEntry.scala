@@ -109,6 +109,12 @@ object SparkEntry {
     }),
     "simdedup" -> ((s, dir) =>
       SimDedup.dedup(rd(s, dir, "part"), "p_partkey", "p_name", 0.85)),
+    "simjoin_tfidf" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 500)
+      SimJoin.tfidfPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name", 3,
+          outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
     // ---- LLM-pipeline: similarity search ----------------------------------
     "ann_topk" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -216,6 +222,36 @@ object SparkEntry {
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
          |)
          |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+    "simjoin_tfidf" ->
+      s"""WITH ${Oracles.trigramCtes("l", partSel + " WHERE p_partkey < 500")},
+         |${Oracles.trigramCtes("r", partSel + " WHERE p_partkey < 500")},
+         |nn AS (SELECT count(*) AS n FROM (SELECT DISTINCT id FROM rtok)),
+         |idfw AS (
+         |  SELECT tok, CAST(floor(ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS w
+         |  FROM (SELECT tok, count(DISTINCT id) AS df FROM rtok GROUP BY tok), nn
+         |),
+         |ltw AS (
+         |  SELECT l.id, l.tok,
+         |    COALESCE(i.w, (SELECT CAST(floor(ln(CAST(n + 1 AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) FROM nn)) AS w
+         |  FROM ltok l LEFT JOIN idfw i ON l.tok = i.tok
+         |),
+         |rtw AS (SELECT r.id, r.tok, i.w FROM rtok r JOIN idfw i ON r.tok = i.tok),
+         |lnorm AS (SELECT id, CAST(sum(w*w) AS BIGINT) AS ln2 FROM ltw GROUP BY id),
+         |rnorm AS (SELECT id, CAST(sum(w*w) AS BIGINT) AS rn2 FROM rtw GROUP BY id),
+         |dots AS (
+         |  SELECT a.id AS lid, b.id AS rid, CAST(sum(a.w * a.w) AS BIGINT) AS dot
+         |  FROM ltw a JOIN rtw b ON a.tok = b.tok GROUP BY 1, 2
+         |),
+         |sims AS (
+         |  SELECT d.lid, d.rid, CAST(d.dot AS DOUBLE) / (sqrt(l2.ln2) * sqrt(r2.rn2)) AS sim
+         |  FROM dots d JOIN lnorm l2 ON d.lid = l2.id JOIN rnorm r2 ON d.rid = r2.id
+         |),
+         |ranked AS (
+         |  SELECT lid, rid, sim,
+         |         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+         |  FROM sims
+         |)
+         |SELECT lid, rid, round(sim, 6) AS sim FROM ranked WHERE rn <= 3""".stripMargin,
     "simdedup" ->
       s"""WITH RECURSIVE ${Oracles.trigramCtes("l", "SELECT DISTINCT p_name AS id, p_name AS s FROM part")},
          |dots AS (

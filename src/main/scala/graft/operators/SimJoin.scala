@@ -234,6 +234,52 @@ object SimJoin {
       .select(col("__row").as(outLeft), col("__col").as(outRight), col("__sim").as(outSim))
 
   /**
+   * TF-IDF-weighted similarity pairs — the reference's own TODO
+   * (/root/reference/src/cossim.rs:45-48): rare trigrams count more than stop
+   * trigrams. Weighted cosine over binary trigram vectors with
+   * `w(t) = round(1000·ln((N+1)/(df(t)+1)))` where df = right-side document
+   * frequency and N = right-side row count (tokens unseen on the right get the
+   * df=0 weight). Weights are QUANTIZED TO INTEGERS so dot products and norms
+   * are exact integer sums — deterministic under any reduction order (the same
+   * property the binary design gets for free), and mirrorable in oracle SQL.
+   *
+   * sim(l, r) = Σ_{t∈l∩r} w(t)² / (√Σ_{t∈l} w(t)² · √Σ_{t∈r} w(t)²), top-n per
+   * left row, ties by right id.
+   */
+  def tfidfPairs(
+      left: DataFrame, leftId: String, leftKey: String,
+      right: DataFrame, rightId: String, rightKey: String,
+      topN: Int,
+      outLeft: String = "row", outRight: String = "col", outSim: String = "sim"): DataFrame = {
+    val lt = tokenRelation(left, leftId, leftKey, "__row", "__nl").drop("__nl")
+    val rt = tokenRelation(right, rightId, rightKey, "__col", "__nr").drop("__nr")
+    val nDf = rt.select(col("__col")).distinct().agg(count(lit(1)).as("__N"))
+    val idf = rt.groupBy(col("__tok")).agg(count_distinct(col("__col")).as("__df"))
+    val w0 = nDf.select(
+      floor(log((col("__N") + 1).cast("double")) * 1000.0 + 0.5).cast("long").as("__w0"))
+    def weight(dfCol: Column, nCol: Column): Column =
+      floor(log((nCol + 1).cast("double") / (dfCol + 1).cast("double")) * 1000.0 + 0.5)
+        .cast("long")
+    val idfW = idf.crossJoin(broadcast(nDf))
+      .select(col("__tok"), weight(col("__df"), col("__N")).as("__w"))
+    // left tokens unseen on the right: df=0 weight
+    val ltW = lt.join(broadcast(idfW), Seq("__tok"), "left")
+      .crossJoin(broadcast(w0))
+      .select(col("__row"), col("__tok"), coalesce(col("__w"), col("__w0")).as("__w"))
+    val rtW = rt.join(broadcast(idfW), Seq("__tok"))
+    val lNorm = ltW.groupBy(col("__row")).agg(sum(col("__w") * col("__w")).as("__ln"))
+    val rNorm = rtW.groupBy(col("__col")).agg(sum(col("__w") * col("__w")).as("__rn"))
+    val dots = ltW.join(rtW.select(col("__col"), col("__tok")), "__tok")
+      .groupBy(col("__row"), col("__col")).agg(sum(col("__w") * col("__w")).as("__dot"))
+    val sims = dots.join(lNorm, "__row").join(rNorm, "__col")
+      .withColumn("__sim",
+        col("__dot").cast("double") / (sqrt(col("__ln")) * sqrt(col("__rn"))))
+    val w = Window.partitionBy(col("__row")).orderBy(col("__sim").desc, col("__col").asc)
+    sims.withColumn("__rnk", row_number().over(w)).filter(col("__rnk") <= topN)
+      .select(col("__row").as(outLeft), col("__col").as(outRight), col("__sim").as(outSim))
+  }
+
+  /**
    * Raw pairs with dense positional row indexes — parity with the reference FFI
    * surface `awesome_cossim` → DataFrame(row, col, sim)
    * (/root/reference/src/lib.rs:12-40). sim is Float (reference casts Float32,

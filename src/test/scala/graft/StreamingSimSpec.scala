@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SimJoin, SimJoinOptions}
+
+/** Stream-static similarity scoring: the SAME thresholdPairs operator code runs
+  * over a streaming left side (stateless tokenize/explode + stream-static join
+  * + streaming aggregation in update mode) and agrees with the batch result. */
+class StreamingSimSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-sim-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("thresholdPairs over a file stream matches the batch result") {
+    val s = spark
+    import s.implicits._
+    val queries = Seq((1L, "small ring"), (2L, "cold widget"), (3L, "zzz"))
+      .toDF("qid", "qname")
+    val corpus = Seq((10L, "small rings"), (11L, "old widget"), (12L, "blue bolt"))
+      .toDF("cid", "cname")
+    val opts = SimJoinOptions(strategy = "direct", broadcastSide = "right")
+
+    val batch = SimJoin.thresholdPairs(
+        queries, "qid", "qname", corpus, "cid", "cname", 0.5, opts,
+        outLeft = "qid", outRight = "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 10L), (2L, 11L))) // zzz matches nothing
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-simstream").toFile
+    queries.write.mode("overwrite").parquet(dir + "/in")
+    val qStream = spark.readStream.schema(queries.schema).parquet(dir + "/in")
+    val scored = SimJoin.thresholdPairs(
+      qStream, "qid", "qname", corpus, "cid", "cname", 0.5, opts,
+      outLeft = "qid", outRight = "cid")
+    val q = scored.writeStream.format("memory").queryName("sim_stream")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sim_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
