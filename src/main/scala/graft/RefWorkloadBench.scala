@@ -77,7 +77,11 @@ object RefWorkloadBench {
     }
     val (tDirect, nDirect) = time("direct")
     val (tDedup, nDedup) = time("dedup")
-    println(f"""{"workload":"faker-names 5000x100000 top10 l2","direct_sec":$tDirect%.3f,"dedup_sec":$tDedup%.3f,"rows_direct":$nDirect,"rows_dedup":$nDedup}""")
+    val t0 = System.nanoTime()
+    val nKernel = graft.operators.SimKernel.keyedPairs(l, "id", "name", r, "id", "name",
+      SimJoinOptions(topN = 10, normalization = "l2")).count()
+    val tKernel = (System.nanoTime() - t0) / 1e9
+    println(f"""{"workload":"faker-names 5000x100000 top10 l2","direct_sec":$tDirect%.3f,"dedup_sec":$tDedup%.3f,"kernel_sec":$tKernel%.3f,"rows_direct":$nDirect,"rows_dedup":$nDedup,"rows_kernel":$nKernel}""")
     spark.stop()
   }
 }

@@ -60,6 +60,13 @@ object SparkEntry {
           outLeft = "lid", outRight = "rid")
         .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
     }),
+    "simjoin_kernel" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
+      SimKernel.keyedPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name",
+          SimJoinOptions(topN = 3, normalization = "l2"),
+          outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
     "pairs_raw" -> ((s, dir) => {
       val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
       SimJoin.pairs(part, part,
@@ -168,6 +175,7 @@ object SparkEntry {
     "simjoin_count" -> Oracles.trigramPairs(partSel, partSel, 5, l2 = false),
     "simjoin_top1" -> Oracles.trigramPairs(partSel, partSel, 1, l2 = true),
     "simjoin_direct" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
+    "simjoin_kernel" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
     "pairs_raw" -> Oracles.trigramPairsFloat(
       "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",
       "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",

@@ -74,6 +74,27 @@ class PlanSpec extends AnyFunSuite {
     assert(SimJoin.autoStrategy(unique, "s", unique, "s") == "direct")
   }
 
+  test("SimKernel.keyedPairs is identical to relational keyedPairs (both modes)") {
+    val rng = new scala.util.Random(7)
+    val words = Seq("small", "ring", "cold", "widget", "blue", "bolt", "xyz", "plate")
+    def name() = Seq.fill(2 + rng.nextInt(2))(words(rng.nextInt(words.length))).mkString(" ")
+    val s = spark
+    import s.implicits._
+    val left = (0 until 80).map(i => (i.toLong, name())).toDF("id", "s")
+    val right = (0 until 120).map(i => (i.toLong, name())).toDF("id", "s")
+    for (mode <- Seq("l2", "count")) {
+      val opts = graft.operators.SimJoinOptions(
+        topN = 3, normalization = mode, strategy = "direct")
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val relational = collect(
+        SimJoin.keyedPairs(left, "id", "s", right, "id", "s", opts))
+      val kernel = collect(
+        graft.operators.SimKernel.keyedPairs(left, "id", "s", right, "id", "s", opts))
+      assert(kernel == relational, s"kernel != relational in $mode mode")
+    }
+  }
+
   test("maxTokenFrequency drops hot tokens (result-changing skew guard)") {
     val l = strDf(Seq("aaab"))
     // right side: "aaa" appears in every row (hot token), "aab" only in one
