@@ -31,7 +31,11 @@ object ConnectedComponents {
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .distinct()
       .cache()
-    var labels = nodes.select(col(idCol).as("__id"), col(idCol).as("__comp")).cache()
+    // Only edge-touched nodes can change labels — iterate over those; isolated
+    // nodes (the overwhelming majority in dedup graphs) are unioned back at the
+    // end as their own singleton components.
+    val edgeNodes = sym.select(col("__src").as("__id")).distinct().cache()
+    var labels = edgeNodes.select(col("__id"), col("__id").as("__comp")).cache()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -52,6 +56,10 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("__id").as(idCol), col("__comp").as("component"))
+    edgeNodes.unpersist()
+    nodes.select(col(idCol).as("__id"))
+      .join(labels, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__comp"), col("__id")).as("component"))
   }
 }

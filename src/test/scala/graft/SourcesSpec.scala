@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink coverage: the engine's operators compose with Spark's built-in
+  * readers/writers (parquet, csv, json, binaryFile) — the reference has no I/O
+  * layer at all (SURVEY §2.2), so Spark's is the engine's. */
+class SourcesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("sources-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("csv/json round-trip feeds simJoin identically to parquet") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select("p_partkey", "p_name")
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    part.write.mode("overwrite").option("header", "true").csv(dir + "/csv")
+    part.write.mode("overwrite").json(dir + "/json")
+    val fromCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(dir + "/csv")
+      .withColumn("p_partkey", col("p_partkey").cast("long")) // csv infers int
+    val fromJson = spark.read.json(dir + "/json")
+
+    import graft.operators.{SimJoin, SimJoinOptions}
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      SimJoin.keyedPairs(df, "p_partkey", "p_name", df, "p_partkey", "p_name",
+          SimJoinOptions(topN = 2, strategy = "direct"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = pairs(part)
+    assert(pairs(fromCsv) == base)
+    assert(pairs(fromJson) == base)
+  }
+
+  test("binaryFile source feeds the multimodal pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "a.bin").toPath,
+      "hello binary world".getBytes("UTF-8"))
+    val bin = spark.read.format("binaryFile").load(dir.toString)
+      .select(col("path"), col("content").as("payload"))
+    val meta = graft.operators.Multimodal.withDecodedMeta(bin, "payload")
+      .select(col("media_meta.n_bytes"), col("media_sha")).head()
+    assert(meta.getLong(0) == 18L)
+    assert(meta.getString(1).length == 64)
+  }
+}
