@@ -46,6 +46,15 @@ object Smoke {
     println("simDedup rows=" + dd.count() + " clusters=" +
       dd.select("canonical_id").distinct().count())
 
+    // multimodal stub drive
+    import org.apache.spark.sql.functions.{col, encode}
+    val mm = part.limit(3).withColumn("payload", encode(col("p_name"), "UTF-8"))
+    val mmOut = mm.select(
+      graft.operators.Multimodal.resizeStub(col("payload"), 4, 4).as("rz"),
+      graft.operators.Multimodal.frameSample(col("payload"), 2).as("fr")).head()
+    println("MM resize=" + mmOut.getAs[Array[Byte]](0).length +
+      "B frames=" + mmOut.getSeq[Array[Byte]](1).map(_.length).mkString("+"))
+
     // error-surface probes
     try SimJoinOptions(topN = 0)
     catch { case e: IllegalArgumentException => println("PROBE topN=0 -> " + e.getMessage) }

@@ -51,6 +51,45 @@ object Multimodal {
       .withColumn("media_sha", sha2(col(payloadCol), 256))
 
   /**
+   * STUB resize (no codecs in this container): deterministic "resized" payload
+   * derived by modular byte sampling down to `targetW·targetH` bytes. The real
+   * thing swaps the sampler for an image library inside the same signature;
+   * schema (binary → binary) and null behavior are the tested contract.
+   */
+  val resizeStubUdf = udf((payload: Array[Byte], targetW: Int, targetH: Int) => {
+    if (payload == null || payload.isEmpty) null
+    else {
+      val n = math.max(1, targetW * targetH)
+      val out = new Array[Byte](math.min(n, 4096))
+      var i = 0
+      while (i < out.length) { out(i) = payload((i.toLong * payload.length / out.length).toInt % payload.length); i += 1 }
+      out
+    }
+  })
+
+  def resizeStub(payload: Column, w: Int, h: Int): Column =
+    resizeStubUdf(payload, lit(w), lit(h))
+
+  /**
+   * STUB frame sampling (video analogue): split the payload into `n` evenly
+   * spaced "frames" (byte slices). Real impl: keyframe extraction behind the
+   * same binary → array<binary> signature.
+   */
+  val frameSampleUdf = udf((payload: Array[Byte], n: Int) => {
+    if (payload == null || payload.isEmpty || n <= 0) Array.empty[Array[Byte]]
+    else {
+      val frames = math.min(n, payload.length)
+      (0 until frames).map { f =>
+        val start = (f.toLong * payload.length / frames).toInt
+        val end = ((f + 1).toLong * payload.length / frames).toInt
+        java.util.Arrays.copyOfRange(payload, start, math.max(end, start + 1))
+      }.toArray
+    }
+  })
+
+  def frameSample(payload: Column, n: Int): Column = frameSampleUdf(payload, lit(n))
+
+  /**
    * Batch-shaped feature extraction over binary payloads via mapPartitions —
    * the Scala analogue of a Pandas-UDF `mapInPandas` stage: per-partition setup
    * (one decoder/buffer), streaming iterator, fixed-width float output.

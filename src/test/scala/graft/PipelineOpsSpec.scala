@@ -173,6 +173,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(feats(1L).length == 8)
     assert(math.abs(feats(1L).sum - 1.0f) < 1e-5) // normalized histogram
     assert(feats(2L).sum == 0.0f)
+
+    // resize + frame-sample stubs: schema and determinism contracts
+    val rs = withP.select(col("doc_id"),
+        Multimodal.resizeStub(col("payload"), 4, 4).as("resized"),
+        Multimodal.frameSample(col("payload"), 3).as("frames"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Array[Byte]](1), r.getSeq[Array[Byte]](2))).toMap
+    assert(rs(1L)._1.length == 16)
+    assert(rs(1L)._2.length == 3)
+    assert(rs(1L)._2.map(_.length).sum == 11) // frames partition the payload
+    assert(rs(2L)._1 == null && rs(2L)._2.isEmpty)
   }
 
   // ---- Streaming ----------------------------------------------------------
