@@ -38,6 +38,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(pairs(fromJson) == base)
   }
 
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select("p_partkey", "p_name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      part.write.bucketBy(8, "p_partkey").sortBy("p_partkey")
+        .mode("overwrite").saveAsTable("part_bucketed")
+      val a = spark.table("part_bucketed")
+      val b = spark.table("part_bucketed")
+      val joined = a.join(b, "p_partkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-partitioned on the join key by the bucketing layout
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == part.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("binaryFile source feeds the multimodal pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bin").toFile
     java.nio.file.Files.write(new java.io.File(dir, "a.bin").toPath,
