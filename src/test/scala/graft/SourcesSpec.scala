@@ -44,6 +44,14 @@ class SourcesSpec extends AnyFunSuite {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // the warehouse dir outlives the in-memory catalog across JVM runs
+      spark.sql("DROP TABLE IF EXISTS part_bucketed")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "part_bucketed")
+      if (loc.exists()) {
+        java.nio.file.Files.walk(loc.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
       part.write.bucketBy(8, "p_partkey").sortBy("p_partkey")
         .mode("overwrite").saveAsTable("part_bucketed")
       val a = spark.table("part_bucketed")
