@@ -16,6 +16,7 @@ object Smoke {
       .master("local[4]")
       .appName("graft-smoke")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
@@ -40,6 +41,11 @@ object Smoke {
     graft.functions.GraftFunctions.registerAll(spark)
     println("SQL " + spark.sql(
       "SELECT trigrams('small ring') AS t, normalize_words('Small Ring!') AS n, thash('small ring') AS h").head())
+    // native codegen'd SQL function injected via spark.sql.extensions
+    println("EXT " + spark.sql("SELECT trigram_tokens('abcd') AS t").head())
+    val extBadType = try { spark.sql("SELECT trigram_tokens(42)").head().toString }
+      catch { case e: Exception => "error: " + Option(e.getMessage).getOrElse("").take(80) }
+    println("PROBE trigram_tokens(int) -> " + extBadType)
 
     // fuzzy dedup drive
     val dd = graft.operators.SimDedup.dedup(part, "p_partkey", "p_name", 0.85)

@@ -163,7 +163,12 @@ object SparkEntry {
           col("media_sha"))
     }),
     // ---- streaming-compatible windowed aggregation ------------------------
-    "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))))
+    "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))),
+    "events_sessions" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessions(rd(s, dir, "events"), 1800000000L)),
+    "events_props" -> ((s, dir) =>
+      rd(s, dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))))
 
   private val partSel = "SELECT p_partkey AS id, p_name AS s FROM part"
   private val part300Sel = partSel + " WHERE p_partkey < 300"
@@ -357,5 +362,21 @@ object SparkEntry {
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |g AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us, round(sum(value), 4) AS sum_value
+        |FROM g GROUP BY 1, 2""".stripMargin,
+    "events_props" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""")
 }

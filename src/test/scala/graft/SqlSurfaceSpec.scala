@@ -32,6 +32,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getSeq[Long](5).length == 32)
   }
 
+  test("GraftExtensions wiring applies cleanly (runtime proof lives in Smoke's own JVM)") {
+    // getOrCreate ignores spark.sql.extensions once a session exists in this
+    // test JVM, so the end-to-end drive is in graft.Smoke (fresh JVM); here we
+    // pin that the injection itself is well-formed.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw
+  }
+
+  test("session_window streaming sessionization runs and matches batch totals") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, 2.0), // same session
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L, 4.0)) // new session
+    val batch = rows.toDF("ts", "user_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
+    batch.write.mode("overwrite").parquet(dir + "/in")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir + "/in")
+    val q = graft.streaming.Sessionize.sessionsStream(stream, "30 minutes")
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == Set(
+        (1L, "2024-01-01 00:00:00", 2L, 3.0),
+        (1L, "2024-01-01 02:00:00", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("SimDedup clusters similar keys transitively with min-id canonicals") {
     val s = spark
     import s.implicits._
