@@ -82,6 +82,16 @@ object SparkEntry {
       SimJoin.normalizeStringCol(rd(s, dir, "part"), "p_name")
         .select(col("p_partkey"), col("p_name_normalized"))
     }),
+    "simjoin_wordnorm" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
+        .select("p_partkey", "p_name")
+      SimJoin.simJoin(part, part,
+          SimJoinOptions(on = Some("p_name"), topN = 2, strategy = "direct",
+            applyWordNormalization = true, addMapping = false, addSimilarity = true,
+            indexBy = Some("p_partkey")))
+        .select(col("p_partkey"), col("p_name"), col("sim"),
+          col("p_partkey_right"), col("p_name_right"))
+    }),
     "trigram_tokens" -> ((s, dir) => {
       rd(s, dir, "part").select(col("p_partkey").as("id"),
         explode(Trigrams.tokenStringsUdf(col("p_name"))).as("tok")).distinct()
@@ -151,6 +161,23 @@ object SparkEntry {
       rd(s, dir, "documents").select(col("doc_id"),
         tHashUdf(col("text")).as("fingerprint"))
     }),
+    "text_topterms" -> ((s, dir) => {
+      val words = rd(s, dir, "documents")
+        .select(col("lang"), explode(wordsCol(col("text"))).as("word"))
+      val counts = words.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n").desc, col("word").asc)
+      counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        .select(col("lang"), col("word"), col("n"), col("rnk").cast("long").as("rnk"))
+    }),
+    "emb_centroids" -> ((s, dir) => {
+      rd(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
+        .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
+          col("centroid"))
+    }),
     // ---- LLM-pipeline: multimodal plumbing --------------------------------
     "mm_meta" -> ((s, dir) => {
       val withPayload = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
@@ -186,6 +213,33 @@ object SparkEntry {
       "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",
       3, l2 = true),
     "simjoin_full" -> Oracles.simJoinFullPart(2),
+    "simjoin_wordnorm" -> {
+      val idSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, " +
+        "lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS s FROM part WHERE p_partkey < 300"
+      s"""WITH ${Oracles.trigramCtes("l", idSel)},
+         |${Oracles.trigramCtes("r", idSel)},
+         |dots AS (
+         |  SELECT lt.id AS lid, rt.id AS rid, count(*) AS dot
+         |  FROM ltok lt JOIN rtok rt ON lt.tok = rt.tok GROUP BY 1, 2
+         |),
+         |sims AS (
+         |  SELECT d.lid, d.rid, CAST(d.dot AS DOUBLE) / (sqrt(lc.n) * sqrt(rc.n)) AS sim
+         |  FROM dots d JOIN lcnt lc ON d.lid = lc.id JOIN rcnt rc ON d.rid = rc.id
+         |),
+         |ranked AS (
+         |  SELECT lid, rid, sim,
+         |         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+         |  FROM sims
+         |),
+         |pw AS (
+         |  SELECT p_partkey, p_name, row_number() OVER (ORDER BY p_partkey) - 1 AS _rid
+         |  FROM part WHERE p_partkey < 300
+         |),
+         |fin AS (SELECT lid, rid, CAST(sim AS REAL) AS sim FROM ranked WHERE rn <= 2)
+         |SELECT l.p_partkey, l.p_name, f.sim,
+         |       r.p_partkey AS p_partkey_right, r.p_name AS p_name_right
+         |FROM fin f JOIN pw l ON f.lid = l._rid JOIN pw r ON f.rid = r._rid""".stripMargin
+    },
     "word_normalization" ->
       """SELECT p_partkey, lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS p_name_normalized FROM part""",
     "trigram_tokens" ->
@@ -351,6 +405,21 @@ object SparkEntry {
     },
     "text_fingerprint" ->
       s"SELECT doc_id, ${Oracles.tHashSql("text")} AS fingerprint FROM documents",
+    "text_topterms" ->
+      """WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        |c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, word, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rnk
+        |  FROM c
+        |)
+        |SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "emb_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
+        |       round(avg(CAST(v AS DOUBLE)), 4) AS centroid
+        |FROM (SELECT label, unnest(embedding) AS v,
+        |             unnest(generate_series(1, len(embedding))) AS dim FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |  'stub/raw' AS format,
