@@ -147,15 +147,12 @@ object Dedup {
     require(maxHamming <= 7, "byte-banding is only exact for maxHamming <= 7")
     val fp = simHashFingerprints(df, idCol, textCol)
       .select(col(idCol).as("__id"), col("simhash1"), col("simhash2"))
-    val bandCols = (0 until 4).map(i =>
-      (shiftright(col("simhash1"), 8 * i) % 256L).as(s"__band$i")) ++
-      (0 until 4).map(i =>
-        (shiftright(col("simhash2"), 8 * i) % 256L).as(s"__band${i + 4}"))
-    val banded = fp.select(col("__id") +: col("simhash1") +: col("simhash2") +: bandCols: _*)
-    val bands = (0 until 8).map { i =>
-      banded.select(col("__id"), col("simhash1"), col("simhash2"),
-        lit(i).as("__bi"), col(s"__band$i").as("__bv"))
-    }.reduce(_ union _)
+    // one generator pass: 8 (bandIndex, bandValue) rows per doc — a union of 8
+    // projections would re-evaluate the fingerprint lineage once per branch
+    val bandVals = (0 until 4).map(i => shiftright(col("simhash1"), 8 * i) % 256L) ++
+      (0 until 4).map(i => shiftright(col("simhash2"), 8 * i) % 256L)
+    val bands = fp.select(col("__id"), col("simhash1"), col("simhash2"),
+      posexplode(array(bandVals: _*)).as(Seq("__bi", "__bv")))
     val a = bands.select(col("__id").as("__a"), col("simhash1").as("__a1"),
       col("simhash2").as("__a2"), col("__bi"), col("__bv"))
     val b = bands.select(col("__id").as("__b"), col("simhash1").as("__b1"),
