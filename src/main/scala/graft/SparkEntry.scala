@@ -132,6 +132,9 @@ object SparkEntry {
           outLeft = "lid", outRight = "rid")
         .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
     }),
+    "corpus_clean" -> ((s, dir) =>
+      CleanCorpus.clean(rd(s, dir, "documents"), "doc_id", "text",
+        minQuality = 0.45, langs = Seq("en"), nearDupThreshold = 0.8)),
     // ---- LLM-pipeline: similarity search ----------------------------------
     "ann_topk" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -342,6 +345,57 @@ object SparkEntry {
          |)
          |SELECT p.p_partkey, p.p_name, n.canonical_id
          |FROM part p JOIN comp c ON p.p_name = c.name JOIN canon n ON c.component = n.component""".stripMargin,
+    "corpus_clean" -> {
+      val stops = Oracles.stopIn(TextFunctions.StopwordLists.head._2)
+      val langCounts = TextFunctions.StopwordLists.map { case (lang, list) =>
+        s"CAST(len(list_filter(ws, w -> w IN ${Oracles.stopIn(list)})) AS BIGINT) AS c_$lang"
+      }.mkString(",\n    ")
+      val langNames = TextFunctions.StopwordLists.map(_._1)
+      val langCase = langNames.zipWithIndex.init.map { case (lang, i) =>
+        val conds = langNames.drop(i + 1).map(l2 => s"c_$lang >= c_$l2").mkString(" AND ")
+        s"WHEN $conds THEN '$lang'"
+      }.mkString("\n    ")
+      s"""WITH base AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+         |m AS (
+         |  SELECT doc_id, text, ws, length(text) AS rawchars, len(ws) AS rawwords,
+         |    CAST(length(text) AS DOUBLE) AS nchars, CAST(len(ws) AS DOUBLE) AS nwords,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         |    CAST(len(list_filter(ws, w -> w IN $stops)) AS DOUBLE) AS stops,
+         |    $langCounts
+         |  FROM base
+         |),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN rawchars = 0 OR rawwords = 0 THEN 0.0
+         |         ELSE round(0.4 * (alpha / nchars) + 0.4 * least(3.0 * (stops / nwords), 1.0)
+         |                   + 0.2 * least((alpha / nwords) / 8.0, 1.0), 6) END AS quality,
+         |    CASE $langCase
+         |      ELSE '${langNames.last}' END AS langid
+         |  FROM m
+         |),
+         |filt AS (SELECT * FROM scored WHERE quality >= 0.45 AND langid IN ('en')),
+         |h AS (SELECT doc_id, text, md5(text) AS ch FROM filt),
+         |canon AS (SELECT ch, min(doc_id) AS cid FROM h GROUP BY 1),
+         |ex AS (SELECT h.doc_id, h.text FROM h JOIN canon c ON h.ch = c.ch AND h.doc_id = c.cid),
+         |w2 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM ex),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS sh
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS g FROM w2)
+         |),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |),
+         |losers AS (
+         |  SELECT DISTINCT ib FROM inter
+         |  JOIN cnt ca ON inter.ia = ca.doc_id JOIN cnt cb ON inter.ib = cb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8
+         |)
+         |SELECT e.doc_id, s.langid, s.quality
+         |FROM ex e JOIN scored s ON e.doc_id = s.doc_id
+         |WHERE e.doc_id NOT IN (SELECT ib FROM losers)""".stripMargin
+    },
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (
