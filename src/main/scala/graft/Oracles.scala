@@ -110,6 +110,91 @@ object Oracles {
        |)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
 
+  /**
+   * MinHash + LSH banding CTEs over a (idCol, sh) shingle relation `shRel` —
+   * an EXACT mirror of Dedup.minHashLshPairs' candidate generation (NOT the
+   * brute-force all-pairs equivalent: the banding itself is deterministic
+   * integer arithmetic, so the approximate operator is exactly checkable).
+   * K=32 hashes `(a_j·(tHash(sh) mod P1) + b_j) mod P2`, 8 bands of 4, band
+   * key = ':'-joined mins in j order. Emits `mcand(id_a, id_b)` with
+   * id_a < id_b, distinct.
+   */
+  def minHashBandCtes(shRel: String, idCol: String): String =
+    s"""mh_th AS (SELECT $idCol, ${tHashSql("sh")} % 1000003 AS thc FROM $shRel),
+       |mh AS (
+       |  SELECT $idCol, j,
+       |    min((((j*2654435761 + 1) % 1000000007) * thc + ((j*2654446111 + 12345) % 1000000007)) % 1000000007) AS mh
+       |  FROM mh_th, (SELECT unnest(generate_series(0, 31)) AS j)
+       |  GROUP BY $idCol, j
+       |),
+       |mbands AS (
+       |  SELECT $idCol, j // 4 AS band, string_agg(CAST(mh AS VARCHAR), ':' ORDER BY j) AS bkey
+       |  FROM mh GROUP BY $idCol, j // 4
+       |),
+       |mcand AS (
+       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.bkey = b.bkey AND a.$idCol < b.$idCol
+       |)""".stripMargin
+
+  /** Exact mirror of Dedup.minHashLshPairs over documents: LSH-banded candidates
+    * (minHashBandCtes), then exact-Jaccard verification ≥ threshold. */
+  def minHashLshPairsSql(threshold: Double): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes("dsh", "doc_id")},
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM mcand c
+       |  JOIN dsh a ON c.id_a = a.doc_id
+       |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2
+       |),
+       |jac AS (
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
+       |)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
+
+  /**
+   * Exact mirror of SimSearch.topKLsh on the embeddings table: per-vector
+   * sign-LSH bucket from the fixed integer hyperplane formula
+   * (planeComponent(j,d) = ((j·8191+d)·2654435761 mod 1000003)/1000003 - 0.5,
+   * d 0-based), same-bucket query×corpus pairs, cosine top-k per query.
+   */
+  def annLshSql(k: Int, nPlanes: Int, queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |pdots AS (
+       |  SELECT vec_id, j,
+       |    list_sum(list_transform(generate_series(1, len(e)), d ->
+       |      CAST(e[d] AS DOUBLE) *
+       |      (CAST(((j*8191 + (d-1)) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) AS dotj
+       |  FROM (SELECT vec_id, e, unnest(generate_series(0, ${nPlanes - 1})) AS j FROM v)
+       |),
+       |bkt AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY vec_id
+       |),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qv.e AS ea, cv.e AS eb
+       |  FROM bkt q
+       |  JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  JOIN v qv ON q.vec_id = qv.vec_id
+       |  JOIN v cv ON c.vec_id = cv.vec_id
+       |  WHERE $queryPred
+       |),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cosine
+       |  FROM p
+       |),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= $k""".stripMargin
+
   /** Deterministic polynomial string hash (mirrors TextFunctions.tHash). */
   def tHashSql(sExpr: String): String =
     s"CAST(COALESCE(list_sum(list_transform(generate_series(1, length($sExpr)), i -> " +

@@ -203,8 +203,10 @@ object SparkEntry {
   private val partSel = "SELECT p_partkey AS id, p_name AS s FROM part"
   private val part300Sel = partSel + " WHERE p_partkey < 300"
 
-  /** DuckDB-equivalent SQL per query; `ann_lsh` is intentionally omitted
-    * (approximate operator — driver records a rows-only check). */
+  /** DuckDB-equivalent SQL per query. The "approximate" operators (ann_lsh,
+    * dedup_minhash_lsh) use deterministic integer hash formulas, so their
+    * bucketing/banding is mirrored EXACTLY in SQL — nothing is left on a
+    * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "simjoin_l2" -> Oracles.trigramPairs(partSel, partSel, 3, l2 = true),
     "simjoin_count" -> Oracles.trigramPairs(partSel, partSel, 5, l2 = false),
@@ -260,7 +262,7 @@ object SparkEntry {
         |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
         |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
     "dedup_jaccard" -> Oracles.jaccardPairs(0.8),
-    "dedup_minhash_lsh" -> Oracles.jaccardPairs(0.8),
+    "dedup_minhash_lsh" -> Oracles.minHashLshPairsSql(0.8),
     "dedup_simhash" ->
       s"""WITH ${Oracles.simHashCtes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -383,9 +385,13 @@ object SparkEntry {
          |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws)-2, 0))) AS g FROM w2)
          |),
          |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |${Oracles.minHashBandCtes("sh", "doc_id")},
          |inter AS (
-         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2
+         |  SELECT c.id_a AS ia, c.id_b AS ib, count(*) AS i
+         |  FROM mcand c
+         |  JOIN sh a ON c.id_a = a.doc_id
+         |  JOIN sh b ON c.id_b = b.doc_id AND a.sh = b.sh
+         |  GROUP BY 1, 2
          |),
          |losers AS (
          |  SELECT DISTINCT ib FROM inter
@@ -396,6 +402,7 @@ object SparkEntry {
          |FROM ex e JOIN scored s ON e.doc_id = s.doc_id
          |WHERE e.doc_id NOT IN (SELECT ib FROM losers)""".stripMargin
     },
+    "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50"),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (

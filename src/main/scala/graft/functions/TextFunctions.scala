@@ -32,6 +32,14 @@ object TextFunctions {
    * weight every 8 chars keeps products small while staying order-sensitive
    * within an 8-char window. SQL mirror: aggregate/transform lambda, see
    * SparkEntry oracle builders.
+   *
+   * INPUT ASSUMPTION (documented contract): BMP text only — this iterates
+   * UTF-16 code units (`charAt`) while the SQL mirror iterates code points, so
+   * supplementary-plane characters (emoji etc.) shift both positions and values
+   * between the two forms. All in-repo callers feed it ASCII words/shingles,
+   * where code unit = code point. Multi-hundred-KB non-ASCII docs could also
+   * overflow Long where DuckDB's list_sum promotes to HUGEINT — same ASCII/
+   * length contract covers that.
    */
   def tHash(s: String): Long = {
     if (s == null) return 0L
@@ -97,6 +105,33 @@ object TextFunctions {
     (0 until MinHashK).map(minHashParams).toArray
 
   val minHashSigUdf = udf((shs: Seq[String]) => minHashSig(shs.toArray))
+
+  /** LSH band keys of a distinct-shingle set: [[MinHashK]]/[[MinHashBandRows]]
+    * strings, band b = ':'-joined [[minHashSig]] values j ∈ [4b, 4b+4) in j
+    * order. Computing the keys inside the signature pass (instead of exploding
+    * 32 sig rows per doc and re-grouping them into bands) removes a whole
+    * shuffle from the LSH candidate plan. */
+  def minHashBandKeys(shingles: Array[String]): Array[String] = {
+    val sig = minHashSig(shingles)
+    val nBands = MinHashK / MinHashBandRows
+    val out = new Array[String](nBands)
+    var b = 0
+    while (b < nBands) {
+      val sb = new java.lang.StringBuilder()
+      var j = b * MinHashBandRows
+      val end = j + MinHashBandRows
+      while (j < end) {
+        if (j > b * MinHashBandRows) sb.append(':')
+        sb.append(sig(j))
+        j += 1
+      }
+      out(b) = sb.toString
+      b += 1
+    }
+    out
+  }
+
+  val minHashBandKeysUdf = udf((shs: Seq[String]) => minHashBandKeys(shs.toArray))
 
   /** One 32-bit SimHash half over a distinct-shingle set — same integers as
     * [[simHashMixCol]] + the per-bit majority in Dedup.simHashFingerprints. */
@@ -213,6 +248,75 @@ object TextFunctions {
       lit(0.2) * least((alpha / nWords) / lit(8.0), lit(1.0))
     when(length(text) === 0 || size(ws) === 0, lit(0.0)).otherwise(round(score, 6))
   }
+
+  /**
+   * Single-pass fused scorer: (quality, langid) in ONE traversal of the text —
+   * the hot-path variant of [[qualityScoreCol]] + [[langIdCol]] for pipeline
+   * compositions ([[graft.operators.CleanCorpus]]). The Column forms inline
+   * their regex/HOF subtrees once per reference; combined with a pushed-down
+   * filter on the computed columns the duplicated tree exceeds codegen limits
+   * and falls back to interpreted eval with no subexpression reuse (measured
+   * ~8× the fused cost). Formulas and double operation ORDER are identical to
+   * the Column forms (same `0.4·a + 0.4·min(3s,1) + 0.2·min(w/8,1)` fold, same
+   * HALF_UP round to 6, same first-lang-≥-all-later tie-break), so results are
+   * bit-for-bit equal — pinned by a parity spec.
+   */
+  def scoreDoc(text: String): (Double, String) = {
+    val nCharsI = if (text == null) 0 else text.length
+    var alphaI = 0
+    var i = 0
+    while (i < nCharsI) {
+      val c = text.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alphaI += 1
+      i += 1
+    }
+    val m = WordPattern.matcher(if (text == null) "" else text.toLowerCase(java.util.Locale.ROOT))
+    var nWordsI = 0
+    val langCounts = new Array[Int](StopwordLists.length)
+    var stops = 0
+    while (m.find()) {
+      nWordsI += 1
+      val w = m.group()
+      var li = 0
+      while (li < StopwordLists.length) {
+        if (stopwordSets(li).contains(w)) langCounts(li) += 1
+        li += 1
+      }
+    }
+    stops = langCounts(0) // english list is the quality stop list
+    val quality =
+      if (nCharsI == 0 || nWordsI == 0) 0.0
+      else {
+        val nChars = nCharsI.toDouble; val nWords = nWordsI.toDouble
+        val alpha = alphaI.toDouble
+        val score = 0.4 * (alpha / nChars) +
+          0.4 * math.min(3.0 * (stops.toDouble / nWords), 1.0) +
+          0.2 * math.min((alpha / nWords) / 8.0, 1.0)
+        BigDecimal(score).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    // first lang whose count >= every later lang's count (Column-form tie-break)
+    var winner = StopwordLists.last._1
+    var li = 0
+    var found = false
+    while (li < StopwordLists.length - 1 && !found) {
+      var ok = true
+      var lj = li + 1
+      while (lj < StopwordLists.length) {
+        if (langCounts(li) < langCounts(lj)) ok = false
+        lj += 1
+      }
+      if (ok) { winner = StopwordLists(li)._1; found = true }
+      li += 1
+    }
+    (quality, winner)
+  }
+
+  private lazy val stopwordSets: Array[java.util.HashSet[String]] =
+    StopwordLists.map { case (_, list) =>
+      val s = new java.util.HashSet[String](); list.foreach(s.add); s
+    }.toArray
+
+  val scoreDocUdf = udf((s: String) => scoreDoc(s))
 
   /** Whitespace token count (trim + split on runs of whitespace). */
   def wsTokenCount(text: Column): Column =

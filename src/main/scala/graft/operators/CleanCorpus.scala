@@ -13,13 +13,25 @@ import graft.functions.TextFunctions._
  *  2. filter: quality ≥ minQuality and language ∈ langs;
  *  3. exact dedup: keep only the min-id document per identical text;
  *  4. near-dup removal: of any pair with 3-word-shingle Jaccard ≥ nearDupThreshold,
- *     drop the higher id (transitively consistent: in any near-dup group every
- *     doc except the minimum has a lower-id partner, so exactly the minima
- *     survive pairwise removal).
+ *     drop the higher id. Survivors form an INDEPENDENT SET of the near-dup
+ *     graph (no two survivors are near-dups): per connected component the
+ *     minimum id always survives, but a non-minimum doc with no lower-id
+ *     partner of its own survives too — this is NOT one-representative-per-
+ *     component. Route the pair edges through [[ConnectedComponents]] if
+ *     one-per-cluster semantics are required.
  *
- * Each stage is a verified operator ([[Dedup]], TextFunctions) and the whole
- * composition stays one lazy plan (plus the LSH-verified near-dup join) —
- * shuffles only on content hash and shingles, never on full text.
+ * Each stage is a verified operator ([[Dedup]], TextFunctions); the two frames
+ * consumed by multiple downstream stages (`scored` by exact-dedup + join-back,
+ * `afterExact` by near-dup pairing + the final anti-join) are persisted
+ * MEMORY_AND_DISK so the regex-heavy scoring lineage runs once, not ~3×.
+ * Shuffles only on content hash and shingles, never on full text.
+ *
+ * @param useLsh route near-dup pair generation through the banded
+ *               [[Dedup.minHashLshPairs]] (the 100 TB path; default) instead of
+ *               the brute inverted-index [[Dedup.jaccardPairs]]. Both verify
+ *               candidates with exact Jaccard; LSH can only miss pairs whose
+ *               Jaccard barely clears the threshold (per-pair miss probability
+ *               (1-j^4)^8 at Jaccard j — see the Dedup scaladoc).
  */
 object CleanCorpus {
 
@@ -27,16 +39,26 @@ object CleanCorpus {
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, langs: Seq[String],
-      nearDupThreshold: Double = 0.8): DataFrame = {
+      nearDupThreshold: Double = 0.8,
+      useLsh: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Fused single-pass scorer (bit-identical to qualityScoreCol+langIdCol):
+    // the Column forms' regex/HOF trees, duplicated again by filter pushdown,
+    // overflow codegen and fall back to interpreted eval — see scoreDoc's doc.
     val scored = docs.select(col(idCol), col(textCol),
-        qualityScoreCol(col(textCol)).as("quality"),
-        langIdCol(wordsCol(col(textCol))).as("langid"))
+        scoreDocUdf(col(textCol)).as("__sc"))
+      .select(col(idCol), col(textCol),
+        col("__sc._1").as("quality"), col("__sc._2").as("langid"))
       .filter(col("quality") >= minQuality && col("langid").isInCollection(langs))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val exactCanon = Dedup.exact(scored, idCol, textCol)
       .filter(col(idCol) === col("canonical_id")).select(col(idCol))
     val afterExact = scored.join(exactCanon, idCol)
-    val nearDupLosers = Dedup.jaccardPairs(afterExact, idCol, textCol, nearDupThreshold)
-      .select(col("id_b").as(idCol)).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nearDupPairs =
+      if (useLsh) Dedup.minHashLshPairs(afterExact, idCol, textCol, nearDupThreshold)
+      else Dedup.jaccardPairs(afterExact, idCol, textCol, nearDupThreshold)
+    val nearDupLosers = nearDupPairs.select(col("id_b").as(idCol)).distinct()
     afterExact.join(nearDupLosers, Seq(idCol), "left_anti")
       .select(col(idCol), col("langid"), col("quality"))
   }

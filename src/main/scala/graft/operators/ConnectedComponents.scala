@@ -36,6 +36,7 @@ object ConnectedComponents {
     // end as their own singleton components.
     val edgeNodes = sym.select(col("__src").as("__id")).distinct().cache()
     var labels = edgeNodes.select(col("__id"), col("__id").as("__comp")).cache()
+    var cachedFrame = labels // the .cache()'d frame backing `labels`, for unpersist
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -44,15 +45,19 @@ object ConnectedComponents {
         .join(labels.select(col("__id").as("__dst"), col("__comp")), "__dst")
         .groupBy(col("__src")).agg(min(col("__comp")).as("__nmin"))
         .select(col("__src").as("__id"), col("__nmin"))
+      // Carry the changed-flag inside the propagation frame so convergence is
+      // one aggregate over `next` — no second join / second action per round.
       val next = labels.join(neighborMin, Seq("__id"), "left")
         .select(col("__id"),
-          least(col("__comp"), coalesce(col("__nmin"), col("__comp"))).as("__comp"))
+          least(col("__comp"), coalesce(col("__nmin"), col("__comp"))).as("__comp"),
+          (coalesce(col("__nmin"), col("__comp")) < col("__comp")).as("__changed"))
         .cache()
-      val changed = next.join(labels.select(col("__id"), col("__comp").as("__old")), "__id")
-        .filter(col("__comp") < col("__old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val anyChanged = next
+        .agg(coalesce(max(col("__changed")), lit(false))).head.getBoolean(0)
+      cachedFrame.unpersist()
+      cachedFrame = next
+      labels = next.select(col("__id"), col("__comp"))
+      converged = !anyChanged
       iter += 1
     }
     sym.unpersist()

@@ -108,11 +108,11 @@ object Dedup {
    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
     val t = shingleRelation(df, idCol, textCol)
-    val sig = minHashSignatures(df, idCol, textCol)
-    val bands = sig.withColumn("__band", floor(col("__j") / lit(MinHashBandRows)))
-      .groupBy(col("__id"), col("__band"))
-      .agg(array_join(transform(array_sort(collect_list(struct(col("__j"), col("__mh")))),
-        x => x.getField("__mh").cast("string")), ":").as("__bkey"))
+    // Band keys computed inside the signature UDF pass (8 strings per doc) —
+    // no 32-rows-per-doc explode + groupBy shuffle just to reassemble bands.
+    val bands = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("__id"), posexplode(minHashBandKeysUdf(col("__shs"))).as(Seq("__band", "__bkey")))
     val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
       .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
         Seq("__band", "__bkey"))

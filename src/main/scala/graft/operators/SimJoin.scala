@@ -374,10 +374,16 @@ object SimJoin {
   /**
    * Dense 0-based row index (≙ polars `with_row_index`, reference join.py:144-145).
    *
-   * Preferred path (`sortBy` given): index = rank in ascending `sortBy` order,
-   * computed as `row_number()` on a SLIM (sortBy-only) projection and hash-joined
-   * back — deterministic across retries/shuffles, keeps parquet column pruning,
-   * no RDD round-trip. Requires `sortBy` values unique (caller contract).
+   * Preferred path (`sortBy` given): index = rank in ascending `sortBy` order.
+   * Computed scale-safely on a SLIM (sortBy-only) projection:
+   * `repartitionByRange(k).sortWithinPartitions(k)` establishes a global sort
+   * across partitions, then `zipWithIndex` assigns dense ids with per-partition
+   * offsets (one extra slim count job — NOT a single-partition global window,
+   * which would funnel every row through one task at scale). With unique
+   * `sortBy` values (caller contract) the rank is deterministic regardless of
+   * range-boundary sampling. Null `sortBy` values are rejected (the reference's
+   * `with_row_index` indexes every row; silently dropping nulls in the
+   * join-back would diverge).
    *
    * Fallback (no `sortBy`): physical-order `zipWithIndex`, localCheckpoint'd so
    * the two consumers of the indexed frame (pair scoring + join-back) see ONE
@@ -387,10 +393,18 @@ object SimJoin {
   def withDenseIndex(df: DataFrame, name: String, sortBy: Option[String] = None): DataFrame =
     sortBy match {
       case Some(k) =>
-        val w = Window.orderBy(col(k))
-        val ids = df.select(col(k))
-          .withColumn(name, (row_number().over(w) - 1).cast(LongType))
-        df.join(ids, k)
+        import org.apache.spark.sql.types.StructType
+        val spark = df.sparkSession
+        val kField = df.schema(df.schema.fieldIndex(k))
+        val slim = df.select(col(k)).repartitionByRange(col(k)).sortWithinPartitions(col(k))
+        val idSchema = StructType(Seq(kField, org.apache.spark.sql.types.StructField(name, LongType, nullable = false)))
+        val idsRdd = slim.rdd.zipWithIndex.map { case (r, i) =>
+          if (r.isNullAt(0))
+            throw new IllegalArgumentException(
+              s"indexBy column '$k' contains null — every row must carry a unique non-null index key")
+          Row(r.get(0), i)
+        }
+        df.join(spark.createDataFrame(idsRdd, idSchema), k)
       case None =>
         val schema = df.schema.add(name, LongType, nullable = false)
         val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }

@@ -133,42 +133,96 @@ object SimSearch {
   private[operators] def planeComponent(j: Int, d: Int): Double =
     (((j.toLong * 8191L + d.toLong) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
 
-  /** LSH bucket id: sign bits of dot(v, plane_j) for j in [0, nPlanes). */
-  def lshBucketUdf(nPlanes: Int) = udf { (v: Seq[Float]) =>
-    if (v == null) None
-    else {
-      var bucket = 0L
-      var j = 0
-      while (j < nPlanes) {
-        var dot = 0.0
-        var d = 0
-        while (d < v.length) { dot += v(d).toDouble * planeComponent(j, d); d += 1 }
-        if (dot > 0) bucket |= (1L << j)
-        j += 1
-      }
-      Some(bucket)
+  /** Sign-LSH bucket of `v`: bit j set iff dot(v, plane_j) > 0, j in [0, nPlanes).
+    * Sequential d-ascending fold in Double — the shared spec for the UDF, the
+    * kernel, and the DuckDB oracle mirror. */
+  private[operators] def bucketOf(v: Array[Float], nPlanes: Int): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) { dot += v(d).toDouble * planeComponent(j, d); d += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
     }
+    bucket
+  }
+
+  /** LSH bucket id column form of [[bucketOf]]. */
+  def lshBucketUdf(nPlanes: Int) = udf { (v: Seq[Float]) =>
+    if (v == null) None else Some(bucketOf(v.toArray, nPlanes))
   }
 
   /**
    * Approximate cosine top-k via sign-LSH bucketing: both sides hashed into
-   * 2^nPlanes buckets; only same-bucket pairs scored. At 100 TB this replaces
-   * the |Q|×|C| scan with a bucket-partitioned equi-join; recall is tunable via
-   * nPlanes (fewer planes → bigger buckets → higher recall, more work).
+   * 2^nPlanes buckets; only same-bucket pairs scored. Approximate (bucket
+   * boundary misses); deterministic (hyperplanes from a fixed integer formula);
+   * recall tunable via nPlanes (fewer planes → bigger buckets → higher recall,
+   * more work).
+   *
+   * Plan shape: the (small) query side is collected, bucketed, and broadcast as
+   * a bucket → queries hash map; one linear corpus scan computes each corpus
+   * row's bucket and scores it against ONLY the same-bucket queries inside a
+   * mapPartitions kernel (tight primitive loops, no per-pair boxed UDF — the
+   * [[broadcastCosine]] pattern). At 100 TB the corpus is never shuffled and
+   * per-row work drops from |Q| dot products (brute [[topK]]) to the bucket's
+   * expected |Q|/2^nPlanes. Cosine arithmetic is the exact sequential fold of
+   * [[cosineUdf]], so scores are bit-identical to the brute path.
    */
   def topKLsh(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, nPlanes: Int = 8, excludeSelf: Boolean = false): DataFrame = {
-    val bucket = lshBucketUdf(nPlanes)
-    val q = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
-      .withColumn("__bucket", bucket(col("__qv")))
-    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
-      .withColumn("__bucket", bucket(col("__cv")))
-    val joined = c.join(q, "__bucket")
-    val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbor_id")) else joined)
-      .withColumn("__cos", cosineCol(col("__qv"), col("__cv")))
-      .filter(col("__cos").isNotNull)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = corpus.sparkSession
+    val qByBucket: Map[Long, Array[(Long, Array[Float], Double)]] =
+      queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val v = r.getSeq[Float](1).toArray
+          var n = 0.0; var i = 0
+          while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+          if (n == 0.0) None
+          else Some((bucketOf(v, nPlanes), (r.getLong(0), v, math.sqrt(n))))
+        }
+      }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast(qByBucket)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val buckets = bc.value
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val cid = r.getLong(0)
+          val cv = r.getSeq[Float](1).toArray
+          buckets.get(bucketOf(cv, nPlanes)) match {
+            case None => Iterator.empty
+            case Some(qs) =>
+              var cn = 0.0; var i = 0
+              while (i < cv.length) { cn += cv(i).toDouble * cv(i).toDouble; i += 1 }
+              if (cn == 0.0) Iterator.empty
+              else {
+                val cSqrt = math.sqrt(cn)
+                qs.iterator.flatMap { case (qid, qv, qSqrt) =>
+                  if (qv.length != cv.length) None
+                  else if (excludeSelf && qid == cid) None
+                  else {
+                    var dot = 0.0; var d = 0
+                    while (d < qv.length) { dot += qv(d).toDouble * cv(d).toDouble; d += 1 }
+                    Some(Row(qid, cid, dot / (qSqrt * cSqrt)))
+                  }
+                }
+              }
+          }
+        }
+      }
+    }
+    val scored = spark.createDataFrame(rdd, outSchema)
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))

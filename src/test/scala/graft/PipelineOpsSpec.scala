@@ -59,6 +59,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(1L).getLong(5) == 9L && out(1L).getLong(6) == 9L)
   }
 
+  test("fused scoreDoc is bit-identical to the Column quality/langid forms") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val colForm = docs.select(col("doc_id"),
+      TextFunctions.qualityScoreCol(col("text")).as("q"),
+      TextFunctions.langIdCol(TextFunctions.wordsCol(col("text"))).as("l"))
+    val udfForm = docs.select(col("doc_id"),
+        TextFunctions.scoreDocUdf(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("q"), col("s._2").as("l"))
+    assert(colForm.exceptAll(udfForm).isEmpty && udfForm.exceptAll(colForm).isEmpty)
+    // and the German/French tie-break paths not exercised by the corpus:
+    val tricky = docsDf(Seq(
+      (1L, "der die das und ist"), (2L, "le la les et est"),
+      (3L, "xyz"), (4L, ""), (5L, "the el the el")))
+    val a = tricky.select(col("doc_id"),
+      TextFunctions.qualityScoreCol(col("text")).as("q"),
+      TextFunctions.langIdCol(TextFunctions.wordsCol(col("text"))).as("l"))
+    val b = tricky.select(col("doc_id"),
+        TextFunctions.scoreDocUdf(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("q"), col("s._2").as("l"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   // ---- Dedup family -------------------------------------------------------
 
   val nearDupDocs: Seq[(Long, String)] = Seq(

@@ -15,7 +15,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def run_verify(sfdir, outdir):
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     cmd = ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}']
-    r = subprocess.run(cmd, cwd="/root/repo", capture_output=True, text=True)
+    r = subprocess.run(cmd, cwd="/root/repo", env=env, capture_output=True, text=True)
     if r.returncode != 0:
         print(r.stdout[-5000:]); print(r.stderr[-3000:])
         sys.exit("verify failed")
