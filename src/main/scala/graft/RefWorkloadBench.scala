@@ -69,19 +69,27 @@ object RefWorkloadBench {
     SimJoin.keyedPairs(l, "id", "name", r, "id", "name",
       SimJoinOptions(topN = 10, strategy = "direct")).count()
 
-    def time(strategy: String): (Double, Long) = {
+    def time(strategy: String, topN: Int, norm: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = SimJoin.keyedPairs(l, "id", "name", r, "id", "name",
-        SimJoinOptions(topN = 10, normalization = "l2", strategy = strategy)).count()
+        SimJoinOptions(topN = topN, normalization = norm, strategy = strategy)).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    val (tDirect, nDirect) = time("direct")
-    val (tDedup, nDedup) = time("dedup")
-    val t0 = System.nanoTime()
-    val nKernel = graft.operators.SimKernel.keyedPairs(l, "id", "name", r, "id", "name",
-      SimJoinOptions(topN = 10, normalization = "l2")).count()
-    val tKernel = (System.nanoTime() - t0) / 1e9
-    println(f"""{"workload":"faker-names 5000x100000 top10 l2","direct_sec":$tDirect%.3f,"dedup_sec":$tDedup%.3f,"kernel_sec":$tKernel%.3f,"rows_direct":$nDirect,"rows_dedup":$nDedup,"rows_kernel":$nKernel}""")
+    // Parameter sweep mirroring the reference's bench dimensions
+    // (/root/reference/benchmark/bench.py:161-204): top_n × normalization ×
+    // physical strategy. "direct" (the all-candidates plan) only at the
+    // flagship top_n=10 — it is the documented slow baseline.
+    val cells =
+      (for {
+        topN <- Seq(1, 10, 50, 100)
+        norm <- Seq("l2", "count")
+        strategy <- Seq("kernel", "dedup")
+      } yield (strategy, topN, norm)) ++
+      Seq(("direct", 10, "l2"), ("direct", 10, "count"))
+    cells.foreach { case (strategy, topN, norm) =>
+      val (t, n) = time(strategy, topN, norm)
+      println(f"""{"workload":"faker-names 5000x100000","strategy":"$strategy","top_n":$topN,"normalization":"$norm","sec":$t%.3f,"rows":$n}""")
+    }
     spark.stop()
   }
 }

@@ -33,11 +33,14 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, textCol: String, payloadCol: String): DataFrame =
     df.withColumn(payloadCol, encode(col(textCol), "UTF-8"))
 
+  /** Decoded metadata record — field names match [[MetaSchema]]. */
+  case class MediaMeta(format: String, width: Int, height: Int, n_bytes: Long)
+
   /**
-   * STUB decoder (no media libs in this container): deterministic fake metadata
-   * derived from the payload bytes — format from the first byte, dimensions from
-   * the byte length. Replace the body with a real codec behind the same
-   * signature; the plan shape (scalar expression over binary) is the real thing.
+   * STUB decoder for unrecognized payloads: deterministic fake metadata derived
+   * from the byte length. Kept as the fallback of [[decodeMeta]] for payloads
+   * that are not a JDK-decodable image (audio/video codecs are not in the JDK;
+   * swap a real codec in behind the same signature).
    */
   def fakeDecodeMeta(payload: Column): Column = struct(
     lit("stub/raw").as("format"),
@@ -45,9 +48,56 @@ object Multimodal {
     ((octet_length(payload) * 104729L) % 1024L + 1L).cast("int").as("height"),
     octet_length(payload).cast("long").as("n_bytes"))
 
-  /** Payload + decoded metadata + content digest (dedup key for binary columns). */
+  private def stubMeta(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta("stub/raw", ((n * 7919L) % 1024L + 1L).toInt, ((n * 104729L) % 1024L + 1L).toInt, n)
+  }
+
+  /**
+   * REAL header decode for image payloads via the JDK's `javax.imageio` (zero
+   * extra dependencies): PNG/JPEG/GIF/BMP magic bytes are recognized and the
+   * true width/height read from the header only (no full pixel decode — the
+   * reader returns dimensions from the metadata stream, so cost is O(header)
+   * per payload, not O(pixels)). Unrecognized or corrupt payloads fall back to
+   * the deterministic stub ([[stubMeta]] — same arithmetic as
+   * [[fakeDecodeMeta]]), keeping the operator total and deterministic.
+   */
+  def decodeMeta(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    val isImage = n > 8 && (
+      ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') ||
+      ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) ||
+      (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') ||
+      (payload(0) == 'B' && payload(1) == 'M'))
+    if (!isImage) stubMeta(payload)
+    else {
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) stubMeta(payload)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              MediaMeta("image/" + r.getFormatName.toLowerCase(java.util.Locale.ROOT),
+                r.getWidth(0), r.getHeight(0), n.toLong)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => stubMeta(payload) }
+    }
+  }
+
+  val decodeMetaUdf = udf((payload: Array[Byte]) =>
+    if (payload == null) None else Some(decodeMeta(payload)))
+
+  /** Payload + decoded metadata + content digest (dedup key for binary columns).
+    * Image payloads get true header dimensions ([[decodeMeta]]); other payloads
+    * the deterministic stub (mirrored 1:1 in the mm_meta oracle). */
   def withDecodedMeta(df: DataFrame, payloadCol: String): DataFrame =
-    df.withColumn("media_meta", fakeDecodeMeta(col(payloadCol)))
+    df.withColumn("media_meta", decodeMetaUdf(col(payloadCol)))
       .withColumn("media_sha", sha2(col(payloadCol), 256))
 
   /**

@@ -22,8 +22,11 @@ import graft.functions.Trigrams
  * @param broadcastSide          "left" | "right" | "auto" — which token relation to broadcast
  *                               (≙ reference `threading_dimension`; auto applies the reference's
  *                               100× size rule on Catalyst plan statistics, see [[SimJoin.autoBroadcastSide]])
- * @param strategy               "dedup" | "direct" | "auto" — physical plan choice, see [[SimJoin]];
- *                               auto picks by distinct-key ratio (one slim stats pass per side)
+ * @param strategy               "dedup" | "direct" | "kernel" | "auto" — physical plan choice, see
+ *                               [[SimJoin]]; "kernel" is the broadcast dense-accumulator fast path
+ *                               ([[SimKernel]], requires Long id columns). auto picks dedup when keys
+ *                               repeat (distinct-key ratio ≤ 0.5), else the kernel when the right side
+ *                               fits the 512 MB broadcast guard and ids are Long, else direct
  * @param indexBy                for the positional APIs ([[SimJoin.pairs]]/[[SimJoin.simJoin]]):
  *                               a UNIQUE column per side whose ascending order defines the dense
  *                               0-based row index. Deterministic and avoids the RDD zipWithIndex
@@ -34,6 +37,11 @@ import graft.functions.Trigrams
  *                               cap before the candidate join (skew guard; the reference's own
  *                               tf-idf TODO, /root/reference/src/cossim.rs:45-48). RESULT-CHANGING:
  *                               off (0) by default.
+ * @param threads                reference API parity (`threads`, /root/reference/python/
+ *                               polars_sim/dataframe/join.py:22). Spark manages parallelism via
+ *                               partitioning, not a thread pool, so this maps to a repartition of
+ *                               the LEFT side to `threads` partitions when > 0; 0 (default) keeps
+ *                               the input partitioning. Results are unaffected.
  */
 case class SimJoinOptions(
     on: Option[String] = None,
@@ -48,11 +56,14 @@ case class SimJoinOptions(
     broadcastSide: String = "auto",
     strategy: String = "auto",
     indexBy: Option[String] = None,
-    maxTokenFrequency: Long = 0L) {
+    maxTokenFrequency: Long = 0L,
+    threads: Int = 0) {
   require(topN > 0, s"topN must be positive, got $topN")
   require(Set("l2", "count")(normalization), s"normalization must be l2|count, got $normalization")
   require(Set("left", "right", "auto")(broadcastSide), s"broadcastSide must be left|right|auto")
-  require(Set("dedup", "direct", "auto")(strategy), s"strategy must be dedup|direct|auto")
+  require(Set("dedup", "direct", "kernel", "auto")(strategy),
+    s"strategy must be dedup|direct|kernel|auto")
+  require(threads >= 0, s"threads must be >= 0, got $threads")
 
   def resolveKeys(left: DataFrame, right: DataFrame): (String, String) = {
     val (l, r) = on match {
@@ -117,15 +128,39 @@ object SimJoin {
    * their input types and sim is Double.
    */
   def keyedPairs(
-      left: DataFrame, leftId: String, leftKey: String,
+      left0: DataFrame, leftId: String, leftKey: String,
       right: DataFrame, rightId: String, rightKey: String,
       opts: SimJoinOptions = SimJoinOptions(),
       outLeft: String = "row", outRight: String = "col", outSim: String = "sim"): DataFrame = {
-    val strategy = if (opts.strategy == "auto") autoStrategy(left, leftKey, right, rightKey) else opts.strategy
+    val left = if (opts.threads > 0) left0.repartition(opts.threads) else left0
+    val strategy =
+      if (opts.strategy == "auto") {
+        if (autoStrategy(left, leftKey, right, rightKey) == "dedup") "dedup"
+        else if (kernelEligible(left, leftId, right, rightId)) "kernel"
+        else "direct"
+      } else opts.strategy
     strategy match {
       case "direct" => directPairs(left, leftId, leftKey, right, rightId, rightKey, opts, outLeft, outRight, outSim)
       case "dedup"  => dedupPairs(left, leftId, leftKey, right, rightId, rightKey, opts, outLeft, outRight, outSim)
+      case "kernel" => SimKernel.keyedPairs(left, leftId, leftKey, right, rightId, rightKey, opts, outLeft, outRight, outSim)
     }
+  }
+
+  /**
+   * Kernel dispatch guard for strategy="auto": the [[SimKernel]] broadcast path
+   * is ~10× the relational plan when the whole right side fits in executor
+   * memory (BASELINE.md), so take it whenever the right side's Catalyst size
+   * estimate is under the 512 MB broadcast guard AND both id columns are
+   * LongType (the kernel's output id type — dispatching on other id types
+   * would silently change the result schema).
+   */
+  private[graft] def kernelEligible(
+      left: DataFrame, leftId: String, right: DataFrame, rightId: String): Boolean = {
+    val maxBroadcastBytes = BigInt(512L << 20)
+    def isLong(df: DataFrame, c: String): Boolean =
+      df.schema(df.schema.fieldIndex(c)).dataType == LongType
+    right.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcastBytes &&
+      isLong(left, leftId) && isLong(right, rightId)
   }
 
   /** Tokenize side: (id, nTokens, token) exploded relation; empty-token rows pruned. */

@@ -30,7 +30,8 @@ object SimKernel {
       nTokens: Array[Int],         // dense right index -> |tokens|
       postings: Array[Array[Int]]) // token id -> dense right indexes (ascending)
 
-  private def buildIndex(right: DataFrame, rightId: String, rightKey: String): RightIndex = {
+  private def buildIndex(right: DataFrame, rightId: String, rightKey: String,
+      maxTokenFrequency: Long = 0L): RightIndex = {
     val rows = right.select(col(rightId).cast("long"), col(rightKey).cast("string")).collect()
     val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
     val nTok = new scala.collection.mutable.ArrayBuffer[Int](rows.length)
@@ -53,6 +54,16 @@ object SimKernel {
     }
     val postings = new Array[Array[Int]](Trigrams.VocabSize)
     builders.forEach((t, b) => postings(t) = b.toArray)
+    // maxTokenFrequency parity with the relational plan's skew guard: drop
+    // tokens whose right posting list exceeds the cap (norms stay full-length,
+    // matching scoredPairs which filters candidates but not __nr).
+    if (maxTokenFrequency > 0L) {
+      var t = 0
+      while (t < postings.length) {
+        if (postings(t) != null && postings(t).length > maxTokenFrequency) postings(t) = null
+        t += 1
+      }
+    }
     RightIndex(ids.toArray, nTok.toArray, postings)
   }
 
@@ -69,7 +80,8 @@ object SimKernel {
     val spark = left.sparkSession
     val l2 = opts.normalization == "l2"
     val topN = opts.topN
-    val bc = spark.sparkContext.broadcast(buildIndex(right, rightId, rightKey))
+    val bc = spark.sparkContext.broadcast(
+      buildIndex(right, rightId, rightKey, opts.maxTokenFrequency))
     val outSchema = StructType(Seq(
       StructField(outLeft, LongType), StructField(outRight, LongType),
       StructField(outSim, DoubleType)))

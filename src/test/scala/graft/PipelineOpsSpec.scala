@@ -208,6 +208,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rs(2L)._1 == null && rs(2L)._2.isEmpty)
   }
 
+  test("multimodal: real PNG/JPEG header decode via javax.imageio") {
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def jpegBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, pngBytes(37, 23)), (2L, jpegBytes(64, 48)),
+      (3L, "not an image".getBytes("UTF-8"))).toDF("id", "payload")
+    val out = Multimodal.withDecodedMeta(df, "payload")
+      .select(col("id"), col("media_meta.format"), col("media_meta.width"),
+        col("media_meta.height"), col("media_meta.n_bytes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getLong(4))).toMap
+    assert(out(1L)._1 == "image/png" && out(1L)._2 == 37 && out(1L)._3 == 23)
+    assert(out(2L)._1 == "image/jpeg" && out(2L)._2 == 64 && out(2L)._3 == 48)
+    // non-image payload keeps the deterministic stub (oracle-mirrored formula)
+    val n = "not an image".getBytes("UTF-8").length.toLong
+    assert(out(3L) == ("stub/raw", ((n * 7919) % 1024 + 1).toInt, ((n * 104729) % 1024 + 1).toInt, n))
+  }
+
   // ---- Streaming ----------------------------------------------------------
 
   test("events windowed agg: batch and streaming paths agree") {

@@ -95,6 +95,38 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("strategy=auto dispatches the kernel for a broadcastable unique-key right side") {
+    val left = strDf((1 to 400).map(i => s"name $i"))
+    val right = strDf((1 to 400).map(i => s"name $i"))
+    val auto = SimJoin.keyedPairs(left, "id", "s", right, "id", "s",
+      SimJoinOptions(topN = 2, strategy = "auto"))
+    // kernel output is an RDD scan — no joins/aggregates in the plan
+    val plan = auto.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD") && !plan.contains("SortMergeJoin")
+      && !plan.contains("HashAggregate"), plan)
+    // and results are identical to the explicit relational plan
+    def collect(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = collect(SimJoin.keyedPairs(left, "id", "s", right, "id", "s",
+      SimJoinOptions(topN = 2, strategy = "direct")))
+    assert(collect(auto) == direct)
+    // non-Long ids must NOT dispatch (schema would change): int ids -> relational
+    val intIds = left.withColumn("id", col("id").cast("int"))
+    assert(!SimJoin.kernelEligible(intIds, "id", right, "id"))
+  }
+
+  test("threads option repartitions the left side without changing results") {
+    val l = strDf(Seq("small ring", "small rings", "blue bolt", "cold plate"))
+    def collect(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = collect(SimJoin.keyedPairs(l, "id", "s", l, "id", "s",
+      SimJoinOptions(topN = 2, strategy = "direct")))
+    val threaded = SimJoin.keyedPairs(l, "id", "s", l, "id", "s",
+      SimJoinOptions(topN = 2, strategy = "direct", threads = 3))
+    assert(collect(threaded) == base)
+    assertThrows[IllegalArgumentException](SimJoinOptions(threads = -1))
+  }
+
   test("maxTokenFrequency drops hot tokens (result-changing skew guard)") {
     val l = strDf(Seq("aaab"))
     // right side: "aaa" appears in every row (hot token), "aab" only in one
@@ -105,5 +137,9 @@ class PlanSpec extends AnyFunSuite {
       SimJoinOptions(topN = 10, strategy = "direct", maxTokenFrequency = 1)).count()
     assert(unguarded == 4L) // all rows share token "aaa"
     assert(guarded == 1L)   // only the exact "aab" partner survives the cap
+    // kernel honors the same cap (required for safe auto-dispatch)
+    val kernelGuarded = graft.operators.SimKernel.keyedPairs(l, "id", "s", r, "id", "s",
+      SimJoinOptions(topN = 10, maxTokenFrequency = 1)).count()
+    assert(kernelGuarded == 1L)
   }
 }
