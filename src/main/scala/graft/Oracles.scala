@@ -195,6 +195,61 @@ object Oracles {
        |)
        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= $k""".stripMargin
 
+  /** Sequential-fold cosine between two DOUBLE-cast float lists (the shared
+    * fragment of every embedding oracle; mirrors SimSearch's kernels). */
+  private def listCos(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /**
+   * Exact mirror of SimSearch.topKIvf on the embeddings table: coarse centroids
+   * = the nList smallest-id vectors (index = id rank), every vector assigned to
+   * its (cosine desc, index asc) nearest centroid, queries probe their nProbe
+   * nearest, same-list pairs scored, top-k per query.
+   */
+  def annIvfSql(k: Int, nList: Int, nProbe: Int, queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cj, e AS ce
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nList)
+       |),
+       |ccos AS (
+       |  SELECT x.vec_id, c.cj,
+       |    ${listCos("x.e", "c.ce")} AS cos
+       |  FROM v x CROSS JOIN cent c
+       |),
+       |casgn AS (
+       |  SELECT vec_id, cj FROM (
+       |    SELECT vec_id, cj,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
+       |    FROM ccos) WHERE rn = 1
+       |),
+       |qasgn AS (
+       |  SELECT vec_id, cj FROM (
+       |    SELECT vec_id, cj,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
+       |    FROM ccos WHERE $queryPred) WHERE rn <= $nProbe
+       |),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qv.e AS ea, cv.e AS eb
+       |  FROM qasgn q
+       |  JOIN casgn c ON q.cj = c.cj AND q.vec_id <> c.vec_id
+       |  JOIN v qv ON q.vec_id = qv.vec_id
+       |  JOIN v cv ON c.vec_id = cv.vec_id
+       |),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${listCos("ea", "eb")} AS cosine
+       |  FROM p
+       |),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= $k""".stripMargin
+
   /** Deterministic polynomial string hash (mirrors TextFunctions.tHash). */
   def tHashSql(sExpr: String): String =
     s"CAST(COALESCE(list_sum(list_transform(generate_series(1, length($sExpr)), i -> " +

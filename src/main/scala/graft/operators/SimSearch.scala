@@ -229,6 +229,114 @@ object SimSearch {
   }
 
   /**
+   * Approximate cosine top-k via an IVF (inverted-file) coarse quantizer — the
+   * second scale path beside [[topKLsh]]:
+   *
+   *  - coarse centroids = the nList corpus vectors with the SMALLEST ids
+   *    (deterministic seed assignment; a production index would refine them
+   *    with Lloyd iterations — the seed variant keeps the operator exactly
+   *    oracle-able, and the plan shape is identical);
+   *  - every corpus vector is assigned to its nearest centroid by
+   *    (cosine desc, centroid-index asc) — the inverted lists;
+   *  - each query probes its nProbe nearest centroids and scores ONLY vectors
+   *    in those lists.
+   *
+   * Plan shape: centroids and bucketed queries are broadcast; ONE corpus scan
+   * assigns each vector's list and scores it against the queries probing that
+   * list inside a mapPartitions kernel — no shuffle of the corpus, per-row
+   * work ≈ nList centroid dots + the probing queries. Recall is tunable via
+   * nProbe (nProbe = nList degenerates to brute force). Cosine arithmetic is
+   * the exact sequential fold of [[cosineUdf]].
+   */
+  def topKIvf(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nList: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(nList > 0 && nProbe > 0 && nProbe <= nList,
+      s"need 0 < nProbe <= nList, got nList=$nList nProbe=$nProbe")
+    val spark = corpus.sparkSession
+    def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else {
+        val v = r.getSeq[Float](1).toArray
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
+      }
+    }
+    // deterministic coarse centroids: nList smallest corpus ids, index = id rank
+    val centroids: Array[(Array[Float], Double)] = corpus
+      .select(col(cId).cast("long"), col(cVec))
+      .orderBy(col(cId).cast("long")).limit(nList)
+      .collect().flatMap(withNorm).map { case (_, v, n) => (v, n) }
+    require(centroids.nonEmpty, "corpus has no non-null non-zero vectors to seed centroids")
+    // (cos to each centroid, kept in index order) — shared by both sides
+    def centroidCos(v: Array[Float], vNorm: Double): Array[Double] = {
+      val out = new Array[Double](centroids.length)
+      var j = 0
+      while (j < centroids.length) {
+        val (cv, cn) = centroids(j)
+        if (cv.length != v.length) out(j) = Double.NegativeInfinity
+        else {
+          var dot = 0.0; var d = 0
+          while (d < v.length) { dot += v(d).toDouble * cv(d); d += 1 }
+          out(j) = dot / (vNorm * cn)
+        }
+        j += 1
+      }
+      out
+    }
+    def nearestList(v: Array[Float], vNorm: Double): Int = {
+      val cos = centroidCos(v, vNorm)
+      var best = 0; var j = 1
+      while (j < cos.length) { if (cos(j) > cos(best)) best = j; j += 1 }
+      best // ties keep the smaller index (strict > only replaces)
+    }
+    // query side: each query enters the maps of its nProbe nearest lists
+    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap(withNorm)
+    val qByList: Map[Int, Array[(Long, Array[Float], Double)]] = qRows.flatMap { case (qid, qv, qn) =>
+      centroidCos(qv, qn).zipWithIndex
+        .sortBy { case (cos, j) => (-cos, j) }.take(nProbe)
+        .map { case (_, j) => j -> ((qid, qv, qn)) }
+    }.groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2) }
+    // centroids ride the task closure (nList vectors — tiny); the query map is
+    // broadcast once per executor.
+    val bc = spark.sparkContext.broadcast(qByList)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val byList = bc.value
+      rows.flatMap { r =>
+        withNorm(r) match {
+          case None => Iterator.empty
+          case Some((cid, cv, cSqrt)) =>
+            byList.get(nearestList(cv, cSqrt)) match {
+              case None => Iterator.empty
+              case Some(qs) =>
+                qs.iterator.flatMap { case (qid, qv, qSqrt) =>
+                  if (qv.length != cv.length) None
+                  else if (excludeSelf && qid == cid) None
+                  else {
+                    var dot = 0.0; var d = 0
+                    while (d < qv.length) { dot += qv(d).toDouble * cv(d).toDouble; d += 1 }
+                    Some(Row(qid, cid, dot / (qSqrt * cSqrt)))
+                  }
+                }
+            }
+        }
+      }
+    }
+    val scored = spark.createDataFrame(rdd, outSchema)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /**
    * String similarity search: top-k most-similar corpus strings per query string
    * (trigram cosine, = the reference's join_sim semantics with the query side as
    * `left`). Output: (query_id, match_id, sim).

@@ -169,6 +169,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(agree >= 15, s"only $agree/20 LSH top-1 hits agree with brute force")
   }
 
+  test("SimSearch.topKIvf: nProbe=nList degenerates to brute force; partial probe has high recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    def collect(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = collect(SimSearch.topK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, excludeSelf = true))
+    // all lists probed => every corpus vector scored => identical to brute
+    val full = collect(SimSearch.topKIvf(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, nList = 8, nProbe = 8, excludeSelf = true))
+    assert(full == brute)
+    // partial probing is a subset-quality approximation: same schema, <= k per
+    // query, and a sane share of the brute top-3 recovered
+    val part = collect(SimSearch.topKIvf(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, nList = 8, nProbe = 3, excludeSelf = true))
+    assert(part.groupBy(_._1).values.forall(_.size <= 3))
+    val recall = (part.map(p => (p._1, p._2)) intersect brute.map(p => (p._1, p._2))).size.toDouble /
+      brute.size
+    assert(recall >= 0.3, s"IVF nProbe=3/8 recall $recall unexpectedly low")
+  }
+
   test("topKStrings finds the most similar part-like names") {
     val s = spark
     import s.implicits._

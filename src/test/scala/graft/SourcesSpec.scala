@@ -38,6 +38,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(pairs(fromJson) == base)
   }
 
+  test("orc round-trip feeds simJoin identically to parquet (with pushdown)") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select("p_partkey", "p_name")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    part.write.mode("overwrite").orc(dir + "/orc")
+    val fromOrc = spark.read.orc(dir + "/orc")
+    import graft.operators.{SimJoin, SimJoinOptions}
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      SimJoin.keyedPairs(df, "p_partkey", "p_name", df, "p_partkey", "p_name",
+          SimJoinOptions(topN = 2, strategy = "direct"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs(fromOrc) == pairs(part))
+    // predicate pushdown reaches the ORC scan
+    val filtered = fromOrc.filter(col("p_partkey") < 10)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(p_partkey), LessThan(p_partkey,10)]"), scan)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select("p_partkey", "p_name")

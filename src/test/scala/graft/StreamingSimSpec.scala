@@ -49,4 +49,38 @@ class StreamingSimSpec extends AnyFunSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("StreamDedup.firstPerHash: stateful streaming dedup, first batch wins") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupstream").toFile
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    // batch 1: two distinct texts, one internal duplicate (ids 11 & 12)
+    Seq((10L, "alpha beta"), (11L, "gamma delta"), (12L, "gamma delta"))
+      .toDF("doc_id", "text").write.parquet(dir + "/in/b1")
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+    val out = graft.streaming.StreamDedup.firstPerHash(stream.toDF(), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("dedup_stream")
+        .collect().map(r => r.getLong(0)).toSet
+      assert(got() == Set(10L, 11L)) // min id per hash within the batch
+      // batch 2: a late duplicate of "alpha beta" (even with a SMALLER id — the
+      // stream already committed 10) plus one genuinely new text
+      Seq((5L, "alpha beta"), (20L, "epsilon zeta"))
+        .toDF("doc_id", "text").write.parquet(dir + "/in/b2")
+      q.processAllAvailable()
+      assert(got() == Set(10L, 11L, 20L)) // 5 dropped by state, 20 appended
+    } finally q.stop()
+
+    // batch semantics: one invocation per group, empty state => min id per
+    // hash == Dedup.exact's canonical rows
+    val batchDf = Seq((10L, "alpha beta"), (5L, "alpha beta"), (11L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val batchOut = graft.streaming.StreamDedup.firstPerHash(batchDf, "doc_id", "text")
+      .collect().map(_.doc_id).toSet
+    assert(batchOut == Set(5L, 11L))
+  }
 }
