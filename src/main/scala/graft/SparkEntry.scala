@@ -178,6 +178,19 @@ object SparkEntry {
       counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
         .select(col("lang"), col("word"), col("n"), col("rnk").cast("long").as("rnk"))
     }),
+    "text_chunks" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunkWordsUdf(40, 5)(col("text"))).as(Seq("chunk_index", "chunk")))
+        .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
+          col("chunk"), size(split(col("chunk"), " ")).cast("long").as("n_words"))
+    }),
+    "emb_quantize" -> ((s, dir) =>
+      Embeddings.quantizeInt8(rd(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("q"))),
+    "emb_normalize" -> ((s, dir) =>
+      rd(s, dir, "embeddings").select(col("vec_id"),
+        transform(Embeddings.l2NormalizeCol(col("embedding")), x => round(x, 6)).as("unit"))),
     "emb_centroids" -> ((s, dir) => {
       rd(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -481,6 +494,33 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "text_chunks" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, ws, unnest(generate_series(0, CAST(floor((len(ws)-1)/35.0) AS INT))) AS gi
+        |  FROM d WHERE len(ws) > 0
+        |)
+        |SELECT doc_id, CAST(gi AS BIGINT) AS chunk_index,
+        |  array_to_string(list_slice(ws, gi*35 + 1, least(gi*35 + 40, len(ws))), ' ') AS chunk,
+        |  CAST(least(gi*35 + 40, len(ws)) - gi*35 AS BIGINT) AS n_words
+        |FROM g WHERE gi = 0 OR gi*35 + 5 < len(ws)""".stripMargin,
+    "emb_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
+        |       ELSE list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) END AS q
+        |FROM m""".stripMargin,
+    "emb_normalize" ->
+      """SELECT vec_id,
+        |  CASE WHEN list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) = 0 THEN NULL
+        |       ELSE list_transform(embedding, x ->
+        |         round(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))), 6))
+        |  END AS unit
+        |FROM embeddings""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
         |       round(avg(CAST(v AS DOUBLE)), 4) AS centroid

@@ -318,6 +318,37 @@ object TextFunctions {
 
   val scoreDocUdf = udf((s: String) => scoreDoc(s))
 
+  /**
+   * Word-window document chunking — the standard LLM-pipeline pre-tokenization
+   * split: lowercase-alpha words grouped into windows of `size` words with
+   * `overlap` words shared between consecutive chunks (stride = size−overlap).
+   * A trailing window that would contribute no NEW words beyond the overlap is
+   * not emitted (`start + overlap < nWords` unless it is the first chunk).
+   * Single pass per doc; chunk text = space-joined words. SQL mirror:
+   * generate_series over starts + list_slice.
+   */
+  def chunkWords(s: String, size: Int, overlap: Int): Array[String] = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    if (s == null) return Array.empty
+    val m = WordPattern.matcher(s.toLowerCase(java.util.Locale.ROOT))
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) words += m.group()
+    val n = words.length
+    if (n == 0) return Array.empty
+    val stride = size - overlap
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < n && (start == 0 || start + overlap < n)) {
+      out += words.slice(start, math.min(start + size, n)).mkString(" ")
+      start += stride
+    }
+    out.toArray
+  }
+
+  def chunkWordsUdf(size: Int, overlap: Int) =
+    udf((s: String) => chunkWords(s, size, overlap))
+
   /** Whitespace token count (trim + split on runs of whitespace). */
   def wsTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+")).cast("long")

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-column utilities for large-scale training-data pipelines.
+ *
+ * Everything is exact double arithmetic in a fixed operation order, so each
+ * operator has a 1:1 DuckDB oracle (see SparkEntry):
+ *
+ *  - [[quantizeInt8]] — symmetric int8 quantization: per-vector
+ *    `scale = max|v_i| / 127`, `q_i = floor(v_i/scale + 0.5)` (floor(x+0.5)
+ *    instead of a round() builtin so both engines take the identical branch
+ *    on .5 boundaries). Shrinks a 100 TB float corpus 4× for ANN candidate
+ *    generation while keeping a per-vector dequantization scale.
+ *  - [[l2NormalizeCol]] — v / ‖v‖₂ as array<double> (zero vectors → null),
+ *    the usual pre-cosine normalization so downstream dot products ARE
+ *    cosines.
+ */
+object Embeddings {
+
+  /** @return (scale: Double, q: Array[Int]); zero/null vectors → scale 0, q all 0. */
+  def quantizeInt8Vec(v: Seq[Float]): (Double, Seq[Int]) = {
+    if (v == null || v.isEmpty) return (0.0, Seq.empty)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    if (scale == 0.0) (0.0, Seq.fill(v.length)(0))
+    else {
+      val q = new Array[Int](v.length)
+      var j = 0
+      while (j < v.length) {
+        q(j) = math.floor(v(j).toDouble / scale + 0.5).toInt
+        j += 1
+      }
+      (scale, q.toSeq)
+    }
+  }
+
+  val quantizeInt8Udf = udf((v: Seq[Float]) => quantizeInt8Vec(v))
+
+  /** (idCol, scale, q) — int8-quantized embedding relation. */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), quantizeInt8Udf(col(vecCol)).as("__q"))
+      .select(col(idCol), col("__q._1").as("scale"), col("__q._2").as("q"))
+
+  val l2NormalizeUdf = udf { (v: Seq[Float]) =>
+    if (v == null || v.isEmpty) None
+    else {
+      var n = 0.0
+      var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+      if (n == 0.0) None
+      else {
+        val nrm = math.sqrt(n)
+        Some(v.map(x => x.toDouble / nrm))
+      }
+    }
+  }
+
+  def l2NormalizeCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    l2NormalizeUdf(vec)
+}

@@ -201,6 +201,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(out.head._2 - 1.0) < 1e-9)
   }
 
+  test("chunkWords: stride/overlap windows, no redundant tail") {
+    val words = Seq("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "ii", "jj")
+    val text = words.mkString(" ") // 10 words ([a-z]+ extraction, like wordsCol)
+    // size 4 overlap 1 -> stride 3: starts 0,3,6,9; start 9 has 9+1 >= 10 -> dropped
+    val c = TextFunctions.chunkWords(text, 4, 1)
+    assert(c.toSeq == Seq("aa bb cc dd", "dd ee ff gg", "gg hh ii jj"))
+    assert(TextFunctions.chunkWords("", 4, 1).isEmpty)
+    assert(TextFunctions.chunkWords(null, 4, 1).isEmpty)
+    assert(TextFunctions.chunkWords("one two", 4, 1).toSeq == Seq("one two")) // short doc: one chunk
+    assertThrows[IllegalArgumentException](TextFunctions.chunkWords("x", 2, 2))
+  }
+
+  test("quantizeInt8 round-trips within scale/2 and hits ±127 at extremes") {
+    val (scale, q) = Embeddings.quantizeInt8Vec(Seq(1.0f, -1.0f, 0.5f, 0.0f))
+    assert(q == Seq(127, -127, 64, 0))
+    assert(math.abs(scale - 1.0 / 127.0) < 1e-12)
+    // dequantization error bounded by scale/2 per element
+    val v = Seq(0.3f, -0.7f, 0.11f, 0.99f)
+    val (s2, q2) = Embeddings.quantizeInt8Vec(v)
+    v.zip(q2).foreach { case (x, qi) =>
+      assert(math.abs(x.toDouble - qi * s2) <= s2 / 2 + 1e-12)
+    }
+    assert(Embeddings.quantizeInt8Vec(Seq(0.0f, 0.0f)) == ((0.0, Seq(0, 0))))
+  }
+
   // ---- Multimodal ---------------------------------------------------------
 
   test("multimodal: payload/meta/features plumbing") {
