@@ -178,6 +178,14 @@ object SparkEntry {
       counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
         .select(col("lang"), col("word"), col("n"), col("rnk").cast("long").as("rnk"))
     }),
+    "text_redact" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        redactPiiCol(col("text")).as("redacted"))
+    }),
+    "text_repetition" -> ((s, dir) => {
+      rd(s, dir, "documents").select(col("doc_id"),
+        repetitionRatioCol(col("text")).as("rep_ratio"))
+    }),
     "text_chunks" -> ((s, dir) => {
       rd(s, dir, "documents")
         .select(col("doc_id"),
@@ -494,6 +502,24 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "text_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${TextFunctions.UrlPattern}', '<URL>', 'g'),
+         |      '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.PhonePattern}', '<PHONE>', 'g') AS redacted
+         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(str_split(text, chr(10)), l -> length(l) > 0) AS ls
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(ls) = 0 THEN 0.0
+        |       ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE), 6)
+        |  END AS rep_ratio
+        |FROM d""".stripMargin,
     "text_chunks" ->
       """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
         |g AS (

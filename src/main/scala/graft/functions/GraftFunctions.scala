@@ -15,6 +15,10 @@ import org.apache.spark.sql.SparkSession
  *  - `thash(s)`             -> deterministic polynomial string hash
  *  - `word_shingles(s)`     -> array<string> distinct 3-word shingles
  *  - `minhash_sig(arr)`     -> array<bigint> MinHash signature of a shingle set
+ *  - `minhash_bands(arr)`   -> array<string> LSH band keys of a shingle set
+ *  - `doc_score(s)`         -> struct(quality double, langid string), fused single pass
+ *  - `chunk_words(s, n, o)` -> array<string> word-window chunks (size n, overlap o)
+ *  - `quantize_int8(v)`     -> struct(scale double, q array<int>)
  */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -26,5 +30,12 @@ object GraftFunctions {
     spark.udf.register("word_shingles", (s: String) => TextFunctions.shingles3Array(s))
     spark.udf.register("minhash_sig",
       (shs: Seq[String]) => TextFunctions.minHashSig(shs.toArray))
+    spark.udf.register("minhash_bands",
+      (shs: Seq[String]) => TextFunctions.minHashBandKeys(shs.toArray))
+    spark.udf.register("doc_score", (s: String) => TextFunctions.scoreDoc(s))
+    spark.udf.register("chunk_words",
+      (s: String, size: Int, overlap: Int) => TextFunctions.chunkWords(s, size, overlap))
+    spark.udf.register("quantize_int8",
+      (v: Seq[Float]) => graft.operators.Embeddings.quantizeInt8Vec(v))
   }
 }

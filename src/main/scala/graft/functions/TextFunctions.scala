@@ -349,6 +349,38 @@ object TextFunctions {
   def chunkWordsUdf(size: Int, overlap: Int) =
     udf((s: String) => chunkWords(s, size, overlap))
 
+  // ---------------------------------------------------------------------------
+  // Corpus-scrubbing signals: PII redaction + repetition ratio.
+  // Patterns are deliberately restricted to syntax shared by Java regex and
+  // RE2 (DuckDB) so the SQL oracle is the same pattern string.
+  // ---------------------------------------------------------------------------
+
+  val UrlPattern = "https?://[^\\s]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
+
+  /** Redact URLs, then emails, then phone-shaped numbers (fixed order — the
+    * SQL mirror chains the same three regexp_replace calls). */
+  def redactPiiCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "<URL>"),
+        EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /**
+   * Line-repetition ratio in [0,1]: 1 − distinctNonEmptyLines/nonEmptyLines
+   * (0.0 for docs with no non-empty line) — the standard boilerplate/spam
+   * signal for corpus filtering. Rounded to 6 decimals.
+   */
+  def repetitionRatioCol(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val n = size(lines).cast("double")
+    val d = size(array_distinct(lines)).cast("double")
+    when(size(lines) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) - d / n, 6))
+  }
+
   /** Whitespace token count (trim + split on runs of whitespace). */
   def wsTokenCount(text: Column): Column =
     size(split(trim(text), "\\s+")).cast("long")

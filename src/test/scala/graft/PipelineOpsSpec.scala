@@ -213,6 +213,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextFunctions.chunkWords("x", 2, 2))
   }
 
+  test("redactPii and repetitionRatio behave on crafted docs") {
+    val df = docsDf(Seq(
+      (1L, "mail me at bob.smith+x@example.co.uk or visit https://example.com/a?b=c now"),
+      (2L, "call +1 555-123-4567 or 555 867-5309"),
+      (3L, "line\nline\nline\nother"),
+      (4L, "no pii here")))
+    val out = df.select(col("doc_id"),
+        TextFunctions.redactPiiCol(col("text")).as("r"),
+        TextFunctions.repetitionRatioCol(col("text")).as("rep"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == "mail me at <EMAIL> or visit <URL> now")
+    assert(out(2L)._1 == "call +1 <PHONE> or <PHONE>")
+    assert(out(3L)._2 == 0.5) // 4 non-empty lines, 2 distinct
+    assert(out(4L) == (("no pii here", 0.0)))
+  }
+
   test("quantizeInt8 round-trips within scale/2 and hits ±127 at extremes") {
     val (scale, q) = Embeddings.quantizeInt8Vec(Seq(1.0f, -1.0f, 0.5f, 0.0f))
     assert(q == Seq(127, -127, 64, 0))

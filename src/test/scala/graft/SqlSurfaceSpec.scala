@@ -30,6 +30,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getLong(3) == 2991019091831L)
     assert(r.getSeq[String](4) == Seq("a b c", "b c d"))
     assert(r.getSeq[Long](5).length == 32)
+    val r2 = spark.sql(
+      """SELECT minhash_bands(array('a b c')) AS mb,
+        |       doc_score('the quick brown fox is a dog') AS ds,
+        |       chunk_words('aa bb cc dd ee', 3, 1) AS ch,
+        |       quantize_int8(array(CAST(1.0 AS FLOAT), CAST(-0.5 AS FLOAT))) AS qz""".stripMargin).head()
+    assert(r2.getSeq[String](0).length == 8)
+    val ds = r2.getStruct(1)
+    assert(ds.getString(1) == "en" && ds.getDouble(0) > 0.5)
+    assert(r2.getSeq[String](2) == Seq("aa bb cc", "cc dd ee"))
+    val qz = r2.getStruct(3)
+    assert(qz.getSeq[Int](1) == Seq(127, -63)) // floor(x+0.5): half rounds toward +inf
   }
 
   test("GraftExtensions wiring applies cleanly (runtime proof lives in Smoke's own JVM)") {
