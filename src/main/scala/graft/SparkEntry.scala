@@ -121,7 +121,9 @@ object SparkEntry {
       Dedup.embeddingPairs(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
     "dedup_clusters" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-      val edges = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+      // edges from the banded-LSH path (the 100 TB shape) — oracle mirrors the
+      // banding exactly, so this stays hash-checked, not luck-of-the-data
+      val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
       ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
     }),
     "simdedup" -> ((s, dir) =>
@@ -303,9 +305,12 @@ object SparkEntry {
          |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM cosims WHERE cosine >= 0.4""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
+         |${Oracles.minHashBandCtes("dsh", "doc_id")},
          |inter AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-         |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM mcand c
+         |  JOIN dsh a ON c.id_a = a.doc_id
+         |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
          |  GROUP BY 1, 2
          |),
          |jac AS (

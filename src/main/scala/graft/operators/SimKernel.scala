@@ -32,25 +32,32 @@ object SimKernel {
 
   private def buildIndex(right: DataFrame, rightId: String, rightKey: String,
       maxTokenFrequency: Long = 0L): RightIndex = {
-    val rows = right.select(col(rightId).cast("long"), col(rightKey).cast("string")).collect()
-    val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
-    val nTok = new scala.collection.mutable.ArrayBuffer[Int](rows.length)
+    // Tokenize DISTRIBUTED (executors do the string work); the driver collects
+    // only (id, compact token-id array) pairs and assembles the postings —
+    // never raw key strings. Dense index order = collect order; results don't
+    // depend on it (output is keyed by real ids and tie-broken by real id).
+    val tokenized: Array[(Long, Array[Int])] = right
+      .select(col(rightId).cast("long"), col(rightKey).cast("string"))
+      .rdd.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else {
+          val toks = Trigrams.tokenIds(r.getString(1))
+          if (toks.isEmpty) None else Some((r.getLong(0), toks))
+        }
+      }.collect()
+    val ids = new Array[Long](tokenized.length)
+    val nTok = new Array[Int](tokenized.length)
     val builders = new java.util.HashMap[Integer, scala.collection.mutable.ArrayBuffer[Int]]()
     var dense = 0
-    rows.foreach { r =>
-      if (!r.isNullAt(0) && !r.isNullAt(1)) {
-        val toks = Trigrams.tokenIds(r.getString(1))
-        if (toks.nonEmpty) {
-          ids += r.getLong(0)
-          nTok += toks.length
-          toks.foreach { t =>
-            var b = builders.get(t)
-            if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](); builders.put(t, b) }
-            b += dense
-          }
-          dense += 1
-        }
+    tokenized.foreach { case (id, toks) =>
+      ids(dense) = id
+      nTok(dense) = toks.length
+      toks.foreach { t =>
+        var b = builders.get(t)
+        if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](); builders.put(t, b) }
+        b += dense
       }
+      dense += 1
     }
     val postings = new Array[Array[Int]](Trigrams.VocabSize)
     builders.forEach((t, b) => postings(t) = b.toArray)
@@ -64,7 +71,7 @@ object SimKernel {
         t += 1
       }
     }
-    RightIndex(ids.toArray, nTok.toArray, postings)
+    RightIndex(ids, nTok, postings)
   }
 
   /**

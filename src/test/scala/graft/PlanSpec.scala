@@ -6,6 +6,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Trigrams
 import graft.operators.{SimJoin, SimJoinOptions}
 
+case class PlanSpecPerson(pid: Long, pname: String, note: String)
+
 /** Physical-plan assertions + heuristic pins: the plans we DESIGNED for are the
   * plans Spark actually runs (VERDICT r1 items 5, 7, 8). */
 class PlanSpec extends AnyFunSuite {
@@ -125,6 +127,24 @@ class PlanSpec extends AnyFunSuite {
       SimJoinOptions(topN = 2, strategy = "direct", threads = 3))
     assert(collect(threaded) == base)
     assertThrows[IllegalArgumentException](SimJoinOptions(threads = -1))
+  }
+
+  test("TypedSimJoin keeps full case-class rows through the join") {
+    val s = spark
+    import s.implicits._
+    val people = Seq(
+      PlanSpecPerson(1L, "small ring", "a"),
+      PlanSpecPerson(2L, "small rings", "b"),
+      PlanSpecPerson(3L, "blue bolt", "c")).toDS()
+    val out = graft.operators.TypedSimJoin.topN(
+        people, (p: PlanSpecPerson) => p.pname,
+        people, (p: PlanSpecPerson) => p.pname,
+        SimJoinOptions(topN = 1, strategy = "direct"))
+      .collect().map { case (l, r, sim) =>
+        (l.pid, l.note, r.pid, r.note, math.rint(sim * 1e9) / 1e9) }.toSet
+    // top-1 self-match for each row, full typed values on both sides
+    assert(out == Set(
+      (1L, "a", 1L, "a", 1.0), (2L, "b", 2L, "b", 1.0), (3L, "c", 3L, "c", 1.0)))
   }
 
   test("maxTokenFrequency drops hot tokens (result-changing skew guard)") {
