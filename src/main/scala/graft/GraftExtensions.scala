@@ -4,13 +4,13 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.TrigramTokensExpr
+import graft.functions.{CosineSimExpr, TrigramTokensExpr}
 
 /**
  * Spark extensions entry point — the idiomatic plugin form: register the
- * codegen'd trigram expression as a native SQL function (not a ScalaUDF), so
- * `spark.sql("SELECT trigram_tokens(s) ...")` stays inside whole-stage codegen
- * with strict type checking.
+ * codegen'd expressions as native SQL functions (not ScalaUDFs), so
+ * `spark.sql("SELECT trigram_tokens(s), cosine_sim(a, b) ...")` stays inside
+ * whole-stage codegen with strict type checking.
  *
  * Activate per session:
  *   SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "trigram_tokens takes exactly one argument")
         TrigramTokensExpr(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "cosine_sim takes exactly two arguments")
+        CosineSimExpr(exprs.head, exprs(1))
       }))
   }
 }

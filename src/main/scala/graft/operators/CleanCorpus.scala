@@ -32,6 +32,13 @@ import graft.functions.TextFunctions._
  *               candidates with exact Jaccard; LSH can only miss pairs whose
  *               Jaccard barely clears the threshold (per-pair miss probability
  *               (1-j^4)^8 at Jaccard j — see the Dedup scaladoc).
+ * @param maxRepetition drop documents whose line-repetition ratio
+ *               ([[graft.functions.TextFunctions.repetitionRatioCol]]) exceeds
+ *               this bound; 1.0 (default) disables the filter.
+ * @param redactPii redact URLs/emails/phone numbers
+ *               ([[graft.functions.TextFunctions.redactPiiCol]]) BEFORE scoring
+ *               and deduplication, so near-identical docs differing only in
+ *               contact details dedup together; off by default.
  */
 object CleanCorpus {
 
@@ -40,12 +47,19 @@ object CleanCorpus {
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double, langs: Seq[String],
       nearDupThreshold: Double = 0.8,
-      useLsh: Boolean = true): DataFrame = {
+      useLsh: Boolean = true,
+      maxRepetition: Double = 1.0,
+      redactPii: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val base =
+      if (redactPii) docs.withColumn(textCol, redactPiiCol(col(textCol))) else docs
+    val repFiltered =
+      if (maxRepetition < 1.0) base.filter(repetitionRatioCol(col(textCol)) <= maxRepetition)
+      else base
     // Fused single-pass scorer (bit-identical to qualityScoreCol+langIdCol):
     // the Column forms' regex/HOF trees, duplicated again by filter pushdown,
     // overflow codegen and fall back to interpreted eval — see scoreDoc's doc.
-    val scored = docs.select(col(idCol), col(textCol),
+    val scored = repFiltered.select(col(idCol), col(textCol),
         scoreDocUdf(col(textCol)).as("__sc"))
       .select(col(idCol), col(textCol),
         col("__sc._1").as("quality"), col("__sc._2").as("langid"))

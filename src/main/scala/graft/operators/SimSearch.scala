@@ -42,6 +42,15 @@ object SimSearch {
 
   def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
 
+  /** Codegen'd native form of [[cosineCol]] ([[graft.functions.CosineSimExpr]])
+    * — same arithmetic/null semantics, no ScalaUDF boxing; use in relational
+    * plans where the pair relation comes from a join. */
+  def cosineSim(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.CosineSimExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
   /**
    * Broadcast cosine kernel — the fast path for all-pairs scoring: collect the
    * (small) query side as primitive float arrays with precomputed norms,

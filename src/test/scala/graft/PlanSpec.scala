@@ -53,6 +53,30 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("cosine_sim expression matches the UDF bitwise and stays in codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea")).filter(col("ida") < 30)
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb")).filter(col("idb") < 30)
+    val pairs = a.crossJoin(b)
+    val both = pairs.select(
+      graft.operators.SimSearch.cosineSim(col("ea"), col("eb")).as("expr"),
+      graft.operators.SimSearch.cosineCol(col("ea"), col("eb")).as("udf"))
+    both.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1)) // bitwise
+    }
+    // codegen check on a plain projection (a cross join's BroadcastNestedLoop
+    // operator never joins whole-stage codegen, regardless of the expression)
+    val exprOnly = emb.select(
+      graft.operators.SimSearch.cosineSim(col("embedding"), col("embedding")).as("c"))
+    val plan = exprOnly.queryExecution.executedPlan
+    assert(plan.exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]))
+    assert(!plan.toString.contains("UDF"), plan.toString)
+    // strict typing: wrong input type fails analysis
+    assertThrows[org.apache.spark.sql.AnalysisException](
+      emb.select(graft.operators.SimSearch.cosineSim(col("vec_id"), col("embedding"))).collect())
+  }
+
   test("per-row top-n uses WindowGroupLimit below the window sort") {
     val l = strDf(Seq("small ring", "small rings", "blue bolt"))
     val plan = SimJoin.keyedPairs(l, "id", "s", l, "id", "s",

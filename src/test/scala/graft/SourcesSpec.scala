@@ -38,6 +38,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(pairs(fromJson) == base)
   }
 
+  test("partitionBy writes prune partitions at read") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir + "/bylang")
+    val re = spark.read.parquet(dir + "/bylang").filter(col("lang") === "en")
+    val scan = re.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"), scan)
+    assert(re.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("orc round-trip feeds simJoin identically to parquet (with pushdown)") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
       .select("p_partkey", "p_name")
