@@ -250,6 +250,36 @@ object Oracles {
        |)
        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= $k""".stripMargin
 
+  /**
+   * Exact mirror of Dedup.embeddingPairsLsh: per (vector, table t) sign-LSH
+   * bucket from plane family index `t·nPlanes + j`, same-bucket same-table
+   * pairs deduped across tables, cosine ≥ threshold.
+   */
+  def embeddingLshPairsSql(threshold: Double, nPlanes: Int, nTables: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |pd AS (
+       |  SELECT vec_id, t, j,
+       |    list_sum(list_transform(generate_series(1, len(e)), d ->
+       |      CAST(e[d] AS DOUBLE) *
+       |      (CAST((((t*$nPlanes + j)*8191 + (d-1)) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) AS dotj
+       |  FROM (SELECT vec_id, e, unnest(generate_series(0, ${nTables - 1})) AS t FROM v),
+       |       (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS j)
+       |),
+       |bt AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY vec_id, t
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bt a JOIN bt b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |s AS (
+       |  SELECT c.id_a, c.id_b,
+       |    ${listCos("va.e", "vb.e")} AS cosine
+       |  FROM cand c JOIN v va ON c.id_a = va.vec_id JOIN v vb ON c.id_b = vb.vec_id
+       |)
+       |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM s WHERE cosine >= $threshold""".stripMargin
+
   /** Deterministic polynomial string hash (mirrors TextFunctions.tHash). */
   def tHashSql(sExpr: String): String =
     s"CAST(COALESCE(list_sum(list_transform(generate_series(1, length($sExpr)), i -> " +

@@ -119,6 +119,9 @@ object SparkEntry {
       Dedup.simHashFingerprints(rd(s, dir, "documents"), "doc_id", "text")),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairsLsh(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+        nPlanes = 8, nTables = 2)),
     "dedup_clusters" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       // edges from the banded-LSH path (the 100 TB shape) — oracle mirrors the
@@ -303,6 +306,7 @@ object SparkEntry {
     "dedup_embedding" ->
       s"""WITH ${Oracles.embeddingPairCtes}
          |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM cosims WHERE cosine >= 0.4""".stripMargin,
+    "dedup_embedding_lsh" -> Oracles.embeddingLshPairsSql(0.4, 8, 2),
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashBandCtes("dsh", "doc_id")},

@@ -177,4 +177,32 @@ object Dedup {
         minCos = threshold, onlyQueryLess = true)
       .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"),
         round(col("__cos"), 4).as("cosine"))
+
+  /**
+   * Embedding-cosine near-dup pairs, LSH-bucketed — the fully-relational 100 TB
+   * path: nothing is collected to the driver and neither side is broadcast.
+   * Each vector is hashed into `nTables` independent sign-LSH buckets
+   * (OR-amplification: a pair is a candidate if it collides in ANY table,
+   * recall 1-(1-p^nPlanes)^nTables per pair); candidates come from a bucket
+   * equi-join, are deduped across tables, and scored with the codegen'd
+   * [[graft.functions.CosineSimExpr]] (no boxed per-pair UDF). Approximate:
+   * pairs whose vectors land in different buckets in every table are missed.
+   * Output contract matches [[embeddingPairs]] (id_a < id_b, cosine ≥
+   * threshold rounded to 4), minus those misses.
+   */
+  def embeddingPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        posexplode(SimSearch.lshBucketsUdf(nPlanes, nTables)(col(vecCol))).as(Seq("__t", "__b")))
+    val cand = b.select(col("__id").as("id_a"), col("__v").as("__va"), col("__t"), col("__b"))
+      .join(b.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__t"), col("__b")),
+        Seq("__t", "__b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
+    cand.withColumn("__cos", SimSearch.cosineSim(col("__va"), col("__vb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
+  }
 }

@@ -142,16 +142,18 @@ object SimSearch {
   private[operators] def planeComponent(j: Int, d: Int): Double =
     (((j.toLong * 8191L + d.toLong) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
 
-  /** Sign-LSH bucket of `v`: bit j set iff dot(v, plane_j) > 0, j in [0, nPlanes).
-    * Sequential d-ascending fold in Double — the shared spec for the UDF, the
-    * kernel, and the DuckDB oracle mirror. */
-  private[operators] def bucketOf(v: Array[Float], nPlanes: Int): Long = {
+  /** Sign-LSH bucket of `v`: bit j set iff dot(v, plane_(planeOffset+j)) > 0,
+    * j in [0, nPlanes). Sequential d-ascending fold in Double — the shared
+    * spec for the UDF, the kernels, and the DuckDB oracle mirror. A non-zero
+    * `planeOffset` selects an independent hash table from the same fixed
+    * plane family (OR-amplification across tables). */
+  private[operators] def bucketOf(v: Array[Float], nPlanes: Int, planeOffset: Int = 0): Long = {
     var bucket = 0L
     var j = 0
     while (j < nPlanes) {
       var dot = 0.0
       var d = 0
-      while (d < v.length) { dot += v(d).toDouble * planeComponent(j, d); d += 1 }
+      while (d < v.length) { dot += v(d).toDouble * planeComponent(planeOffset + j, d); d += 1 }
       if (dot > 0) bucket |= (1L << j)
       j += 1
     }
@@ -161,6 +163,15 @@ object SimSearch {
   /** LSH bucket id column form of [[bucketOf]]. */
   def lshBucketUdf(nPlanes: Int) = udf { (v: Seq[Float]) =>
     if (v == null) None else Some(bucketOf(v.toArray, nPlanes))
+  }
+
+  /** All nTables bucket ids of `v` (table t uses planes [t·nPlanes, (t+1)·nPlanes)). */
+  def lshBucketsUdf(nPlanes: Int, nTables: Int) = udf { (v: Seq[Float]) =>
+    if (v == null) None
+    else {
+      val arr = v.toArray
+      Some((0 until nTables).map(t => bucketOf(arr, nPlanes, t * nPlanes)))
+    }
   }
 
   /**

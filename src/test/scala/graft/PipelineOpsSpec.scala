@@ -169,6 +169,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(agree >= 15, s"only $agree/20 LSH top-1 hits agree with brute force")
   }
 
+  test("embeddingPairsLsh is a subset of brute pairs with OR-amplified recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def collect(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = collect(Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4))
+    // at cosine 0.4 the per-plane agreement p ≈ 0.63, so per-table collision is
+    // p^nPlanes — use 4 planes (p^4 ≈ 0.16) so OR-amplification is visible
+    val lsh1 = collect(Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4,
+      nPlanes = 4, nTables = 1))
+    val lsh6 = collect(Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4,
+      nPlanes = 4, nTables = 6))
+    assert(lsh1.subsetOf(brute) && lsh6.subsetOf(brute)) // never invents pairs
+    assert(lsh6.size >= lsh1.size) // more tables => recall can only grow
+    assert(brute.isEmpty || lsh6.size.toDouble / brute.size >= 0.4,
+      s"6-table recall ${lsh6.size}/${brute.size} unexpectedly low")
+  }
+
   test("SimSearch.topKIvf: nProbe=nList degenerates to brute force; partial probe has high recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 20)
