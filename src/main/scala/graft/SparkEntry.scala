@@ -183,6 +183,9 @@ object SparkEntry {
       counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
         .select(col("lang"), col("word"), col("n"), col("rnk").cast("long").as("rnk"))
     }),
+    "sample_split" -> ((s, dir) =>
+      Sampling.withSplit(rd(s, dir, "documents"), "doc_id", 80, 10)
+        .select(col("doc_id"), col("bucket"), col("split"))),
     "text_redact" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         redactPiiCol(col("text")).as("redacted"))
@@ -511,6 +514,16 @@ object SparkEntry {
         |  FROM c
         |)
         |SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
+    "sample_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -230,6 +230,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextFunctions.chunkWords("x", 2, 2))
   }
 
+  test("Sampling: key-stable buckets, subset sampling, split ranges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = Sampling.withSplit(docs, "doc_id", 80, 10)
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // deterministic: same key -> same bucket on re-run
+    val again = Sampling.withSplit(docs, "doc_id", 80, 10)
+      .select(col("doc_id"), col("bucket")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split.map { case (k, v) => k -> v._1 } == again)
+    split.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 100)
+      assert(s == (if (b < 80) "train" else if (b < 90) "val" else "test"))
+    }
+    // deterministicSample(keep=80) == the train split rows
+    val sampled = Sampling.deterministicSample(docs, "doc_id", 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled == split.filter(_._2._2 == "train").keySet)
+  }
+
   test("redactPii and repetitionRatio behave on crafted docs") {
     val df = docsDf(Seq(
       (1L, "mail me at bob.smith+x@example.co.uk or visit https://example.com/a?b=c now"),
