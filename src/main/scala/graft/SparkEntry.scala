@@ -516,7 +516,8 @@ object SparkEntry {
         |SELECT lang, word, n, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= 10""".stripMargin,
     "sample_split" ->
       s"""WITH b AS (
-         |  SELECT doc_id, ${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  SELECT doc_id,
+         |    ((${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} % 100) + 100) % 100 AS bucket
          |  FROM documents
          |)
          |SELECT doc_id, bucket,

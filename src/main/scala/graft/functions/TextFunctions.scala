@@ -316,7 +316,9 @@ object TextFunctions {
       val s = new java.util.HashSet[String](); list.foreach(s.add); s
     }.toArray
 
-  val scoreDocUdf = udf((s: String) => scoreDoc(s))
+  /** Null text → null struct, so `quality >= k` filters drop null-text rows
+    * exactly like the Column forms do (null comparison → false). */
+  val scoreDocUdf = udf((s: String) => if (s == null) None else Some(scoreDoc(s)))
 
   /**
    * Word-window document chunking — the standard LLM-pipeline pre-tokenization

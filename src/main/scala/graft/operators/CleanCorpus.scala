@@ -39,6 +39,14 @@ import graft.functions.TextFunctions._
  *               ([[graft.functions.TextFunctions.redactPiiCol]]) BEFORE scoring
  *               and deduplication, so near-identical docs differing only in
  *               contact details dedup together; off by default.
+ * @param persistStages persist the two multiply-consumed stage frames
+ *               (MEMORY_AND_DISK). Default true — right for one-shot batch
+ *               cleaning. The blocks stay registered for the session (the
+ *               returned frame is lazy, so there is no point inside this
+ *               function where unpersisting is safe); a long-lived driver
+ *               cleaning many corpora should pass false (stages recompute,
+ *               ~3× scoring cost) or clear the blocks after consuming the
+ *               result.
  */
 object CleanCorpus {
 
@@ -49,8 +57,11 @@ object CleanCorpus {
       nearDupThreshold: Double = 0.8,
       useLsh: Boolean = true,
       maxRepetition: Double = 1.0,
-      redactPii: Boolean = false): DataFrame = {
+      redactPii: Boolean = false,
+      persistStages: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    def maybePersist(df: DataFrame): DataFrame =
+      if (persistStages) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val base =
       if (redactPii) docs.withColumn(textCol, redactPiiCol(col(textCol))) else docs
     val repFiltered =
@@ -59,16 +70,14 @@ object CleanCorpus {
     // Fused single-pass scorer (bit-identical to qualityScoreCol+langIdCol):
     // the Column forms' regex/HOF trees, duplicated again by filter pushdown,
     // overflow codegen and fall back to interpreted eval — see scoreDoc's doc.
-    val scored = repFiltered.select(col(idCol), col(textCol),
+    val scored = maybePersist(repFiltered.select(col(idCol), col(textCol),
         scoreDocUdf(col(textCol)).as("__sc"))
       .select(col(idCol), col(textCol),
         col("__sc._1").as("quality"), col("__sc._2").as("langid"))
-      .filter(col("quality") >= minQuality && col("langid").isInCollection(langs))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("quality") >= minQuality && col("langid").isInCollection(langs)))
     val exactCanon = Dedup.exact(scored, idCol, textCol)
       .filter(col(idCol) === col("canonical_id")).select(col(idCol))
-    val afterExact = scored.join(exactCanon, idCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val afterExact = maybePersist(scored.join(exactCanon, idCol))
     val nearDupPairs =
       if (useLsh) Dedup.minHashLshPairs(afterExact, idCol, textCol, nearDupThreshold)
       else Dedup.jaccardPairs(afterExact, idCol, textCol, nearDupThreshold)

@@ -90,13 +90,6 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature relation: (id, j, mh) for j in [0, MinHashK) — one
-    * tight-loop UDF pass per doc, exploded (no K-way crossjoin shuffle). */
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
-      .filter(size(col("__shs")) > 0)
-      .select(col("__id"), posexplode(minHashSigUdf(col("__shs"))).as(Seq("__j", "__mh")))
-
   /**
    * MinHash + LSH near-dup pairs — identical OUTPUT CONTRACT to [[jaccardPairs]]
    * (verified pairs with exact Jaccard ≥ threshold) but with LSH-banded candidate

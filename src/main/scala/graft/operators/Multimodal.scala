@@ -64,11 +64,17 @@ object Multimodal {
    */
   def decodeMeta(payload: Array[Byte]): MediaMeta = {
     val n = payload.length
+    // Magic checks must not fire on plain text: PNG's \x89 and JPEG's \xFF\xD8
+    // can never occur in UTF-8 text; GIF's signature is ASCII, so require the
+    // full 6-byte "GIF87a"/"GIF89a". (BMP's 2-byte ASCII "BM" is far too weak
+    // a signature for a corpus library whose payloads are often text — not
+    // recognized; it falls to the deterministic stub.)
+    def isGif = payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a'
     val isImage = n > 8 && (
       ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') ||
       ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) ||
-      (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F') ||
-      (payload(0) == 'B' && payload(1) == 'M'))
+      isGif)
     if (!isImage) stubMeta(payload)
     else {
       try {

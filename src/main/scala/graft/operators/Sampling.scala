@@ -20,9 +20,11 @@ import graft.functions.TextFunctions.tHashUdf
  */
 object Sampling {
 
-  /** Bucket column in [0, nBuckets) for the stringified key. */
+  /** Bucket column in [0, nBuckets) for the stringified key — floor mod
+    * (`pmod`), so the contract holds even if the hash goes negative on
+    * Long-overflowing inputs (very long keys). */
   def hashBucket(key: Column, nBuckets: Int = 100): Column =
-    (tHashUdf(key.cast("string")) % nBuckets).cast("long")
+    pmod(tHashUdf(key.cast("string")), lit(nBuckets.toLong)).cast("long")
 
   /** Keep the deterministic `keepPct`% of rows by key bucket. */
   def deterministicSample(df: DataFrame, keyCol: String, keepPct: Int): DataFrame = {

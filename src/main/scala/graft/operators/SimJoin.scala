@@ -163,10 +163,15 @@ object SimJoin {
       isLong(left, leftId) && isLong(right, rightId)
   }
 
-  /** Tokenize side: (id, nTokens, token) exploded relation; empty-token rows pruned. */
+  /** Tokenize side: (id, nTokens, token) exploded relation. Rows with a null
+    * id or an empty token set are pruned — the null-id drop is the UNIFORM id
+    * contract across all three physical strategies (the kernel's primitive
+    * arrays cannot carry null ids, so the relational plans must agree for
+    * strategy="auto" to be a pure physical choice). */
   private def tokenRelation(df: DataFrame, id: String, key: String,
       idOut: String, nOut: String): DataFrame =
     df.select(col(id).as(idOut), Trigrams.trigramTokens(col(key)).as("__toks"))
+      .filter(col(idOut).isNotNull)
       .withColumn(nOut, size(col("__toks")))
       .filter(col(nOut) > 0)
       .select(col(idOut), col(nOut), explode(col("__toks")).as("__tok"))
@@ -221,8 +226,11 @@ object SimJoin {
       left: DataFrame, leftId: String, leftKey: String,
       right: DataFrame, rightId: String, rightKey: String,
       opts: SimJoinOptions, outLeft: String, outRight: String, outSim: String): DataFrame = {
+    // null-id rows dropped here too — same uniform id contract as tokenRelation
     val lKeys = left.select(col(leftId).as("__row"), col(leftKey).as("__lkey"))
+      .filter(col("__row").isNotNull)
     val rKeys = right.select(col(rightId).as("__col"), col(rightKey).as("__rkey"))
+      .filter(col("__col").isNotNull)
     val distinctL = lKeys.select(col("__lkey")).filter(col("__lkey").isNotNull).distinct()
     val distinctR = rKeys.select(col("__rkey")).filter(col("__rkey").isNotNull).distinct()
     // Score DISTINCT keys with the direct plan (candidate space: distinct × distinct).

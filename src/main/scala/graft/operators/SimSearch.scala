@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 /**
  * Similarity search over embedding columns (`array<float>`) and strings.
  *
+ * ID CONTRACT (kernel-based operators [[topK]]/[[topKLsh]]/[[topKIvf]] and
+ * [[broadcastCosine]]): id columns must be integral (castable to Long without
+ * nulling) — the kernels carry ids in primitive arrays. Non-integral id
+ * columns are rejected at plan time rather than silently nulled to empty
+ * results by the cast.
+ *
  *  - [[topK]]     — brute-force cosine top-k: broadcast the (small) query side,
  *                   linear-scan the corpus, per-query top-k via window (Spark
  *                   pushes the rank filter down as WindowGroupLimit). The
@@ -42,6 +48,15 @@ object SimSearch {
 
   def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
 
+  /** Enforce the integral-id contract (see object scaladoc). */
+  private[operators] def requireIntegralId(df: DataFrame, idCol: String, side: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$side id column '$idCol' must be an integral type (kernel ids are primitive Longs), " +
+        s"got ${dt.catalogString}; map your ids to Long first")
+  }
+
   /** Codegen'd native form of [[cosineCol]] ([[graft.functions.CosineSimExpr]])
     * — same arithmetic/null semantics, no ScalaUDF boxing; use in relational
     * plans where the pair relation comes from a join. */
@@ -75,6 +90,8 @@ object SimSearch {
       excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    requireIntegralId(corpus, cId, "corpus")
+    requireIntegralId(queries, qId, "queries")
     val spark = corpus.sparkSession
     val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1)) None
@@ -196,6 +213,8 @@ object SimSearch {
       k: Int, nPlanes: Int = 8, excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    requireIntegralId(corpus, cId, "corpus")
+    requireIntegralId(queries, qId, "queries")
     val spark = corpus.sparkSession
     val qByBucket: Map[Long, Array[(Long, Array[Float], Double)]] =
       queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
@@ -276,6 +295,8 @@ object SimSearch {
     import org.apache.spark.sql.types._
     require(nList > 0 && nProbe > 0 && nProbe <= nList,
       s"need 0 < nProbe <= nList, got nList=$nList nProbe=$nProbe")
+    requireIntegralId(corpus, cId, "corpus")
+    requireIntegralId(queries, qId, "queries")
     val spark = corpus.sparkSession
     def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
       if (r.isNullAt(0) || r.isNullAt(1)) None

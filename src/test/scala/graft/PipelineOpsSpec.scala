@@ -79,6 +79,14 @@ class PipelineOpsSpec extends AnyFunSuite {
         TextFunctions.scoreDocUdf(col("text")).as("s"))
       .select(col("doc_id"), col("s._1").as("q"), col("s._2").as("l"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // null text: both forms produce null quality, so >= filters drop the row
+    // in either pipeline (langid differs — "zh" vs null — but is unreachable
+    // behind the quality filter)
+    val withNull = docsDf(Seq((6L, null.asInstanceOf[String])))
+    assert(withNull.select(TextFunctions.qualityScoreCol(col("text"))).head().isNullAt(0))
+    assert(withNull.select(TextFunctions.scoreDocUdf(col("text"))).head().isNullAt(0))
+    assert(withNull.filter(TextFunctions.qualityScoreCol(col("text")) >= 0.0).count() == 0)
+    assert(withNull.filter(col("text").isNotNull).count() == 0)
   }
 
   // ---- Dedup family -------------------------------------------------------
@@ -335,6 +343,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     // non-image payload keeps the deterministic stub (oracle-mirrored formula)
     val n = "not an image".getBytes("UTF-8").length.toLong
     assert(out(3L) == ("stub/raw", ((n * 7919) % 1024 + 1).toInt, ((n * 104729) % 1024 + 1).toInt, n))
+    // ASCII text that happens to start with image-ish letters must NOT decode
+    for (tricky <- Seq("BMW sales rose in fiscal 2024 beyond all expectations",
+                       "GIFted students attended the annual mathematics olympiad")) {
+      val meta = Multimodal.decodeMeta(tricky.getBytes("UTF-8"))
+      assert(meta.format == "stub/raw", s"'$tricky' decoded as ${meta.format}")
+    }
   }
 
   // ---- Streaming ----------------------------------------------------------

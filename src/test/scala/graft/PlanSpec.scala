@@ -153,6 +153,26 @@ class PlanSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](SimJoinOptions(threads = -1))
   }
 
+  test("null ids are dropped uniformly by every strategy; bad id types fail loudly") {
+    val s = spark
+    import s.implicits._
+    val withNull = Seq((Some(1L), "small ring"), (None, "small rings"), (Some(3L), "blue bolt"))
+      .toDF("id", "s")
+    def collect(strategy: String) = SimJoin.keyedPairs(withNull, "id", "s", withNull, "id", "s",
+        SimJoinOptions(topN = 5, strategy = strategy))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = collect("direct")
+    assert(collect("dedup") == direct)
+    assert(graft.operators.SimKernel.keyedPairs(withNull, "id", "s", withNull, "id", "s",
+        SimJoinOptions(topN = 5)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet == direct)
+    assert(direct.forall { case (a, b) => Set(1L, 3L)(a) && Set(1L, 3L)(b) })
+    // kernel-based search ops reject non-integral ids instead of silently
+    // returning empty results
+    val strIds = Seq(("a", Seq(1.0f, 0.0f))).toDF("id", "v")
+    assertThrows[IllegalArgumentException](
+      graft.operators.SimSearch.topKLsh(strIds, "id", "v", strIds, "id", "v", 1))
+  }
+
   test("TypedSimJoin keeps full case-class rows through the join") {
     val s = spark
     import s.implicits._
