@@ -228,6 +228,7 @@ object SparkEntry {
     }),
     // ---- streaming-compatible windowed aggregation ------------------------
     "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))),
+    "events_sliding" -> ((s, dir) => EventWindows.slidingTwoHourByType(rd(s, dir, "events"))),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Sessionize.sessions(rd(s, dir, "events"), 1800000000L)),
     "events_props" -> ((s, dir) =>
@@ -588,6 +589,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    date_trunc('hour', ts) - to_hours(h) AS ws
+        |  FROM events, (SELECT unnest(generate_series(0, 1)) AS h)
+        |)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
         |f AS (

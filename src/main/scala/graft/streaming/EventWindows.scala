@@ -35,6 +35,31 @@ object EventWindows {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /**
+   * SLIDING 2-hour windows advancing hourly: every event lands in exactly two
+   * windows (the one starting at its truncated hour and the one an hour
+   * earlier) — the standard trailing-window rate metric. Same epoch
+   * alignment as [[hourlyByType]], so the SQL oracle enumerates the two
+   * starts per event with a 2-element series.
+   * Output: (ws window start, event_type, n, sum_value).
+   */
+  def slidingTwoHourByType(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(tsCol(events), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming form of [[slidingTwoHourByType]]: same windows behind a watermark. */
+  def slidingTwoHourByTypeStream(events: DataFrame, watermark: String = "3 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** Streaming form of [[hourlyByType]]: same aggregation behind a watermark. */
   def hourlyByTypeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

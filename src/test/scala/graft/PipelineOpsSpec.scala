@@ -379,5 +379,22 @@ class PipelineOpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
       assert(streamed == got)
     } finally q.stop()
+
+    // sliding 2h/1h: every event in exactly two windows, batch == stream
+    val sliding = EventWindows.slidingTwoHourByType(batch)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sliding == Set(
+      ("2023-12-31 23:00:00", "click", 2L, 4.0),
+      ("2024-01-01 00:00:00", "click", 2L, 4.0),
+      ("2024-01-01 00:00:00", "view", 1L, 4.0),
+      ("2024-01-01 01:00:00", "view", 1L, 4.0)))
+    val q2 = EventWindows.slidingTwoHourByTypeStream(stream).writeStream
+      .format("memory").queryName("evt_sliding").outputMode("update").start()
+    try {
+      q2.processAllAvailable()
+      val streamed2 = spark.table("evt_sliding")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed2 == sliding)
+    } finally q2.stop()
   }
 }
