@@ -231,6 +231,16 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) => EventWindows.slidingTwoHourByType(rd(s, dir, "events"))),
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Sessionize.sessions(rd(s, dir, "events"), 1800000000L)),
+    "events_correlate" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.streaming.StreamJoin.correlate(clicks, "event_id", views, "event_id",
+        "user_id", "30 minutes", leftIdOut = "click_id", rightIdOut = "view_id")
+    }),
     "events_props" -> ((s, dir) =>
       rd(s, dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))))
@@ -612,6 +622,13 @@ object SparkEntry {
         |SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n_events,
         |       min(us) AS start_us, max(us) AS end_us, round(sum(value), 4) AS sum_value
         |FROM g GROUP BY 1, 2""".stripMargin,
+    "events_correlate" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |       CAST(v.us - c.us AS BIGINT) AS delay_us
+        |FROM e c JOIN e v ON c.user_id = v.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND v.us >= c.us AND v.us <= c.us + 1800000000""".stripMargin,
     "events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""")
 }

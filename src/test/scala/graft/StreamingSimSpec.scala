@@ -50,6 +50,44 @@ class StreamingSimSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamJoin.correlate: stream-stream time-range join matches batch") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    val clicks = Seq(
+      (1L, 100L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, 101L, Timestamp.valueOf("2024-01-01 11:00:00")),
+      (2L, 102L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val views = Seq(
+      (1L, 200L, Timestamp.valueOf("2024-01-01 10:10:00")), // 10 min after click 100
+      (1L, 201L, Timestamp.valueOf("2024-01-01 10:45:00")), // 45 min after 100: outside
+      (2L, 202L, Timestamp.valueOf("2024-01-01 09:50:00"))) // before the click: excluded
+      .toDF("user_id", "event_id", "ts")
+    val batch = graft.streaming.StreamJoin.correlate(
+        clicks, "event_id", views, "event_id", "user_id", "30 minutes",
+        leftIdOut = "click_id", rightIdOut = "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch == Set((1L, 100L, 200L, 600000000L))) // only the 10-min pair
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sjoin").toFile
+    clicks.write.parquet(dir + "/clicks")
+    views.write.parquet(dir + "/views")
+    val cs = spark.readStream.schema(clicks.schema).parquet(dir + "/clicks")
+    val vs = spark.readStream.schema(views.schema).parquet(dir + "/views")
+    val out = graft.streaming.StreamJoin.correlate(
+      cs, "event_id", vs, "event_id", "user_id", "30 minutes",
+      leftIdOut = "click_id", rightIdOut = "view_id", watermark = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("sjoin_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sjoin_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("StreamDedup.firstPerHash: stateful streaming dedup, first batch wins") {
     val s = spark
     import s.implicits._
