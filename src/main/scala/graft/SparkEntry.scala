@@ -186,6 +186,8 @@ object SparkEntry {
     "sample_split" -> ((s, dir) =>
       Sampling.withSplit(rd(s, dir, "documents"), "doc_id", 80, 10)
         .select(col("doc_id"), col("bucket"), col("split"))),
+    "text_xent" -> ((s, dir) =>
+      CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_redact" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         redactPiiCol(col("text")).as("redacted"))
@@ -536,6 +538,17 @@ object SparkEntry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    "text_xent" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM cnt),
+        |q AS (
+        |  SELECT w, CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / CAST(N + V AS DOUBLE)) * 1000000.0) AS BIGINT) AS qn
+        |  FROM cnt, tot
+        |)
+        |SELECT doc_id,
+        |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent
+        |FROM w JOIN q USING (w) GROUP BY doc_id""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wordsCol
+
+/**
+ * Corpus-level statistical quality signals.
+ *
+ * [[unigramLogLoss]] — per-document cross-entropy against the corpus's own
+ * add-one-smoothed unigram distribution: `xent(d) = avg_{w ∈ d} −ln((c(w)+1)/(N+V))`
+ * where c = corpus word count, N = total words, V = vocabulary size. High
+ * values flag documents whose word distribution diverges from the corpus
+ * (gibberish, boilerplate, wrong language) — the standard perplexity-style
+ * filter for training-data curation.
+ *
+ * Determinism: the per-word surprisal is QUANTIZED to integer micro-nats
+ * (`floor(−ln(p)·1e6)`), so the per-document aggregation is an exact integer
+ * sum — invariant under Spark's reduction order and mirrored 1:1 in oracle
+ * SQL (the same trick as SimJoin.tfidfPairs' integer idf weights). Only the
+ * final mean is a double, rounded to 4.
+ *
+ * Scale shape: two shuffles (word counts, per-doc sum) plus one join of the
+ * exploded words against the unigram table — left to AQE to broadcast when
+ * the vocabulary is small; never collected driver-side. Documents with zero
+ * extractable words have no distribution to score and are absent from the
+ * output (inner-join semantics, mirrored by the oracle).
+ */
+object CorpusStats {
+
+  /** @return (idCol, xent) — add-one-smoothed unigram cross-entropy in nats. */
+  def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("__w"))
+    val cnt = w.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = cnt.agg(sum(col("__c")).as("__N"), count(lit(1)).as("__V"))
+    val q = cnt.crossJoin(broadcast(tot))
+      .select(col("__w"),
+        floor(-log((col("__c") + 1).cast("double") / (col("__N") + col("__V")).cast("double"))
+          * lit(1000000.0)).cast("long").as("__qn"))
+    w.join(q, "__w")
+      .groupBy(col("__id"))
+      .agg(sum(col("__qn")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__id").as(idCol),
+        round(col("__s").cast("double") / (col("__n").cast("double") * lit(1000000.0)), 4)
+          .as("xent"))
+  }
+}

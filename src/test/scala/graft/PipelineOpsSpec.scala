@@ -238,6 +238,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextFunctions.chunkWords("x", 2, 2))
   }
 
+  test("unigramLogLoss: out-of-distribution docs score higher cross-entropy") {
+    val df = docsDf(Seq(
+      (1L, "the cat sat on the mat and the cat slept"),
+      (2L, "the cat sat on the mat again and again"),
+      (3L, "the mat and the cat sat on the cat"),
+      (4L, "zyxwv qqqqj kkkkx wwwwz pppqq"), // gibberish: all corpus-unique words
+      (5L, "")))
+    val xent = CorpusStats.unigramLogLoss(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!xent.contains(5L)) // no words -> no distribution -> absent
+    assert(xent(4L) > xent(1L) && xent(4L) > xent(2L) && xent(4L) > xent(3L),
+      s"gibberish should score highest: $xent")
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
