@@ -186,6 +186,9 @@ object SparkEntry {
     "sample_split" -> ((s, dir) =>
       Sampling.withSplit(rd(s, dir, "documents"), "doc_id", 80, 10)
         .select(col("doc_id"), col("bucket"), col("split"))),
+    "text_winnow" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        explode(TextFunctions.winnowUdf(8, 4)(col("text"))).as("fingerprint"))),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_redact" -> ((s, dir) => {
@@ -538,6 +541,22 @@ object SparkEntry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    "text_winnow" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS gp
+         |  FROM documents
+         |),
+         |h AS (
+         |  SELECT doc_id, gp, ${Oracles.tHashSql("substring(text, gp, 8)")} AS hv,
+         |         greatest(length(text) - 7, 0) AS n
+         |  FROM pos
+         |),
+         |wmin AS (
+         |  SELECT doc_id, gp, n,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY gp ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |  FROM h
+         |)
+         |SELECT DISTINCT doc_id, m AS fingerprint FROM wmin WHERE gp <= n - 3""".stripMargin,
     "text_xent" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
         |cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),

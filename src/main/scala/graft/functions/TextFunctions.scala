@@ -351,6 +351,49 @@ object TextFunctions {
   def chunkWordsUdf(size: Int, overlap: Int) =
     udf((s: String) => chunkWords(s, size, overlap))
 
+  /**
+   * Winnowing fingerprints (the MOSS technique, Schleimer/Wilkerson/Aiken):
+   * hash every k-char gram of the text ([[tHash]]), slide a window of `w`
+   * consecutive gram hashes, keep each window's MINIMUM, return the distinct
+   * minima ascending. Guarantees: any shared substring of length ≥ k+w−1
+   * between two documents contributes at least one shared fingerprint, while
+   * only ~1/w of grams are kept — the classic local-sampling dedup signature.
+   * This variant selects by minimum value only (no rightmost-tie rule), which
+   * keeps the selected SET exactly expressible as SQL window minima.
+   * Documents shorter than k+w−1 chars have no full window → empty.
+   * ASCII/BMP input contract as [[tHash]].
+   */
+  def winnowFingerprints(s: String, k: Int = 8, w: Int = 4): Array[Long] = {
+    require(k > 0 && w > 0, s"need positive k and w, got k=$k w=$w")
+    if (s == null || s.length < k + w - 1) return Array.emptyLongArray
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = tHash(s.substring(i, i + k))
+      i += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start <= nGrams - w) {
+      var m = hashes(start)
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) < m) m = hashes(j)
+        j += 1
+      }
+      mins.add(m)
+      start += 1
+    }
+    val out = new Array[Long](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  def winnowUdf(k: Int, w: Int) = udf((s: String) => winnowFingerprints(s, k, w))
+
   // ---------------------------------------------------------------------------
   // Corpus-scrubbing signals: PII redaction + repetition ratio.
   // Patterns are deliberately restricted to syntax shared by Java regex and

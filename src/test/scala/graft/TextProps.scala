@@ -74,6 +74,17 @@ object TextProps extends Properties("TextFunctions") {
         }
     }
 
+  property("winnowing: docs sharing a >= k+w-1 substring share a fingerprint") =
+    forAll(textGen, textGen) { (a, b) =>
+      val shared = "thequickbrownfoxjumps" // 21 chars >= 8+4-1
+      val f1 = TextFunctions.winnowFingerprints(a + shared + b, 8, 4).toSet
+      val f2 = TextFunctions.winnowFingerprints(b + shared + a, 8, 4).toSet
+      // at least one window lies fully inside the shared run in both docs, so
+      // its minimum hash is selected in both — the winnowing guarantee
+      (f1 intersect f2).nonEmpty &&
+        TextFunctions.winnowFingerprints("short", 8, 4).isEmpty
+    }
+
   property("scoreDoc: quality in [0,1], langid from the fixed language set") =
     forAll(textGen) { text =>
       val (q, lang) = TextFunctions.scoreDoc(text)
