@@ -186,6 +186,8 @@ object SparkEntry {
     "sample_split" -> ((s, dir) =>
       Sampling.withSplit(rd(s, dir, "documents"), "doc_id", 80, 10)
         .select(col("doc_id"), col("bucket"), col("split"))),
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowPairs(rd(s, dir, "documents"), "doc_id", "text", minShared = 5L)),
     "text_winnow" -> ((s, dir) =>
       rd(s, dir, "documents").select(col("doc_id"),
         explode(TextFunctions.winnowUdf(8, 4)(col("text"))).as("fingerprint"))),
@@ -541,6 +543,25 @@ object SparkEntry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    "dedup_winnow" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS gp
+         |  FROM documents
+         |),
+         |h AS (
+         |  SELECT doc_id, gp, ${Oracles.tHashSql("substring(text, gp, 8)")} AS hv,
+         |         greatest(length(text) - 7, 0) AS n
+         |  FROM pos
+         |),
+         |wmin AS (
+         |  SELECT doc_id, gp, n,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY gp ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |  FROM h
+         |),
+         |fp AS (SELECT DISTINCT doc_id, m FROM wmin WHERE gp <= n - 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
     "text_winnow" ->
       s"""WITH pos AS (
          |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS gp

@@ -118,6 +118,28 @@ object Dedup {
   }
 
   /**
+   * Near-dup candidate pairs by winnowing-fingerprint overlap (how MOSS
+   * surfaces matches): docs sharing ≥ `minShared` selected k-gram window
+   * minima ([[graft.functions.TextFunctions.winnowFingerprints]]). Character-
+   * level (catches shared PASSAGES regardless of word boundaries — the
+   * complement of the word-shingle operators), inverted-index join on the
+   * fingerprint value, no cross join. Output: (id_a, id_b, shared) with
+   * id_a < id_b.
+   */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minShared: Long, k: Int = 8, w: Int = 4): DataFrame = {
+    val fp = df.select(col(idCol).as("__id"),
+      explode(winnowUdf(k, w)(col(textCol))).as("__fp"))
+    fp.select(col("__id").as("__a"), col("__fp"))
+      .join(fp.select(col("__id").as("__b"), col("__fp")), "__fp")
+      .filter(col("__a") < col("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"), col("shared"))
+  }
+
+  /**
    * SimHash fingerprints: two independent 32-bit halves (h1, h2) per doc — per
    * bit b, the bit is set iff Σ_tokens (2·bit_b(mix(tokenHash)) - 1) > 0.
    * Output: (idCol, simhash1, simhash2), both Long in [0, 2^32).
