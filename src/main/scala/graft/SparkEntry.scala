@@ -187,7 +187,8 @@ object SparkEntry {
       Sampling.withSplit(rd(s, dir, "documents"), "doc_id", 80, 10)
         .select(col("doc_id"), col("bucket"), col("split"))),
     "dedup_winnow" -> ((s, dir) =>
-      Dedup.winnowPairs(rd(s, dir, "documents"), "doc_id", "text", minShared = 5L)),
+      Dedup.winnowPairs(rd(s, dir, "documents"), "doc_id", "text", minShared = 5L,
+        maxDocFrequency = 100L)),
     "text_winnow" -> ((s, dir) =>
       rd(s, dir, "documents").select(col("doc_id"),
         explode(TextFunctions.winnowUdf(8, 4)(col("text"))).as("fingerprint"))),
@@ -558,7 +559,9 @@ object SparkEntry {
          |    min(hv) OVER (PARTITION BY doc_id ORDER BY gp ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
          |  FROM h
          |),
-         |fp AS (SELECT DISTINCT doc_id, m FROM wmin WHERE gp <= n - 3)
+         |fp0 AS (SELECT DISTINCT doc_id, m FROM wmin WHERE gp <= n - 3),
+         |keep AS (SELECT m FROM fp0 GROUP BY m HAVING count(*) <= 100),
+         |fp AS (SELECT fp0.doc_id, fp0.m FROM fp0 JOIN keep USING (m))
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
          |FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,

@@ -125,12 +125,27 @@ object Dedup {
    * complement of the word-shingle operators), inverted-index join on the
    * fingerprint value, no cross join. Output: (id_a, id_b, shared) with
    * id_a < id_b.
+   *
+   * @param maxDocFrequency drop fingerprints present in more than this many
+   *        documents before the join (MOSS's own stop-fingerprint rule: an
+   *        8-gram shared by thousands of docs carries no match signal but its
+   *        posting list joins quadratically — at sf0.1 the unguarded join is
+   *        ~50× slower). 0 disables. RESULT-CHANGING like any stopword rule.
    */
   def winnowPairs(
       df: DataFrame, idCol: String, textCol: String,
-      minShared: Long, k: Int = 8, w: Int = 4): DataFrame = {
-    val fp = df.select(col(idCol).as("__id"),
+      minShared: Long, k: Int = 8, w: Int = 4,
+      maxDocFrequency: Long = 0L): DataFrame = {
+    val fpAll = df.select(col(idCol).as("__id"),
       explode(winnowUdf(k, w)(col(textCol))).as("__fp"))
+    val fp =
+      if (maxDocFrequency <= 0L) fpAll
+      else {
+        // winnowFingerprints emits distinct values per doc, so count = doc freq
+        val keep = fpAll.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFrequency).select(col("__fp"))
+        fpAll.join(keep, "__fp")
+      }
     fp.select(col("__id").as("__a"), col("__fp"))
       .join(fp.select(col("__id").as("__b"), col("__fp")), "__fp")
       .filter(col("__a") < col("__b"))
