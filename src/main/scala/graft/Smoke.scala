@@ -61,6 +61,24 @@ object Smoke {
     println("MM resize=" + mmOut.getAs[Array[Byte]](0).length +
       "B frames=" + mmOut.getSeq[Array[Byte]](1).map(_.length).mkString("+"))
 
+    // corpus-pipeline drives: cleaning, ANN (IVF), winnow dedup, sampling
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cleaned = graft.operators.CleanCorpus.clean(
+      docs, "doc_id", "text", minQuality = 0.45, langs = Seq("en"))
+    println("cleanCorpus rows=" + cleaned.count())
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ivf = graft.operators.SimSearch.topKIvf(
+      emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, nList = 8, nProbe = 3, excludeSelf = true)
+    println("topKIvf rows=" + ivf.count())
+    val wp = graft.operators.Dedup.winnowPairs(docs, "doc_id", "text",
+      minShared = 5L, maxDocFrequency = 100L)
+    println("winnowPairs rows=" + wp.count())
+    val sp = graft.operators.Sampling.withSplit(docs, "doc_id", 80, 10)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) + "=" + r.getLong(1)).sorted.mkString(" ")
+    println("split " + sp)
+
     // error-surface probes
     try SimJoinOptions(topN = 0)
     catch { case e: IllegalArgumentException => println("PROBE topN=0 -> " + e.getMessage) }
