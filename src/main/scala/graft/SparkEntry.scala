@@ -240,8 +240,8 @@ object SparkEntry {
     "events_sessions" -> ((s, dir) =>
       graft.streaming.Sessionize.sessions(rd(s, dir, "events"), 1800000000L)),
     "events_correlate" -> ((s, dir) => {
-      val ev = rd(s, dir, "events")
-        .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.withColumn("ts", graft.streaming.EventTime.tsCol(ev0))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id"), col("ts"))
       val views = ev.filter(col("event_type") === "view")

@@ -447,11 +447,11 @@ object SimJoin {
               s"indexBy column '$k' contains null — every row must carry a unique non-null index key")
           Row(r.get(0), i)
         }
-        // lazy localCheckpoint: the indexed frame is consumed by BOTH the pair
-        // scoring and the join-back — checkpointing the slim (key, id) frame
-        // runs the range-sample + count + sort jobs once instead of per consumer
-        val ids = spark.createDataFrame(idsRdd, idSchema).localCheckpoint(eager = false)
-        df.join(ids, k)
+        // NOT checkpointed: both consumers (pair scoring + join-back) recompute
+        // the slim rank deterministically, so a lost executor recovers by
+        // recomputation — localCheckpoint here would truncate lineage and turn
+        // block loss into job failure for a marginal saving of two slim jobs.
+        df.join(spark.createDataFrame(idsRdd, idSchema), k)
       case None =>
         val schema = df.schema.add(name, LongType, nullable = false)
         val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }

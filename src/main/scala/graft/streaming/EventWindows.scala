@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /**
  * Event-time windowed aggregation over the `events` table — written so the SAME
@@ -13,13 +12,8 @@ import org.apache.spark.sql.types.LongType
  */
 object EventWindows {
 
-  /** Event timestamp, tolerant of nanosecond parquet timestamps: with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench) a
-    * TIMESTAMP(NANOS) column arrives as Long nanos — convert via exact integer
-    * division to micros; a native TimestampType passes through. */
-  private def tsCol(df: DataFrame): Column =
-    if (df.schema("ts").dataType == LongType) expr("timestamp_micros(ts DIV 1000)")
-    else col("ts")
+  /** Event timestamp — see [[EventTime.tsCol]] (shared nanos-vs-timestamp guard). */
+  private def tsCol(df: DataFrame): Column = EventTime.tsCol(df)
 
   /**
    * Tumbling 1-hour counts + value sums per event type.

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /**
  * Event sessionization: group each user's events into sessions separated by
@@ -17,12 +16,8 @@ import org.apache.spark.sql.types.LongType
  */
 object Sessionize {
 
-  /** Microsecond-epoch view of the ts column (LongType nanos or native
-    * timestamp) — µs, not ns, because parquet nano-timestamps surface only at
-    * µs precision in engines whose TIMESTAMP is µs (the DuckDB oracle). */
-  private def tsMicros(df: DataFrame): Column =
-    if (df.schema("ts").dataType == LongType) expr("ts DIV 1000")
-    else unix_micros(col("ts"))
+  /** Microsecond-epoch view of the ts column — see [[EventTime.tsMicros]]. */
+  private def tsMicros(df: DataFrame): Column = EventTime.tsMicros(df)
 
   /**
    * @return (user_id, session, n_events, start_us, end_us, sum_value):

@@ -94,9 +94,10 @@ object TextProps extends Properties("TextFunctions") {
 
   property("tHash: deterministic and order-sensitive within 8-char windows") =
     forAll(Gen.alphaLowerStr, Gen.alphaLowerStr) { (a, b) =>
+      val win = a.take(8)
       TextFunctions.tHash(a) == TextFunctions.tHash(a) &&
-        (a.take(8).toSet.size < 2 || a.length < 2 || a == a.reverse ||
-          TextFunctions.tHash(a.take(8)) != TextFunctions.tHash(a.take(8).reverse))
+        (win.toSet.size < 2 || win == win.reverse ||
+          TextFunctions.tHash(win) != TextFunctions.tHash(win.reverse))
     }
 
   property("hash bucket stability: same key same bucket across invocations") =
