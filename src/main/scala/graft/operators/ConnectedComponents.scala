@@ -27,15 +27,27 @@ object ConnectedComponents {
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+    val sym0 = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .distinct()
       .cache()
+    // Size the iteration's shuffles to the EDGE frame, not the session default:
+    // near-dup graphs are tiny relative to the corpus (hundreds of edges at
+    // sf0.1), and every iteration is 2 shuffles — 32 near-empty partitions per
+    // stage would make scheduler latency dominate. The count also materializes
+    // the cache before the loop. (~100k edge rows per partition, capped at the
+    // input's own parallelism for genuinely large graphs.)
+    val nSym = sym0.count()
+    val parts = math.max(1, math.min((nSym / 100000L).toInt + 1,
+      sym0.rdd.getNumPartitions))
+    val sym = sym0.repartition(parts, col("__dst")).cache()
+    sym0.unpersist()
     // Only edge-touched nodes can change labels — iterate over those; isolated
     // nodes (the overwhelming majority in dedup graphs) are unioned back at the
     // end as their own singleton components.
     val edgeNodes = sym.select(col("__src").as("__id")).distinct().cache()
-    var labels = edgeNodes.select(col("__id"), col("__id").as("__comp")).cache()
+    var labels = edgeNodes.select(col("__id"), col("__id").as("__comp"))
+      .repartition(parts, col("__id")).cache()
     var cachedFrame = labels // the .cache()'d frame backing `labels`, for unpersist
     var iter = 0
     var converged = false
