@@ -129,6 +129,13 @@ object SparkEntry {
       val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
       ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
     }),
+    "dedup_canonical" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+      Dedup.canonicalize(docs, "doc_id", edges).select(col("doc_id"), col("lang"))
+    }),
+    "vocab" -> ((s, dir) =>
+      CorpusStats.vocabulary(rd(s, dir, "documents"), "doc_id", "text")),
     "simdedup" -> ((s, dir) =>
       SimDedup.dedup(rd(s, dir, "part"), "p_partkey", "p_name", 0.85)),
     "simjoin_tfidf" -> ((s, dir) => {
@@ -381,6 +388,36 @@ object SparkEntry {
          |  FROM sims
          |)
          |SELECT lid, rid, round(sim, 6) AS sim FROM ranked WHERE rn <= 3""".stripMargin,
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE ${Oracles.shingleCtes},
+         |${Oracles.minHashBandCtes("dsh", "doc_id")},
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM mcand c
+         |  JOIN dsh a ON c.id_a = a.doc_id
+         |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
+         |  GROUP BY 1, 2
+         |),
+         |jac AS (
+         |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+         |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
+         |),
+         |jp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b AS a, id_a AS b FROM jp),
+         |reach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+         |),
+         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id AND d.doc_id = c.component""".stripMargin,
+    "vocab" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word FROM documents),
+        |s AS (SELECT word, count(*) AS cf, count(DISTINCT doc_id) AS df FROM w GROUP BY word)
+        |SELECT word, cf, df,
+        |       CAST(row_number() OVER (ORDER BY cf DESC, word ASC) AS BIGINT) AS rank
+        |FROM s""".stripMargin,
     "simdedup" ->
       s"""WITH RECURSIVE ${Oracles.trigramCtes("l", "SELECT DISTINCT p_name AS id, p_name AS s FROM part")},
          |dots AS (

@@ -29,6 +29,30 @@ import graft.functions.TextFunctions.wordsCol
  */
 object CorpusStats {
 
+  /**
+   * Corpus vocabulary table: per word, collection frequency (total
+   * occurrences), document frequency, and dense frequency rank (ties broken
+   * alphabetically — deterministic). One shuffle on the word; the input to
+   * tokenizer-training and stopword-derivation steps.
+   * @return (word, cf, df, rank)
+   */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val w = docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("word"))
+    val stats = w.groupBy(col("word"))
+      .agg(count(lit(1)).as("cf"), count_distinct(col("__id")).as("df"))
+    // global frequency rank WITHOUT a partition-less window (which would funnel
+    // the vocabulary through one task): range-partition on the total order
+    // (cf desc, word asc — unique), sort within partitions, zipWithIndex
+    val sorted = stats.select(col("word"), col("cf"), col("df"))
+      .repartitionByRange(col("cf").desc, col("word").asc)
+      .sortWithinPartitions(col("cf").desc, col("word").asc)
+    val schema = sorted.schema.add("rank", LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** @return (idCol, xent) — add-one-smoothed unigram cross-entropy in nats. */
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("__w"))

@@ -197,6 +197,24 @@ object Dedup {
   }
 
   /**
+   * One-representative-per-cluster deduplication: cluster the near-dup pair
+   * graph with [[ConnectedComponents]] and keep only the minimum-id document
+   * of each component (singletons keep themselves). The composition consumers
+   * actually want from `pairs → clusters` — guarantees ONE survivor per
+   * transitive near-dup group, unlike pairwise higher-id removal (see
+   * [[CleanCorpus]]'s independent-set note).
+   * @return the surviving rows of `docs`, original schema.
+   */
+  def canonicalize(
+      docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    // component = min reachable id (ConnectedComponents contract), so the
+    // cluster representative is exactly the row whose id equals its component
+    val comp = ConnectedComponents.run(docs, idCol, pairs, aCol, bCol)
+    docs.join(comp.filter(col(idCol) === col("component")).select(col(idCol)), idCol)
+  }
+
+  /**
    * Embedding-cosine near-dup pairs: all (a, b) with cosine ≥ threshold, a < b.
    * Brute-force all-pairs (broadcast one side) — correctness baseline; for the
    * 100 TB path use [[SimSearch.topKLsh]]-style bucketing first. Output:
