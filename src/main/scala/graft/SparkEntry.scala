@@ -129,6 +129,12 @@ object SparkEntry {
       val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
       ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
     }),
+    "decontaminate" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Decontaminate.flagged(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 20), "doc_id", "text", n = 13)
+        .filter(col("doc_id") =!= col("bench_id"))
+    }),
     "dedup_canonical" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
@@ -388,6 +394,19 @@ object SparkEntry {
          |  FROM sims
          |)
          |SELECT lid, rid, round(sim, 6) AS sim FROM ranked WHERE rn <= 3""".stripMargin,
+    "decontaminate" -> {
+      val gram13 = (0 until 13).map(k => s"ws[g+$k]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+         |cg AS (
+         |  SELECT doc_id, $gram13 AS gram
+         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 12, 0))) AS g FROM d)
+         |),
+         |ch AS (SELECT DISTINCT doc_id, ${Oracles.tHashSql("gram")} AS gh FROM cg),
+         |bh AS (SELECT doc_id AS bench_id, gh FROM ch WHERE doc_id < 20)
+         |SELECT DISTINCT c.doc_id, b.bench_id
+         |FROM ch c JOIN bh b ON c.gh = b.gh
+         |WHERE c.doc_id <> b.bench_id""".stripMargin
+    },
     "dedup_canonical" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashBandCtes("dsh", "doc_id")},

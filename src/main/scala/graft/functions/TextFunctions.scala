@@ -351,6 +351,38 @@ object TextFunctions {
   def chunkWordsUdf(size: Int, overlap: Int) =
     udf((s: String) => chunkWords(s, size, overlap))
 
+  /** Distinct [[tHash]] values of the space-joined n-word grams of `s` — the
+    * collision key for n-gram decontamination ([[graft.operators.Decontaminate]]).
+    * Single pass; empty for docs with fewer than n words. */
+  def wordNGramHashes(s: String, n: Int): Array[Long] = {
+    require(n > 0, s"need positive n, got $n")
+    if (s == null) return Array.emptyLongArray
+    val m = WordPattern.matcher(s.toLowerCase(java.util.Locale.ROOT))
+    val words = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) words += m.group()
+    if (words.length < n) return Array.emptyLongArray
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i <= words.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      seen.add(tHash(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    out
+  }
+
+  def wordNGramHashUdf(n: Int) = udf((s: String) => wordNGramHashes(s, n))
+
   /**
    * Winnowing fingerprints (the MOSS technique, Schleimer/Wilkerson/Aiken):
    * hash every k-char gram of the text ([[tHash]]), slide a window of `w`

@@ -238,6 +238,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextFunctions.chunkWords("x", 2, 2))
   }
 
+  test("Decontaminate.flagged: 13-gram collision flags the leaked doc only") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron"
+    val leaked = "intro words here " + benchText + " trailing content"
+    val clean = "totally different content with no shared sequence of thirteen words " +
+      "just regular prose going on and on about something else entirely today"
+    val corpus = docsDf(Seq((100L, leaked), (101L, clean)))
+    val bench = docsDf(Seq((1L, benchText)))
+    val out = Decontaminate.flagged(corpus, "doc_id", "text", bench, "doc_id", "text", 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((100L, 1L)))
+  }
+
   test("unigramLogLoss: out-of-distribution docs score higher cross-entropy") {
     val df = docsDf(Seq(
       (1L, "the cat sat on the mat and the cat slept"),
