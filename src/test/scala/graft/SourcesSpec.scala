@@ -38,6 +38,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(pairs(fromJson) == base)
   }
 
+  test("schema evolution: mergeSchema unions batches with differing columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val s = spark
+    import s.implicits._
+    // batch 1: (doc_id, text); batch 2 adds a quality column
+    Seq((1L, "alpha")).toDF("doc_id", "text").write.parquet(dir + "/t/b=1")
+    Seq((2L, "beta", 0.9)).toDF("doc_id", "text", "quality").write.parquet(dir + "/t/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir + "/t")
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality", "b"))
+    val rows = merged.select("doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map(1L -> None, 2L -> Some(0.9))) // old rows null-fill new cols
+  }
+
   test("partitionBy writes prune partitions at read") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "lang", "text")
