@@ -136,6 +136,35 @@ object Oracles {
        |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.bkey = b.bkey AND a.$idCol < b.$idCol
        |)""".stripMargin
 
+  /**
+   * Shared connected-component CTE chain over the LSH-verified near-dup graph
+   * of `documents` — layered on [[shingleCtes]] + [[minHashBandCtes]]; emits
+   * `comp(doc_id, component)` with component = min reachable doc id. Must be
+   * used inside `WITH RECURSIVE`. Shared by the dedup_clusters and
+   * dedup_canonical oracles so the verification SQL cannot diverge.
+   */
+  def minHashComponentCtes(threshold: Double): String =
+    s"""${minHashBandCtes("dsh", "doc_id")},
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM mcand c
+       |  JOIN dsh a ON c.id_a = a.doc_id
+       |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2
+       |),
+       |jac AS (
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
+       |),
+       |jp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= $threshold),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b AS a, id_a AS b FROM jp),
+       |reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+       |),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
   /** Exact mirror of Dedup.minHashLshPairs over documents: LSH-banded candidates
     * (minHashBandCtes), then exact-Jaccard verification ≥ threshold. */
   def minHashLshPairsSql(threshold: Double): String =

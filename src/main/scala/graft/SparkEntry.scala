@@ -344,26 +344,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Oracles.embeddingLshPairsSql(0.4, 8, 2),
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
-         |${Oracles.minHashBandCtes("dsh", "doc_id")},
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM mcand c
-         |  JOIN dsh a ON c.id_a = a.doc_id
-         |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
-         |  GROUP BY 1, 2
-         |),
-         |jac AS (
-         |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
-         |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
-         |),
-         |jp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b AS a, id_a AS b FROM jp),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-         |)
-         |SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src""".stripMargin,
+         |${Oracles.minHashComponentCtes(0.8)}
+         |SELECT doc_id, component FROM comp""".stripMargin,
     "simjoin_tfidf" ->
       s"""WITH ${Oracles.trigramCtes("l", partSel + " WHERE p_partkey < 500")},
          |${Oracles.trigramCtes("r", partSel + " WHERE p_partkey < 500")},
@@ -409,26 +391,7 @@ object SparkEntry {
     },
     "dedup_canonical" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
-         |${Oracles.minHashBandCtes("dsh", "doc_id")},
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM mcand c
-         |  JOIN dsh a ON c.id_a = a.doc_id
-         |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
-         |  GROUP BY 1, 2
-         |),
-         |jac AS (
-         |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
-         |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
-         |),
-         |jp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.8),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b AS a, id_a AS b FROM jp),
-         |reach(src, dst) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
-         |),
-         |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)
+         |${Oracles.minHashComponentCtes(0.8)}
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN comp c ON d.doc_id = c.doc_id AND d.doc_id = c.component""".stripMargin,
     "vocab" ->

@@ -41,7 +41,8 @@ object ConnectedComponents {
     val parts = math.max(1, math.min((nSym / 100000L).toInt + 1,
       sym0.rdd.getNumPartitions))
     val sym = sym0.repartition(parts, col("__dst")).cache()
-    sym0.unpersist()
+    sym.count() // materialize the repartitioned cache FROM sym0's cache...
+    sym0.unpersist() // ...before dropping it (else the edge lineage recomputes)
     // Only edge-touched nodes can change labels — iterate over those; isolated
     // nodes (the overwhelming majority in dedup graphs) are unioned back at the
     // end as their own singleton components.

@@ -37,20 +37,13 @@ object CorpusStats {
    * @return (word, cf, df, rank)
    */
   def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.LongType
     val w = docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("word"))
     val stats = w.groupBy(col("word"))
       .agg(count(lit(1)).as("cf"), count_distinct(col("__id")).as("df"))
-    // global frequency rank WITHOUT a partition-less window (which would funnel
-    // the vocabulary through one task): range-partition on the total order
-    // (cf desc, word asc — unique), sort within partitions, zipWithIndex
-    val sorted = stats.select(col("word"), col("cf"), col("df"))
-      .repartitionByRange(col("cf").desc, col("word").asc)
-      .sortWithinPartitions(col("cf").desc, col("word").asc)
-    val schema = sorted.schema.add("rank", LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1)) }
-    docs.sparkSession.createDataFrame(rdd, schema)
+    // global frequency rank on the total order (cf desc, word asc — unique),
+    // scale-safely via the shared range-partition + zipWithIndex helper
+    DenseRank.appendIndex(stats.select(col("word"), col("cf"), col("df")),
+      Seq(col("cf").desc, col("word").asc), "rank", startAt = 1L)
   }
 
   /** @return (idCol, xent) — add-one-smoothed unigram cross-entropy in nats. */

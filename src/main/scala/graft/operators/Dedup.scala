@@ -200,17 +200,21 @@ object Dedup {
    * One-representative-per-cluster deduplication: cluster the near-dup pair
    * graph with [[ConnectedComponents]] and keep only the minimum-id document
    * of each component (singletons keep themselves). The composition consumers
-   * actually want from `pairs → clusters` — guarantees ONE survivor per
-   * transitive near-dup group, unlike pairwise higher-id removal (see
-   * [[CleanCorpus]]'s independent-set note).
+   * actually want from `pairs → clusters` — ONE survivor per transitive
+   * near-dup group, unlike pairwise higher-id removal (see [[CleanCorpus]]'s
+   * independent-set note). The guarantee holds for components whose diameter
+   * is within `maxIter` propagation rounds (near-dup clusters are
+   * overwhelmingly pairs/triples; raise `maxIter` for adversarial chain
+   * graphs — propagation past convergence costs nothing).
    * @return the surviving rows of `docs`, original schema.
    */
   def canonicalize(
       docs: DataFrame, idCol: String,
-      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
     // component = min reachable id (ConnectedComponents contract), so the
     // cluster representative is exactly the row whose id equals its component
-    val comp = ConnectedComponents.run(docs, idCol, pairs, aCol, bCol)
+    val comp = ConnectedComponents.run(docs, idCol, pairs, aCol, bCol, maxIter)
     docs.join(comp.filter(col(idCol) === col("component")).select(col(idCol)), idCol)
   }
 

@@ -436,22 +436,13 @@ object SimJoin {
   def withDenseIndex(df: DataFrame, name: String, sortBy: Option[String] = None): DataFrame =
     sortBy match {
       case Some(k) =>
-        import org.apache.spark.sql.types.StructType
-        val spark = df.sparkSession
-        val kField = df.schema(df.schema.fieldIndex(k))
-        val slim = df.select(col(k)).repartitionByRange(col(k)).sortWithinPartitions(col(k))
-        val idSchema = StructType(Seq(kField, org.apache.spark.sql.types.StructField(name, LongType, nullable = false)))
-        val idsRdd = slim.rdd.zipWithIndex.map { case (r, i) =>
-          if (r.isNullAt(0))
-            throw new IllegalArgumentException(
-              s"indexBy column '$k' contains null — every row must carry a unique non-null index key")
-          Row(r.get(0), i)
-        }
         // NOT checkpointed: both consumers (pair scoring + join-back) recompute
         // the slim rank deterministically, so a lost executor recovers by
         // recomputation — localCheckpoint here would truncate lineage and turn
         // block loss into job failure for a marginal saving of two slim jobs.
-        df.join(spark.createDataFrame(idsRdd, idSchema), k)
+        val ids = DenseRank.appendIndex(
+          df.select(col(k)), Seq(col(k)), name, failOnNullCol = Some(k))
+        df.join(ids, k)
       case None =>
         val schema = df.schema.add(name, LongType, nullable = false)
         val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
