@@ -238,6 +238,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](TextFunctions.chunkWords("x", 2, 2))
   }
 
+  test("vocabulary: frequency-ranked with deterministic alphabetical ties") {
+    val df = docsDf(Seq(
+      (1L, "apple apple apple banana banana cherry"),
+      (2L, "apple banana date date")))
+    val v = CorpusStats.vocabulary(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(v("apple") == ((4L, 2L, 1L)))  // cf=4 df=2 rank=1
+    assert(v("banana") == ((3L, 2L, 2L)))
+    // cherry and date tie at cf — alphabetical tie-break, then df distinguishes
+    assert(v("date") == ((2L, 1L, 3L)))   // cf=2 beats cherry's cf=1
+    assert(v("cherry") == ((1L, 1L, 4L)))
+  }
+
+  test("canonicalize keeps exactly one representative per transitive cluster") {
+    val docs = docsDf((1L to 6L).map(i => (i, s"doc number $i")))
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3 (one cluster), pair 5-6; 4 isolated
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (5L, 6L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val survivors = Dedup.canonicalize(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 4L, 5L)) // min of each cluster + the singleton
+  }
+
   test("Decontaminate.flagged: 13-gram collision flags the leaked doc only") {
     val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron"
