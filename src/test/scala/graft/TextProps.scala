@@ -74,6 +74,15 @@ object TextProps extends Properties("TextFunctions") {
         }
     }
 
+  property("wordNGramHashes: docs sharing a 13-word phrase share a gram hash") =
+    forAll(textGen, textGen) { (a, b) =>
+      val phrase = (1 to 13).map(i => "shared" + ('a' + i % 26).toChar).mkString(" ")
+      val h1 = TextFunctions.wordNGramHashes(a + " " + phrase + " " + b, 13).toSet
+      val h2 = TextFunctions.wordNGramHashes(b + " " + phrase + " " + a, 13).toSet
+      (h1 intersect h2).nonEmpty &&
+        TextFunctions.wordNGramHashes("only five words right here", 13).isEmpty
+    }
+
   property("winnowing: docs sharing a >= k+w-1 substring share a fingerprint") =
     forAll(textGen, textGen) { (a, b) =>
       val shared = "thequickbrownfoxjumps" // 21 chars >= 8+4-1
