@@ -222,7 +222,7 @@ object Oracles {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
        |  FROM s
        |)
-       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= $k""".stripMargin
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= $k""".stripMargin
 
   /** Sequential-fold cosine between two DOUBLE-cast float lists (the shared
     * fragment of every embedding oracle; mirrors SimSearch's kernels). */
@@ -277,7 +277,7 @@ object Oracles {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
        |  FROM s
        |)
-       |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= $k""".stripMargin
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= $k""".stripMargin
 
   /**
    * Exact mirror of Dedup.embeddingPairsLsh: per (vector, table t) sign-LSH

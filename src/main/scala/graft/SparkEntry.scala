@@ -229,12 +229,18 @@ object SparkEntry {
       rd(s, dir, "embeddings").select(col("vec_id"),
         transform(Embeddings.l2NormalizeCol(col("embedding")), x => round(x, 6)).as("unit"))),
     "emb_centroids" -> ((s, dir) => {
+      // per-element values quantized to exact integer micro-units BEFORE the
+      // sum: a raw double avg is perturbed by distributed reduction order and
+      // round(4) flips at boundaries (observed at sf0.001) — integer sums are
+      // order-invariant, the house determinism technique
       rd(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy(col("label"), col("dim"))
-        .agg(round(avg(col("v").cast("double")), 4).as("centroid"))
+        .agg(sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("__s"),
+          count(lit(1)).as("__n"))
         .select(col("label").cast("long").as("label"), col("dim").cast("long").as("dim"),
-          col("centroid"))
+          round(col("__s").cast("double") / (col("__n").cast("double") * lit(1000000.0)), 4)
+            .as("centroid"))
     }),
     // ---- LLM-pipeline: multimodal plumbing --------------------------------
     "mm_meta" -> ((s, dir) => {
@@ -498,7 +504,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
         |  FROM s
         |)
-        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine FROM r WHERE rn <= 5""".stripMargin,
+        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= 5""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
@@ -653,12 +659,13 @@ object SparkEntry {
       """SELECT vec_id,
         |  CASE WHEN list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) = 0 THEN NULL
         |       ELSE list_transform(embedding, x ->
-        |         round(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))), 6))
+        |         round(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))), 6) + 0.0)
         |  END AS unit
         |FROM embeddings""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
-        |       round(avg(CAST(v AS DOUBLE)), 4) AS centroid
+        |  round(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |        / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) + 0.0 AS centroid
         |FROM (SELECT label, unnest(embedding) AS v,
         |             unnest(generate_series(1, len(embedding))) AS dim FROM embeddings)
         |GROUP BY 1, 2""".stripMargin,
@@ -672,7 +679,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |  count(*) AS n, round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sliding" ->
       """WITH e AS (
@@ -681,7 +688,7 @@ object SparkEntry {
         |  FROM events, (SELECT unnest(generate_series(0, 1)) AS h)
         |)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |  count(*) AS n, round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS sum_value
         |FROM e GROUP BY 1, 2""".stripMargin,
     "events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
@@ -695,7 +702,7 @@ object SparkEntry {
         |  FROM f
         |)
         |SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n_events,
-        |       min(us) AS start_us, max(us) AS end_us, round(sum(value), 4) AS sum_value
+        |       min(us) AS start_us, max(us) AS end_us, round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS sum_value
         |FROM g GROUP BY 1, 2""".stripMargin,
     "events_correlate" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)

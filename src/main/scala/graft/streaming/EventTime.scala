@@ -23,4 +23,16 @@ object EventTime {
   def tsMicros(df: DataFrame): Column =
     if (df.schema("ts").dataType == LongType) expr("ts DIV 1000")
     else unix_micros(col("ts"))
+
+  /**
+   * Order-invariant sum of a double column, rounded to 4: values quantized to
+   * exact integer micro-units BEFORE aggregation, so distributed reduction
+   * order cannot perturb the result (a raw double sum differs in the last ulp
+   * depending on combine order, and round() flips at decimal boundaries —
+   * the same integer-quantization technique as SimJoin.tfidfPairs /
+   * CorpusStats.unigramLogLoss, mirrored 1:1 in the oracles).
+   */
+  def quantizedSum4(c: Column): Column =
+    round(sum(floor(c.cast("double") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .cast("double") / lit(1000000.0), 4)
 }

@@ -24,7 +24,7 @@ object EventWindows {
   def hourlyByType(events: DataFrame): DataFrame =
     events
       .groupBy(window(tsCol(events), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), EventTime.quantizedSum4(col("value")).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("sum_value"))
@@ -40,7 +40,7 @@ object EventWindows {
   def slidingTwoHourByType(events: DataFrame): DataFrame =
     events
       .groupBy(window(tsCol(events), "2 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), EventTime.quantizedSum4(col("value")).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("sum_value"))
@@ -49,7 +49,7 @@ object EventWindows {
   def slidingTwoHourByTypeStream(events: DataFrame, watermark: String = "3 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), EventTime.quantizedSum4(col("value")).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("sum_value"))
@@ -58,7 +58,7 @@ object EventWindows {
   def hourlyByTypeStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"), EventTime.quantizedSum4(col("value")).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("sum_value"))

@@ -36,7 +36,7 @@ object Sessionize {
       .groupBy(col("user_id"), col("__sess").as("session"))
       .agg(count(lit(1)).as("n_events"),
         min(col("__us")).as("start_us"), max(col("__us")).as("end_us"),
-        round(sum(col("value")), 4).as("sum_value"))
+        EventTime.quantizedSum4(col("value")).as("sum_value"))
       .select(col("user_id"), col("session"), col("n_events"),
         col("start_us"), col("end_us"), col("sum_value"))
   }
@@ -45,7 +45,7 @@ object Sessionize {
   def sessionsStream(events: DataFrame, gap: String, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), EventTime.quantizedSum4(col("value")).as("sum_value"))
       .select(col("user_id"),
         date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("n_events"), col("sum_value"))
