@@ -37,6 +37,11 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
+      // Session hygiene between queries (outside the timed window): cached
+      // blocks left registered by one query would degrade every later one —
+      // the r3 driver bench ran 2-9× slower than isolated reruns from exactly
+      // this (CC/CleanCorpus stage caches compounding across 50 queries).
+      spark.sharedState.cacheManager.clearCache()
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

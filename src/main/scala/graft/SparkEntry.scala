@@ -222,12 +222,21 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_index").cast("long").as("chunk_index"),
           col("chunk"), size(split(col("chunk"), " ")).cast("long").as("n_words"))
     }),
+    // Gate shape: scalar (vec_id, dim, value) rows — the driver's pandas
+    // comparator cannot sort raw array cells (r3 err rows), so the gate
+    // posexplodes; the array-returning operators stay the public API.
     "emb_quantize" -> ((s, dir) =>
       Embeddings.quantizeInt8(rd(s, dir, "embeddings"), "vec_id", "embedding")
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("q"))),
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          posexplode(col("q")).as(Seq("dim", "q_value")))
+        .select(col("vec_id"), col("scale"),
+          col("dim").cast("long").as("dim"), col("q_value"))),
     "emb_normalize" -> ((s, dir) =>
-      rd(s, dir, "embeddings").select(col("vec_id"),
-        transform(Embeddings.l2NormalizeCol(col("embedding")), x => round(x, 6)).as("unit"))),
+      rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(Embeddings.l2NormalizeCol(col("embedding"))).as(Seq("dim", "u")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("u"), 6).as("unit_value"))),
     "emb_centroids" -> ((s, dir) => {
       // per-element values quantized to exact integer micro-units BEFORE the
       // sum: a raw double avg is perturbed by distributed reduction order and
@@ -651,17 +660,21 @@ object SparkEntry {
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
         |  FROM embeddings
         |)
-        |SELECT vec_id, round(scale, 6) AS scale,
-        |  CASE WHEN scale = 0 THEN list_transform(e, x -> 0)
-        |       ELSE list_transform(e, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) END AS q
-        |FROM m""".stripMargin,
+        |SELECT vec_id, round(scale, 6) AS scale, CAST(dim - 1 AS BIGINT) AS dim,
+        |  CASE WHEN scale = 0 THEN 0
+        |       ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) END AS q_value
+        |FROM (SELECT vec_id, scale, unnest(e) AS x,
+        |             unnest(generate_series(1, len(e))) AS dim FROM m)""".stripMargin,
     "emb_normalize" ->
-      """SELECT vec_id,
-        |  CASE WHEN list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) = 0 THEN NULL
-        |       ELSE list_transform(embedding, x ->
-        |         round(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))), 6) + 0.0)
-        |  END AS unit
-        |FROM embeddings""".stripMargin,
+      """WITH n AS (
+        |  SELECT vec_id, embedding AS e,
+        |    list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) AS ss
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+        |  round(CAST(x AS DOUBLE) / sqrt(ss), 6) + 0.0 AS unit_value
+        |FROM (SELECT vec_id, ss, unnest(e) AS x,
+        |             unnest(generate_series(1, len(e))) AS dim FROM n WHERE ss <> 0)""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
         |  round(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)

@@ -39,14 +39,15 @@ import graft.functions.TextFunctions._
  *               ([[graft.functions.TextFunctions.redactPiiCol]]) BEFORE scoring
  *               and deduplication, so near-identical docs differing only in
  *               contact details dedup together; off by default.
- * @param persistStages persist the two multiply-consumed stage frames
- *               (MEMORY_AND_DISK). Default true — right for one-shot batch
- *               cleaning. The blocks stay registered for the session (the
- *               returned frame is lazy, so there is no point inside this
- *               function where unpersisting is safe); a long-lived driver
- *               cleaning many corpora should pass false (stages recompute,
- *               ~3× scoring cost) or clear the blocks after consuming the
- *               result.
+ * @param persistStages persist the multiply-consumed stage frames. Default
+ *               true: `scored` is cached MEMORY_AND_DISK only long enough to
+ *               eagerly materialize `afterExact` as a lineage-cut
+ *               localCheckpoint, then unpersisted — so `clean` leaves NO
+ *               cacheManager-registered blocks behind (the checkpoint blocks
+ *               are reference-tracked and freed by the ContextCleaner once the
+ *               result is unreferenced). The trade is one eager job inside
+ *               `clean`. Pass false for a fully-lazy plan (stages recompute,
+ *               ~3× scoring cost).
  */
 object CleanCorpus {
 
@@ -60,8 +61,6 @@ object CleanCorpus {
       redactPii: Boolean = false,
       persistStages: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    def maybePersist(df: DataFrame): DataFrame =
-      if (persistStages) df.persist(StorageLevel.MEMORY_AND_DISK) else df
     val base =
       if (redactPii) docs.withColumn(textCol, redactPiiCol(col(textCol))) else docs
     val repFiltered =
@@ -70,14 +69,25 @@ object CleanCorpus {
     // Fused single-pass scorer (bit-identical to qualityScoreCol+langIdCol):
     // the Column forms' regex/HOF trees, duplicated again by filter pushdown,
     // overflow codegen and fall back to interpreted eval — see scoreDoc's doc.
-    val scored = maybePersist(repFiltered.select(col(idCol), col(textCol),
+    val scored0 = repFiltered.select(col(idCol), col(textCol),
         scoreDocUdf(col(textCol)).as("__sc"))
       .select(col(idCol), col(textCol),
         col("__sc._1").as("quality"), col("__sc._2").as("langid"))
-      .filter(col("quality") >= minQuality && col("langid").isInCollection(langs)))
+      .filter(col("quality") >= minQuality && col("langid").isInCollection(langs))
+    val scored =
+      if (persistStages) scored0.persist(StorageLevel.MEMORY_AND_DISK) else scored0
     val exactCanon = Dedup.exact(scored, idCol, textCol)
       .filter(col(idCol) === col("canonical_id")).select(col(idCol))
-    val afterExact = maybePersist(scored.join(exactCanon, idCol))
+    val afterExact0 = scored.join(exactCanon, idCol)
+    // Eagerly cut lineage at the post-exact-dedup frame, then drop the scoring
+    // cache immediately: the r3 bench showed session-lifetime stage caches from
+    // this function degrading every query that ran after it.
+    val afterExact =
+      if (persistStages) {
+        val ck = afterExact0.localCheckpoint(true)
+        scored.unpersist()
+        ck
+      } else afterExact0
     val nearDupPairs =
       if (useLsh) Dedup.minHashLshPairs(afterExact, idCol, textCol, nearDupThreshold)
       else Dedup.jaccardPairs(afterExact, idCol, textCol, nearDupThreshold)
