@@ -184,31 +184,38 @@ object Oracles {
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
 
   /**
-   * Exact mirror of SimSearch.topKLsh on the embeddings table: per-vector
-   * sign-LSH bucket from the fixed integer hyperplane formula
-   * (planeComponent(j,d) = ((j·8191+d)·2654435761 mod 1000003)/1000003 - 0.5,
-   * d 0-based), same-bucket query×corpus pairs, cosine top-k per query.
+   * Exact mirror of SimSearch.topKLsh on the embeddings table: per
+   * (vector, table t) sign-LSH bucket from the fixed integer hyperplane
+   * formula (planeComponent(j,d) = ((j·8191+d)·2654435761 mod 1000003)/1000003
+   * - 0.5, d 0-based; table t uses plane family t·nPlanes + j), same-table
+   * same-bucket query×corpus pairs deduped across tables (OR-amplification),
+   * cosine top-k per query.
    */
-  def annLshSql(k: Int, nPlanes: Int, queryPred: String): String =
+  def annLshSql(k: Int, nPlanes: Int, queryPred: String, nTables: Int = 1): String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
        |pdots AS (
-       |  SELECT vec_id, j,
+       |  SELECT vec_id, t, j,
        |    list_sum(list_transform(generate_series(1, len(e)), d ->
        |      CAST(e[d] AS DOUBLE) *
-       |      (CAST(((j*8191 + (d-1)) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) AS dotj
-       |  FROM (SELECT vec_id, e, unnest(generate_series(0, ${nPlanes - 1})) AS j FROM v)
+       |      (CAST((((t*$nPlanes + j)*8191 + (d-1)) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) AS dotj
+       |  FROM (SELECT vec_id, e, unnest(generate_series(0, ${nTables - 1})) AS t FROM v),
+       |       (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS j)
        |),
        |bkt AS (
-       |  SELECT vec_id, CAST(sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM pdots GROUP BY vec_id
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY vec_id, t
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bkt q
+       |  JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE $queryPred
        |),
        |p AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qv.e AS ea, cv.e AS eb
-       |  FROM bkt q
-       |  JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-       |  JOIN v qv ON q.vec_id = qv.vec_id
-       |  JOIN v cv ON c.vec_id = cv.vec_id
-       |  WHERE $queryPred
+       |  SELECT cd.query_id, cd.neighbor_id, qv.e AS ea, cv.e AS eb
+       |  FROM cand cd
+       |  JOIN v qv ON cd.query_id = qv.vec_id
+       |  JOIN v cv ON cd.neighbor_id = cv.vec_id
        |),
        |s AS (
        |  SELECT query_id, neighbor_id,

@@ -162,7 +162,7 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       SimSearch.topKLsh(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-        emb, "vec_id", "embedding", 5, nPlanes = 8, excludeSelf = true)
+        emb, "vec_id", "embedding", 5, nPlanes = 8, nTables = 2, excludeSelf = true)
     }),
     "ann_ivf" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -493,7 +493,7 @@ object SparkEntry {
          |FROM ex e JOIN scored s ON e.doc_id = s.doc_id
          |WHERE e.doc_id NOT IN (SELECT ib FROM losers)""".stripMargin
     },
-    "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50"),
+    "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50", nTables = 2),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50"),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),

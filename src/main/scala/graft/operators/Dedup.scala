@@ -18,8 +18,8 @@ import graft.functions.TextFunctions._
  *                           quadratic step runs only inside LSH buckets.
  *  - [[simHashFingerprints]] / [[simHashPairs]] — 64-bit SimHash (two 32-bit
  *                           halves), near-dup = Hamming distance ≤ maxHamming;
- *                           candidates via byte-banding (pigeonhole-exact for
- *                           maxHamming < 8).
+ *                           candidates via banding (pigeonhole-exact for
+ *                           maxHamming < nBands; 8- or 16-bit bands).
  *  - [[embeddingPairs]]   — embedding-cosine near-dup pairs (brute force; see
  *                           [[SimSearch]] for the bucketed scale path).
  *
@@ -75,13 +75,34 @@ object Dedup {
    * Brute-force near-dup pairs: 3-word-shingle Jaccard ≥ threshold, candidates
    * from the shingle inverted index (docs sharing ≥ 1 shingle). Output:
    * (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6 decimals.
+   *
+   * @param maxDocFrequency drop shingles present in more than this many
+   *        documents before the inverted-index self-join (the same stop-token
+   *        rule as [[winnowPairs]]: a shingle shared by thousands of docs joins
+   *        quadratically but carries almost no Jaccard mass at any useful
+   *        threshold). 0 (default) disables. RESULT-CHANGING when on: hot
+   *        shingles no longer count toward intersections (denominators still
+   *        use full set sizes), so reported jaccard is a LOWER BOUND and pairs
+   *        held together only by stop-shingles are missed — exactly the pairs a
+   *        near-dup threshold shouldn't keep. Without a cap this operator is
+   *        correctness-grade only; at corpus scale use the cap or
+   *        [[minHashLshPairs]].
    */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxDocFrequency: Long = 0L): DataFrame = {
     val t = shingleRelation(df, idCol, textCol)
+    // shingleRelation is distinct per doc, so count-per-shingle = doc frequency
+    val tIdx =
+      if (maxDocFrequency <= 0L) t
+      else {
+        val keep = t.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFrequency).select(col("__sh"))
+        t.join(keep, "__sh")
+      }
     // ONE pass over the inverted index: intersection counts straight off the
     // shingle equi-join (no candidate materialization + re-expansion).
-    val inter = t.select(col("__id").as("__a"), col("__sh"))
-      .join(t.select(col("__id").as("__b"), col("__sh")), "__sh")
+    val inter = tIdx.select(col("__id").as("__a"), col("__sh"))
+      .join(tIdx.select(col("__id").as("__b"), col("__sh")), "__sh")
       .filter(col("__a") < col("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
     jaccardFromInter(t, inter)
@@ -168,21 +189,49 @@ object Dedup {
 
   /**
    * SimHash near-dup pairs: Hamming distance over the 64-bit fingerprint ≤
-   * maxHamming. Candidates via byte-banding (8 bands of 8 bits): any pair with
-   * Hamming ≤ 7 shares at least one identical band (pigeonhole), so for
-   * maxHamming ≤ 7 the result is EXACT, not approximate, while avoiding the
-   * all-pairs cross join. Output: (id_a, id_b, hamming).
+   * maxHamming. Candidates via banding: any pair with Hamming < nBands shares
+   * at least one identical band (pigeonhole), so for maxHamming ≤ nBands-1 the
+   * result is EXACT, not approximate, while avoiding the all-pairs cross join.
+   * Output: (id_a, id_b, hamming).
+   *
+   * Band width is the scale knob. 8-bit bands (default, 8 bands — exact up to
+   * Hamming 7) give only 256 bucket values per band: at N docs each bucket
+   * holds ~N/256 and the self-join emits ~8·(N/256)² candidate rows —
+   * fine at sf0.1, quadratic death at 10⁹ docs. 16-bit bands (4 bands —
+   * exact up to Hamming 3, the common near-dup setting) have 65 536 values,
+   * cutting per-bucket population 256× and candidates ~131 000×.
+   *
+   * @param bandBits 8 (exact ≤ 7) or 16 (exact ≤ 3).
+   * @param maxBandFrequency additionally drop (band, value) buckets holding
+   *        more than this many docs before the join — the skew guard for
+   *        degenerate corpora where one fingerprint region is hot (near-empty
+   *        docs all hash near 0). RESULT-CHANGING like any stop rule: pairs
+   *        whose only shared band is a dropped bucket are missed. 0 disables.
    */
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    require(maxHamming <= 7, "byte-banding is only exact for maxHamming <= 7")
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int,
+      bandBits: Int = 8, maxBandFrequency: Long = 0L): DataFrame = {
+    require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
+    val nPerHalf = 32 / bandBits
+    val nBands = 2 * nPerHalf
+    require(maxHamming < nBands,
+      s"$bandBits-bit banding ($nBands bands) is only exact for maxHamming <= ${nBands - 1}")
+    val modulus = 1L << bandBits
     val fp = simHashFingerprints(df, idCol, textCol)
       .select(col(idCol).as("__id"), col("simhash1"), col("simhash2"))
-    // one generator pass: 8 (bandIndex, bandValue) rows per doc — a union of 8
-    // projections would re-evaluate the fingerprint lineage once per branch
-    val bandVals = (0 until 4).map(i => shiftright(col("simhash1"), 8 * i) % 256L) ++
-      (0 until 4).map(i => shiftright(col("simhash2"), 8 * i) % 256L)
-    val bands = fp.select(col("__id"), col("simhash1"), col("simhash2"),
+    // one generator pass: nBands (bandIndex, bandValue) rows per doc — a union
+    // of per-band projections would re-evaluate the fingerprint lineage once
+    // per branch
+    val bandVals = (0 until nPerHalf).map(i => shiftright(col("simhash1"), bandBits * i) % modulus) ++
+      (0 until nPerHalf).map(i => shiftright(col("simhash2"), bandBits * i) % modulus)
+    val bands0 = fp.select(col("__id"), col("simhash1"), col("simhash2"),
       posexplode(array(bandVals: _*)).as(Seq("__bi", "__bv")))
+    val bands =
+      if (maxBandFrequency <= 0L) bands0
+      else {
+        val keep = bands0.groupBy(col("__bi"), col("__bv")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxBandFrequency).select(col("__bi"), col("__bv"))
+        bands0.join(keep, Seq("__bi", "__bv"))
+      }
     val a = bands.select(col("__id").as("__a"), col("simhash1").as("__a1"),
       col("simhash2").as("__a2"), col("__bi"), col("__bv"))
     val b = bands.select(col("__id").as("__b"), col("simhash1").as("__b1"),

@@ -57,6 +57,24 @@ object SimSearch {
         s"got ${dt.catalogString}; map your ids to Long first")
   }
 
+  /** Fail fast BEFORE collecting the query side to the driver: its Catalyst
+    * size estimate must be under the same 512 MB bound as
+    * [[SimJoin.kernelEligible]]'s broadcast guard. The kernel search operators
+    * are shaped for queries ≪ corpus; without this, a user passing a
+    * corpus-sized frame as `queries` gets a slow driver OOM instead of an
+    * actionable error. */
+  private[operators] def requireCollectableQueries(
+      queries: DataFrame, qId: String, qVec: String): Unit = {
+    val maxBytes = BigInt(512L << 20)
+    val est = queries.select(col(qId), col(qVec))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= maxBytes,
+      s"query side too large to collect to the driver: Catalyst size estimate $est bytes " +
+        s"exceeds the $maxBytes-byte (512 MB) guard. These operators broadcast the QUERY " +
+        "side — pass the smaller frame as queries, or use the fully-relational " +
+        "Dedup.embeddingPairsLsh path which never collects either side")
+  }
+
   /** Codegen'd native form of [[cosineCol]] ([[graft.functions.CosineSimExpr]])
     * — same arithmetic/null semantics, no ScalaUDF boxing; use in relational
     * plans where the pair relation comes from a join. */
@@ -92,6 +110,7 @@ object SimSearch {
     import org.apache.spark.sql.types._
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec)
     val spark = corpus.sparkSession
     val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1)) None
@@ -199,32 +218,49 @@ object SimSearch {
    * more work).
    *
    * Plan shape: the (small) query side is collected, bucketed, and broadcast as
-   * a bucket → queries hash map; one linear corpus scan computes each corpus
-   * row's bucket and scores it against ONLY the same-bucket queries inside a
-   * mapPartitions kernel (tight primitive loops, no per-pair boxed UDF — the
-   * [[broadcastCosine]] pattern). At 100 TB the corpus is never shuffled and
-   * per-row work drops from |Q| dot products (brute [[topK]]) to the bucket's
-   * expected |Q|/2^nPlanes. Cosine arithmetic is the exact sequential fold of
-   * [[cosineUdf]], so scores are bit-identical to the brute path.
+   * a (table, bucket) → queries hash map; one linear corpus scan computes each
+   * corpus row's buckets and scores it against ONLY the same-bucket queries
+   * inside a mapPartitions kernel (tight primitive loops, no per-pair boxed
+   * UDF — the [[broadcastCosine]] pattern). At 100 TB the corpus is never
+   * shuffled and per-row work drops from |Q| dot products (brute [[topK]]) to
+   * nTables × the bucket's expected |Q|/2^nPlanes. Cosine arithmetic is the
+   * exact sequential fold of [[cosineUdf]], so scores are bit-identical to the
+   * brute path.
+   *
+   * @param nTables number of independent hash tables (OR-amplification, the
+   *        same knob as [[Dedup.embeddingPairsLsh]]): a (query, corpus) pair is
+   *        scored if it collides in ANY table — per-pair recall
+   *        1-(1-p^nPlanes)^nTables, so more tables strictly improve recall at
+   *        nTables× candidate cost. Table t uses plane family
+   *        [t·nPlanes, (t+1)·nPlanes); a pair colliding in several tables is
+   *        scored once.
    */
   def topKLsh(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nPlanes: Int = 8, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, nPlanes: Int = 8, nTables: Int = 1, excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    require(nPlanes > 0 && nPlanes <= 32, s"need 0 < nPlanes <= 32, got $nPlanes")
+    require(nTables > 0, s"need nTables > 0, got $nTables")
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec)
     val spark = corpus.sparkSession
+    // one shared map over all tables, keyed (t << nPlanes) | bucket
     val qByBucket: Map[Long, Array[(Long, Array[Float], Double)]] =
       queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
-        if (r.isNullAt(0) || r.isNullAt(1)) None
+        if (r.isNullAt(0) || r.isNullAt(1)) Seq.empty
         else {
           val v = r.getSeq[Float](1).toArray
           var n = 0.0; var i = 0
           while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-          if (n == 0.0) None
-          else Some((bucketOf(v, nPlanes), (r.getLong(0), v, math.sqrt(n))))
+          if (n == 0.0) Seq.empty
+          else {
+            val entry = (r.getLong(0), v, math.sqrt(n))
+            (0 until nTables).map(t =>
+              ((t.toLong << nPlanes) | bucketOf(v, nPlanes, t * nPlanes), entry))
+          }
         }
       }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2) }
     val bc = spark.sparkContext.broadcast(qByBucket)
@@ -239,24 +275,35 @@ object SimSearch {
         else {
           val cid = r.getLong(0)
           val cv = r.getSeq[Float](1).toArray
-          buckets.get(bucketOf(cv, nPlanes)) match {
-            case None => Iterator.empty
-            case Some(qs) =>
-              var cn = 0.0; var i = 0
-              while (i < cv.length) { cn += cv(i).toDouble * cv(i).toDouble; i += 1 }
-              if (cn == 0.0) Iterator.empty
-              else {
-                val cSqrt = math.sqrt(cn)
-                qs.iterator.flatMap { case (qid, qv, qSqrt) =>
-                  if (qv.length != cv.length) None
-                  else if (excludeSelf && qid == cid) None
-                  else {
-                    var dot = 0.0; var d = 0
-                    while (d < qv.length) { dot += qv(d).toDouble * cv(d).toDouble; d += 1 }
-                    Some(Row(qid, cid, dot / (qSqrt * cSqrt)))
+          var cn = 0.0; var i = 0
+          while (i < cv.length) { cn += cv(i).toDouble * cv(i).toDouble; i += 1 }
+          if (cn == 0.0) Iterator.empty
+          else {
+            val cSqrt = math.sqrt(cn)
+            // OR-amplification: gather candidates across tables, score each
+            // colliding query once (dedup by query id)
+            val seen = new java.util.HashSet[Long]()
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var t = 0
+            while (t < nTables) {
+              buckets.get((t.toLong << nPlanes) | bucketOf(cv, nPlanes, t * nPlanes)) match {
+                case Some(qs) =>
+                  var qi = 0
+                  while (qi < qs.length) {
+                    val (qid, qv, qSqrt) = qs(qi)
+                    if (qv.length == cv.length && !(excludeSelf && qid == cid) &&
+                        seen.add(qid)) {
+                      var dot = 0.0; var d = 0
+                      while (d < qv.length) { dot += qv(d).toDouble * cv(d).toDouble; d += 1 }
+                      out += Row(qid, cid, dot / (qSqrt * cSqrt))
+                    }
+                    qi += 1
                   }
-                }
+                case None => ()
               }
+              t += 1
+            }
+            out.iterator
           }
         }
       }
@@ -297,6 +344,7 @@ object SimSearch {
       s"need 0 < nProbe <= nList, got nList=$nList nProbe=$nProbe")
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec)
     val spark = corpus.sparkSession
     def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
       if (r.isNullAt(0) || r.isNullAt(1)) None

@@ -131,6 +131,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((12L, 13L)))
   }
 
+  test("jaccardPairs maxDocFrequency drops hot-shingle-only pairs, keeps the rest") {
+    // 20/21 share ONLY the ubiquitous shingle (present in all 6 docs);
+    // 10/11 and 12/13 are genuine near-dups whose shared shingles are rare.
+    val hot = "alpha beta gamma" // one 3-shingle, shared by every doc
+    val df = docsDf(Seq(
+      (10L, s"$hot unique ten text body one two three four five six"),
+      (11L, s"$hot unique ten text body one two three four five seven"),
+      (12L, s"$hot completely different payload words here again now"),
+      (13L, s"$hot completely different payload words here again now"),
+      (20L, s"$hot first filler entirely distinct content aaa bbb ccc"),
+      (21L, s"$hot second padding wholly separate matter xxx yyy zzz")))
+    val uncapped = Dedup.jaccardPairs(df, "doc_id", "text", 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((20L, 21L))) // held together only by the hot shingle
+    val capped = Dedup.jaccardPairs(df, "doc_id", "text", 0.05, maxDocFrequency = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((20L, 21L)))
+    assert(capped.contains((10L, 11L)) && capped.contains((12L, 13L)))
+    // scores are a lower bound of the uncapped exact jaccard for surviving pairs
+    val uncappedScores = Dedup.jaccardPairs(df, "doc_id", "text", 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Dedup.jaccardPairs(df, "doc_id", "text", 0.05, maxDocFrequency = 3L)
+      .collect().foreach { r =>
+        assert(r.getDouble(2) <= uncappedScores((r.getLong(0), r.getLong(1))) + 1e-12)
+      }
+  }
+
+  test("simHashPairs: 16-bit bands agree with 8-bit bands for maxHamming <= 3") {
+    val df = docsDf(nearDupDocs)
+    val via8 = Dedup.simHashPairs(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val via16 = Dedup.simHashPairs(df, "doc_id", "text", 3, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(via16 == via8) // both pigeonhole-exact at maxHamming 3
+    assert(via16.exists(p => p._1 == 12L && p._2 == 13L))
+    // 16-bit banding is NOT exact past 3 bands-1... the require guards it
+    assertThrows[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "doc_id", "text", 4, bandBits = 16)
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "doc_id", "text", 3, bandBits = 12)
+    }
+  }
+
   test("connected components: chains collapse to min id") {
     val s = spark
     import s.implicits._
@@ -192,6 +236,46 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh6.size >= lsh1.size) // more tables => recall can only grow
     assert(brute.isEmpty || lsh6.size.toDouble / brute.size >= 0.4,
       s"6-table recall ${lsh6.size}/${brute.size} unexpectedly low")
+  }
+
+  test("topKLsh nTables OR-amplification: recall vs brute is monotone in tables") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    def pairs(df: DataFrame) = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimSearch.topK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, excludeSelf = true))
+    // few planes so single-table misses are visible (same calibration as the
+    // embeddingPairsLsh recall test: p^4 per table at these cosines)
+    val t1 = pairs(SimSearch.topKLsh(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, nPlanes = 4, nTables = 1, excludeSelf = true))
+    val t4 = pairs(SimSearch.topKLsh(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, nPlanes = 4, nTables = 4, excludeSelf = true))
+    // candidate sets grow with tables, and any candidate outranking a true
+    // top-k hit is itself a true top-k hit => intersection is monotone
+    assert((t4 intersect brute).size >= (t1 intersect brute).size)
+    val recall4 = (t4 intersect brute).size.toDouble / brute.size
+    assert(recall4 >= 0.4, s"4-table recall $recall4 unexpectedly low")
+  }
+
+  test("kernel search operators fail fast on a collect-unsafe query side") {
+    val s = spark
+    import s.implicits._
+    // spark.range carries an exact Catalyst size estimate (8 bytes/row) — a
+    // 10^10-row frame estimates ~80 GB, far past the 512 MB collect guard,
+    // without materializing anything.
+    val hugeQ = s.range(10000000000L)
+      .select(col("id").as("vec_id"), array(lit(1.0f)).as("embedding"))
+    val corpus = Seq((1L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.topK(hugeQ, "vec_id", "embedding", corpus, "vec_id", "embedding", 1)
+    }
+    assert(e.getMessage.contains("query side too large"))
+    assertThrows[IllegalArgumentException] {
+      SimSearch.topKLsh(hugeQ, "vec_id", "embedding", corpus, "vec_id", "embedding", 1)
+    }
+    assertThrows[IllegalArgumentException] {
+      SimSearch.topKIvf(hugeQ, "vec_id", "embedding", corpus, "vec_id", "embedding", 1)
+    }
   }
 
   test("SimSearch.topKIvf: nProbe=nList degenerates to brute force; partial probe has high recall") {
