@@ -58,6 +58,37 @@ object Oracles {
       """SELECT lid AS "row", rid AS "col", CAST(sim AS REAL) AS sim""")
   }
 
+  /** Mirror of SimJoin.simJoin with how="left": left = part names, right =
+    * brands of part < 300; LEFT JOIN assembly keeps no-match left rows with
+    * null sim / right columns. */
+  def simJoinLeftSql(topN: Int): String = {
+    val lSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part"
+    val rSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_brand AS s " +
+      "FROM part WHERE p_partkey < 300"
+    s"""WITH ${trigramCtes("l", lSel)},
+       |${trigramCtes("r", rSel)},
+       |dots AS (
+       |  SELECT lt.id AS lid, rt.id AS rid, count(*) AS dot
+       |  FROM ltok lt JOIN rtok rt ON lt.tok = rt.tok GROUP BY 1, 2
+       |),
+       |sims AS (
+       |  SELECT d.lid, d.rid, CAST(d.dot AS DOUBLE) / (sqrt(lc.n) * sqrt(rc.n)) AS sim
+       |  FROM dots d JOIN lcnt lc ON d.lid = lc.id JOIN rcnt rc ON d.rid = rc.id
+       |),
+       |ranked AS (
+       |  SELECT lid, rid, sim,
+       |         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+       |  FROM sims
+       |),
+       |fin AS (SELECT lid, rid, CAST(sim AS REAL) AS sim FROM ranked WHERE rn <= $topN),
+       |lw AS (SELECT p_partkey, p_name, row_number() OVER (ORDER BY p_partkey) - 1 AS _lid FROM part),
+       |rw AS (SELECT p_partkey, p_brand, row_number() OVER (ORDER BY p_partkey) - 1 AS _rid
+       |       FROM part WHERE p_partkey < 300)
+       |SELECT l.p_partkey, l.p_name, f.sim,
+       |       r.p_partkey AS p_partkey_right, r.p_brand
+       |FROM lw l LEFT JOIN fin f ON f.lid = l._lid LEFT JOIN rw r ON f.rid = r._rid""".stripMargin
+  }
+
   /** Full simJoin assembly on a part self-join (mirrors SimJoin.simJoin with
     * indexBy=p_partkey, suffix "_right"). */
   def simJoinFullPart(topN: Int): String = {

@@ -82,6 +82,17 @@ object SparkEntry {
       SimJoin.normalizeStringCol(rd(s, dir, "part"), "p_name")
         .select(col("p_partkey"), col("p_name_normalized"))
     }),
+    "simjoin_left" -> ((s, dir) => {
+      // how="left" extension: names vs brands — brands tokenize to only
+      // {"ran","and"} so many left rows have NO candidate and must survive
+      // with null sim/right columns
+      val part = rd(s, dir, "part")
+      SimJoin.simJoin(
+        part.select(col("p_partkey"), col("p_name")),
+        part.filter(col("p_partkey") < 300).select(col("p_partkey"), col("p_brand")),
+        SimJoinOptions(leftOn = Some("p_name"), rightOn = Some("p_brand"), topN = 2,
+          indexBy = Some("p_partkey"), how = "left"))
+    }),
     "simjoin_wordnorm" -> ((s, dir) => {
       val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
         .select("p_partkey", "p_name")
@@ -299,6 +310,7 @@ object SparkEntry {
       "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",
       3, l2 = true),
     "simjoin_full" -> Oracles.simJoinFullPart(2),
+    "simjoin_left" -> Oracles.simJoinLeftSql(2),
     "simjoin_wordnorm" -> {
       val idSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, " +
         "lower(regexp_replace(p_name, '[^a-zA-Z0-9]', '', 'g')) AS s FROM part WHERE p_partkey < 300"

@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
  * 100 TB shape: similarity depends only on the key string, so edges are built
  * between DISTINCT keys (the [[SimJoin]] "dedup" insight — candidate space
  * O(distinct²), not O(rows²)), components run on the distinct-key graph, and
- * rows join back by key at the end. The reference library has no dedup
- * operator; this composes its one operator (the similarity join) with
- * [[ConnectedComponents]], per SURVEY §7.3.4.
+ * rows join back by key at the end. Before label propagation the distinct keys
+ * are mapped to dense Long ids ([[DenseRank]] — injective, unlike a 64-bit
+ * hash which would silently merge colliding keys at billions of rows), so
+ * every CC iteration shuffles 16-byte (id, label) rows instead of full key
+ * strings. The reference library has no dedup operator; this composes its one
+ * operator (the similarity join) with [[ConnectedComponents]], per SURVEY
+ * §7.3.4.
  */
 object SimDedup {
 
@@ -25,13 +29,18 @@ object SimDedup {
       df: DataFrame, idCol: String, keyCol: String,
       threshold: Double, normalization: String = "l2"): DataFrame = {
     val keys = df.select(col(keyCol).as("__key")).filter(col("__key").isNotNull).distinct()
+    // dense Long id per distinct key: CC label frames carry longs, not strings
+    val keyIds = DenseRank.appendIndex(keys, Seq(col("__key")), "__kid")
     val edges = SimJoin.thresholdPairs(
         keys, "__key", "__key", keys, "__key", "__key", threshold,
         SimJoinOptions(normalization = normalization, strategy = "direct"),
         outLeft = "__ka", outRight = "__kb")
       .filter(col("__ka") =!= col("__kb"))
-      .select(col("__ka"), col("__kb"))
-    val comp = ConnectedComponents.run(keys, "__key", edges, "__ka", "__kb")
+      .join(keyIds.select(col("__key").as("__ka"), col("__kid").as("__ea")), "__ka")
+      .join(keyIds.select(col("__key").as("__kb"), col("__kid").as("__eb")), "__kb")
+      .select(col("__ea"), col("__eb"))
+    val comp = ConnectedComponents.run(keyIds.select(col("__kid")), "__kid", edges, "__ea", "__eb")
+      .join(keyIds, "__kid")
       .select(col("__key"), col("component").as("__comp"))
     val withComp = df.select(col(idCol), col(keyCol))
       .join(comp, df(keyCol) === comp("__key"))

@@ -42,6 +42,11 @@ import graft.functions.Trigrams
  *                               partitioning, not a thread pool, so this maps to a repartition of
  *                               the LEFT side to `threads` partitions when > 0; 0 (default) keeps
  *                               the input partitioning. Results are unaffected.
+ * @param how                    [[SimJoin.simJoin]] assembly only: "inner" (reference parity —
+ *                               left rows with no candidate are dropped, join.py:143-149) or
+ *                               "left" (keep them with null mapping/sim/right columns, the shape
+ *                               SQL users expect from "similar to a left join"). Extension; the
+ *                               reference has inner semantics only.
  */
 case class SimJoinOptions(
     on: Option[String] = None,
@@ -57,13 +62,15 @@ case class SimJoinOptions(
     strategy: String = "auto",
     indexBy: Option[String] = None,
     maxTokenFrequency: Long = 0L,
-    threads: Int = 0) {
+    threads: Int = 0,
+    how: String = "inner") {
   require(topN > 0, s"topN must be positive, got $topN")
   require(Set("l2", "count")(normalization), s"normalization must be l2|count, got $normalization")
   require(Set("left", "right", "auto")(broadcastSide), s"broadcastSide must be left|right|auto")
   require(Set("dedup", "direct", "kernel", "auto")(strategy),
     s"strategy must be dedup|direct|kernel|auto")
   require(threads >= 0, s"threads must be >= 0, got $threads")
+  require(Set("inner", "left")(how), s"how must be inner|left, got $how")
 
   def resolveKeys(left: DataFrame, right: DataFrame): (String, String) = {
     val (l, r) = on match {
@@ -383,7 +390,8 @@ object SimJoin {
    * Full `join_sim` parity: pairs + assembly back to original columns
    * (/root/reference/python/polars_sim/dataframe/join.py:126-149).
    * Left rows with no candidate are dropped (inner semantics — reference README
-   * example drops charlie & david).
+   * example drops charlie & david) unless `opts.how = "left"`, which keeps them
+   * with null mapping/sim/right columns.
    */
   def simJoin(left0: DataFrame, right0: DataFrame, opts: SimJoinOptions): DataFrame = {
     var (lOn, rOn) = opts.resolveKeys(left0, right0)
@@ -398,13 +406,16 @@ object SimJoin {
     val ri = withDenseIndex(right, "col", opts.indexBy)
     val p = keyedPairs(li, "row", lOn, ri, "col", rOn, opts)
       .withColumn("sim", col("sim").cast(FloatType))
-    val leftSide = li.join(p, "row")
+    val joinHow = opts.how // "inner" | "left"
+    val leftSide = li.join(p, Seq("row"), joinHow)
     // Rename colliding right columns with the suffix (polars join suffix parity).
     val taken = leftSide.columns.toSet
     val riRenamed = ri.columns.foldLeft(ri) { (df, c) =>
       if (c != "col" && taken(c)) df.withColumnRenamed(c, c + opts.suffix) else df
     }
-    val joined = leftSide.join(riRenamed, "col")
+    // how="left": no-match rows carry a null col — the second join must keep
+    // them too (null keys never match, so matched rows are identical to inner)
+    val joined = leftSide.join(riRenamed, Seq("col"), joinHow)
     val leftCols = left.columns.map(c => col(c))
     val mapCols = if (opts.addMapping) Seq(col("row"), col("col")) else Seq.empty
     val simCols = if (opts.addSimilarity) Seq(col("sim")) else Seq.empty

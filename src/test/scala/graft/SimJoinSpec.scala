@@ -95,6 +95,28 @@ class SimJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("how=left keeps no-match left rows with null sim/right columns") {
+    // reference README semantics: inner drops charlie & david; how="left" keeps
+    // them with nulls and leaves matched rows identical to the inner result
+    val left = strDf("name", Seq("alice", "bob", "charlie", "david"))
+    val right = strDf("name", Seq("ali", "alice in wonderland", "bobby", "tom"))
+    for (strategy <- Seq("direct", "dedup")) {
+      val opts = SimJoinOptions(on = Some("name"), topN = 4, strategy = strategy)
+      val inner = SimJoin.simJoin(left, right, opts).collect()
+        .map(r => (r.getString(0), round6(r.getFloat(1).toDouble), r.getString(2))).toSet
+      val l = SimJoin.simJoin(left, right, opts.copy(how = "left"))
+      assert(l.columns.toSet == Set("name", "sim", "name_right"))
+      val rows = l.collect()
+      assert(rows.length == inner.size + 2) // charlie + david survive
+      val matched = rows.filter(!_.isNullAt(1))
+        .map(r => (r.getString(0), round6(r.getFloat(1).toDouble), r.getString(2))).toSet
+      assert(matched == inner)
+      val unmatched = rows.filter(_.isNullAt(1))
+        .map(r => (r.getString(0), r.isNullAt(2))).toSet
+      assert(unmatched == Set(("charlie", true), ("david", true)))
+    }
+  }
+
   test("tokenizer: set semantics, vocabulary filter, edge padding equivalence") {
     assert(Trigrams.tokenIds("abc").toSeq == Seq((0) * 676 + 1 * 26 + 2))
     assert(Trigrams.tokenIds("abcabc").length == 3) // abc,bca,cab — dups once
