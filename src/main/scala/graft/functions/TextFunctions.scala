@@ -26,28 +26,29 @@ object TextFunctions {
     Array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
 
   /**
-   * Deterministic polynomial string hash: sum over characters of
-   * `codepoint(c_i) * 31^((i-1) mod 8)` (1-based i). No modulus — bounded by
-   * 255 · 31^7 · len, exact in Long for len ≤ ~10k ASCII chars. Cycling the
-   * weight every 8 chars keeps products small while staying order-sensitive
-   * within an 8-char window. SQL mirror: aggregate/transform lambda, see
+   * Deterministic polynomial string hash: sum over CODE POINTS of
+   * `codepoint(c_i) * 31^((i-1) mod 8)` (1-based i). Iterating by code point —
+   * not UTF-16 code unit — matches the SQL mirror exactly on ALL input
+   * (DuckDB's substring/length/ascii are code-point based), supplementary
+   * plane included; for BMP text the two iterations coincide, so every
+   * pre-existing golden value is unchanged. No modulus — bounded by
+   * 255 · 31^7 · len, exact in Long for len ≤ ~10k ASCII chars (remaining
+   * caveat: hundreds of KB of high-code-point text can overflow Long where
+   * DuckDB's list_sum promotes to HUGEINT). Cycling the weight every 8
+   * positions keeps products small while staying order-sensitive within an
+   * 8-position window. SQL mirror: aggregate/transform lambda, see
    * SparkEntry oracle builders.
-   *
-   * INPUT ASSUMPTION (documented contract): BMP text only — this iterates
-   * UTF-16 code units (`charAt`) while the SQL mirror iterates code points, so
-   * supplementary-plane characters (emoji etc.) shift both positions and values
-   * between the two forms. All in-repo callers feed it ASCII words/shingles,
-   * where code unit = code point. Multi-hundred-KB non-ASCII docs could also
-   * overflow Long where DuckDB's list_sum promotes to HUGEINT — same ASCII/
-   * length contract covers that.
    */
   def tHash(s: String): Long = {
     if (s == null) return 0L
     var acc = 0L
-    var i = 0
+    var i = 0  // UTF-16 index
+    var p = 0  // code-point position (the SQL mirror's 1-based i, 0-based here)
     while (i < s.length) {
-      acc += s.charAt(i).toLong * HashWeights(i % 8)
-      i += 1
+      val cp = s.codePointAt(i)
+      acc += cp.toLong * HashWeights(p % 8)
+      i += Character.charCount(cp)
+      p += 1
     }
     acc
   }

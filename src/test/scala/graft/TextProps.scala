@@ -109,6 +109,28 @@ object TextProps extends Properties("TextFunctions") {
           TextFunctions.tHash(win) != TextFunctions.tHash(win.reverse))
     }
 
+  property("tHash: code-point iteration — supplementary-plane chars hash by " +
+      "code point, matching the SQL mirror's substring/ascii semantics") =
+    forAll(Gen.listOf(Gen.oneOf(
+        Gen.choose(32, 0xD7FF),              // BMP (below surrogates)
+        Gen.choose(0x10000, 0x10FFFF)))) { cps =>
+      val s = new String(cps.toArray, 0, cps.length)
+      // independent re-statement of the contract: 1-based code-point position
+      val expected = cps.zipWithIndex.map { case (cp, i) =>
+        cp.toLong * TextFunctions.HashWeights(i % 8)
+      }.sum
+      TextFunctions.tHash(s) == expected
+    }
+
+  property("tHash: BMP strings unchanged by the code-point loop (golden values)") =
+    forAll(Gen.alphaNumStr) { k =>
+      // for BMP input code units == code points: charAt-sum must still agree
+      val charSum = k.zipWithIndex.map { case (c, i) =>
+        c.toLong * TextFunctions.HashWeights(i % 8)
+      }.sum
+      TextFunctions.tHash(k) == charSum
+    }
+
   property("hash bucket stability: same key same bucket across invocations") =
     forAll(Gen.alphaNumStr) { k =>
       val h1 = ((TextFunctions.tHash(k) % 100) + 100) % 100
