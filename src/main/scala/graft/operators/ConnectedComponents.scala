@@ -7,13 +7,21 @@ import org.apache.spark.sql.functions._
  * Connected components by iterative min-label propagation — the clustering step
  * of near-duplicate deduplication (doc → canonical cluster id).
  *
- * Each iteration: every node takes the min of its own label and its neighbors'
- * labels; converges in O(component diameter) joins. Near-dup graphs are
- * overwhelmingly tiny components (pairs/triples), so 2-3 iterations suffice;
- * the iteration count, not the data, is the driver-side loop (each step is a
- * distributed join — no collect()). For adversarial long-chain graphs switch to
- * the large-star/small-star algorithm (Kiveris et al.), which squares path
- * lengths per round; not needed for dedup workloads.
+ * Two algorithms, same contract (component = min reachable id):
+ *
+ *  - [[run]] — iterative min-label propagation: every node takes the min of
+ *    its own label and its neighbors'; converges in O(component diameter)
+ *    joins. Near-dup graphs are overwhelmingly tiny components
+ *    (pairs/triples), so 2-3 iterations suffice; the iteration count, not the
+ *    data, is the driver-side loop (each step is a distributed join — no
+ *    collect()).
+ *  - [[runStar]] — alternating large-star/small-star (Kiveris et al.,
+ *    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+ *    rewires every node toward its neighborhood minimum, roughly squaring the
+ *    distance covered per round — O(log² n) rounds on ANY graph, so a
+ *    10⁶-node chain needs ~20 rounds where propagation needs 10⁶. Use it when
+ *    component diameters are unknown/adversarial; [[run]] remains the cheaper
+ *    choice for shallow dedup graphs.
  */
 object ConnectedComponents {
 
@@ -86,6 +94,85 @@ object ConnectedComponents {
     cachedFrame.unpersist()
     nodes.select(col(idCol).as("__id"))
       .join(finalLabels, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__comp"), col("__id")).as("component"))
+  }
+
+  /** Large-star: every strictly-larger neighbor of u is rewired to
+    * min(Γ(u) ∪ {u}). Input edges in any orientation; output edges all point
+    * strictly downward (larger id → smaller id). Preserves connectivity
+    * (Kiveris et al. Lemma 1) while collapsing high branches. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("__u"), col("__v"))
+      .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
+    val minN = sym.union(sym.select(col("__u"), col("__u").as("__v")))
+      .groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+    sym.filter(col("__v") > col("__u"))
+      .join(minN, "__u")
+      .select(col("__v").as("__u"), col("__m").as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+  }
+
+  /** Small-star: on downward-pointing edges, every smaller neighbor of u is
+    * rewired to m = min(Γ(u)), and u keeps its own edge to m. Output edges
+    * still point strictly downward. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val minN = e.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+    val moved = e.join(minN, "__u")
+      .filter(col("__v") =!= col("__m"))
+      .select(col("__v").as("__u"), col("__m").as("__v"))
+    moved.union(minN.select(col("__u"), col("__m").as("__v")))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+  }
+
+  /**
+   * Alternating large-star/small-star components (Kiveris et al., SoCC'14) —
+   * the adversarial-diameter path: O(log² n) rounds regardless of component
+   * shape, where [[run]] needs O(diameter) rounds. Same output contract as
+   * [[run]]: (idCol, component), component = min node id reachable.
+   *
+   * Per round: large-star + small-star (2 aggregations + 2 joins, all sized to
+   * the edge frame), then one checksum action for convergence (count +
+   * order-independent XOR of xxhash64(u, v) — XOR, not SUM, so it cannot
+   * overflow under ANSI mode; the pair matches across rounds only when the
+   * edge SET is unchanged, which for this monotone contraction means a fixed
+   * point, i.e. a forest of stars). No collect(), no driver-side graph state.
+   */
+  def runStar(
+      nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    // Each round's plan references the previous round's frame ~9 times (both
+    // stars read their input severally), so carrying lineage would grow the
+    // logical plan 9^round — localCheckpoint each round materializes the edge
+    // frame AND cuts lineage, keeping every round's plan flat. Blocks are
+    // reference-tracked (freed by the ContextCleaner when the frame is
+    // dropped), so no session-lifetime cache leaks either.
+    var e = edges.select(col(aCol).as("__u"), col(bCol).as("__v"))
+      .filter(col("__u") =!= col("__v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev: (Long, Long) = (-1L, 0L)
+    var round = 0
+    var converged = e.isEmpty
+    while (round < maxRounds && !converged) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val chkRow = next
+        .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L))).head
+      val chk = (chkRow.getLong(0), chkRow.getLong(1))
+      e = next
+      converged = chk == prev
+      prev = chk
+      round += 1
+    }
+    // stars point every non-root node at its component minimum; roots and
+    // isolated nodes label themselves via the left join
+    val finalEdges = e
+    nodes.select(col(idCol).as("__id"))
+      .join(finalEdges.select(col("__u").as("__id"), col("__v").as("__comp")),
+        Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__comp"), col("__id")).as("component"))
   }

@@ -185,6 +185,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L, 7L -> 6L))
   }
 
+  test("runStar: adversarial 60-chain resolves exactly in O(log) rounds") {
+    val s = spark
+    import s.implicits._
+    // diameter 59 — label propagation's default maxIter=20 cannot finish this;
+    // the alternating algorithm must (and within its default 30 rounds)
+    val n = 60L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = ConnectedComponents.runStar(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == n && comp.values.forall(_ == 1L))
+  }
+
+  test("runStar agrees with run on random shallow graphs, and on singletons") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 40L).toDF("id")
+    val edges = Seq.fill(30)((rnd.nextLong(40).abs, rnd.nextLong(40).abs))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val viaProp = ConnectedComponents.run(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = ConnectedComponents.runStar(nodes, "id", edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+    // no edges at all: every node is its own component
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val solo = ConnectedComponents.runStar(nodes, "id", empty, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(solo.forall { case (k, v) => k == v })
+  }
+
   test("embeddingPairs + SimSearch.topK on hand-built vectors") {
     val s = spark
     import s.implicits._
