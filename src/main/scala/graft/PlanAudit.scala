@@ -20,7 +20,7 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq(
-      "simjoin_l2", "simjoin_direct", "simjoin_full", "ann_topk", "ann_ivf",
+      "simjoin_l2", "simjoin_direct", "simjoin_full", "simjoin_left", "ann_topk", "ann_ivf",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_winnow",
       "events_windowed", "events_correlate", "text_quality", "text_xent")
     for (name <- interesting) {

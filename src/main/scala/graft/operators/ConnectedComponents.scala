@@ -56,8 +56,7 @@ object ConnectedComponents {
     // end as their own singleton components.
     val edgeNodes = sym.select(col("__src").as("__id")).distinct().cache()
     var labels = edgeNodes.select(col("__id"), col("__id").as("__comp"))
-      .repartition(parts, col("__id")).cache()
-    var cachedFrame = labels // the .cache()'d frame backing `labels`, for unpersist
+      .repartition(parts, col("__id")).localCheckpoint(true)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -68,32 +67,30 @@ object ConnectedComponents {
         .select(col("__src").as("__id"), col("__nmin"))
       // Carry the changed-flag inside the propagation frame so convergence is
       // one aggregate over `next` — no second join / second action per round.
+      //
+      // localCheckpoint, NOT cache: caching reuses physical results but the
+      // LOGICAL plan still nests the whole previous iteration ~3× per round,
+      // so deep iteration (long-diameter graphs near maxIter) grows the plan
+      // ~3^iter and Catalyst dies building it (observed: OOM in plan
+      // stringification at ~20 rounds). The lazy checkpoint is materialized by
+      // the convergence aggregate below — no extra job — and its blocks are
+      // reference-tracked (freed by the ContextCleaner), unlike cacheManager
+      // blocks which outlive the call (the r3 bench leak).
       val next = labels.join(neighborMin, Seq("__id"), "left")
         .select(col("__id"),
           least(col("__comp"), coalesce(col("__nmin"), col("__comp"))).as("__comp"),
           (coalesce(col("__nmin"), col("__comp")) < col("__comp")).as("__changed"))
-        .cache()
+        .localCheckpoint(false)
       val anyChanged = next
         .agg(coalesce(max(col("__changed")), lit(false))).head.getBoolean(0)
-      cachedFrame.unpersist()
-      cachedFrame = next
       labels = next.select(col("__id"), col("__comp"))
       converged = !anyChanged
       iter += 1
     }
     sym.unpersist()
     edgeNodes.unpersist()
-    // Hand the caller a lineage-cut copy of the terminal labels and drop the
-    // loop's cache BEFORE returning: the final `next.cache()` used to stay
-    // registered for the whole session (r3 judge: every bench query after a CC
-    // run paid for these orphaned blocks). localCheckpoint materializes the
-    // (small: edge-touched nodes only) label frame eagerly; its blocks are
-    // reference-tracked and freed by the ContextCleaner once the result is
-    // unreferenced, unlike cacheManager-registered plans which live forever.
-    val finalLabels = labels.localCheckpoint(true)
-    cachedFrame.unpersist()
     nodes.select(col(idCol).as("__id"))
-      .join(finalLabels, Seq("__id"), "left")
+      .join(labels, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__comp"), col("__id")).as("component"))
   }
@@ -146,10 +143,11 @@ object ConnectedComponents {
       maxRounds: Int = 30): DataFrame = {
     // Each round's plan references the previous round's frame ~9 times (both
     // stars read their input severally), so carrying lineage would grow the
-    // logical plan 9^round — localCheckpoint each round materializes the edge
-    // frame AND cuts lineage, keeping every round's plan flat. Blocks are
-    // reference-tracked (freed by the ContextCleaner when the frame is
-    // dropped), so no session-lifetime cache leaks either.
+    // logical plan 9^round — the per-round localCheckpoint cuts it, keeping
+    // every round's plan flat. Lazy checkpoints piggyback on the round's
+    // checksum action (no extra job); blocks are reference-tracked (freed by
+    // the ContextCleaner when the frame is dropped), so no session-lifetime
+    // cache leaks either.
     var e = edges.select(col(aCol).as("__u"), col(bCol).as("__v"))
       .filter(col("__u") =!= col("__v"))
       .distinct()
@@ -158,7 +156,7 @@ object ConnectedComponents {
     var round = 0
     var converged = e.isEmpty
     while (round < maxRounds && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val chkRow = next
         .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L))).head
       val chk = (chkRow.getLong(0), chkRow.getLong(1))

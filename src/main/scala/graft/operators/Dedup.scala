@@ -251,19 +251,27 @@ object Dedup {
    * of each component (singletons keep themselves). The composition consumers
    * actually want from `pairs → clusters` — ONE survivor per transitive
    * near-dup group, unlike pairwise higher-id removal (see [[CleanCorpus]]'s
-   * independent-set note). The guarantee holds for components whose diameter
-   * is within `maxIter` propagation rounds (near-dup clusters are
-   * overwhelmingly pairs/triples; raise `maxIter` for adversarial chain
-   * graphs — propagation past convergence costs nothing).
+   * independent-set note).
+   *
+   * @param algorithm "propagation" (default — min-label iteration, cheapest
+   *        for the shallow pair/triple components near-dup graphs produce;
+   *        exact only for components whose diameter fits in `maxIter` rounds)
+   *        or "star" ([[ConnectedComponents.runStar]] — O(log² n) rounds on
+   *        ANY component shape, the choice when cluster diameters are unknown
+   *        or adversarial; `maxIter` then bounds star rounds).
    * @return the surviving rows of `docs`, original schema.
    */
   def canonicalize(
       docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, algorithm: String = "propagation"): DataFrame = {
+    require(Set("propagation", "star")(algorithm),
+      s"algorithm must be propagation|star, got $algorithm")
     // component = min reachable id (ConnectedComponents contract), so the
     // cluster representative is exactly the row whose id equals its component
-    val comp = ConnectedComponents.run(docs, idCol, pairs, aCol, bCol, maxIter)
+    val comp =
+      if (algorithm == "star") ConnectedComponents.runStar(docs, idCol, pairs, aCol, bCol, maxIter)
+      else ConnectedComponents.run(docs, idCol, pairs, aCol, bCol, maxIter)
     docs.join(comp.filter(col(idCol) === col("component")).select(col(idCol)), idCol)
   }
 

@@ -377,6 +377,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     val survivors = Dedup.canonicalize(docs, "doc_id", pairs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(survivors == Set(1L, 4L, 5L)) // min of each cluster + the singleton
+    // the adversarial-diameter algorithm gives the same survivors
+    val viaStar = Dedup.canonicalize(docs, "doc_id", pairs, algorithm = "star")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaStar == survivors)
   }
 
   test("Decontaminate.flagged: 13-gram collision flags the leaked doc only") {
