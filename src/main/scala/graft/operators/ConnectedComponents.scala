@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
  *    10⁶-node chain needs ~20 rounds where propagation needs 10⁶. Use it when
  *    component diameters are unknown/adversarial; [[run]] remains the cheaper
  *    choice for shallow dedup graphs.
+ *
+ * Fault-tolerance note: both loops cut lineage with `localCheckpoint`, whose
+ * blocks live only on executors — losing an executor mid-run fails the job
+ * (resubmit it) instead of silently recomputing as a cache would. That is the
+ * standard iterative-graph trade (uncut lineage grows the logical plan
+ * exponentially in rounds — see the loop comments); swap in reliable
+ * `checkpoint()` against an HDFS checkpoint dir for long cluster runs where
+ * executor churn is expected.
  */
 object ConnectedComponents {
 
@@ -166,11 +174,16 @@ object ConnectedComponents {
       round += 1
     }
     // stars point every non-root node at its component minimum; roots and
-    // isolated nodes label themselves via the left join
-    val finalEdges = e
+    // isolated nodes label themselves via the left join. The min-aggregate is
+    // the identity on a converged star forest (one edge per non-root node) but
+    // preserves the one-row-per-node contract if the loop exhausted maxRounds
+    // before the fixed point — a node can then still hold edges to several
+    // hubs, and a raw join would fan out (labels degrade to best-so-far, the
+    // same failure mode as run() past maxIter, instead of duplicating rows).
+    val labels = e.groupBy(col("__u")).agg(min(col("__v")).as("__comp"))
+      .select(col("__u").as("__id"), col("__comp"))
     nodes.select(col(idCol).as("__id"))
-      .join(finalEdges.select(col("__u").as("__id"), col("__v").as("__comp")),
-        Seq("__id"), "left")
+      .join(labels, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__comp"), col("__id")).as("component"))
   }

@@ -29,8 +29,13 @@ object SimDedup {
       df: DataFrame, idCol: String, keyCol: String,
       threshold: Double, normalization: String = "l2"): DataFrame = {
     val keys = df.select(col(keyCol).as("__key")).filter(col("__key").isNotNull).distinct()
-    // dense Long id per distinct key: CC label frames carry longs, not strings
+    // dense Long id per distinct key: CC label frames carry longs, not strings.
+    // Materialized once (localCheckpoint) — four subtrees consume it (both
+    // edge-endpoint mappings, the CC node frame, the component join-back), and
+    // the zipWithIndex pipeline behind DenseRank defeats exchange reuse, so an
+    // unmaterialized frame would re-run the distinct+range-sort four times.
     val keyIds = DenseRank.appendIndex(keys, Seq(col("__key")), "__kid")
+      .localCheckpoint(true)
     val edges = SimJoin.thresholdPairs(
         keys, "__key", "__key", keys, "__key", "__key", threshold,
         SimJoinOptions(normalization = normalization, strategy = "direct"),

@@ -161,12 +161,15 @@ object SimJoin {
    * LongType (the kernel's output id type — dispatching on other id types
    * would silently change the result schema).
    */
+  /** Shared broadcast/collect bound for kernel dispatch and the SimSearch
+    * collect guards — one knob if a deployment retunes it. */
+  private[graft] val MaxBroadcastBytes: BigInt = BigInt(512L << 20)
+
   private[graft] def kernelEligible(
       left: DataFrame, leftId: String, right: DataFrame, rightId: String): Boolean = {
-    val maxBroadcastBytes = BigInt(512L << 20)
     def isLong(df: DataFrame, c: String): Boolean =
       df.schema(df.schema.fieldIndex(c)).dataType == LongType
-    right.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBroadcastBytes &&
+    right.queryExecution.optimizedPlan.stats.sizeInBytes <= MaxBroadcastBytes &&
       isLong(left, leftId) && isLong(right, rightId)
   }
 
@@ -362,11 +365,10 @@ object SimJoin {
    * broadcastable (< 512 MB estimated) — at 100 TB an unconditional hint would OOM.
    */
   private[graft] def autoBroadcastSide(left: DataFrame, right: DataFrame): String = {
-    val maxBroadcastBytes = BigInt(512L << 20)
     val l = left.queryExecution.optimizedPlan.stats.sizeInBytes
     val r = right.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (l * 100 <= r && l <= maxBroadcastBytes) "left"
-    else if (r * 100 <= l && r <= maxBroadcastBytes) "right"
+    if (l * 100 <= r && l <= MaxBroadcastBytes) "left"
+    else if (r * 100 <= l && r <= MaxBroadcastBytes) "right"
     else "none"
   }
 

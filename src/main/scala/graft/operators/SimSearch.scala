@@ -58,21 +58,32 @@ object SimSearch {
   }
 
   /** Fail fast BEFORE collecting the query side to the driver: its Catalyst
-    * size estimate must be under the same 512 MB bound as
-    * [[SimJoin.kernelEligible]]'s broadcast guard. The kernel search operators
-    * are shaped for queries ≪ corpus; without this, a user passing a
-    * corpus-sized frame as `queries` gets a slow driver OOM instead of an
-    * actionable error. */
+    * size estimate must be under the same bound as
+    * [[SimJoin.kernelEligible]]'s broadcast guard ([[SimJoin.MaxBroadcastBytes]]).
+    * The kernel search operators are shaped for queries ≪ corpus; without
+    * this, a user passing a corpus-sized frame as `queries` gets a slow driver
+    * OOM instead of an actionable error.
+    *
+    * CAVEAT: without CBO, Spark's size-only estimator passes a Filter's child
+    * size through UNCHANGED, so a slim filtered slice of a huge table (e.g.
+    * `corpus.filter(id < 50)`) carries the full table's estimate and can trip
+    * the guard spuriously once the table outgrows the bound. That is why the
+    * bound is a parameter: callers who KNOW their filtered query side is small
+    * raise `maxQueryBytes` or pass 0 to disable, rather than losing the
+    * fail-fast for everyone else. */
   private[operators] def requireCollectableQueries(
-      queries: DataFrame, qId: String, qVec: String): Unit = {
-    val maxBytes = BigInt(512L << 20)
-    val est = queries.select(col(qId), col(qVec))
-      .queryExecution.optimizedPlan.stats.sizeInBytes
-    require(est <= maxBytes,
-      s"query side too large to collect to the driver: Catalyst size estimate $est bytes " +
-        s"exceeds the $maxBytes-byte (512 MB) guard. These operators broadcast the QUERY " +
-        "side — pass the smaller frame as queries, or use the fully-relational " +
-        "Dedup.embeddingPairsLsh path which never collects either side")
+      queries: DataFrame, qId: String, qVec: String,
+      maxQueryBytes: Long): Unit = {
+    if (maxQueryBytes > 0L) {
+      val est = queries.select(col(qId), col(qVec))
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      require(est <= BigInt(maxQueryBytes),
+        s"query side too large to collect to the driver: Catalyst size estimate $est bytes " +
+          s"exceeds the $maxQueryBytes-byte guard. These operators broadcast the QUERY " +
+          "side — pass the smaller frame as queries, raise maxQueryBytes (or 0 to disable) " +
+          "if the estimate is a filter-blind overcount, or use the fully-relational " +
+          "Dedup.embeddingPairsLsh path which never collects either side")
+    }
   }
 
   /** Codegen'd native form of [[cosineCol]] ([[graft.functions.CosineSimExpr]])
@@ -105,12 +116,13 @@ object SimSearch {
       queries: DataFrame, qId: String, qVec: String,
       minCos: Double = Double.NegativeInfinity,
       onlyQueryLess: Boolean = false,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
-    requireCollectableQueries(queries, qId, qVec)
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
     val spark = corpus.sparkSession
     val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1)) None
@@ -166,9 +178,10 @@ object SimSearch {
   def topK(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     val scored = broadcastCosine(corpus, cId, cVec, queries, qId, qVec,
-      excludeSelf = excludeSelf)
+      excludeSelf = excludeSelf, maxQueryBytes = maxQueryBytes)
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
@@ -238,14 +251,15 @@ object SimSearch {
   def topKLsh(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nPlanes: Int = 8, nTables: Int = 1, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, nPlanes: Int = 8, nTables: Int = 1, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     require(nPlanes > 0 && nPlanes <= 32, s"need 0 < nPlanes <= 32, got $nPlanes")
     require(nTables > 0, s"need nTables > 0, got $nTables")
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
-    requireCollectableQueries(queries, qId, qVec)
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
     val spark = corpus.sparkSession
     // one shared map over all tables, keyed (t << nPlanes) | bucket
     val qByBucket: Map[Long, Array[(Long, Array[Float], Double)]] =
@@ -275,19 +289,30 @@ object SimSearch {
         else {
           val cid = r.getLong(0)
           val cv = r.getSeq[Float](1).toArray
-          var cn = 0.0; var i = 0
-          while (i < cv.length) { cn += cv(i).toDouble * cv(i).toDouble; i += 1 }
-          if (cn == 0.0) Iterator.empty
-          else {
-            val cSqrt = math.sqrt(cn)
-            // OR-amplification: gather candidates across tables, score each
-            // colliding query once (dedup by query id)
-            val seen = new java.util.HashSet[Long]()
-            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-            var t = 0
-            while (t < nTables) {
-              buckets.get((t.toLong << nPlanes) | bucketOf(cv, nPlanes, t * nPlanes)) match {
-                case Some(qs) =>
+          // Probe all tables FIRST: the overwhelming majority of corpus rows
+          // collide with no query in any table, and must pay only the bucket
+          // hashes — the O(d) norm pass and the per-row collections are
+          // allocated lazily on the first hit.
+          var seen: java.util.HashSet[Long] = null
+          var out: scala.collection.mutable.ArrayBuffer[Row] = null
+          var cSqrt = 0.0
+          var t = 0
+          while (t < nTables) {
+            buckets.get((t.toLong << nPlanes) | bucketOf(cv, nPlanes, t * nPlanes)) match {
+              case Some(qs) =>
+                if (out == null) {
+                  var cn = 0.0; var i = 0
+                  while (i < cv.length) { cn += cv(i).toDouble * cv(i).toDouble; i += 1 }
+                  if (cn == 0.0) t = nTables // zero vector: skip all tables
+                  else {
+                    cSqrt = math.sqrt(cn)
+                    seen = new java.util.HashSet[Long]()
+                    out = scala.collection.mutable.ArrayBuffer.empty[Row]
+                  }
+                }
+                if (out != null) {
+                  // OR-amplification: score each colliding query once (dedup
+                  // by query id across tables)
                   var qi = 0
                   while (qi < qs.length) {
                     val (qid, qv, qSqrt) = qs(qi)
@@ -299,12 +324,12 @@ object SimSearch {
                     }
                     qi += 1
                   }
-                case None => ()
-              }
-              t += 1
+                }
+              case None => ()
             }
-            out.iterator
+            t += 1
           }
+          if (out == null) Iterator.empty else out.iterator
         }
       }
     }
@@ -337,14 +362,15 @@ object SimSearch {
   def topKIvf(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nList: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+      k: Int, nList: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     require(nList > 0 && nProbe > 0 && nProbe <= nList,
       s"need 0 < nProbe <= nList, got nList=$nList nProbe=$nProbe")
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
-    requireCollectableQueries(queries, qId, qVec)
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
     val spark = corpus.sparkSession
     def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
       if (r.isNullAt(0) || r.isNullAt(1)) None

@@ -198,6 +198,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(comp.size == n && comp.values.forall(_ == 1L))
   }
 
+  test("runStar keeps one row per node even when maxRounds is exhausted") {
+    val s = spark
+    import s.implicits._
+    // mid-run edge sets are not star forests — a node can point at several
+    // hubs; the terminal min-aggregate must still emit exactly one label each
+    val n = 30L
+    val nodes = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val out = ConnectedComponents.runStar(nodes, "id", edges, "a", "b", maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == n) // one row per node, no join fan-out
+    assert(out.toMap.forall { case (id, comp) => comp <= id }) // labels only improve downward
+  }
+
   test("runStar agrees with run on random shallow graphs, and on singletons") {
     val s = spark
     import s.implicits._
