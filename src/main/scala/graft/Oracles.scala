@@ -58,12 +58,14 @@ object Oracles {
       """SELECT lid AS "row", rid AS "col", CAST(sim AS REAL) AS sim""")
   }
 
-  /** Mirror of SimJoin.simJoin with how="left": left = part names, right =
-    * brands of part < 300; LEFT JOIN assembly keeps no-match left rows with
-    * null sim / right columns. */
+  /** Mirror of SimJoin.simJoin with how="left": left key = sparse regexp
+    * extract of part names (empty → zero trigrams → no candidate), right =
+    * names of part < 300; LEFT JOIN assembly keeps no-match left rows with
+    * null sim / right columns while matched rows carry the usual top-n. */
   def simJoinLeftSql(topN: Int): String = {
-    val lSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part"
-    val rSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_brand AS s " +
+    val lSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, " +
+      "regexp_extract(p_name, 'gizmo|widget', 0) AS s FROM part"
+    val rSel = "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s " +
       "FROM part WHERE p_partkey < 300"
     s"""WITH ${trigramCtes("l", lSel)},
        |${trigramCtes("r", rSel)},
@@ -81,11 +83,12 @@ object Oracles {
        |  FROM sims
        |),
        |fin AS (SELECT lid, rid, CAST(sim AS REAL) AS sim FROM ranked WHERE rn <= $topN),
-       |lw AS (SELECT p_partkey, p_name, row_number() OVER (ORDER BY p_partkey) - 1 AS _lid FROM part),
-       |rw AS (SELECT p_partkey, p_brand, row_number() OVER (ORDER BY p_partkey) - 1 AS _rid
+       |lw AS (SELECT p_partkey, regexp_extract(p_name, 'gizmo|widget', 0) AS probe,
+       |       row_number() OVER (ORDER BY p_partkey) - 1 AS _lid FROM part),
+       |rw AS (SELECT p_partkey, p_name, row_number() OVER (ORDER BY p_partkey) - 1 AS _rid
        |       FROM part WHERE p_partkey < 300)
-       |SELECT l.p_partkey, l.p_name, f.sim,
-       |       r.p_partkey AS p_partkey_right, r.p_brand
+       |SELECT l.p_partkey, l.probe, f.sim,
+       |       r.p_partkey AS p_partkey_right, r.p_name
        |FROM lw l LEFT JOIN fin f ON f.lid = l._lid LEFT JOIN rw r ON f.rid = r._rid""".stripMargin
   }
 

@@ -79,6 +79,26 @@ object Smoke {
       .map(r => r.getString(0) + "=" + r.getLong(1)).sorted.mkString(" ")
     println("split " + sp)
 
+    // round-4 surfaces: left-join assembly, star components, guard knob
+    val lj = SimJoin.simJoin(
+      part.select("p_partkey", "p_name"),
+      part.filter(col("p_partkey") < 100).select("p_partkey", "p_brand"),
+      SimJoinOptions(leftOn = Some("p_name"), rightOn = Some("p_brand"),
+        topN = 2, indexBy = Some("p_partkey"), how = "left"))
+    println("simJoin(left) rows=" + lj.count() +
+      " unmatched=" + lj.filter(col("sim").isNull).count())
+    val starComp = graft.operators.ConnectedComponents.runStar(
+      part.select(col("p_partkey").as("id")), "id",
+      part.filter(col("p_partkey") < 50)
+        .select(col("p_partkey").as("a"), (col("p_partkey") + 1L).as("b")), "a", "b")
+    println("runStar components=" + starComp.select("component").distinct().count())
+    val guardMsg = try {
+      graft.operators.SimSearch.topK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 1, maxQueryBytes = 1L).count().toString
+    } catch { case e: IllegalArgumentException =>
+      "error: " + Option(e.getMessage).getOrElse("").take(60) }
+    println("PROBE maxQueryBytes=1 -> " + guardMsg)
+
     // error-surface probes
     try SimJoinOptions(topN = 0)
     catch { case e: IllegalArgumentException => println("PROBE topN=0 -> " + e.getMessage) }

@@ -83,14 +83,16 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_name_normalized"))
     }),
     "simjoin_left" -> ((s, dir) => {
-      // how="left" extension: names vs brands — brands tokenize to only
-      // {"ran","and"} so many left rows have NO candidate and must survive
-      // with null sim/right columns
+      // how="left" extension with a REAL matched/unmatched mix: the left key
+      // is a sparse regexp extract — empty for ~75% of rows (zero trigrams →
+      // no candidate → null-padded), 'gizmo'/'widget' for the rest (matched) —
+      // so the gate covers BOTH branches of the left assembly
       val part = rd(s, dir, "part")
       SimJoin.simJoin(
-        part.select(col("p_partkey"), col("p_name")),
-        part.filter(col("p_partkey") < 300).select(col("p_partkey"), col("p_brand")),
-        SimJoinOptions(leftOn = Some("p_name"), rightOn = Some("p_brand"), topN = 2,
+        part.select(col("p_partkey"),
+          regexp_extract(col("p_name"), "gizmo|widget", 0).as("probe")),
+        part.filter(col("p_partkey") < 300).select(col("p_partkey"), col("p_name")),
+        SimJoinOptions(leftOn = Some("probe"), rightOn = Some("p_name"), topN = 2,
           indexBy = Some("p_partkey"), how = "left"))
     }),
     "simjoin_wordnorm" -> ((s, dir) => {
