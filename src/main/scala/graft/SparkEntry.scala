@@ -220,6 +220,10 @@ object SparkEntry {
         explode(TextFunctions.winnowUdf(8, 4)(col("text"))).as("fingerprint"))),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
+    "pack_shards" -> ((s, dir) =>
+      Packing.packByBudget(
+        rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 10000L)),
     "text_redact" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         redactPiiCol(col("text")).as("redacted"))
@@ -640,6 +644,20 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent
         |FROM w JOIN q USING (w) GROUP BY doc_id""".stripMargin,
+    "pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 10000 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/**
+ * Scale-safe distributed prefix sums and fixed-budget shard packing — the
+ * sharding step of a training-data pipeline: give every document a running
+ * token offset and a shard id so each shard holds ~`budget` tokens in a
+ * deterministic global order.
+ *
+ * The naive SQL form — `sum(n) OVER (ORDER BY id)` with no PARTITION BY —
+ * funnels the whole table through ONE task (Spark's partition-less window),
+ * the same scale trap [[DenseRank]] exists to avoid. This is instead the
+ * classic two-pass distributed scan:
+ *
+ *   1. range-partition + sort by `idCol` (global order across partitions);
+ *   2. one pass computing per-partition totals — collects exactly ONE Long
+ *      per partition, driver-safe at any scale;
+ *   3. exclusive-prefix those totals on the driver, broadcast;
+ *   4. one pass emitting each row's inclusive running total = partition
+ *      offset + running sum within the partition. The second pass reuses the
+ *      first pass's range-exchange shuffle files (same RDD — the sort is not
+ *      recomputed).
+ *
+ * Caller contract (shared with [[DenseRank]]): `idCol` values are unique and
+ * non-null, so the order — and therefore every cumulative sum — is
+ * deterministic regardless of physical layout.
+ */
+object Packing {
+
+  /**
+   * Slim prefix-sum relation: (idCol, nCol cast Long, cumOut = inclusive
+   * prefix sum of nCol in ascending idCol order). Join back to the full frame
+   * by idCol if other columns are needed.
+   */
+  def withPrefixSum(
+      df: DataFrame, idCol: String, nCol: String, cumOut: String = "cum"): DataFrame = {
+    require(idCol != nCol && nCol != cumOut && idCol != cumOut,
+      s"idCol/nCol/cumOut must be distinct, got $idCol/$nCol/$cumOut")
+    val spark = df.sparkSession
+    val slim = df.select(col(idCol), col(nCol).cast("long").as(nCol))
+    val sorted = slim.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
+    val rdd = sorted.rdd // shared by both passes — the range shuffle runs once
+    val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = 0L
+      it.foreach { r => if (!r.isNullAt(1)) s += r.getLong(1) }
+      Iterator((pi, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(cumOut, LongType, nullable = false))
+    val outRdd = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var s = bc.value(pi)
+      it.map { r =>
+        if (!r.isNullAt(1)) s += r.getLong(1)
+        Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /**
+   * Fixed-budget contiguous shard packing: (idCol, nCol, cumOut, shardOut)
+   * with `shard = (cum - n) div budget` — the shard whose token window
+   * contains the document's START offset. Deterministic and exactly
+   * SQL-mirrorable; a document may straddle a shard boundary (inherent to any
+   * fixed-size packing — the training loader consuming shard files owns the
+   * tail handling).
+   */
+  def packByBudget(
+      df: DataFrame, idCol: String, nCol: String, budget: Long,
+      cumOut: String = "cum_tokens", shardOut: String = "shard"): DataFrame = {
+    require(budget > 0L, s"budget must be positive, got $budget")
+    withPrefixSum(df, idCol, nCol, cumOut)
+      .withColumn(shardOut, expr(s"(`$cumOut` - `$nCol`) div ${budget}L"))
+  }
+}

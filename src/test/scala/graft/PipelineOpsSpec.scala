@@ -175,6 +175,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Packing: distributed prefix sum matches scanLeft, invariant to layout") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 50L).map(i => (i, i % 7))
+    val expectedCum = rows.map(_._2).scanLeft(0L)(_ + _).tail
+    for (parts <- Seq(1, 3, 8)) {
+      val df = rows.toDF("id", "n").repartition(parts)
+      val got = Packing.withPrefixSum(df, "id", "n", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+      assert(got.map(_._2).toSeq == expectedCum, s"parts=$parts")
+    }
+    // shard = start-offset div budget: contiguous, non-decreasing, bounded
+    val packed = Packing.packByBudget(rows.toDF("id", "n"), "id", "n", budget = 20L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    packed.foreach { case (_, n, cum, shard) => assert(shard == (cum - n) / 20L) }
+    assert(packed.map(_._4).toSeq == packed.map(_._4).toSeq.sorted) // non-decreasing
+  }
+
   test("connected components: chains collapse to min id") {
     val s = spark
     import s.implicits._
