@@ -224,6 +224,8 @@ object SparkEntry {
       Packing.packByBudget(
         rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", 10000L)),
+    "shuffle_order" -> ((s, dir) =>
+      Sampling.withShuffleOrder(rd(s, dir, "documents").select(col("doc_id")), "doc_id")),
     "text_redact" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         redactPiiCol(col("text")).as("redacted"))
@@ -658,6 +660,11 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - n_tokens) // 10000 AS BIGINT) AS shard
         |FROM c""".stripMargin,
+    "shuffle_order" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} AS sh FROM documents
+         |)
+         |SELECT doc_id, row_number() OVER (ORDER BY sh, doc_id) - 1 AS pos FROM h""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -47,4 +47,23 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")))
   }
+
+  /**
+   * Deterministic global shuffle order: `posOut` = the row's dense 0-based
+   * position when the corpus is sorted by `(tHash(key), key)` — a reproducible
+   * pseudo-random permutation (shuffle-before-sharding for training order)
+   * that never changes across re-runs or re-partitioning, unlike
+   * `orderBy(rand())`. The hash breaks key locality; the key itself breaks
+   * hash-collision ties so the order is total. Computed with the scale-safe
+   * [[DenseRank]] (range-partition + zipWithIndex), NOT a partition-less
+   * window. Compose with [[Packing.packByBudget]] on `posOut` to shuffle THEN
+   * pack shards.
+   */
+  def withShuffleOrder(df: DataFrame, keyCol: String, posOut: String = "pos"): DataFrame = {
+    val hashed = df.select(col(keyCol), tHashUdf(col(keyCol).cast("string")).as("__shash"))
+    val ids = DenseRank.appendIndex(
+        hashed, Seq(col("__shash"), col(keyCol)), posOut, failOnNullCol = Some(keyCol))
+      .select(col(keyCol), col(posOut))
+    df.join(ids, keyCol)
+  }
 }

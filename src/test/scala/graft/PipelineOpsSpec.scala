@@ -194,6 +194,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(packed.map(_._4).toSeq == packed.map(_._4).toSeq.sorted) // non-decreasing
   }
 
+  test("Sampling.withShuffleOrder: dense deterministic permutation, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 40L).map(i => (i, s"payload $i"))
+    val runs = Seq(1, 4).map { parts =>
+      Sampling.withShuffleOrder(rows.toDF("id", "payload").repartition(parts), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    assert(runs(0) == runs(1)) // physical layout can't move anything
+    val pos = runs.head.values.toSeq.sorted
+    assert(pos == (0L until 40L)) // dense 0-based permutation, one per row
+    // it actually shuffles: not the identity (sorted-by-id) order
+    assert(runs.head.toSeq.sortBy(_._1).map(_._2) != (0L until 40L).toSeq)
+  }
+
   test("connected components: chains collapse to min id") {
     val s = spark
     import s.implicits._
