@@ -62,4 +62,27 @@ object CorpusStats {
         round(col("__s").cast("double") / (col("__n").cast("double") * lit(1000000.0)), 4)
           .as("xent"))
   }
+
+  /**
+   * EXACT global percentile filter: keep precisely the top `pct`% of rows by
+   * `(scoreCol desc, idCol asc)` — `floor(n·pct/100)` rows, integer
+   * arithmetic, deterministic ties. The curation step "keep the best 60% by
+   * quality" needs an exact, reproducible cut: `approxQuantile` drifts
+   * between runs and partitionings, and a threshold learned on a sample moves
+   * with the sample. Ranking runs on the scale-safe [[DenseRank]] path
+   * (range-partition + zipWithIndex over a slim (id, score) projection), NOT
+   * a partition-less window; cost = one count job + the rank's slim sort.
+   * @return (idCol, scoreCol) for the surviving rows — join back by id for
+   *         the full frame.
+   */
+  def keepTopPercent(
+      df: DataFrame, idCol: String, scoreCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    val slim = df.select(col(idCol), col(scoreCol))
+    val keep = slim.count() * pct / 100
+    DenseRank.appendIndex(slim, Seq(col(scoreCol).desc, col(idCol).asc), "__rank",
+        failOnNullCol = Some(idCol))
+      .filter(col("__rank") < keep)
+      .select(col(idCol), col(scoreCol))
+  }
 }

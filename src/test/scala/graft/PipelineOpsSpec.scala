@@ -209,6 +209,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(runs.head.toSeq.sortBy(_._1).map(_._2) != (0L until 40L).toSeq)
   }
 
+  test("keepTopPercent: exact count, highest scores survive, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 40L).map(i => (i, (i * 17 % 23).toDouble)) // ties at same score
+    for (parts <- Seq(1, 4)) {
+      val kept = CorpusStats.keepTopPercent(
+          rows.toDF("id", "score").repartition(parts), "id", "score", 25)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(kept.size == 10) // floor(40 * 25 / 100) exactly
+      // survivors = top 10 under (score desc, id asc)
+      val expected = rows.sortBy { case (id, sc) => (-sc, id) }.take(10).toSet
+      assert(kept == expected, s"parts=$parts")
+    }
+    assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 0).count() == 0)
+    assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
+  }
+
   test("connected components: chains collapse to min id") {
     val s = spark
     import s.implicits._
