@@ -78,7 +78,10 @@ object CorpusStats {
   def keepTopPercent(
       df: DataFrame, idCol: String, scoreCol: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
-    val slim = df.select(col(idCol), col(scoreCol))
+    // materialize the slim (id, score) projection ONCE: three downstream
+    // passes consume it (the count, zipWithIndex's internal count, the rank
+    // emit) and score columns are typically expression-heavy (regex scoring)
+    val slim = df.select(col(idCol), col(scoreCol)).localCheckpoint(true)
     val keep = slim.count() * pct / 100
     DenseRank.appendIndex(slim, Seq(col(scoreCol).desc, col(idCol).asc), "__rank",
         failOnNullCol = Some(idCol))
