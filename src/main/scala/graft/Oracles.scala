@@ -400,4 +400,27 @@ object Oracles {
 
   /** English stopword list as a SQL IN-list (mirrors TextFunctions.StopwordLists head). */
   def stopIn(words: Seq[String]): String = words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Shared quality-score CTEs over `documents`: emits `scored(doc_id,
+    * quality)` — exact mirror of TextFunctions.qualityScoreCol (round 6),
+    * consumed by both the text_quality and quality_filter oracles. */
+  def qualityScoredCtes: String = {
+    val stops = stopIn(graft.functions.TextFunctions.StopwordLists.head._2)
+    s"""d AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id, length(text) AS rawchars, len(ws) AS rawwords,
+       |    CAST(length(text) AS DOUBLE) AS nchars,
+       |    CAST(len(ws) AS DOUBLE) AS nwords,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(len(list_filter(ws, w -> w IN $stops)) AS DOUBLE) AS stops
+       |  FROM d
+       |),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CASE WHEN rawchars = 0 OR rawwords = 0 THEN 0.0
+       |         ELSE round(0.4 * (alpha / nchars) + 0.4 * least(3.0 * (stops / nwords), 1.0)
+       |                   + 0.2 * least((alpha / nwords) / 8.0, 1.0), 6) END AS quality
+       |  FROM m
+       |)""".stripMargin
+  }
 }

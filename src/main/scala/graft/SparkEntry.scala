@@ -543,23 +543,9 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS re_tokens
         |FROM documents""".stripMargin,
-    "text_quality" -> {
-      val stops = Oracles.stopIn(TextFunctions.StopwordLists.head._2)
-      s"""WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-         |m AS (
-         |  SELECT doc_id, length(text) AS rawchars, len(ws) AS rawwords,
-         |    CAST(length(text) AS DOUBLE) AS nchars,
-         |    CAST(len(ws) AS DOUBLE) AS nwords,
-         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
-         |    CAST(len(list_filter(ws, w -> w IN $stops)) AS DOUBLE) AS stops
-         |  FROM d
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN rawchars = 0 OR rawwords = 0 THEN 0.0
-         |       ELSE round(0.4 * (alpha / nchars) + 0.4 * least(3.0 * (stops / nwords), 1.0)
-         |                 + 0.2 * least((alpha / nwords) / 8.0, 1.0), 6) END AS quality
-         |FROM m""".stripMargin
-    },
+    "text_quality" ->
+      s"""WITH ${Oracles.qualityScoredCtes}
+         |SELECT doc_id, quality FROM scored""".stripMargin,
     "text_langid" -> {
       val counts = TextFunctions.StopwordLists.map { case (lang, list) =>
         s"CAST(len(list_filter(ws, w -> w IN ${Oracles.stopIn(list)})) AS BIGINT) AS c_$lang"
@@ -669,32 +655,15 @@ object SparkEntry {
          |  SELECT doc_id, ${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} AS sh FROM documents
          |)
          |SELECT doc_id, row_number() OVER (ORDER BY sh, doc_id) - 1 AS pos FROM h""".stripMargin,
-    "quality_filter" -> {
-      val stops = Oracles.stopIn(TextFunctions.StopwordLists.head._2)
-      s"""WITH d AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-         |m AS (
-         |  SELECT doc_id, length(text) AS rawchars, len(ws) AS rawwords,
-         |    CAST(length(text) AS DOUBLE) AS nchars,
-         |    CAST(len(ws) AS DOUBLE) AS nwords,
-         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
-         |    CAST(len(list_filter(ws, w -> w IN $stops)) AS DOUBLE) AS stops
-         |  FROM d
-         |),
-         |scored AS (
-         |  SELECT doc_id,
-         |    CASE WHEN rawchars = 0 OR rawwords = 0 THEN 0.0
-         |         ELSE round(0.4 * (alpha / nchars) + 0.4 * least(3.0 * (stops / nwords), 1.0)
-         |                   + 0.2 * least((alpha / nwords) / 8.0, 1.0), 6) END AS quality
-         |  FROM m
-         |),
+    "quality_filter" ->
+      s"""WITH ${Oracles.qualityScoredCtes},
          |r AS (
          |  SELECT doc_id, quality,
          |         row_number() OVER (ORDER BY quality DESC, doc_id ASC) - 1 AS rnk
          |  FROM scored
          |)
          |SELECT doc_id, quality FROM r
-         |WHERE rnk < (SELECT count(*) * 60 // 100 FROM scored)""".stripMargin
-    },
+         |WHERE rnk < (SELECT count(*) * 60 // 100 FROM scored)""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(

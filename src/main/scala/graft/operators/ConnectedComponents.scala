@@ -61,10 +61,12 @@ object ConnectedComponents {
     sym0.unpersist() // ...before dropping it (else the edge lineage recomputes)
     // Only edge-touched nodes can change labels — iterate over those; isolated
     // nodes (the overwhelming majority in dedup graphs) are unioned back at the
-    // end as their own singleton components.
-    val edgeNodes = sym.select(col("__src").as("__id")).distinct().cache()
-    var labels = edgeNodes.select(col("__id"), col("__id").as("__comp"))
-      .repartition(parts, col("__id")).localCheckpoint(true)
+    // end as their own singleton components. (No cache: the frame has exactly
+    // one consumer, the initial label checkpoint below.)
+    val edgeNodes = sym.select(col("__src").as("__id")).distinct()
+    var (labels, labelsHandle) = checkpointWithHandle(
+      edgeNodes.select(col("__id"), col("__id").as("__comp"))
+        .repartition(parts, col("__id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -76,31 +78,48 @@ object ConnectedComponents {
       // Carry the changed-flag inside the propagation frame so convergence is
       // one aggregate over `next` — no second join / second action per round.
       //
-      // localCheckpoint, NOT cache: caching reuses physical results but the
+      // Checkpoint, NOT cache: caching reuses physical results but the
       // LOGICAL plan still nests the whole previous iteration ~3× per round,
       // so deep iteration (long-diameter graphs near maxIter) grows the plan
       // ~3^iter and Catalyst dies building it (observed: OOM in plan
       // stringification at ~20 rounds). The lazy checkpoint is materialized by
-      // the convergence aggregate below — no extra job — and its blocks are
-      // reference-tracked (freed by the ContextCleaner), unlike cacheManager
-      // blocks which outlive the call (the r3 bench leak).
-      val next = labels.join(neighborMin, Seq("__id"), "left")
-        .select(col("__id"),
-          least(col("__comp"), coalesce(col("__nmin"), col("__comp"))).as("__comp"),
-          (coalesce(col("__nmin"), col("__comp")) < col("__comp")).as("__changed"))
-        .localCheckpoint(false)
+      // the convergence aggregate below — no extra job — and the superseded
+      // generation is released deterministically right after.
+      val (next, nextHandle) = checkpointWithHandle(
+        labels.join(neighborMin, Seq("__id"), "left")
+          .select(col("__id"),
+            least(col("__comp"), coalesce(col("__nmin"), col("__comp"))).as("__comp"),
+            (coalesce(col("__nmin"), col("__comp")) < col("__comp")).as("__changed")))
       val anyChanged = next
         .agg(coalesce(max(col("__changed")), lit(false))).head.getBoolean(0)
+      labelsHandle.unpersist(false) // next is materialized — free the old generation
+      labelsHandle = nextHandle
       labels = next.select(col("__id"), col("__comp"))
       converged = !anyChanged
       iter += 1
     }
     sym.unpersist()
-    edgeNodes.unpersist()
+    // the FINAL generation stays persisted for the caller's consumption; the
+    // ContextCleaner frees it once the returned frame is unreferenced
     nodes.select(col(idCol).as("__id"))
       .join(labels, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__comp"), col("__id")).as("component"))
+  }
+
+  /** Lineage-cutting checkpoint with a DETERMINISTIC release handle: marks
+    * the frame's row RDD for local checkpoint and rebuilds a flat-plan frame
+    * over it. The checkpoint stays LAZY — the caller's next action
+    * materializes it — and once the following generation is materialized the
+    * caller unpersists the handle, freeing the superseded iteration's blocks
+    * immediately. (Plain `Dataset.localCheckpoint` offers no handle: release
+    * then waits on a driver GC to run the ContextCleaner, and a deep loop
+    * piles up to maxIter generations of blocks on executor storage.) */
+  private def checkpointWithHandle(
+      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
   /** Large-star: every strictly-larger neighbor of u is rewired to
@@ -149,26 +168,31 @@ object ConnectedComponents {
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 30): DataFrame = {
+    // maxRounds = 0 would label nodes from RAW input-orientation edges (a
+    // node's component could exceed its own id) — reject rather than violate
+    // the min-reachable-id contract
+    require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
     // Each round's plan references the previous round's frame ~9 times (both
     // stars read their input severally), so carrying lineage would grow the
-    // logical plan 9^round — the per-round localCheckpoint cuts it, keeping
-    // every round's plan flat. Lazy checkpoints piggyback on the round's
-    // checksum action (no extra job); blocks are reference-tracked (freed by
-    // the ContextCleaner when the frame is dropped), so no session-lifetime
-    // cache leaks either.
-    var e = edges.select(col(aCol).as("__u"), col(bCol).as("__v"))
-      .filter(col("__u") =!= col("__v"))
-      .distinct()
-      .localCheckpoint(true)
+    // logical plan 9^round — the per-round checkpoint cuts it, keeping every
+    // round's plan flat. Lazy checkpoints piggyback on the round's checksum
+    // action (no extra job); superseded generations are released
+    // deterministically via their RDD handles.
+    var (e, eHandle) = checkpointWithHandle(
+      edges.select(col(aCol).as("__u"), col(bCol).as("__v"))
+        .filter(col("__u") =!= col("__v"))
+        .distinct())
     var prev: (Long, Long) = (-1L, 0L)
     var round = 0
     var converged = e.isEmpty
     while (round < maxRounds && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val (next, nextHandle) = checkpointWithHandle(smallStar(largeStar(e)))
       val chkRow = next
         .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L))).head
       val chk = (chkRow.getLong(0), chkRow.getLong(1))
+      eHandle.unpersist(false) // next is materialized — free the old generation
       e = next
+      eHandle = nextHandle
       converged = chk == prev
       prev = chk
       round += 1

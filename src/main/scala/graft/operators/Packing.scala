@@ -20,9 +20,11 @@ import org.apache.spark.sql.types.{LongType, StructType}
  *      per partition, driver-safe at any scale;
  *   3. exclusive-prefix those totals on the driver, broadcast;
  *   4. one pass emitting each row's inclusive running total = partition
- *      offset + running sum within the partition. The second pass reuses the
- *      first pass's range-exchange shuffle files (same RDD — the sort is not
- *      recomputed).
+ *      offset + running sum within the partition. The second pass shares the
+ *      first's RDD, so the range-exchange SHUFFLE is not re-run (stage
+ *      skipping); the within-partition sort replays from the shuffle files on
+ *      each pass — cheap relative to the exchange, and deterministic because
+ *      the sort key is unique.
  *
  * Caller contract (shared with [[DenseRank]]): `idCol` values are unique and
  * non-null, so the order — and therefore every cumulative sum — is

@@ -49,18 +49,22 @@ object Sampling {
   }
 
   /**
-   * Deterministic global shuffle order: `posOut` = the row's dense 0-based
-   * position when the corpus is sorted by `(tHash(key), key)` — a reproducible
-   * pseudo-random permutation (shuffle-before-sharding for training order)
-   * that never changes across re-runs or re-partitioning, unlike
-   * `orderBy(rand())`. The hash breaks key locality; the key itself breaks
-   * hash-collision ties so the order is total. Computed with the scale-safe
-   * [[DenseRank]] (range-partition + zipWithIndex), NOT a partition-less
-   * window. Compose with [[Packing.packByBudget]] on `posOut` to shuffle THEN
-   * pack shards.
+   * Deterministic global shuffle order: `posOut` = the DISTINCT key's dense
+   * 0-based position when keys are sorted by `(tHash(key), key)` — a
+   * reproducible pseudo-random permutation (shuffle-before-sharding for
+   * training order) that never changes across re-runs or re-partitioning,
+   * unlike `orderBy(rand())`. The hash breaks key locality; the key itself
+   * breaks hash-collision ties so the order is total. Positions are assigned
+   * per DISTINCT key: with unique keys (the normal id-column case) the output
+   * is a row permutation; duplicate keys share their key's position rather
+   * than fanning out the join-back nondeterministically. Computed with the
+   * scale-safe [[DenseRank]] (range-partition + zipWithIndex), NOT a
+   * partition-less window. Compose with [[Packing.packByBudget]] on `posOut`
+   * to shuffle THEN pack shards.
    */
   def withShuffleOrder(df: DataFrame, keyCol: String, posOut: String = "pos"): DataFrame = {
-    val hashed = df.select(col(keyCol), tHashUdf(col(keyCol).cast("string")).as("__shash"))
+    val hashed = df.select(col(keyCol)).distinct()
+      .select(col(keyCol), tHashUdf(col(keyCol).cast("string")).as("__shash"))
     val ids = DenseRank.appendIndex(
         hashed, Seq(col("__shash"), col(keyCol)), posOut, failOnNullCol = Some(keyCol))
       .select(col(keyCol), col(posOut))

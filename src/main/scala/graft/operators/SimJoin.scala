@@ -153,6 +153,10 @@ object SimJoin {
     }
   }
 
+  /** Shared broadcast/collect bound for kernel dispatch and the SimSearch
+    * collect guards — one knob if a deployment retunes it. */
+  private[graft] val MaxBroadcastBytes: BigInt = BigInt(512L << 20)
+
   /**
    * Kernel dispatch guard for strategy="auto": the [[SimKernel]] broadcast path
    * is ~10× the relational plan when the whole right side fits in executor
@@ -161,10 +165,6 @@ object SimJoin {
    * LongType (the kernel's output id type — dispatching on other id types
    * would silently change the result schema).
    */
-  /** Shared broadcast/collect bound for kernel dispatch and the SimSearch
-    * collect guards — one knob if a deployment retunes it. */
-  private[graft] val MaxBroadcastBytes: BigInt = BigInt(512L << 20)
-
   private[graft] def kernelEligible(
       left: DataFrame, leftId: String, right: DataFrame, rightId: String): Boolean = {
     def isLong(df: DataFrame, c: String): Boolean =

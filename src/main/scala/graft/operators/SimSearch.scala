@@ -74,6 +74,8 @@ object SimSearch {
   private[operators] def requireCollectableQueries(
       queries: DataFrame, qId: String, qVec: String,
       maxQueryBytes: Long): Unit = {
+    require(maxQueryBytes >= 0L,
+      s"maxQueryBytes must be >= 0 (0 disables the guard), got $maxQueryBytes")
     if (maxQueryBytes > 0L) {
       val est = queries.select(col(qId), col(qVec))
         .queryExecution.optimizedPlan.stats.sizeInBytes
