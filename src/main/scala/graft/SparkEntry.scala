@@ -230,6 +230,12 @@ object SparkEntry {
       CorpusStats.keepTopPercent(
         rd(s, dir, "documents").select(col("doc_id"), qualityScoreCol(col("text")).as("quality")),
         "doc_id", "quality", 60)),
+    "mixture_order" -> ((s, dir) =>
+      Sampling.withMixtureOrder(
+        rd(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "a").when(col("doc_id") % 3 === 1, "b")
+            .otherwise("c").as("source")),
+        "doc_id", "source", Map("a" -> 3L, "b" -> 2L, "c" -> 1L))),
     "text_redact" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         redactPiiCol(col("text")).as("redacted"))
@@ -664,6 +670,26 @@ object SparkEntry {
          |)
          |SELECT doc_id, quality FROM r
          |WHERE rnk < (SELECT count(*) * 60 // 100 FROM scored)""".stripMargin,
+    "mixture_order" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS source
+         |  FROM documents
+         |),
+         |h AS (SELECT doc_id, source, ${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} AS mh FROM s),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source ORDER BY mh, doc_id) AS k
+         |  FROM h
+         |),
+         |v AS (
+         |  SELECT doc_id, source,
+         |    CAST(k AS DOUBLE) /
+         |      CAST(CASE source WHEN 'a' THEN 3 WHEN 'b' THEN 2 ELSE 1 END AS DOUBLE) AS vt
+         |  FROM r
+         |)
+         |SELECT doc_id, source, row_number() OVER (ORDER BY vt, source, doc_id) - 1 AS pos
+         |FROM v""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(

@@ -70,4 +70,45 @@ object Sampling {
       .select(col(keyCol), col(posOut))
     df.join(ids, keyCol)
   }
+
+  /**
+   * Deterministic weighted interleave across sources (stride scheduling —
+   * how training pipelines mix corpora at fixed ratios): the k-th row of
+   * source s (1-based, in that source's [[withShuffleOrder]]-style hash
+   * order) is scheduled at virtual time `k / weight(s)`, and `posOut` is the
+   * row's dense position in ascending `(vtime, source, key)` order. Any
+   * prefix of the order then holds each source in ≈ its weight's proportion
+   * (off by at most ~1 row per source — the stride-scheduling bound), and
+   * the whole order is reproducible across re-runs and re-partitioning.
+   *
+   * Scale shape: NO per-source window (a popular source would funnel through
+   * one task); instead one global [[DenseRank]] over (source, hash, key)
+   * gives per-source ranks via broadcast per-source start offsets, and a
+   * second [[DenseRank]] over (vtime, source, key) gives the final position.
+   * Rows whose source has no weight raise an error rather than silently
+   * dropping. Caller contract: `keyCol` unique and non-null.
+   *
+   * @return (keyCol, sourceCol, posOut) — join back by key for the full frame.
+   */
+  def withMixtureOrder(
+      df: DataFrame, keyCol: String, sourceCol: String,
+      weights: Map[String, Long], posOut: String = "pos"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0L),
+      s"weights must be non-empty and positive, got $weights")
+    val slim = df.select(col(sourceCol), col(keyCol),
+      tHashUdf(col(keyCol).cast("string")).as("__mh"))
+    // global rank groups sources contiguously (source is the leading sort
+    // col), so per-source rank = global rank - the source's min global rank
+    val g = DenseRank.appendIndex(slim,
+      Seq(col(sourceCol), col("__mh"), col(keyCol)), "__g", failOnNullCol = Some(keyCol))
+    val starts = g.groupBy(col(sourceCol)).agg(min(col("__g")).as("__start"))
+    val wCol = element_at(typedlit(weights), col(sourceCol))
+    val vtimed = g.join(broadcast(starts), sourceCol)
+      .select(col(keyCol), col(sourceCol),
+        when(wCol.isNull, raise_error(concat(lit("no weight for source: "), col(sourceCol))))
+          .otherwise((col("__g") - col("__start") + 1).cast("double") / wCol.cast("double"))
+          .as("__vt"))
+    DenseRank.appendIndex(vtimed, Seq(col("__vt"), col(sourceCol), col(keyCol)), posOut)
+      .select(col(keyCol), col(sourceCol), col(posOut))
+  }
 }

@@ -209,6 +209,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(runs.head.toSeq.sortBy(_._1).map(_._2) != (0L until 40L).toSeq)
   }
 
+  test("withMixtureOrder: every prefix holds sources near their weight ratios") {
+    val s = spark
+    import s.implicits._
+    // sources sized proportionally to weights (30/20/10 ~ 3/2/1) so no source
+    // exhausts early — the stride bound then holds for EVERY prefix
+    val rows = (1L to 60L).map { i =>
+      val src = if (i <= 30) "a" else if (i <= 50) "b" else "c"
+      (i, src)
+    }
+    val weights = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
+    val runs = Seq(1, 4).map { parts =>
+      Sampling.withMixtureOrder(rows.toDF("id", "source").repartition(parts),
+          "id", "source", weights)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._3)
+    }
+    assert(runs(0).toSeq == runs(1).toSeq) // layout-invariant
+    val order = runs.head
+    assert(order.map(_._3).toSeq == (0L until 60L)) // dense permutation
+    for (l <- Seq(6, 12, 24, 36, 48, 60)) {
+      val prefix = order.take(l)
+      assert(math.abs(prefix.count(_._2 == "a") - l * 3 / 6) <= 2, s"a at prefix $l")
+      assert(math.abs(prefix.count(_._2 == "b") - l * 2 / 6) <= 2, s"b at prefix $l")
+      assert(math.abs(prefix.count(_._2 == "c") - l * 1 / 6) <= 2, s"c at prefix $l")
+    }
+    // unknown source fails loudly instead of silently dropping rows
+    val e = intercept[Exception] {
+      Sampling.withMixtureOrder(Seq((1L, "zz")).toDF("id", "source"),
+        "id", "source", weights).collect()
+    }
+    assert(Option(e.getMessage).getOrElse(e.toString).contains("no weight for source"))
+  }
+
   test("keepTopPercent: exact count, highest scores survive, layout-invariant") {
     val s = spark
     import s.implicits._
