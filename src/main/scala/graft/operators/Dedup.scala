@@ -121,11 +121,19 @@ object Dedup {
    * blowup on common shingles, candidate count bounded by bucket collisions.
    */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val t = shingleRelation(df, idCol, textCol)
+    // ONE tokenizer pass, materialized. Four subtrees consume the shingles
+    // (band keys + both verification sides + the set-size counts); an
+    // unmaterialized frame re-runs the shingle UDF lineage once per subtree —
+    // at corpus scale that is tokenizing the corpus 4× instead of once. The
+    // checkpoint holds the compact per-doc arrays; the explodes below are
+    // narrow reads of the materialized blocks, not recomputation.
+    val shs = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .localCheckpoint(true)
+    val t = shs.select(col("__id"), explode(col("__shs")).as("__sh"))
     // Band keys computed inside the signature UDF pass (8 strings per doc) —
     // no 32-rows-per-doc explode + groupBy shuffle just to reassemble bands.
-    val bands = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
-      .filter(size(col("__shs")) > 0)
+    val bands = shs
       .select(col("__id"), posexplode(minHashBandKeysUdf(col("__shs"))).as(Seq("__band", "__bkey")))
     val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
       .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
@@ -304,14 +312,18 @@ object Dedup {
       nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
         posexplode(SimSearch.lshBucketsUdf(nPlanes, nTables)(col(vecCol))).as(Seq("__t", "__b")))
-    val cand = b.select(col("__id").as("id_a"), col("__v").as("__va"), col("__t"), col("__b"))
+    // Score BEFORE the cross-table duplicate-drop: cosine is deterministic, so
+    // every colliding copy of a pair scores identically and the dedup exchange
+    // shuffles (id_a, id_b, double) — not two embedding arrays per candidate
+    // (~6 KB/row avoidable shuffle at 768-dim float).
+    b.select(col("__id").as("id_a"), col("__v").as("__va"), col("__t"), col("__b"))
       .join(b.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__t"), col("__b")),
         Seq("__t", "__b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
-      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
-    cand.withColumn("__cos", SimSearch.cosineSim(col("__va"), col("__vb")))
+      .withColumn("__cos", SimSearch.cosineSim(col("__va"), col("__vb")))
       .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("__cos"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
   }
 }
