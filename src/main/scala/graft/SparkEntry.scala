@@ -128,6 +128,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", 7)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
+    // the 16-bit-band shape (4 bands, exact ≤ Hamming 3) — what a 10⁹-doc run
+    // would use: 65 536 bucket values per band vs 256, candidates ~131 000× fewer
+    "dedup_simhash16" -> ((s, dir) =>
+      Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", 3, bandBits = 16)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "simhash_fp" -> ((s, dir) =>
       Dedup.simHashFingerprints(rd(s, dir, "documents"), "doc_id", "text")),
     "dedup_embedding" -> ((s, dir) =>
@@ -380,6 +385,14 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) AS BIGINT) AS hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) <= 7""".stripMargin,
+    // 16-bit banding with maxHamming=3 < 4 bands is pigeonhole-EXACT, so the
+    // all-pairs Hamming join is the precise mirror of the banded operator
+    "dedup_simhash16" ->
+      s"""WITH ${Oracles.simHashCtes}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) <= 3""".stripMargin,
     "simhash_fp" ->
       s"""WITH ${Oracles.simHashCtes}
          |SELECT doc_id, simhash1, simhash2 FROM fp""".stripMargin,

@@ -23,13 +23,17 @@ import org.apache.spark.sql.functions._
  *    component diameters are unknown/adversarial; [[run]] remains the cheaper
  *    choice for shallow dedup graphs.
  *
- * Fault-tolerance note: both loops cut lineage with `localCheckpoint`, whose
- * blocks live only on executors — losing an executor mid-run fails the job
- * (resubmit it) instead of silently recomputing as a cache would. That is the
- * standard iterative-graph trade (uncut lineage grows the logical plan
- * exponentially in rounds — see the loop comments); swap in reliable
- * `checkpoint()` against an HDFS checkpoint dir for long cluster runs where
- * executor churn is expected.
+ * Fault-tolerance note: by default both loops cut lineage with
+ * `localCheckpoint`, whose blocks live only on executors — losing an executor
+ * mid-run fails the job (resubmit it) instead of silently recomputing as a
+ * cache would. That is the standard iterative-graph trade (uncut lineage grows
+ * the logical plan exponentially in rounds — see the loop comments). For long
+ * cluster runs where executor churn is expected, pass `checkpointDir`
+ * (an HDFS/S3 path): the loops then use RELIABLE `checkpoint()` — each
+ * generation is persisted to the fault-tolerant store, so a lost executor
+ * recomputes from the last checkpoint instead of failing the job. Labels are
+ * identical either way (spec-pinned); the knob only trades executor-memory
+ * speed against checkpoint-store durability.
  */
 object ConnectedComponents {
 
@@ -37,12 +41,16 @@ object ConnectedComponents {
    * @param nodes  one row per node
    * @param idCol  node id column (orderable; min id becomes the component label)
    * @param edges  undirected edge list (aCol, bCol) — direction ignored
+   * @param checkpointDir reliable checkpoint directory (HDFS/S3) — when set,
+   *        per-iteration lineage cuts use fault-tolerant `checkpoint()` instead
+   *        of executor-local blocks (see the object scaladoc)
    * @return (idCol, component) — component = min node id reachable
    */
   def run(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
     val sym0 = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .distinct()
@@ -64,9 +72,10 @@ object ConnectedComponents {
     // end as their own singleton components. (No cache: the frame has exactly
     // one consumer, the initial label checkpoint below.)
     val edgeNodes = sym.select(col("__src").as("__id")).distinct()
+    val reliable = checkpointDir.isDefined
     var (labels, labelsHandle) = checkpointWithHandle(
       edgeNodes.select(col("__id"), col("__id").as("__comp"))
-        .repartition(parts, col("__id")))
+        .repartition(parts, col("__id")), reliable)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -89,7 +98,8 @@ object ConnectedComponents {
         labels.join(neighborMin, Seq("__id"), "left")
           .select(col("__id"),
             least(col("__comp"), coalesce(col("__nmin"), col("__comp"))).as("__comp"),
-            (coalesce(col("__nmin"), col("__comp")) < col("__comp")).as("__changed")))
+            (coalesce(col("__nmin"), col("__comp")) < col("__comp")).as("__changed")),
+        reliable)
       val anyChanged = next
         .agg(coalesce(max(col("__changed")), lit(false))).head.getBoolean(0)
       labelsHandle.unpersist(false) // next is materialized — free the old generation
@@ -108,17 +118,33 @@ object ConnectedComponents {
   }
 
   /** Lineage-cutting checkpoint with a DETERMINISTIC release handle: marks
-    * the frame's row RDD for local checkpoint and rebuilds a flat-plan frame
+    * the frame's row RDD for checkpoint and rebuilds a flat-plan frame
     * over it. The checkpoint stays LAZY — the caller's next action
     * materializes it — and once the following generation is materialized the
     * caller unpersists the handle, freeing the superseded iteration's blocks
     * immediately. (Plain `Dataset.localCheckpoint` offers no handle: release
     * then waits on a driver GC to run the ContextCleaner, and a deep loop
-    * piles up to maxIter generations of blocks on executor storage.) */
+    * piles up to maxIter generations of blocks on executor storage.)
+    *
+    * `reliable = true` switches to fault-tolerant `checkpoint()` against the
+    * context's checkpoint dir (caller must have set it). The RDD is also
+    * persisted: a reliable checkpoint otherwise recomputes its parent lineage
+    * a second time when writing the checkpoint files after the first action.
+    * `unpersist` on the handle then releases the cached blocks; the checkpoint
+    * FILES outlive the generation (that durability is the point) and are
+    * reclaimed by the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on, or by dir
+    * cleanup after the job. */
   private def checkpointWithHandle(
-      df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      df: DataFrame, reliable: Boolean = false)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val rdd = df.rdd
-    rdd.localCheckpoint()
+    if (reliable) {
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+    } else {
+      rdd.localCheckpoint()
+    }
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
   }
 
@@ -158,16 +184,24 @@ object ConnectedComponents {
    * [[run]]: (idCol, component), component = min node id reachable.
    *
    * Per round: large-star + small-star (2 aggregations + 2 joins, all sized to
-   * the edge frame), then one checksum action for convergence (count +
-   * order-independent XOR of xxhash64(u, v) — XOR, not SUM, so it cannot
-   * overflow under ANSI mode; the pair matches across rounds only when the
-   * edge SET is unchanged, which for this monotone contraction means a fixed
-   * point, i.e. a forest of stars). No collect(), no driver-side graph state.
+   * the edge frame), then one checksum action for convergence: (count,
+   * order-independent XOR of xxhash64(u, v), XOR of independently-seeded
+   * xxhash64(42, u, v)) — XOR, not SUM, so it cannot overflow under ANSI mode.
+   * The triple matches across rounds only when the edge SET is unchanged,
+   * which for this monotone contraction means a fixed point, i.e. a forest of
+   * stars. The stop is PROBABILISTIC: two different edge sets colliding on
+   * both 64-bit XOR-multiset hashes AND the count would end the loop early
+   * with non-minimal labels — probability ~2^-128 per round, far below
+   * hardware fault rates. No collect(), no driver-side graph state.
+   *
+   * @param checkpointDir reliable checkpoint directory — see [[run]].
    */
   def runStar(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    val reliable = checkpointDir.isDefined
     // maxRounds = 0 would label nodes from RAW input-orientation edges (a
     // node's component could exceed its own id) — reject rather than violate
     // the min-reachable-id contract
@@ -181,15 +215,19 @@ object ConnectedComponents {
     var (e, eHandle) = checkpointWithHandle(
       edges.select(col(aCol).as("__u"), col(bCol).as("__v"))
         .filter(col("__u") =!= col("__v"))
-        .distinct())
-    var prev: (Long, Long) = (-1L, 0L)
+        .distinct(), reliable)
+    var prev: (Long, Long, Long) = (-1L, 0L, 0L)
     var round = 0
     var converged = e.isEmpty
     while (round < maxRounds && !converged) {
-      val (next, nextHandle) = checkpointWithHandle(smallStar(largeStar(e)))
+      val (next, nextHandle) = checkpointWithHandle(smallStar(largeStar(e)), reliable)
+      // leading literal 42 = an independent seed for the second hash: both
+      // 64-bit XOR multisets must collide (with equal counts) for a false stop
       val chkRow = next
-        .agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L))).head
-      val chk = (chkRow.getLong(0), chkRow.getLong(1))
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L)),
+          coalesce(bit_xor(xxhash64(lit(42), col("__u"), col("__v"))), lit(0L))).head
+      val chk = (chkRow.getLong(0), chkRow.getLong(1), chkRow.getLong(2))
       eHandle.unpersist(false) // next is materialized — free the old generation
       e = next
       eHandle = nextHandle

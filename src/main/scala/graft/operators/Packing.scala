@@ -36,6 +36,12 @@ object Packing {
    * Slim prefix-sum relation: (idCol, nCol cast Long, cumOut = inclusive
    * prefix sum of nCol in ascending idCol order). Join back to the full frame
    * by idCol if other columns are needed.
+   *
+   * `nCol` must be non-null: a null count raises (mirroring
+   * [[DenseRank.appendIndex]]'s `failOnNullCol` contract) rather than the
+   * silent inconsistency of a row that contributes 0 to offsets yet lands in
+   * no shard. Note a non-numeric `nCol` casts to null under non-ANSI SQL mode
+   * and therefore also raises here, naming the offending row.
    */
   def withPrefixSum(
       df: DataFrame, idCol: String, nCol: String, cumOut: String = "cum"): DataFrame = {
@@ -45,9 +51,16 @@ object Packing {
     val slim = df.select(col(idCol), col(nCol).cast("long").as(nCol))
     val sorted = slim.repartitionByRange(col(idCol)).sortWithinPartitions(col(idCol))
     val rdd = sorted.rdd // shared by both passes — the range shuffle runs once
+    // the totals pass doubles as validation: it runs (and collects) before the
+    // second pass is submitted, so a null count fails the whole job loudly
     val partSums = rdd.mapPartitionsWithIndex { (pi, it) =>
       var s = 0L
-      it.foreach { r => if (!r.isNullAt(1)) s += r.getLong(1) }
+      it.foreach { r =>
+        if (r.isNullAt(1)) throw new IllegalArgumentException(
+          s"null $nCol at $idCol=${r.get(0)}: token counts must be non-null " +
+            "(a non-castable value surfaces as null under non-ANSI mode)")
+        s += r.getLong(1)
+      }
       Iterator((pi, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix per partition
@@ -57,7 +70,7 @@ object Packing {
     val outRdd = rdd.mapPartitionsWithIndex { (pi, it) =>
       var s = bc.value(pi)
       it.map { r =>
-        if (!r.isNullAt(1)) s += r.getLong(1)
+        s += r.getLong(1) // non-null: the totals pass above already validated
         Row.fromSeq(r.toSeq :+ s)
       }
     }

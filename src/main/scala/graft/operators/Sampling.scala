@@ -85,8 +85,10 @@ object Sampling {
    * one task); instead one global [[DenseRank]] over (source, hash, key)
    * gives per-source ranks via broadcast per-source start offsets, and a
    * second [[DenseRank]] over (vtime, source, key) gives the final position.
-   * Rows whose source has no weight raise an error rather than silently
-   * dropping. Caller contract: `keyCol` unique and non-null.
+   * Rows whose source is null or has no weight raise an error rather than
+   * silently dropping (a null source would otherwise vanish in the
+   * start-offset equi-join, not just miss its weight). Caller contract:
+   * `keyCol` unique and non-null.
    *
    * @return (keyCol, sourceCol, posOut) — join back by key for the full frame.
    */
@@ -95,8 +97,13 @@ object Sampling {
       weights: Map[String, Long], posOut: String = "pos"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0L),
       s"weights must be non-empty and positive, got $weights")
-    val slim = df.select(col(sourceCol), col(keyCol),
-      tHashUdf(col(keyCol).cast("string")).as("__mh"))
+    // coalesce short-circuits: raise_error fires only on a null source — which
+    // would otherwise be DROPPED by the inner start-offset join below, never
+    // reaching the no-weight check
+    val slim = df.select(
+      coalesce(col(sourceCol),
+        raise_error(lit("no weight for source: <null>"))).as(sourceCol),
+      col(keyCol), tHashUdf(col(keyCol).cast("string")).as("__mh"))
     // global rank groups sources contiguously (source is the leading sort
     // col), so per-source rank = global rank - the source's min global rank
     val g = DenseRank.appendIndex(slim,
@@ -105,7 +112,10 @@ object Sampling {
     val wCol = element_at(typedlit(weights), col(sourceCol))
     val vtimed = g.join(broadcast(starts), sourceCol)
       .select(col(keyCol), col(sourceCol),
-        when(wCol.isNull, raise_error(concat(lit("no weight for source: "), col(sourceCol))))
+        // coalesce: a null source would otherwise null the whole concat and
+        // raise_error would fire with a null (empty) message
+        when(wCol.isNull, raise_error(concat(lit("no weight for source: "),
+            coalesce(col(sourceCol).cast("string"), lit("<null>")))))
           .otherwise((col("__g") - col("__start") + 1).cast("double") / wCol.cast("double"))
           .as("__vt"))
     DenseRank.appendIndex(vtimed, Seq(col("__vt"), col(sourceCol), col(keyCol)), posOut)

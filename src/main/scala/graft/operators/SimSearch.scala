@@ -64,13 +64,16 @@ object SimSearch {
     * this, a user passing a corpus-sized frame as `queries` gets a slow driver
     * OOM instead of an actionable error.
     *
-    * CAVEAT: without CBO, Spark's size-only estimator passes a Filter's child
-    * size through UNCHANGED, so a slim filtered slice of a huge table (e.g.
-    * `corpus.filter(id < 50)`) carries the full table's estimate and can trip
-    * the guard spuriously once the table outgrows the bound. That is why the
-    * bound is a parameter: callers who KNOW their filtered query side is small
-    * raise `maxQueryBytes` or pass 0 to disable, rather than losing the
-    * fail-fast for everyone else. */
+    * Spark's size-only estimator (no CBO) passes a Filter's child size
+    * through UNCHANGED, so a slim filtered slice of a huge table (e.g.
+    * `corpus.filter(id < 50)`) carries the full table's estimate. To keep the
+    * guard from firing spuriously on exactly that common pattern, an
+    * over-bound estimate is REFINED before rejecting: probe the first few
+    * query rows for their real serialized width, then run a limit-capped
+    * count — two small bounded jobs, executed only on the (previously
+    * hard-failing) over-estimate path. The guard then rejects on ACTUAL row
+    * count, not the filter-blind estimate. `maxQueryBytes` stays a parameter:
+    * raise it for genuinely big query sides, or pass 0 to disable. */
   private[operators] def requireCollectableQueries(
       queries: DataFrame, qId: String, qVec: String,
       maxQueryBytes: Long): Unit = {
@@ -79,12 +82,24 @@ object SimSearch {
     if (maxQueryBytes > 0L) {
       val est = queries.select(col(qId), col(qVec))
         .queryExecution.optimizedPlan.stats.sizeInBytes
-      require(est <= BigInt(maxQueryBytes),
-        s"query side too large to collect to the driver: Catalyst size estimate $est bytes " +
-          s"exceeds the $maxQueryBytes-byte guard. These operators broadcast the QUERY " +
-          "side — pass the smaller frame as queries, raise maxQueryBytes (or 0 to disable) " +
-          "if the estimate is a filter-blind overcount, or use the fully-relational " +
-          "Dedup.embeddingPairsLsh path which never collects either side")
+      if (est > BigInt(maxQueryBytes)) {
+        // refinement: avg bytes/row from a small head sample (id + float vec +
+        // row overhead), then a count capped just past the implied row budget
+        val sample = queries.select(col(qVec)).limit(64).collect()
+        val avgRow =
+          if (sample.isEmpty) 16L
+          else math.max(16L, sample.iterator.map { r =>
+            if (r.isNullAt(0)) 16L else 16L + 4L * r.getSeq[Float](0).length
+          }.sum / sample.length)
+        val allowedRows = math.min(maxQueryBytes / avgRow, (Int.MaxValue - 1).toLong)
+        val actual = queries.limit(allowedRows.toInt + 1).count()
+        require(actual <= allowedRows,
+          s"query side too large to collect to the driver: > $allowedRows rows of ~$avgRow " +
+            s"bytes exceed the $maxQueryBytes-byte guard (filter-blind Catalyst estimate " +
+            s"was $est). These operators broadcast the QUERY side — pass the smaller frame " +
+            "as queries, raise maxQueryBytes (or 0 to disable), or use the fully-relational " +
+            "Dedup.embeddingPairsLsh path which never collects either side")
+      }
     }
   }
 

@@ -192,6 +192,15 @@ class PipelineOpsSpec extends AnyFunSuite {
       .sortBy(_._1)
     packed.foreach { case (_, n, cum, shard) => assert(shard == (cum - n) / 20L) }
     assert(packed.map(_._4).toSeq == packed.map(_._4).toSeq.sorted) // non-decreasing
+    // null token counts fail loudly (naming the row) instead of the silent
+    // contributes-0-but-lands-in-no-shard inconsistency
+    val withNull = Seq((1L, java.lang.Long.valueOf(4L)), (2L, null: java.lang.Long))
+      .toDF("id", "n")
+    val e = intercept[Exception] {
+      Packing.withPrefixSum(withNull, "id", "n").collect()
+    }
+    assert(Option(e.getMessage).getOrElse(e.toString).contains("null n at id=2") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("null n at id=2")))
   }
 
   test("Sampling.withShuffleOrder: dense deterministic permutation, layout-invariant") {
@@ -240,6 +249,15 @@ class PipelineOpsSpec extends AnyFunSuite {
         "id", "source", weights).collect()
     }
     assert(Option(e.getMessage).getOrElse(e.toString).contains("no weight for source"))
+    // a NULL source must still raise with a readable message (not a null-ed
+    // concat): the error names the <null> placeholder
+    val eNull = intercept[Exception] {
+      Sampling.withMixtureOrder(Seq((1L, null: String)).toDF("id", "source"),
+        "id", "source", weights).collect()
+    }
+    val msgNull = Option(eNull.getMessage).getOrElse(eNull.toString)
+    assert(msgNull.contains("no weight for source") && msgNull.contains("<null>"),
+      s"unexpected message: $msgNull")
   }
 
   test("keepTopPercent: exact count, highest scores survive, layout-invariant") {
@@ -313,6 +331,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     val solo = ConnectedComponents.runStar(nodes, "id", empty, "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(solo.forall { case (k, v) => k == v })
+  }
+
+  test("run/runStar with a reliable checkpointDir produce identical labels") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val nodes = (1L to 20L).toDF("id")
+      val edges = ((1L until 10L).map(i => (i, i + 1)) ++ Seq((15L, 16L), (17L, 16L)))
+        .toDF("a", "b")
+      val local = ConnectedComponents.run(nodes, "id", edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = ConnectedComponents.run(nodes, "id", edges, "a", "b",
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      val starReliable = ConnectedComponents.runStar(nodes, "id", edges, "a", "b",
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(starReliable == local)
+      // the knob actually engaged: reliable checkpoint files were written
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the temp dir")
+    } finally {
+      // best-effort temp cleanup; also reset so later suites keep localCheckpoint
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("embeddingPairs + SimSearch.topK on hand-built vectors") {
@@ -406,6 +454,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       SimSearch.topKIvf(hugeQ, "vec_id", "embedding", corpus, "vec_id", "embedding", 1)
     }
+    // the refinement path: a slim filtered slice of a frame whose FILTER-BLIND
+    // estimate (800 MB for 10^8 range rows) exceeds the 512 MB guard must now
+    // pass via the actual-row-count probe instead of throwing spuriously
+    val slimQ = s.range(100000000L)
+      .select(col("id").as("vec_id"), array(lit(1.0f)).as("embedding"))
+      .filter(col("vec_id") < 3)
+    val ok = SimSearch.topK(slimQ, "vec_id", "embedding", corpus, "vec_id", "embedding", 1)
+    assert(ok.count() == 3)
   }
 
   test("SimSearch.topKIvf: nProbe=nList degenerates to brute force; partial probe has high recall") {
