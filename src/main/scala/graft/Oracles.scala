@@ -274,20 +274,57 @@ object Oracles {
 
   /**
    * Exact mirror of SimSearch.topKIvf on the embeddings table: coarse centroids
-   * = the nList smallest-id vectors (index = id rank), every vector assigned to
-   * its (cosine desc, index asc) nearest centroid, queries probe their nProbe
-   * nearest, same-list pairs scored, top-k per query.
+   * = the nList smallest-id vectors (index = id rank), refined by `nIters`
+   * unrolled Lloyd iterations — each assigns every vector to its (cosine desc,
+   * index asc) nearest centroid and rebuilds centroid elements as
+   * `CAST(SUM(floor(x·10⁶ + 0.5) AS BIGINT) AS DOUBLE) / (10⁶ · count)`, the
+   * same integer-quantized mean the Scala side computes (exact Long sums on
+   * both engines ⇒ bit-identical centroids). Empty clusters keep their
+   * previous centroid (COALESCE). Then: every vector assigned to its nearest
+   * final centroid, queries probe their nProbe nearest, same-list pairs
+   * scored, top-k per query.
    */
-  def annIvfSql(k: Int, nList: Int, nProbe: Int, queryPred: String): String =
+  def annIvfSql(k: Int, nList: Int, nProbe: Int, queryPred: String, nIters: Int = 0): String = {
+    val lloyd = (1 to nIters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""ccos${i - 1} AS (
+         |  SELECT x.vec_id, c.cj, ${listCos("x.e", "c.ce")} AS cos
+         |  FROM v x CROSS JOIN $prev c
+         |),
+         |asgn$i AS (
+         |  SELECT vec_id, cj FROM (
+         |    SELECT vec_id, cj,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
+         |    FROM ccos${i - 1}) WHERE rn = 1
+         |),
+         |qsum$i AS (
+         |  SELECT a.cj, dm.d,
+         |    SUM(CAST(floor(CAST(x.e[dm.d] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         |    COUNT(*) AS cnt
+         |  FROM asgn$i a JOIN v x ON a.vec_id = x.vec_id CROSS JOIN dims dm
+         |  GROUP BY a.cj, dm.d
+         |),
+         |cnew$i AS (
+         |  SELECT cj, list(CAST(sq AS DOUBLE) / (1000000.0 * cnt) ORDER BY d) AS ce
+         |  FROM qsum$i GROUP BY cj
+         |),
+         |cent$i AS (
+         |  SELECT p.cj, COALESCE(n.ce, p.ce) AS ce
+         |  FROM $prev p LEFT JOIN cnew$i n ON p.cj = n.cj
+         |),""".stripMargin
+    }.mkString("\n")
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-       |cent AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cj, e AS ce
+       |dims AS (SELECT unnest(generate_series(1, (SELECT CAST(max(len(e)) AS BIGINT) FROM v))) AS d),
+       |cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cj,
+       |         list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nList)
        |),
+       |$lloyd
        |ccos AS (
        |  SELECT x.vec_id, c.cj,
        |    ${listCos("x.e", "c.ce")} AS cos
-       |  FROM v x CROSS JOIN cent c
+       |  FROM v x CROSS JOIN cent$nIters c
        |),
        |casgn AS (
        |  SELECT vec_id, cj FROM (
@@ -319,6 +356,7 @@ object Oracles {
        |  FROM s
        |)
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= $k""".stripMargin
+  }
 
   /**
    * Exact mirror of Dedup.embeddingPairsLsh: per (vector, table t) sign-LSH

@@ -185,7 +185,8 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       SimSearch.topKIvf(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-        emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, excludeSelf = true)
+        emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, nIters = 1,
+        excludeSelf = true)
     }),
     // ---- LLM-pipeline: text analysis --------------------------------------
     "text_tokens" -> ((s, dir) => {
@@ -537,7 +538,7 @@ object SparkEntry {
          |WHERE e.doc_id NOT IN (SELECT ib FROM losers)""".stripMargin
     },
     "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50", nTables = 2),
-    "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50"),
+    "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (

@@ -360,31 +360,44 @@ object SimSearch {
    * Approximate cosine top-k via an IVF (inverted-file) coarse quantizer — the
    * second scale path beside [[topKLsh]]:
    *
-   *  - coarse centroids = the nList corpus vectors with the SMALLEST ids
-   *    (deterministic seed assignment; a production index would refine them
-   *    with Lloyd iterations — the seed variant keeps the operator exactly
-   *    oracle-able, and the plan shape is identical);
+   *  - coarse centroids: the nList corpus vectors with the SMALLEST ids
+   *    (deterministic seed assignment), optionally refined by `nIters`
+   *    DETERMINISTIC Lloyd (k-means) iterations — per iteration one
+   *    distributed assignment pass accumulates INTEGER-QUANTIZED per-dimension
+   *    sums (`floor(x·10⁶ + 0.5)` as Long — exact commutative adds, so the
+   *    result is invariant to partitioning and reduction order), and the new
+   *    centroid is the quantized mean. Both the seed and every iteration are
+   *    exactly SQL-mirrorable (see Oracles.annIvfSql), so the refined operator
+   *    stays oracle-checked, while recall on clustered data improves over the
+   *    raw seed quantizer (spec-pinned);
    *  - every corpus vector is assigned to its nearest centroid by
    *    (cosine desc, centroid-index asc) — the inverted lists;
    *  - each query probes its nProbe nearest centroids and scores ONLY vectors
    *    in those lists.
    *
-   * Plan shape: centroids and bucketed queries are broadcast; ONE corpus scan
-   * assigns each vector's list and scores it against the queries probing that
-   * list inside a mapPartitions kernel — no shuffle of the corpus, per-row
-   * work ≈ nList centroid dots + the probing queries. Recall is tunable via
-   * nProbe (nProbe = nList degenerates to brute force). Cosine arithmetic is
-   * the exact sequential fold of [[cosineUdf]].
+   * Plan shape: centroids and bucketed queries are broadcast; each Lloyd
+   * iteration is one corpus scan collecting nList×dim Longs per partition;
+   * the final scan assigns each vector's list and scores it against the
+   * queries probing that list inside a mapPartitions kernel — no shuffle of
+   * the corpus, per-row work ≈ nList centroid dots + the probing queries.
+   * Recall is tunable via nProbe (nProbe = nList degenerates to brute force).
+   * Cosine arithmetic is the exact sequential fold of [[cosineUdf]].
+   *
+   * @param nIters Lloyd refinement iterations (0 = raw seed centroids).
+   *        Empty or zero-norm clusters keep their previous centroid.
+   *        Requires uniform vector dimensions when > 0 (fails fast otherwise).
    */
   def topKIvf(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nList: Int = 16, nProbe: Int = 4, excludeSelf: Boolean = false,
+      k: Int, nList: Int = 16, nProbe: Int = 4, nIters: Int = 0,
+      excludeSelf: Boolean = false,
       maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     require(nList > 0 && nProbe > 0 && nProbe <= nList,
       s"need 0 < nProbe <= nList, got nList=$nList nProbe=$nProbe")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
     requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
@@ -398,38 +411,19 @@ object SimSearch {
         if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
       }
     }
-    // deterministic coarse centroids: nList smallest corpus ids, index = id rank
-    val centroids: Array[(Array[Float], Double)] = corpus
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    // deterministic coarse centroids: nList smallest corpus ids, index = id
+    // rank (float→double element casts are exact), then nIters Lloyd passes
+    val seeds: Array[(Array[Double], Double)] = corpus
       .select(col(cId).cast("long"), col(cVec))
       .orderBy(col(cId).cast("long")).limit(nList)
-      .collect().flatMap(withNorm).map { case (_, v, n) => (v, n) }
-    require(centroids.nonEmpty, "corpus has no non-null non-zero vectors to seed centroids")
-    // (cos to each centroid, kept in index order) — shared by both sides
-    def centroidCos(v: Array[Float], vNorm: Double): Array[Double] = {
-      val out = new Array[Double](centroids.length)
-      var j = 0
-      while (j < centroids.length) {
-        val (cv, cn) = centroids(j)
-        if (cv.length != v.length) out(j) = Double.NegativeInfinity
-        else {
-          var dot = 0.0; var d = 0
-          while (d < v.length) { dot += v(d).toDouble * cv(d); d += 1 }
-          out(j) = dot / (vNorm * cn)
-        }
-        j += 1
-      }
-      out
-    }
-    def nearestList(v: Array[Float], vNorm: Double): Int = {
-      val cos = centroidCos(v, vNorm)
-      var best = 0; var j = 1
-      while (j < cos.length) { if (cos(j) > cos(best)) best = j; j += 1 }
-      best // ties keep the smaller index (strict > only replaces)
-    }
+      .collect().flatMap(withNorm).map { case (_, v, n) => (v.map(_.toDouble), n) }
+    require(seeds.nonEmpty, "corpus has no non-null non-zero vectors to seed centroids")
+    val cents = lloydRefine(slim, seeds, nIters)
     // query side: each query enters the maps of its nProbe nearest lists
     val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap(withNorm)
     val qByList: Map[Int, Array[(Long, Array[Float], Double)]] = qRows.flatMap { case (qid, qv, qn) =>
-      centroidCos(qv, qn).zipWithIndex
+      ivfCentroidCos(cents, qv, qn).zipWithIndex
         .sortBy { case (cos, j) => (-cos, j) }.take(nProbe)
         .map { case (_, j) => j -> ((qid, qv, qn)) }
     }.groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2) }
@@ -439,14 +433,13 @@ object SimSearch {
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("__cos", DoubleType)))
-    val slim = corpus.select(col(cId).cast("long"), col(cVec))
     val rdd = slim.rdd.mapPartitions { rows =>
       val byList = bc.value
       rows.flatMap { r =>
         withNorm(r) match {
           case None => Iterator.empty
           case Some((cid, cv, cSqrt)) =>
-            byList.get(nearestList(cv, cSqrt)) match {
+            byList.get(ivfNearest(cents, cv, cSqrt)) match {
               case None => Iterator.empty
               case Some(qs) =>
                 qs.iterator.flatMap { case (qid, qv, qSqrt) =>
@@ -466,6 +459,103 @@ object SimSearch {
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /** Quantization scale for Lloyd centroid sums: element contributions are
+    * `floor(x·scale + 0.5)` Longs, so per-cluster sums are exact and
+    * commutative — invariant to partitioning/reduction order, and mirrored
+    * verbatim by the DuckDB oracle (the simjoin_tfidf idf technique). */
+  private val IvfQuantScale = 1000000.0
+
+  /** Cosine of `v` to each centroid, in index order (shared by assignment and
+    * probing; mismatched dims score -inf so they never win a list). */
+  private def ivfCentroidCos(
+      cents: Array[(Array[Double], Double)], v: Array[Float], vNorm: Double): Array[Double] = {
+    val out = new Array[Double](cents.length)
+    var j = 0
+    while (j < cents.length) {
+      val (cv, cn) = cents(j)
+      if (cv.length != v.length) out(j) = Double.NegativeInfinity
+      else {
+        var dot = 0.0; var d = 0
+        while (d < v.length) { dot += v(d).toDouble * cv(d); d += 1 }
+        out(j) = dot / (vNorm * cn)
+      }
+      j += 1
+    }
+    out
+  }
+
+  private def ivfNearest(
+      cents: Array[(Array[Double], Double)], v: Array[Float], vNorm: Double): Int = {
+    val cos = ivfCentroidCos(cents, v, vNorm)
+    var best = 0; var j = 1
+    while (j < cos.length) { if (cos(j) > cos(best)) best = j; j += 1 }
+    best // ties keep the smaller index (strict > only replaces)
+  }
+
+  /** `nIters` deterministic Lloyd passes over `slim` (= (id: Long, vec:
+    * Array[Float])): assign each non-null non-zero vector to its nearest
+    * centroid, sum integer-quantized elements per (cluster, dim), new centroid
+    * = quantized mean. One corpus scan per iteration; the driver collects only
+    * partitions × nList × dim Longs. Empty/zero-norm clusters keep their
+    * previous centroid. */
+  private def lloydRefine(
+      slim: DataFrame, seeds: Array[(Array[Double], Double)],
+      nIters: Int): Array[(Array[Double], Double)] = {
+    var cents = seeds
+    val sc = slim.sparkSession.sparkContext
+    var it = 0
+    while (it < nIters) {
+      val bcC = sc.broadcast(cents)
+      val partials = slim.rdd.mapPartitions { rows =>
+        val cs = bcC.value
+        val dim = cs(0)._1.length
+        val sums = Array.fill(cs.length)(new Array[Long](dim))
+        val cnts = new Array[Long](cs.length)
+        rows.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1)) {
+            val v = r.getSeq[Float](1).toArray
+            var n = 0.0; var i = 0
+            while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+            if (n > 0.0) {
+              if (v.length != dim) throw new IllegalArgumentException(
+                s"Lloyd refinement (nIters > 0) requires uniform vector dimensions: " +
+                  s"got ${v.length} vs centroid dim $dim")
+              val j = ivfNearest(cs, v, math.sqrt(n))
+              val s = sums(j); var d = 0
+              while (d < dim) {
+                s(d) += math.floor(v(d).toDouble * IvfQuantScale + 0.5).toLong; d += 1
+              }
+              cnts(j) += 1L
+            }
+          }
+        }
+        Iterator.range(0, cs.length).map(j => (j, sums(j), cnts(j)))
+      }.collect()
+      val nL = cents.length
+      val dim = cents(0)._1.length
+      val sumAll = Array.fill(nL)(new Array[Long](dim))
+      val cntAll = new Array[Long](nL)
+      partials.foreach { case (j, s, c) =>
+        val t = sumAll(j); var d = 0
+        while (d < dim) { t(d) += s(d); d += 1 }
+        cntAll(j) += c
+      }
+      cents = Array.tabulate(nL) { j =>
+        if (cntAll(j) == 0L) cents(j)
+        else {
+          val nv = new Array[Double](dim); var d = 0
+          while (d < dim) { nv(d) = sumAll(j)(d).toDouble / (IvfQuantScale * cntAll(j)); d += 1 }
+          var n2 = 0.0; var i = 0
+          while (i < dim) { n2 += nv(i) * nv(i); i += 1 }
+          if (n2 == 0.0) cents(j) else (nv, math.sqrt(n2))
+        }
+      }
+      bcC.unpersist(false)
+      it += 1
+    }
+    cents
   }
 
   /**

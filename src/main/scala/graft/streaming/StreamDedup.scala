@@ -17,36 +17,55 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * face of [[graft.operators.Dedup.exact]]'s canonical-id contract: the first
  * batch containing a hash decides its canonical document.
  *
- * At 100 TB-stream scale the state store holds ONE boolean per distinct hash —
- * bound it in production with `GroupStateTimeout.ProcessingTimeTimeout` + a
- * re-emit-tolerant sink, or periodic state snapshots to a compaction job; the
- * operator keeps `NoTimeout` so the exactly-once contract is visible in tests.
+ * At 100 TB-stream scale the state store holds ONE boolean per distinct hash.
+ * By default (`stateTtlMs = 0`, `NoTimeout`) state grows with distinct hashes
+ * forever — the exactly-once contract stays visible in tests. Pass
+ * `stateTtlMs > 0` to bound it with `ProcessingTimeTimeout`: a hash unseen
+ * for the TTL has its state evicted, so a LATER duplicate re-emits (the
+ * documented at-most-once-per-TTL-window trade — pair with a re-emit-tolerant
+ * sink). The TTL is SLIDING: every sighting of the hash refreshes it, so only
+ * hashes quiet for a full TTL window are evicted.
  *
  * Works identically on a batch Dataset (each group sees all its rows in one
  * invocation with empty state → emits exactly the min id per hash =
- * Dedup.exact's canonical rows).
+ * Dedup.exact's canonical rows; processing-time timeouts never fire in batch).
  */
 object StreamDedup {
 
   case class Hashed(doc_id: Long, content_hash: String)
   case class Canonical(doc_id: Long, content_hash: String)
 
-  /** @return (doc_id, content_hash) — first-seen document per content hash. */
-  def firstPerHash(docs: DataFrame, idCol: String, textCol: String): Dataset[Canonical] = {
+  /** @param stateTtlMs 0 (default) = NoTimeout exact contract; > 0 = evict a
+    *        hash's state after that many ms without a sighting (re-emits on
+    *        re-sight past the TTL).
+    * @return (doc_id, content_hash) — first-seen document per content hash. */
+  def firstPerHash(docs: DataFrame, idCol: String, textCol: String,
+      stateTtlMs: Long = 0L): Dataset[Canonical] = {
+    require(stateTtlMs >= 0L, s"stateTtlMs must be >= 0, got $stateTtlMs")
     val spark = docs.sparkSession
     import spark.implicits._
     val hashed = docs
       .select(col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("content_hash"))
       .as[Hashed]
+    val timeoutConf =
+      if (stateTtlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     hashed.groupByKey(_.content_hash)
-      .flatMapGroupsWithState[Boolean, Canonical](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[Boolean, Canonical](OutputMode.Append, timeoutConf) {
         (hash: String, rows: Iterator[Hashed], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
+          if (state.hasTimedOut) {
+            // timeout invocation carries no rows: evict so the next sighting
+            // of this hash re-emits
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs) // sliding
+            Iterator.empty
+          } else {
             var minId = Long.MaxValue
             rows.foreach(h => if (h.doc_id < minId) minId = h.doc_id)
             state.update(true)
+            if (stateTtlMs > 0L) state.setTimeoutDuration(stateTtlMs)
             Iterator.single(Canonical(minId, hash))
           }
       }

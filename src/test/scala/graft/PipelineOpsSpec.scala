@@ -464,6 +464,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ok.count() == 3)
   }
 
+  test("topKIvf Lloyd refinement: beats the seed quantizer's recall on clustered data") {
+    val s = spark
+    import s.implicits._
+    // 4 well-separated angular clusters (axes of R^4) with deterministic
+    // jitter; ids 1-4 all sit in cluster 0, so the smallest-id SEED centroids
+    // are adversarially degenerate (all four in one cluster) and nProbe=1
+    // routes most queries to the wrong lists. Lloyd iterations must spread
+    // the centroids toward the true clusters and lift recall.
+    val rows = (1L to 80L).map { i =>
+      val c = if (i <= 4) 0 else (i % 4).toInt
+      val vec = Array.tabulate(4) { d =>
+        val jitter = ((i * 7 + d * 3) % 11).toFloat / 30f
+        if (d == c) 1f + jitter else jitter
+      }
+      (i, vec.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") > 40)
+    def pairs(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimSearch.topK(q, "vec_id", "embedding",
+      emb, "vec_id", "embedding", 3, excludeSelf = true))
+    def recallAt(nIters: Int): Double = {
+      val got = pairs(SimSearch.topKIvf(q, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 3, nList = 4, nProbe = 1, nIters = nIters,
+        excludeSelf = true))
+      (got intersect brute).size.toDouble / brute.size
+    }
+    val r0 = recallAt(0); val r2 = recallAt(2)
+    assert(r2 > r0, s"Lloyd recall $r2 should beat seed recall $r0")
+    assert(r2 >= 0.9, s"refined recall unexpectedly low: $r2")
+  }
+
   test("SimSearch.topKIvf: nProbe=nList degenerates to brute force; partial probe has high recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 20)

@@ -121,4 +121,48 @@ class StreamingSimSpec extends AnyFunSuite {
       .collect().map(_.doc_id).toSet
     assert(batchOut == Set(5L, 11L))
   }
+
+  test("StreamDedup TTL: expired hashes re-emit; default state never expires") {
+    val s = spark
+    import s.implicits._
+    // Same three-phase sequence under TTL and under the default:
+    //   b1: hash A emits;  (wait past TTL)  b2: unrelated hash B — a later
+    //   batch fires A's timeout under TTL;  b3: A again
+    // TTL ⇒ A re-emits in b3 (state evicted);  default ⇒ A stays dropped.
+    // NOTE: with pending processing-time timeouts the engine ALWAYS requires
+    // another batch, so processAllAvailable() never observes "no new data" and
+    // would hang — the TTL run must POLL the sink instead.
+    def ids(name: String) =
+      spark.table(s"ttl_$name").collect().map(_.getLong(0)).toSet
+    def waitFor(cond: => Boolean, what: String, ms: Long = 30000L): Unit = {
+      val end = System.currentTimeMillis + ms
+      while (!cond && System.currentTimeMillis < end) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    def run(name: String, ttlMs: Long): Set[Long] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ttl-$name").toFile
+      val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+      Seq((1L, "doc A")).toDF("doc_id", "text").write.parquet(dir + "/in/b1")
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+      val out = graft.streaming.StreamDedup.firstPerHash(
+        stream.toDF(), "doc_id", "text", stateTtlMs = ttlMs)
+      val q = out.writeStream.format("memory").queryName(s"ttl_$name")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+        .start()
+      try {
+        waitFor(ids(name).contains(1L), s"$name: b1 emit")
+        Thread.sleep(math.max(1500L, 3 * ttlMs)) // let any TTL lapse in wall time
+        Seq((2L, "doc B")).toDF("doc_id", "text").write.parquet(dir + "/in/b2")
+        waitFor(ids(name).contains(2L), s"$name: b2 emit")
+        Thread.sleep(500L) // a post-expiry batch runs A's timeout eviction
+        Seq((3L, "doc A")).toDF("doc_id", "text").write.parquet(dir + "/in/b3")
+        if (ttlMs > 0L) waitFor(ids(name).contains(3L), s"$name: b3 re-emit")
+        else { q.processAllAvailable() } // NoTimeout engine idles — PAA safe
+        ids(name)
+      } finally q.stop()
+    }
+    assert(run("on", 400L) == Set(1L, 2L, 3L), "expired hash must re-emit under TTL")
+    assert(run("off", 0L) == Set(1L, 2L), "default NoTimeout state must never expire")
+  }
 }
