@@ -144,6 +144,28 @@ object Oracles {
        |)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
 
+  /** Mirror of Dedup.jaccardPairs with `maxDocFrequency = cap`: shingles in
+    * more than `cap` docs are dropped from the inverted index (intersection
+    * counts shrink) while set sizes stay FULL — so jaccard is the operator's
+    * documented lower bound, and the cap's result-changing semantics are
+    * themselves hash-pinned. */
+  def jaccardPairsCapped(threshold: Double, cap: Long): String =
+    s"""WITH $shingleCtes,
+       |tidx AS (
+       |  SELECT doc_id, sh FROM dsh
+       |  WHERE sh IN (SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= $cap)
+       |),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM tidx a JOIN tidx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jac AS (
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
+       |)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
+
   /**
    * MinHash + LSH banding CTEs over a (idCol, sh) shingle relation `shRel` —
    * an EXACT mirror of Dedup.minHashLshPairs' candidate generation (NOT the
@@ -198,6 +220,34 @@ object Oracles {
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
        |),
        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
+
+  /** Exact mirror of Decontaminate.fuzzyFlagged with the benchmark side =
+    * documents WHERE `benchPred`: cross-table LSH band-key candidates (reuses
+    * mbands; the same-table mcand CTE goes unused), exact Jaccard
+    * verification ≥ threshold, self-pairs removed (the gate's composition). */
+  def fuzzyDecontaminateSql(threshold: Double, benchPred: String): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes("dsh", "doc_id")},
+       |fcand AS (
+       |  SELECT DISTINCT a.doc_id, b.doc_id AS bench_id
+       |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE b.doc_id IN (SELECT doc_id FROM documents WHERE $benchPred)
+       |),
+       |finter AS (
+       |  SELECT c.doc_id, c.bench_id, count(*) AS i
+       |  FROM fcand c
+       |  JOIN dsh a ON c.doc_id = a.doc_id
+       |  JOIN dsh b ON c.bench_id = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2
+       |),
+       |fjac AS (
+       |  SELECT fi.doc_id, fi.bench_id,
+       |         CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |  FROM finter fi JOIN dcnt ca ON fi.doc_id = ca.doc_id
+       |                 JOIN dcnt cb ON fi.bench_id = cb.doc_id
+       |)
+       |SELECT doc_id, bench_id, round(jaccard, 6) AS jaccard
+       |FROM fjac WHERE jaccard >= $threshold AND doc_id <> bench_id""".stripMargin
 
   /** Exact mirror of Dedup.minHashLshPairs over documents: LSH-banded candidates
     * (minHashBandCtes), then exact-Jaccard verification ≥ threshold. */

@@ -123,6 +123,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"), "doc_id", "text")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
+    // the scale-shaped form: shingles in > 20 docs excluded from the inverted
+    // index (jaccard = documented lower bound) — pins the cap's semantics
+    "dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8,
+        maxDocFrequency = 20L)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_simhash" -> ((s, dir) =>
@@ -151,6 +156,14 @@ object SparkEntry {
       val docs = rd(s, dir, "documents")
       Decontaminate.flagged(docs, "doc_id", "text",
           docs.filter(col("doc_id") < 20), "doc_id", "text", n = 13)
+        .filter(col("doc_id") =!= col("bench_id"))
+    }),
+    // near-match decontamination — catches paraphrased/partial benchmark
+    // leaks the exact 13-gram rule misses
+    "decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Decontaminate.fuzzyFlagged(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 20), "doc_id", "text", 0.5)
         .filter(col("doc_id") =!= col("bench_id"))
     }),
     "dedup_canonical" -> ((s, dir) => {
@@ -236,6 +249,12 @@ object SparkEntry {
       CorpusStats.keepTopPercent(
         rd(s, dir, "documents").select(col("doc_id"), qualityScoreCol(col("text")).as("quality")),
         "doc_id", "quality", 60)),
+    // per-source quota: cap an over-represented source deterministically
+    // (documents.source is a real column — no synthetic labeling needed)
+    "source_cap" -> ((s, dir) =>
+      Sampling.withSourceCap(
+        rd(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", 10)),
     "mixture_order" -> ((s, dir) =>
       Sampling.withMixtureOrder(
         rd(s, dir, "documents").select(col("doc_id"),
@@ -379,6 +398,7 @@ object SparkEntry {
         |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
         |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
     "dedup_jaccard" -> Oracles.jaccardPairs(0.8),
+    "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
     "dedup_minhash_lsh" -> Oracles.minHashLshPairsSql(0.8),
     "dedup_simhash" ->
       s"""WITH ${Oracles.simHashCtes}
@@ -684,6 +704,17 @@ object SparkEntry {
          |)
          |SELECT doc_id, quality FROM r
          |WHERE rnk < (SELECT count(*) * 60 // 100 FROM scored)""".stripMargin,
+    "decontaminate_fuzzy" -> Oracles.fuzzyDecontaminateSql(0.5, "doc_id < 20"),
+    "source_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, ${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} AS mh FROM documents
+         |),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (PARTITION BY source ORDER BY mh, doc_id) - 1 AS src_rank
+         |  FROM h
+         |)
+         |SELECT doc_id, source, src_rank FROM r WHERE src_rank < 10""".stripMargin,
     "mixture_order" ->
       s"""WITH s AS (
          |  SELECT doc_id,

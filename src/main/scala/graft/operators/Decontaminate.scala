@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.wordNGramHashUdf
+import graft.functions.TextFunctions.{minHashBandKeysUdf, shinglesUdf, wordNGramHashUdf}
 
 /**
  * Benchmark decontamination by n-gram collision — the standard pre-training
@@ -36,5 +36,52 @@ object Decontaminate {
     ch.join(broadcast(bh), "__gh")
       .select(col("__cid").as(idCol), col("bench_id"))
       .distinct()
+  }
+
+  /**
+   * FUZZY decontamination: flag corpus documents whose 3-word-shingle Jaccard
+   * similarity to ANY benchmark document is ≥ `threshold` — catches the
+   * paraphrased/reformatted benchmark leaks the exact n-gram rule misses
+   * (whitespace variants, partial copies, light edits).
+   *
+   * Plan shape = the cross-table form of [[Dedup.minHashLshPairs]]: one
+   * shingle-tokenizer pass per side (each checkpointed once — the lineage is
+   * consumed by banding AND verification), MinHash band keys, candidates from
+   * a band-key equi-join with the benchmark side broadcast (tiny by nature),
+   * then exact Jaccard verification of candidates only. The corpus is never
+   * shuffled on text and never self-joined; false negatives follow the usual
+   * banding bound ((1-j⁴)⁸ at Jaccard j — < 1e-7 for j ≥ 0.97).
+   *
+   * @return (corpus idCol, bench_id, jaccard) — verified contaminated pairs,
+   *         jaccard rounded to 6 decimals. Note a corpus doc that IS a bench
+   *         doc pairs with itself at jaccard 1.0 — filter on ids if the bench
+   *         set is drawn from the corpus.
+   */
+  def fuzzyFlagged(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("__a"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0).localCheckpoint(true)
+    val b = bench.select(col(benchIdCol).as("__b"), shinglesUdf(col(benchTextCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0).localCheckpoint(true)
+    val cBands = c.select(col("__a"),
+      posexplode(minHashBandKeysUdf(col("__shs"))).as(Seq("__band", "__bkey")))
+    val bBands = b.select(col("__b"),
+      posexplode(minHashBandKeysUdf(col("__shs"))).as(Seq("__band", "__bkey")))
+    val cand = cBands.join(broadcast(bBands), Seq("__band", "__bkey"))
+      .select(col("__a"), col("__b")).distinct()
+    val ta = c.select(col("__a"), explode(col("__shs")).as("__sh"))
+    val tb = b.select(col("__b"), explode(col("__shs")).as("__sh"))
+    val inter = cand.join(ta, "__a").join(tb, Seq("__b", "__sh"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
+    val ca = ta.groupBy(col("__a")).agg(count(lit(1)).as("__na"))
+    val cb = tb.groupBy(col("__b")).agg(count(lit(1)).as("__nb"))
+    inter.join(ca, "__a").join(cb, "__b")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__a").as(idCol), col("__b").as("bench_id"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 }

@@ -72,6 +72,39 @@ object Sampling {
   }
 
   /**
+   * Per-source quota cap: keep at most `cap` rows of each source, chosen
+   * deterministically by the key-hash shuffle order (the [[withShuffleOrder]]
+   * order, restricted per source) — the curation step that bounds an
+   * over-represented crawl before mixing, reproducibly.
+   *
+   * Scale shape: NO per-source window (a hot source would funnel its whole
+   * partition through one task); per-source rank = one global [[DenseRank]]
+   * over (source, hash, key) minus broadcast per-source start offsets — the
+   * same technique as [[withMixtureOrder]]. Null sources raise (they would
+   * otherwise be dropped silently by the start-offset join). Caller contract:
+   * `keyCol` unique and non-null.
+   *
+   * @return (keyCol, sourceCol, rankOut) — surviving rows only (per-source
+   *         0-based rank < cap); join back by key for the full frame.
+   */
+  def withSourceCap(
+      df: DataFrame, keyCol: String, sourceCol: String, cap: Long,
+      rankOut: String = "src_rank"): DataFrame = {
+    require(cap > 0L, s"cap must be positive, got $cap")
+    val slim = df.select(
+      coalesce(col(sourceCol),
+        raise_error(lit(s"null $sourceCol in withSourceCap"))).as(sourceCol),
+      col(keyCol), tHashUdf(col(keyCol).cast("string")).as("__mh"))
+    val g = DenseRank.appendIndex(slim,
+      Seq(col(sourceCol), col("__mh"), col(keyCol)), "__g", failOnNullCol = Some(keyCol))
+    val starts = g.groupBy(col(sourceCol)).agg(min(col("__g")).as("__start"))
+    g.join(broadcast(starts), sourceCol)
+      .withColumn(rankOut, col("__g") - col("__start"))
+      .filter(col(rankOut) < cap)
+      .select(col(keyCol), col(sourceCol), col(rankOut))
+  }
+
+  /**
    * Deterministic weighted interleave across sources (stride scheduling —
    * how training pipelines mix corpora at fixed ratios): the k-th row of
    * source s (1-based, in that source's [[withShuffleOrder]]-style hash

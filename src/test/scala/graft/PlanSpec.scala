@@ -77,6 +77,34 @@ class PlanSpec extends AnyFunSuite {
       emb.select(graft.operators.SimSearch.cosineSim(col("vec_id"), col("embedding"))).collect())
   }
 
+  test("embeddingPairsLsh dedup exchange carries no embedding arrays") {
+    // the cross-table duplicate-drop must shuffle (id_a, id_b, cosine) only:
+    // scoring happens BEFORE dropDuplicates, so the exchange moves one double
+    // per candidate pair, not two vectors (~6 KB/row at 768-dim float)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // AQE wraps the plan and hides pre-execution exchanges from collect()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val exchanges =
+      try {
+        val df0 = graft.operators.Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4)
+        df0.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val df = graft.operators.Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.4)
+    // the aggregate-dedup exchange hashes on (id_a, id_b): find it and assert
+    // its row schema has no array-typed columns
+    val dedupEx = exchanges.filter(_.output.exists(_.name == "id_a"))
+    assert(dedupEx.nonEmpty, "expected a shuffle for the pair duplicate-drop")
+    dedupEx.foreach { e =>
+      val arrayCols = e.output.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"dedup exchange shuffles array columns: ${arrayCols.map(_.name).mkString(",")}")
+    }
+    assert(df.count() > 0)
+  }
+
   test("per-row top-n uses WindowGroupLimit below the window sort") {
     val l = strDf(Seq("small ring", "small rings", "blue bolt"))
     val plan = SimJoin.keyedPairs(l, "id", "s", l, "id", "s",
