@@ -492,6 +492,49 @@ object Oracles {
   /** Shared quality-score CTEs over `documents`: emits `scored(doc_id,
     * quality)` — exact mirror of TextFunctions.qualityScoreCol (round 6),
     * consumed by both the text_quality and quality_filter oracles. */
+  /** Exact mirror of Bm25.topK with the query side = documents WHERE
+    * `queryPred`: integer micro-nat idf (floor(ln·1e6)), per-term floored
+    * integer contributions summed exactly, per-query row_number top-k with
+    * doc-id tie-break. Double literals are interpolated from the SAME Scala
+    * doubles the operator folds (`k1+1`, `1−b`), so both engines parse the
+    * identical IEEE values. */
+  def bm25Sql(k: Int, k1: Double, b: Double, queryPred: String): String =
+    s"""WITH tf AS (
+       |  SELECT d, w, count(*) AS tf FROM (
+       |    SELECT doc_id AS d, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+       |  ) GROUP BY d, w
+       |),
+       |dl AS (SELECT d, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY d),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tw, count(*) AS nd FROM dl),
+       |idf AS (
+       |  SELECT w, CAST(floor(ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |    / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf
+       |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w), tot
+       |),
+       |qt AS (
+       |  SELECT DISTINCT q, w FROM (
+       |    SELECT doc_id AS q, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents WHERE $queryPred
+       |  )
+       |),
+       |contrib AS (
+       |  SELECT qt.q, tf.d,
+       |    CAST(floor(CAST(idf.idf AS DOUBLE) *
+       |      (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0} /
+       |       (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+       |        (CAST(dl.dl AS DOUBLE) / (CAST(tot.tw AS DOUBLE) / CAST(tot.nd AS DOUBLE)))))))
+       |      AS BIGINT) AS c
+       |  FROM tf JOIN qt USING (w) JOIN idf USING (w) JOIN dl USING (d), tot
+       |),
+       |scores AS (SELECT q, d, CAST(sum(c) AS BIGINT) AS score_micro FROM contrib GROUP BY q, d),
+       |r AS (
+       |  SELECT q, d, score_micro,
+       |    row_number() OVER (PARTITION BY q ORDER BY score_micro DESC, d) AS rnk
+       |  FROM scores
+       |)
+       |SELECT q AS query_id, d AS doc_id, score_micro, CAST(rnk AS BIGINT) AS rank
+       |FROM r WHERE rnk <= $k""".stripMargin
+
   def qualityScoredCtes: String = {
     val stops = stopIn(graft.functions.TextFunctions.StopwordLists.head._2)
     s"""d AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),

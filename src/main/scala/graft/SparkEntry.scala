@@ -201,6 +201,13 @@ object SparkEntry {
         emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, nIters = 1,
         excludeSelf = true)
     }),
+    // lexical retrieval: rank the corpus against reference queries (targeted
+    // curation); queries = a small document slice, broadcast by construction
+    "bm25_topk" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Bm25.topK(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
+    }),
     // ---- LLM-pipeline: text analysis --------------------------------------
     "text_tokens" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
@@ -558,6 +565,7 @@ object SparkEntry {
          |WHERE e.doc_id NOT IN (SELECT ib FROM losers)""".stripMargin
     },
     "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50", nTables = 2),
+    "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),

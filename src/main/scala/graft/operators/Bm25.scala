@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.wordsCol
+
+/**
+ * BM25 top-k retrieval over the corpus — the query-based selection step of a
+ * training-data pipeline (targeted curation: rank the corpus against a set of
+ * reference queries/domains and keep the best-matching documents).
+ *
+ * Scoring is Lucene-flavored BM25: per matched term,
+ * `idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))` with
+ * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (always ≥ 0).
+ *
+ * Determinism (the oracle contract): idf is quantized to integer micro-nats
+ * (`floor(idf·1e6)`) and each term's contribution to `floor` of an integer —
+ * so the per-(query, doc) aggregation is an EXACT integer sum, invariant
+ * under Spark's reduction order (the [[CorpusStats.unigramLogLoss]] trick).
+ * The per-contribution double chain is single-path (+, ·, /) on exact integer
+ * inputs, identical in any IEEE engine. Output `score_micro` stays integer;
+ * ties break on doc id.
+ *
+ * Scale shape: ONE tokenizer pass over the corpus (the `(doc, term, tf)`
+ * relation is checkpointed once and consumed by the doc-length, the document-
+ * frequency, and the query-hit subtrees); queries explode to distinct terms
+ * and BROADCAST into the inverted-index join, so the corpus shuffles only on
+ * term (bounded by the query vocabulary after the broadcast semi-join) and
+ * then once on doc id for the length join. The per-query top-k runs as a
+ * rank-limited window (Spark inserts WindowGroupLimit, so partial top-k is
+ * computed map-side before the final per-query sort). One hot query is one
+ * window partition — with thousands of queries that's the right parallelism;
+ * a single mega-query would want the [[SimSearch]] broadcast-kernel path
+ * instead.
+ */
+object Bm25 {
+
+  /**
+   * @param k       results per query (ties broken by ascending doc id)
+   * @param k1      term-frequency saturation (Robertson's default 1.2)
+   * @param b       length normalization strength (default 0.75)
+   * @return (query_id, doc_id, score_micro, rank) — rank is 1-based,
+   *         `score_micro` = the BM25 score in integer micro-units
+   *         (divide by 1e6 for the conventional float score)
+   */
+  def topK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // ONE tokenizer pass, materialized: three subtrees consume (doc, term, tf)
+    val tf = docs.select(col(idCol).as("__d"), explode(wordsCol(col(textCol))).as("__w"))
+      .groupBy(col("__d"), col("__w")).agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(true)
+    val dl = tf.groupBy(col("__d")).agg(sum(col("__tf")).as("__dl"))
+    val tot = dl.agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    val idf = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(tot))
+      .select(col("__w"),
+        floor(log((col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+            (col("__df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+          .cast("long").as("__idf"),
+        col("__tw"), col("__nd"))
+    val qt = queries
+      .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
+      .distinct()
+    val contrib = tf.join(broadcast(qt), "__w").join(idf, "__w")
+      .join(dl, "__d")
+      .select(col("__q"), col("__d"),
+        floor(col("__idf").cast("double") *
+            (col("__tf").cast("double") * lit(k1 + 1.0) /
+              (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+                (col("__dl").cast("double") /
+                  (col("__tw").cast("double") / col("__nd").cast("double")))))))
+          .cast("long").as("__c"))
+    val scores = contrib.groupBy(col("__q"), col("__d"))
+      .agg(sum(col("__c")).as("score_micro"))
+    val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
+}

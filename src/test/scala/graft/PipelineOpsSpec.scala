@@ -617,6 +617,81 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(sampled == split.filter(_._2._2 == "train").keySet)
   }
 
+  test("Bm25.topK: rare-term match outranks common-term match; contract holds") {
+    val corpus = docsDf(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the the the the the the the the"),
+      (3L, "quick delivery of the parcel"),
+      (4L, "zebra quagga okapi"),
+      (5L, "a brown dog and a brown cat and the fox")))
+    val queries = docsDf(Seq((100L, "quick brown fox")))
+    val res = Bm25.topK(corpus, "doc_id", "text", queries, "doc_id", "text", 3)
+      .orderBy(col("rank")).collect()
+    assert(res.length <= 3)
+    // doc 1 holds all three query terms — must rank first
+    assert(res.head.getAs[Long]("doc_id") == 1L)
+    assert(res.head.getAs[Long]("rank") == 1L)
+    // ranks are 1..n dense, scores non-increasing, all scores positive
+    assert(res.map(_.getAs[Long]("rank")).toSeq == (1L to res.length).toSeq)
+    val scores = res.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sorted.reverse && scores.forall(_ > 0L))
+    // stopword-only doc 2 matches nothing ("the" is not in the query)
+    assert(!res.map(_.getAs[Long]("doc_id")).contains(2L))
+    // determinism under re-partitioning
+    val again = Bm25.topK(corpus.repartition(7), "doc_id", "text",
+      queries, "doc_id", "text", 3).orderBy(col("rank")).collect()
+    assert(res.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("Bm25.topK: length normalization prefers the shorter doc at equal tf") {
+    val corpus = docsDf(Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "unrelated words entirely")))
+    val res = Bm25.topK(corpus, "doc_id", "text",
+        docsDf(Seq((9L, "alpha"))), "doc_id", "text", 2)
+      .orderBy(col("rank")).collect()
+    assert(res.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(res(0).getAs[Long]("score_micro") > res(1).getAs[Long]("score_micro"))
+  }
+
+  test("Decontaminate.fuzzyFlagged: catches the paraphrased leak the exact rule misses") {
+    val bench = docsDf(Seq(
+      (100L, "what is the capital of france the capital of france is paris a beautiful city")))
+    val corpus = docsDf(Seq(
+      // near-copy: same shingles with a light tail edit — high jaccard
+      (1L, "what is the capital of france the capital of france is paris a beautiful place"),
+      (2L, "completely unrelated text about spark partitioning and shuffles at scale"),
+      // shares only one 3-shingle region — below 0.5
+      (3L, "the capital of france has museums")))
+    val flagged = Decontaminate.fuzzyFlagged(corpus, "doc_id", "text",
+      bench, "doc_id", "text", 0.5).collect()
+    assert(flagged.map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+    assert(flagged.head.getAs[Long]("bench_id") == 100L)
+    assert(flagged.head.getAs[Double]("jaccard") >= 0.5)
+    // but the exact 13-gram rule misses it (the edit breaks every 13-gram)
+    val exact = Decontaminate.flagged(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 13).collect()
+    assert(!exact.map(_.getAs[Long]("doc_id")).contains(1L))
+  }
+
+  test("Sampling.withSourceCap: at most cap rows per source, deterministic, null raises") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i => (i, if (i % 4 == 0L) "rare" else "common")).toDF("id", "src")
+    val capped = Sampling.withSourceCap(df, "id", "src", 5).collect()
+    val bySrc = capped.groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    assert(bySrc("common") == 5 && bySrc("rare") == 5)
+    capped.foreach(r => assert(r.getAs[Long]("src_rank") >= 0 && r.getAs[Long]("src_rank") < 5))
+    // key-stable: survivors don't change when the frame is re-partitioned
+    val again = Sampling.withSourceCap(df.repartition(11), "id", "src", 5)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == capped.map(_.getAs[Long]("id")).toSet)
+    val withNull = df.withColumn("src",
+      when(col("id") === 7L, lit(null: String)).otherwise(col("src")))
+    intercept[Exception] { Sampling.withSourceCap(withNull, "id", "src", 5).collect() }
+  }
+
   test("redactPii and repetitionRatio behave on crafted docs") {
     val df = docsDf(Seq(
       (1L, "mail me at bob.smith+x@example.co.uk or visit https://example.com/a?b=c now"),
