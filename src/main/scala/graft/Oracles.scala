@@ -329,8 +329,10 @@ object Oracles {
    * index asc) nearest centroid and rebuilds centroid elements as
    * `CAST(SUM(floor(x·10⁶ + 0.5) AS BIGINT) AS DOUBLE) / (10⁶ · count)`, the
    * same integer-quantized mean the Scala side computes (exact Long sums on
-   * both engines ⇒ bit-identical centroids). Empty clusters keep their
-   * previous centroid (COALESCE). Then: every vector assigned to its nearest
+   * both engines ⇒ bit-identical centroids). Empty and zero-norm-mean
+   * clusters keep their previous centroid, and null / zero-norm embeddings
+   * are excluded from seeding, Lloyd sums, assignment and probing — both
+   * exactly as the Scala kernels do. Then: every vector assigned to its nearest
    * final centroid, queries probe their nProbe nearest, same-list pairs
    * scored, top-k per query.
    */
@@ -339,7 +341,7 @@ object Oracles {
       val prev = s"cent${i - 1}"
       s"""ccos${i - 1} AS (
          |  SELECT x.vec_id, c.cj, ${listCos("x.e", "c.ce")} AS cos
-         |  FROM v x CROSS JOIN $prev c
+         |  FROM vl x CROSS JOIN $prev c
          |),
          |asgn$i AS (
          |  SELECT vec_id, cj FROM (
@@ -351,7 +353,7 @@ object Oracles {
          |  SELECT a.cj, dm.d,
          |    SUM(CAST(floor(CAST(x.e[dm.d] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
          |    COUNT(*) AS cnt
-         |  FROM asgn$i a JOIN v x ON a.vec_id = x.vec_id CROSS JOIN dims dm
+         |  FROM asgn$i a JOIN vl x ON a.vec_id = x.vec_id CROSS JOIN dims dm
          |  GROUP BY a.cj, dm.d
          |),
          |cnew$i AS (
@@ -359,22 +361,39 @@ object Oracles {
          |  FROM qsum$i GROUP BY cj
          |),
          |cent$i AS (
-         |  SELECT p.cj, COALESCE(n.ce, p.ce) AS ce
+         |  SELECT p.cj,
+         |         CASE WHEN n.ce IS NULL
+         |                OR list_sum(list_transform(n.ce, x -> x * x)) = 0
+         |              THEN p.ce ELSE n.ce END AS ce
          |  FROM $prev p LEFT JOIN cnew$i n ON p.cj = n.cj
          |),""".stripMargin
     }.mkString("\n")
+    // vl = Lloyd/assignment-eligible vectors: the Scala kernels skip null and
+    // zero-norm embeddings everywhere (seeding, Lloyd sums, final assignment,
+    // query probing) — mirrored here so degenerate rows cannot split the two
+    // engines. Note cent0 filters AFTER the id-ranked LIMIT, exactly like the
+    // Scala seed collect (a null among the nList smallest ids shrinks the
+    // seed set, it does not pull in the next id). Both engines require
+    // uniform vector dimensions when nIters > 0.
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |vl AS (
+       |  SELECT vec_id, e FROM v
+       |  WHERE e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |),
        |dims AS (SELECT unnest(generate_series(1, (SELECT CAST(max(len(e)) AS BIGINT) FROM v))) AS d),
        |cent0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cj,
        |         list_transform(e, x -> CAST(x AS DOUBLE)) AS ce
        |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nList)
+       |  WHERE e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
        |),
        |$lloyd
        |ccos AS (
        |  SELECT x.vec_id, c.cj,
        |    ${listCos("x.e", "c.ce")} AS cos
-       |  FROM v x CROSS JOIN cent$nIters c
+       |  FROM vl x CROSS JOIN cent$nIters c
        |),
        |casgn AS (
        |  SELECT vec_id, cj FROM (

@@ -340,7 +340,28 @@ object SparkEntry {
     }),
     "events_props" -> ((s, dir) =>
       rd(s, dir, "events").select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))))
+        get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    // as-of join: each purchase matched to the user's most recent prior click
+    // (µs-epoch Longs on both engines — see EventTime's precision note)
+    "events_asof" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"), col("event_type"),
+        graft.streaming.EventTime.tsMicros(ev0).as("us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      AsOfJoin.asofJoin(purchases, clicks, "user_id", "us", "us",
+          Seq("value" -> "matched_value"), "event_id")
+        .withColumnRenamed("matched_ts", "matched_us")
+    }),
+    // per-stratum deterministic downsampling (keep all of src1, half of src2,
+    // none of src3, 25% of everything else — the mixture-curation shape)
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        rd(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", Map("src1" -> 100, "src2" -> 50, "src3" -> 0),
+        defaultPct = 25)))
 
   private val partSel = "SELECT p_partkey AS id, p_name AS s FROM part"
   private val part300Sel = partSel + " WHERE p_partkey < 300"
@@ -842,5 +863,28 @@ object SparkEntry {
         |WHERE c.event_type = 'click' AND v.event_type = 'view'
         |  AND v.us >= c.us AND v.us <= c.us + 1800000000""".stripMargin,
     "events_props" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""")
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""",
+    "events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
+        |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT l.event_id, r.value, r.us AS rus,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |                            ORDER BY r.us DESC, r.event_id DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.us <= l.us
+        |)
+        |SELECT l.event_id, l.user_id, l.us,
+        |       m.value AS matched_value, m.rus AS matched_us
+        |FROM l LEFT JOIN (SELECT event_id, value, rus FROM m WHERE rn = 1) m
+        |  USING (event_id)""".stripMargin,
+    "stratified_sample" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |    ((${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} % 100) + 100) % 100 AS bucket
+         |  FROM documents
+         |)
+         |SELECT doc_id, source FROM b
+         |WHERE bucket < CASE source WHEN 'src1' THEN 100 WHEN 'src2' THEN 50
+         |                           WHEN 'src3' THEN 0 ELSE 25 END""".stripMargin)
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of (temporal) join: for every left row, the single right row with the
+ * greatest right timestamp ≤ the left timestamp (direction "backward", the
+ * default; "forward" = smallest right timestamp ≥ left), matching on an
+ * equi-key. The polars/pandas `join_asof` and DuckDB `ASOF JOIN` semantics —
+ * the operator the reference README likens its similarity join to
+ * (/root/reference/README.md:14: "similar to a left join or join_asof") but
+ * does not itself provide; Spark has no native as-of join either.
+ *
+ * Spark-first plan (NOT a range join, which Catalyst would execute as a
+ * broadcast-nested-loop over every (key, l.ts ≥ r.ts) pair — quadratic per
+ * key): tag and UNION the two sides, ONE hash shuffle on the key, and a
+ * running `last(payload, ignoreNulls)` window ordered by (ts, side, tiebreak)
+ * with a rows-unbounded-preceding frame. Each partition is scanned once in
+ * sorted order carrying the latest right payload per key — O(n log n) for the
+ * sort, O(n) for the carry, no per-pair work, and the whole thing stays in
+ * whole-stage-codegen'd WindowExec. At 100 TB both sides shuffle exactly once
+ * on the key; a pathologically hot key serializes through one window
+ * partition — salt the key externally if one key dominates (the usual window
+ * caveat, same as any per-key sort).
+ *
+ * Determinism: right rows sharing (key, ts) are ordered by `tieCol`, and the
+ * LARGEST wins (it sorts last and the running `last` carries it); equal
+ * timestamps across sides match (right sorts before left at the same ts —
+ * inclusive, like DuckDB's `ON l.ts >= r.ts`).
+ */
+object AsOfJoin {
+
+  /**
+   * @param left     probe side (every row survives — left-join semantics)
+   * @param right    build side
+   * @param keyCol   equi-join key column name, present on both sides
+   * @param leftTs / rightTs  timestamp (any orderable type) columns
+   * @param payload  right columns to carry onto matches, renamed via the map
+   *                 (rightName -> outputName); unmatched rows get nulls
+   * @param tieCol   right column breaking (key, ts) ties — largest value wins
+   * @param direction "backward" (greatest r.ts ≤ l.ts) or "forward"
+   *                 (smallest r.ts ≥ l.ts)
+   * @param tolerance max |l.ts - r.ts| in SECONDS (0 = unbounded); matches
+   *                 further away become nulls, rows stay (left semantics)
+   * @return left rows + payload columns (+ `matched_ts` = matched right ts)
+   */
+  def asofJoin(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[(String, String)], tieCol: String,
+      direction: String = "backward", tolerance: Long = 0L): DataFrame = {
+    require(Set("backward", "forward")(direction),
+      s"direction must be backward|forward, got $direction")
+    require(tolerance >= 0L, s"tolerance must be >= 0 (0 = unbounded), got $tolerance")
+    require(payload.nonEmpty, "payload must name at least one right column to carry")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("matched_ts"),
+      "left already has a 'matched_ts' column — rename it first")
+    payload.foreach { case (_, out) =>
+      require(!leftCols.contains(out), s"output payload column '$out' collides with a left column")
+    }
+    // one struct carries ts + tiebreak + payload, so a single running last()
+    // tracks everything atomically (per-column lasts could mix two right rows)
+    val payStruct = struct(
+      (col(rightTs).as("__ts") +: col(tieCol).as("__tie") +:
+        payload.map { case (in, out) => col(in).as(out) }): _*)
+    // null literals on the opposite side need the struct types resolved
+    // against the real frames (an unresolved struct has no dataType yet)
+    val payType = right.select(payStruct.as("__pay")).schema("__pay").dataType
+    val lrowType = left.select(struct(leftCols.map(col): _*).as("__lrow"))
+      .schema("__lrow").dataType
+    val l = left.select(
+      col(keyCol).as("__key"), col(leftTs).as("__t"),
+      lit(1).as("__side"), lit(null).cast("long").as("__tie0"),
+      lit(null).cast(payType).as("__pay"),
+      struct(leftCols.map(col): _*).as("__lrow"))
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(keyCol).as("__key"), col(rightTs).as("__t"),
+        lit(0).as("__side"), col(tieCol).cast("long").as("__tie0"),
+        payStruct.as("__pay"),
+        lit(null).cast(lrowType).as("__lrow"))
+    // backward: ascending scan, right rows first at equal ts so they are
+    // visible to same-ts left rows; forward: the mirror (descending scan,
+    // carrying the NEXT right row). In BOTH directions __tie0 sorts
+    // ascending: the carry keeps whatever sorted last, so ascending ties put
+    // the largest tiebreak in the carried slot.
+    val ord: Seq[Column] =
+      if (direction == "backward") Seq(col("__t").asc, col("__side").asc, col("__tie0").asc)
+      else Seq(col("__t").desc, col("__side").asc, col("__tie0").asc)
+    val w = Window.partitionBy(col("__key")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val withinTol =
+      if (tolerance == 0L) col("__m").isNotNull
+      else if (direction == "backward")
+        col("__m").isNotNull &&
+          col("__t").cast("long") - col("__m.__ts").cast("long") <= tolerance
+      else
+        col("__m").isNotNull &&
+          col("__m.__ts").cast("long") - col("__t").cast("long") <= tolerance
+    val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+      (payload.map(_._2) :+ "matched_ts").map { c =>
+        val src = if (c == "matched_ts") col("__m.__ts") else col(s"__m.$c")
+        when(withinTol, src).as(c)
+      }
+    carried.select(out: _*)
+  }
+}

@@ -50,7 +50,7 @@ object ConnectedComponents {
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(ensureCheckpointDir(nodes, _))
     val sym0 = edges.select(col(aCol).as("__src"), col(bCol).as("__dst"))
       .union(edges.select(col(bCol).as("__src"), col(aCol).as("__dst")))
       .distinct()
@@ -102,7 +102,7 @@ object ConnectedComponents {
         reliable)
       val anyChanged = next
         .agg(coalesce(max(col("__changed")), lit(false))).head.getBoolean(0)
-      labelsHandle.unpersist(false) // next is materialized — free the old generation
+      releaseGeneration(labelsHandle) // next is materialized — free the old generation
       labelsHandle = nextHandle
       labels = next.select(col("__id"), col("__comp"))
       converged = !anyChanged
@@ -115,6 +115,37 @@ object ConnectedComponents {
       .join(labels, Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(col("__comp"), col("__id")).as("component"))
+  }
+
+  /** `setCheckpointDir` mutates GLOBAL SparkContext state (every later
+    * `checkpoint()` user in the session inherits it; concurrent runs with
+    * different dirs are last-set-wins — a documented side effect of Spark's
+    * one-dir-per-context design, not something an operator can scope). Only
+    * touch it when the context has no dir under `dir` yet: repeated runs with
+    * the same base dir then share one context dir instead of piling up UUID
+    * subdirectories, and a caller-preset dir is never clobbered by accident.
+    * (Spark appends a random UUID subdir, so compare by prefix.) */
+  private def ensureCheckpointDir(nodes: DataFrame, dir: String): Unit = {
+    val sc = nodes.sparkSession.sparkContext
+    if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+  }
+
+  /** Release a superseded generation: free its blocks, and for RELIABLE
+    * checkpoints also best-effort delete its checkpoint FILES — the next
+    * generation is already materialized and checkpointed (its lineage is
+    * truncated at its own files), so the superseded files can never be
+    * re-read; without this an hours-long run leaks one rdd-N directory per
+    * iteration unless `spark.cleaner.referenceTracking.cleanCheckpoints` is
+    * on (off by default). */
+  private def releaseGeneration(
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]): Unit = {
+    rdd.unpersist(false)
+    rdd.getCheckpointFile.foreach { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** Lineage-cutting checkpoint with a DETERMINISTIC release handle: marks
@@ -200,7 +231,7 @@ object ConnectedComponents {
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach(ensureCheckpointDir(nodes, _))
     val reliable = checkpointDir.isDefined
     // maxRounds = 0 would label nodes from RAW input-orientation edges (a
     // node's component could exceed its own id) — reject rather than violate
@@ -228,7 +259,7 @@ object ConnectedComponents {
           coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L)),
           coalesce(bit_xor(xxhash64(lit(42), col("__u"), col("__v"))), lit(0L))).head
       val chk = (chkRow.getLong(0), chkRow.getLong(1), chkRow.getLong(2))
-      eHandle.unpersist(false) // next is materialized — free the old generation
+      releaseGeneration(eHandle) // next is materialized — free the old generation
       e = next
       eHandle = nextHandle
       converged = chk == prev

@@ -50,25 +50,26 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("canonical_id"))
   }
 
-  /** Internal: Jaccard from per-pair intersection counts (columns __a, __b, __i). */
-  private def jaccardFromInter(tokens: DataFrame, inter: DataFrame): DataFrame = {
-    val cnt = tokens.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+  /** Internal: Jaccard from per-pair intersection counts (columns __a, __b,
+    * __i) and per-doc set sizes `cnt` (__id, __n). Callers derive `cnt` from
+    * the materialized per-doc shingle ARRAYS (`size(__shs)` — shingles are
+    * distinct per doc) so no count shuffle and no tokenizer re-execution. */
+  private def jaccardFromInter(cnt: DataFrame, inter: DataFrame): DataFrame =
     inter
       .join(cnt.select(col("__id").as("__a"), col("__n").as("__na")), "__a")
       .join(cnt.select(col("__id").as("__b"), col("__n").as("__nb")), "__b")
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
-  }
 
   /** Internal: exact Jaccard for given candidate doc pairs (columns __a < __b).
     * Expands candidates by the left side's shingles — right cost model only when
     * candidates ≪ all-pairs (the LSH path). */
-  private def verifyJaccard(tokens: DataFrame, candidates: DataFrame): DataFrame = {
+  private def verifyJaccard(tokens: DataFrame, cnt: DataFrame, candidates: DataFrame): DataFrame = {
     val ta = tokens.select(col("__id").as("__a"), col("__sh"))
     val tb = tokens.select(col("__id").as("__b"), col("__sh"))
     val inter = candidates.join(ta, "__a").join(tb, Seq("__b", "__sh"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
-    jaccardFromInter(tokens, inter)
+    jaccardFromInter(cnt, inter)
   }
 
   /**
@@ -90,8 +91,17 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
       maxDocFrequency: Long = 0L): DataFrame = {
-    val t = shingleRelation(df, idCol, textCol)
-    // shingleRelation is distinct per doc, so count-per-shingle = doc frequency
+    // ONE tokenizer pass, materialized (same trap as minHashLshPairs: the
+    // inverted-index self-join reads the shingle relation twice, the capped
+    // variant adds the doc-frequency aggregate and its semi-join — an
+    // unmaterialized frame re-runs the shingle UDF once per subtree, ~5× on
+    // the capped path). Set sizes come from size(__shs) — no count shuffle.
+    val shs = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .localCheckpoint(true)
+    val t = shs.select(col("__id"), explode(col("__shs")).as("__sh"))
+    val cnt = shs.select(col("__id"), size(col("__shs")).cast("long").as("__n"))
+    // shingles are distinct per doc, so count-per-shingle = doc frequency
     val tIdx =
       if (maxDocFrequency <= 0L) t
       else {
@@ -105,7 +115,7 @@ object Dedup {
       .join(tIdx.select(col("__id").as("__b"), col("__sh")), "__sh")
       .filter(col("__a") < col("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
-    jaccardFromInter(t, inter)
+    jaccardFromInter(cnt, inter)
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
@@ -140,7 +150,8 @@ object Dedup {
         Seq("__band", "__bkey"))
       .filter(col("__a") < col("__b"))
       .select(col("__a"), col("__b")).distinct()
-    verifyJaccard(t, cand)
+    val cnt = shs.select(col("__id"), size(col("__shs")).cast("long").as("__n"))
+    verifyJaccard(t, cnt, cand)
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))

@@ -49,6 +49,30 @@ object Sampling {
   }
 
   /**
+   * Deterministic STRATIFIED sample: per-stratum keep percentages (e.g.
+   * downsample an over-represented language while keeping all of a rare one)
+   * with the same key-stable bucket rule as [[deterministicSample]] — a row
+   * survives iff `hashBucket(key) < pct(stratum)`. Strata absent from the map
+   * fall back to `defaultPct` (default 0 = drop, the curation-allowlist
+   * stance). Pure narrow filter: no shuffle, no per-stratum window, perfectly
+   * scale-free; null strata raise (a silent drop would corrupt mixture
+   * ratios).
+   */
+  def stratifiedSample(
+      df: DataFrame, keyCol: String, strataCol: String,
+      pcts: Map[String, Int], defaultPct: Int = 0): DataFrame = {
+    require(pcts.nonEmpty, "pcts must be non-empty")
+    (defaultPct +: pcts.values.toSeq).foreach(p =>
+      require(p >= 0 && p <= 100, s"percentages must be in [0,100], got $p"))
+    val pctCol = coalesce(
+      element_at(typedlit(pcts.map { case (k, v) => k -> v.toLong }),
+        coalesce(col(strataCol),
+          raise_error(lit(s"null $strataCol in stratifiedSample")))),
+      lit(defaultPct.toLong))
+    df.filter(hashBucket(col(keyCol)) < pctCol)
+  }
+
+  /**
    * Deterministic global shuffle order: `posOut` = the DISTINCT key's dense
    * 0-based position when keys are sorted by `(tHash(key), key)` — a
    * reproducible pseudo-random permutation (shuffle-before-sharding for

@@ -68,12 +68,14 @@ object SimSearch {
     * through UNCHANGED, so a slim filtered slice of a huge table (e.g.
     * `corpus.filter(id < 50)`) carries the full table's estimate. To keep the
     * guard from firing spuriously on exactly that common pattern, an
-    * over-bound estimate is REFINED before rejecting: probe the first few
-    * query rows for their real serialized width, then run a limit-capped
-    * count — two small bounded jobs, executed only on the (previously
-    * hard-failing) over-estimate path. The guard then rejects on ACTUAL row
-    * count, not the filter-blind estimate. `maxQueryBytes` stays a parameter:
-    * raise it for genuinely big query sides, or pass 0 to disable. */
+    * over-bound estimate is REFINED before rejecting: ONE exact aggregation
+    * `sum(16 + 4·size(vec))` over the (slim, two-column) query projection —
+    * not a sampled mean row width, which under-counts heterogeneous vector
+    * widths and would let a frame past the guard only to OOM the collect.
+    * The single bounded job runs only on the (previously hard-failing)
+    * over-estimate path, scans id+length (never vector values), and rejects
+    * on ACTUAL bytes. `maxQueryBytes` stays a parameter: raise it for
+    * genuinely big query sides, or pass 0 to disable. */
   private[operators] def requireCollectableQueries(
       queries: DataFrame, qId: String, qVec: String,
       maxQueryBytes: Long): Unit = {
@@ -83,21 +85,21 @@ object SimSearch {
       val est = queries.select(col(qId), col(qVec))
         .queryExecution.optimizedPlan.stats.sizeInBytes
       if (est > BigInt(maxQueryBytes)) {
-        // refinement: avg bytes/row from a small head sample (id + float vec +
-        // row overhead), then a count capped just past the implied row budget
-        val sample = queries.select(col(qVec)).limit(64).collect()
-        val avgRow =
-          if (sample.isEmpty) 16L
-          else math.max(16L, sample.iterator.map { r =>
-            if (r.isNullAt(0)) 16L else 16L + 4L * r.getSeq[Float](0).length
-          }.sum / sample.length)
-        val allowedRows = math.min(maxQueryBytes / avgRow, (Int.MaxValue - 1).toLong)
-        val actual = queries.limit(allowedRows.toInt + 1).count()
-        require(actual <= allowedRows,
-          s"query side too large to collect to the driver: > $allowedRows rows of ~$avgRow " +
-            s"bytes exceed the $maxQueryBytes-byte guard (filter-blind Catalyst estimate " +
-            s"was $est). These operators broadcast the QUERY side — pass the smaller frame " +
-            "as queries, raise maxQueryBytes (or 0 to disable), or use the fully-relational " +
+        // exact bytes: 16 per-row overhead (id + header) + 4 per float element;
+        // null vectors count as bare rows (explicit when(): size(null) is
+        // -1 or null depending on spark.sql.legacy.sizeOfNull — use neither).
+        // sum() is null on an empty frame.
+        val actualBytes = queries
+          .agg(coalesce(
+            sum(lit(16L) + lit(4L) *
+              when(col(qVec).isNull, lit(0L)).otherwise(size(col(qVec)).cast("long"))),
+            lit(0L)))
+          .head.getLong(0)
+        require(actualBytes <= maxQueryBytes,
+          s"query side too large to collect to the driver: $actualBytes bytes exceed the " +
+            s"$maxQueryBytes-byte guard (filter-blind Catalyst estimate was $est). These " +
+            "operators broadcast the QUERY side — pass the smaller frame as queries, raise " +
+            "maxQueryBytes (or 0 to disable), or use the fully-relational " +
             "Dedup.embeddingPairsLsh path which never collects either side")
       }
     }

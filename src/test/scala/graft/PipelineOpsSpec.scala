@@ -659,8 +659,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val bench = docsDf(Seq(
       (100L, "what is the capital of france the capital of france is paris a beautiful city")))
     val corpus = docsDf(Seq(
-      // near-copy: same shingles with a light tail edit — high jaccard
-      (1L, "what is the capital of france the capital of france is paris a beautiful place"),
+      // near-copy with a light MID-DOC edit ("the"→"which" at word 7): the
+      // doc is 15 words, so all three 13-grams cover words 3-13 and every one
+      // breaks — while 9 of the 3-word shingles survive (jaccard 9/14 ≈ 0.64).
+      // (A tail edit would NOT do: grams 1-2 of a 15-word doc skip the last
+      // words and still collide exactly.)
+      (1L, "what is the capital of france which capital of france is paris a beautiful city"),
       (2L, "completely unrelated text about spark partitioning and shuffles at scale"),
       // shares only one 3-shingle region — below 0.5
       (3L, "the capital of france has museums")))

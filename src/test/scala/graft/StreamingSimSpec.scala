@@ -155,7 +155,17 @@ class StreamingSimSpec extends AnyFunSuite {
         Thread.sleep(math.max(1500L, 3 * ttlMs)) // let any TTL lapse in wall time
         Seq((2L, "doc B")).toDF("doc_id", "text").write.parquet(dir + "/in/b2")
         waitFor(ids(name).contains(2L), s"$name: b2 emit")
-        Thread.sleep(500L) // a post-expiry batch runs A's timeout eviction
+        // Poll for A's EVICTION (state drops to B alone) before writing b3 —
+        // a fixed sleep raced the timeout batch on loaded boxes: if b3 landed
+        // first, still-present state dropped doc 3 and the re-emit never came.
+        // With a pending processing-time timeout the engine keeps running
+        // batches, so the state metric does advance without new data.
+        def stateRows(): Long = {
+          val p = q.lastProgress
+          if (p == null || p.stateOperators.isEmpty) -1L
+          else p.stateOperators(0).numRowsTotal
+        }
+        if (ttlMs > 0L) waitFor(stateRows() == 1L, s"$name: A evicted from state")
         Seq((3L, "doc A")).toDF("doc_id", "text").write.parquet(dir + "/in/b3")
         if (ttlMs > 0L) waitFor(ids(name).contains(3L), s"$name: b3 re-emit")
         else { q.processAllAvailable() } // NoTimeout engine idles — PAA safe
