@@ -105,6 +105,35 @@ class PlanSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("asofJoin plan: one shuffle, a window carry, no nested-loop join") {
+    // the point of the union+window formulation: a naive `l.ts >= r.ts` range
+    // join would plan as BroadcastNestedLoopJoin (quadratic per key); the
+    // as-of plan must instead be scan→union→ONE hash exchange→window.
+    // Non-local parquet source: local relations constant-fold the whole plan.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-plan").toString
+    (1L to 200L).map(i => (i, i % 7, i * 1000L, i.toDouble))
+      .toDF("event_id", "user_id", "us", "value").write.parquet(dir + "/ev")
+    val ev = spark.read.parquet(dir + "/ev")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.AsOfJoin.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("us")), ev,
+          "user_id", "us", "us", Seq("value" -> "matched_value"), "event_id")
+        .queryExecution.executedPlan
+      val s = plan.toString
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        "as-of join must not plan a nested-loop/cartesian join")
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.length == 1,
+        s"as-of join should shuffle exactly once (the window key), got ${exchanges.length}")
+      assert(s.contains("Window"), "expected the running-carry WindowExec")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("per-row top-n uses WindowGroupLimit below the window sort") {
     val l = strDf(Seq("small ring", "small rings", "blue bolt"))
     val plan = SimJoin.keyedPairs(l, "id", "s", l, "id", "s",
