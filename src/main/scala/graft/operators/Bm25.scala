@@ -26,9 +26,11 @@ import graft.functions.TextFunctions.wordsCol
  * Scale shape: ONE tokenizer pass over the corpus (the `(doc, term, tf)`
  * relation is checkpointed once and consumed by the doc-length, the document-
  * frequency, and the query-hit subtrees); queries explode to distinct terms
- * and BROADCAST into the inverted-index join, so the corpus shuffles only on
- * term (bounded by the query vocabulary after the broadcast semi-join) and
- * then once on doc id for the length join. The per-query top-k runs as a
+ * and BROADCAST into the inverted-index join, so per-term work (df counts,
+ * idf) runs only over the query vocabulary — never the corpus vocabulary —
+ * and the idf slice broadcasts back; the corpus shuffles once on term
+ * (bounded by the query vocabulary after the broadcast semi-join) and once
+ * on doc id for the length join. The per-query top-k runs as a
  * rank-limited window (Spark inserts WindowGroupLimit, so partial top-k is
  * computed map-side before the final per-query sort). One hot query is one
  * window partition — with thousands of queries that's the right parallelism;
@@ -56,17 +58,25 @@ object Bm25 {
       .localCheckpoint(true)
     val dl = tf.groupBy(col("__d")).agg(sum(col("__tf")).as("__dl"))
     val tot = dl.agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
-    val idf = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val qt = queries
+      .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
+      .distinct()
+    // Restrict to QUERY terms before any per-term work: df over the full
+    // vocabulary would aggregate (and then shuffle-join) millions of terms to
+    // use a handful — the semi-join bounds both to the query vocabulary, and
+    // the resulting idf slice broadcasts instead of shuffling the hit
+    // relation a second time. df per surviving term is unchanged (it counts
+    // docs containing THAT term).
+    val qterms = qt.select(col("__w")).distinct()
+    val tfq = tf.join(broadcast(qterms), "__w")
+    val idf = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(tot))
       .select(col("__w"),
         floor(log((col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
             (col("__df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
           .cast("long").as("__idf"),
         col("__tw"), col("__nd"))
-    val qt = queries
-      .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
-      .distinct()
-    val contrib = tf.join(broadcast(qt), "__w").join(idf, "__w")
+    val contrib = tfq.join(broadcast(qt), "__w").join(broadcast(idf), "__w")
       .join(dl, "__d")
       .select(col("__q"), col("__d"),
         floor(col("__idf").cast("double") *
