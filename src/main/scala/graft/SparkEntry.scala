@@ -355,6 +355,19 @@ object SparkEntry {
           Seq("value" -> "matched_value"), "event_id")
         .withColumnRenamed("matched_ts", "matched_us")
     }),
+    // nearest-direction as-of: smallest |Δt|, equal distance goes backward
+    "events_asof_nearest" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"), col("event_type"),
+        graft.streaming.EventTime.tsMicros(ev0).as("us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      AsOfJoin.asofJoin(purchases, clicks, "user_id", "us", "us",
+          Seq("value" -> "matched_value"), "event_id", direction = "nearest")
+        .withColumnRenamed("matched_ts", "matched_us")
+    }),
     // per-stratum deterministic downsampling (keep all of src1, half of src2,
     // none of src3, 25% of everything else — the mixture-curation shape)
     "stratified_sample" -> ((s, dir) =>
@@ -878,6 +891,34 @@ object SparkEntry {
         |       m.value AS matched_value, m.rus AS matched_us
         |FROM l LEFT JOIN (SELECT event_id, value, rus FROM m WHERE rn = 1) m
         |  USING (event_id)""".stripMargin,
+    "events_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
+        |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'click'),
+        |mb AS (
+        |  SELECT l.event_id, r.value, r.us AS rus,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |                            ORDER BY r.us DESC, r.event_id DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.us <= l.us
+        |),
+        |mf AS (
+        |  SELECT l.event_id, r.value, r.us AS rus,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |                            ORDER BY r.us ASC, r.event_id DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.us >= l.us
+        |)
+        |SELECT l.event_id, l.user_id, l.us,
+        |  CASE WHEN b.event_id IS NOT NULL
+        |         AND (f.event_id IS NULL OR (l.us - b.rus) <= (f.rus - l.us))
+        |       THEN b.value ELSE f.value END AS matched_value,
+        |  CASE WHEN b.event_id IS NOT NULL
+        |         AND (f.event_id IS NULL OR (l.us - b.rus) <= (f.rus - l.us))
+        |       THEN b.rus ELSE f.rus END AS matched_us
+        |FROM l
+        |LEFT JOIN (SELECT event_id, value, rus FROM mb WHERE rn = 1) b
+        |  ON l.event_id = b.event_id
+        |LEFT JOIN (SELECT event_id, value, rus FROM mf WHERE rn = 1) f
+        |  ON l.event_id = f.event_id""".stripMargin,
     "stratified_sample" ->
       s"""WITH b AS (
          |  SELECT doc_id, source,

@@ -40,8 +40,11 @@ object AsOfJoin {
    * @param payload  right columns to carry onto matches, renamed via the map
    *                 (rightName -> outputName); unmatched rows get nulls
    * @param tieCol   right column breaking (key, ts) ties — largest value wins
-   * @param direction "backward" (greatest r.ts ≤ l.ts) or "forward"
-   *                 (smallest r.ts ≥ l.ts)
+   * @param direction "backward" (greatest r.ts ≤ l.ts), "forward" (smallest
+   *                 r.ts ≥ l.ts), or "nearest" (smallest |l.ts − r.ts|; equal
+   *                 distance goes backward — the pandas/polars convention).
+   *                 Nearest runs both carries over the same key shuffle (one
+   *                 exchange, two in-partition sorts)
    * @param tolerance max |l.ts - r.ts| in SECONDS (0 = unbounded); matches
    *                 further away become nulls, rows stay (left semantics)
    * @return left rows + payload columns (+ `matched_ts` = matched right ts)
@@ -51,8 +54,8 @@ object AsOfJoin {
       leftTs: String, rightTs: String,
       payload: Seq[(String, String)], tieCol: String,
       direction: String = "backward", tolerance: Long = 0L): DataFrame = {
-    require(Set("backward", "forward")(direction),
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     require(tolerance >= 0L, s"tolerance must be >= 0 (0 = unbounded), got $tolerance")
     require(payload.nonEmpty, "payload must name at least one right column to carry")
     val leftCols = left.columns.toSeq
@@ -87,23 +90,39 @@ object AsOfJoin {
     // visible to same-ts left rows; forward: the mirror (descending scan,
     // carrying the NEXT right row). In BOTH directions __tie0 sorts
     // ascending: the carry keeps whatever sorted last, so ascending ties put
-    // the largest tiebreak in the carried slot.
-    val ord: Seq[Column] =
-      if (direction == "backward") Seq(col("__t").asc, col("__side").asc, col("__tie0").asc)
-      else Seq(col("__t").desc, col("__side").asc, col("__tie0").asc)
-    val w = Window.partitionBy(col("__key")).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = l.unionByName(r)
-      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    // the largest tiebreak in the carried slot. "nearest" runs both carries
+    // over the SAME key exchange (two sorts, one shuffle — Spark reuses the
+    // hash partitioning for both windows) and picks the closer match;
+    // equal-distance ties go backward (the pandas/polars convention).
+    def carryWindow(backward: Boolean) = {
+      val ord: Seq[Column] =
+        if (backward) Seq(col("__t").asc, col("__side").asc, col("__tie0").asc)
+        else Seq(col("__t").desc, col("__side").asc, col("__tie0").asc)
+      Window.partitionBy(col("__key")).orderBy(ord: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    def dist(m: Column, backward: Boolean): Column =
+      if (backward) col("__t").cast("long") - m.getField("__ts").cast("long")
+      else m.getField("__ts").cast("long") - col("__t").cast("long")
+    val u = l.unionByName(r)
+    val carried = (direction match {
+      case "nearest" =>
+        val both = u
+          .withColumn("__mb", last(col("__pay"), ignoreNulls = true).over(carryWindow(true)))
+          .withColumn("__mf", last(col("__pay"), ignoreNulls = true).over(carryWindow(false)))
+        both.withColumn("__m",
+          when(col("__mb").isNotNull &&
+              (col("__mf").isNull ||
+                dist(col("__mb"), backward = true) <= dist(col("__mf"), backward = false)),
+            col("__mb")).otherwise(col("__mf")))
+      case d =>
+        u.withColumn("__m",
+          last(col("__pay"), ignoreNulls = true).over(carryWindow(d == "backward")))
+    }).filter(col("__side") === 1)
     val withinTol =
       if (tolerance == 0L) col("__m").isNotNull
-      else if (direction == "backward")
-        col("__m").isNotNull &&
-          col("__t").cast("long") - col("__m.__ts").cast("long") <= tolerance
-      else
-        col("__m").isNotNull &&
-          col("__m.__ts").cast("long") - col("__t").cast("long") <= tolerance
+      else col("__m").isNotNull &&
+        abs(col("__t").cast("long") - col("__m.__ts").cast("long")) <= tolerance
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
       (payload.map(_._2) :+ "matched_ts").map { c =>
         val src = if (c == "matched_ts") col("__m.__ts") else col(s"__m.$c")

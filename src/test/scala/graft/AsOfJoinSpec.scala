@@ -71,6 +71,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       (5L, None, None)))
   }
 
+  test("asofJoin nearest: smaller |delta| wins, equal distance goes backward") {
+    val (left, right) = sides
+    assert(runAsof(left, right, direction = "nearest") == Set(
+      (1L, Some(2.0), Some(100L)), // exact hit
+      (2L, Some(2.0), Some(100L)), // back 50s vs fwd 50s — tie -> backward
+      (3L, Some(2.0), Some(100L)), // only a forward candidate (50s ahead)
+      (4L, Some(4.0), Some(400L)), // only a backward candidate
+      (5L, None, None)))
+    // tolerance applies to |delta| in nearest mode
+    val tight = runAsof(left, right, direction = "nearest", tolerance = 10L)
+    assert(tight.contains((2L, None, None)) && tight.contains((1L, Some(2.0), Some(100L))))
+  }
+
   test("asofJoin tolerance: distant matches null out but rows survive") {
     val (left, right) = sides
     // event 2 at 150 matches right@100 (50s away); tolerance 10s kills it

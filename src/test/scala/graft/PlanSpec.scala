@@ -131,6 +131,17 @@ class PlanSpec extends AnyFunSuite {
       assert(exchanges.length == 1,
         s"as-of join should shuffle exactly once (the window key), got ${exchanges.length}")
       assert(s.contains("Window"), "expected the running-carry WindowExec")
+      // nearest = two carries over the SAME key partitioning: still one shuffle
+      val nearPlan = graft.operators.AsOfJoin.asofJoin(
+          ev.select(col("event_id"), col("user_id"), col("us")), ev,
+          "user_id", "us", "us", Seq("value" -> "matched_value"), "event_id",
+          direction = "nearest")
+        .queryExecution.executedPlan
+      val nearEx = nearPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(nearEx.length == 1,
+        s"nearest as-of should reuse one key shuffle for both carries, got ${nearEx.length}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
