@@ -256,6 +256,13 @@ object SparkEntry {
       CorpusStats.keepTopPercent(
         rd(s, dir, "documents").select(col("doc_id"), qualityScoreCol(col("text")).as("quality")),
         "doc_id", "quality", 60)),
+    // per-source percentile cut: best 60% of EACH source, so no source
+    // dominates the surviving mix
+    "quality_filter_by_source" -> ((s, dir) =>
+      CorpusStats.keepTopPercentByGroup(
+        rd(s, dir, "documents").select(col("doc_id"), col("source"),
+          qualityScoreCol(col("text")).as("quality")),
+        "doc_id", "quality", "source", 60)),
     // per-source quota: cap an over-represented source deterministically
     // (documents.source is a real column — no synthetic labeling needed)
     "source_cap" -> ((s, dir) =>
@@ -746,6 +753,20 @@ object SparkEntry {
          |)
          |SELECT doc_id, quality FROM r
          |WHERE rnk < (SELECT count(*) * 60 // 100 FROM scored)""".stripMargin,
+    "quality_filter_by_source" ->
+      s"""WITH ${Oracles.qualityScoredCtes},
+         |sg AS (
+         |  SELECT s.doc_id, dd.source, s.quality
+         |  FROM scored s JOIN documents dd ON s.doc_id = dd.doc_id
+         |),
+         |r AS (
+         |  SELECT doc_id, source, quality,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY quality DESC, doc_id ASC) - 1 AS rnk,
+         |         count(*) OVER (PARTITION BY source) AS n
+         |  FROM sg
+         |)
+         |SELECT doc_id, source, quality FROM r WHERE rnk < n * 60 // 100""".stripMargin,
     "decontaminate_fuzzy" -> Oracles.fuzzyDecontaminateSql(0.5, "doc_id < 20"),
     "source_cap" ->
       s"""WITH h AS (

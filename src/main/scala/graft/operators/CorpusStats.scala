@@ -88,4 +88,44 @@ object CorpusStats {
       .filter(col("__rank") < keep)
       .select(col(idCol), col(scoreCol))
   }
+
+  /**
+   * PER-GROUP exact percentile filter: [[keepTopPercent]] applied within each
+   * group — keep `floor(n_g·pct/100)` rows of every group g by
+   * `(scoreCol desc, idCol asc)`. The curation form that stops one source
+   * from dominating the survivors: a global cut keeps whatever scores
+   * highest anywhere; this keeps the best pct% OF EACH source.
+   *
+   * Scale shape: NO per-group window (a hot group would funnel through one
+   * task). One global [[DenseRank]] over `(group, score desc, id)` makes
+   * every group a contiguous rank range; per-group rank = global rank minus
+   * the group's broadcast start offset, and the group's row count rides the
+   * same broadcast aggregate ([[Sampling.withSourceCap]]'s technique, plus
+   * the count for the percentage cut). Null groups raise — a silent drop
+   * would shift every percentage.
+   *
+   * @return (idCol, groupCol, scoreCol) for survivors — join back by id for
+   *         the full frame.
+   */
+  def keepTopPercentByGroup(
+      df: DataFrame, idCol: String, scoreCol: String, groupCol: String,
+      pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    val slim = df.select(
+        coalesce(col(groupCol),
+          raise_error(lit(s"null $groupCol in keepTopPercentByGroup"))).as(groupCol),
+        col(idCol), col(scoreCol))
+      .localCheckpoint(true)
+    val g = DenseRank.appendIndex(slim,
+      Seq(col(groupCol).asc, col(scoreCol).desc, col(idCol).asc), "__g",
+      failOnNullCol = Some(idCol))
+    val stats = g.groupBy(col(groupCol))
+      .agg(min(col("__g")).as("__start"), count(lit(1)).as("__n"))
+    // floor(): Column./ is DOUBLE division — a bare n·pct/100 comparison
+    // would keep one extra rank whenever n·pct isn't a multiple of 100
+    g.join(broadcast(stats), groupCol)
+      .filter(col("__g") - col("__start") <
+        floor(col("__n") * pct / lit(100)).cast("long"))
+      .select(col(idCol), col(groupCol), col(scoreCol))
+  }
 }

@@ -277,6 +277,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("keepTopPercentByGroup: per-group exact counts, determinism, null raises") {
+    val s = spark
+    import s.implicits._
+    // group "a": 30 rows, "b": 10 rows — 25% keeps floor(30·.25)=7 and
+    // floor(10·.25)=2, each group's own best, not a global cut
+    val rows = (1L to 40L).map(i =>
+      (i, if (i <= 30L) "a" else "b", (i * 17 % 23).toDouble))
+    val df = rows.toDF("id", "src", "score")
+    for (parts <- Seq(1, 4)) {
+      val kept = CorpusStats.keepTopPercentByGroup(
+          df.repartition(parts), "id", "score", "src", 25)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        rs.sortBy { case (id, _, sc) => (-sc, id) }.take(rs.length * 25 / 100)
+      }.toSet
+      assert(kept == expected, s"parts=$parts")
+      assert(kept.count(_._2 == "a") == 7 && kept.count(_._2 == "b") == 2)
+    }
+    val withNull = df.withColumn("src",
+      when(col("id") === 5L, lit(null)).otherwise(col("src")))
+    val ex = intercept[Exception] {
+      CorpusStats.keepTopPercentByGroup(withNull, "id", "score", "src", 25).collect()
+    }
+    assert(ex.getMessage.contains("null src"))
+  }
+
   test("connected components: chains collapse to min id") {
     val s = spark
     import s.implicits._
