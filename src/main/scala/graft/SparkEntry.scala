@@ -140,6 +140,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
     "simhash_fp" -> ((s, dir) =>
       Dedup.simHashFingerprints(rd(s, dir, "documents"), "doc_id", "text")),
+    // StreamNearDup's batch form: screen a document slice against the full
+    // corpus (16-bit banding, pigeonhole-exact at maxHamming=3 — the oracle
+    // is therefore a plain fingerprint cross join, no banding approximation)
+    "stream_neardup_batch" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.streaming.StreamNearDup.flagAgainst(
+          docs.filter(col("doc_id") < 100), "doc_id", "text",
+          docs, "doc_id", "text", maxHamming = 3, bandBits = 16)
+        .select(col("doc_id"), col("matched_id"), col("hamming").cast("long").as("hamming"))
+    }),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -465,6 +475,12 @@ object SparkEntry {
     "simhash_fp" ->
       s"""WITH ${Oracles.simHashCtes}
          |SELECT doc_id, simhash1, simhash2 FROM fp""".stripMargin,
+    "stream_neardup_batch" ->
+      s"""WITH ${Oracles.simHashCtes}
+         |SELECT a.doc_id, b.doc_id AS matched_id,
+         |  CAST(bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < 100 AND a.doc_id <> b.doc_id
+         |WHERE bit_count(xor(a.simhash1, b.simhash1)) + bit_count(xor(a.simhash2, b.simhash2)) <= 3""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${Oracles.embeddingPairCtes}
          |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM cosims WHERE cosine >= 0.4""".stripMargin,

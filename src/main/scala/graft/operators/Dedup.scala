@@ -227,23 +227,30 @@ object Dedup {
    *        docs all hash near 0). RESULT-CHANGING like any stop rule: pairs
    *        whose only shared band is a dropped bucket are missed. 0 disables.
    */
+  /** Internal: (__id, simhash1, simhash2, __bi, __bv) band rows for a
+    * fingerprint frame — one generator pass, nBands rows per doc (a union of
+    * per-band projections would re-evaluate the fingerprint lineage once per
+    * branch). Shared by [[simHashPairs]] and
+    * [[graft.streaming.StreamNearDup]]; works on streaming frames. */
+  private[graft] def simHashBands(fp: DataFrame, bandBits: Int): DataFrame = {
+    require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
+    val nPerHalf = 32 / bandBits
+    val modulus = 1L << bandBits
+    val bandVals = (0 until nPerHalf).map(i => shiftright(col("simhash1"), bandBits * i) % modulus) ++
+      (0 until nPerHalf).map(i => shiftright(col("simhash2"), bandBits * i) % modulus)
+    fp.select(col("__id"), col("simhash1"), col("simhash2"),
+      posexplode(array(bandVals: _*)).as(Seq("__bi", "__bv")))
+  }
+
   def simHashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int,
       bandBits: Int = 8, maxBandFrequency: Long = 0L): DataFrame = {
     require(bandBits == 8 || bandBits == 16, s"bandBits must be 8 or 16, got $bandBits")
-    val nPerHalf = 32 / bandBits
-    val nBands = 2 * nPerHalf
+    val nBands = 2 * (32 / bandBits)
     require(maxHamming < nBands,
       s"$bandBits-bit banding ($nBands bands) is only exact for maxHamming <= ${nBands - 1}")
-    val modulus = 1L << bandBits
     val fp = simHashFingerprints(df, idCol, textCol)
       .select(col(idCol).as("__id"), col("simhash1"), col("simhash2"))
-    // one generator pass: nBands (bandIndex, bandValue) rows per doc — a union
-    // of per-band projections would re-evaluate the fingerprint lineage once
-    // per branch
-    val bandVals = (0 until nPerHalf).map(i => shiftright(col("simhash1"), bandBits * i) % modulus) ++
-      (0 until nPerHalf).map(i => shiftright(col("simhash2"), bandBits * i) % modulus)
-    val bands0 = fp.select(col("__id"), col("simhash1"), col("simhash2"),
-      posexplode(array(bandVals: _*)).as(Seq("__bi", "__bv")))
+    val bands0 = simHashBands(fp, bandBits)
     val bands =
       if (maxBandFrequency <= 0L) bands0
       else {

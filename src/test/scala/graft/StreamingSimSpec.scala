@@ -122,6 +122,40 @@ class StreamingSimSpec extends AnyFunSuite {
     assert(batchOut == Set(5L, 11L))
   }
 
+  test("StreamNearDup: flags near-dups of a static corpus exactly once across batches") {
+    val s = spark
+    import s.implicits._
+    val refText = "the quick brown fox jumps over the lazy dog again and again today"
+    val ref2Text = "completely different reference content about spark shuffle exchanges"
+    val corpus = Seq((100L, refText), (200L, ref2Text)).toDF("doc_id", "text")
+    // batch parity: same code runs on a static frame
+    val batchGot = graft.streaming.StreamNearDup.flagAgainst(
+        Seq((1L, refText), (2L, "unrelated words sharing nothing with either")).toDF("doc_id", "text"),
+        "doc_id", "text", corpus, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("matched_id").longValue())).toSet
+    assert(batchGot == Set((1L, 100L)))
+    // streaming: b1 flags doc 1; b2 re-sends doc 1 (must NOT re-flag) + doc 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toFile
+    val schema = corpus.schema
+    Seq((1L, refText)).toDF("doc_id", "text").write.parquet(dir + "/in/b1")
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+    val out = graft.streaming.StreamNearDup.flagAgainst(
+      stream, "doc_id", "text", corpus, "doc_id", "text", maxHamming = 0)
+    val q = out.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("neardup_stream").collect()
+        .map(r => (r.getLong(0), r.getAs[Number]("matched_id").longValue())).toSeq
+      assert(got().toSet == Set((1L, 100L)))
+      Seq((1L, refText), (3L, ref2Text)).toDF("doc_id", "text")
+        .write.parquet(dir + "/in/b2")
+      q.processAllAvailable()
+      assert(got().toSet == Set((1L, 100L), (3L, 200L)))
+      assert(got().size == 2, "cross-batch re-flag of (1,100) must be deduped by state")
+    } finally q.stop()
+  }
+
   test("StreamDedup TTL: expired hashes re-emit; default state never expires") {
     val s = spark
     import s.implicits._
