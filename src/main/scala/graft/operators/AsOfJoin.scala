@@ -119,9 +119,12 @@ object AsOfJoin {
         u.withColumn("__m",
           last(col("__pay"), ignoreNulls = true).over(carryWindow(d == "backward")))
     }).filter(col("__side") === 1)
+    // __t.isNotNull: a null-ts left row sorts LAST in the forward/descending
+    // scan and would otherwise carry the minimum-ts right row as a bogus
+    // match (backward nulls-first order happens to be safe — guard both).
     val withinTol =
-      if (tolerance == 0L) col("__m").isNotNull
-      else col("__m").isNotNull &&
+      if (tolerance == 0L) col("__t").isNotNull && col("__m").isNotNull
+      else col("__t").isNotNull && col("__m").isNotNull &&
         abs(col("__t").cast("long") - col("__m.__ts").cast("long")) <= tolerance
     val out = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
       (payload.map(_._2) :+ "matched_ts").map { c =>

@@ -93,6 +93,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("asofJoin: null left ts never matches, in any direction") {
+    val s = spark
+    import s.implicits._
+    val (_, right) = sides
+    val left = Seq((9L, 1L, Option.empty[Long]))
+      .toDF("event_id", "user_id", "tsl")
+      .select(col("event_id"), col("user_id"),
+        (col("tsl") * 1000).cast("timestamp").as("ts"))
+    for (d <- Seq("backward", "forward", "nearest")) {
+      assert(runAsof(left, right, direction = d) == Set((9L, None, None)),
+        s"direction=$d: a null-ts left row must survive unmatched")
+    }
+  }
+
   test("asofJoin: deterministic under re-partitioning, left rows preserved") {
     val (left, right) = sides
     val a = runAsof(left, right)
