@@ -107,22 +107,28 @@ object TextFunctions {
 
   val minHashSigUdf = udf((shs: Seq[String]) => minHashSig(shs.toArray))
 
-  /** LSH band keys of a distinct-shingle set: [[MinHashK]]/[[MinHashBandRows]]
-    * strings, band b = ':'-joined [[minHashSig]] values j ∈ [4b, 4b+4) in j
+  /** LSH band keys of a distinct-shingle set: [[MinHashK]]/`bandRows`
+    * strings, band b = ':'-joined [[minHashSig]] values j ∈ [b·r, b·r+r) in j
     * order. Computing the keys inside the signature pass (instead of exploding
     * 32 sig rows per doc and re-grouping them into bands) removes a whole
-    * shuffle from the LSH candidate plan. */
-  def minHashBandKeys(shingles: Array[String]): Array[String] = {
+    * shuffle from the LSH candidate plan. `bandRows` is the recall/cost knob:
+    * candidate probability at Jaccard j is 1-(1-j^r)^(K/r) — more rows per
+    * band ⇒ fewer, higher-precision candidates (tune r up with the
+    * threshold). */
+  def minHashBandKeys(
+      shingles: Array[String], bandRows: Int = MinHashBandRows): Array[String] = {
+    require(bandRows > 0 && MinHashK % bandRows == 0,
+      s"bandRows must divide MinHashK=$MinHashK, got $bandRows")
     val sig = minHashSig(shingles)
-    val nBands = MinHashK / MinHashBandRows
+    val nBands = MinHashK / bandRows
     val out = new Array[String](nBands)
     var b = 0
     while (b < nBands) {
       val sb = new java.lang.StringBuilder()
-      var j = b * MinHashBandRows
-      val end = j + MinHashBandRows
+      var j = b * bandRows
+      val end = j + bandRows
       while (j < end) {
-        if (j > b * MinHashBandRows) sb.append(':')
+        if (j > b * bandRows) sb.append(':')
         sb.append(sig(j))
         j += 1
       }
@@ -133,6 +139,11 @@ object TextFunctions {
   }
 
   val minHashBandKeysUdf = udf((shs: Seq[String]) => minHashBandKeys(shs.toArray))
+
+  /** [[minHashBandKeysUdf]] at a non-default `bandRows` (see the band-key
+    * scaladoc for the recall/cost trade). */
+  def minHashBandKeysUdfFor(bandRows: Int) =
+    udf((shs: Seq[String]) => minHashBandKeys(shs.toArray, bandRows))
 
   /** One 32-bit SimHash half over a distinct-shingle set — same integers as
     * [[simHashMixCol]] + the per-bit majority in Dedup.simHashFingerprints. */

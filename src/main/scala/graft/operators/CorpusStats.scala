@@ -102,7 +102,10 @@ object CorpusStats {
    * the group's broadcast start offset, and the group's row count rides the
    * same broadcast aggregate ([[Sampling.withSourceCap]]'s technique, plus
    * the count for the percentage cut). Null groups raise — a silent drop
-   * would shift every percentage.
+   * would shift every percentage. (The broadcast aggregate is one row per
+   * group: fine for source/language/domain cardinalities; a grouping with
+   * hundreds of millions of distinct values would need the offsets joined by
+   * shuffle instead.)
    *
    * @return (idCol, groupCol, scoreCol) for survivors — join back by id for
    *         the full frame.

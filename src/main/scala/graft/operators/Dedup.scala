@@ -130,7 +130,19 @@ object Dedup {
    * j ≥ 0.97. This is the operator that survives 100 TB: no inverted-index
    * blowup on common shingles, candidate count bounded by bucket collisions.
    */
-  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+  /**
+   * @param bandRows rows per LSH band (must divide K=32; default 4 → 8 bands).
+   *        The recall/cost knob: false-negative probability at Jaccard j is
+   *        (1-j^bandRows)^(32/bandRows) — raise it with the threshold for
+   *        fewer, higher-precision candidates (bandRows=8 at j=0.9: fn ~0.84
+   *        vs bandRows=4's ~0.04 — tune to the operating point).
+   */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
+    // fail fast at plan time — inside the UDF the same require surfaces only
+    // at execution, wrapped in a SparkException
+    require(bandRows > 0 && graft.functions.TextFunctions.MinHashK % bandRows == 0,
+      s"bandRows must divide MinHashK=${graft.functions.TextFunctions.MinHashK}, got $bandRows")
     // ONE tokenizer pass, materialized. Four subtrees consume the shingles
     // (band keys + both verification sides + the set-size counts); an
     // unmaterialized frame re-runs the shingle UDF lineage once per subtree —
@@ -144,7 +156,8 @@ object Dedup {
     // Band keys computed inside the signature UDF pass (8 strings per doc) —
     // no 32-rows-per-doc explode + groupBy shuffle just to reassemble bands.
     val bands = shs
-      .select(col("__id"), posexplode(minHashBandKeysUdf(col("__shs"))).as(Seq("__band", "__bkey")))
+      .select(col("__id"),
+        posexplode(minHashBandKeysUdfFor(bandRows)(col("__shs"))).as(Seq("__band", "__bkey")))
     val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
       .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
         Seq("__band", "__bkey"))

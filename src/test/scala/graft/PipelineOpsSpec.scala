@@ -277,6 +277,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("minHashLshPairs bandRows knob: exact dups always collide; stricter banding narrows") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = docsDf(Seq(
+      (1L, a), (2L, a), // exact duplicates: jaccard 1 collides in EVERY band config
+      (3L, a + " nu xi"), // near-dup of 1/2
+      (4L, "totally different words with no shingle overlap at all here now")))
+    val loose = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strict = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.5, bandRows = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)) && strict.contains((1L, 2L)))
+    // stricter banding can only LOSE candidates, never invent them
+    assert(strict.subsetOf(loose))
+    intercept[IllegalArgumentException] { // plan-time fail-fast, no job launched
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 0.5, bandRows = 5)
+    }
+  }
+
   test("keepTopPercentByGroup: per-group exact counts, determinism, null raises") {
     val s = spark
     import s.implicits._
