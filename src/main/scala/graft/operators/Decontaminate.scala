@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{minHashBandKeysUdf, shinglesUdf, wordNGramHashUdf}
+import graft.functions.TextFunctions.{minHashBandKeysUdfFor, shinglesUdf, wordNGramHashUdf}
 
 /**
  * Benchmark decontamination by n-gram collision — the standard pre-training
@@ -60,15 +60,18 @@ object Decontaminate {
   def fuzzyFlagged(
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
+    require(bandRows > 0 && graft.functions.TextFunctions.MinHashK % bandRows == 0,
+      s"bandRows must divide MinHashK=${graft.functions.TextFunctions.MinHashK}, got $bandRows")
     val c = corpus.select(col(idCol).as("__a"), shinglesUdf(col(textCol)).as("__shs"))
       .filter(size(col("__shs")) > 0).localCheckpoint(true)
     val b = bench.select(col(benchIdCol).as("__b"), shinglesUdf(col(benchTextCol)).as("__shs"))
       .filter(size(col("__shs")) > 0).localCheckpoint(true)
     val cBands = c.select(col("__a"),
-      posexplode(minHashBandKeysUdf(col("__shs"))).as(Seq("__band", "__bkey")))
+      posexplode(minHashBandKeysUdfFor(bandRows)(col("__shs"))).as(Seq("__band", "__bkey")))
     val bBands = b.select(col("__b"),
-      posexplode(minHashBandKeysUdf(col("__shs"))).as(Seq("__band", "__bkey")))
+      posexplode(minHashBandKeysUdfFor(bandRows)(col("__shs"))).as(Seq("__band", "__bkey")))
     val cand = cBands.join(broadcast(bBands), Seq("__band", "__bkey"))
       .select(col("__a"), col("__b")).distinct()
     val ta = c.select(col("__a"), explode(col("__shs")).as("__sh"))
