@@ -144,6 +144,22 @@ object Oracles {
        |)
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= $threshold""".stripMargin
 
+  /** Brute-force 3-word-shingle containment (overlap-coefficient) pairs ≥
+    * threshold — mirrors Dedup.containmentPairs: |A∩B| / min(|A|,|B|). */
+  def containmentPairs(threshold: Double): String =
+    s"""WITH $shingleCtes,
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |cont AS (
+       |  SELECT id_a, id_b, CAST(i AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+       |  FROM inter JOIN dcnt ca ON inter.id_a = ca.doc_id JOIN dcnt cb ON inter.id_b = cb.doc_id
+       |)
+       |SELECT id_a, id_b, round(containment, 6) AS containment
+       |FROM cont WHERE containment >= $threshold""".stripMargin
+
   /** Mirror of Dedup.jaccardPairs with `maxDocFrequency = cap`: shingles in
     * more than `cap` docs are dropped from the inverted index (intersection
     * counts shrink) while set sizes stay FULL — so jaccard is the operator's

@@ -128,6 +128,9 @@ object SparkEntry {
     "dedup_jaccard_capped" -> ((s, dir) =>
       Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8,
         maxDocFrequency = 20L)),
+    // containment catches subset copies a jaccard threshold never surfaces
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(rd(s, dir, "documents"), "doc_id", "text", 0.9)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
     "dedup_simhash" -> ((s, dir) =>
@@ -456,6 +459,7 @@ object SparkEntry {
         |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
         |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
     "dedup_jaccard" -> Oracles.jaccardPairs(0.8),
+    "dedup_containment" -> Oracles.containmentPairs(0.9),
     "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
     "dedup_minhash_lsh" -> Oracles.minHashLshPairsSql(0.8),
     "dedup_simhash" ->

@@ -89,8 +89,12 @@ object Dedup {
    *        correctness-grade only; at corpus scale use the cap or
    *        [[minHashLshPairs]].
    */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
-      maxDocFrequency: Long = 0L): DataFrame = {
+  /** Internal: the shared inverted-index core of [[jaccardPairs]] and
+    * [[containmentPairs]] — returns (inter, cnt): per-pair intersection
+    * counts (__a < __b, __i) and per-doc set sizes (__id, __n). */
+  private def shinglePairCore(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDocFrequency: Long): (DataFrame, DataFrame) = {
     // ONE tokenizer pass, materialized (same trap as minHashLshPairs: the
     // inverted-index self-join reads the shingle relation twice, the capped
     // variant adds the doc-frequency aggregate and its semi-join — an
@@ -115,10 +119,39 @@ object Dedup {
       .join(tIdx.select(col("__id").as("__b"), col("__sh")), "__sh")
       .filter(col("__a") < col("__b"))
       .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
+    (inter, cnt)
+  }
+
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxDocFrequency: Long = 0L): DataFrame = {
+    val (inter, cnt) = shinglePairCore(df, idCol, textCol, maxDocFrequency)
     jaccardFromInter(cnt, inter)
       .filter(col("jaccard") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * Containment (overlap-coefficient) near-dup pairs:
+   * `|A∩B| / min(|A|, |B|)` ≥ threshold — the metric for SUBSET copies: a
+   * short document wholly embedded in a long one scores containment 1.0
+   * while its Jaccard (|A∩B|/|A∪B|) stays tiny, so a Jaccard threshold
+   * never surfaces it. Same inverted-index plan and cap semantics as
+   * [[jaccardPairs]] (capped: intersections shrink, set sizes stay full —
+   * containment is then the documented lower bound). Output:
+   * (id_a, id_b, containment rounded to 6), id_a < id_b.
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      maxDocFrequency: Long = 0L): DataFrame = {
+    val (inter, cnt) = shinglePairCore(df, idCol, textCol, maxDocFrequency)
+    inter
+      .join(cnt.select(col("__id").as("__a"), col("__n").as("__na")), "__a")
+      .join(cnt.select(col("__id").as("__b"), col("__n").as("__nb")), "__b")
+      .withColumn("containment",
+        col("__i").cast("double") / least(col("__na"), col("__nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"),
+        round(col("containment"), 6).as("containment"))
   }
 
   /**

@@ -277,6 +277,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("containmentPairs: a subset copy scores 1.0 where jaccard stays low") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val short = "alpha beta gamma delta epsilon" // embedded prefix: 3 shingles, all in long
+    val docs = docsDf(Seq((1L, long), (2L, short),
+      (3L, "entirely different content sharing nothing with the others here")))
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont == Set((1L, 2L, 1.0))) // fully contained
+    // the same pair is invisible to jaccard at any near-dup threshold:
+    // |A∩B|=3, |A∪B|=22 -> j≈0.14
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("minHashLshPairs bandRows knob: exact dups always collide; stricter banding narrows") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = docsDf(Seq(
