@@ -259,6 +259,8 @@ object SparkEntry {
         explode(TextFunctions.winnowUdf(8, 4)(col("text"))).as("fingerprint"))),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
+    "text_xent2" -> ((s, dir) =>
+      CorpusStats.bigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "pack_shards" -> ((s, dir) =>
       Packing.packByBudget(
         rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
@@ -745,6 +747,25 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent
         |FROM w JOIN q USING (w) GROUP BY doc_id""".stripMargin,
+    "text_xent2" ->
+      """WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |b AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM ws, (SELECT unnest(generate_series(1,
+        |         (SELECT CAST(max(len(ws)) AS BIGINT) FROM ws) - 1)) AS i) ii
+        |  WHERE i <= len(ws) - 1
+        |),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS cc FROM b GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w) AS V FROM (SELECT unnest(ws) AS w FROM ws)),
+        |q AS (
+        |  SELECT w1, w2,
+        |    CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / CAST(cc + V AS DOUBLE)) * 1000000.0) AS BIGINT) AS qn
+        |  FROM c2 JOIN c1 USING (w1), vv
+        |)
+        |SELECT doc_id,
+        |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent2
+        |FROM b JOIN q USING (w1, w2) GROUP BY doc_id""".stripMargin,
     "pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id,

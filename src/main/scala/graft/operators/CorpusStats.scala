@@ -64,6 +64,48 @@ object CorpusStats {
   }
 
   /**
+   * Add-one-smoothed BIGRAM cross-entropy — the order-2 upgrade of
+   * [[unigramLogLoss]] (KenLM-style n-gram scoring, truncated to n=2):
+   * `xent2(d) = avg_{(w1,w2) ∈ d} −ln((c2(w1,w2)+1)/(c1(w1)+V))` where c2 =
+   * corpus bigram count, c1 = corpus count of w1 as a context (= Σ_w2 c2),
+   * and V = corpus unigram vocabulary size. Catches word-salad documents
+   * whose unigram distribution looks normal but whose transitions are
+   * improbable — the complement of [[unigramLogLoss]].
+   *
+   * Same determinism contract (integer micro-nat quantization, exact Long
+   * sums, final mean rounded to 4) and scale shape (shuffles on the bigram
+   * key, never collected; observed bigrams only — no vocab² blowup).
+   * Documents with fewer than two extractable words have no transition to
+   * score and are absent from the output.
+   * @return (idCol, xent2)
+   */
+  def bigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
+    val b = ws.filter(size(col("__ws")) >= 2)
+      .select(col("__id"),
+        explode(zip_with(
+          slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+          slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+          (a, bw) => struct(a.as("w1"), bw.as("w2")))).as("__bg"))
+      .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val c2 = b.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
+    val c1 = b.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    val vv = ws.select(explode(col("__ws")).as("__w"))
+      .agg(count_distinct(col("__w")).as("__V"))
+    val q = c2.join(c1, "__w1").crossJoin(broadcast(vv))
+      .select(col("__w1"), col("__w2"),
+        floor(-log((col("__c2") + 1).cast("double") /
+            (col("__c1") + col("__V")).cast("double")) * lit(1000000.0))
+          .cast("long").as("__qn"))
+    b.join(q, Seq("__w1", "__w2"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__qn")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__id").as(idCol),
+        round(col("__s").cast("double") / (col("__n").cast("double") * lit(1000000.0)), 4)
+          .as("xent2"))
+  }
+
+  /**
    * EXACT global percentile filter: keep precisely the top `pct`% of rows by
    * `(scoreCol desc, idCol asc)` — `floor(n·pct/100)` rows, integer
    * arithmetic, deterministic ties. The curation step "keep the best 60% by

@@ -277,6 +277,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("bigramLogLoss: improbable transitions score higher; short docs absent") {
+    val docs = docsDf(Seq(
+      (1L, "a b a b"), // common transitions: (a,b)x2, (b,a)
+      (2L, "a a"),     // the corpus's rarest transition
+      (3L, "a")))      // < 2 words: no transition to score
+    val got = CorpusStats.bigramLogLoss(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L))
+    // c2(a,b)=2 c2(b,a)=1 c2(a,a)=1; c1(a)=3 c1(b)=1; V=2
+    // doc1 = avg(-ln(3/5), -ln(2/3), -ln(3/5)) ≈ 0.4757; doc2 = -ln(2/5) ≈ 0.9163
+    assert(got(2L) > got(1L))
+    assert(math.abs(got(1L) - 0.4757) < 0.001 && math.abs(got(2L) - 0.9163) < 0.001)
+    // determinism under re-partitioning (exact integer micro-nat sums)
+    val again = CorpusStats.bigramLogLoss(
+        docsDf(Seq((1L, "a b a b"), (2L, "a a"), (3L, "a"))).repartition(7),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
   test("containmentPairs: a subset copy scores 1.0 where jaccard stays low") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
