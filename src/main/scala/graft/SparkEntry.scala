@@ -345,6 +345,17 @@ object SparkEntry {
           col("media_meta.n_bytes").as("n_bytes"),
           col("media_sha"))
     }),
+    // the feature-extraction stage of the multimodal pipeline (mapPartitions
+    // batch shape), reshaped to scalar (doc_id, d, value) rows for the
+    // comparator; the float32 histogram division is cast to double AFTER the
+    // fold so both engines round the identical value
+    "mm_features" -> ((s, dir) => {
+      val withPayload = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
+      Multimodal.extractFeatures(withPayload, "doc_id", "payload", 16)
+        .select(col("id").as("doc_id"), posexplode(col("features")).as(Seq("d", "value")))
+        .select(col("doc_id"), col("d").cast("long").as("d"),
+          round(col("value").cast("double"), 6).as("value"))
+    }),
     // ---- streaming-compatible windowed aggregation ------------------------
     "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventWindows.slidingTwoHourByType(rd(s, dir, "events"))),
@@ -903,6 +914,26 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS media_sha
         |FROM documents""".stripMargin,
+    "mm_features" ->
+      """WITH h AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents
+        |),
+        |pos AS (SELECT unnest(generate_series(1, (SELECT COALESCE(MAX(n), 0) FROM h))) AS i),
+        |bytes AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1) AS b
+        |  FROM h, pos WHERE i <= n
+        |),
+        |cnt AS (SELECT doc_id, b % 16 AS d, count(*) AS c FROM bytes GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT h.doc_id, dd.d, h.n FROM h, (SELECT unnest(generate_series(0, 15)) AS d) dd
+        |)
+        |SELECT g.doc_id, CAST(g.d AS BIGINT) AS d,
+        |  CASE WHEN g.n IS NULL OR g.n = 0 THEN 0.0
+        |       ELSE round(CAST(CAST(COALESCE(c.c, 0) AS REAL) / CAST(g.n AS REAL) AS DOUBLE), 6)
+        |  END AS value
+        |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.d = c.d""".stripMargin,
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
         |  count(*) AS n, round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS sum_value
