@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
  * whole-stage-codegen'd WindowExec. At 100 TB both sides shuffle exactly once
  * on the key; a pathologically hot key serializes through one window
  * partition — salt the key externally if one key dominates (the usual window
- * caveat, same as any per-key sort).
+ * caveat, same as any per-key sort). Every LEFT column rides the shuffle
+ * (struct-packed): for very wide left rows, project to (key, ts, unique id)
+ * first and join the payload back by id after — the same slim-then-join-back
+ * discipline as [[CorpusStats.keepTopPercent]].
  *
  * Determinism: right rows sharing (key, ts) are ordered by `tieCol`, and the
  * LARGEST wins (it sorts last and the running `last` carries it); equal
