@@ -23,14 +23,14 @@ import graft.functions.TextFunctions.wordsCol
  * inputs, identical in any IEEE engine. Output `score_micro` stays integer;
  * ties break on doc id.
  *
- * Scale shape: ONE tokenizer pass over the corpus (the `(doc, term, tf)`
- * relation is checkpointed once and consumed by the doc-length, the document-
- * frequency, and the query-hit subtrees); queries explode to distinct terms
- * and BROADCAST into the inverted-index join, so per-term work (df counts,
- * idf) runs only over the query vocabulary — never the corpus vocabulary —
- * and the idf slice broadcasts back; the corpus shuffles once on term
- * (bounded by the query vocabulary after the broadcast semi-join) and once
- * on doc id for the length join. The per-query top-k runs as a
+ * Scale shape: ONE tokenizer pass over the corpus (the per-doc words array
+ * is checkpointed once); term frequencies come from a per-row map fold and
+ * the doc length rides the explode, so the CORPUS IS NEVER SHUFFLED — no
+ * (doc, term) groupBy and no doc-length join. Queries explode to distinct
+ * terms and BROADCAST into the semi-join, so per-term work (df counts, idf)
+ * runs only over the query vocabulary — never the corpus vocabulary — and
+ * the idf slice broadcasts back. The only shuffles are query-vocabulary-
+ * sized (df) and hit-sized (per-(query, doc) sum, top-k window). The per-query top-k runs as a
  * rank-limited window (Spark inserts WindowGroupLimit, so partial top-k is
  * computed map-side before the final per-query sort). One hot query is one
  * window partition — with thousands of queries that's the right parallelism;
@@ -47,16 +47,25 @@ object Bm25 {
    *         `score_micro` = the BM25 score in integer micro-units
    *         (divide by 1e6 for the conventional float score)
    */
+  private val tfMapUdf = udf((ws: Seq[String]) =>
+    ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong })
+
   def topK(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // ONE tokenizer pass, materialized: three subtrees consume (doc, term, tf)
-    val tf = docs.select(col(idCol).as("__d"), explode(wordsCol(col(textCol))).as("__w"))
-      .groupBy(col("__d"), col("__w")).agg(count(lit(1)).as("__tf"))
+    // ONE tokenizer pass, materialized; per-doc term frequencies come from a
+    // per-row map fold and the doc length rides the explode, so the CORPUS IS
+    // NEVER SHUFFLED: no (doc, term) groupBy, no doc-length join. The only
+    // shuffles left are query-vocabulary-sized (df counts) and hit-sized
+    // (per-(query, doc) sum + the top-k window).
+    val base = docs.select(col(idCol).as("__d"), wordsCol(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
       .localCheckpoint(true)
-    val dl = tf.groupBy(col("__d")).agg(sum(col("__tf")).as("__dl"))
+    val tf = base.select(col("__d"), size(col("__ws")).cast("long").as("__dl"),
+      explode(tfMapUdf(col("__ws"))).as(Seq("__w", "__tf")))
+    val dl = base.select(col("__d"), size(col("__ws")).cast("long").as("__dl"))
     val tot = dl.agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
     val qt = queries
       .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
@@ -77,7 +86,6 @@ object Bm25 {
           .cast("long").as("__idf"),
         col("__tw"), col("__nd"))
     val contrib = tfq.join(broadcast(qt), "__w").join(broadcast(idf), "__w")
-      .join(dl, "__d")
       .select(col("__q"), col("__d"),
         floor(col("__idf").cast("double") *
             (col("__tf").cast("double") * lit(k1 + 1.0) /
