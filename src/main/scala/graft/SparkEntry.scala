@@ -32,6 +32,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 + pipeline extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference-parity surface: the simJoin operator family -------------
+    // token-array form: WORD-level similarity join (caller-supplied tokens —
+    // the generalization past the reference's fixed char trigrams)
+    "simjoin_words" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), TextFunctions.wordsCol(col("p_name")).as("toks"))
+      SimJoin.keyedPairsTokens(part, "p_partkey", "toks", part, "p_partkey", "toks",
+          topN = 3, outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
     "simjoin_l2" -> ((s, dir) => {
       val part = rd(s, dir, "part")
       SimJoin.keyedPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name",
@@ -417,6 +426,27 @@ object SparkEntry {
     * bucketing/banding is mirrored EXACTLY in SQL — nothing is left on a
     * weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "simjoin_words" ->
+      """WITH t AS (
+        |  SELECT p_partkey AS id,
+        |         unnest(list_distinct(regexp_extract_all(lower(p_name), '[a-z]+'))) AS tok
+        |  FROM part WHERE p_partkey < 300
+        |),
+        |n AS (SELECT id, count(*) AS n FROM t GROUP BY id),
+        |d AS (
+        |  SELECT a.id AS lid, b.id AS rid, count(*) AS dot
+        |  FROM t a JOIN t b ON a.tok = b.tok GROUP BY 1, 2
+        |),
+        |s AS (
+        |  SELECT lid, rid, CAST(dot AS DOUBLE) / (sqrt(na.n) * sqrt(nb.n)) AS sim
+        |  FROM d JOIN n na ON lid = na.id JOIN n nb ON rid = nb.id
+        |),
+        |r AS (
+        |  SELECT lid, rid, sim,
+        |         row_number() OVER (PARTITION BY lid ORDER BY sim DESC, rid ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT lid, rid, round(sim, 6) AS sim FROM r WHERE rn <= 3""".stripMargin,
     "simjoin_l2" -> Oracles.trigramPairs(partSel, partSel, 3, l2 = true),
     "simjoin_count" -> Oracles.trigramPairs(partSel, partSel, 5, l2 = false),
     "simjoin_top1" -> Oracles.trigramPairs(partSel, partSel, 1, l2 = true),

@@ -153,6 +153,44 @@ object SimJoin {
     }
   }
 
+  /**
+   * Similarity top-n pairs over CALLER-SUPPLIED token arrays — the
+   * generalization of [[keyedPairs]] beyond the reference's fixed character
+   * trigrams: word tokens, shingles, subword ids, any equatable token type.
+   * Set semantics match the trigram contract (duplicate tokens in a row
+   * count once, `src/cossim.rs:49`); rows with a null id, a null array, or
+   * zero tokens never match (the uniform contract of the string form). Same
+   * relational plan as strategy="direct": inverted-index equi-join on the
+   * token, hash agg per pair, rank-limited window (`WindowGroupLimit`).
+   * @param normalization "l2" (cosine of binary token vectors) or "count"
+   * @return (outLeft, outRight, outSim) — ids keep their input types
+   */
+  def keyedPairsTokens(
+      left: DataFrame, leftId: String, leftTokens: String,
+      right: DataFrame, rightId: String, rightTokens: String,
+      topN: Int = 10, normalization: String = "l2",
+      outLeft: String = "row", outRight: String = "col", outSim: String = "sim"): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    require(Set("l2", "count")(normalization),
+      s"normalization must be l2|count, got $normalization")
+    def rel(df: DataFrame, id: String, toks: String, idOut: String, nOut: String) =
+      df.select(col(id).as(idOut), array_distinct(col(toks)).as("__toks"))
+        .filter(col(idOut).isNotNull && col("__toks").isNotNull)
+        .withColumn(nOut, size(col("__toks")))
+        .filter(col(nOut) > 0)
+        .select(col(idOut), col(nOut), explode(col("__toks")).as("__tok"))
+    val lt = rel(left, leftId, leftTokens, "__row", "__nl")
+    val rt = rel(right, rightId, rightTokens, "__col", "__nr")
+    val dots = lt.join(rt, "__tok")
+      .groupBy(col("__row"), col("__col"))
+      .agg(count(lit(1)).as("__dot"), first(col("__nl")).as("__nl"), first(col("__nr")).as("__nr"))
+      .withColumn("__sim", simExpr(col("__dot"), col("__nl"), col("__nr"), normalization))
+    val w = Window.partitionBy(col("__row")).orderBy(col("__sim").desc, col("__col").asc)
+    dots.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topN)
+      .select(col("__row").as(outLeft), col("__col").as(outRight), col("__sim").as(outSim))
+  }
+
   /** Shared broadcast/collect bound for kernel dispatch and the SimSearch
     * collect guards — one knob if a deployment retunes it. */
   private[graft] val MaxBroadcastBytes: BigInt = BigInt(512L << 20)

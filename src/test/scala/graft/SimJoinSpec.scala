@@ -131,6 +131,33 @@ class SimJoinSpec extends AnyFunSuite {
     assert(Trigrams.tokenIds("zzz").toSeq == Seq(26 * 26 * 26 - 1))
   }
 
+  test("keyedPairsTokens: trigram arrays reproduce the string form; int tokens work") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("small ring", "small rings", "blue bolt", "bolt blue small")
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+    val viaString = SimJoin.keyedPairs(df, "id", "s", df, "id", "s",
+        SimJoinOptions(topN = 2, strategy = "direct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val tokens = df.select(col("id"), graft.functions.Trigrams.tokensUdf(col("s")).as("toks"))
+    val viaTokens = SimJoin.keyedPairsTokens(tokens, "id", "toks", tokens, "id", "toks",
+        topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    assert(viaTokens == viaString)
+    // arbitrary token type (ints), set semantics: duplicates count once
+    val intToks = Seq((1L, Seq(7, 7, 8)), (2L, Seq(7, 8, 9)), (3L, Seq(99)))
+      .toDF("id", "toks")
+    val got = SimJoin.keyedPairsTokens(intToks, "id", "toks", intToks, "id", "toks",
+        topN = 3, normalization = "count")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // |{7,8} ∩ {7,8,9}| = 2 both directions; singleton 99 matches only itself
+    assert(got == Set((1L, 1L, 2.0), (1L, 2L, 2.0), (2L, 2L, 3.0), (2L, 1L, 2.0),
+      (3L, 3L, 1.0)))
+  }
+
   test("null and zero-token left/right rows are dropped") {
     val left = strDf("s", Seq("abc", null, "ab", "", "x1y"))
     val right = strDf("s", Seq("abc", null, "zz"))
