@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
  *  - `doc_score(s)`         -> struct(quality double, langid string), fused single pass
  *  - `chunk_words(s, n, o)` -> array<string> word-window chunks (size n, overlap o)
  *  - `quantize_int8(v)`     -> struct(scale double, q array<int>)
+ *  - `simhash64(s)`         -> struct(h1 bigint, h2 bigint) — the two 32-bit
+ *                              SimHash halves of the doc's shingle set
+ *  - `winnow(s, k, w)`      -> array<bigint> winnowing fingerprints
+ *
+ * (PII redaction and repetition ratio are pure Column expressions —
+ * [[TextFunctions.redactPiiCol]] / [[TextFunctions.repetitionRatioCol]] — and
+ * need no UDF registration to be used from SQL-generated plans.)
  */
 object GraftFunctions {
   def registerAll(spark: SparkSession): Unit = {
@@ -37,5 +44,12 @@ object GraftFunctions {
       (s: String, size: Int, overlap: Int) => TextFunctions.chunkWords(s, size, overlap))
     spark.udf.register("quantize_int8",
       (v: Seq[Float]) => graft.operators.Embeddings.quantizeInt8Vec(v))
+    spark.udf.register("simhash64", (s: String) => {
+      val shs = TextFunctions.shingles3Array(s)
+      (TextFunctions.simHashHalf(shs, TextFunctions.SimHashMult1),
+        TextFunctions.simHashHalf(shs, TextFunctions.SimHashMult2))
+    })
+    spark.udf.register("winnow",
+      (s: String, k: Int, w: Int) => TextFunctions.winnowFingerprints(s, k, w))
   }
 }

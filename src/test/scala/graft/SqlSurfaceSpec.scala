@@ -41,6 +41,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r2.getSeq[String](2) == Seq("aa bb cc", "cc dd ee"))
     val qz = r2.getStruct(3)
     assert(qz.getSeq[Int](1) == Seq(127, -63)) // floor(x+0.5): half rounds toward +inf
+    // the round-6 registrations agree with their operator-path counterparts
+    val doc = "alpha beta gamma delta epsilon zeta eta theta"
+    val r3 = spark.sql(
+      s"SELECT simhash64('$doc') AS sh, winnow('$doc', 8, 4) AS wf").head()
+    val shs = graft.functions.TextFunctions.shingles3Array(doc)
+    val sh = r3.getStruct(0)
+    assert(sh.getLong(0) ==
+      graft.functions.TextFunctions.simHashHalf(shs, graft.functions.TextFunctions.SimHashMult1))
+    assert(sh.getLong(1) ==
+      graft.functions.TextFunctions.simHashHalf(shs, graft.functions.TextFunctions.SimHashMult2))
+    assert(r3.getSeq[Long](1).toArray.sameElements(
+      graft.functions.TextFunctions.winnowFingerprints(doc, 8, 4)))
   }
 
   test("GraftExtensions wiring applies cleanly (runtime proof lives in Smoke's own JVM)") {
