@@ -277,6 +277,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("TopKAgg.perKey equals the window top-k exactly, ties included") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    // small score alphabet forces plenty of (score) ties -> id tie-break matters
+    val rows = (1 to 500).map(_ =>
+      (rng.nextInt(6).toLong, rng.nextInt(80).toLong, (rng.nextInt(5) * 0.25)))
+      .distinct
+    val df = rows.toDF("key", "id", "score")
+    val viaAgg = graft.functions.TopKAgg.perKey(df, "key", "id", "score", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaAgg == viaWindow)
+    // partial-aggregation invariance: same result at any partitioning
+    val repart = graft.functions.TopKAgg.perKey(df.repartition(13), "key", "id", "score", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(repart == viaWindow)
+  }
+
   test("bigramLogLoss: improbable transitions score higher; short docs absent") {
     val docs = docsDf(Seq(
       (1L, "a b a b"), // common transitions: (a,b)x2, (b,a)
