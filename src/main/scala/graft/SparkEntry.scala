@@ -270,6 +270,12 @@ object SparkEntry {
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
       CorpusStats.bigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
+    // bounded KMV sketch: distinct users per event type without shuffling
+    // the values — deterministic hash, so the estimate itself is hash-pinned
+    "kmv_distinct" -> ((s, dir) =>
+      CorpusStats.approxDistinctByGroup(
+        rd(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id", k = 32)),
     "pack_shards" -> ((s, dir) =>
       Packing.packByBudget(
         rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
@@ -807,6 +813,26 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent2
         |FROM b JOIN q USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ((${Oracles.tHashSql("CAST(user_id AS VARCHAR)")} % 2147483648) + 2147483648) % 2147483648 AS hv
+         |  FROM events WHERE user_id IS NOT NULL
+         |),
+         |r AS (
+         |  SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+         |  FROM h
+         |),
+         |s AS (
+         |  SELECT event_type, count(*) AS n_sketch, max(hv) AS vk
+         |  FROM r WHERE rn <= 32 GROUP BY 1
+         |)
+         |SELECT event_type, n_sketch,
+         |  CASE WHEN n_sketch < 32 THEN CAST(n_sketch AS DOUBLE)
+         |       ELSE round(31.0 / ((CAST(vk AS DOUBLE) + 1.0) / 2147483648.0), 4)
+         |  END AS estimate
+         |FROM s""".stripMargin,
     "pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -64,6 +64,46 @@ object CorpusStats {
   }
 
   /**
+   * Approximate per-group distinct count via the [[graft.functions.KmvAgg]]
+   * bottom-k sketch — `select approx_count_distinct` you can ORACLE: the
+   * hash is the library's deterministic [[graft.functions.TextFunctions.tHash]]
+   * (folded into [0, 2³¹)), so the sketch content and the estimate are
+   * bit-identical across engines and runs. Fewer than k distinct hashes in a
+   * group = the EXACT count; otherwise the standard KMV estimator
+   * `(k-1) / ((v_k + 1) / 2³¹)` on the k-th smallest normalized hash.
+   *
+   * Scale shape: the raw values NEVER shuffle — the typed aggregation keeps
+   * ≤ k Longs per (group, partition) map-side and merges bounded sketches
+   * (contrast `count(DISTINCT x)`, which shuffles every distinct value).
+   * Null values are ignored (match `count(DISTINCT)` semantics); null groups
+   * group together like any groupBy.
+   *
+   * @return (groupCol, n_sketch, estimate) — n_sketch = survivors (= exact
+   *         distinct when < k), estimate rounded to 4.
+   */
+  def approxDistinctByGroup(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.tHashUdf
+    val slim = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string"),
+        pmod(tHashUdf(col(valueCol).cast("string")), lit(2147483648L)).cast("long"))
+      .as[(String, Long)]
+    slim.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.KmvAgg(k).toColumn.name("sketch"))
+      .map { case (g, sk) => (g, sk.length.toLong, if (sk.isEmpty) -1L else sk.last) }
+      .toDF(groupCol, "n_sketch", "__vk")
+      // the estimate division + rounding stay Spark EXPRESSIONS so the engine
+      // rounding rule (HALF_UP, positive domain) matches the SQL oracle 1:1
+      .select(col(groupCol), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(round(
+            lit((k - 1).toDouble) / ((col("__vk") + 1).cast("double") / lit(2147483648.0)), 4))
+          .as("estimate"))
+  }
+
+  /**
    * Add-one-smoothed BIGRAM cross-entropy — the order-2 upgrade of
    * [[unigramLogLoss]] (KenLM-style n-gram scoring, truncated to n=2):
    * `xent2(d) = avg_{(w1,w2) ∈ d} −ln((c2(w1,w2)+1)/(c1(w1)+V))` where c2 =

@@ -277,6 +277,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("approxDistinctByGroup: exact under k, deterministic, duplicates collapse") {
+    val s = spark
+    import s.implicits._
+    // group a: 10 distinct values each duplicated 5x; group b: 200 distinct
+    val rows = (1L to 50L).map(i => ("a", s"v${i % 10}")) ++
+      (1L to 200L).map(i => ("b", s"user-$i"))
+    val df = rows.toDF("g", "v")
+    val got = CorpusStats.approxDistinctByGroup(df, "g", "v", k = 32)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") == ((10L, 10.0))) // < k: sketch IS the exact distinct count
+    val (nb, estB) = got("b")
+    assert(nb == 32L) // saturated sketch
+    assert(estB > 50.0 && estB < 800.0, s"estimate $estB wildly off for 200 distinct")
+    // sketch merge is partitioning-invariant (bounded sorted-merge)
+    val again = CorpusStats.approxDistinctByGroup(df.repartition(17), "g", "v", k = 32)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(again == got)
+    // nulls ignored like count(DISTINCT)
+    val withNull = df.union(Seq(("a", null.asInstanceOf[String])).toDF("g", "v"))
+    assert(CorpusStats.approxDistinctByGroup(withNull, "g", "v", k = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap.apply("a") == 10L)
+  }
+
   test("TopKAgg.perKey equals the window top-k exactly, ties included") {
     val s = spark
     import s.implicits._
