@@ -270,6 +270,10 @@ object SparkEntry {
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
       CorpusStats.bigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
+    // exact corpus length percentiles (nearest-rank, no approxQuantile drift)
+    "len_percentiles" -> ((s, dir) =>
+      CorpusStats.exactPercentiles(
+        rd(s, dir, "documents").select(col("n_chars")), "n_chars", Seq(50, 90, 99))),
     // bounded KMV sketch: distinct users per event type without shuffling
     // the values — deterministic hash, so the estimate itself is hash-pinned
     "kmv_distinct" -> ((s, dir) =>
@@ -813,6 +817,14 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent2
         |FROM b JOIN q USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "len_percentiles" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
+        |n AS (SELECT count(*) AS n FROM v),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v ASC) - 1 AS rk FROM v)
+        |SELECT CAST(ps.p AS BIGINT) AS p, r.v AS value
+        |FROM (VALUES (50), (90), (99)) ps(p)
+        |CROSS JOIN n
+        |JOIN r ON r.rk = ((n.n - 1) * ps.p) // 100""".stripMargin,
     "kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

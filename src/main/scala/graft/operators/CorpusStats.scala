@@ -172,6 +172,39 @@ object CorpusStats {
   }
 
   /**
+   * EXACT nearest-rank percentiles of a numeric column — the reproducible
+   * quality-report primitive (`p50/p90/p99 of document length`):
+   * `value(p) = the element at rank floor((n-1)·p/100)` of the ascending
+   * sort. `approxQuantile` drifts between runs and partitionings; this is
+   * exact and deterministic. Scale shape: ranks via [[DenseRank]]
+   * (range-partition + zipWithIndex on the slim value projection — no
+   * partition-less window), then one broadcast-filter picks the |ps| target
+   * ranks. Ties need no tiebreak: any order among equal values yields the
+   * same value at a rank. Nulls are excluded (SQL percentile semantics).
+   *
+   * @return (p, value) — one row per requested percentile
+   */
+  def exactPercentiles(df: DataFrame, valueCol: String, ps: Seq[Int]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0,100], got $ps")
+    val slim = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(true) // consumed by the count AND the rank pipeline
+    val n = slim.count()
+    require(n > 0, "no non-null values to rank")
+    val targets = ps.distinct.map(p => ((n - 1) * p / 100, p.toLong))
+    val rankToP = targets.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ranked = DenseRank.appendIndex(slim, Seq(col("__v").asc), "__r")
+      .filter(col("__r").isin(rankToP.keys.toSeq: _*))
+    val spark = df.sparkSession
+    import spark.implicits._
+    ranked.select(col("__r"), col("__v"))
+      .as[(Long, Double)]
+      .flatMap { case (r, v) => rankToP(r).map(p => (p, v)) }
+      .toDF("p", "value")
+  }
+
+  /**
    * PER-GROUP exact percentile filter: [[keepTopPercent]] applied within each
    * group — keep `floor(n_g·pct/100)` rows of every group g by
    * `(scoreCol desc, idCol asc)`. The curation form that stops one source

@@ -277,6 +277,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("exactPercentiles: nearest-rank values, ties safe, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    // values 1..100 shuffled -> p50 = rank floor(99*50/100)=49 -> value 50.0
+    val vals = scala.util.Random.shuffle((1 to 100).toList).map(_.toDouble)
+    val df = vals.toDF("x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.exactPercentiles(d, "x", Seq(0, 50, 90, 99, 100))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = run(df)
+    assert(got == Map(0L -> 1.0, 50L -> 50.0, 90L -> 90.0, 99L -> 99.0, 100L -> 100.0))
+    assert(run(df.repartition(9)) == got)
+    // massive ties: every rank lands on the same value
+    val tied = Seq.fill(50)(7.0).toDF("x")
+    assert(run(tied).values.toSet == Set(7.0))
+  }
+
   test("approxDistinctByGroup: exact under k, deterministic, duplicates collapse") {
     val s = spark
     import s.implicits._
