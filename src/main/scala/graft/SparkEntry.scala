@@ -266,6 +266,10 @@ object SparkEntry {
     "text_winnow" -> ((s, dir) =>
       rd(s, dir, "documents").select(col("doc_id"),
         explode(TextFunctions.winnowUdf(8, 4)(col("text"))).as("fingerprint"))),
+    // match-span REPORTING: where each shared passage starts on both sides
+    "dedup_winnow_spans" -> ((s, dir) =>
+      Dedup.winnowSpans(rd(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", maxDocFrequency = 100L)),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
@@ -787,6 +791,32 @@ object SparkEntry {
          |  FROM h
          |)
          |SELECT DISTINCT doc_id, m AS fingerprint FROM wmin WHERE gp <= n - 3""".stripMargin,
+    "dedup_winnow_spans" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS gp
+         |  FROM documents WHERE doc_id < 100
+         |),
+         |h AS (
+         |  SELECT doc_id, gp, ${Oracles.tHashSql("substring(text, gp, 8)")} AS hv,
+         |         greatest(length(text) - 7, 0) AS n
+         |  FROM pos
+         |),
+         |wmin AS (
+         |  SELECT doc_id, gp, n,
+         |    min(hv) OVER (PARTITION BY doc_id ORDER BY gp ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |  FROM h
+         |),
+         |sel AS (SELECT DISTINCT doc_id, m AS fp FROM wmin WHERE gp <= n - 3),
+         |fpp AS (
+         |  SELECT s.doc_id, s.fp, CAST(min(h.gp) AS BIGINT) AS p
+         |  FROM sel s JOIN h ON h.doc_id = s.doc_id AND h.hv = s.fp
+         |  GROUP BY 1, 2
+         |),
+         |keep AS (SELECT fp FROM fpp GROUP BY fp HAVING count(*) <= 100),
+         |fpk AS (SELECT fpp.doc_id, fpp.fp, fpp.p FROM fpp JOIN keep USING (fp))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fingerprint,
+         |       a.p AS pos_a, b.p AS pos_b
+         |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
     "text_xent" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
         |cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),

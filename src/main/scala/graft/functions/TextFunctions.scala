@@ -438,6 +438,52 @@ object TextFunctions {
 
   def winnowUdf(k: Int, w: Int) = udf((s: String) => winnowFingerprints(s, k, w))
 
+  /** [[winnowFingerprints]] with SPAN LOCATIONS: each selected fingerprint
+    * paired with the 1-BASED char position of its first k-gram occurrence in
+    * the document — what MOSS-style match REPORTING needs (not just that two
+    * docs share passages, but where). First occurrence (not the selecting
+    * window's position) keeps the pair exactly SQL-expressible: `min(pos)
+    * where gramHash = fingerprint`; same-hash grams are the same substring
+    * under tHash's contract, so the span content is right either way. */
+  def winnowFingerprintsPos(s: String, k: Int = 8, w: Int = 4): Array[(Long, Int)] = {
+    require(k > 0 && w > 0, s"need positive k and w, got k=$k w=$w")
+    if (s == null || s.length < k + w - 1) return Array.empty
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = tHash(s.substring(i, i + k))
+      i += 1
+    }
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start <= nGrams - w) {
+      var m = hashes(start)
+      var j = start + 1
+      while (j < start + w) {
+        if (hashes(j) < m) m = hashes(j)
+        j += 1
+      }
+      mins.add(m)
+      start += 1
+    }
+    val firstPos = new java.util.HashMap[java.lang.Long, Integer]()
+    i = 0
+    while (i < nGrams) {
+      if (mins.contains(hashes(i)) && !firstPos.containsKey(hashes(i)))
+        firstPos.put(hashes(i), i + 1) // 1-based, mirrors SQL generate_series
+      i += 1
+    }
+    val out = new Array[(Long, Int)](mins.size)
+    val it = mins.iterator()
+    var o = 0
+    while (it.hasNext) { val v = it.next(); out(o) = (v, firstPos.get(v)); o += 1 }
+    out
+  }
+
+  def winnowPosUdf(k: Int, w: Int) =
+    udf((s: String) => winnowFingerprintsPos(s, k, w))
+
   // ---------------------------------------------------------------------------
   // Corpus-scrubbing signals: PII redaction + repetition ratio.
   // Patterns are deliberately restricted to syntax shared by Java regex and

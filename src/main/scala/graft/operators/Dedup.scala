@@ -241,6 +241,37 @@ object Dedup {
   }
 
   /**
+   * Winnowing MATCH SPANS — the reporting form of [[winnowPairs]]: one row
+   * per shared selected fingerprint with the 1-based char position of the
+   * matched k-gram in EACH document
+   * ([[graft.functions.TextFunctions.winnowFingerprintsPos]]), i.e. where the
+   * shared passage starts on both sides — what a MOSS-style reviewer
+   * actually reads. Same inverted-index join and `maxDocFrequency`
+   * stop-fingerprint cap as [[winnowPairs]]. Output:
+   * (id_a, id_b, fingerprint, pos_a, pos_b) with id_a < id_b.
+   */
+  def winnowSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDocFrequency: Long = 0L): DataFrame = {
+    val fpAll = df.select(col(idCol).as("__id"),
+        explode(winnowPosUdf(k, w)(col(textCol))).as("__fpp"))
+      .select(col("__id"), col("__fpp._1").as("__fp"), col("__fpp._2").as("__p"))
+    val fp =
+      if (maxDocFrequency <= 0L) fpAll
+      else {
+        val keep = fpAll.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDocFrequency).select(col("__fp"))
+        fpAll.join(keep, "__fp")
+      }
+    fp.select(col("__id").as("__a"), col("__fp"), col("__p").as("pos_a"))
+      .join(fp.select(col("__id").as("__b"), col("__fp"), col("__p").as("pos_b")), "__fp")
+      .filter(col("__a") < col("__b"))
+      .select(col("__a").as("id_a"), col("__b").as("id_b"),
+        col("__fp").as("fingerprint"), col("pos_a").cast("long").as("pos_a"),
+        col("pos_b").cast("long").as("pos_b"))
+  }
+
+  /**
    * SimHash fingerprints: two independent 32-bit halves (h1, h2) per doc — per
    * bit b, the bit is set iff Σ_tokens (2·bit_b(mix(tokenHash)) - 1) > 0.
    * Output: (idCol, simhash1, simhash2), both Long in [0, 2^32).

@@ -277,6 +277,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(CorpusStats.keepTopPercent(rows.toDF("id", "score"), "id", "score", 100).count() == 40)
   }
 
+  test("winnowSpans: positions point at identical k-gram substrings on both sides") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = docsDf(Seq(
+      (1L, "PREFIX ONE " + shared + " SUFFIX A"),
+      (2L, "completely different lead-in text then " + shared),
+      (3L, "no overlap with anything else in this corpus at all")))
+    val texts = Map(1L -> ("PREFIX ONE " + shared + " SUFFIX A"),
+      2L -> ("completely different lead-in text then " + shared),
+      3L -> "no overlap with anything else in this corpus at all")
+    val spans = Dedup.winnowSpans(docs, "doc_id", "text").collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(a == 1L && b == 2L, "only the shared-passage pair may report spans")
+      val (pa, pb) = (r.getAs[Long]("pos_a").toInt, r.getAs[Long]("pos_b").toInt)
+      // 1-based positions: the k-gram at each side's position is IDENTICAL text
+      assert(texts(a).substring(pa - 1, pa - 1 + 8) == texts(b).substring(pb - 1, pb - 1 + 8))
+    }
+    // span count consistent with the counting operator
+    val pairShared = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(spans.length.toLong == pairShared((1L, 2L)))
+  }
+
   test("exactPercentiles: nearest-rank values, ties safe, layout-invariant") {
     val s = spark
     import s.implicits._

@@ -122,6 +122,30 @@ class StreamingSimSpec extends AnyFunSuite {
     assert(batchOut == Set(5L, 11L))
   }
 
+  test("stratifiedSample and deterministicSample run unchanged on streams") {
+    val s = spark
+    import s.implicits._
+    // both samplers are pure narrow filters (hash-bucket rules), so the same
+    // call works on a streaming frame — batch/stream unification for free
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sample").toFile
+    val batch = (1L to 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("id", "src")
+    batch.write.parquet(dir + "/in/b1")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir + "/in/*")
+    val out = graft.operators.Sampling.stratifiedSample(
+      stream, "id", "src", Map("keep" -> 100, "drop" -> 0))
+    val q = out.writeStream.format("memory").queryName("stream_sample")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("stream_sample").collect().map(_.getLong(0)).toSet
+      val expected = graft.operators.Sampling.stratifiedSample(
+          batch, "id", "src", Map("keep" -> 100, "drop" -> 0))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected && got.nonEmpty && got.forall(_ % 2 == 0))
+    } finally q.stop()
+  }
+
   test("StreamNearDup: flags near-dups of a static corpus exactly once across batches") {
     val s = spark
     import s.implicits._
