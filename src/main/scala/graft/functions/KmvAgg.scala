@@ -27,15 +27,20 @@ class KmvAgg(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
   override def reduce(buf: Seq[Long], x: Long): Seq[Long] = insert(buf, x)
   override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] = b.foldLeft(a)(insert)
   override def finish(buf: Seq[Long]): Seq[Long] = buf
-  /** sorted ascending, distinct, capped at k */
+  /** sorted ascending, distinct, capped at k — binary search over the
+    * Vector directly (no per-row array copy; this runs once per input row) */
   private def insert(buf: Seq[Long], x: Long): Seq[Long] = {
-    val i = java.util.Arrays.binarySearch(buf.toArray, x)
-    if (i >= 0) buf // already present
-    else {
-      val at = -i - 1
-      if (at >= k) buf
-      else ((buf.take(at) :+ x) ++ buf.drop(at)).take(k)
+    var lo = 0
+    var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val v = buf(mid)
+      if (v == x) return buf // already present
+      else if (v < x) lo = mid + 1
+      else hi = mid
     }
+    if (lo >= k) buf
+    else ((buf.take(lo) :+ x) ++ buf.drop(lo)).take(k)
   }
   override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
