@@ -48,8 +48,13 @@ object AsOfJoin {
    *                 distance goes backward — the pandas/polars convention).
    *                 Nearest runs both carries over the same key shuffle (one
    *                 exchange, two in-partition sorts)
-   * @param tolerance max |l.ts - r.ts| in SECONDS (0 = unbounded); matches
-   *                 further away become nulls, rows stay (left semantics)
+   * @param tolerance max |l.ts - r.ts| in the ts columns' CAST-TO-LONG unit
+   *                 (seconds for TimestampType; the column's own unit for
+   *                 numeric timestamps, e.g. µs for epoch-micro Longs);
+   *                 0 = unbounded. Out-of-tolerance matches become nulls,
+   *                 rows stay (left semantics). Pick-nearest-then-filter
+   *                 equals filter-then-pick here: if the nearest candidate is
+   *                 out of tolerance, the farther one is too.
    * @return left rows + payload columns (+ `matched_ts` = matched right ts)
    */
   def asofJoin(
@@ -66,7 +71,11 @@ object AsOfJoin {
       "left already has a 'matched_ts' column — rename it first")
     payload.foreach { case (_, out) =>
       require(!leftCols.contains(out), s"output payload column '$out' collides with a left column")
+      require(out != "__ts" && out != "__tie" && out != "matched_ts",
+        s"output payload name '$out' is reserved")
     }
+    require(payload.map(_._2).distinct.length == payload.length,
+      s"duplicate output payload names in ${payload.map(_._2)}")
     // one struct carries ts + tiebreak + payload, so a single running last()
     // tracks everything atomically (per-column lasts could mix two right rows)
     val payStruct = struct(
