@@ -284,6 +284,12 @@ object SparkEntry {
       CorpusStats.approxDistinctByGroup(
         rd(s, dir, "events").select(col("event_type"), col("user_id")),
         "event_type", "user_id", k = 32)),
+    // sketch algebra: user-overlap estimates between event types, computed
+    // entirely from the bottom-k sketches (pure column algebra, no UDF)
+    "kmv_overlap" -> ((s, dir) =>
+      CorpusStats.kmvGroupOverlap(
+        rd(s, dir, "events").select(col("event_type"), col("user_id")),
+        "event_type", "user_id", k = 32)),
     "pack_shards" -> ((s, dir) =>
       Packing.packByBudget(
         rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
@@ -875,6 +881,36 @@ object SparkEntry {
          |       ELSE round(31.0 / ((CAST(vk AS DOUBLE) + 1.0) / 2147483648.0), 4)
          |  END AS estimate
          |FROM s""".stripMargin,
+    "kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type AS g,
+         |    ((${Oracles.tHashSql("CAST(user_id AS VARCHAR)")} % 2147483648) + 2147483648) % 2147483648 AS hv
+         |  FROM events WHERE user_id IS NOT NULL
+         |),
+         |r AS (
+         |  SELECT g, hv, row_number() OVER (PARTITION BY g ORDER BY hv ASC) AS rn FROM h
+         |),
+         |sk AS (SELECT g, list(hv ORDER BY hv) AS sk FROM r WHERE rn <= 32 GROUP BY g),
+         |p AS (
+         |  SELECT a.g AS g_a, b.g AS g_b, a.sk AS ska, b.sk AS skb
+         |  FROM sk a JOIN sk b ON a.g < b.g
+         |),
+         |u AS (
+         |  SELECT g_a, g_b, ska, skb,
+         |    list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, 32) AS un
+         |  FROM p
+         |),
+         |c AS (
+         |  SELECT g_a, g_b, un, len(un) AS nu,
+         |    len(list_filter(un, x -> list_contains(ska, x) AND list_contains(skb, x))) AS nboth
+         |  FROM u
+         |)
+         |SELECT g_a, g_b, CAST(nu AS BIGINT) AS n_union,
+         |  round(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE), 4) AS jaccard_est,
+         |  round(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE) *
+         |    CASE WHEN nu < 32 THEN CAST(nu AS DOUBLE)
+         |         ELSE 31.0 / ((CAST(un[32] AS DOUBLE) + 1.0) / 2147483648.0) END, 4) AS inter_est
+         |FROM c""".stripMargin,
     "pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -104,6 +104,56 @@ object CorpusStats {
   }
 
   /**
+   * KMV SKETCH ALGEBRA — pairwise group-overlap estimates from the
+   * per-group bottom-k sketches (the GB-KMV/containment-search idea,
+   * ICDE'19): for two groups with sketches S_A, S_B, the k smallest of
+   * S_A ∪ S_B form the union's sketch; the fraction ρ of those present in
+   * BOTH sketches estimates Jaccard(A, B), and ρ · D̂(A ∪ B) estimates
+   * |A ∩ B|. Everything after the sketches is pure COLUMN ALGEBRA
+   * (array_sort/slice/filter — no UDF) over k-element arrays, and the
+   * deterministic tHash basis makes every estimate hash-pinned.
+   *
+   * Scale: values never shuffle (the sketch aggregation is [[graft.functions.KmvAgg]]);
+   * the pairwise stage joins one k-Long array per group — meant for
+   * group-cardinality overlap matrices (sources, languages, event types),
+   * not for millions of groups.
+   *
+   * @return (g_a, g_b, n_union, jaccard_est, inter_est) for g_a < g_b;
+   *         n_union < k means the union sketch is exact.
+   */
+  def kmvGroupOverlap(
+      df: DataFrame, groupCol: String, valueCol: String, k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.tHashUdf
+    val slim = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string"),
+        pmod(tHashUdf(col(valueCol).cast("string")), lit(2147483648L)).cast("long"))
+      .as[(String, Long)]
+    val sk = slim.groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.KmvAgg(k).toColumn.name("__sk"))
+      .toDF("__g", "__sk")
+    val a = sk.select(col("__g").as("g_a"), col("__sk").as("__ska"))
+    val b = sk.select(col("__g").as("g_b"), col("__sk").as("__skb"))
+    val unionK = slice(array_sort(array_distinct(concat(col("__ska"), col("__skb")))), 1, k)
+    a.join(b, col("g_a") < col("g_b"))
+      .withColumn("__u", unionK)
+      .withColumn("__nu", size(col("__u")))
+      .withColumn("__nboth", size(filter(col("__u"),
+        x => array_contains(col("__ska"), x) && array_contains(col("__skb"), x))))
+      // ρ = |in both| / |union sketch|; D̂(union) = exact when the union
+      // sketch is under k, else the standard (k-1)/v_k estimator
+      .withColumn("__rho", col("__nboth").cast("double") / col("__nu").cast("double"))
+      .withColumn("__du",
+        when(col("__nu") < k, col("__nu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((element_at(col("__u"), k) + 1).cast("double") / lit(2147483648.0))))
+      .select(col("g_a"), col("g_b"), col("__nu").cast("long").as("n_union"),
+        round(col("__rho"), 4).as("jaccard_est"),
+        round(col("__rho") * col("__du"), 4).as("inter_est"))
+  }
+
+  /**
    * Add-one-smoothed BIGRAM cross-entropy — the order-2 upgrade of
    * [[unigramLogLoss]] (KenLM-style n-gram scoring, truncated to n=2):
    * `xent2(d) = avg_{(w1,w2) ∈ d} −ln((c2(w1,w2)+1)/(c1(w1)+V))` where c2 =

@@ -341,6 +341,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap.apply("a") == 10L)
   }
 
+  test("kmvGroupOverlap: exact below k, hash-pinned, layout-invariant") {
+    val s = spark
+    import s.implicits._
+    // |X|=30, |Y|=30, |X∩Y|=15, |X∪Y|=45 < k=64 -> every sketch exact, so
+    // the estimates must equal the true values precisely
+    val rows = (1 to 30).map(i => ("x", s"u$i")) ++ (16 to 45).map(i => ("y", s"u$i"))
+    val df = rows.toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusStats.kmvGroupOverlap(d, "g", "v", k = 64).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+    val got = run(df)
+    assert(got == Set(("x", "y", 45L, math.rint(15.0 / 45.0 * 1e4) / 1e4, 15.0)))
+    assert(run(df.repartition(11)) == got)
+  }
+
   test("TopKAgg.perKey equals the window top-k exactly, ties included") {
     val s = spark
     import s.implicits._
