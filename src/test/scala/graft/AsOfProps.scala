@@ -94,4 +94,9 @@ object AsOfProps extends Properties("AsOfJoin") {
     forAll(tablesGen, Gen.choose(1L, 8L)) { case ((ls, rs), tol) =>
       runSpark(ls, rs, "nearest", tol) == oracle(ls, rs, "nearest", tol)
     }
+
+  property("backward with tolerance matches the brute-force oracle") =
+    forAll(tablesGen, Gen.choose(1L, 8L)) { case ((ls, rs), tol) =>
+      runSpark(ls, rs, "backward", tol) == oracle(ls, rs, "backward", tol)
+    }
 }
