@@ -101,7 +101,7 @@ object ConnectedComponents {
             (coalesce(col("__nmin"), col("__comp")) < col("__comp")).as("__changed")),
         reliable)
       val anyChanged = next
-        .agg(coalesce(max(col("__changed")), lit(false))).head.getBoolean(0)
+        .agg(coalesce(max(col("__changed")), lit(false))).head().getBoolean(0)
       releaseGeneration(labelsHandle) // next is materialized — free the old generation
       labelsHandle = nextHandle
       labels = next.select(col("__id"), col("__comp"))
@@ -257,7 +257,7 @@ object ConnectedComponents {
       val chkRow = next
         .agg(count(lit(1)),
           coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L)),
-          coalesce(bit_xor(xxhash64(lit(42), col("__u"), col("__v"))), lit(0L))).head
+          coalesce(bit_xor(xxhash64(lit(42), col("__u"), col("__v"))), lit(0L))).head()
       val chk = (chkRow.getLong(0), chkRow.getLong(1), chkRow.getLong(2))
       releaseGeneration(eHandle) // next is materialized — free the old generation
       e = next

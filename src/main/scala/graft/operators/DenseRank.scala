@@ -27,7 +27,7 @@ private[graft] object DenseRank {
     val schema = sorted.schema.add(name, LongType, nullable = false)
     val checkIdx = failOnNullCol.map(c => sorted.schema.fieldIndex(c))
     val checkName = failOnNullCol.getOrElse("")
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       checkIdx.foreach { ci =>
         if (r.isNullAt(ci))
           throw new IllegalArgumentException(

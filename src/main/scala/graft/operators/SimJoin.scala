@@ -462,7 +462,7 @@ object SimJoin {
     val rightCols = ri.columns.filter(_ != "col").map { c =>
       if (taken(c)) col(c + opts.suffix) else col(c)
     }
-    joined.select(leftCols ++ mapCols ++ simCols ++ rightCols: _*)
+    joined.select((leftCols.toSeq ++ mapCols ++ simCols ++ rightCols.toSeq): _*)
   }
 
   /**
@@ -496,7 +496,7 @@ object SimJoin {
         df.join(ids, k)
       case None =>
         val schema = df.schema.add(name, LongType, nullable = false)
-        val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+        val rdd = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
         df.sparkSession.createDataFrame(rdd, schema).localCheckpoint(eager = false)
     }
 }

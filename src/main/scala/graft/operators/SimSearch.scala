@@ -94,7 +94,7 @@ object SimSearch {
             sum(lit(16L) + lit(4L) *
               when(col(qVec).isNull, lit(0L)).otherwise(size(col(qVec)).cast("long"))),
             lit(0L)))
-          .head.getLong(0)
+          .head().getLong(0)
         require(actualBytes <= maxQueryBytes,
           s"query side too large to collect to the driver: $actualBytes bytes exceed the " +
             s"$maxQueryBytes-byte guard (filter-blind Catalyst estimate was $est). These " +

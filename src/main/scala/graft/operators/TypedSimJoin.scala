@@ -34,10 +34,10 @@ object TypedSimJoin {
     val rkEnc: Encoder[(Long, R, String)] =
       Encoders.tuple(Encoders.scalaLong, re, Encoders.STRING)
     val li = spark.createDataset(
-      left.rdd.zipWithIndex.map { case (l, i) => (i, l, leftKey(l)) })(lkEnc)
+      left.rdd.zipWithIndex().map { case (l, i) => (i, l, leftKey(l)) })(lkEnc)
       .toDF("__lid", "__lrow", "__lkey").localCheckpoint(eager = false)
     val ri = spark.createDataset(
-      right.rdd.zipWithIndex.map { case (r, i) => (i, r, rightKey(r)) })(rkEnc)
+      right.rdd.zipWithIndex().map { case (r, i) => (i, r, rightKey(r)) })(rkEnc)
       .toDF("__rid", "__rrow", "__rkey").localCheckpoint(eager = false)
     val pairs = SimJoin.keyedPairs(li, "__lid", "__lkey", ri, "__rid", "__rkey", opts,
       outLeft = "__lid", outRight = "__rid", outSim = "sim")
