@@ -538,6 +538,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
         .filter(p => java.nio.file.Files.isRegularFile(p)).count()
       assert(wrote > 0, "expected reliable checkpoint files under the temp dir")
+      // superseded generations are deleted as the loops advance: the chain
+      // graph runs ~9 propagation iterations, but only the LIVE generations'
+      // rdd-N directories may remain (the final labels of each run, plus the
+      // two loops' in-flight handles — far fewer than iterations × runs)
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-"))
+        .size
+      assert(rddDirs <= 6,
+        s"superseded generation checkpoint dirs leaked: $rddDirs rdd-N dirs remain " +
+          "(releaseGeneration should delete each superseded generation's files)")
     } finally {
       // best-effort temp cleanup; also reset so later suites keep localCheckpoint
       import scala.jdk.CollectionConverters._
