@@ -237,6 +237,34 @@ object Oracles {
        |),
        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
 
+  /** Exact mirror of Dedup.minHashLshPairsBetween (default 8×4 banding) with
+    * side A / side B = `documents` filtered by predA / predB — banding
+    * mirrored, then exact Jaccard of candidates. */
+  def minHashLshBetweenSql(threshold: Double, predA: String, predB: String): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes("dsh", "doc_id")},
+       |xcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id IN (SELECT doc_id FROM documents WHERE $predA)
+       |    AND b.doc_id IN (SELECT doc_id FROM documents WHERE $predB)
+       |),
+       |xinter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM xcand c
+       |  JOIN dsh a ON c.id_a = a.doc_id
+       |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2
+       |),
+       |xjac AS (
+       |  SELECT xi.id_a, xi.id_b,
+       |         CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+       |  FROM xinter xi JOIN dcnt ca ON xi.id_a = ca.doc_id
+       |                 JOIN dcnt cb ON xi.id_b = cb.doc_id
+       |)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+       |FROM xjac WHERE jaccard >= $threshold""".stripMargin
+
   /** Exact mirror of Decontaminate.fuzzyFlagged with the benchmark side =
     * documents WHERE `benchPred`: cross-table LSH band-key candidates (reuses
     * mbands; the same-table mcand CTE goes unused), exact Jaccard

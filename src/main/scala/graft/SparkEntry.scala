@@ -142,6 +142,13 @@ object SparkEntry {
       Dedup.containmentPairs(rd(s, dir, "documents"), "doc_id", "text", 0.9)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
+    // cross-corpus form: neither side broadcast — the crawl-vs-last-crawl shape
+    "dedup_cross" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Dedup.minHashLshPairsBetween(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.8)
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simHashPairs(rd(s, dir, "documents"), "doc_id", "text", 7)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))),
@@ -525,6 +532,7 @@ object SparkEntry {
     "dedup_containment" -> Oracles.containmentPairs(0.9),
     "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
     "dedup_minhash_lsh" -> Oracles.minHashLshPairsSql(0.8),
+    "dedup_cross" -> Oracles.minHashLshBetweenSql(0.8, "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "dedup_simhash" ->
       s"""WITH ${Oracles.simHashCtes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

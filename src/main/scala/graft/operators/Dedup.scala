@@ -204,6 +204,50 @@ object Dedup {
   }
 
   /**
+   * CROSS-CORPUS MinHash+LSH near-dup pairs — [[minHashLshPairs]] between TWO
+   * tables where NEITHER side fits a broadcast (dedup this year's crawl
+   * against last year's): one checkpointed shingle pass per side, band keys
+   * from the same signature UDF, candidates from a SHUFFLE equi-join on
+   * (band, key) — contrast [[Decontaminate.fuzzyFlagged]], which broadcasts
+   * its (benchmark-sized) second side — then exact Jaccard verification of
+   * candidates only. Same banding false-negative bound; `bandRows` tunes it.
+   * Output: (id_a from `dfA`, id_b from `dfB`, jaccard ≥ threshold, rounded
+   * to 6). Ids are NOT required disjoint across tables (a pair is (A-row,
+   * B-row), never ordered by id).
+   */
+  def minHashLshPairsBetween(
+      dfA: DataFrame, idColA: String, textColA: String,
+      dfB: DataFrame, idColB: String, textColB: String,
+      threshold: Double,
+      bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
+    require(bandRows > 0 && graft.functions.TextFunctions.MinHashK % bandRows == 0,
+      s"bandRows must divide MinHashK=${graft.functions.TextFunctions.MinHashK}, got $bandRows")
+    def side(df: DataFrame, id: String, text: String) =
+      df.select(col(id).as("__id"), shinglesUdf(col(text)).as("__shs"))
+        .filter(size(col("__shs")) > 0)
+        .localCheckpoint(true)
+    val a = side(dfA, idColA, textColA)
+    val b = side(dfB, idColB, textColB)
+    def bands(shs: DataFrame, out: String) = shs
+      .select(col("__id").as(out),
+        posexplode(minHashBandKeysUdfFor(bandRows)(col("__shs"))).as(Seq("__band", "__bkey")))
+    val cand = bands(a, "__a").join(bands(b, "__b"), Seq("__band", "__bkey"))
+      .select(col("__a"), col("__b")).distinct()
+    val ta = a.select(col("__id").as("__a"), explode(col("__shs")).as("__sh"))
+    val tb = b.select(col("__id").as("__b"), explode(col("__shs")).as("__sh"))
+    val inter = cand.join(ta, "__a").join(tb, Seq("__b", "__sh"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
+    val na = a.select(col("__id").as("__a"), size(col("__shs")).cast("long").as("__na"))
+    val nb = b.select(col("__id").as("__b"), size(col("__shs")).cast("long").as("__nb"))
+    inter.join(na, "__a").join(nb, "__b")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
    * Near-dup candidate pairs by winnowing-fingerprint overlap (how MOSS
    * surfaces matches): docs sharing ≥ `minShared` selected k-gram window
    * minima ([[graft.functions.TextFunctions.winnowFingerprints]]). Character-

@@ -416,6 +416,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("minHashLshPairsBetween equals the cross-parity slice of the self-join") {
+    import org.apache.spark.sql.functions.col
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = docsDf(Seq(
+      (2L, base), (3L, base),                      // exact cross-parity dup
+      (4L, base + " lambda"), (7L, base + " mu"),  // near-dups cross parity
+      (6L, "unrelated totally different words here with zero overlap at all"),
+      (9L, "another disjoint document about completely other things entirely")))
+    val selfPairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.6)
+      .collect()
+      .map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case (ids, _) => ids.count(_ % 2 == 0) == 1 } // one even, one odd
+      .toSet
+    val crossPairs = Dedup.minHashLshPairsBetween(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.6)
+      .collect()
+      .map(r => (Set(r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toSet
+    assert(crossPairs == selfPairs && crossPairs.nonEmpty)
+  }
+
   test("minHashLshPairs bandRows knob: exact dups always collide; stricter banding narrows") {
     val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val docs = docsDf(Seq(
