@@ -281,6 +281,8 @@ object SparkEntry {
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
       CorpusStats.bigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
+    "text_xent3" -> ((s, dir) =>
+      CorpusStats.trigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     // exact corpus length percentiles (nearest-rank, no approxQuantile drift)
     "len_percentiles" -> ((s, dir) =>
       CorpusStats.exactPercentiles(
@@ -861,6 +863,25 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent2
         |FROM b JOIN q USING (w1, w2) GROUP BY doc_id""".stripMargin,
+    "text_xent3" ->
+      """WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |t AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+        |  FROM ws, (SELECT unnest(generate_series(1,
+        |         (SELECT CAST(max(len(ws)) AS BIGINT) FROM ws) - 2)) AS i) ii
+        |  WHERE i <= len(ws) - 2
+        |),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c FROM t GROUP BY 1, 2, 3),
+        |ctx2 AS (SELECT w1, w2, count(*) AS cc FROM t GROUP BY 1, 2),
+        |vv AS (SELECT count(DISTINCT w) AS V FROM (SELECT unnest(ws) AS w FROM ws)),
+        |q AS (
+        |  SELECT w1, w2, w3,
+        |    CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / CAST(cc + V AS DOUBLE)) * 1000000.0) AS BIGINT) AS qn
+        |  FROM c3 JOIN ctx2 USING (w1, w2), vv
+        |)
+        |SELECT doc_id,
+        |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent3
+        |FROM t JOIN q USING (w1, w2, w3) GROUP BY doc_id""".stripMargin,
     "len_percentiles" ->
       """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
         |n AS (SELECT count(*) AS n FROM v),

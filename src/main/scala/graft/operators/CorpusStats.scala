@@ -196,6 +196,50 @@ object CorpusStats {
   }
 
   /**
+   * Add-one-smoothed TRIGRAM cross-entropy — order 3 of the
+   * [[unigramLogLoss]]/[[bigramLogLoss]] family:
+   * `xent3(d) = avg_{(w1,w2,w3) ∈ d} −ln((c3(w1,w2,w3)+1)/(ctx2(w1,w2)+V))`
+   * where c3 = corpus trigram count, ctx2 = occurrences of (w1,w2) AS A
+   * TRIGRAM CONTEXT (= Σ_w3 c3, computed from the trigram relation itself —
+   * the same convention bigramLogLoss uses for its w1 context), and V = the
+   * unigram vocabulary size. Longer context catches locally-fluent word
+   * salad that order-2 scores as normal.
+   *
+   * Same determinism contract (integer micro-nat quantization, exact Long
+   * sums, final mean rounded to 4) and scale shape (shuffles on the observed
+   * trigram key only — no vocab³ blowup; never collected). Documents with
+   * fewer than three extractable words are absent from the output.
+   * @return (idCol, xent3)
+   */
+  def trigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
+    val t = ws.filter(size(col("__ws")) >= 3)
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), size(col("__ws")) - 2),
+          i => struct(
+            element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2"),
+            element_at(col("__ws"), i + 2).as("w3")))).as("__tg"))
+      .select(col("__id"), col("__tg.w1").as("__w1"), col("__tg.w2").as("__w2"),
+        col("__tg.w3").as("__w3"))
+    val c3 = t.groupBy(col("__w1"), col("__w2"), col("__w3")).agg(count(lit(1)).as("__c3"))
+    val ctx2 = t.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__cc"))
+    val vv = ws.select(explode(col("__ws")).as("__w"))
+      .agg(count_distinct(col("__w")).as("__V"))
+    val q = c3.join(ctx2, Seq("__w1", "__w2")).crossJoin(broadcast(vv))
+      .select(col("__w1"), col("__w2"), col("__w3"),
+        floor(-log((col("__c3") + 1).cast("double") /
+            (col("__cc") + col("__V")).cast("double")) * lit(1000000.0))
+          .cast("long").as("__qn"))
+    t.join(q, Seq("__w1", "__w2", "__w3"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__qn")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__id").as(idCol),
+        round(col("__s").cast("double") / (col("__n").cast("double") * lit(1000000.0)), 4)
+          .as("xent3"))
+  }
+
+  /**
    * EXACT global percentile filter: keep precisely the top `pct`% of rows by
    * `(scoreCol desc, idCol asc)` — `floor(n·pct/100)` rows, integer
    * arithmetic, deterministic ties. The curation step "keep the best 60% by
