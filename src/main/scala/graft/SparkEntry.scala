@@ -277,6 +277,10 @@ object SparkEntry {
     "dedup_winnow_spans" -> ((s, dir) =>
       Dedup.winnowSpans(rd(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", maxDocFrequency = 100L)),
+    // exact-substring dedup: maximal corpus-duplicated passages per document
+    // (every 20-gram in the span occurs in >= 2 docs) — the removal form
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.duplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
@@ -833,6 +837,24 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fingerprint,
          |       a.p AS pos_a, b.p AS pos_b
          |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
+         |         ${Oracles.tHashSql("substring(text, gp, 20)")} AS h
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, greatest(length(text) - 19, 0))) AS gp
+         |        FROM documents)
+         |),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+         |r AS (
+         |  SELECT doc_id, p,
+         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |  FROM d
+         |)
+         |SELECT doc_id, min(p) AS span_start, max(p) + 19 AS span_end,
+         |       count(*) AS n_grams
+         |FROM r GROUP BY doc_id, isl""".stripMargin,
     "text_xent" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
         |cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),

@@ -396,6 +396,37 @@ object TextFunctions {
   def wordNGramHashUdf(n: Int) = udf((s: String) => wordNGramHashes(s, n))
 
   /**
+   * ALL k-code-point-gram hashes of `s` in position order (position = array
+   * index + 1, matching SQL `substring(s, p, k)` 1-based code-point
+   * positions) — the unsampled primitive under exact-substring dedup
+   * ([[graft.operators.Dedup.duplicateSpans]]). Each element equals
+   * `tHash(gram)` exactly: the weight cycle restarts at every gram start, so
+   * a rolling O(1) update does not apply; cost is O(len·k) — acceptable for
+   * the k≈20-50 passage-dedup range, and embarrassingly parallel per row.
+   * Code-point windowing (not UTF-16) keeps positions and gram content
+   * identical to DuckDB's `substring`/`length` on all input.
+   * Documents shorter than k code points → empty.
+   */
+  def kGramHashes(s: String, k: Int): Array[Long] = {
+    require(k > 0, s"need positive k, got $k")
+    if (s == null) return Array.emptyLongArray
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return Array.emptyLongArray
+    val out = new Array[Long](cps.length - k + 1)
+    var start = 0
+    while (start <= cps.length - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc += cps(start + j).toLong * HashWeights(j % 8); j += 1 }
+      out(start) = acc
+      start += 1
+    }
+    out
+  }
+
+  def kGramHashesUdf(k: Int) = udf((s: String) => kGramHashes(s, k))
+
+  /**
    * Winnowing fingerprints (the MOSS technique, Schleimer/Wilkerson/Aiken):
    * hash every k-char gram of the text ([[tHash]]), slide a window of `w`
    * consecutive gram hashes, keep each window's MINIMUM, return the distinct

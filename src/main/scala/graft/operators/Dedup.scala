@@ -316,6 +316,57 @@ object Dedup {
   }
 
   /**
+   * EXACT-SUBSTRING duplicated-passage detection — the distributed shape of
+   * suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
+   * Training Data Makes Language Models Better"): a span is duplicated iff
+   * every k-code-point gram in it occurs in ≥ `minDocs` distinct documents.
+   * Per doc, every gram position is hashed
+   * ([[graft.functions.TextFunctions.kGramHashes]]), hashes seen in ≥
+   * minDocs docs are marked, and runs of CONSECUTIVE marked positions merge
+   * into maximal spans (gaps-and-islands on position − row_number).
+   *
+   * Scale shape — the part that matters at 100 TB: duplication is decided by
+   * ONE aggregate on the gram-hash key (`count_distinct(doc)`), never a
+   * pair join, so a boilerplate gram in 10⁸ documents costs O(occurrences)
+   * rows through the shuffle, not O(occurrences²) pairs — the reason this
+   * beats running [[winnowPairs]] uncapped for removal (as opposed to
+   * match-reporting) workloads. The island merge windows per document, so
+   * no partition sees more than one document's positions.
+   *
+   * vs [[winnowSpans]]: winnowing SAMPLES grams (~1/w kept) to report which
+   * doc PAIRS share passages; this keeps every gram to report exactly WHICH
+   * BYTES are duplicated corpus-wide — the input to a cut-the-spans-out
+   * rewrite step. Suffix-array spans of length ≥ L are recovered exactly by
+   * `span_end - span_start + 1 ≥ L` (any duplicated substring of length
+   * ≥ k appears as a run of its length − k + 1 grams).
+   *
+   * @param minDocs a gram is duplicated when present in ≥ minDocs distinct
+   *                docs (2 = any cross-doc repeat). Within-doc repeats alone
+   *                do not mark a gram (count is per distinct doc).
+   * @return (idCol, span_start, span_end, n_grams) — 1-based inclusive
+   *         code-point positions; n_grams = duplicated gram count in the run.
+   */
+  def duplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
+    import org.apache.spark.sql.expressions.Window
+    val g = df.select(col(idCol).as("__id"),
+        posexplode(kGramHashesUdf(k)(col(textCol))).as(Seq("__i", "__h")))
+      .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
+    val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDocs).select(col("__h"))
+    val d = g.join(dup, "__h").select(col("__id"), col("__p"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    d.withColumn("__isl", col("__p") - row_number().over(w))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min(col("__p")).as("span_start"),
+        (max(col("__p")) + lit(k.toLong - 1L)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("__id").as(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /**
    * SimHash fingerprints: two independent 32-bit halves (h1, h2) per doc — per
    * bit b, the bit is set iff Σ_tokens (2·bit_b(mix(tokenHash)) - 1) > 0.
    * Output: (idCol, simhash1, simhash2), both Long in [0, 2^32).

@@ -815,6 +815,39 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"gibberish should score highest: $xent")
   }
 
+  test("trigramLogLoss: word salad with plausible bigrams scores higher than fluent text") {
+    val fluent = "the cat sat on the mat and the cat sat on the rug"
+    val df = docsDf(Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent), (4L, fluent),
+      // every bigram occurs in the fluent corpus; the trigram transitions don't
+      (5L, "the cat sat on the cat sat on the mat and the rug"),
+      (6L, "ab"))) // < 3 words -> absent
+    val x3 = CorpusStats.trigramLogLoss(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!x3.contains(6L))
+    assert(x3(5L) > x3(1L), s"shuffled transitions should score higher: $x3")
+    assert(x3(1L) == x3(2L) && x3(2L) == x3(3L)) // identical docs, identical score
+  }
+
+  test("duplicateSpans: maximal cross-doc runs, within-doc repeats don't count") {
+    val shared = "0123456789abcdefghijKLMNOPQRST" // 30 chars, shared by docs 1+2
+    val df = docsDf(Seq(
+      (1L, "AAA" + shared + "BBBB"),
+      (2L, "cc" + shared + "dddddd"),
+      // doc 3 repeats a 25-char passage TWICE within itself only: no other doc
+      // has it, so minDocs=2 on distinct docs must NOT mark it
+      (3L, "uvwxyz!!uniquepassagehere@@##uniquepassagehere@@xx"),
+      (4L, "totally different content with no overlap at all!")))
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", k = 20)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: shared starts at char 4 (1-based), 30 chars long -> 11 grams
+    assert(spans(1L) == ((4L, 33L, 11L)), s"got $spans")
+    assert(spans(2L) == ((3L, 32L, 11L)), s"got $spans")
+    assert(!spans.contains(3L) && !spans.contains(4L), s"got $spans")
+    // raising minDocs past the pair count empties the result
+    assert(Dedup.duplicateSpans(df, "doc_id", "text", k = 20, minDocs = 3L).isEmpty)
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
