@@ -380,7 +380,62 @@ object Oracles {
    * final centroid, queries probe their nProbe nearest, same-list pairs
    * scored, top-k per query.
    */
-  def annIvfSql(k: Int, nList: Int, nProbe: Int, queryPred: String, nIters: Int = 0): String = {
+  def annIvfSql(k: Int, nList: Int, nProbe: Int, queryPred: String, nIters: Int = 0): String =
+    s"""${ivfAssignCtes(nList, nIters)},
+       |qasgn AS (
+       |  SELECT vec_id, cj FROM (
+       |    SELECT vec_id, cj,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
+       |    FROM ccos WHERE $queryPred) WHERE rn <= $nProbe
+       |),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qv.e AS ea, cv.e AS eb
+       |  FROM qasgn q
+       |  JOIN casgn c ON q.cj = c.cj AND q.vec_id <> c.vec_id
+       |  JOIN v qv ON q.vec_id = qv.vec_id
+       |  JOIN v cv ON c.vec_id = cv.vec_id
+       |),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${listCos("ea", "eb")} AS cosine
+       |  FROM p
+       |),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= $k""".stripMargin
+
+  /**
+   * Exact mirror of Dedup.semDedup: same centroid quantizer + assignment as
+   * annIvfSql (shared [[ivfAssignCtes]]), then within-cluster smaller-id
+   * pairs with cosine ≥ threshold mark the larger id dropped.
+   */
+  def semDedupSql(threshold: Double, nList: Int, nIters: Int): String =
+    s"""${ivfAssignCtes(nList, nIters)},
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, va.e AS ea, vb.e AS eb
+       |  FROM casgn a
+       |  JOIN casgn b ON a.cj = b.cj AND a.vec_id < b.vec_id
+       |  JOIN v va ON a.vec_id = va.vec_id
+       |  JOIN v vb ON b.vec_id = vb.vec_id
+       |),
+       |sc AS (
+       |  SELECT id_a, id_b,
+       |    ${listCos("ea", "eb")} AS cosine
+       |  FROM pr
+       |),
+       |drp AS (SELECT DISTINCT id_b FROM sc WHERE cosine >= $threshold)
+       |SELECT c.vec_id, c.cj AS cluster,
+       |       CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM casgn c LEFT JOIN drp d ON c.vec_id = d.id_b""".stripMargin
+
+  /** Shared centroid-quantizer + assignment CTE chain (see [[annIvfSql]]'s
+    * scaladoc for the contract): emits `v` (raw vectors), `vl` (eligible),
+    * `cent$nIters` (final centroids), `ccos` (vector×centroid cosines) and
+    * `casgn` (each eligible vector's nearest centroid). */
+  private def ivfAssignCtes(nList: Int, nIters: Int): String = {
     val lloyd = (1 to nIters).map { i =>
       val prev = s"cent${i - 1}"
       s"""ccos${i - 1} AS (
@@ -444,31 +499,7 @@ object Oracles {
        |    SELECT vec_id, cj,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
        |    FROM ccos) WHERE rn = 1
-       |),
-       |qasgn AS (
-       |  SELECT vec_id, cj FROM (
-       |    SELECT vec_id, cj,
-       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
-       |    FROM ccos WHERE $queryPred) WHERE rn <= $nProbe
-       |),
-       |p AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qv.e AS ea, cv.e AS eb
-       |  FROM qasgn q
-       |  JOIN casgn c ON q.cj = c.cj AND q.vec_id <> c.vec_id
-       |  JOIN v qv ON q.vec_id = qv.vec_id
-       |  JOIN v cv ON c.vec_id = cv.vec_id
-       |),
-       |s AS (
-       |  SELECT query_id, neighbor_id,
-       |    ${listCos("ea", "eb")} AS cosine
-       |  FROM p
-       |),
-       |r AS (
-       |  SELECT query_id, neighbor_id, cosine,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
-       |  FROM s
-       |)
-       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= $k""".stripMargin
+       |)""".stripMargin
   }
 
   /**

@@ -171,6 +171,11 @@ object SparkEntry {
     }),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+    // SemDeDup: cluster-then-compare semantic dedup (quadratic step bounded
+    // by cluster size; same Lloyd quantizer as ann_ivf)
+    "semdedup" -> ((s, dir) =>
+      Dedup.semDedup(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
+        nList = 16, nIters = 1)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(rd(s, dir, "embeddings"), "vec_id", "embedding", 0.4,
         nPlanes = 8, nTables = 2)),
@@ -566,6 +571,7 @@ object SparkEntry {
       s"""WITH ${Oracles.embeddingPairCtes}
          |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM cosims WHERE cosine >= 0.4""".stripMargin,
     "dedup_embedding_lsh" -> Oracles.embeddingLshPairsSql(0.4, 8, 2),
+    "semdedup" -> Oracles.semDedupSql(0.4, 16, 1),
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashComponentCtes(0.8)}

@@ -516,4 +516,78 @@ object Dedup {
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
   }
+
+  /**
+   * SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+   * web-scale through semantic deduplication"): k-means-cluster the embedding
+   * space, compare pairs ONLY within a cluster, and drop all but one of each
+   * semantic-duplicate group. Deterministic variant: centroids are the
+   * [[SimSearch.topKIvf]] seed-and-Lloyd quantizer (id-seeded,
+   * integer-quantized refinement — exactly SQL-mirrorable); assignment is
+   * (cosine desc, centroid-index asc); and a row is DROPPED iff some
+   * smaller-id row in its cluster has cosine ≥ threshold to it (the paper
+   * keeps the example with lowest centroid-cosine — smallest id is the
+   * reproducible stand-in, same dedup rate). Pair-local, not transitive:
+   * chains longer than a pairwise link are [[canonicalize]]'s job.
+   *
+   * Scale shape — the paper's own argument: the quadratic step runs per
+   * cluster, so nList is the knob that bounds it (web-scale runs use
+   * ~√N clusters; cluster size ≈ N/nList). One corpus scan assigns clusters
+   * (centroids broadcast, no corpus shuffle — the [[SimSearch]] kernels'
+   * layout), then ONE exchange by cluster feeds the within-cluster self-join,
+   * scored with the codegen'd [[graft.functions.CosineSimExpr]] BEFORE any
+   * projection that would re-shuffle vectors. Null / zero-norm embeddings
+   * cannot be assigned and are absent from the output (the [[SimSearch]]
+   * eligibility contract).
+   *
+   * @return (idCol, cluster, kept) — kept = 0 for dropped rows, 1 otherwise;
+   *         filter kept = 1 and join back by id for the surviving frame.
+   */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nList: Int = 16, nIters: Int = 1): DataFrame = {
+    require(nList > 0, s"nList must be positive, got $nList")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
+    SimSearch.requireIntegralId(df, idCol, "input")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else {
+        val v = r.getSeq[Float](1).toArray
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
+      }
+    }
+    val slim = df.select(col(idCol).cast("long"), col(vecCol))
+    val seeds: Array[(Array[Double], Double)] = slim
+      .orderBy(col(idCol).cast("long")).limit(nList)
+      .collect().flatMap(withNorm).map { case (_, v, n) => (v.map(_.toDouble), n) }
+    require(seeds.nonEmpty, "input has no non-null non-zero vectors to seed centroids")
+    val cents = SimSearch.lloydRefine(slim, seeds, nIters)
+    val outSchema = StructType(Seq(
+      StructField("__cid", LongType), StructField("__cl", IntegerType),
+      StructField("__v", ArrayType(FloatType))))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        withNorm(r).map { case (id, v, n) =>
+          Row(id, SimSearch.ivfNearest(cents, v, n), v.toSeq)
+        }
+      }
+    }
+    val assigned = spark.createDataFrame(rdd, outSchema)
+    val dropped = assigned
+      .select(col("__cid").as("__ida"), col("__cl"), col("__v").as("__va"))
+      .join(assigned.select(col("__cid").as("__idb"), col("__cl"), col("__v").as("__vb")),
+        Seq("__cl"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(SimSearch.cosineSim(col("__va"), col("__vb")) >= threshold)
+      .select(col("__idb").as("__cid")).distinct()
+      .withColumn("__gone", lit(1))
+    assigned.join(dropped, Seq("__cid"), "left")
+      .select(col("__cid").as(idCol), col("__cl").cast("long").as("cluster"),
+        when(col("__gone").isNotNull, 0L).otherwise(1L).as("kept"))
+  }
 }

@@ -471,7 +471,7 @@ object SimSearch {
 
   /** Cosine of `v` to each centroid, in index order (shared by assignment and
     * probing; mismatched dims score -inf so they never win a list). */
-  private def ivfCentroidCos(
+  private[operators] def ivfCentroidCos(
       cents: Array[(Array[Double], Double)], v: Array[Float], vNorm: Double): Array[Double] = {
     val out = new Array[Double](cents.length)
     var j = 0
@@ -488,7 +488,7 @@ object SimSearch {
     out
   }
 
-  private def ivfNearest(
+  private[operators] def ivfNearest(
       cents: Array[(Array[Double], Double)], v: Array[Float], vNorm: Double): Int = {
     val cos = ivfCentroidCos(cents, v, vNorm)
     var best = 0; var j = 1
@@ -502,7 +502,7 @@ object SimSearch {
     * = quantized mean. One corpus scan per iteration; the driver collects only
     * partitions × nList × dim Longs. Empty/zero-norm clusters keep their
     * previous centroid. */
-  private def lloydRefine(
+  private[operators] def lloydRefine(
       slim: DataFrame, seeds: Array[(Array[Double], Double)],
       nIters: Int): Array[(Array[Double], Double)] = {
     var cents = seeds

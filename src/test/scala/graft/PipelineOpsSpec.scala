@@ -848,6 +848,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Dedup.duplicateSpans(df, "doc_id", "text", k = 20, minDocs = 3L).isEmpty)
   }
 
+  test("semDedup: drops larger-id in-cluster near-dups, keeps cross-cluster ones") {
+    val s = spark
+    import s.implicits._
+    // two orthogonal directions = two clusters; ids 1/2/3 on x, 10/11 on y
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)),   // near-dup of 1 -> dropped
+      (3L, Array(0.7f, 0.7f, 0.1f, 0.0f)),     // same cluster, not near-dup
+      (10L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 0.98f, 0.15f)),  // near-dup of 10 -> dropped
+      (20L, Array.fill(4)(0.0f)),               // zero vector: absent
+      (21L, null.asInstanceOf[Array[Float]]))   // null: absent
+      .toDF("id", "vec")
+    val out = Dedup.semDedup(df, "id", "vec", 0.95, nList = 2, nIters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    assert(out(1L)._2 == 1L && out(2L)._2 == 0L && out(3L)._2 == 1L)
+    assert(out(10L)._2 == 1L && out(11L)._2 == 0L)
+    // in-cluster pairs share the cluster id; the two groups differ
+    assert(out(1L)._1 == out(2L)._1 && out(2L)._1 == out(3L)._1)
+    assert(out(10L)._1 == out(11L)._1 && out(1L)._1 != out(10L)._1)
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
