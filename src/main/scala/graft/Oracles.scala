@@ -431,6 +431,96 @@ object Oracles {
        |       CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM casgn c LEFT JOIN drp d ON c.vec_id = d.id_b""".stripMargin
 
+  /**
+   * Exact mirror of SimSearch.topKPq: per-subspace codebooks seeded from the
+   * ksub smallest-id eligible vectors (filter AFTER the id-ranked LIMIT, like
+   * the Scala seed collect), squared-L2 encoding with (dist asc, j asc)
+   * ties, and ADC cosine where every accumulation is an ordered list fold —
+   * d-ascending inside a subspace (`list_sum(list_transform(...))`),
+   * subspaces m-ascending (`list_sum(list(... ORDER BY m))`) — so scores are
+   * bit-identical to the Scala kernel's loop order. Zero-reconstruction-norm
+   * corpus rows are dropped on both sides.
+   */
+  def annPqSql(k: Int, nSub: Int, ksub: Int, queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |vl AS (
+       |  SELECT vec_id, e FROM v
+       |  WHERE e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |),
+       |dm AS (SELECT CAST(max(len(e)) AS BIGINT) AS dim,
+       |              CAST(max(len(e)) AS BIGINT) // $nSub AS sdim FROM vl),
+       |sub AS (SELECT unnest(generate_series(0, $nSub - 1)) AS m),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $ksub)
+       |  WHERE e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |),
+       |cw AS (
+       |  SELECT s.m, sd.j,
+       |    list_transform(generate_series(1, dm.sdim),
+       |      d -> CAST(sd.e[s.m * dm.sdim + d] AS DOUBLE)) AS c
+       |  FROM sub s CROSS JOIN seed sd CROSS JOIN dm
+       |),
+       |cn2 AS (SELECT m, j, list_sum(list_transform(c, x -> x * x)) AS n2 FROM cw),
+       |xe AS (SELECT vec_id, e FROM vl CROSS JOIN dm WHERE len(e) = dm.dim),
+       |dist AS (
+       |  SELECT x.vec_id, c.m, c.j,
+       |    list_sum(list_transform(generate_series(1, dm.sdim),
+       |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
+       |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
+       |  FROM xe x CROSS JOIN cw c CROSS JOIN dm
+       |),
+       |enc AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+       |    FROM dist) WHERE rn = 1
+       |),
+       |rn2 AS (
+       |  SELECT e.vec_id, list_sum(list(c.n2 ORDER BY e.m)) AS rn2
+       |  FROM enc e JOIN cn2 c ON e.m = c.m AND e.j = c.j
+       |  GROUP BY e.vec_id
+       |),
+       |q AS (SELECT vec_id, e FROM xe WHERE $queryPred),
+       |qdot AS (
+       |  SELECT q.vec_id, c.m, c.j,
+       |    list_sum(list_transform(generate_series(1, dm.sdim),
+       |      d -> CAST(q.e[c.m * dm.sdim + d] AS DOUBLE) * c.c[d])) AS dp
+       |  FROM q CROSS JOIN cw c CROSS JOIN dm
+       |),
+       |qn2 AS (
+       |  SELECT vec_id, list_sum(list(sn ORDER BY m)) AS qn2 FROM (
+       |    SELECT q.vec_id, s.m,
+       |      list_sum(list_transform(generate_series(1, dm.sdim),
+       |        d -> CAST(q.e[s.m * dm.sdim + d] AS DOUBLE)
+       |           * CAST(q.e[s.m * dm.sdim + d] AS DOUBLE))) AS sn
+       |    FROM q CROSS JOIN sub s CROSS JOIN dm) t
+       |  GROUP BY vec_id
+       |),
+       |sc AS (
+       |  SELECT qd.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         list_sum(list(qd.dp ORDER BY e.m)) AS dot
+       |  FROM enc e JOIN qdot qd ON qd.m = e.m AND qd.j = e.j
+       |  GROUP BY 1, 2
+       |),
+       |s2 AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         s.dot / (sqrt(q2.qn2) * sqrt(r2.rn2)) AS cosine
+       |  FROM sc s
+       |  JOIN qn2 q2 ON s.query_id = q2.vec_id
+       |  JOIN rn2 r2 ON s.neighbor_id = r2.vec_id
+       |  WHERE r2.rn2 > 0 AND s.query_id <> s.neighbor_id
+       |),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM s2
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
+       |FROM r WHERE rn <= $k""".stripMargin
+
   /** Shared centroid-quantizer + assignment CTE chain (see [[annIvfSql]]'s
     * scaladoc for the contract): emits `v` (raw vectors), `vl` (eligible),
     * `cent$nIters` (final centroids), `ccos` (vector×centroid cosines) and

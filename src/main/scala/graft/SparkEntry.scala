@@ -235,6 +235,12 @@ object SparkEntry {
         emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, nIters = 1,
         excludeSelf = true)
     }),
+    // PQ-compressed ANN: codebook-encoded corpus, ADC table-lookup scoring
+    "ann_pq" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKPq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, nSub = 8, ksub = 16, excludeSelf = true)
+    }),
     // lexical retrieval: rank the corpus against reference queries (targeted
     // curation); queries = a small document slice, broadcast by construction
     "bm25_topk" -> ((s, dir) => {
@@ -711,6 +717,7 @@ object SparkEntry {
     "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50", nTables = 2),
     "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
+    "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (

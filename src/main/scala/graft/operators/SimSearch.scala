@@ -463,6 +463,158 @@ object SimSearch {
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
   }
 
+  /**
+   * Product-Quantization (PQ) compressed ANN (Jégou/Douze/Schmid 2011,
+   * "Product quantization for nearest neighbor search") — the third scale
+   * path beside [[topKLsh]]/[[topKIvf]], for when even one float per
+   * dimension per corpus row is too much memory/IO: the vector space is
+   * split into `nSub` contiguous subspaces; each subspace gets a `ksub`-entry
+   * codebook (deterministically seeded from the ksub smallest-id corpus
+   * vectors' sub-vectors — the [[topKIvf]] seeding rule applied per
+   * subspace); every corpus vector is ENCODED as nSub small codes (argmin
+   * squared-L2 per subspace, ties to the smaller code). Search is
+   * asymmetric-distance computation (ADC): each query precomputes an
+   * nSub×ksub table of sub-dot-products against the codebooks, and a
+   * corpus row scores in O(nSub) table lookups instead of O(dim)
+   * multiplies — with the encoded corpus at nSub bytes/row (ksub ≤ 256)
+   * vs 4·dim, a 32× compression at dim=64, nSub=8.
+   *
+   * The returned score is the ADC cosine: cos(q, recon(v)) where recon = the
+   * concatenation of v's chosen codewords. Approximate — quantization error
+   * moves scores and can reorder close neighbors; exact ranking is [[topK]].
+   *
+   * Determinism/oracle contract: every accumulation is a fixed-order
+   * sequential fold (d-ascending within a subspace, subspaces m-ascending),
+   * mirrored 1:1 by `Oracles.annPqSql`'s `list_sum(list(... ORDER BY m))`
+   * chains, so encoding and scores are bit-identical across engines.
+   * Eligibility as the other kernels: null / zero-full-norm vectors (either
+   * side) are absent; corpus rows whose RECONSTRUCTION has zero norm are
+   * dropped (no defined angle). Requires dim % nSub == 0 and uniform
+   * dimensions (fails fast); corpus rows of a different dimension than the
+   * codebook are skipped.
+   *
+   * Plan shape at 100 TB: codebooks ride the closure (nSub·ksub·subDim
+   * doubles — KBs); queries collect+broadcast as ADC tables (guarded by
+   * `maxQueryBytes`); ONE corpus scan encodes and scores with no shuffle of
+   * the corpus; per-query top-k via the usual window. At petabyte scale the
+   * natural extension is persisting the encoded corpus and re-scanning only
+   * codes — the encoding pass here is fused for single-job simplicity.
+   *
+   * @return (query_id, neighbor_id, adc_cosine rounded to 4)
+   */
+  def topKPq(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nSub: Int = 8, ksub: Int = 16, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(nSub > 0, s"nSub must be positive, got $nSub")
+    require(ksub > 0 && ksub <= 256, s"need 0 < ksub <= 256 (codes are bytes), got $ksub")
+    requireIntegralId(corpus, cId, "corpus")
+    requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
+    val spark = corpus.sparkSession
+    def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else {
+        val v = r.getSeq[Float](1).toArray
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
+      }
+    }
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    // codebooks: per subspace m, codeword j = seed j's sub-vector (doubles)
+    val seeds: Array[Array[Float]] = slim
+      .orderBy(col(cId).cast("long")).limit(ksub)
+      .collect().flatMap(withNorm).map(_._2)
+    require(seeds.nonEmpty, "corpus has no non-null non-zero vectors to seed codebooks")
+    val dim = seeds(0).length
+    require(seeds.forall(_.length == dim),
+      s"codebook seeds must share one dimension, got ${seeds.map(_.length).distinct.toSeq}")
+    require(dim % nSub == 0, s"dim $dim must be divisible by nSub $nSub")
+    val subDim = dim / nSub
+    val nCodes = seeds.length
+    // cw(m)(j)(d); cn2(m)(j) = ||codeword||² (d-ascending fold)
+    val cw = Array.tabulate(nSub, nCodes) { (m, j) =>
+      Array.tabulate(subDim)(d => seeds(j)(m * subDim + d).toDouble)
+    }
+    val cn2 = Array.tabulate(nSub, nCodes) { (m, j) =>
+      var n = 0.0; var d = 0
+      while (d < subDim) { n += cw(m)(j)(d) * cw(m)(j)(d); d += 1 }
+      n
+    }
+    // query ADC tables: qdot(m)(j) = dot(q_m, c_mj); qn² = Σ_m ||q_m||²
+    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect()
+      .flatMap(withNorm).filter(_._2.length == dim).map { case (qid, qv, _) =>
+        val tbl = Array.tabulate(nSub, nCodes) { (m, j) =>
+          var dot = 0.0; var d = 0
+          while (d < subDim) { dot += qv(m * subDim + d).toDouble * cw(m)(j)(d); d += 1 }
+          dot
+        }
+        var qn2 = 0.0
+        var m = 0
+        while (m < nSub) {
+          var sn = 0.0; var d = 0
+          while (d < subDim) {
+            val x = qv(m * subDim + d).toDouble; sn += x * x; d += 1
+          }
+          qn2 += sn; m += 1
+        }
+        (qid, tbl, math.sqrt(qn2))
+      }
+    val bc = spark.sparkContext.broadcast(qRows)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val qs = bc.value
+      rows.flatMap { r =>
+        withNorm(r) match {
+          case Some((cid, cv, _)) if cv.length == dim =>
+            // encode: per subspace, argmin squared-L2 (d-ascending), tie → smaller j
+            val codes = new Array[Int](nSub)
+            var m = 0
+            while (m < nSub) {
+              var best = 0; var bestD = Double.PositiveInfinity
+              var j = 0
+              while (j < nCodes) {
+                var dist = 0.0; var d = 0
+                while (d < subDim) {
+                  val diff = cv(m * subDim + d).toDouble - cw(m)(j)(d)
+                  dist += diff * diff; d += 1
+                }
+                if (dist < bestD) { bestD = dist; best = j }
+                j += 1
+              }
+              codes(m) = best; m += 1
+            }
+            var rn2 = 0.0
+            m = 0
+            while (m < nSub) { rn2 += cn2(m)(codes(m)); m += 1 }
+            if (rn2 == 0.0) Iterator.empty
+            else {
+              val rSqrt = math.sqrt(rn2)
+              qs.iterator.flatMap { case (qid, tbl, qSqrt) =>
+                if (excludeSelf && qid == cid) None
+                else {
+                  var dot = 0.0; var mm = 0
+                  while (mm < nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
+                  Some(Row(qid, cid, dot / (qSqrt * rSqrt)))
+                }
+              }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    val scored = spark.createDataFrame(rdd, outSchema)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
+  }
+
   /** Quantization scale for Lloyd centroid sums: element contributions are
     * `floor(x·scale + 0.5)` Longs, so per-cluster sums are exact and
     * commutative — invariant to partitioning/reduction order, and mirrored

@@ -871,6 +871,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out(10L)._1 == out(11L)._1 && out(1L)._1 != out(10L)._1)
   }
 
+  test("topKPq: exact when every corpus vector is a codeword; contract holds otherwise") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.2f, 0.0f, 0.5f)), (1L, Array(0.1f, 0.9f, 0.3f, 0.0f)),
+      (2L, Array(0.0f, 0.4f, 1.0f, 0.1f)), (3L, Array(0.6f, 0.0f, 0.2f, 0.8f)),
+      (4L, Array(0.3f, 0.3f, 0.3f, 0.3f)), (5L, Array(0.9f, 0.1f, 0.1f, 0.0f)))
+    val df = vecs.toDF("id", "vec")
+    val q = df.filter(col("id") < 3)
+    // ksub >= |corpus|: every vector is its own nearest codeword per subspace
+    // -> reconstruction is exact -> ADC cosine == brute-force cosine
+    val pq = SimSearch.topKPq(q, "id", "vec", df, "id", "vec", 3,
+        nSub = 2, ksub = 8, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val brute = SimSearch.topK(q, "id", "vec", df, "id", "vec", 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pq == brute, s"pq=$pq brute=$brute")
+    // lossy regime: 2 codewords for 6 vectors still returns k rows per query
+    // with scores in [-1, 1] and no self-pairs
+    val lossy = SimSearch.topKPq(q, "id", "vec", df, "id", "vec", 3,
+      nSub = 2, ksub = 2, excludeSelf = true).collect()
+    assert(lossy.length == 9)
+    assert(lossy.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+    assert(lossy.forall(r => r.getLong(0) != r.getLong(1)))
+    // dim not divisible by nSub fails fast
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.topKPq(q, "id", "vec", df, "id", "vec", 1, nSub = 3)
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
