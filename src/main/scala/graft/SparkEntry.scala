@@ -441,6 +441,20 @@ object SparkEntry {
           Seq("value" -> "matched_value"), "event_id")
         .withColumnRenamed("matched_ts", "matched_us")
     }),
+    // the broadcast fast path must produce the identical result relation
+    // (same oracle SQL as events_asof) with the left side never shuffled
+    "events_asof_bcast" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"), col("event_type"),
+        graft.streaming.EventTime.tsMicros(ev0).as("us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      AsOfJoin.asofJoinBroadcast(purchases, clicks, "user_id", "us", "us",
+          Seq("value" -> "matched_value"), "event_id")
+        .withColumnRenamed("matched_ts", "matched_us")
+    }),
     // nearest-direction as-of: smallest |Δt|, equal distance goes backward
     "events_asof_nearest" -> ((s, dir) => {
       val ev0 = rd(s, dir, "events")
@@ -1169,6 +1183,20 @@ object SparkEntry {
     "events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""",
     "events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
+        |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT l.event_id, r.value, r.us AS rus,
+        |         row_number() OVER (PARTITION BY l.event_id
+        |                            ORDER BY r.us DESC, r.event_id DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.us <= l.us
+        |)
+        |SELECT l.event_id, l.user_id, l.us,
+        |       m.value AS matched_value, m.rus AS matched_us
+        |FROM l LEFT JOIN (SELECT event_id, value, rus FROM m WHERE rn = 1) m
+        |  USING (event_id)""".stripMargin,
+    "events_asof_bcast" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
         |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
         |r AS (SELECT event_id, user_id, us, value FROM e WHERE event_type = 'click'),

@@ -145,4 +145,156 @@ object AsOfJoin {
       }
     carried.select(out: _*)
   }
+
+  /**
+   * Broadcast fast path of [[asofJoin]] for SMALL right sides (rate tables,
+   * calendars, config histories): the right side is collected into per-key
+   * (ts, tie)-sorted arrays, broadcast, and every left row binary-searches
+   * its match inside an un-shuffled `mapPartitions` scan — the LEFT SIDE
+   * NEVER SHUFFLES. The shuffle path moves both sides through one key
+   * exchange and per-key sorts; at 100 TB of left events against a
+   * kilobyte-to-megabyte right table, skipping that exchange is the whole
+   * cost of the join. Same contract as [[asofJoin]] (all directions,
+   * tolerance, largest-tie wins, left rows always survive, null left
+   * key/ts → null match), verified row-identical by the AsOfProps parity
+   * property.
+   *
+   * Restriction: both ts columns must be INTEGRAL (the shuffle path orders
+   * on the native type; this path orders on exact Long casts — a
+   * TimestampType cast("long") would truncate to seconds and silently
+   * reorder sub-second data; convert to epoch micros first, e.g.
+   * [[graft.streaming.EventTime.tsMicros]]). Fails fast otherwise.
+   *
+   * @param maxRightBytes guard on the right side's Catalyst size estimate
+   *        before collecting (0 disables) — the [[SimSearch]] collect-guard
+   *        posture; raise it deliberately, or use [[asofJoin]] when the
+   *        right side is genuinely large.
+   */
+  def asofJoinBroadcast(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String,
+      payload: Seq[(String, String)], tieCol: String,
+      direction: String = "backward", tolerance: Long = 0L,
+      maxRightBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(tolerance >= 0L, s"tolerance must be >= 0 (0 = unbounded), got $tolerance")
+    require(payload.nonEmpty, "payload must name at least one right column to carry")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("matched_ts"),
+      "left already has a 'matched_ts' column — rename it first")
+    payload.foreach { case (_, out) =>
+      require(!leftCols.contains(out), s"output payload column '$out' collides with a left column")
+    }
+    require(payload.map(_._2).distinct.length == payload.length,
+      s"duplicate output payload names in ${payload.map(_._2)}")
+    def requireIntegralTs(df: DataFrame, c: String, side: String): Unit = {
+      val dt = df.schema(df.schema.fieldIndex(c)).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$side ts column '$c' must be integral for the broadcast path (got " +
+          s"${dt.catalogString}); convert timestamps to epoch micros first or use asofJoin")
+    }
+    requireIntegralTs(left, leftTs, "left")
+    requireIntegralTs(right, rightTs, "right")
+    require(maxRightBytes >= 0L, s"maxRightBytes must be >= 0, got $maxRightBytes")
+    if (maxRightBytes > 0L) {
+      val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
+      require(est <= BigInt(maxRightBytes),
+        s"right side estimate $est bytes exceeds the $maxRightBytes-byte broadcast guard — " +
+          "use asofJoin (shuffle path), or raise maxRightBytes deliberately")
+    }
+    val spark = left.sparkSession
+    val nPay = payload.length
+    // per key: rows sorted by (ts, tie) ascending — "largest tie wins" =
+    // rightmost element of any ts group, matching the shuffle path's carry
+    val rRows = right
+      .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
+      .select((col(keyCol) +: col(rightTs).cast("long") +:
+        col(tieCol).cast("long") +: col(rightTs).as("__orig_ts") +:
+        payload.map { case (in, _) => col(in) }): _*)
+      .collect()
+    val byKey: Map[Any, Array[(Long, Long, Row)]] = rRows
+      .groupBy(_.get(0))
+      .map { case (k, rows) =>
+        k -> rows.map { r =>
+          val ts = r.getLong(1)
+          val tie = if (r.isNullAt(2)) Long.MinValue else r.getLong(2) // nulls sort first
+          (ts, tie, r)
+        }.sortBy { case (ts, tie, _) => (ts, tie) }
+      }
+    val bc = spark.sparkContext.broadcast(byKey)
+    val rightSchema = right.schema
+    val payFields = payload.map { case (in, out) =>
+      val f = rightSchema(rightSchema.fieldIndex(in))
+      StructField(out, f.dataType, nullable = true)
+    }
+    val tsField = rightSchema(rightSchema.fieldIndex(rightTs))
+    val outSchema = StructType(
+      left.schema.fields.toSeq ++ payFields :+
+        StructField("matched_ts", tsField.dataType, nullable = true))
+    val keyIdx = left.columns.indexOf(keyCol)
+    val tsIdx = left.columns.indexOf(leftTs)
+    val bwd = direction == "backward" || direction == "nearest"
+    val fwd = direction == "forward" || direction == "nearest"
+    val rdd = left.rdd.mapPartitions { rows =>
+      val m = bc.value
+      val nulls: Seq[Any] = Seq.fill(nPay + 1)(null)
+      rows.map { lr =>
+        val matched: Option[Row] = {
+          if (lr.isNullAt(tsIdx) || lr.isNullAt(keyIdx)) None
+          else m.get(lr.get(keyIdx)) match {
+            case None => None
+            case Some(arr) =>
+              val t = lr.getAs[Number](tsIdx).longValue()
+              // upper bound: first index with ts > t
+              var lo = 0; var hi = arr.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (arr(mid)._1 <= t) lo = mid + 1 else hi = mid
+              }
+              val mb: Option[(Long, Row)] = // greatest ts <= t, largest tie
+                if (bwd && lo > 0) Some((arr(lo - 1)._1, arr(lo - 1)._3)) else None
+              val mf: Option[(Long, Row)] = // smallest ts >= t, largest tie
+                if (fwd) {
+                  // lower bound: first index with ts >= t
+                  var lo2 = 0; var hi2 = arr.length
+                  while (lo2 < hi2) {
+                    val mid = (lo2 + hi2) >>> 1
+                    if (arr(mid)._1 < t) lo2 = mid + 1 else hi2 = mid
+                  }
+                  if (lo2 >= arr.length) None
+                  else {
+                    val v = arr(lo2)._1 // last element of the ts == v group
+                    var j = lo2
+                    while (j + 1 < arr.length && arr(j + 1)._1 == v) j += 1
+                    Some((v, arr(j)._3))
+                  }
+                } else None
+              val pick = direction match {
+                case "backward" => mb
+                case "forward"  => mf
+                case _ => (mb, mf) match { // nearest; equal distance → backward
+                  case (Some(b), Some(f)) =>
+                    if (t - b._1 <= f._1 - t) Some(b) else Some(f)
+                  case (b, f) => b.orElse(f)
+                }
+              }
+              pick.filter { case (mts, _) =>
+                tolerance == 0L || math.abs(t - mts) <= tolerance
+              }.map(_._2)
+          }
+        }
+        // collected layout: 0=key, 1=ts(long), 2=tie(long), 3=original ts,
+        // 4.. = payload values
+        val tail: Seq[Any] = matched match {
+          case Some(r) => (4 until 4 + nPay).map(r.get) :+ r.get(3)
+          case None    => nulls
+        }
+        Row.fromSeq(lr.toSeq ++ tail)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

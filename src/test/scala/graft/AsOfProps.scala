@@ -67,15 +67,23 @@ object AsOfProps extends Properties("AsOfJoin") {
 
   private def runSpark(
       ls: List[(Long, Long, Long)], rs: List[(Long, Long, Long)],
-      direction: String, tolerance: Long): Map[Long, Option[Long]] = {
+      direction: String, tolerance: Long,
+      broadcastPath: Boolean = false): Map[Long, Option[Long]] = {
     val s = spark
     import s.implicits._
     val left = ls.toDF("lid", "key", "ts")
     val right = rs.map { case (rid, k, t) => (rid, k, t, rid) }
       .toDF("rid", "key", "ts", "payload_rid")
-    AsOfJoin.asofJoin(left, right, "key", "ts", "ts",
-        Seq("payload_rid" -> "matched_rid"), "rid",
-        direction = direction, tolerance = tolerance)
+    val joined =
+      if (broadcastPath)
+        AsOfJoin.asofJoinBroadcast(left, right, "key", "ts", "ts",
+          Seq("payload_rid" -> "matched_rid"), "rid",
+          direction = direction, tolerance = tolerance)
+      else
+        AsOfJoin.asofJoin(left, right, "key", "ts", "ts",
+          Seq("payload_rid" -> "matched_rid"), "rid",
+          direction = direction, tolerance = tolerance)
+    joined
       .collect()
       .map(r => r.getAs[Long]("lid") ->
         (if (r.isNullAt(r.fieldIndex("matched_rid"))) None
@@ -98,5 +106,21 @@ object AsOfProps extends Properties("AsOfJoin") {
   property("backward with tolerance matches the brute-force oracle") =
     forAll(tablesGen, Gen.choose(1L, 8L)) { case ((ls, rs), tol) =>
       runSpark(ls, rs, "backward", tol) == oracle(ls, rs, "backward", tol)
+    }
+
+  // the broadcast fast path must be row-identical to the oracle (and thus to
+  // the shuffle path) on the same adversarial inputs
+  for (direction <- Seq("backward", "forward", "nearest")) {
+    property(s"broadcast path: $direction matches the oracle (no tolerance)") =
+      forAll(tablesGen) { case (ls, rs) =>
+        runSpark(ls, rs, direction, 0L, broadcastPath = true) ==
+          oracle(ls, rs, direction, 0L)
+      }
+  }
+
+  property("broadcast path: nearest with tolerance matches the oracle") =
+    forAll(tablesGen, Gen.choose(1L, 8L)) { case ((ls, rs), tol) =>
+      runSpark(ls, rs, "nearest", tol, broadcastPath = true) ==
+        oracle(ls, rs, "nearest", tol)
     }
 }
