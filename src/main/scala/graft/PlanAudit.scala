@@ -23,8 +23,8 @@ object PlanAudit {
       "simjoin_l2", "simjoin_direct", "simjoin_full", "simjoin_left", "ann_topk", "ann_ivf",
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_winnow",
       "events_windowed", "events_correlate", "text_quality", "text_xent",
-      "events_asof", "events_asof_nearest", "bm25_topk", "quality_filter_by_source",
-      "stratified_sample")
+      "events_asof", "events_asof_nearest", "events_asof_bcast", "bm25_topk", "quality_filter_by_source",
+      "stratified_sample", "dedup_substring", "semdedup", "ann_pq", "text_xent3")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -348,12 +348,20 @@ object Dedup {
    */
   def duplicateSpans(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 20, minDocs: Long = 2L): DataFrame = {
+      k: Int = 20, minDocs: Long = 2L, materializeGrams: Boolean = false): DataFrame = {
     require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
     import org.apache.spark.sql.expressions.Window
-    val g = df.select(col(idCol).as("__id"),
+    // The gram relation is consumed twice (dup-hash aggregate + probe side of
+    // the join-back). Default = recompute: the O(len·k) hash pass re-runs,
+    // but materializing costs gram-relation-sized (≈ corpus-sized) executor
+    // storage — at 100 TB that trade usually loses unless the cluster is
+    // compute-bound, so it's a knob, not the default (contrast
+    // minHashLshPairs, where the materialized relation is shingle-sized and
+    // consumed 4×).
+    val g0 = df.select(col(idCol).as("__id"),
         posexplode(kGramHashesUdf(k)(col(textCol))).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
+    val g = if (materializeGrams) g0.localCheckpoint(true) else g0
     val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDocs).select(col("__h"))
     val d = g.join(dup, "__h").select(col("__id"), col("__p"))

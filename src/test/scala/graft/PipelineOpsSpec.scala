@@ -846,6 +846,10 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!spans.contains(3L) && !spans.contains(4L), s"got $spans")
     // raising minDocs past the pair count empties the result
     assert(Dedup.duplicateSpans(df, "doc_id", "text", k = 20, minDocs = 3L).isEmpty)
+    // the materialize-grams knob is plan-only: identical result
+    val mat = Dedup.duplicateSpans(df, "doc_id", "text", k = 20, materializeGrams = true)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(mat == spans)
   }
 
   test("semDedup: drops larger-id in-cluster near-dups, keeps cross-cluster ones") {
