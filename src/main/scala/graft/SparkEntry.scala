@@ -298,6 +298,9 @@ object SparkEntry {
       CorpusStats.bigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent3" -> ((s, dir) =>
       CorpusStats.trigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
+    // Gopher repetition filter: chars covered by the most frequent bigram
+    "text_rep_ngram" -> ((s, dir) =>
+      CorpusStats.topNgramCharFraction(rd(s, dir, "documents"), "doc_id", "text", 2)),
     // exact corpus length percentiles (nearest-rank, no approxQuantile drift)
     "len_percentiles" -> ((s, dir) =>
       CorpusStats.exactPercentiles(
@@ -931,6 +934,29 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent3
         |FROM t JOIN q USING (w1, w2, w3) GROUP BY doc_id""".stripMargin,
+    "text_rep_ngram" ->
+      """WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |tot AS (
+        |  SELECT doc_id, sum(length(w)) AS tot
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM ws) GROUP BY 1
+        |),
+        |g AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+        |  FROM ws, (SELECT unnest(generate_series(1,
+        |         (SELECT CAST(max(len(ws)) AS BIGINT) FROM ws) - 1)) AS i) ii
+        |  WHERE i <= len(ws) - 1
+        |),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, g, c FROM (
+        |    SELECT doc_id, g, c,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        |    FROM c) WHERE rn = 1
+        |)
+        |SELECT t.doc_id, t.g AS top_ngram, t.c AS occurrences,
+        |  round(CAST(t.c AS DOUBLE) * CAST(length(t.g) - 1 AS DOUBLE)
+        |        / CAST(tot.tot AS DOUBLE), 4) AS char_frac
+        |FROM top t JOIN tot USING (doc_id)""".stripMargin,
     "len_percentiles" ->
       """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
         |n AS (SELECT count(*) AS n FROM v),

@@ -240,6 +240,40 @@ object CorpusStats {
   }
 
   /**
+   * Gopher-style repetition signal (Rae et al. 2021, "Scaling Language
+   * Models", Table A1): the fraction of a document's word characters covered
+   * by its single most frequent word n-gram —
+   * `char_frac = occurrences(top) · chars(top) / Σ chars(words)` where
+   * chars(top) counts the n-gram's words joined by single spaces minus the
+   * n−1 separators. High values flag template/boilerplate docs that repeat
+   * one phrase. Deterministic top pick: (count desc, n-gram asc). Documents
+   * with fewer than n words are absent; the per-doc top runs in a
+   * doc-partitioned window (no global sort).
+   * @return (idCol, top_ngram, occurrences, char_frac rounded to 4)
+   */
+  def topNgramCharFraction(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 2 && n <= 8, s"need 2 <= n <= 8, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val ws = docs.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
+    val totals = ws.select(col("__id"), explode(col("__ws")).as("__w"))
+      .groupBy(col("__id")).agg(sum(length(col("__w"))).as("__tot"))
+    val grams = ws.filter(size(col("__ws")) >= n)
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
+          i => concat_ws(" ",
+            (0 until n).map(o => element_at(col("__ws"), i + o)): _*))).as("__g"))
+    val cnt = grams.groupBy(col("__id"), col("__g")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__c").desc, col("__g").asc)
+    cnt.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(totals, "__id")
+      .select(col("__id").as(idCol), col("__g").as("top_ngram"),
+        col("__c").as("occurrences"),
+        round(col("__c").cast("double") * (length(col("__g")) - lit(n - 1)).cast("double")
+          / col("__tot").cast("double"), 4).as("char_frac"))
+  }
+
+  /**
    * EXACT global percentile filter: keep precisely the top `pct`% of rows by
    * `(scoreCol desc, idCol asc)` — `floor(n·pct/100)` rows, integer
    * arithmetic, deterministic ties. The curation step "keep the best 60% by

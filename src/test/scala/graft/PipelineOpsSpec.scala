@@ -906,6 +906,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("divisible"))
   }
 
+  test("topNgramCharFraction: repeated phrase dominates; deterministic tie-break") {
+    val df = docsDf(Seq(
+      (1L, "buy now buy now buy now buy now"),   // "buy now" x4 = everything
+      (2L, "the quick brown fox and the lazy dog"), // all bigrams unique
+      (3L, "aa bb aa bb cc dd cc dd"),            // tie "aa bb"=2 vs "cc dd"=2 -> asc
+      (4L, "one")))                               // < 2 words -> absent
+    val out = CorpusStats.topNgramCharFraction(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == "buy now" && out(1L)._2 == 4L)
+    // 4 occurrences x 6 chars / 24 word chars = 1.0
+    assert(out(1L)._3 == 1.0, s"got $out")
+    assert(out(2L)._2 == 1L && out(2L)._3 < 0.35)
+    assert(out(3L)._1 == "aa bb", s"tie must break ascending: $out")
+    assert(!out.contains(4L))
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
