@@ -521,6 +521,98 @@ object Oracles {
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
        |FROM r WHERE rn <= $k""".stripMargin
 
+  /**
+   * Exact mirror of SimSearch.topKIvfPq: the [[ivfAssignCtes]] coarse
+   * quantizer restricts pairs to (query probe-list = corpus list), scored by
+   * the [[annPqSql]] ADC chain (shared `v`/`vl` eligibility; full-vector
+   * codes, no residuals — the Scala side's documented trade).
+   */
+  def annIvfPqSql(
+      k: Int, nList: Int, nProbe: Int, nIters: Int,
+      nSub: Int, ksub: Int, queryPred: String): String =
+    s"""${ivfAssignCtes(nList, nIters)},
+       |qasgn AS (
+       |  SELECT vec_id, cj FROM (
+       |    SELECT vec_id, cj,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
+       |    FROM ccos WHERE $queryPred) WHERE rn <= $nProbe
+       |),
+       |dm AS (SELECT CAST(max(len(e)) AS BIGINT) AS dim,
+       |              CAST(max(len(e)) AS BIGINT) // $nSub AS sdim FROM vl),
+       |sub AS (SELECT unnest(generate_series(0, $nSub - 1)) AS m),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $ksub)
+       |  WHERE e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |),
+       |cw AS (
+       |  SELECT s.m, sd.j,
+       |    list_transform(generate_series(1, dm.sdim),
+       |      d -> CAST(sd.e[s.m * dm.sdim + d] AS DOUBLE)) AS c
+       |  FROM sub s CROSS JOIN seed sd CROSS JOIN dm
+       |),
+       |cn2 AS (SELECT m, j, list_sum(list_transform(c, x -> x * x)) AS n2 FROM cw),
+       |xe AS (SELECT vec_id, e FROM vl CROSS JOIN dm WHERE len(e) = dm.dim),
+       |pdist AS (
+       |  SELECT x.vec_id, c.m, c.j,
+       |    list_sum(list_transform(generate_series(1, dm.sdim),
+       |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
+       |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
+       |  FROM xe x CROSS JOIN cw c CROSS JOIN dm
+       |),
+       |enc AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+       |    FROM pdist) WHERE rn = 1
+       |),
+       |rn2 AS (
+       |  SELECT e.vec_id, list_sum(list(c.n2 ORDER BY e.m)) AS rn2
+       |  FROM enc e JOIN cn2 c ON e.m = c.m AND e.j = c.j
+       |  GROUP BY e.vec_id
+       |),
+       |q AS (SELECT vec_id, e FROM xe WHERE $queryPred),
+       |qdot AS (
+       |  SELECT q.vec_id, c.m, c.j,
+       |    list_sum(list_transform(generate_series(1, dm.sdim),
+       |      d -> CAST(q.e[c.m * dm.sdim + d] AS DOUBLE) * c.c[d])) AS dp
+       |  FROM q CROSS JOIN cw c CROSS JOIN dm
+       |),
+       |qn2 AS (
+       |  SELECT vec_id, list_sum(list(sn ORDER BY m)) AS qn2 FROM (
+       |    SELECT q.vec_id, s.m,
+       |      list_sum(list_transform(generate_series(1, dm.sdim),
+       |        d -> CAST(q.e[s.m * dm.sdim + d] AS DOUBLE)
+       |           * CAST(q.e[s.m * dm.sdim + d] AS DOUBLE))) AS sn
+       |    FROM q CROSS JOIN sub s CROSS JOIN dm) t
+       |  GROUP BY vec_id
+       |),
+       |sc AS (
+       |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+       |         list_sum(list(qd.dp ORDER BY e.m)) AS dot
+       |  FROM qasgn qa
+       |  JOIN casgn ca ON qa.cj = ca.cj AND qa.vec_id <> ca.vec_id
+       |  JOIN enc e ON e.vec_id = ca.vec_id
+       |  JOIN qdot qd ON qd.vec_id = qa.vec_id AND qd.m = e.m AND qd.j = e.j
+       |  GROUP BY 1, 2
+       |),
+       |s2 AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |         s.dot / (sqrt(q2.qn2) * sqrt(r2.rn2)) AS cosine
+       |  FROM sc s
+       |  JOIN qn2 q2 ON s.query_id = q2.vec_id
+       |  JOIN rn2 r2 ON s.neighbor_id = r2.vec_id
+       |  WHERE r2.rn2 > 0
+       |),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM s2
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
+       |FROM r WHERE rn <= $k""".stripMargin
+
   /** Shared centroid-quantizer + assignment CTE chain (see [[annIvfSql]]'s
     * scaladoc for the contract): emits `v` (raw vectors), `vl` (eligible),
     * `cent$nIters` (final centroids), `ccos` (vector×centroid cosines) and

@@ -241,6 +241,13 @@ object SparkEntry {
       SimSearch.topKPq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, nSub = 8, ksub = 16, excludeSelf = true)
     }),
+    // IVF-PQ: coarse-list pruning + ADC scoring (the FAISS IVFADC layout)
+    "ann_ivfpq" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKIvfPq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, nIters = 1,
+        nSub = 8, ksub = 16, excludeSelf = true)
+    }),
     // lexical retrieval: rank the corpus against reference queries (targeted
     // curation); queries = a small document slice, broadcast by construction
     "bm25_topk" -> ((s, dir) => {
@@ -735,6 +742,7 @@ object SparkEntry {
     "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
+    "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (

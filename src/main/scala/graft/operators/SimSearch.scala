@@ -615,6 +615,153 @@ object SimSearch {
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
   }
 
+  /**
+   * IVF-PQ combined ANN — the production large-scale layout (FAISS's
+   * IVFADC, Jégou et al. 2011 §V): the [[topKIvf]] coarse quantizer prunes
+   * the corpus to each query's nProbe inverted lists, and [[topKPq]]'s ADC
+   * tables score the survivors in O(nSub) lookups each — candidate count
+   * AND per-candidate cost both collapse, which is what a 10⁹-vector corpus
+   * needs. Codes here quantize the FULL vector (not the IVF residual — the
+   * residual trick improves recall but breaks the shared-codebook oracle
+   * mirror; documented trade).
+   *
+   * Determinism/eligibility contracts are the intersection of [[topKIvf]]
+   * and [[topKPq]] (both mirrored in `Oracles.annIvfPqSql`): id-seeded
+   * Lloyd centroids, (cosine desc, index asc) assignment, per-subspace
+   * seeded codebooks, fixed-order folds, zero-reconstruction rows dropped.
+   * Plan shape: centroids + codebooks in the closure, bucketed query ADC
+   * tables broadcast, ONE shuffle-free corpus scan.
+   *
+   * @return (query_id, neighbor_id, adc_cosine rounded to 4)
+   */
+  def topKIvfPq(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nList: Int = 16, nProbe: Int = 4, nIters: Int = 0,
+      nSub: Int = 8, ksub: Int = 16, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(nList > 0 && nProbe > 0 && nProbe <= nList,
+      s"need 0 < nProbe <= nList, got nList=$nList nProbe=$nProbe")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
+    require(nSub > 0, s"nSub must be positive, got $nSub")
+    require(ksub > 0 && ksub <= 256, s"need 0 < ksub <= 256, got $ksub")
+    requireIntegralId(corpus, cId, "corpus")
+    requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
+    val spark = corpus.sparkSession
+    def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else {
+        val v = r.getSeq[Float](1).toArray
+        var n = 0.0; var i = 0
+        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
+      }
+    }
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    // one id-ranked collect feeds both seed pools; eligibility filters AFTER
+    // each LIMIT (a null among the smallest ids shrinks that seed set, it
+    // does not pull in the next id — the topKIvf/topKPq seeding contract)
+    val seedPool = slim.orderBy(col(cId).cast("long"))
+      .limit(math.max(nList, ksub)).collect()
+    val centSeeds = seedPool.take(nList).flatMap(withNorm)
+      .map { case (_, v, n) => (v.map(_.toDouble), n) }
+    val pqSeeds = seedPool.take(ksub).flatMap(withNorm).map(_._2)
+    require(centSeeds.nonEmpty && pqSeeds.nonEmpty,
+      "corpus has no non-null non-zero vectors to seed")
+    val cents = lloydRefine(slim, centSeeds, nIters)
+    val dim = pqSeeds(0).length
+    require(pqSeeds.forall(_.length == dim),
+      s"codebook seeds must share one dimension, got ${pqSeeds.map(_.length).distinct.toSeq}")
+    require(dim % nSub == 0, s"dim $dim must be divisible by nSub $nSub")
+    val subDim = dim / nSub
+    val nCodes = pqSeeds.length
+    val cw = Array.tabulate(nSub, nCodes) { (m, j) =>
+      Array.tabulate(subDim)(d => pqSeeds(j)(m * subDim + d).toDouble)
+    }
+    val cn2 = Array.tabulate(nSub, nCodes) { (m, j) =>
+      var n = 0.0; var d = 0
+      while (d < subDim) { n += cw(m)(j)(d) * cw(m)(j)(d); d += 1 }
+      n
+    }
+    // queries: ADC table + probe lists; grouped by probed list
+    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect()
+      .flatMap(withNorm).filter(_._2.length == dim)
+    val qByList: Map[Int, Array[(Long, Array[Array[Double]], Double)]] = qRows
+      .flatMap { case (qid, qv, qn) =>
+        val tbl = Array.tabulate(nSub, nCodes) { (m, j) =>
+          var dot = 0.0; var d = 0
+          while (d < subDim) { dot += qv(m * subDim + d).toDouble * cw(m)(j)(d); d += 1 }
+          dot
+        }
+        var qn2 = 0.0
+        var m = 0
+        while (m < nSub) {
+          var sn = 0.0; var d = 0
+          while (d < subDim) { val x = qv(m * subDim + d).toDouble; sn += x * x; d += 1 }
+          qn2 += sn; m += 1
+        }
+        val entry = (qid, tbl, math.sqrt(qn2))
+        ivfCentroidCos(cents, qv, qn).zipWithIndex
+          .sortBy { case (cos, j) => (-cos, j) }.take(nProbe)
+          .map { case (_, j) => j -> entry }
+      }.groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast(qByList)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val byList = bc.value
+      rows.flatMap { r =>
+        withNorm(r) match {
+          case Some((cid, cv, cSqrt)) if cv.length == dim =>
+            byList.get(ivfNearest(cents, cv, cSqrt)) match {
+              case None => Iterator.empty
+              case Some(qs) =>
+                val codes = new Array[Int](nSub)
+                var m = 0
+                while (m < nSub) {
+                  var best = 0; var bestD = Double.PositiveInfinity
+                  var j = 0
+                  while (j < nCodes) {
+                    var dist = 0.0; var d = 0
+                    while (d < subDim) {
+                      val diff = cv(m * subDim + d).toDouble - cw(m)(j)(d)
+                      dist += diff * diff; d += 1
+                    }
+                    if (dist < bestD) { bestD = dist; best = j }
+                    j += 1
+                  }
+                  codes(m) = best; m += 1
+                }
+                var rn2 = 0.0
+                m = 0
+                while (m < nSub) { rn2 += cn2(m)(codes(m)); m += 1 }
+                if (rn2 == 0.0) Iterator.empty
+                else {
+                  val rSqrt = math.sqrt(rn2)
+                  qs.iterator.flatMap { case (qid, tbl, qSqrt) =>
+                    if (excludeSelf && qid == cid) None
+                    else {
+                      var dot = 0.0; var mm = 0
+                      while (mm < nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
+                      Some(Row(qid, cid, dot / (qSqrt * rSqrt)))
+                    }
+                  }
+                }
+            }
+          case _ => Iterator.empty
+        }
+      }
+    }
+    val scored = spark.createDataFrame(rdd, outSchema)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
+  }
+
   /** Quantization scale for Lloyd centroid sums: element contributions are
     * `floor(x·scale + 0.5)` Longs, so per-cluster sums are exact and
     * commutative — invariant to partitioning/reduction order, and mirrored

@@ -922,6 +922,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("topKIvfPq: degenerates to plain PQ when every list is probed") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 4 + d + 1).toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val q = df.filter(col("id") < 4)
+    val full = SimSearch.topKIvfPq(q, "id", "vec", df, "id", "vec", 3,
+        nList = 3, nProbe = 3, nIters = 1, nSub = 2, ksub = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = SimSearch.topKPq(q, "id", "vec", df, "id", "vec", 3,
+        nSub = 2, ksub = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == pq, s"ivfpq=$full pq=$pq")
+    // pruned probing returns a subset of the unpruned candidates per query
+    val pruned = SimSearch.topKIvfPq(q, "id", "vec", df, "id", "vec", 3,
+      nList = 3, nProbe = 1, nIters = 1, nSub = 2, ksub = 4, excludeSelf = true).collect()
+    assert(pruned.forall(r => pruned.count(_.getLong(0) == r.getLong(0)) <= 3))
+    assert(pruned.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .forall { case (qq, nn, sc) =>
+        // any returned pair that plain PQ also returned must score identically
+        pq.get((qq, nn)).forall(_ == sc)
+      })
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
