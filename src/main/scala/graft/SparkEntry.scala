@@ -296,9 +296,12 @@ object SparkEntry {
       Dedup.winnowSpans(rd(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", maxDocFrequency = 100L)),
     // exact-substring dedup: maximal corpus-duplicated passages per document
-    // (every 20-gram in the span occurs in >= 2 docs) — the removal form
+    // (every 20-gram in the span occurs in >= 2 docs)
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
+    // ...and the REMOVAL form: documents rewritten with those spans cut out
+    "dedup_substring_clean" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
@@ -893,6 +896,58 @@ object SparkEntry {
          |SELECT doc_id, min(p) AS span_start, max(p) + 19 AS span_end,
          |       count(*) AS n_grams
          |FROM r GROUP BY doc_id, isl""".stripMargin,
+    "dedup_substring_clean" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
+         |         ${Oracles.tHashSql("substring(text, gp, 20)")} AS h
+         |  FROM (SELECT doc_id, text,
+         |          unnest(generate_series(1, greatest(length(text) - 19, 0))) AS gp
+         |        FROM documents)
+         |),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+         |r AS (
+         |  SELECT doc_id, p,
+         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |  FROM d
+         |),
+         |sp AS (SELECT doc_id, min(p) AS s, max(p) + 19 AS e FROM r GROUP BY doc_id, isl),
+         |mg0 AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           -4611686018427387904) + 1
+         |         THEN 1 ELSE 0 END AS newg
+         |  FROM sp
+         |),
+         |mg1 AS (
+         |  SELECT doc_id, s, e,
+         |         sum(newg) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+         |  FROM mg0
+         |),
+         |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mg1 GROUP BY doc_id, grp),
+         |rem AS (SELECT doc_id, sum(e - s + 1) AS removed FROM mg GROUP BY doc_id),
+         |segs AS (
+         |  SELECT doc_id,
+         |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS fp,
+         |         s - 1 AS tp
+         |  FROM mg
+         |  UNION ALL
+         |  SELECT doc_id, max(e) + 1 AS fp, NULL AS tp FROM mg GROUP BY doc_id
+         |),
+         |clean0 AS (
+         |  SELECT sg.doc_id,
+         |    string_agg(substring(dd.text, CAST(sg.fp AS INTEGER),
+         |        CAST(greatest(coalesce(sg.tp, length(dd.text)) - sg.fp + 1, 0) AS INTEGER)),
+         |      '' ORDER BY sg.fp) AS ct
+         |  FROM segs sg JOIN documents dd USING (doc_id)
+         |  GROUP BY sg.doc_id
+         |)
+         |SELECT dd.doc_id, coalesce(c.ct, dd.text) AS clean_text,
+         |       coalesce(r.removed, 0) AS removed_chars
+         |FROM documents dd
+         |LEFT JOIN clean0 c USING (doc_id)
+         |LEFT JOIN rem r USING (doc_id)""".stripMargin,
     "text_xent" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
         |cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),

@@ -375,6 +375,66 @@ object Dedup {
   }
 
   /**
+   * The REMOVAL form of [[duplicateSpans]] (Lee et al. cut the duplicated
+   * spans out of the corpus rather than dropping whole documents): each
+   * document is rewritten with every corpus-duplicated passage excised.
+   * Span CHAR ranges from adjacent gram runs can overlap (runs separated by
+   * one fresh gram still share k−1 chars), so intervals are union-merged
+   * per document (running-max interval merge in a doc-partitioned window)
+   * before cutting; the cut itself is a code-point splice. Documents with
+   * no duplicated span pass through unchanged (removed_chars = 0).
+   *
+   * Scale shape: [[duplicateSpans]]'s aggregate-only duplication decision,
+   * plus one groupBy(doc) to pack merged intervals (≤ spans-per-doc rows),
+   * plus a join of the interval packs back to the text — all keyed on the
+   * doc id; no pair joins anywhere.
+   *
+   * @return (idCol, clean_text, removed_chars)
+   */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = duplicateSpans(df, idCol, textCol, k, minDocs)
+      .select(col(idCol).as("__id"), col("span_start").as("__s"), col("span_end").as("__e"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__s"), col("__e"))
+    // interval union-merge: a span opens a new group iff it starts past the
+    // running max end of everything before it (adjacency merges harmlessly)
+    val runMax = max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = spans
+      .withColumn("__new",
+        when(runMax.isNull || col("__s") > runMax + 1, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+    val packs = grouped.groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e")))).as("__ivs"),
+        sum(col("__e") - col("__s") + 1).as("__removed"))
+    val cutUdf = udf { (s: String, ivs: Seq[org.apache.spark.sql.Row]) =>
+      if (s == null) null
+      else {
+        val cps = s.codePoints().toArray
+        val keep = Array.fill(cps.length)(true)
+        ivs.foreach { r =>
+          var p = math.max(r.getLong(0).toInt - 1, 0) // 1-based inclusive → 0-based
+          val e = math.min(r.getLong(1).toInt, cps.length)
+          while (p < e) { keep(p) = false; p += 1 }
+        }
+        val sb = new java.lang.StringBuilder(cps.length)
+        var i = 0
+        while (i < cps.length) { if (keep(i)) sb.appendCodePoint(cps(i)); i += 1 }
+        sb.toString
+      }
+    }
+    df.select(col(idCol), col(textCol))
+      .join(packs.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ivs").isNull, col(textCol))
+          .otherwise(cutUdf(col(textCol), col("__ivs"))).as("clean_text"),
+        coalesce(col("__removed"), lit(0L)).as("removed_chars"))
+  }
+
+  /**
    * SimHash fingerprints: two independent 32-bit halves (h1, h2) per doc — per
    * bit b, the bit is set iff Σ_tokens (2·bit_b(mix(tokenHash)) - 1) > 0.
    * Output: (idCol, simhash1, simhash2), both Long in [0, 2^32).

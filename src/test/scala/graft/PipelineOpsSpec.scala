@@ -948,6 +948,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       })
   }
 
+  test("removeDuplicateSpans: overlapping spans union-merge; full and zero removal") {
+    val p1 = "abcdefghijklmnopqrstuvwxy"            // 25 chars, shared 1<->2
+    val doc1 = p1 + "z0123456789ABCD"                // 40 chars; 15..40 shared 1<->3
+    val p2 = doc1.substring(14)                      // 26 chars
+    val df = docsDf(Seq(
+      (1L, doc1),                                     // both spans overlap: all cut
+      (2L, p1 + "!!!!!!"),
+      (3L, "@@@@@@" + p2),
+      (4L, "no overlap here at all, completely unique text")))
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == (("", 40L)), s"got $out")
+    assert(out(2L) == (("!!!!!!", 25L)), s"got $out")
+    assert(out(3L) == (("@@@@@@", 26L)), s"got $out")
+    assert(out(4L)._1 == "no overlap here at all, completely unique text" &&
+      out(4L)._2 == 0L)
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
