@@ -714,6 +714,107 @@ object Oracles {
        |)
        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM s WHERE cosine >= $threshold""".stripMargin
 
+  /** Span CTE chain `g → dup → d → r → sp` mirroring Dedup.duplicateSpans on
+    * the documents table: sp(doc_id, s, e, ng) = maximal runs of k-gram
+    * positions whose hash occurs in ≥ 2 distinct docs. */
+  def dupSpanCtes(k: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
+       |         ${tHashSql(s"substring(text, gp, $k)")} AS h
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents)
+       |),
+       |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+       |r AS (
+       |  SELECT doc_id, p,
+       |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |  FROM d
+       |),
+       |sp AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + ${k - 1} AS e, count(*) AS ng
+       |  FROM r GROUP BY doc_id, isl
+       |)""".stripMargin
+
+  /** Span CTE chain mirroring Decontaminate.contaminatedSpans: corpus rows =
+    * documents WHERE corpusPred, benchmark gram hashes from documents WHERE
+    * benchPred; sp = maximal corpus runs whose gram hash occurs ANYWHERE in
+    * the benchmark text. */
+  def contamSpanCtes(k: Int, corpusPred: String, benchPred: String): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
+       |         ${tHashSql(s"substring(text, gp, $k)")} AS h
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents WHERE $corpusPred)
+       |),
+       |bh AS (
+       |  SELECT DISTINCT ${tHashSql(s"substring(text, gp, $k)")} AS h
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents WHERE $benchPred)
+       |),
+       |d AS (SELECT doc_id, p FROM g JOIN bh USING (h)),
+       |r AS (
+       |  SELECT doc_id, p,
+       |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |  FROM d
+       |),
+       |sp AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + ${k - 1} AS e, count(*) AS ng
+       |  FROM r GROUP BY doc_id, isl
+       |)""".stripMargin
+
+  /** Final span listing over a `sp(doc_id, s, e, ng)` CTE chain. */
+  def spanListSql(spanCtes: String): String =
+    s"""$spanCtes
+       |SELECT doc_id, s AS span_start, e AS span_end, ng AS n_grams FROM sp""".stripMargin
+
+  /** Interval union-merge + lag-segment splice over a `sp(doc_id, s, e, ng)`
+    * CTE chain (mirrors Dedup.cutSpans): every doc of `docSel` is returned;
+    * docs with no span pass through with removed_chars = 0.
+    * @param docSel relation `(doc_id, text)` whose text is rewritten */
+  def spanCleanSql(spanCtes: String, docSel: String): String =
+    s"""$spanCtes,
+       |mg0 AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           -4611686018427387904) + 1
+       |         THEN 1 ELSE 0 END AS newg
+       |  FROM sp
+       |),
+       |mg1 AS (
+       |  SELECT doc_id, s, e,
+       |         sum(newg) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+       |  FROM mg0
+       |),
+       |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mg1 GROUP BY doc_id, grp),
+       |rem AS (SELECT doc_id, sum(e - s + 1) AS removed FROM mg GROUP BY doc_id),
+       |segs AS (
+       |  SELECT doc_id,
+       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS fp,
+       |         s - 1 AS tp
+       |  FROM mg
+       |  UNION ALL
+       |  SELECT doc_id, max(e) + 1 AS fp, NULL AS tp FROM mg GROUP BY doc_id
+       |),
+       |doc AS ($docSel),
+       |clean0 AS (
+       |  SELECT sg.doc_id,
+       |    string_agg(substring(dd.text, CAST(sg.fp AS INTEGER),
+       |        CAST(greatest(coalesce(sg.tp, length(dd.text)) - sg.fp + 1, 0) AS INTEGER)),
+       |      '' ORDER BY sg.fp) AS ct
+       |  FROM segs sg JOIN doc dd USING (doc_id)
+       |  GROUP BY sg.doc_id
+       |)
+       |SELECT dd.doc_id, coalesce(c.ct, dd.text) AS clean_text,
+       |       coalesce(r.removed, 0) AS removed_chars
+       |FROM doc dd
+       |LEFT JOIN clean0 c USING (doc_id)
+       |LEFT JOIN rem r USING (doc_id)""".stripMargin
+
   /** Deterministic polynomial string hash (mirrors TextFunctions.tHash). */
   def tHashSql(sExpr: String): String =
     s"CAST(COALESCE(list_sum(list_transform(generate_series(1, length($sExpr)), i -> " +

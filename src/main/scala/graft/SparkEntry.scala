@@ -302,6 +302,18 @@ object SparkEntry {
     // ...and the REMOVAL form: documents rewritten with those spans cut out
     "dedup_substring_clean" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
+    // span-level decontamination: the exact corpus passages leaked from the
+    // benchmark slice, and the surgical cut that keeps the rest of each doc
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Decontaminate.contaminatedSpans(docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text")
+    }),
+    "decontaminate_spans_clean" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Decontaminate.removeContaminatedSpans(docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text")
+    }),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
@@ -878,76 +890,14 @@ object SparkEntry {
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp AS fingerprint,
          |       a.p AS pos_a, b.p AS pos_b
          |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
-    "dedup_substring" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
-         |         ${Oracles.tHashSql("substring(text, gp, 20)")} AS h
-         |  FROM (SELECT doc_id, text,
-         |          unnest(generate_series(1, greatest(length(text) - 19, 0))) AS gp
-         |        FROM documents)
-         |),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
-         |r AS (
-         |  SELECT doc_id, p,
-         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
-         |  FROM d
-         |)
-         |SELECT doc_id, min(p) AS span_start, max(p) + 19 AS span_end,
-         |       count(*) AS n_grams
-         |FROM r GROUP BY doc_id, isl""".stripMargin,
+    "dedup_substring" -> Oracles.spanListSql(Oracles.dupSpanCtes(20)),
     "dedup_substring_clean" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
-         |         ${Oracles.tHashSql("substring(text, gp, 20)")} AS h
-         |  FROM (SELECT doc_id, text,
-         |          unnest(generate_series(1, greatest(length(text) - 19, 0))) AS gp
-         |        FROM documents)
-         |),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
-         |r AS (
-         |  SELECT doc_id, p,
-         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
-         |  FROM d
-         |),
-         |sp AS (SELECT doc_id, min(p) AS s, max(p) + 19 AS e FROM r GROUP BY doc_id, isl),
-         |mg0 AS (
-         |  SELECT doc_id, s, e,
-         |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |           -4611686018427387904) + 1
-         |         THEN 1 ELSE 0 END AS newg
-         |  FROM sp
-         |),
-         |mg1 AS (
-         |  SELECT doc_id, s, e,
-         |         sum(newg) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
-         |  FROM mg0
-         |),
-         |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mg1 GROUP BY doc_id, grp),
-         |rem AS (SELECT doc_id, sum(e - s + 1) AS removed FROM mg GROUP BY doc_id),
-         |segs AS (
-         |  SELECT doc_id,
-         |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS fp,
-         |         s - 1 AS tp
-         |  FROM mg
-         |  UNION ALL
-         |  SELECT doc_id, max(e) + 1 AS fp, NULL AS tp FROM mg GROUP BY doc_id
-         |),
-         |clean0 AS (
-         |  SELECT sg.doc_id,
-         |    string_agg(substring(dd.text, CAST(sg.fp AS INTEGER),
-         |        CAST(greatest(coalesce(sg.tp, length(dd.text)) - sg.fp + 1, 0) AS INTEGER)),
-         |      '' ORDER BY sg.fp) AS ct
-         |  FROM segs sg JOIN documents dd USING (doc_id)
-         |  GROUP BY sg.doc_id
-         |)
-         |SELECT dd.doc_id, coalesce(c.ct, dd.text) AS clean_text,
-         |       coalesce(r.removed, 0) AS removed_chars
-         |FROM documents dd
-         |LEFT JOIN clean0 c USING (doc_id)
-         |LEFT JOIN rem r USING (doc_id)""".stripMargin,
+      Oracles.spanCleanSql(Oracles.dupSpanCtes(20), "SELECT doc_id, text FROM documents"),
+    "decontaminate_spans" ->
+      Oracles.spanListSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5")),
+    "decontaminate_spans_clean" ->
+      Oracles.spanCleanSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5"),
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 5"),
     "text_xent" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
         |cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.{minHashBandKeysUdfFor, shinglesUdf, wordNGramHashUdf}
+import graft.functions.TextFunctions.{kGramHashesUdf, minHashBandKeysUdfFor, shinglesUdf, wordNGramHashUdf}
 
 /**
  * Benchmark decontamination by n-gram collision — the standard pre-training
@@ -87,4 +87,45 @@ object Decontaminate {
       .select(col("__a").as(idCol), col("__b").as("bench_id"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /**
+   * SPAN-LEVEL decontamination — surgical form of [[flagged]]: instead of
+   * naming whole contaminated documents, report the exact char spans of the
+   * corpus that appear in the benchmark set, as maximal runs of k-code-point
+   * grams whose hashes occur anywhere in the benchmark text
+   * ([[Dedup.duplicateSpans]]'s island machinery with the duplication rule
+   * swapped for bench membership). Pair with
+   * [[removeContaminatedSpans]] to cut the leaked passages while KEEPING the
+   * rest of the document — dropping a whole 10k-word doc over one quoted
+   * benchmark sentence wastes data the cut preserves.
+   *
+   * Plan shape: the benchmark gram-hash set is tiny by nature and
+   * broadcasts; the corpus gram relation is probed in place (one scan, no
+   * corpus shuffle before the doc-partitioned island window).
+   *
+   * @return (idCol, span_start, span_end, n_grams) — 1-based inclusive
+   *         code-point positions in the corpus document.
+   */
+  def contaminatedSpans(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 20): DataFrame = {
+    val g = corpus.select(col(idCol).as("__id"),
+        posexplode(kGramHashesUdf(k)(col(textCol))).as(Seq("__i", "__h")))
+      .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
+    val bh = bench
+      .select(explode(kGramHashesUdf(k)(col(benchTextCol))).as("__h")).distinct()
+    val marked = g.join(broadcast(bh), "__h").select(col("__id"), col("__p"))
+    Dedup.spansFromMarked(marked, k).select(col("__id").as(idCol),
+      col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** The cut form of [[contaminatedSpans]]: corpus documents rewritten with
+    * every benchmark-leaked span spliced out (interval union-merge +
+    * code-point cut, shared with [[Dedup.removeDuplicateSpans]]).
+    * @return (idCol, clean_text, removed_chars) */
+  def removeContaminatedSpans(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 20): DataFrame =
+    Dedup.cutSpans(corpus, idCol, textCol,
+      contaminatedSpans(corpus, idCol, textCol, bench, benchTextCol, k))
 }

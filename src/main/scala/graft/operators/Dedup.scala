@@ -365,43 +365,41 @@ object Dedup {
     val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDocs).select(col("__h"))
     val d = g.join(dup, "__h").select(col("__id"), col("__p"))
+    spansFromMarked(d, k).select(col("__id").as(idCol),
+      col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Gaps-and-islands merge of marked gram positions `(__id, __p)` into
+    * maximal spans — shared by [[duplicateSpans]] and
+    * [[Decontaminate.contaminatedSpans]]. Doc-partitioned window only.
+    * @return (__id, span_start, span_end, n_grams) */
+  private[operators] def spansFromMarked(marked: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("__id")).orderBy(col("__p"))
-    d.withColumn("__isl", col("__p") - row_number().over(w))
+    marked.withColumn("__isl", col("__p") - row_number().over(w))
       .groupBy(col("__id"), col("__isl"))
       .agg(min(col("__p")).as("span_start"),
         (max(col("__p")) + lit(k.toLong - 1L)).as("span_end"),
         count(lit(1)).as("n_grams"))
-      .select(col("__id").as(idCol), col("span_start"), col("span_end"), col("n_grams"))
+      .select(col("__id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
-  /**
-   * The REMOVAL form of [[duplicateSpans]] (Lee et al. cut the duplicated
-   * spans out of the corpus rather than dropping whole documents): each
-   * document is rewritten with every corpus-duplicated passage excised.
-   * Span CHAR ranges from adjacent gram runs can overlap (runs separated by
-   * one fresh gram still share k−1 chars), so intervals are union-merged
-   * per document (running-max interval merge in a doc-partitioned window)
-   * before cutting; the cut itself is a code-point splice. Documents with
-   * no duplicated span pass through unchanged (removed_chars = 0).
-   *
-   * Scale shape: [[duplicateSpans]]'s aggregate-only duplication decision,
-   * plus one groupBy(doc) to pack merged intervals (≤ spans-per-doc rows),
-   * plus a join of the interval packs back to the text — all keyed on the
-   * doc id; no pair joins anywhere.
-   *
-   * @return (idCol, clean_text, removed_chars)
-   */
-  def removeDuplicateSpans(
-      df: DataFrame, idCol: String, textCol: String,
-      k: Int = 20, minDocs: Long = 2L): DataFrame = {
+  /** Union-merge span char intervals per doc and splice them OUT of the text
+    * (code-point positions; 1-based inclusive spans) — the shared cut stage
+    * of [[removeDuplicateSpans]] / [[Decontaminate.removeContaminatedSpans]].
+    * Docs absent from `spans` pass through (removed_chars = 0).
+    * @param spans (idCol, span_start, span_end)
+    * @return (idCol, clean_text, removed_chars) */
+  private[operators] def cutSpans(
+      df: DataFrame, idCol: String, textCol: String, spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = duplicateSpans(df, idCol, textCol, k, minDocs)
-      .select(col(idCol).as("__id"), col("span_start").as("__s"), col("span_end").as("__e"))
+    val sp = spans.select(col(idCol).as("__id"),
+      col("span_start").as("__s"), col("span_end").as("__e"))
     val w = Window.partitionBy(col("__id")).orderBy(col("__s"), col("__e"))
     // interval union-merge: a span opens a new group iff it starts past the
     // running max end of everything before it (adjacency merges harmlessly)
     val runMax = max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val grouped = spans
+    val grouped = sp
       .withColumn("__new",
         when(runMax.isNull || col("__s") > runMax + 1, 1L).otherwise(0L))
       .withColumn("__grp", sum(col("__new")).over(w))
@@ -433,6 +431,28 @@ object Dedup {
           .otherwise(cutUdf(col(textCol), col("__ivs"))).as("clean_text"),
         coalesce(col("__removed"), lit(0L)).as("removed_chars"))
   }
+
+  /**
+   * The REMOVAL form of [[duplicateSpans]] (Lee et al. cut the duplicated
+   * spans out of the corpus rather than dropping whole documents): each
+   * document is rewritten with every corpus-duplicated passage excised.
+   * Span CHAR ranges from adjacent gram runs can overlap (runs separated by
+   * one fresh gram still share k−1 chars), so intervals are union-merged
+   * per document (running-max interval merge in a doc-partitioned window)
+   * before cutting; the cut itself is a code-point splice. Documents with
+   * no duplicated span pass through unchanged (removed_chars = 0).
+   *
+   * Scale shape: [[duplicateSpans]]'s aggregate-only duplication decision,
+   * plus one groupBy(doc) to pack merged intervals (≤ spans-per-doc rows),
+   * plus a join of the interval packs back to the text — all keyed on the
+   * doc id; no pair joins anywhere.
+   *
+   * @return (idCol, clean_text, removed_chars)
+   */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Long = 2L): DataFrame =
+    cutSpans(df, idCol, textCol, duplicateSpans(df, idCol, textCol, k, minDocs))
 
   /**
    * SimHash fingerprints: two independent 32-bit halves (h1, h2) per doc — per

@@ -966,6 +966,26 @@ class PipelineOpsSpec extends AnyFunSuite {
       out(4L)._2 == 0L)
   }
 
+  test("contaminatedSpans: flags exactly the benchmark-leaked passage; cut keeps the rest") {
+    val leak = "the exact benchmark question text here" // 38 chars
+    val corpus = docsDf(Seq(
+      (10L, "intro words then " + leak + " and a long clean tail afterwards"),
+      (11L, "completely original document with no benchmark content")))
+    // no shared boundary chars: the true shared substring is exactly `leak`
+    val bench = docsDf(Seq((1L, "Q1:" + leak + "=forty-two")))
+    val spans = Decontaminate.contaminatedSpans(corpus, "doc_id", "text", bench, "text", k = 20)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // leak starts after "intro words then " (17 chars) -> 1-based 18, 38 long
+    assert(spans(10L) == ((18L, 55L)), s"got $spans")
+    assert(!spans.contains(11L))
+    val clean = Decontaminate.removeContaminatedSpans(corpus, "doc_id", "text", bench, "text",
+        k = 20)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(clean(10L) == (("intro words then  and a long clean tail afterwards", 38L)),
+      s"got $clean")
+    assert(clean(11L)._2 == 0L)
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
