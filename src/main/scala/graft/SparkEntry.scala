@@ -327,6 +327,13 @@ object SparkEntry {
     "len_percentiles" -> ((s, dir) =>
       CorpusStats.exactPercentiles(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", Seq(50, 90, 99))),
+    // exact fixed-range length histogram (profiling primitive)
+    "len_hist" -> ((s, dir) =>
+      CorpusStats.exactHistogram(
+        rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // BPE tokenizer-training statistic: top adjacent char-pair counts
+    "bpe_pairs" -> ((s, dir) =>
+      CorpusStats.bpePairCounts(rd(s, dir, "documents"), "text", 20)),
     // bounded KMV sketch: distinct users per event type without shuffling
     // the values — deterministic hash, so the estimate itself is hash-pinned
     "kmv_distinct" -> ((s, dir) =>
@@ -978,6 +985,32 @@ object SparkEntry {
         |FROM (VALUES (50), (90), (99)) ps(p)
         |CROSS JOIN n
         |JOIN r ON r.rk = ((n.n - 1) * ps.p) // 100""".stripMargin,
+    "len_hist" ->
+      """WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE n_chars IS NOT NULL),
+        |b AS (
+        |  SELECT least(greatest(CAST(floor((v - 0.0) / 50.0) AS BIGINT), 0), 11) AS bin
+        |  FROM v
+        |)
+        |SELECT bin,
+        |  round(0.0 + CAST(bin AS DOUBLE) * 50.0, 4) AS lo_edge,
+        |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
+        |  count(*) AS n
+        |FROM b GROUP BY bin""".stripMargin,
+    "bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+        |),
+        |p AS (
+        |  SELECT substring(w, i, 2) AS pair
+        |  FROM (SELECT w FROM w WHERE length(w) >= 2) t,
+        |       (SELECT unnest(generate_series(1,
+        |          (SELECT CAST(max(length(w)) AS BIGINT) FROM w) - 1)) AS i) ii
+        |  WHERE i <= length(w) - 1
+        |),
+        |c AS (SELECT pair, count(*) AS n FROM p GROUP BY pair)
+        |SELECT pair, n, rnk FROM (
+        |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair ASC) AS rnk FROM c)
+        |WHERE rnk <= 20""".stripMargin,
     "kmv_distinct" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,

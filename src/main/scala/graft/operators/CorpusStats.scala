@@ -274,6 +274,61 @@ object CorpusStats {
   }
 
   /**
+   * EXACT fixed-range histogram of a numeric column — the reproducible
+   * data-profiling primitive (`approx_percentile`/sampled profiles drift
+   * between runs; this is one deterministic aggregate). Bin width =
+   * (hi − lo)/nBins in exact double arithmetic; values clamp into the edge
+   * bins (below lo → bin 0, ≥ hi → bin nBins−1 — profiling convention, so
+   * no row is silently dropped); nulls are excluded. Only occupied bins are
+   * returned. One shuffle on the bin id.
+   * @return (bin, lo_edge, hi_edge, n) — edges rounded to 4
+   */
+  def exactHistogram(
+      df: DataFrame, valueCol: String, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    df.select(col(valueCol).cast("double").as("__v")).filter(col("__v").isNotNull)
+      .select(least(greatest(floor((col("__v") - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+        lit(nBins.toLong - 1L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(lit(lo) + col("bin").cast("double") * lit(w), 4).as("lo_edge"),
+        round(lit(lo) + (col("bin") + 1).cast("double") * lit(w), 4).as("hi_edge"),
+        col("n"))
+  }
+
+  /**
+   * BPE first-iteration merge candidates: corpus-wide counts of adjacent
+   * character pairs inside words, weighted by word occurrence — the
+   * statistic a byte-pair-encoding tokenizer trainer computes each merge
+   * round (Sennrich et al. 2016). This gates the distributed shape of that
+   * count (explode word occurrences → in-word char pairs → one aggregate);
+   * the iterative re-merge loop is a driver-side for-loop over exactly this
+   * relation. Top `topK` pairs by (count desc, pair asc): the global window
+   * runs on the AGGREGATED pair relation, whose cardinality is bounded by
+   * the symbol alphabet squared (676 for [a-z] words) — not by corpus size —
+   * and WindowGroupLimit trims each upstream partition to topK first.
+   * @return (pair, n, rnk)
+   */
+  def bpePairCounts(
+      docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(explode(wordsCol(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+    val pairs = words.select(
+      explode(transform(sequence(lit(1), length(col("__w")) - 1),
+        i => col("__w").substr(i, lit(2)))).as("pair"))
+    val counted = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n"))
+    // topK is small by contract: the single-partition window sees only the
+    // already-aggregated pair relation's top rows via the rank-limit pushdown
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    counted.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+  }
+
+  /**
    * EXACT global percentile filter: keep precisely the top `pct`% of rows by
    * `(scoreCol desc, idCol asc)` — `floor(n·pct/100)` rows, integer
    * arithmetic, deterministic ties. The curation step "keep the best 60% by

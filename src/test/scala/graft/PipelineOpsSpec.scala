@@ -986,6 +986,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(clean(11L)._2 == 0L)
   }
 
+  test("exactHistogram: clamped edge bins, occupied bins only, exact counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(-5.0, 0.0, 10.0, 49.9, 50.0, 99.0, 250.0, 1000.0)
+      .toDF("v")
+    val out = CorpusStats.exactHistogram(df, "v", 0.0, 100.0, 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    // bin 0 = [0,50): -5 (clamped), 0, 10, 49.9 ; bin 1 = [50,100): 50, 99,
+    // 250 and 1000 clamp into the top bin
+    assert(out(0L) == ((0.0, 50.0, 4L)), s"got $out")
+    assert(out(1L) == ((50.0, 100.0, 4L)), s"got $out")
+  }
+
+  test("bpePairCounts: occurrence-weighted in-word char pairs, deterministic rank") {
+    val df = docsDf(Seq((1L, "aaa aaa bb"), (2L, "ab aaa")))
+    // "aaa" x3 -> "aa" x6; "ab" x1 -> "ab" x1; "bb" x1 -> "bb" x1
+    val out = CorpusStats.bpePairCounts(df, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("aa", 6L, 1L), ("ab", 1L, 2L), ("bb", 1L, 3L)), s"got ${out.toSeq}")
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
