@@ -459,6 +459,25 @@ object SparkEntry {
     "events_props" -> ((s, dir) =>
       rd(s, dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    // bucketed point-in-interval join: purchases inside same-user click
+    // sessions via an EQUI-join on (user, bucket) — no nested-loop range join
+    "events_in_session" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"), col("event_type"),
+        graft.streaming.EventTime.tsMicros(ev0).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      // attribution window = session padded +/- 30 min (raw click sessions are
+      // near-point-sized in this data; padding also exercises the
+      // multi-bucket interval explode)
+      val sess = graft.streaming.Sessionize
+        .sessions(ev0.filter(col("event_type") === "click"), 1800000000L)
+        .select(col("user_id"), col("session"),
+          (col("start_us") - 1800000000L).as("win_start"),
+          (col("end_us") + 1800000000L).as("win_end"))
+      IntervalJoin.pointInInterval(purchases, "us", sess, "win_start", "win_end",
+        bucketWidth = 1800000000L, keyCols = Seq("user_id"))
+    }),
     // as-of join: each purchase matched to the user's most recent prior click
     // (µs-epoch Longs on both engines — see EventTime's precision note)
     "events_asof" -> ((s, dir) => {
@@ -1254,6 +1273,26 @@ object SparkEntry {
         |  AND v.us >= c.us AND v.us <= c.us + 1800000000""".stripMargin,
     "events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""",
+    "events_in_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |f AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |g AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM f
+        |),
+        |sess AS (
+        |  SELECT user_id, CAST(session AS BIGINT) AS session,
+        |         min(us) - 1800000000 AS win_start, max(us) + 1800000000 AS win_end
+        |  FROM g GROUP BY 1, 2
+        |),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, p.us, s.session, s.win_start, s.win_end
+        |FROM p JOIN sess s
+        |  ON p.user_id = s.user_id AND p.us BETWEEN s.win_start AND s.win_end""".stripMargin,
     "events_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
         |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),

@@ -1007,6 +1007,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("aa", 6L, 1L), ("ab", 1L, 2L), ("bb", 1L, 3L)), s"got ${out.toSeq}")
   }
 
+  test("pointInInterval: inclusive bounds, multi-bucket intervals, keys, guard") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, "u", 5L), (2L, "u", 10L), (3L, "u", 25L), (4L, "v", 5L),
+      (5L, "u", 11L)).toDF("pid", "k", "t")
+    val ivs = Seq(("u", 100L, 5L, 10L), ("u", 200L, 24L, 95L), ("v", 300L, 0L, 4L))
+      .toDF("k", "iid", "s", "e")
+    val out = IntervalJoin.pointInInterval(points, "t", ivs, "s", "e",
+        bucketWidth = 3L, keyCols = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1:[5,10] and 2:[5,10] inclusive ends; 3 in the 24..95 multi-bucket
+    // interval; 4 (v, t=5) NOT in v's [0,4]; 5 (t=11) in nothing
+    assert(out == Set((1L, 100L), (2L, 100L), (3L, 200L)), s"got $out")
+    // same result at a width that makes every interval single-bucket vs tiny
+    val out2 = IntervalJoin.pointInInterval(points, "t", ivs, "s", "e",
+        bucketWidth = 1000L, keyCols = Seq("k"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out2 == out)
+    // bucket-fanout guard trips with the offending interval in the message
+    val e = intercept[Exception] {
+      IntervalJoin.pointInInterval(points, "t", ivs, "s", "e",
+        bucketWidth = 3L, keyCols = Seq("k"), maxBucketsPerInterval = 2L).collect()
+    }
+    assert(e.getMessage.contains("buckets"), e.getMessage)
+    // non-key column collision fails fast
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInInterval(points, "t",
+        ivs.withColumnRenamed("iid", "pid"), "s", "e", 3L, Seq("k"))
+    }
+    assert(e2.getMessage.contains("disjoint"))
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
