@@ -478,6 +478,19 @@ object SparkEntry {
       IntervalJoin.pointInInterval(purchases, "us", sess, "win_start", "win_end",
         bucketWidth = 1800000000L, keyCols = Seq("user_id"))
     }),
+    // interval-overlap join: same-user click sessions x view sessions whose
+    // padded windows intersect (first-shared-bucket dedup, no distinct)
+    "sessions_overlap" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      def sess(t: String, p: String) = graft.streaming.Sessionize
+        .sessions(ev0.filter(col("event_type") === t), 1800000000L)
+        .select(col("user_id"), col("session").as(s"${p}_session"),
+          (col("start_us") - 1800000000L).as(s"${p}_start"),
+          (col("end_us") + 1800000000L).as(s"${p}_end"))
+      IntervalJoin.intervalOverlap(sess("click", "c"), "c_start", "c_end",
+        sess("view", "v"), "v_start", "v_end",
+        bucketWidth = 1800000000L, keyCols = Seq("user_id"))
+    }),
     // as-of join: each purchase matched to the user's most recent prior click
     // (µs-epoch Longs on both engines — see EventTime's precision note)
     "events_asof" -> ((s, dir) => {
@@ -1293,6 +1306,40 @@ object SparkEntry {
         |SELECT p.user_id, p.event_id, p.us, s.session, s.win_start, s.win_end
         |FROM p JOIN sess s
         |  ON p.user_id = s.user_id AND p.us BETWEEN s.win_start AND s.win_end""".stripMargin,
+    "sessions_overlap" ->
+      """WITH ec AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |fc AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM ec WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |gc AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM fc
+        |),
+        |sc AS (
+        |  SELECT user_id, CAST(session AS BIGINT) AS c_session,
+        |         min(us) - 1800000000 AS c_start, max(us) + 1800000000 AS c_end
+        |  FROM gc GROUP BY 1, 2
+        |),
+        |ev2 AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'view'),
+        |fv AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM ev2 WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |gv AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM fv
+        |),
+        |sv AS (
+        |  SELECT user_id, CAST(session AS BIGINT) AS v_session,
+        |         min(us) - 1800000000 AS v_start, max(us) + 1800000000 AS v_end
+        |  FROM gv GROUP BY 1, 2
+        |)
+        |SELECT user_id, c_session, c_start, c_end, v_session, v_start, v_end
+        |FROM sc JOIN sv USING (user_id)
+        |WHERE c_start <= v_end AND v_start <= c_end""".stripMargin,
     "events_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value FROM events),
         |l AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),

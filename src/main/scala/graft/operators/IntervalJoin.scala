@@ -62,4 +62,42 @@ object IntervalJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bkt")
   }
+
+  /**
+   * INTERVAL-overlap join: pairs (a, b) with `a.s ≤ b.e AND b.s ≤ a.e`
+   * (inclusive overlap), bucketed exactly like [[pointInInterval]]. Both
+   * sides explode into their covered buckets; a pair overlapping several
+   * shared buckets is emitted ONCE via the first-shared-bucket rule — the
+   * pair is kept only in bucket `max(bkt(a.s), bkt(b.s))`, which both sides
+   * provably cover — so no distinct/dedup exchange is needed. Same column
+   * contract and fanout guard as [[pointInInterval]].
+   */
+  def intervalOverlap(
+      left: DataFrame, leftStart: String, leftEnd: String,
+      right: DataFrame, rightStart: String, rightEnd: String,
+      bucketWidth: Long, keyCols: Seq[String] = Nil,
+      maxBucketsPerInterval: Long = 10000L): DataFrame = {
+    require(bucketWidth > 0L, s"bucketWidth must be positive, got $bucketWidth")
+    val overlap = (left.columns.toSet intersect right.columns.toSet) -- keyCols
+    require(overlap.isEmpty,
+      s"non-key column names must be disjoint, both sides have: ${overlap.toSeq.sorted}")
+    def bkt(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+    def explodeSide(df: DataFrame, sCol: String, eCol: String): DataFrame = df
+      .filter(col(sCol).isNotNull && col(eCol).isNotNull && col(sCol) <= col(eCol))
+      .withColumn("__nb", bkt(col(eCol)) - bkt(col(sCol)) + 1)
+      .withColumn("__bkt", explode(sequence(bkt(col(sCol)),
+        when(col("__nb") <= maxBucketsPerInterval, bkt(col(eCol)))
+          .otherwise(raise_error(concat(
+            lit(s"interval spans more than $maxBucketsPerInterval buckets of width " +
+              s"$bucketWidth: ["), col(sCol), lit(", "), col(eCol),
+            lit("] — raise bucketWidth or cap the interval")))))))
+      .drop("__nb")
+    val lb = explodeSide(left, leftStart, leftEnd)
+    val rb = explodeSide(right, rightStart, rightEnd)
+    lb.join(rb, (keyCols :+ "__bkt").toSeq)
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bkt") === greatest(bkt(col(leftStart)), bkt(col(rightStart))))
+      .drop("__bkt")
+  }
 }

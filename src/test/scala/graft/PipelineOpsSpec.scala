@@ -1039,6 +1039,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("disjoint"))
   }
 
+  test("intervalOverlap: inclusive overlap, exactly-once across shared buckets") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("u", 1L, 0L, 10L), ("u", 2L, 20L, 21L), ("u", 3L, 30L, 90L))
+      .toDF("k", "aid", "as", "ae")
+    val b = Seq(("u", 10L, 10L, 12L), ("u", 20L, 15L, 40L), ("u", 30L, 95L, 99L),
+      ("w", 40L, 0L, 100L)).toDF("k", "bid", "bs", "be")
+    for (width <- Seq(3L, 7L, 1000L)) {
+      val out = IntervalJoin.intervalOverlap(a, "as", "ae", b, "bs", "be",
+          bucketWidth = width, keyCols = Seq("k"))
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // (1,10) touch at 10 (inclusive); (2,20) and (3,20) overlap 20's long
+      // span; 30 [95,99] misses 3 [30,90]; 40 is another key
+      assert(out == Set((1L, 10L), (2L, 20L), (3L, 20L)), s"width=$width got $out")
+    }
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
