@@ -24,7 +24,8 @@ object PlanAudit {
       "dedup_jaccard", "dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_winnow",
       "events_windowed", "events_correlate", "text_quality", "text_xent",
       "events_asof", "events_asof_nearest", "events_asof_bcast", "bm25_topk", "quality_filter_by_source",
-      "stratified_sample", "dedup_substring", "semdedup", "ann_pq", "text_xent3")
+      "stratified_sample", "dedup_substring", "semdedup", "ann_pq", "text_xent3",
+      "events_in_session", "sessions_overlap", "bpe_pairs", "dedup_substring_clean")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -51,5 +51,7 @@ object GraftFunctions {
     })
     spark.udf.register("winnow",
       (s: String, k: Int, w: Int) => TextFunctions.winnowFingerprints(s, k, w))
+    spark.udf.register("kgram_hashes",
+      (s: String, k: Int) => TextFunctions.kGramHashes(s, k))
   }
 }

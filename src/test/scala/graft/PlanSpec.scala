@@ -145,6 +145,27 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("bucketed interval joins plan as equi-joins, never nested loops") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivj-plan").toString
+    (1L to 200L).map(i => (i, i % 7, i * 1000L)).toDF("pid", "k", "t")
+      .write.parquet(dir + "/pts")
+    (1L to 50L).map(i => (i + 1000L, i % 7, i * 4000L, i * 4000L + 2500L))
+      .toDF("iid", "k", "s", "e").write.parquet(dir + "/ivs")
+    val pts = spark.read.parquet(dir + "/pts")
+    val ivs = spark.read.parquet(dir + "/ivs")
+    val p1 = graft.operators.IntervalJoin.pointInInterval(
+        pts, "t", ivs, "s", "e", 5000L, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("BroadcastNestedLoopJoin") && !p1.contains("CartesianProduct"), p1)
+    val p2 = graft.operators.IntervalJoin.intervalOverlap(
+        ivs, "s", "e",
+        ivs.toDF("iid2", "k", "s2", "e2"), "s2", "e2", 5000L, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"), p2)
+  }
+
   test("per-row top-n uses WindowGroupLimit below the window sort") {
     val l = strDf(Seq("small ring", "small rings", "blue bolt"))
     val plan = SimJoin.keyedPairs(l, "id", "s", l, "id", "s",

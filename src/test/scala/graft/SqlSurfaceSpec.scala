@@ -53,6 +53,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
       graft.functions.TextFunctions.simHashHalf(shs, graft.functions.TextFunctions.SimHashMult2))
     assert(r3.getSeq[Long](1).toArray.sameElements(
       graft.functions.TextFunctions.winnowFingerprints(doc, 8, 4)))
+    val r4 = spark.sql(s"SELECT kgram_hashes('$doc', 20) AS kh").head()
+    assert(r4.getSeq[Long](0).toArray.sameElements(
+      graft.functions.TextFunctions.kGramHashes(doc, 20)))
   }
 
   test("GraftExtensions wiring applies cleanly (runtime proof lives in Smoke's own JVM)") {
