@@ -459,6 +459,15 @@ object SparkEntry {
     "events_props" -> ((s, dir) =>
       rd(s, dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))),
+    // typed bounded top-k aggregator: per-user top events by value via the
+    // partial+final aggregation path (map-side collapse to <= k rows before
+    // the shuffle — the window-free top-n shape)
+    "topk_agg" -> ((s, dir) =>
+      graft.functions.TopKAgg.perKey(
+        rd(s, dir, "events")
+          .filter(col("user_id").isNotNull && col("event_id").isNotNull &&
+            col("value").isNotNull),
+        "user_id", "event_id", "value", 3)),
     // bucketed point-in-interval join: purchases inside same-user click
     // sessions via an EQUI-join on (user, bucket) — no nested-loop range join
     "events_in_session" -> ((s, dir) => {
@@ -1286,6 +1295,14 @@ object SparkEntry {
         |  AND v.us >= c.us AND v.us <= c.us + 1800000000""".stripMargin,
     "events_props" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""",
+    "topk_agg" ->
+      """SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY CAST(value AS DOUBLE) DESC, event_id ASC) AS rn
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL) t
+        |WHERE rn <= 3""".stripMargin,
     "events_in_session" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
         |f AS (

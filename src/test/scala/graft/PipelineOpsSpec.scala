@@ -922,6 +922,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("topKPq recall on clustered data: ADC top-1 mostly agrees with brute force") {
+    val s = spark
+    import s.implicits._
+    // 4 well-separated cluster directions in 8 dims; 80 corpus vectors =
+    // cluster center + small deterministic perturbation
+    def vec(i: Long): Array[Float] = {
+      val c = (i % 4).toInt
+      Array.tabulate(8) { d =>
+        val base = if (d / 2 == c) 1.0f else 0.05f
+        base + 0.08f * math.sin(i * 8 + d + 1).toFloat
+      }
+    }
+    val corpus = (0L until 80L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 16)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col(df.columns(2)) =!= 0.0) // rank col irrelevant; take best row
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.minBy(r => -r.getDouble(2)).getLong(1) }
+    val brute = top1(SimSearch.topK(queries, "id", "vec", corpus, "id", "vec", 1,
+      excludeSelf = true))
+    val pq = top1(SimSearch.topKPq(queries, "id", "vec", corpus, "id", "vec", 1,
+      nSub = 4, ksub = 16, excludeSelf = true))
+    val agree = brute.keys.count(q => pq.get(q) == brute.get(q))
+    assert(agree >= brute.size * 3 / 4,
+      s"PQ top-1 should mostly match brute on clustered data: $agree/${brute.size}")
+    // and PQ's top-1 must at least come from the query's own cluster
+    assert(pq.forall { case (q, n) => q % 4 == n % 4 }, s"got $pq")
+  }
+
   test("topKIvfPq: degenerates to plain PQ when every list is probed") {
     val s = spark
     import s.implicits._
