@@ -426,6 +426,12 @@ object TextFunctions {
 
   def kGramHashesUdf(k: Int) = udf((s: String) => kGramHashes(s, k))
 
+  /** Codegen'd native form of [[kGramHashesUdf]] ([[KGramHashesExpr]]) — same
+    * semantics, no ScalaUDF boxing; the form the span-dedup operators use. */
+  def kGramHashesCol(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      KGramHashesExpr(org.apache.spark.sql.GraftBridge.expression(c), k))
+
   /**
    * Winnowing fingerprints (the MOSS technique, Schleimer/Wilkerson/Aiken):
    * hash every k-char gram of the text ([[tHash]]), slide a window of `w`

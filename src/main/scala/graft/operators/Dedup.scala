@@ -359,7 +359,7 @@ object Dedup {
     // minHashLshPairs, where the materialized relation is shingle-sized and
     // consumed 4×).
     val g0 = df.select(col(idCol).as("__id"),
-        posexplode(kGramHashesUdf(k)(col(textCol))).as(Seq("__i", "__h")))
+        posexplode(kGramHashesCol(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
     val g = if (materializeGrams) g0.localCheckpoint(true) else g0
     val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))

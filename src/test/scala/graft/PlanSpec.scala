@@ -145,6 +145,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("kgram_hashes expression matches the UDF and stays in codegen") {
+    val rng = new scala.util.Random(7)
+    val tricky = Seq("", "short", "x" * 25, "héllo wörld many chars here ok",
+      "名前 test abc 0123456789 abcdefghijkl") ++
+      (1 to 40).map(_ => rng.alphanumeric.take(rng.nextInt(60)).mkString)
+    val both = strDf(tricky).select(
+      graft.functions.TextFunctions.kGramHashesCol(col("s"), 20).as("expr"),
+      graft.functions.TextFunctions.kGramHashesUdf(20)(col("s")).as("udf")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(graft.functions.TextFunctions.kGramHashesCol(col("p_name"), 8).as("h"))
+    assert(df.queryExecution.executedPlan
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      df.queryExecution.executedPlan.toString)
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
   test("bucketed interval joins plan as equi-joins, never nested loops") {
     val s = spark
     import s.implicits._
