@@ -720,7 +720,7 @@ object Oracles {
   def dupSpanCtes(k: Int): String =
     s"""WITH g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
-       |         ${tHashSql(s"substring(text, gp, $k)")} AS h
+       |         md5(substring(text, gp, $k)) AS h
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
        |        FROM documents)
@@ -744,13 +744,13 @@ object Oracles {
   def contamSpanCtes(k: Int, corpusPred: String, benchPred: String): String =
     s"""WITH g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
-       |         ${tHashSql(s"substring(text, gp, $k)")} AS h
+       |         md5(substring(text, gp, $k)) AS h
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
        |        FROM documents WHERE $corpusPred)
        |),
        |bh AS (
-       |  SELECT DISTINCT ${tHashSql(s"substring(text, gp, $k)")} AS h
+       |  SELECT DISTINCT md5(substring(text, gp, $k)) AS h
        |  FROM (SELECT text,
        |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
        |        FROM documents WHERE $benchPred)

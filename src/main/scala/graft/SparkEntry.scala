@@ -302,6 +302,9 @@ object SparkEntry {
     // ...and the REMOVAL form: documents rewritten with those spans cut out
     "dedup_substring_clean" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
+    // word-unit spans (the Lee et al. token granularity)
+    "dedup_substring_words" -> ((s, dir) =>
+      Dedup.duplicateSpansWords(rd(s, dir, "documents"), "doc_id", "text", n = 8)),
     // span-level decontamination: the exact corpus passages leaked from the
     // benchmark slice, and the surgical cut that keeps the rest of each doc
     "decontaminate_spans" -> ((s, dir) => {
@@ -941,6 +944,27 @@ object SparkEntry {
     "dedup_substring" -> Oracles.spanListSql(Oracles.dupSpanCtes(20)),
     "dedup_substring_clean" ->
       Oracles.spanCleanSql(Oracles.dupSpanCtes(20), "SELECT doc_id, text FROM documents"),
+    "dedup_substring_words" -> {
+      val gram8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      s"""WITH d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p, md5($gram8) AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
+         |        FROM d0)
+         |  WHERE i <= len(ws) - 7
+         |),
+         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+         |r AS (
+         |  SELECT doc_id, p,
+         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+         |  FROM d
+         |)
+         |SELECT doc_id, min(p) AS word_start, max(p) + 7 AS word_end,
+         |       count(*) AS n_grams
+         |FROM r GROUP BY doc_id, isl""".stripMargin
+    },
     "decontaminate_spans" ->
       Oracles.spanListSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5")),
     "decontaminate_spans_clean" ->

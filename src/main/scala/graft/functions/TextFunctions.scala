@@ -432,6 +432,7 @@ object TextFunctions {
     org.apache.spark.sql.GraftBridge.column(
       KGramHashesExpr(org.apache.spark.sql.GraftBridge.expression(c), k))
 
+
   /**
    * Winnowing fingerprints (the MOSS technique, Schleimer/Wilkerson/Aiken):
    * hash every k-char gram of the text ([[tHash]]), slide a window of `w`

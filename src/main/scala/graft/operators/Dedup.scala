@@ -320,8 +320,8 @@ object Dedup {
    * suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
    * Training Data Makes Language Models Better"): a span is duplicated iff
    * every k-code-point gram in it occurs in ≥ `minDocs` distinct documents.
-   * Per doc, every gram position is hashed
-   * ([[graft.functions.TextFunctions.kGramHashes]]), hashes seen in ≥
+   * Per doc, every gram position is digested ([[charGramMd5s]] — md5, not a
+   * rolling hash; see its scaladoc for why), digests seen in ≥
    * minDocs docs are marked, and runs of CONSECUTIVE marked positions merge
    * into maximal spans (gaps-and-islands on position − row_number).
    *
@@ -359,7 +359,7 @@ object Dedup {
     // minHashLshPairs, where the materialized relation is shingle-sized and
     // consumed 4×).
     val g0 = df.select(col(idCol).as("__id"),
-        posexplode(kGramHashesCol(col(textCol), k)).as(Seq("__i", "__h")))
+        posexplode(charGramMd5s(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
     val g = if (materializeGrams) g0.localCheckpoint(true) else g0
     val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
@@ -368,6 +368,53 @@ object Dedup {
     spansFromMarked(d, k).select(col("__id").as(idCol),
       col("span_start"), col("span_end"), col("n_grams"))
   }
+
+  /**
+   * WORD-unit form of [[duplicateSpans]] — the literal Lee et al. 2021
+   * granularity (their suffix-array dedup removes duplicated ≥50-TOKEN
+   * spans): a maximal run of n-word grams each occurring in ≥ minDocs
+   * distinct documents, reported in 1-based WORD positions. Same
+   * aggregate-only duplication decision and island merge; word spans are
+   * what a token-budgeted pipeline cuts by (char spans are
+   * [[duplicateSpans]]'s job). A duplicated word run of length ≥ L words
+   * appears as L − n + 1 consecutive marked grams.
+   * @return (idCol, word_start, word_end, n_grams) — word_end inclusive
+   */
+  def duplicateSpansWords(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
+    val g = df.select(col(idCol).as("__id"),
+        posexplode(wordGramMd5s(wordsCol(col(textCol)), n)).as(Seq("__i", "__h")))
+      .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
+    val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDocs).select(col("__h"))
+    val d = g.join(dup, "__h").select(col("__id"), col("__p"))
+    spansFromMarked(d, n).select(col("__id").as(idCol),
+      col("span_start").as("word_start"), col("span_end").as("word_end"),
+      col("n_grams"))
+  }
+
+  /** md5 digests of ALL k-code-point grams of `c`, in position order — the
+    * span-dedup gram identity. md5 (not a rolling/sum hash): span semantics
+    * turn every hash collision into a false "duplicated" passage that a
+    * removal rewrite would DELETE, and weight-cycling sum hashes (tHash)
+    * demonstrably collide on word-salad text (equal-length swaps 8 positions
+    * apart); 128-bit md5 makes collisions negligible, is a codegen'd builtin
+    * on both engines, and needs no UDF. Shorter-than-k texts → empty
+    * (sequence() would COUNT DOWN on a negative span — guarded). */
+  private[operators] def charGramMd5s(c: Column, k: Int): Column =
+    when(length(c) >= k,
+      transform(sequence(lit(1), length(c) - (k - 1)), i => md5(c.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** [[charGramMd5s]] for n-WORD grams over a word ARRAY column (grams are
+    * the words joined by single spaces). */
+  private[operators] def wordGramMd5s(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => md5(concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
 
   /** Gaps-and-islands merge of marked gram positions `(__id, __p)` into
     * maximal spans — shared by [[duplicateSpans]] and

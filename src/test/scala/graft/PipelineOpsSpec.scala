@@ -1085,6 +1085,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicateSpansWords: word-unit spans; word-salad swaps are NOT merged") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = docsDf(Seq(
+      (1L, "xx yy " + shared + " zz"),
+      (2L, shared + " ww vv"),
+      // same multiset of words, different order: must NOT be marked (this is
+      // the exact case a weight-cycling sum hash collided on)
+      (3L, "beta alpha delta gamma zeta epsilon theta eta kappa iota"),
+      (4L, "unrelated words entirely here nothing shared at all now ok")))
+    val out = Dedup.duplicateSpansWords(df, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: shared = words 3..12 (10 words, 3 grams of 8); doc 2: words 1..10
+    assert(out(1L) == ((3L, 12L, 3L)), s"got $out")
+    assert(out(2L) == ((1L, 10L, 3L)), s"got $out")
+    assert(!out.contains(3L) && !out.contains(4L), s"got $out")
+  }
+
   test("Sampling: key-stable buckets, subset sampling, split ranges") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val split = Sampling.withSplit(docs, "doc_id", 80, 10)
