@@ -10,14 +10,12 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * Codegen'd Catalyst expression for all-positions k-gram hashing —
  * `string -> array<long>` with the exact [[TextFunctions.kGramHashes]]
- * semantics. This is the hot inner pass of exact-substring dedup
- * ([[graft.operators.Dedup.duplicateSpans]]) and span decontamination, run
- * over EVERY corpus character and (by the recompute-don't-materialize
- * default) twice per job: the ScalaUDF form pays an encoder/boxing
- * round-trip per row that this expression eliminates, keeping the scan
- * inside whole-stage codegen. The string is decoded once (the hash is
- * code-point based by contract), then the O(len·k) weight loop runs on a
- * primitive int array.
+ * semantics (tHash identity; see that scaladoc for when md5 grams are the
+ * right tool instead). The ScalaUDF form pays an encoder/boxing round-trip
+ * per row that this expression eliminates, keeping scans inside whole-stage
+ * codegen; exposed as the `kgram_hashes` SQL function. The string is
+ * decoded once (the hash is code-point based by contract), then the
+ * O(len·k) weight loop runs on a primitive int array.
  */
 case class KGramHashesExpr(child: Expression, k: Int) extends UnaryExpression {
   require(k > 0, s"need positive k, got $k")

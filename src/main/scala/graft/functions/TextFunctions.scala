@@ -396,16 +396,19 @@ object TextFunctions {
   def wordNGramHashUdf(n: Int) = udf((s: String) => wordNGramHashes(s, n))
 
   /**
-   * ALL k-code-point-gram hashes of `s` in position order (position = array
-   * index + 1, matching SQL `substring(s, p, k)` 1-based code-point
-   * positions) — the unsampled primitive under exact-substring dedup
-   * ([[graft.operators.Dedup.duplicateSpans]]). Each element equals
-   * `tHash(gram)` exactly: the weight cycle restarts at every gram start, so
-   * a rolling O(1) update does not apply; cost is O(len·k) — acceptable for
-   * the k≈20-50 passage-dedup range, and embarrassingly parallel per row.
-   * Code-point windowing (not UTF-16) keeps positions and gram content
-   * identical to DuckDB's `substring`/`length` on all input.
-   * Documents shorter than k code points → empty.
+   * ALL k-code-point-gram [[tHash]] values of `s` in position order
+   * (position = array index + 1, matching SQL `substring(s, p, k)` 1-based
+   * code-point positions) — the unsampled, position-keyed sibling of
+   * [[winnowFingerprints]] for fingerprint-identity workflows that want the
+   * winnow family's hash basis without its sampling. NOT the right identity
+   * for span DEDUP: tHash's 8-cycle weights collide on word-salad text
+   * (equal-length swaps 8 positions apart), and span semantics turn every
+   * collision into deletable false "duplicate" text — the span operators
+   * digest grams with md5 instead ([[graft.operators.Dedup]]). Each element
+   * equals `tHash(gram)` exactly (the weight cycle restarts per gram, so no
+   * O(1) rolling update); cost O(len·k). Code-point windowing keeps
+   * positions/content identical to DuckDB's `substring`/`length` on all
+   * input. Shorter than k code points → empty.
    */
   def kGramHashes(s: String, k: Int): Array[Long] = {
     require(k > 0, s"need positive k, got $k")
