@@ -714,19 +714,33 @@ object Oracles {
        |)
        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM s WHERE cosine >= $threshold""".stripMargin
 
+  /** The two weighted code-point sums of the k-gram at 1-based position
+    * `posExpr` of column `text` — mirrors KGramHashPairsExpr BY VALUE: the
+    * same splitmix64 weight table the expression uses, embedded as a SQL
+    * list literal (j 1-based ↦ table index j−1); all products < 2⁶³, so
+    * both engines sum exactly. `family` = 1 or 2. */
+  private def gramHashSql(posExpr: String, k: Int, family: Int): String = {
+    val w = (0 until k).map(p =>
+      if (family == 1) graft.functions.KGramHashPairsExpr.weight1(p)
+      else graft.functions.KGramHashPairsExpr.weight2(p))
+    s"CAST(list_sum(list_transform(generate_series(1, $k), j -> " +
+      s"ascii(substring(text, $posExpr + j - 1, 1)) * ([${w.mkString(",")}])[j])) AS BIGINT)"
+  }
+
   /** Span CTE chain `g → dup → d → r → sp` mirroring Dedup.duplicateSpans on
     * the documents table: sp(doc_id, s, e, ng) = maximal runs of k-gram
-    * positions whose hash occurs in ≥ 2 distinct docs. */
+    * positions whose (h1, h2) gram identity occurs in ≥ 2 distinct docs. */
   def dupSpanCtes(k: Int): String =
     s"""WITH g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
-       |         md5(substring(text, gp, $k)) AS h
+       |         ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
        |        FROM documents)
        |),
-       |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-       |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+       |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
        |r AS (
        |  SELECT doc_id, p,
        |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
@@ -744,18 +758,20 @@ object Oracles {
   def contamSpanCtes(k: Int, corpusPred: String, benchPred: String): String =
     s"""WITH g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
-       |         md5(substring(text, gp, $k)) AS h
+       |         ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
        |  FROM (SELECT doc_id, text,
        |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
        |        FROM documents WHERE $corpusPred)
        |),
        |bh AS (
-       |  SELECT DISTINCT md5(substring(text, gp, $k)) AS h
+       |  SELECT DISTINCT ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
        |  FROM (SELECT text,
        |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
        |        FROM documents WHERE $benchPred)
        |),
-       |d AS (SELECT doc_id, p FROM g JOIN bh USING (h)),
+       |d AS (SELECT doc_id, p FROM g JOIN bh USING (h1, h2)),
        |r AS (
        |  SELECT doc_id, p,
        |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl

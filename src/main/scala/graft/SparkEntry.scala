@@ -946,16 +946,31 @@ object SparkEntry {
       Oracles.spanCleanSql(Oracles.dupSpanCtes(20), "SELECT doc_id, text FROM documents"),
     "dedup_substring_words" -> {
       val gram8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+      // the expression's weight tables by value (512 = its MaxGramChars
+      // bound; an over-long gram would index past the literal and null out
+      // loudly rather than silently diverge)
+      def h(family: Int) = {
+        val w = (0 until graft.functions.KGramHashPairsExpr.MaxGramChars).map(p =>
+          if (family == 1) graft.functions.KGramHashPairsExpr.weight1(p)
+          else graft.functions.KGramHashPairsExpr.weight2(p))
+        s"CAST(list_sum(list_transform(generate_series(1, length(gr)), j -> " +
+          s"ascii(substring(gr, j, 1)) * ([${w.mkString(",")}])[j])) AS BIGINT)"
+      }
       s"""WITH d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-         |g AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS p, md5($gram8) AS h
+         |g0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS p, $gram8 AS gr
          |  FROM (SELECT doc_id, ws,
          |          unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
          |        FROM d0)
          |  WHERE i <= len(ws) - 7
          |),
-         |dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h)),
+         |g AS (
+         |  SELECT doc_id, p, ${h(1)} AS h1,
+         |         ${h(2)} AS h2
+         |  FROM g0
+         |),
+         |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
          |r AS (
          |  SELECT doc_id, p,
          |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl

@@ -110,10 +110,10 @@ object Decontaminate {
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 20): DataFrame = {
     val g = corpus.select(col(idCol).as("__id"),
-        posexplode(Dedup.charGramMd5s(col(textCol), k)).as(Seq("__i", "__h")))
+        posexplode(Dedup.charGrams(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
     val bh = bench
-      .select(explode(Dedup.charGramMd5s(col(benchTextCol), k)).as("__h")).distinct()
+      .select(explode(Dedup.charGrams(col(benchTextCol), k)).as("__h")).distinct()
     val marked = g.join(broadcast(bh), "__h").select(col("__id"), col("__p"))
     Dedup.spansFromMarked(marked, k).select(col("__id").as(idCol),
       col("span_start"), col("span_end"), col("n_grams"))

@@ -320,7 +320,7 @@ object Dedup {
    * suffix-array training-data dedup (Lee et al. 2021, "Deduplicating
    * Training Data Makes Language Models Better"): a span is duplicated iff
    * every k-code-point gram in it occurs in ≥ `minDocs` distinct documents.
-   * Per doc, every gram position is digested ([[charGramMd5s]] — md5, not a
+   * Per doc, every gram position is keyed by its gram STRING ([[charGrams]] — not a
    * rolling hash; see its scaladoc for why), digests seen in ≥
    * minDocs docs are marked, and runs of CONSECUTIVE marked positions merge
    * into maximal spans (gaps-and-islands on position − row_number).
@@ -359,7 +359,7 @@ object Dedup {
     // minHashLshPairs, where the materialized relation is shingle-sized and
     // consumed 4×).
     val g0 = df.select(col(idCol).as("__id"),
-        posexplode(charGramMd5s(col(textCol), k)).as(Seq("__i", "__h")))
+        posexplode(charGrams(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
     val g = if (materializeGrams) g0.localCheckpoint(true) else g0
     val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
@@ -385,7 +385,7 @@ object Dedup {
       n: Int = 8, minDocs: Long = 2L): DataFrame = {
     require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
     val g = df.select(col(idCol).as("__id"),
-        posexplode(wordGramMd5s(wordsCol(col(textCol)), n)).as(Seq("__i", "__h")))
+        posexplode(wordGrams(wordsCol(col(textCol)), n)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
     val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDocs).select(col("__h"))
@@ -395,26 +395,25 @@ object Dedup {
       col("n_grams"))
   }
 
-  /** md5 digests of ALL k-code-point grams of `c`, in position order — the
-    * span-dedup gram identity. md5 (not a rolling/sum hash): span semantics
-    * turn every hash collision into a false "duplicated" passage that a
-    * removal rewrite would DELETE, and weight-cycling sum hashes (tHash)
-    * demonstrably collide on word-salad text (equal-length swaps 8 positions
-    * apart); 128-bit md5 makes collisions negligible, is a codegen'd builtin
-    * on both engines, and needs no UDF. Shorter-than-k texts → empty
-    * (sequence() would COUNT DOWN on a negative span — guarded). */
-  private[operators] def charGramMd5s(c: Column, k: Int): Column =
-    when(length(c) >= k,
-      transform(sequence(lit(1), length(c) - (k - 1)), i => md5(c.substr(i, lit(k)))))
-      .otherwise(array().cast("array<string>"))
+  /** The span-dedup gram identity: per gram position, an (h1, h2) PAIR of
+    * independent distinct-weight code-point sums
+    * ([[graft.functions.KGramHashPairsExpr]] — its scaladoc has the full
+    * rationale: tHash's cycled weights demonstrably collide on word-salad
+    * grams, while md5/raw-substring grams cost a per-gram string
+    * materialization that benchmarked ~3× the whole query; the codegen'd
+    * pair keeps the tight-loop speed with ~2⁻¹²² joint collisions and a
+    * 16-byte shuffle key). */
+  private[operators] def charGrams(c: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.KGramHashPairsExpr(
+        org.apache.spark.sql.GraftBridge.expression(c), k))
 
-  /** [[charGramMd5s]] for n-WORD grams over a word ARRAY column (grams are
-    * the words joined by single spaces). */
-  private[operators] def wordGramMd5s(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => md5(concat_ws(" ", slice(ws, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+  /** [[charGrams]] for n-WORD grams over a word ARRAY column (valued as the
+    * char pairs of the words joined by single spaces). */
+  private[operators] def wordGrams(ws: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.WordGramHashPairsExpr(
+        org.apache.spark.sql.GraftBridge.expression(ws), n))
 
   /** Gaps-and-islands merge of marked gram positions `(__id, __p)` into
     * maximal spans — shared by [[duplicateSpans]] and
