@@ -162,6 +162,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
   }
 
+  test("span-dedup gram pass is UDF-free (codegen'd pair-hash expressions)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (plan <- Seq(
+        graft.operators.Dedup.duplicateSpans(df, "doc_id", "text", k = 20)
+          .queryExecution.executedPlan.toString,
+        graft.operators.Dedup.duplicateSpansWords(df, "doc_id", "text", n = 8)
+          .queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    }
+    // pair parity: the word expression equals the char expression over the
+    // joined gram string (the computeWords contract)
+    val words = Array("alpha", "beta", "gamma")
+    val joined = words.mkString(" ")
+    val fromWords = graft.functions.KGramHashPairsExpr.computeWords(words, 3)
+    val fromChars = graft.functions.KGramHashPairsExpr.compute(joined, joined.length)
+    assert(fromWords.numElements == 1 && fromChars.numElements == 1)
+    val a = fromWords.getStruct(0, 2); val b = fromChars.getStruct(0, 2)
+    assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+  }
+
   test("bucketed interval joins plan as equi-joins, never nested loops") {
     val s = spark
     import s.implicits._
