@@ -441,48 +441,14 @@ object Oracles {
    * bit-identical to the Scala kernel's loop order. Zero-reconstruction-norm
    * corpus rows are dropped on both sides.
    */
-  def annPqSql(k: Int, nSub: Int, ksub: Int, queryPred: String): String =
+  def annPqSql(k: Int, nSub: Int, ksub: Int, queryPred: String, nIters: Int = 0): String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
        |vl AS (
        |  SELECT vec_id, e FROM v
        |  WHERE e IS NOT NULL
        |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
        |),
-       |dm AS (SELECT CAST(max(len(e)) AS BIGINT) AS dim,
-       |              CAST(max(len(e)) AS BIGINT) // $nSub AS sdim FROM vl),
-       |sub AS (SELECT unnest(generate_series(0, $nSub - 1)) AS m),
-       |seed AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e
-       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $ksub)
-       |  WHERE e IS NOT NULL
-       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
-       |),
-       |cw AS (
-       |  SELECT s.m, sd.j,
-       |    list_transform(generate_series(1, dm.sdim),
-       |      d -> CAST(sd.e[s.m * dm.sdim + d] AS DOUBLE)) AS c
-       |  FROM sub s CROSS JOIN seed sd CROSS JOIN dm
-       |),
-       |cn2 AS (SELECT m, j, list_sum(list_transform(c, x -> x * x)) AS n2 FROM cw),
-       |xe AS (SELECT vec_id, e FROM vl CROSS JOIN dm WHERE len(e) = dm.dim),
-       |dist AS (
-       |  SELECT x.vec_id, c.m, c.j,
-       |    list_sum(list_transform(generate_series(1, dm.sdim),
-       |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
-       |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
-       |  FROM xe x CROSS JOIN cw c CROSS JOIN dm
-       |),
-       |enc AS (
-       |  SELECT vec_id, m, j FROM (
-       |    SELECT vec_id, m, j,
-       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
-       |    FROM dist) WHERE rn = 1
-       |),
-       |rn2 AS (
-       |  SELECT e.vec_id, list_sum(list(c.n2 ORDER BY e.m)) AS rn2
-       |  FROM enc e JOIN cn2 c ON e.m = c.m AND e.j = c.j
-       |  GROUP BY e.vec_id
-       |),
+       |${pqCodebookCtes(nSub, ksub, nIters)},
        |q AS (SELECT vec_id, e FROM xe WHERE $queryPred),
        |qdot AS (
        |  SELECT q.vec_id, c.m, c.j,
@@ -529,7 +495,7 @@ object Oracles {
    */
   def annIvfPqSql(
       k: Int, nList: Int, nProbe: Int, nIters: Int,
-      nSub: Int, ksub: Int, queryPred: String): String =
+      nSub: Int, ksub: Int, queryPred: String, pqIters: Int = 0): String =
     s"""${ivfAssignCtes(nList, nIters)},
        |qasgn AS (
        |  SELECT vec_id, cj FROM (
@@ -537,41 +503,7 @@ object Oracles {
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
        |    FROM ccos WHERE $queryPred) WHERE rn <= $nProbe
        |),
-       |dm AS (SELECT CAST(max(len(e)) AS BIGINT) AS dim,
-       |              CAST(max(len(e)) AS BIGINT) // $nSub AS sdim FROM vl),
-       |sub AS (SELECT unnest(generate_series(0, $nSub - 1)) AS m),
-       |seed AS (
-       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e
-       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $ksub)
-       |  WHERE e IS NOT NULL
-       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
-       |),
-       |cw AS (
-       |  SELECT s.m, sd.j,
-       |    list_transform(generate_series(1, dm.sdim),
-       |      d -> CAST(sd.e[s.m * dm.sdim + d] AS DOUBLE)) AS c
-       |  FROM sub s CROSS JOIN seed sd CROSS JOIN dm
-       |),
-       |cn2 AS (SELECT m, j, list_sum(list_transform(c, x -> x * x)) AS n2 FROM cw),
-       |xe AS (SELECT vec_id, e FROM vl CROSS JOIN dm WHERE len(e) = dm.dim),
-       |pdist AS (
-       |  SELECT x.vec_id, c.m, c.j,
-       |    list_sum(list_transform(generate_series(1, dm.sdim),
-       |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
-       |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
-       |  FROM xe x CROSS JOIN cw c CROSS JOIN dm
-       |),
-       |enc AS (
-       |  SELECT vec_id, m, j FROM (
-       |    SELECT vec_id, m, j,
-       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
-       |    FROM pdist) WHERE rn = 1
-       |),
-       |rn2 AS (
-       |  SELECT e.vec_id, list_sum(list(c.n2 ORDER BY e.m)) AS rn2
-       |  FROM enc e JOIN cn2 c ON e.m = c.m AND e.j = c.j
-       |  GROUP BY e.vec_id
-       |),
+       |${pqCodebookCtes(nSub, ksub, pqIters)},
        |q AS (SELECT vec_id, e FROM xe WHERE $queryPred),
        |qdot AS (
        |  SELECT q.vec_id, c.m, c.j,
@@ -612,6 +544,91 @@ object Oracles {
        |)
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
        |FROM r WHERE rn <= $k""".stripMargin
+
+  /** Shared product-quantizer CTE chain (assumes `v` raw and `vl` eligible
+    * vectors are already defined): seeds per-subspace codebooks `cw0` from the
+    * ksub smallest-id eligible vectors, unrolls `nIters` per-subspace Lloyd
+    * training passes — each encodes every uniform-dim vector against the
+    * previous codebooks (squared-L2, dist-asc/j-asc ties) and rebuilds each
+    * codeword as the integer-quantized mean
+    * `CAST(SUM(floor(x·10⁶ + 0.5) AS BIGINT) AS DOUBLE) / (10⁶ · count)`
+    * element-wise (empty codewords keep their previous value) — exactly
+    * SimSearch.pqRefine's Long sums, so codebooks are bit-identical across
+    * engines. Emits `dm` (dim/subdim), `sub` (subspace ids), `xe`
+    * (uniform-dim eligible vectors), `cw` (final codebooks), `cn2` (codeword
+    * squared norms), `enc` (corpus encodings) and `rn2` (reconstruction
+    * squared norms). */
+  private def pqCodebookCtes(nSub: Int, ksub: Int, nIters: Int): String = {
+    val train = (1 to nIters).map { i =>
+      val prev = s"cw${i - 1}"
+      s"""tdist${i - 1} AS (
+         |  SELECT x.vec_id, c.m, c.j,
+         |    list_sum(list_transform(generate_series(1, dm.sdim),
+         |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
+         |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
+         |  FROM xe x CROSS JOIN $prev c CROSS JOIN dm
+         |),
+         |tenc$i AS (
+         |  SELECT vec_id, m, j FROM (
+         |    SELECT vec_id, m, j,
+         |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+         |    FROM tdist${i - 1}) WHERE rn = 1
+         |),
+         |tsum$i AS (
+         |  SELECT t.m, t.j, sd.d,
+         |    SUM(CAST(floor(CAST(x.e[t.m * dm.sdim + sd.d] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sq,
+         |    COUNT(*) AS cnt
+         |  FROM tenc$i t JOIN xe x ON t.vec_id = x.vec_id CROSS JOIN sdims sd CROSS JOIN dm
+         |  GROUP BY t.m, t.j, sd.d
+         |),
+         |tnew$i AS (
+         |  SELECT m, j, list(CAST(sq AS DOUBLE) / (1000000.0 * cnt) ORDER BY d) AS c
+         |  FROM tsum$i GROUP BY m, j
+         |),
+         |cw$i AS (
+         |  SELECT p.m, p.j, CASE WHEN n.c IS NULL THEN p.c ELSE n.c END AS c
+         |  FROM $prev p LEFT JOIN tnew$i n ON p.m = n.m AND p.j = n.j
+         |),""".stripMargin
+    }.mkString("\n")
+    s"""dm AS (SELECT CAST(max(len(e)) AS BIGINT) AS dim,
+       |              CAST(max(len(e)) AS BIGINT) // $nSub AS sdim FROM vl),
+       |sub AS (SELECT unnest(generate_series(0, $nSub - 1)) AS m),
+       |sdims AS (SELECT unnest(generate_series(1, (SELECT sdim FROM dm))) AS d),
+       |seed AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $ksub)
+       |  WHERE e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |),
+       |cw0 AS (
+       |  SELECT s.m, sd.j,
+       |    list_transform(generate_series(1, dm.sdim),
+       |      d -> CAST(sd.e[s.m * dm.sdim + d] AS DOUBLE)) AS c
+       |  FROM sub s CROSS JOIN seed sd CROSS JOIN dm
+       |),
+       |xe AS (SELECT vec_id, e FROM vl CROSS JOIN dm WHERE len(e) = dm.dim),
+       |$train
+       |cw AS (SELECT m, j, c FROM cw$nIters),
+       |cn2 AS (SELECT m, j, list_sum(list_transform(c, x -> x * x)) AS n2 FROM cw),
+       |dist AS (
+       |  SELECT x.vec_id, c.m, c.j,
+       |    list_sum(list_transform(generate_series(1, dm.sdim),
+       |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
+       |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
+       |  FROM xe x CROSS JOIN cw c CROSS JOIN dm
+       |),
+       |enc AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+       |    FROM dist) WHERE rn = 1
+       |),
+       |rn2 AS (
+       |  SELECT e.vec_id, list_sum(list(c.n2 ORDER BY e.m)) AS rn2
+       |  FROM enc e JOIN cn2 c ON e.m = c.m AND e.j = c.j
+       |  GROUP BY e.vec_id
+       |)""".stripMargin
+  }
 
   /** Shared centroid-quantizer + assignment CTE chain (see [[annIvfSql]]'s
     * scaladoc for the contract): emits `v` (raw vectors), `vl` (eligible),
@@ -780,6 +797,86 @@ object Oracles {
        |sp AS (
        |  SELECT doc_id, min(p) AS s, max(p) + ${k - 1} AS e, count(*) AS ng
        |  FROM r GROUP BY doc_id, isl
+       |)""".stripMargin
+
+  /** Word-gram span CTE chain mirroring Dedup.duplicateSpansWords on the
+    * documents table: emits `wsp(doc_id, ws, we, ng)` — maximal runs of
+    * n-word grams (words = `[a-z]+` runs of lower(text), grams valued as the
+    * words joined by single spaces, hashed with KGramHashPairsExpr's weight
+    * tables BY VALUE) present in ≥ 2 distinct docs, 1-based word positions. */
+  def wordSpanCtes(n: Int): String = {
+    val gram = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
+    // the expression's weight tables by value (512 = its MaxGramChars bound;
+    // an over-long gram would index past the literal and null out loudly
+    // rather than silently diverge)
+    def h(family: Int) = {
+      val w = (0 until graft.functions.KGramHashPairsExpr.MaxGramChars).map(p =>
+        if (family == 1) graft.functions.KGramHashPairsExpr.weight1(p)
+        else graft.functions.KGramHashPairsExpr.weight2(p))
+      s"CAST(list_sum(list_transform(generate_series(1, length(gr)), j -> " +
+        s"ascii(substring(gr, j, 1)) * ([${w.mkString(",")}])[j])) AS BIGINT)"
+    }
+    s"""WITH d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS p, $gram AS gr
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 0))) AS i
+       |        FROM d0)
+       |  WHERE i <= len(ws) - ${n - 1}
+       |),
+       |g AS (
+       |  SELECT doc_id, p, ${h(1)} AS h1,
+       |         ${h(2)} AS h2
+       |  FROM g0
+       |),
+       |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
+       |r AS (
+       |  SELECT doc_id, p,
+       |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |  FROM d
+       |),
+       |wsp AS (
+       |  SELECT doc_id, min(p) AS ws, max(p) + ${n - 1} AS we, count(*) AS ng
+       |  FROM r GROUP BY doc_id, isl
+       |)""".stripMargin
+  }
+
+  /** Final word-span listing (mirrors Dedup.duplicateSpansWords's output). */
+  def wordSpanListSql(n: Int): String =
+    s"""${wordSpanCtes(n)}
+       |SELECT doc_id, ws AS word_start, we AS word_end, ng AS n_grams FROM wsp""".stripMargin
+
+  /** [[wordSpanCtes]] + the word-index → char-interval mapping (mirrors
+    * Dedup.wordCharIntervals: word i = i-th maximal `[a-z]` run of
+    * lower(text), 1-based code-point positions) + the char-span projection —
+    * emits `sp(doc_id, s, e, ng)` so [[spanCleanSql]] composes on top. */
+  def wordSpanCleanCtes(n: Int): String =
+    s"""${wordSpanCtes(n)},
+       |wiv AS (
+       |  SELECT doc_id,
+       |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY cs) AS BIGINT) AS wi,
+       |         cs, ce
+       |  FROM (
+       |    SELECT doc_id, min(p) AS cs, max(p) AS ce
+       |    FROM (
+       |      SELECT doc_id, p,
+       |             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |      FROM (
+       |        SELECT doc_id, CAST(cp AS BIGINT) AS p, substring(lower(text), cp, 1) AS ch
+       |        FROM (SELECT doc_id, text,
+       |                unnest(generate_series(1, greatest(length(text), 0))) AS cp
+       |              FROM documents)
+       |      ) WHERE ascii(ch) BETWEEN 97 AND 122
+       |    )
+       |    GROUP BY doc_id, isl
+       |  )
+       |),
+       |sp AS (
+       |  SELECT w.doc_id, a.cs AS s, b.ce AS e, w.ng
+       |  FROM wsp w
+       |  JOIN wiv a ON w.doc_id = a.doc_id AND w.ws = a.wi
+       |  JOIN wiv b ON w.doc_id = b.doc_id AND w.we = b.wi
        |)""".stripMargin
 
   /** Final span listing over a `sp(doc_id, s, e, ng)` CTE chain. */

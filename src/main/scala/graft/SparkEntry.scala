@@ -248,6 +248,34 @@ object SparkEntry {
         emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, nIters = 1,
         nSub = 8, ksub = 16, excludeSelf = true)
     }),
+    // PQ with TRAINED codebooks: one deterministic per-subspace Lloyd pass
+    // refines the id-seeded codebooks before encoding (Oracles mirrors the
+    // integer-quantized training bit-for-bit)
+    "ann_pq_trained" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKPq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, nSub = 8, ksub = 16, nIters = 1,
+        excludeSelf = true)
+    }),
+    // IVF-PQ with both quantizers trained (coarse nIters=1, PQ pqIters=1)
+    "ann_ivfpq_trained" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKIvfPq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, nIters = 1,
+        nSub = 8, ksub = 16, pqIters = 1, excludeSelf = true)
+    }),
+    // Persisted-corpus PQ layout: encode once → (id, codes: nSub bytes),
+    // search scans only codes. Same model as ann_pq_trained → hash parity
+    // with the fused path's oracle pins the split's correctness.
+    "ann_pq_encoded" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val model = SimSearch.pqTrainModel(emb, "vec_id", "embedding",
+        nSub = 8, ksub = 16, nIters = 1)
+      val enc = SimSearch.pqEncode(emb, "vec_id", "embedding", model)
+      SimSearch.pqSearchEncoded(enc, "id", "codes",
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        model, 5, excludeSelf = true)
+    }),
     // lexical retrieval: rank the corpus against reference queries (targeted
     // curation); queries = a small document slice, broadcast by construction
     "bm25_topk" -> ((s, dir) => {
@@ -305,6 +333,10 @@ object SparkEntry {
     // word-unit spans (the Lee et al. token granularity)
     "dedup_substring_words" -> ((s, dir) =>
       Dedup.duplicateSpansWords(rd(s, dir, "documents"), "doc_id", "text", n = 8)),
+    // ...and the word-unit REMOVAL form: word spans mapped to char intervals
+    // (first char of the first word through last char of the last) and cut
+    "dedup_substring_words_clean" -> ((s, dir) =>
+      Dedup.removeDuplicateSpansWords(rd(s, dir, "documents"), "doc_id", "text", n = 8)),
     // span-level decontamination: the exact corpus passages leaked from the
     // benchmark slice, and the surgical cut that keeps the rest of each doc
     "decontaminate_spans" -> ((s, dir) => {
@@ -809,6 +841,9 @@ object SparkEntry {
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
+    "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),
+    "ann_ivfpq_trained" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50", pqIters = 1),
+    "ann_pq_encoded" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (
@@ -944,42 +979,9 @@ object SparkEntry {
     "dedup_substring" -> Oracles.spanListSql(Oracles.dupSpanCtes(20)),
     "dedup_substring_clean" ->
       Oracles.spanCleanSql(Oracles.dupSpanCtes(20), "SELECT doc_id, text FROM documents"),
-    "dedup_substring_words" -> {
-      val gram8 = (0 until 8).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
-      // the expression's weight tables by value (512 = its MaxGramChars
-      // bound; an over-long gram would index past the literal and null out
-      // loudly rather than silently diverge)
-      def h(family: Int) = {
-        val w = (0 until graft.functions.KGramHashPairsExpr.MaxGramChars).map(p =>
-          if (family == 1) graft.functions.KGramHashPairsExpr.weight1(p)
-          else graft.functions.KGramHashPairsExpr.weight2(p))
-        s"CAST(list_sum(list_transform(generate_series(1, length(gr)), j -> " +
-          s"ascii(substring(gr, j, 1)) * ([${w.mkString(",")}])[j])) AS BIGINT)"
-      }
-      s"""WITH d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-         |g0 AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS p, $gram8 AS gr
-         |  FROM (SELECT doc_id, ws,
-         |          unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS i
-         |        FROM d0)
-         |  WHERE i <= len(ws) - 7
-         |),
-         |g AS (
-         |  SELECT doc_id, p, ${h(1)} AS h1,
-         |         ${h(2)} AS h2
-         |  FROM g0
-         |),
-         |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
-         |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
-         |r AS (
-         |  SELECT doc_id, p,
-         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
-         |  FROM d
-         |)
-         |SELECT doc_id, min(p) AS word_start, max(p) + 7 AS word_end,
-         |       count(*) AS n_grams
-         |FROM r GROUP BY doc_id, isl""".stripMargin
-    },
+    "dedup_substring_words" -> Oracles.wordSpanListSql(8),
+    "dedup_substring_words_clean" ->
+      Oracles.spanCleanSql(Oracles.wordSpanCleanCtes(8), "SELECT doc_id, text FROM documents"),
     "decontaminate_spans" ->
       Oracles.spanListSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5")),
     "decontaminate_spans_clean" ->

@@ -403,8 +403,9 @@ object TextFunctions {
    * winnow family's hash basis without its sampling. NOT the right identity
    * for span DEDUP: tHash's 8-cycle weights collide on word-salad text
    * (equal-length swaps 8 positions apart), and span semantics turn every
-   * collision into deletable false "duplicate" text — the span operators
-   * digest grams with md5 instead ([[graft.operators.Dedup]]). Each element
+   * collision into deletable false "duplicate" text — the span operators key
+   * grams by an (h1, h2) PAIR of independent splitmix64-weight sums instead
+   * ([[graft.functions.KGramHashPairsExpr]]). Each element
    * equals `tHash(gram)` exactly (the weight cycle restarts per gram, so no
    * O(1) rolling update); cost O(len·k). Code-point windowing keeps
    * positions/content identical to DuckDB's `substring`/`length` on all

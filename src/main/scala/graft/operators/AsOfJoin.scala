@@ -150,8 +150,9 @@ object AsOfJoin {
    * Broadcast fast path of [[asofJoin]] for SMALL right sides (rate tables,
    * calendars, config histories): the right side is collected into per-key
    * (ts, tie)-sorted arrays, broadcast, and every left row binary-searches
-   * its match inside an un-shuffled `mapPartitions` scan — the LEFT SIDE
-   * NEVER SHUFFLES. The shuffle path moves both sides through one key
+   * its match via a columnar [[graft.functions.AsOfProbeExpr]] probe — the
+   * LEFT SIDE NEVER SHUFFLES and never leaves Tungsten format (no RDD
+   * scan in the plan). The shuffle path moves both sides through one key
    * exchange and per-key sorts; at 100 TB of left events against a
    * kilobyte-to-megabyte right table, skipping that exchange is the whole
    * cost of the join. Same contract as [[asofJoin]] (all directions,
@@ -198,6 +199,14 @@ object AsOfJoin {
     }
     requireIntegralTs(left, leftTs, "left")
     requireIntegralTs(right, rightTs, "right")
+    // the broadcast map probes with raw JVM equality — an IntegerType left key
+    // never equals a LongType right key, so mismatched types would silently
+    // match nothing (the shuffle path coerces via union); fail fast instead
+    val lKeyDt = left.schema(left.schema.fieldIndex(keyCol)).dataType
+    val rKeyDt = right.schema(right.schema.fieldIndex(keyCol)).dataType
+    require(lKeyDt == rKeyDt,
+      s"left/right key column '$keyCol' types differ (${lKeyDt.catalogString} vs " +
+        s"${rKeyDt.catalogString}) — align them first, or use asofJoin (shuffle path)")
     require(maxRightBytes >= 0L, s"maxRightBytes must be >= 0, got $maxRightBytes")
     if (maxRightBytes > 0L) {
       val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -207,94 +216,63 @@ object AsOfJoin {
     }
     val spark = left.sparkSession
     val nPay = payload.length
+    require(!leftCols.contains("__asof_probe"),
+      "left already has a '__asof_probe' column — rename it first")
     // per key: rows sorted by (ts, tie) ascending — "largest tie wins" =
-    // rightmost element of any ts group, matching the shuffle path's carry
+    // rightmost element of any ts group, matching the shuffle path's carry.
+    // collected layout: 0=key, 1=ts(long), 2=tie(long), 3=original ts,
+    // 4.. = payload values
     val rRows = right
       .filter(col(keyCol).isNotNull && col(rightTs).isNotNull)
       .select((col(keyCol) +: col(rightTs).cast("long") +:
         col(tieCol).cast("long") +: col(rightTs).as("__orig_ts") +:
         payload.map { case (in, _) => col(in) }): _*)
       .collect()
-    val byKey: Map[Any, Array[(Long, Long, Row)]] = rRows
-      .groupBy(_.get(0))
-      .map { case (k, rows) =>
-        k -> rows.map { r =>
-          val ts = r.getLong(1)
-          val tie = if (r.isNullAt(2)) Long.MinValue else r.getLong(2) // nulls sort first
-          (ts, tie, r)
-        }.sortBy { case (ts, tie, _) => (ts, tie) }
-      }
-    val bc = spark.sparkContext.broadcast(byKey)
     val rightSchema = right.schema
     val payFields = payload.map { case (in, out) =>
       val f = rightSchema(rightSchema.fieldIndex(in))
       StructField(out, f.dataType, nullable = true)
     }
     val tsField = rightSchema(rightSchema.fieldIndex(rightTs))
-    val outSchema = StructType(
-      left.schema.fields.toSeq ++ payFields :+
-        StructField("matched_ts", tsField.dataType, nullable = true))
-    val keyIdx = left.columns.indexOf(keyCol)
-    val tsIdx = left.columns.indexOf(leftTs)
-    val bwd = direction == "backward" || direction == "nearest"
-    val fwd = direction == "forward" || direction == "nearest"
-    val rdd = left.rdd.mapPartitions { rows =>
-      val m = bc.value
-      val nulls: Seq[Any] = Seq.fill(nPay + 1)(null)
-      rows.map { lr =>
-        val matched: Option[Row] = {
-          if (lr.isNullAt(tsIdx) || lr.isNullAt(keyIdx)) None
-          else m.get(lr.get(keyIdx)) match {
-            case None => None
-            case Some(arr) =>
-              val t = lr.getAs[Number](tsIdx).longValue()
-              // upper bound: first index with ts > t
-              var lo = 0; var hi = arr.length
-              while (lo < hi) {
-                val mid = (lo + hi) >>> 1
-                if (arr(mid)._1 <= t) lo = mid + 1 else hi = mid
-              }
-              val mb: Option[(Long, Row)] = // greatest ts <= t, largest tie
-                if (bwd && lo > 0) Some((arr(lo - 1)._1, arr(lo - 1)._3)) else None
-              val mf: Option[(Long, Row)] = // smallest ts >= t, largest tie
-                if (fwd) {
-                  // lower bound: first index with ts >= t
-                  var lo2 = 0; var hi2 = arr.length
-                  while (lo2 < hi2) {
-                    val mid = (lo2 + hi2) >>> 1
-                    if (arr(mid)._1 < t) lo2 = mid + 1 else hi2 = mid
-                  }
-                  if (lo2 >= arr.length) None
-                  else {
-                    val v = arr(lo2)._1 // last element of the ts == v group
-                    var j = lo2
-                    while (j + 1 < arr.length && arr(j + 1)._1 == v) j += 1
-                    Some((v, arr(j)._3))
-                  }
-                } else None
-              val pick = direction match {
-                case "backward" => mb
-                case "forward"  => mf
-                case _ => (mb, mf) match { // nearest; equal distance → backward
-                  case (Some(b), Some(f)) =>
-                    if (t - b._1 <= f._1 - t) Some(b) else Some(f)
-                  case (b, f) => b.orElse(f)
-                }
-              }
-              pick.filter { case (mts, _) =>
-                tolerance == 0L || math.abs(t - mts) <= tolerance
-              }.map(_._2)
-          }
+    val resultType = StructType(
+      payFields :+ StructField("matched_ts", tsField.dataType, nullable = true))
+    // probe table values are CATALYST-format (keys via the key converter so
+    // executor-side child eval results hash-match; result structs prebuilt in
+    // output layout) — the probe itself is an Expression, so the huge left
+    // side stays in Tungsten format instead of deserializing through left.rdd
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val keyConv = CatalystTypeConverters.createToCatalystConverter(lKeyDt)
+    val valConvs = (payFields.map(_.dataType) :+ tsField.dataType)
+      .map(CatalystTypeConverters.createToCatalystConverter).toArray
+    val byKey: Map[Any, (Array[Long], Array[InternalRow])] = rRows
+      .groupBy(_.get(0))
+      .map { case (k, rows) =>
+        val sorted = rows.map { r =>
+          val ts = r.getLong(1)
+          val tie = if (r.isNullAt(2)) Long.MinValue else r.getLong(2) // nulls sort first
+          (ts, tie, r)
+        }.sortBy { case (ts, tie, _) => (ts, tie) }
+        val tsArr = sorted.map(_._1)
+        val irs: Array[InternalRow] = sorted.map { case (_, _, r) =>
+          val vals = new Array[Any](nPay + 1)
+          var i = 0
+          while (i < nPay) { vals(i) = valConvs(i)(r.get(4 + i)); i += 1 }
+          vals(nPay) = valConvs(nPay)(r.get(3))
+          new GenericInternalRow(vals): InternalRow
         }
-        // collected layout: 0=key, 1=ts(long), 2=tie(long), 3=original ts,
-        // 4.. = payload values
-        val tail: Seq[Any] = matched match {
-          case Some(r) => (4 until 4 + nPay).map(r.get) :+ r.get(3)
-          case None    => nulls
-        }
-        Row.fromSeq(lr.toSeq ++ tail)
+        keyConv(k) -> (tsArr, irs)
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+    val bc = spark.sparkContext.broadcast(graft.functions.AsOfProbeTable(byKey))
+    val probe = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.AsOfProbeExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(keyCol)),
+        org.apache.spark.sql.GraftBridge.expression(col(leftTs).cast("long")),
+        bc, resultType, direction, tolerance))
+    left.withColumn("__asof_probe", probe)
+      .select(leftCols.map(col) ++
+        payload.map { case (_, out) => col("__asof_probe").getField(out).as(out) } :+
+        col("__asof_probe").getField("matched_ts").as("matched_ts"): _*)
   }
 }

@@ -279,8 +279,11 @@ object CorpusStats {
    * between runs; this is one deterministic aggregate). Bin width =
    * (hi − lo)/nBins in exact double arithmetic; values clamp into the edge
    * bins (below lo → bin 0, ≥ hi → bin nBins−1 — profiling convention, so
-   * no row is silently dropped); nulls are excluded. Only occupied bins are
-   * returned. One shuffle on the bin id.
+   * no finite row is silently dropped); nulls AND NaNs are excluded (a NaN
+   * survives isNotNull and Spark's non-ANSI cast would silently count it in
+   * bin 0 — and the DuckDB oracle diverges on it — so it is filtered
+   * explicitly; −∞/+∞ clamp into the edge bins like any out-of-range value).
+   * Only occupied bins are returned. One shuffle on the bin id.
    * @return (bin, lo_edge, hi_edge, n) — edges rounded to 4
    */
   def exactHistogram(
@@ -288,7 +291,8 @@ object CorpusStats {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     val w = (hi - lo) / nBins
-    df.select(col(valueCol).cast("double").as("__v")).filter(col("__v").isNotNull)
+    df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
       .select(least(greatest(floor((col("__v") - lit(lo)) / lit(w)).cast("long"), lit(0L)),
         lit(nBins.toLong - 1L)).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"))

@@ -108,7 +108,20 @@ object Decontaminate {
    */
   def contaminatedSpans(
       corpus: DataFrame, idCol: String, textCol: String,
-      bench: DataFrame, benchTextCol: String, k: Int = 20): DataFrame = {
+      bench: DataFrame, benchTextCol: String, k: Int = 20,
+      maxBenchBytes: Long = graft.operators.SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    // fail fast instead of OOMing the broadcast when someone passes a
+    // corpus-sized frame as `bench` (same guard posture as asofJoinBroadcast /
+    // SimSearch.requireCollectableQueries); raise or pass 0 deliberately
+    require(maxBenchBytes >= 0L,
+      s"maxBenchBytes must be >= 0 (0 disables the guard), got $maxBenchBytes")
+    if (maxBenchBytes > 0L) {
+      val est = bench.select(col(benchTextCol)).queryExecution.optimizedPlan.stats.sizeInBytes
+      require(est <= BigInt(maxBenchBytes),
+        s"benchmark side estimate $est bytes exceeds the $maxBenchBytes-byte broadcast " +
+          "guard — contaminatedSpans broadcasts the BENCH gram set; pass the smaller " +
+          "frame as bench, or raise maxBenchBytes deliberately")
+    }
     val g = corpus.select(col(idCol).as("__id"),
         posexplode(Dedup.charGrams(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))

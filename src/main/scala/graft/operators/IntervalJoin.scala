@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /**
  * Point-in-interval (range) join, BUCKETED — the scale-safe form of
@@ -28,6 +29,26 @@ import org.apache.spark.sql.functions._
  */
 object IntervalJoin {
 
+  /** Bucket id of `c` = the bucket's START value, `v - pmod(v, width)` — pure
+    * Long arithmetic, so bucketing is EXACT at any magnitude (a
+    * floor(double/width) bucket id silently distorts boundaries above 2⁵³,
+    * i.e. epoch-nanos scale). Integral columns go straight to Long; fractional
+    * ones floor first (floor(-3.5) = −4 keeps the mapping monotone), which
+    * confines double rounding to inputs that were already doubles. */
+  private def bucketStart(c: Column, dt: DataType, width: Long): Column = {
+    val v = dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("long")
+      case _ => floor(c.cast("double")).cast("long")
+    }
+    v - pmod(v, lit(width))
+  }
+
+  /** Largest interval span (in bucket-start units) allowed by
+    * `maxBucketsPerInterval` buckets, saturating instead of overflowing. */
+  private def maxSpan(maxBuckets: Long, width: Long): Long =
+    if (maxBuckets - 1L > Long.MaxValue / width) Long.MaxValue
+    else (maxBuckets - 1L) * width
+
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
@@ -43,21 +64,23 @@ object IntervalJoin {
       require(points.columns.contains(k) && intervals.columns.contains(k),
         s"key column '$k' must exist on both sides")
     }
-    def bkt(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
+    def bktI(c: Column) =
+      bucketStart(c, intervals.schema(intervals.schema.fieldIndex(startCol)).dataType, bucketWidth)
     val ib = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(startCol) <= col(endCol))
-      .withColumn("__nb", bkt(col(endCol)) - bkt(col(startCol)) + 1)
-      .withColumn("__bkt", explode(sequence(bkt(col(startCol)),
-        when(col("__nb") <= maxBucketsPerInterval, bkt(col(endCol)))
+      .withColumn("__nb", bktI(col(endCol)) - bktI(col(startCol)))
+      .withColumn("__bkt", explode(sequence(bktI(col(startCol)),
+        when(col("__nb") <= maxSpan(maxBucketsPerInterval, bucketWidth), bktI(col(endCol)))
           .otherwise(raise_error(concat(
             lit(s"interval spans more than $maxBucketsPerInterval buckets of width " +
               s"$bucketWidth: ["), col(startCol), lit(", "), col(endCol),
-            lit("] — raise bucketWidth or cap the interval")))))))
+            lit("] — raise bucketWidth or cap the interval")))),
+        lit(bucketWidth))))
       .drop("__nb")
     val pb = points.filter(col(pointCol).isNotNull)
-      .withColumn("__bkt", bkt(col(pointCol)))
+      .withColumn("__bkt", bucketStart(col(pointCol),
+        points.schema(points.schema.fieldIndex(pointCol)).dataType, bucketWidth))
     pb.join(ib, (keyCols :+ "__bkt").toSeq)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bkt")
@@ -78,26 +101,32 @@ object IntervalJoin {
       bucketWidth: Long, keyCols: Seq[String] = Nil,
       maxBucketsPerInterval: Long = 10000L): DataFrame = {
     require(bucketWidth > 0L, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0L,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val overlap = (left.columns.toSet intersect right.columns.toSet) -- keyCols
     require(overlap.isEmpty,
       s"non-key column names must be disjoint, both sides have: ${overlap.toSeq.sorted}")
-    def bkt(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / lit(bucketWidth.toDouble)).cast("long")
-    def explodeSide(df: DataFrame, sCol: String, eCol: String): DataFrame = df
-      .filter(col(sCol).isNotNull && col(eCol).isNotNull && col(sCol) <= col(eCol))
-      .withColumn("__nb", bkt(col(eCol)) - bkt(col(sCol)) + 1)
-      .withColumn("__bkt", explode(sequence(bkt(col(sCol)),
-        when(col("__nb") <= maxBucketsPerInterval, bkt(col(eCol)))
-          .otherwise(raise_error(concat(
-            lit(s"interval spans more than $maxBucketsPerInterval buckets of width " +
-              s"$bucketWidth: ["), col(sCol), lit(", "), col(eCol),
-            lit("] — raise bucketWidth or cap the interval")))))))
-      .drop("__nb")
+    def dtOf(df: DataFrame, c: String) = df.schema(df.schema.fieldIndex(c)).dataType
+    def explodeSide(df: DataFrame, sCol: String, eCol: String): DataFrame = {
+      def bkt(c: Column) = bucketStart(c, dtOf(df, sCol), bucketWidth)
+      df.filter(col(sCol).isNotNull && col(eCol).isNotNull && col(sCol) <= col(eCol))
+        .withColumn("__nb", bkt(col(eCol)) - bkt(col(sCol)))
+        .withColumn("__bkt", explode(sequence(bkt(col(sCol)),
+          when(col("__nb") <= maxSpan(maxBucketsPerInterval, bucketWidth), bkt(col(eCol)))
+            .otherwise(raise_error(concat(
+              lit(s"interval spans more than $maxBucketsPerInterval buckets of width " +
+                s"$bucketWidth: ["), col(sCol), lit(", "), col(eCol),
+              lit("] — raise bucketWidth or cap the interval")))),
+          lit(bucketWidth))))
+        .drop("__nb")
+    }
     val lb = explodeSide(left, leftStart, leftEnd)
     val rb = explodeSide(right, rightStart, rightEnd)
     lb.join(rb, (keyCols :+ "__bkt").toSeq)
       .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
-      .filter(col("__bkt") === greatest(bkt(col(leftStart)), bkt(col(rightStart))))
+      .filter(col("__bkt") === greatest(
+        bucketStart(col(leftStart), dtOf(left, leftStart), bucketWidth),
+        bucketStart(col(rightStart), dtOf(right, rightStart), bucketWidth)))
       .drop("__bkt")
   }
 }

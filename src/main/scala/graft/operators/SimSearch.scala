@@ -471,8 +471,9 @@ object SimSearch {
    * split into `nSub` contiguous subspaces; each subspace gets a `ksub`-entry
    * codebook (deterministically seeded from the ksub smallest-id corpus
    * vectors' sub-vectors — the [[topKIvf]] seeding rule applied per
-   * subspace); every corpus vector is ENCODED as nSub small codes (argmin
-   * squared-L2 per subspace, ties to the smaller code). Search is
+   * subspace — then refined by `nIters` per-subspace Lloyd passes, see
+   * [[pqTrainModel]]); every corpus vector is ENCODED as nSub small codes
+   * (argmin squared-L2 per subspace, ties to the smaller code). Search is
    * asymmetric-distance computation (ADC): each query precomputes an
    * nSub×ksub table of sub-dot-products against the codebooks, and a
    * corpus row scores in O(nSub) table lookups instead of O(dim)
@@ -498,101 +499,40 @@ object SimSearch {
    * `maxQueryBytes`); ONE corpus scan encodes and scores with no shuffle of
    * the corpus; per-query top-k via the usual window. At petabyte scale the
    * natural extension is persisting the encoded corpus and re-scanning only
-   * codes — the encoding pass here is fused for single-job simplicity.
+   * codes — that split is [[pqEncode]] → [[pqSearchEncoded]]; this fused
+   * form re-encodes per call for single-job simplicity.
    *
    * @return (query_id, neighbor_id, adc_cosine rounded to 4)
    */
   def topKPq(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
-      k: Int, nSub: Int = 8, ksub: Int = 16, excludeSelf: Boolean = false,
+      k: Int, nSub: Int = 8, ksub: Int = 16, nIters: Int = 0,
+      excludeSelf: Boolean = false,
       maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    require(nSub > 0, s"nSub must be positive, got $nSub")
-    require(ksub > 0 && ksub <= 256, s"need 0 < ksub <= 256 (codes are bytes), got $ksub")
-    requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
     requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
     val spark = corpus.sparkSession
-    def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
-      if (r.isNullAt(0) || r.isNullAt(1)) None
-      else {
-        val v = r.getSeq[Float](1).toArray
-        var n = 0.0; var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
-      }
-    }
+    val model = pqTrainModel(corpus, cId, cVec, nSub, ksub, nIters)
     val slim = corpus.select(col(cId).cast("long"), col(cVec))
-    // codebooks: per subspace m, codeword j = seed j's sub-vector (doubles)
-    val seeds: Array[Array[Float]] = slim
-      .orderBy(col(cId).cast("long")).limit(ksub)
-      .collect().flatMap(withNorm).map(_._2)
-    require(seeds.nonEmpty, "corpus has no non-null non-zero vectors to seed codebooks")
-    val dim = seeds(0).length
-    require(seeds.forall(_.length == dim),
-      s"codebook seeds must share one dimension, got ${seeds.map(_.length).distinct.toSeq}")
-    require(dim % nSub == 0, s"dim $dim must be divisible by nSub $nSub")
-    val subDim = dim / nSub
-    val nCodes = seeds.length
-    // cw(m)(j)(d); cn2(m)(j) = ||codeword||² (d-ascending fold)
-    val cw = Array.tabulate(nSub, nCodes) { (m, j) =>
-      Array.tabulate(subDim)(d => seeds(j)(m * subDim + d).toDouble)
-    }
-    val cn2 = Array.tabulate(nSub, nCodes) { (m, j) =>
-      var n = 0.0; var d = 0
-      while (d < subDim) { n += cw(m)(j)(d) * cw(m)(j)(d); d += 1 }
-      n
-    }
-    // query ADC tables: qdot(m)(j) = dot(q_m, c_mj); qn² = Σ_m ||q_m||²
-    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect()
-      .flatMap(withNorm).filter(_._2.length == dim).map { case (qid, qv, _) =>
-        val tbl = Array.tabulate(nSub, nCodes) { (m, j) =>
-          var dot = 0.0; var d = 0
-          while (d < subDim) { dot += qv(m * subDim + d).toDouble * cw(m)(j)(d); d += 1 }
-          dot
-        }
-        var qn2 = 0.0
-        var m = 0
-        while (m < nSub) {
-          var sn = 0.0; var d = 0
-          while (d < subDim) {
-            val x = qv(m * subDim + d).toDouble; sn += x * x; d += 1
-          }
-          qn2 += sn; m += 1
-        }
-        (qid, tbl, math.sqrt(qn2))
-      }
-    val bc = spark.sparkContext.broadcast(qRows)
+    val qRows = pqAdcTables(queries, qId, qVec, model)
+      .map { case (qid, _, tbl, qSqrt) => (qid, tbl, qSqrt) }
+    val bc = spark.sparkContext.broadcast((model, qRows))
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("__cos", DoubleType)))
+    val dim = model.dim
     val rdd = slim.rdd.mapPartitions { rows =>
-      val qs = bc.value
+      val (m0, qs) = bc.value
       rows.flatMap { r =>
-        withNorm(r) match {
+        vecWithNorm(r) match {
           case Some((cid, cv, _)) if cv.length == dim =>
-            // encode: per subspace, argmin squared-L2 (d-ascending), tie → smaller j
-            val codes = new Array[Int](nSub)
-            var m = 0
-            while (m < nSub) {
-              var best = 0; var bestD = Double.PositiveInfinity
-              var j = 0
-              while (j < nCodes) {
-                var dist = 0.0; var d = 0
-                while (d < subDim) {
-                  val diff = cv(m * subDim + d).toDouble - cw(m)(j)(d)
-                  dist += diff * diff; d += 1
-                }
-                if (dist < bestD) { bestD = dist; best = j }
-                j += 1
-              }
-              codes(m) = best; m += 1
-            }
+            val codes = pqEncodeVec(cv, m0)
             var rn2 = 0.0
-            m = 0
-            while (m < nSub) { rn2 += cn2(m)(codes(m)); m += 1 }
+            var m = 0
+            while (m < m0.nSub) { rn2 += m0.cn2(m)(codes(m)); m += 1 }
             if (rn2 == 0.0) Iterator.empty
             else {
               val rSqrt = math.sqrt(rn2)
@@ -600,12 +540,286 @@ object SimSearch {
                 if (excludeSelf && qid == cid) None
                 else {
                   var dot = 0.0; var mm = 0
-                  while (mm < nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
+                  while (mm < m0.nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
                   Some(Row(qid, cid, dot / (qSqrt * rSqrt)))
                 }
               }
             }
           case _ => Iterator.empty
+        }
+      }
+    }
+    val scored = spark.createDataFrame(rdd, outSchema)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
+  }
+
+  /** Trained product-quantizer: per-subspace codebooks `cw(m)(j)(d)` (Doubles)
+    * with their precomputed squared norms `cn2(m)(j)` (d-ascending folds).
+    * Small (nSub·ksub·subDim doubles — KBs); rides closures/broadcasts whole.
+    * Build with [[pqTrainModel]]; consume with [[pqEncode]] /
+    * [[pqSearchEncoded]] (the persisted-corpus path) or [[topKPq]] (fused). */
+  final case class PqModel(nSub: Int, subDim: Int, cw: Array[Array[Array[Double]]])
+      extends Serializable {
+    def dim: Int = nSub * subDim
+    def nCodes: Int = cw(0).length
+    val cn2: Array[Array[Double]] = Array.tabulate(nSub, nCodes) { (m, j) =>
+      var n = 0.0; var d = 0
+      while (d < subDim) { n += cw(m)(j)(d) * cw(m)(j)(d); d += 1 }
+      n
+    }
+  }
+
+  /** Shared row reader for (id: castable-to-long, vec: array<float>) frames:
+    * null-safe, returns the vector and its L2 norm, None for null/zero-norm
+    * rows (no defined angle — excluded everywhere by the kernel contracts). */
+  private[operators] def vecWithNorm(
+      r: org.apache.spark.sql.Row): Option[(Long, Array[Float], Double)] = {
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else {
+      val v = r.getSeq[Float](1).toArray
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+      if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
+    }
+  }
+
+  /**
+   * Train a [[PqModel]] on `corpus`: codebooks seeded per subspace from the
+   * `ksub` smallest-id eligible vectors' sub-vectors (the [[topKIvf]] seeding
+   * rule), then refined by `nIters` deterministic per-subspace Lloyd passes —
+   * each pass encodes every eligible uniform-dim vector (argmin squared-L2,
+   * tie → smaller code) and rebuilds each codeword as the integer-quantized
+   * mean of its assigned sub-vectors (`floor(x·10⁶ + 0.5)` Long sums — exact,
+   * commutative, partitioning-invariant, and mirrored verbatim by
+   * `Oracles.annPqSql`'s unrolled training CTEs, so codebooks are
+   * bit-identical across engines). Empty codewords keep their previous value
+   * (zero-norm means are allowed — unlike IVF centroids, a zero codeword
+   * breaks nothing: encoding is squared-L2 and reconstruction-norm zero rows
+   * are dropped at scoring). One corpus scan per iteration; the driver
+   * collects only partitions × nSub × ksub × subDim Longs.
+   */
+  def pqTrainModel(
+      corpus: DataFrame, cId: String, cVec: String,
+      nSub: Int = 8, ksub: Int = 16, nIters: Int = 0): PqModel = {
+    require(nSub > 0, s"nSub must be positive, got $nSub")
+    require(ksub > 0 && ksub <= 256, s"need 0 < ksub <= 256 (codes are bytes), got $ksub")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
+    requireIntegralId(corpus, cId, "corpus")
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    // eligibility filters AFTER the id-ranked LIMIT (the topKIvf/topKPq
+    // seeding contract: a null among the smallest ids shrinks the seed set)
+    val seeds: Array[Array[Float]] = slim
+      .orderBy(col(cId).cast("long")).limit(ksub)
+      .collect().flatMap(vecWithNorm).map(_._2)
+    require(seeds.nonEmpty, "corpus has no non-null non-zero vectors to seed codebooks")
+    val dim = seeds(0).length
+    require(seeds.forall(_.length == dim),
+      s"codebook seeds must share one dimension, got ${seeds.map(_.length).distinct.toSeq}")
+    require(dim % nSub == 0, s"dim $dim must be divisible by nSub $nSub")
+    val subDim = dim / nSub
+    val cw0 = Array.tabulate(nSub, seeds.length) { (m, j) =>
+      Array.tabulate(subDim)(d => seeds(j)(m * subDim + d).toDouble)
+    }
+    PqModel(nSub, subDim, pqRefine(slim, cw0, dim, nSub, subDim, nIters))
+  }
+
+  /** Per-subspace argmin-squared-L2 code (d-ascending fold, tie → smaller j)
+    * — THE encoding step, shared by training, [[pqEncode]] and the fused
+    * search paths so all four agree bit-for-bit. */
+  private[operators] def pqNearestSub(
+      v: Array[Float], m: Int, subDim: Int, cwm: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.PositiveInfinity
+    var j = 0
+    while (j < cwm.length) {
+      var dist = 0.0; var d = 0
+      while (d < subDim) {
+        val diff = v(m * subDim + d).toDouble - cwm(j)(d)
+        dist += diff * diff; d += 1
+      }
+      if (dist < bestD) { bestD = dist; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** All `nSub` codes for one uniform-dim vector (see [[pqNearestSub]]). */
+  private[operators] def pqEncodeVec(v: Array[Float], model: PqModel): Array[Int] = {
+    val codes = new Array[Int](model.nSub)
+    var m = 0
+    while (m < model.nSub) { codes(m) = pqNearestSub(v, m, model.subDim, model.cw(m)); m += 1 }
+    codes
+  }
+
+  /** `nIters` deterministic per-subspace Lloyd passes (see [[pqTrainModel]]). */
+  private[operators] def pqRefine(
+      slim: DataFrame, cw0: Array[Array[Array[Double]]],
+      dim: Int, nSub: Int, subDim: Int, nIters: Int): Array[Array[Array[Double]]] = {
+    var cw = cw0
+    val sc = slim.sparkSession.sparkContext
+    var it = 0
+    while (it < nIters) {
+      val nCodes = cw(0).length
+      val bcC = sc.broadcast(cw)
+      val partials = slim.rdd.mapPartitions { rows =>
+        val cws = bcC.value
+        val sums = Array.fill(nSub, nCodes)(new Array[Long](subDim))
+        val cnts = Array.fill(nSub)(new Array[Long](nCodes))
+        rows.foreach { r =>
+          vecWithNorm(r) match {
+            case Some((_, v, _)) if v.length == dim =>
+              var m = 0
+              while (m < nSub) {
+                val j = pqNearestSub(v, m, subDim, cws(m))
+                val s = sums(m)(j); var d = 0
+                while (d < subDim) {
+                  s(d) += math.floor(v(m * subDim + d).toDouble * IvfQuantScale + 0.5).toLong
+                  d += 1
+                }
+                cnts(m)(j) += 1L
+                m += 1
+              }
+            case _ => ()
+          }
+        }
+        Iterator.range(0, nSub * nCodes)
+          .map(x => (x / nCodes, x % nCodes, sums(x / nCodes)(x % nCodes), cnts(x / nCodes)(x % nCodes)))
+      }.collect()
+      val sumAll = Array.fill(nSub, nCodes)(new Array[Long](subDim))
+      val cntAll = Array.fill(nSub)(new Array[Long](nCodes))
+      partials.foreach { case (m, j, s, c) =>
+        val t = sumAll(m)(j); var d = 0
+        while (d < subDim) { t(d) += s(d); d += 1 }
+        cntAll(m)(j) += c
+      }
+      cw = Array.tabulate(nSub, nCodes) { (m, j) =>
+        if (cntAll(m)(j) == 0L) cw(m)(j)
+        else Array.tabulate(subDim) { d =>
+          sumAll(m)(j)(d).toDouble / (IvfQuantScale * cntAll(m)(j))
+        }
+      }
+      bcC.unpersist(false)
+      it += 1
+    }
+    cw
+  }
+
+  /** Query-side ADC tables: per eligible uniform-dim query, `tbl(m)(j) =
+    * dot(q_m, c_mj)` (d-ascending folds) plus the query norm — the
+    * collect-and-broadcast half of every PQ search path. Returns the raw
+    * vector too ([[topKIvfPq]] needs it for coarse-list probing). */
+  private[operators] def pqAdcTables(
+      queries: DataFrame, qId: String, qVec: String,
+      model: PqModel): Array[(Long, Array[Float], Array[Array[Double]], Double)] = {
+    val nSub = model.nSub; val subDim = model.subDim
+    queries.select(col(qId).cast("long"), col(qVec)).collect()
+      .flatMap(vecWithNorm).filter(_._2.length == model.dim).map { case (qid, qv, _) =>
+        val tbl = Array.tabulate(nSub, model.nCodes) { (m, j) =>
+          var dot = 0.0; var d = 0
+          while (d < subDim) { dot += qv(m * subDim + d).toDouble * model.cw(m)(j)(d); d += 1 }
+          dot
+        }
+        var qn2 = 0.0
+        var m = 0
+        while (m < nSub) {
+          var sn = 0.0; var d = 0
+          while (d < subDim) { val x = qv(m * subDim + d).toDouble; sn += x * x; d += 1 }
+          qn2 += sn; m += 1
+        }
+        (qid, qv, tbl, math.sqrt(qn2))
+      }
+  }
+
+  /**
+   * Encode `corpus` once against a trained [[PqModel]] → `(id: long, codes:
+   * binary)` at nSub BYTES per row (vs 4·dim — 32× at dim=64, nSub=8). THE
+   * petabyte-scale PQ layout: persist this frame, then run every query batch
+   * through [[pqSearchEncoded]] scanning only codes — the encode cost is paid
+   * once, not per search ([[topKPq]] fuses encode+search for single-job
+   * simplicity and re-encodes per call). Null / zero-norm / wrong-dimension
+   * corpus rows are dropped here (they can never score); zero-reconstruction
+   * rows are kept and dropped at search, exactly where the fused path drops
+   * them.
+   */
+  def pqEncode(corpus: DataFrame, cId: String, cVec: String, model: PqModel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    requireIntegralId(corpus, cId, "corpus")
+    val spark = corpus.sparkSession
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val bc = spark.sparkContext.broadcast(model)
+    val dim = model.dim
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("codes", BinaryType)))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val m0 = bc.value
+      rows.flatMap { r =>
+        vecWithNorm(r) match {
+          case Some((cid, cv, _)) if cv.length == dim =>
+            Some(Row(cid, pqEncodeVec(cv, m0).map(_.toByte)))
+          case _ => None
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * ADC top-k over a pre-encoded corpus (see [[pqEncode]]): queries collect
+   * to ADC tables (guarded), ONE scan of the `(id, codes)` frame scores each
+   * row in O(nSub) table lookups — no vector column is read at all. With the
+   * same model, bit-identical to [[topKPq]] (gate `ann_pq_encoded` pins hash
+   * parity against the fused path's oracle). Codes are unsigned bytes
+   * (`& 0xFF`), so any ksub ≤ 256 round-trips.
+   *
+   * @return (query_id, neighbor_id, adc_cosine rounded to 4)
+   */
+  def pqSearchEncoded(
+      encoded: DataFrame, eId: String, eCodes: String,
+      queries: DataFrame, qId: String, qVec: String,
+      model: PqModel, k: Int, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    requireIntegralId(encoded, eId, "encoded corpus")
+    requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
+    val spark = encoded.sparkSession
+    val qRows = pqAdcTables(queries, qId, qVec, model)
+      .map { case (qid, _, tbl, qSqrt) => (qid, tbl, qSqrt) }
+    val bc = spark.sparkContext.broadcast((model, qRows))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val rdd = encoded.select(col(eId).cast("long"), col(eCodes)).rdd.mapPartitions { rows =>
+      val (m0, qs) = bc.value
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val cid = r.getLong(0)
+          val raw = r.getAs[Array[Byte]](1)
+          if (raw.length != m0.nSub) Iterator.empty
+          else {
+            val codes = new Array[Int](m0.nSub)
+            var m = 0
+            while (m < m0.nSub) { codes(m) = raw(m) & 0xFF; m += 1 }
+            var rn2 = 0.0
+            m = 0
+            while (m < m0.nSub) { rn2 += m0.cn2(m)(codes(m)); m += 1 }
+            if (rn2 == 0.0) Iterator.empty
+            else {
+              val rSqrt = math.sqrt(rn2)
+              qs.iterator.flatMap { case (qid, tbl, qSqrt) =>
+                if (excludeSelf && qid == cid) None
+                else {
+                  var dot = 0.0; var mm = 0
+                  while (mm < m0.nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
+                  Some(Row(qid, cid, dot / (qSqrt * rSqrt)))
+                }
+              }
+            }
+          }
         }
       }
     }
@@ -626,7 +840,9 @@ object SimSearch {
    * mirror; documented trade).
    *
    * Determinism/eligibility contracts are the intersection of [[topKIvf]]
-   * and [[topKPq]] (both mirrored in `Oracles.annIvfPqSql`): id-seeded
+   * and [[topKPq]] (both mirrored in `Oracles.annIvfPqSql`; `pqIters` trains
+   * the sub-codebooks like [[pqTrainModel]], independent of the coarse
+   * quantizer's `nIters`): id-seeded
    * Lloyd centroids, (cosine desc, index asc) assignment, per-subspace
    * seeded codebooks, fixed-order folds, zero-reconstruction rows dropped.
    * Plan shape: centroids + codebooks in the closure, bucketed query ADC
@@ -638,7 +854,7 @@ object SimSearch {
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
       k: Int, nList: Int = 16, nProbe: Int = 4, nIters: Int = 0,
-      nSub: Int = 8, ksub: Int = 16, excludeSelf: Boolean = false,
+      nSub: Int = 8, ksub: Int = 16, pqIters: Int = 0, excludeSelf: Boolean = false,
       maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -647,28 +863,20 @@ object SimSearch {
     require(nIters >= 0, s"nIters must be >= 0, got $nIters")
     require(nSub > 0, s"nSub must be positive, got $nSub")
     require(ksub > 0 && ksub <= 256, s"need 0 < ksub <= 256, got $ksub")
+    require(pqIters >= 0, s"pqIters must be >= 0, got $pqIters")
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
     requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
     val spark = corpus.sparkSession
-    def withNorm(r: Row): Option[(Long, Array[Float], Double)] = {
-      if (r.isNullAt(0) || r.isNullAt(1)) None
-      else {
-        val v = r.getSeq[Float](1).toArray
-        var n = 0.0; var i = 0
-        while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
-      }
-    }
     val slim = corpus.select(col(cId).cast("long"), col(cVec))
     // one id-ranked collect feeds both seed pools; eligibility filters AFTER
     // each LIMIT (a null among the smallest ids shrinks that seed set, it
     // does not pull in the next id — the topKIvf/topKPq seeding contract)
     val seedPool = slim.orderBy(col(cId).cast("long"))
       .limit(math.max(nList, ksub)).collect()
-    val centSeeds = seedPool.take(nList).flatMap(withNorm)
+    val centSeeds = seedPool.take(nList).flatMap(vecWithNorm)
       .map { case (_, v, n) => (v.map(_.toDouble), n) }
-    val pqSeeds = seedPool.take(ksub).flatMap(withNorm).map(_._2)
+    val pqSeeds = seedPool.take(ksub).flatMap(vecWithNorm).map(_._2)
     require(centSeeds.nonEmpty && pqSeeds.nonEmpty,
       "corpus has no non-null non-zero vectors to seed")
     val cents = lloydRefine(slim, centSeeds, nIters)
@@ -677,68 +885,37 @@ object SimSearch {
       s"codebook seeds must share one dimension, got ${pqSeeds.map(_.length).distinct.toSeq}")
     require(dim % nSub == 0, s"dim $dim must be divisible by nSub $nSub")
     val subDim = dim / nSub
-    val nCodes = pqSeeds.length
-    val cw = Array.tabulate(nSub, nCodes) { (m, j) =>
+    val cw0 = Array.tabulate(nSub, pqSeeds.length) { (m, j) =>
       Array.tabulate(subDim)(d => pqSeeds(j)(m * subDim + d).toDouble)
     }
-    val cn2 = Array.tabulate(nSub, nCodes) { (m, j) =>
-      var n = 0.0; var d = 0
-      while (d < subDim) { n += cw(m)(j)(d) * cw(m)(j)(d); d += 1 }
-      n
-    }
+    val model = PqModel(nSub, subDim, pqRefine(slim, cw0, dim, nSub, subDim, pqIters))
     // queries: ADC table + probe lists; grouped by probed list
-    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect()
-      .flatMap(withNorm).filter(_._2.length == dim)
-    val qByList: Map[Int, Array[(Long, Array[Array[Double]], Double)]] = qRows
-      .flatMap { case (qid, qv, qn) =>
-        val tbl = Array.tabulate(nSub, nCodes) { (m, j) =>
-          var dot = 0.0; var d = 0
-          while (d < subDim) { dot += qv(m * subDim + d).toDouble * cw(m)(j)(d); d += 1 }
-          dot
-        }
-        var qn2 = 0.0
-        var m = 0
-        while (m < nSub) {
-          var sn = 0.0; var d = 0
-          while (d < subDim) { val x = qv(m * subDim + d).toDouble; sn += x * x; d += 1 }
-          qn2 += sn; m += 1
-        }
-        val entry = (qid, tbl, math.sqrt(qn2))
-        ivfCentroidCos(cents, qv, qn).zipWithIndex
-          .sortBy { case (cos, j) => (-cos, j) }.take(nProbe)
-          .map { case (_, j) => j -> entry }
-      }.groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2) }
-    val bc = spark.sparkContext.broadcast(qByList)
+    val qByList: Map[Int, Array[(Long, Array[Array[Double]], Double)]] =
+      pqAdcTables(queries, qId, qVec, model)
+        .flatMap { case (qid, qv, tbl, qSqrt) =>
+          var qn2 = 0.0; var i = 0
+          while (i < qv.length) { qn2 += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          val entry = (qid, tbl, qSqrt)
+          ivfCentroidCos(cents, qv, math.sqrt(qn2)).zipWithIndex
+            .sortBy { case (cos, j) => (-cos, j) }.take(nProbe)
+            .map { case (_, j) => j -> entry }
+        }.groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast((model, qByList))
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("__cos", DoubleType)))
     val rdd = slim.rdd.mapPartitions { rows =>
-      val byList = bc.value
+      val (m0, byList) = bc.value
       rows.flatMap { r =>
-        withNorm(r) match {
+        vecWithNorm(r) match {
           case Some((cid, cv, cSqrt)) if cv.length == dim =>
             byList.get(ivfNearest(cents, cv, cSqrt)) match {
               case None => Iterator.empty
               case Some(qs) =>
-                val codes = new Array[Int](nSub)
-                var m = 0
-                while (m < nSub) {
-                  var best = 0; var bestD = Double.PositiveInfinity
-                  var j = 0
-                  while (j < nCodes) {
-                    var dist = 0.0; var d = 0
-                    while (d < subDim) {
-                      val diff = cv(m * subDim + d).toDouble - cw(m)(j)(d)
-                      dist += diff * diff; d += 1
-                    }
-                    if (dist < bestD) { bestD = dist; best = j }
-                    j += 1
-                  }
-                  codes(m) = best; m += 1
-                }
+                val codes = pqEncodeVec(cv, m0)
                 var rn2 = 0.0
-                m = 0
-                while (m < nSub) { rn2 += cn2(m)(codes(m)); m += 1 }
+                var m = 0
+                while (m < m0.nSub) { rn2 += m0.cn2(m)(codes(m)); m += 1 }
                 if (rn2 == 0.0) Iterator.empty
                 else {
                   val rSqrt = math.sqrt(rn2)
@@ -746,7 +923,7 @@ object SimSearch {
                     if (excludeSelf && qid == cid) None
                     else {
                       var dot = 0.0; var mm = 0
-                      while (mm < nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
+                      while (mm < m0.nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
                       Some(Row(qid, cid, dot / (qSqrt * rSqrt)))
                     }
                   }

@@ -1085,6 +1085,141 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval joins bucket exactly beyond 2^53 and floor negatives") {
+    val s = spark
+    import s.implicits._
+    // epoch-nanos scale: ulp(double) = 512 here, so double-based bucketing
+    // would distort boundaries; the pmod bucketing must be exact
+    val base = 4600000000000000000L
+    val w = 1000000000L
+    val ts = (0 until 8).map(i => base + i * 300L - 1200L)
+    val ivs = Seq((100L, base - 1000L, base + 500L), (200L, base + 600L, base + 900L))
+    val out = IntervalJoin.pointInInterval(
+        ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "t"), "t",
+        ivs.toDF("iid", "s", "e"), "s", "e", bucketWidth = w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (t, i) <- ts.zipWithIndex
+      (iid, lo, hi) <- ivs if t >= lo && t <= hi
+    } yield (i.toLong, iid)).toSet
+    assert(out == brute, s"got $out want $brute")
+    // negative values use floor semantics (bucket of -1 at width 10 is [-10,-1],
+    // not [0,9] as truncate-toward-zero would give)
+    val nout = IntervalJoin.pointInInterval(
+        Seq((1L, -5L), (2L, -10L), (3L, -11L), (4L, 0L)).toDF("pid", "t"), "t",
+        Seq((9L, -10L, -5L)).toDF("iid", "s", "e"), "s", "e", bucketWidth = 10L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nout == Set((1L, 9L), (2L, 9L)), s"got $nout")
+    // intervalOverlap now carries the same positivity guard pointInInterval has
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.intervalOverlap(
+        Seq((1L, 0L, 1L)).toDF("aid", "as", "ae"), "as", "ae",
+        Seq((2L, 0L, 1L)).toDF("bid", "bs", "be"), "bs", "be",
+        bucketWidth = 10L, maxBucketsPerInterval = 0L)
+    }
+    assert(e.getMessage.contains("maxBucketsPerInterval"))
+  }
+
+  test("pqTrainModel: a Lloyd pass moves codewords and never hurts clustered recall") {
+    val s = spark
+    import s.implicits._
+    def vec(i: Long): Array[Float] = {
+      val c = (i % 4).toInt
+      Array.tabulate(8) { d =>
+        val base = if (d / 2 == c) 1.0f else 0.05f
+        base + 0.08f * math.sin(i * 8 + d + 1).toFloat
+      }
+    }
+    val corpus = (0L until 80L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 16)
+    // training moved at least one codeword off its id-seeded start
+    val m0 = SimSearch.pqTrainModel(corpus, "id", "vec", nSub = 4, ksub = 8, nIters = 0)
+    val m1 = SimSearch.pqTrainModel(corpus, "id", "vec", nSub = 4, ksub = 8, nIters = 1)
+    assert(m0.cw.flatten.map(_.toSeq) != m1.cw.flatten.map(_.toSeq), "training was a no-op")
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.minBy(r => -r.getDouble(2)).getLong(1) }
+    val brute = top1(SimSearch.topK(queries, "id", "vec", corpus, "id", "vec", 1,
+      excludeSelf = true))
+    val seeded = top1(SimSearch.topKPq(queries, "id", "vec", corpus, "id", "vec", 1,
+      nSub = 4, ksub = 8, nIters = 0, excludeSelf = true))
+    val trained = top1(SimSearch.topKPq(queries, "id", "vec", corpus, "id", "vec", 1,
+      nSub = 4, ksub = 8, nIters = 1, excludeSelf = true))
+    val agreeSeeded = brute.keys.count(q => seeded.get(q) == brute.get(q))
+    val agreeTrained = brute.keys.count(q => trained.get(q) == brute.get(q))
+    assert(agreeTrained >= agreeSeeded,
+      s"trained recall regressed: $agreeTrained < $agreeSeeded of ${brute.size}")
+  }
+
+  test("pqEncode/pqSearchEncoded: bit-identical to fused topKPq; codes round-trip past 127") {
+    val s = spark
+    import s.implicits._
+    // 140 distinct sub-vectors with ksub = 140: every vector is its own
+    // codeword, so codes span 0..139 and exercise the signed-byte round-trip
+    val corpus = (0L until 140L).map { i =>
+      (i, Array((2 * i + 1).toFloat, (2 * i + 2).toFloat, (1000 - i).toFloat, (i % 7).toFloat))
+    }.toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 6)
+    val model = SimSearch.pqTrainModel(corpus, "id", "vec", nSub = 2, ksub = 140, nIters = 0)
+    val enc = SimSearch.pqEncode(corpus, "id", "vec", model)
+    assert(enc.columns.toSeq == Seq("id", "codes"))
+    assert(enc.count() == 140)
+    val maxCode = enc.collect().flatMap(_.getAs[Array[Byte]](1)).map(_ & 0xFF).max
+    assert(maxCode > 127, s"fixture must produce codes past 127, got max $maxCode")
+    val fused = SimSearch.topKPq(queries, "id", "vec", corpus, "id", "vec", 3,
+        nSub = 2, ksub = 140, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val split = SimSearch.pqSearchEncoded(enc, "id", "codes",
+        queries, "id", "vec", model, 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(split == fused, s"split=$split fused=$fused")
+  }
+
+  test("topKIvfPq recall quantified on clustered data (full-vector codes, pruned probes)") {
+    val s = spark
+    import s.implicits._
+    def vec(i: Long): Array[Float] = {
+      val c = (i % 4).toInt
+      Array.tabulate(8) { d =>
+        val base = if (d / 2 == c) 1.0f else 0.05f
+        base + 0.08f * math.sin(i * 8 + d + 1).toFloat
+      }
+    }
+    val corpus = (0L until 80L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 16)
+    def top1(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.minBy(r => -r.getDouble(2)).getLong(1) }
+    val brute = top1(SimSearch.topK(queries, "id", "vec", corpus, "id", "vec", 1,
+      excludeSelf = true))
+    // the documented trade (codes quantize FULL vectors, not IVF residuals)
+    // measured: on this fixture pruned IVF-PQ top-1 still agrees with brute on
+    // >= 3/4 of queries and never leaves the query's cluster
+    val ivfpq = top1(SimSearch.topKIvfPq(queries, "id", "vec", corpus, "id", "vec", 1,
+      nList = 4, nProbe = 2, nIters = 1, nSub = 4, ksub = 16, pqIters = 1,
+      excludeSelf = true))
+    val agree = brute.keys.count(q => ivfpq.get(q) == brute.get(q))
+    assert(agree >= brute.size * 3 / 4,
+      s"IVF-PQ top-1 vs brute: $agree/${brute.size}")
+    assert(ivfpq.forall { case (q, n) => q % 4 == n % 4 }, s"left own cluster: $ivfpq")
+  }
+
+  test("removeDuplicateSpansWords: cut = first char of first word .. last char of last") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val df = docsDf(Seq(
+      (1L, "xx yy " + shared + " zz"),
+      (2L, shared + " ww"),
+      (3L, "unrelated words entirely here nothing shared at all")))
+    val out = Dedup.removeDuplicateSpansWords(df, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the span covers exactly the shared words' chars: flanking separators
+    // survive, inner separators go with the span
+    assert(out(1L) == ("xx yy " + " zz", shared.length.toLong), s"got ${out(1L)}")
+    assert(out(2L) == (" ww", shared.length.toLong), s"got ${out(2L)}")
+    assert(out(3L)._1 == "unrelated words entirely here nothing shared at all")
+    assert(out(3L)._2 == 0L)
+  }
+
   test("duplicateSpansWords: word-unit spans; word-salad swaps are NOT merged") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val df = docsDf(Seq(

@@ -203,6 +203,89 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("BroadcastNestedLoopJoin") && !p2.contains("CartesianProduct"), p2)
   }
 
+  test("interval-join hot bucket triggers AQE skew-join split") {
+    // IntervalJoin.scala delegates hot buckets to AQE's skew join — prove the
+    // promise: one bucket holds ~all points, thresholds tuned so the runtime
+    // re-plan marks the sort-merge join skewed (isSkewJoin renders in the plan)
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivj-skew").toString
+    // 30k points in bucket 0, a handful elsewhere (width 1e6)
+    (1L to 30000L).map(i => (i, i % 997L)).toDF("pid", "t")
+      .union((1L to 40L).map(i => (100000L + i, i * 1000000L + 5L)).toDF("pid", "t"))
+      .write.parquet(dir + "/pts")
+    (0L to 40L).map(i => (2000000L + i, i * 1000000L, i * 1000000L + 999999L))
+      .toDF("iid", "s", "e").write.parquet(dir + "/ivs")
+    val pts = spark.read.parquet(dir + "/pts")
+    val ivs = spark.read.parquet(dir + "/ivs")
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.join.preferSortMergeJoin" -> "true")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val out = graft.operators.IntervalJoin.pointInInterval(
+        pts, "t", ivs, "s", "e", bucketWidth = 1000000L)
+      // run THIS dataset's plan (count() would execute a separate one) so the
+      // adaptive plan finalizes before inspection
+      val n = out.collect().length
+      assert(n == 30040, s"rows=$n") // every point falls in exactly one interval
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split join in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("semDedup plan: no join output carries embedding arrays") {
+    // the within-cluster pair scoring happens inside mapPartitions after ONE
+    // exchange that ships each vector exactly once — a self-join formulation
+    // would put two array columns on every candidate row of the join output
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.operators.Dedup.semDedup(emb, "vec_id", "embedding", 0.4,
+        nList = 4, nIters = 0)
+      val joins = out.queryExecution.executedPlan.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected the final kept-flag join")
+      joins.foreach { j =>
+        val arrays = j.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"join output carries arrays: ${arrays.map(_.name).mkString(",")}")
+      }
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("asofJoinBroadcast probes via expression: no RDD scan in the plan") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof-bcast-plan").toString
+    (1L to 500L).map(i => (i % 5, i * 10L, i)).toDF("k", "ts", "lv")
+      .write.parquet(dir + "/l")
+    (1L to 40L).map(i => (i % 5, i * 100L, i, s"p$i")).toDF("k", "rts", "tie", "pay")
+      .write.parquet(dir + "/r")
+    val out = graft.operators.AsOfJoin.asofJoinBroadcast(
+      spark.read.parquet(dir + "/l"), spark.read.parquet(dir + "/r"),
+      "k", "ts", "rts", Seq("pay" -> "pay"), "tie")
+    val plan = out.queryExecution.executedPlan.toString
+    // the old formulation round-tripped the whole left side through left.rdd,
+    // which plans as a Scan ExistingRDD below everything else
+    assert(!plan.contains("ExistingRDD"), plan)
+    assert(plan.contains("asof_probe"), plan)
+    assert(out.count() == 500L)
+  }
+
   test("per-row top-n uses WindowGroupLimit below the window sort") {
     val l = strDf(Seq("small ring", "small rings", "blue bolt"))
     val plan = SimJoin.keyedPairs(l, "id", "s", l, "id", "s",

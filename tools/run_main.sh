@@ -1,0 +1,18 @@
+#!/bin/bash
+# Run a graft main class against the compiled classes without sbt (avoids the
+# sbt project lock so receipts can run while the sbt shell iterates).
+# Usage: tools/run_main.sh <MainClass> [args...]   (env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, MEM)
+set -euo pipefail
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
+         java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS -Xmx"${MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "graft.$MAIN" "$@"
