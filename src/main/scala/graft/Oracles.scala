@@ -237,6 +237,26 @@ object Oracles {
        |),
        |comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src)""".stripMargin
 
+  /** Exact mirror of Dedup.minHashSignatures → nearDupFromSignatures
+    * (default 8×4 banding): the `mh` CTE IS the signature relation, band
+    * candidates come from [[minHashBandCtes]], and the similarity is the
+    * signature estimate — matching minima / 32 — with no exact-Jaccard
+    * verification anywhere (the operator's whole point is that text is not
+    * read at search time). */
+  def minHashSigPairsSql(threshold: Double): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes("dsh", "doc_id")},
+       |sig_est AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32.0 AS est
+       |  FROM mcand c
+       |  JOIN mh a ON a.doc_id = c.id_a
+       |  JOIN mh b ON b.doc_id = c.id_b AND a.j = b.j
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, round(est, 6) AS est_jaccard
+       |FROM sig_est WHERE est >= $threshold""".stripMargin
+
   /** Exact mirror of Dedup.minHashLshPairsBetween (default 8×4 banding) with
     * side A / side B = `documents` filtered by predA / predB — banding
     * mirrored, then exact Jaccard of candidates. */

@@ -142,6 +142,12 @@ object SparkEntry {
       Dedup.containmentPairs(rd(s, dir, "documents"), "doc_id", "text", 0.9)),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minHashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
+    // encode-once signature layout: ONE shingle pass → (id, 32 Long minima),
+    // then banding + the matching-minima Jaccard ESTIMATE read signatures only
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val sigs = Dedup.minHashSignatures(rd(s, dir, "documents"), "doc_id", "text")
+      Dedup.nearDupFromSignatures(sigs, "doc_id", "sig", 0.5)
+    }),
     // cross-corpus form: neither side broadcast — the crawl-vs-last-crawl shape
     "dedup_cross" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -671,6 +677,7 @@ object SparkEntry {
     "dedup_containment" -> Oracles.containmentPairs(0.9),
     "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
     "dedup_minhash_lsh" -> Oracles.minHashLshPairsSql(0.8),
+    "dedup_minhash_sig" -> Oracles.minHashSigPairsSql(0.5),
     "dedup_cross" -> Oracles.minHashLshBetweenSql(0.8, "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "dedup_simhash" ->
       s"""WITH ${Oracles.simHashCtes}

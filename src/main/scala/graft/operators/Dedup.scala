@@ -204,6 +204,68 @@ object Dedup {
   }
 
   /**
+   * PERSISTED MinHash signatures — the encode-once layout for the near-dup
+   * family (the [[SimSearch.pqEncode]] analogue): ONE tokenize+hash pass
+   * turns each doc into [[graft.functions.TextFunctions.MinHashK]] Long
+   * minima; persist `(id, sig)` and every later banding/dedup run reads
+   * K Longs per doc instead of re-shingling text — at 100 TB the signature
+   * frame is ~256 bytes/doc vs kilobytes of text, and it serves any
+   * `bandRows` operating point without another corpus pass. Docs with no
+   * shingles are dropped here (they can never pair, and an all-MaxValue
+   * sentinel signature would band-collide with every other empty doc).
+   * @return (idCol, sig: array<long> of length MinHashK)
+   */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+      .select(col("__id").as(idCol),
+        graft.functions.TextFunctions.minHashSigUdf(col("__shs")).as("sig"))
+
+  /**
+   * Near-dup pairs from a persisted signature frame ALONE — no text read at
+   * search time: band keys are signature slices
+   * (`array_join(slice(sig, …))`) and similarity is the standard MinHash
+   * ESTIMATE (matching minima / K, the signature's unbiased Jaccard
+   * estimator), both computed with codegen'd collection functions
+   * (`zip_with` + `aggregate` — no UDF anywhere in this operator). For
+   * verified EXACT Jaccard use [[minHashLshPairs]], which must re-read text;
+   * this is the operating point where the text no longer exists in the hot
+   * path. The banding and the estimator are deterministic integer
+   * arithmetic, so the approximate operator is SQL-mirrored and hash-gated
+   * like the rest of the banding family (`Oracles.minHashSigPairsSql`).
+   * @return (id_a, id_b, est_jaccard) with id_a < id_b, estimate ≥ threshold
+   */
+  def nearDupFromSignatures(
+      sigs: DataFrame, idCol: String, sigCol: String, threshold: Double,
+      bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
+    val k = graft.functions.TextFunctions.MinHashK
+    require(bandRows > 0 && k % bandRows == 0,
+      s"bandRows must divide MinHashK=$k, got $bandRows")
+    val nBands = k / bandRows
+    val s0 = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+    val bands = s0.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => array_join(slice(col("__sig"), b * bandRows + 1, lit(bandRows)), ":")))
+        .as(Seq("__band", "__bkey")))
+    val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
+      .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
+        Seq("__band", "__bkey"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b")).distinct()
+    cand
+      .join(s0.select(col("__id").as("__a"), col("__sig").as("__sa")), Seq("__a"))
+      .join(s0.select(col("__id").as("__b"), col("__sig").as("__sb")), Seq("__b"))
+      .withColumn("__match",
+        aggregate(
+          zip_with(col("__sa"), col("__sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("__est", col("__match").cast("double") / lit(k.toDouble))
+      .filter(col("__est") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"),
+        round(col("__est"), 6).as("est_jaccard"))
+  }
+
+  /**
    * CROSS-CORPUS MinHash+LSH near-dup pairs — [[minHashLshPairs]] between TWO
    * tables where NEITHER side fits a broadcast (dedup this year's crawl
    * against last year's): one checkpointed shingle pass per side, band keys

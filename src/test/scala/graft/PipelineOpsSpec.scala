@@ -1204,6 +1204,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(ivfpq.forall { case (q, n) => q % 4 == n % 4 }, s"left own cluster: $ivfpq")
   }
 
+  test("minHashSignatures/nearDupFromSignatures: estimate tracks exact Jaccard; empty docs absent") {
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val df = docsDf(Seq(
+      (1L, near),
+      (2L, near + " ok"),                       // near-dup of 1
+      (3L, "completely different words that share nothing with the others at all yes"),
+      (4L, "xy")))                              // < 3 words: no shingles → absent
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text")
+    assert(sigs.columns.toSeq == Seq("doc_id", "sig"))
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigMap.keySet == Set(1L, 2L, 3L))
+    assert(sigMap.values.forall(_.length == graft.functions.TextFunctions.MinHashK))
+    // the estimate equals the hand-computed matching-minima fraction
+    val out = Dedup.nearDupFromSignatures(sigs, "doc_id", "sig", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expect = (sigMap(1L) zip sigMap(2L)).count { case (a, b) => a == b } / 32.0
+    assert(expect >= 0.3, s"fixture must band-collide and estimate high, got $expect")
+    assert(out.keySet == Set((1L, 2L)), s"got $out")
+    assert(out((1L, 2L)) == BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a high threshold filters the pair out
+    assert(Dedup.nearDupFromSignatures(sigs, "doc_id", "sig", 0.999).collect().isEmpty ||
+      expect >= 0.999)
+  }
+
+  test("topKIvfPqResidual: residual codes beat (or tie) full-vector codes on clustered data") {
+    val s = spark
+    import s.implicits._
+    // clusters carry the coarse structure; at a tiny ksub the full-vector
+    // codebooks must spend their budget re-modeling cluster directions while
+    // residual codebooks only model the within-cluster perturbation
+    def vec(i: Long): Array[Float] = {
+      val c = (i % 4).toInt
+      Array.tabulate(8) { d =>
+        val base = if (d / 2 == c) 1.0f else 0.05f
+        base + 0.08f * math.sin(i * 8 + d + 1).toFloat
+      }
+    }
+    val corpus = (0L until 80L).map(i => (i, vec(i))).toDF("id", "vec")
+    val queries = corpus.filter(col("id") < 16)
+    // recall@5 vs brute (top-1 at tiny ksub collapses into code-cell ties and
+    // measures only the id tie-break; set overlap measures the codes)
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.sortBy(r => (-r.getDouble(2), r.getLong(1)))
+          .take(5).map(_.getLong(1)).toSet }
+    val brute = top5(SimSearch.topK(queries, "id", "vec", corpus, "id", "vec", 5,
+      excludeSelf = true))
+    val full = top5(SimSearch.topKIvfPq(queries, "id", "vec", corpus, "id", "vec", 5,
+      nList = 4, nProbe = 2, nIters = 1, nSub = 4, ksub = 4, pqIters = 1,
+      excludeSelf = true))
+    val resid = top5(SimSearch.topKIvfPqResidual(queries, "id", "vec", corpus, "id", "vec", 5,
+      nList = 4, nProbe = 2, nIters = 1, nSub = 4, ksub = 4, pqIters = 1,
+      excludeSelf = true))
+    def recall(m: Map[Long, Set[Long]]): Int =
+      brute.keys.toSeq.map(q => (m.getOrElse(q, Set.empty) intersect brute(q)).size).sum
+    val recallFull = recall(full)
+    val recallResid = recall(resid)
+    info(s"recall@5 vs brute: residual $recallResid, full-vector $recallFull, max ${5 * brute.size}")
+    assert(recallResid >= recallFull,
+      s"residual recall@5 regressed vs full-vector codes: $recallResid < $recallFull " +
+        s"of ${5 * brute.size}")
+    // sanity: scores are cosines and self-pairs are excluded
+    val rows = SimSearch.topKIvfPqResidual(queries, "id", "vec", corpus, "id", "vec", 3,
+      nList = 4, nProbe = 2, nIters = 1, nSub = 4, ksub = 4, pqIters = 1,
+      excludeSelf = true).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= -1.0001 && r.getDouble(2) <= 1.0001))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
   test("removeDuplicateSpansWords: cut = first char of first word .. last char of last") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
     val df = docsDf(Seq(
