@@ -257,6 +257,44 @@ object Oracles {
        |SELECT id_a, id_b, round(est, 6) AS est_jaccard
        |FROM sig_est WHERE est >= $threshold""".stripMargin
 
+  /** Exact mirror of Dedup.nearDupFromSignaturesBetween (default 8×4
+    * banding): side A / side B = `documents` filtered by predA / predB, band
+    * candidates across sides, similarity = matching minima / 32 — no exact
+    * verification (the signature-only contract). */
+  def minHashSigBetweenSql(threshold: Double, predA: String, predB: String): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes("dsh", "doc_id")},
+       |xc AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM mbands a JOIN mbands b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.doc_id IN (SELECT doc_id FROM documents WHERE $predA)
+       |    AND b.doc_id IN (SELECT doc_id FROM documents WHERE $predB)
+       |),
+       |xest AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32.0 AS est
+       |  FROM xc c
+       |  JOIN mh a ON a.doc_id = c.id_a
+       |  JOIN mh b ON b.doc_id = c.id_b AND a.j = b.j
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, round(est, 6) AS est_jaccard
+       |FROM xest WHERE est >= $threshold""".stripMargin
+
+  /** Exact mirror of Dedup.exactIncrement with seen = documents WHERE
+    * seenPred, batch = documents WHERE batchPred: a batch row is kept iff its
+    * md5 is not among the seen digests and it is the min-id holder of its
+    * digest within the batch. */
+  def exactIncrementSql(seenPred: String, batchPred: String): String =
+    s"""WITH seen AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE $seenPred),
+       |b AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE $batchPred),
+       |canon AS (SELECT content_hash, min(doc_id) AS c FROM b GROUP BY 1)
+       |SELECT b.doc_id, b.content_hash,
+       |       CAST(CASE WHEN s.h IS NOT NULL OR b.doc_id <> canon.c
+       |            THEN 0 ELSE 1 END AS BIGINT) AS kept
+       |FROM b JOIN canon USING (content_hash)
+       |LEFT JOIN seen s ON b.content_hash = s.h""".stripMargin
+
   /** Exact mirror of Dedup.minHashLshPairsBetween (default 8×4 banding) with
     * side A / side B = `documents` filtered by predA / predB — banding
     * mirrored, then exact Jaccard of candidates. */

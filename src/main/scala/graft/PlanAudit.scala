@@ -25,7 +25,9 @@ object PlanAudit {
       "events_windowed", "events_correlate", "text_quality", "text_xent",
       "events_asof", "events_asof_nearest", "events_asof_bcast", "bm25_topk", "quality_filter_by_source",
       "stratified_sample", "dedup_substring", "semdedup", "ann_pq", "text_xent3",
-      "events_in_session", "sessions_overlap", "bpe_pairs", "dedup_substring_clean")
+      "events_in_session", "sessions_overlap", "bpe_pairs", "dedup_substring_clean",
+      "ann_pq_trained", "ann_pq_encoded", "dedup_minhash_sig", "dedup_sig_cross",
+      "dedup_exact_incr", "dedup_substring_words_clean")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

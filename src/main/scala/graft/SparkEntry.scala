@@ -148,6 +148,21 @@ object SparkEntry {
       val sigs = Dedup.minHashSignatures(rd(s, dir, "documents"), "doc_id", "text")
       Dedup.nearDupFromSignatures(sigs, "doc_id", "sig", 0.5)
     }),
+    // crawl-vs-crawl from persisted signatures: both corpora as (id, 32
+    // minima) frames, no text read on either side
+    "dedup_sig_cross" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val a = Dedup.minHashSignatures(docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val b = Dedup.minHashSignatures(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      Dedup.nearDupFromSignaturesBetween(a, "doc_id", "sig", b, "doc_id", "sig", 0.5)
+    }),
+    // incremental exact dedup: new batch checked against the persisted digest
+    // frame of everything kept so far (and against itself)
+    "dedup_exact_incr" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val seen = Dedup.exactDigests(docs.filter(col("doc_id") < 250), "text")
+      Dedup.exactIncrement(docs.filter(col("doc_id") >= 250), "doc_id", "text", seen)
+    }),
     // cross-corpus form: neither side broadcast — the crawl-vs-last-crawl shape
     "dedup_cross" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -678,6 +693,8 @@ object SparkEntry {
     "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
     "dedup_minhash_lsh" -> Oracles.minHashLshPairsSql(0.8),
     "dedup_minhash_sig" -> Oracles.minHashSigPairsSql(0.5),
+    "dedup_sig_cross" -> Oracles.minHashSigBetweenSql(0.5, "doc_id < 250", "doc_id >= 250"),
+    "dedup_exact_incr" -> Oracles.exactIncrementSql("doc_id < 250", "doc_id >= 250"),
     "dedup_cross" -> Oracles.minHashLshBetweenSql(0.8, "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "dedup_simhash" ->
       s"""WITH ${Oracles.simHashCtes}

@@ -50,6 +50,39 @@ object Dedup {
       .select(col(idCol), col("content_hash"), col("canonical_id"))
   }
 
+  /** The persisted side of [[exactIncrement]]: the distinct content digests of
+    * a corpus — 32 hex bytes per unique document, the only state an
+    * incremental exact-dedup pipeline carries between crawls. */
+  def exactDigests(df: DataFrame, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash")).distinct()
+
+  /**
+   * Incremental EXACT dedup — the crawl-increment shape a production pipeline
+   * actually runs: everything kept so far persists as a digest frame
+   * ([[exactDigests]]) and each new batch is checked against it (and against
+   * itself) with digest-only joins. A batch row is kept iff its content hash
+   * is absent from `seenDigests` AND it is the min-id holder of that hash
+   * within the batch. Text never shuffles — the batch ships (id, digest), the
+   * seen side ships digests, and at 100 TB of history the seen frame is
+   * still only 32 bytes per unique doc. Union the kept rows' digests into
+   * the seen frame for the next increment.
+   * @param seenDigests frame with `digestCol` = md5 hex of already-kept docs
+   * @return (idCol, content_hash, kept) — kept ∈ {0, 1}
+   */
+  def exactIncrement(
+      batch: DataFrame, idCol: String, textCol: String,
+      seenDigests: DataFrame, digestCol: String = "content_hash"): DataFrame = {
+    val hashed = batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val seen = seenDigests.select(col(digestCol).as("content_hash")).distinct()
+      .withColumn("__seen", lit(1))
+    val canon = hashed.groupBy(col("content_hash")).agg(min(col(idCol)).as("__canon"))
+    hashed.join(canon, "content_hash")
+      .join(seen, Seq("content_hash"), "left")
+      .select(col(idCol), col("content_hash"),
+        when(col("__seen").isNotNull || col(idCol) =!= col("__canon"), 0L)
+          .otherwise(1L).as("kept"))
+  }
+
   /** Internal: Jaccard from per-pair intersection counts (columns __a, __b,
     * __i) and per-doc set sizes `cnt` (__id, __n). Callers derive `cnt` from
     * the materialized per-doc shingle ARRAYS (`size(__shs)` — shingles are
@@ -241,20 +274,64 @@ object Dedup {
     val k = graft.functions.TextFunctions.MinHashK
     require(bandRows > 0 && k % bandRows == 0,
       s"bandRows must divide MinHashK=$k, got $bandRows")
-    val nBands = k / bandRows
     val s0 = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
-    val bands = s0.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => array_join(slice(col("__sig"), b * bandRows + 1, lit(bandRows)), ":")))
-        .as(Seq("__band", "__bkey")))
+    val bands = sigBands(s0, bandRows, k / bandRows)
     val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
       .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
         Seq("__band", "__bkey"))
       .filter(col("__a") < col("__b"))
       .select(col("__a"), col("__b")).distinct()
+    sigEstimate(cand, s0, s0, threshold, k)
+  }
+
+  /**
+   * Cross-corpus form of [[nearDupFromSignatures]] — this year's crawl
+   * deduped against last year's when BOTH corpora already live as persisted
+   * signature frames: band keys from each side's signatures, candidates from
+   * a shuffle equi-join on (band, key) (neither side broadcast — the
+   * [[minHashLshPairsBetween]] shape), similarity = the signature estimate.
+   * NO text from either corpus is read; at crawl scale the entire operator
+   * runs over two ~256-byte/doc frames. Ids need not be disjoint (pairs are
+   * (A-row, B-row), never id-ordered).
+   * @return (id_a from sigsA, id_b from sigsB, est_jaccard ≥ threshold)
+   */
+  def nearDupFromSignaturesBetween(
+      sigsA: DataFrame, idColA: String, sigColA: String,
+      sigsB: DataFrame, idColB: String, sigColB: String,
+      threshold: Double,
+      bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
+    val k = graft.functions.TextFunctions.MinHashK
+    require(bandRows > 0 && k % bandRows == 0,
+      s"bandRows must divide MinHashK=$k, got $bandRows")
+    val nBands = k / bandRows
+    val a = sigsA.select(col(idColA).as("__id"), col(sigColA).as("__sig"))
+    val b = sigsB.select(col(idColB).as("__id"), col(sigColB).as("__sig"))
+    val cand = sigBands(a, bandRows, nBands).select(
+        col("__id").as("__a"), col("__band"), col("__bkey"))
+      .join(sigBands(b, bandRows, nBands).select(
+        col("__id").as("__b"), col("__band"), col("__bkey")),
+        Seq("__band", "__bkey"))
+      .select(col("__a"), col("__b")).distinct()
+    sigEstimate(cand, a, b, threshold, k)
+  }
+
+  /** Band relation of a (__id, __sig) signature frame: one (__band, __bkey)
+    * row per band, key = ':'-joined signature slice — pure codegen'd
+    * collection functions, no UDF. */
+  private def sigBands(s0: DataFrame, bandRows: Int, nBands: Int): DataFrame =
+    s0.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => array_join(slice(col("__sig"), b * bandRows + 1, lit(bandRows)), ":")))
+        .as(Seq("__band", "__bkey")))
+
+  /** Matching-minima Jaccard estimate of candidate pairs (__a, __b) against
+    * the two signature frames; emits (id_a, id_b, est_jaccard ≥ threshold). */
+  private def sigEstimate(
+      cand: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+      threshold: Double, k: Int): DataFrame =
     cand
-      .join(s0.select(col("__id").as("__a"), col("__sig").as("__sa")), Seq("__a"))
-      .join(s0.select(col("__id").as("__b"), col("__sig").as("__sb")), Seq("__b"))
+      .join(sigsA.select(col("__id").as("__a"), col("__sig").as("__sa")), Seq("__a"))
+      .join(sigsB.select(col("__id").as("__b"), col("__sig").as("__sb")), Seq("__b"))
       .withColumn("__match",
         aggregate(
           zip_with(col("__sa"), col("__sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -263,7 +340,6 @@ object Dedup {
       .filter(col("__est") >= threshold)
       .select(col("__a").as("id_a"), col("__b").as("id_b"),
         round(col("__est"), 6).as("est_jaccard"))
-  }
 
   /**
    * CROSS-CORPUS MinHash+LSH near-dup pairs — [[minHashLshPairs]] between TWO

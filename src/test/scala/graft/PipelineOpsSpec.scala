@@ -1228,6 +1228,38 @@ class PipelineOpsSpec extends AnyFunSuite {
       expect >= 0.999)
   }
 
+  test("exactIncrement: seen digests and within-batch dupes both drop; novel rows keep") {
+    val seenDocs = docsDf(Seq((1L, "already kept text"), (2L, "other old text")))
+    val batch = docsDf(Seq(
+      (10L, "already kept text"),   // dup of the seen frame -> dropped
+      (11L, "brand new text"),      // novel, first holder -> kept
+      (12L, "brand new text"),      // within-batch dup of 11 -> dropped
+      (13L, "another novel one")))  // kept
+    val seen = Dedup.exactDigests(seenDocs, "text")
+    assert(seen.count() == 2)
+    val out = Dedup.exactIncrement(batch, "doc_id", "text", seen)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(10L -> 0L, 11L -> 1L, 12L -> 0L, 13L -> 1L), s"got $out")
+  }
+
+  test("nearDupFromSignaturesBetween: cross-corpus pairs match the self-join restricted") {
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val a = docsDf(Seq((1L, near), (3L, "one corpus text that stands alone fine here ok")))
+    val b = docsDf(Seq((2L, near + " ok"), (4L, "different other corpus text nothing shared")))
+    val sa = Dedup.minHashSignatures(a, "doc_id", "text")
+    val sb = Dedup.minHashSignatures(b, "doc_id", "text")
+    val cross = Dedup.nearDupFromSignaturesBetween(
+        sa, "doc_id", "sig", sb, "doc_id", "sig", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the only near pair across corpora is (1, 2); estimate equals the
+    // self-join form's estimate for the same pair
+    val self = Dedup.nearDupFromSignatures(
+        Dedup.minHashSignatures(a.union(b), "doc_id", "text"), "doc_id", "sig", 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cross.keySet == Set((1L, 2L)), s"got $cross")
+    assert(self.get((1L, 2L)) == cross.get((1L, 2L)), s"self=$self cross=$cross")
+  }
+
   test("topKIvfPqResidual: residual codes beat (or tie) full-vector codes on clustered data") {
     val s = spark
     import s.implicits._
