@@ -297,6 +297,18 @@ object SparkEntry {
         emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         model, 5, excludeSelf = true)
     }),
+    // persisted IVFADC: train both quantizers once, encode the corpus to
+    // (id, list, codes: nSub bytes), search probed lists from codes alone
+    "ann_ivfpq_encoded" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val ivf = SimSearch.ivfTrainModel(emb, "vec_id", "embedding", nList = 16, nIters = 1)
+      val pq = SimSearch.pqTrainModel(emb, "vec_id", "embedding",
+        nSub = 8, ksub = 16, nIters = 1)
+      val enc = SimSearch.ivfPqEncode(emb, "vec_id", "embedding", ivf, pq)
+      SimSearch.ivfPqSearchEncoded(enc, "id", "list", "codes",
+        emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        ivf, pq, 5, nProbe = 4, excludeSelf = true)
+    }),
     // lexical retrieval: rank the corpus against reference queries (targeted
     // curation); queries = a small document slice, broadcast by construction
     "bm25_topk" -> ((s, dir) => {
@@ -868,6 +880,7 @@ object SparkEntry {
     "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),
     "ann_ivfpq_trained" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50", pqIters = 1),
     "ann_pq_encoded" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),
+    "ann_ivfpq_encoded" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50", pqIters = 1),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (

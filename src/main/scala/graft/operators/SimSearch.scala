@@ -966,6 +966,144 @@ object SimSearch {
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
   }
 
+  /** Trained coarse quantizer: the IVF centroids with their norms. Small
+    * (nList·dim doubles); rides closures/broadcasts whole. Build with
+    * [[ivfTrainModel]]; consume with [[ivfPqEncode]]/[[ivfPqSearchEncoded]]. */
+  final case class IvfModel(cents: Array[(Array[Double], Double)]) extends Serializable
+
+  /** Train an [[IvfModel]]: centroids seeded from the `nList` smallest-id
+    * eligible vectors (filter AFTER the id-ranked LIMIT — the shared seeding
+    * contract), refined by `nIters` integer-quantized Lloyd passes — EXACTLY
+    * [[topKIvfPq]]'s coarse quantizer, factored out so the persisted-index
+    * paths train once and reuse. */
+  def ivfTrainModel(
+      corpus: DataFrame, cId: String, cVec: String,
+      nList: Int = 16, nIters: Int = 0): IvfModel = {
+    require(nList > 0, s"nList must be positive, got $nList")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
+    requireIntegralId(corpus, cId, "corpus")
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val seeds = slim.orderBy(col(cId).cast("long")).limit(nList)
+      .collect().flatMap(vecWithNorm)
+      .map { case (_, v, n) => (v.map(_.toDouble), n) }
+    require(seeds.nonEmpty, "corpus has no non-null non-zero vectors to seed centroids")
+    IvfModel(lloydRefine(slim, seeds, nIters))
+  }
+
+  /**
+   * Encode `corpus` once against a trained coarse + product quantizer →
+   * `(id: long, list: int, codes: binary)` — the PERSISTED IVFADC layout:
+   * nSub bytes of codes plus one small int per row replace the full vector,
+   * and [[ivfPqSearchEncoded]] serves every query batch from this frame
+   * alone. Null / zero-norm / wrong-dimension rows are dropped here (the
+   * [[topKIvfPq]] eligibility contract); zero-reconstruction rows are kept
+   * and dropped at search, exactly where the fused path drops them.
+   */
+  def ivfPqEncode(
+      corpus: DataFrame, cId: String, cVec: String,
+      ivf: IvfModel, pq: PqModel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    requireIntegralId(corpus, cId, "corpus")
+    val spark = corpus.sparkSession
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val bc = spark.sparkContext.broadcast((ivf, pq))
+    val dim = pq.dim
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("list", IntegerType),
+      StructField("codes", BinaryType)))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val (iv, m0) = bc.value
+      rows.flatMap { r =>
+        vecWithNorm(r) match {
+          case Some((cid, cv, cSqrt)) if cv.length == dim =>
+            Some(Row(cid, ivfNearest(iv.cents, cv, cSqrt),
+              pqEncodeVec(cv, m0).map(_.toByte)))
+          case _ => None
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /**
+   * ADC top-k over a pre-encoded IVF-PQ corpus (see [[ivfPqEncode]]):
+   * queries probe their nProbe nearest centroids and collect to ADC tables,
+   * ONE scan of the `(id, list, codes)` frame scores only rows whose list is
+   * probed — no vector column is read anywhere. With the same models,
+   * bit-identical to the fused [[topKIvfPq]] (gate `ann_ivfpq_encoded` pins
+   * hash parity against its oracle).
+   *
+   * @return (query_id, neighbor_id, adc_cosine rounded to 4)
+   */
+  def ivfPqSearchEncoded(
+      encoded: DataFrame, eId: String, eList: String, eCodes: String,
+      queries: DataFrame, qId: String, qVec: String,
+      ivf: IvfModel, pq: PqModel, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(nProbe > 0 && nProbe <= ivf.cents.length,
+      s"need 0 < nProbe <= nList=${ivf.cents.length}, got $nProbe")
+    requireIntegralId(encoded, eId, "encoded corpus")
+    requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
+    val spark = encoded.sparkSession
+    val qByList: Map[Int, Array[(Long, Array[Array[Double]], Double)]] =
+      pqAdcTables(queries, qId, qVec, pq)
+        .flatMap { case (qid, qv, tbl, qSqrt) =>
+          var qn2 = 0.0; var i = 0
+          while (i < qv.length) { qn2 += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          val entry = (qid, tbl, qSqrt)
+          ivfCentroidCos(ivf.cents, qv, math.sqrt(qn2)).zipWithIndex
+            .sortBy { case (cos, j) => (-cos, j) }.take(nProbe)
+            .map { case (_, j) => j -> entry }
+        }.groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2) }
+    val bc = spark.sparkContext.broadcast((pq, qByList))
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val rdd = encoded.select(col(eId).cast("long"), col(eList).cast("int"), col(eCodes))
+      .rdd.mapPartitions { rows =>
+        val (m0, byList) = bc.value
+        rows.flatMap { r =>
+          if (r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)) Iterator.empty
+          else byList.get(r.getInt(1)) match {
+            case None => Iterator.empty
+            case Some(qs) =>
+              val cid = r.getLong(0)
+              val raw = r.getAs[Array[Byte]](2)
+              if (raw.length != m0.nSub) Iterator.empty
+              else {
+                val codes = new Array[Int](m0.nSub)
+                var m = 0
+                while (m < m0.nSub) { codes(m) = raw(m) & 0xFF; m += 1 }
+                var rn2 = 0.0
+                m = 0
+                while (m < m0.nSub) { rn2 += m0.cn2(m)(codes(m)); m += 1 }
+                if (rn2 == 0.0) Iterator.empty
+                else {
+                  val rSqrt = math.sqrt(rn2)
+                  qs.iterator.flatMap { case (qid, tbl, qSqrt) =>
+                    if (excludeSelf && qid == cid) None
+                    else {
+                      var dot = 0.0; var mm = 0
+                      while (mm < m0.nSub) { dot += tbl(mm)(codes(mm)); mm += 1 }
+                      Some(Row(qid, cid, dot / (qSqrt * rSqrt)))
+                    }
+                  }
+                }
+              }
+          }
+        }
+      }
+    val scored = spark.createDataFrame(rdd, outSchema)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
+  }
+
   /**
    * RESIDUAL IVF-PQ — the full Jégou et al. 2011 IVFADC: PQ codes quantize
    * each vector's RESIDUAL to its coarse centroid (r = v − c_list(v)) instead

@@ -1260,6 +1260,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(self.get((1L, 2L)) == cross.get((1L, 2L)), s"self=$self cross=$cross")
   }
 
+  test("ivfPqEncode/ivfPqSearchEncoded: bit-identical to fused topKIvfPq") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 4 + d + 1).toFloat))
+    }
+    val df = vecs.toDF("id", "vec")
+    val q = df.filter(col("id") < 6)
+    val ivf = SimSearch.ivfTrainModel(df, "id", "vec", nList = 3, nIters = 1)
+    val pq = SimSearch.pqTrainModel(df, "id", "vec", nSub = 2, ksub = 4, nIters = 1)
+    val enc = SimSearch.ivfPqEncode(df, "id", "vec", ivf, pq)
+    assert(enc.columns.toSeq == Seq("id", "list", "codes"))
+    assert(enc.count() == 40)
+    val split = SimSearch.ivfPqSearchEncoded(enc, "id", "list", "codes",
+        q, "id", "vec", ivf, pq, 3, nProbe = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fused = SimSearch.topKIvfPq(q, "id", "vec", df, "id", "vec", 3,
+        nList = 3, nProbe = 2, nIters = 1, nSub = 2, ksub = 4, pqIters = 1,
+        excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(split == fused, s"split=$split fused=$fused")
+  }
+
   test("topKIvfPqResidual: residual codes beat (or tie) full-vector codes on clustered data") {
     val s = spark
     import s.implicits._
