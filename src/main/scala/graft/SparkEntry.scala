@@ -382,6 +382,13 @@ object SparkEntry {
       Decontaminate.removeContaminatedSpans(docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text")
     }),
+    // huge-bench path: Bloom screen before the exchange, exact verify by
+    // shuffle join — result-identical to decontaminate_spans (same oracle)
+    "decontaminate_spans_bloom" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Decontaminate.contaminatedSpansBloom(docs.filter(col("doc_id") >= 5), "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "text")
+    }),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
@@ -1020,6 +1027,8 @@ object SparkEntry {
     "dedup_substring_words_clean" ->
       Oracles.spanCleanSql(Oracles.wordSpanCleanCtes(8), "SELECT doc_id, text FROM documents"),
     "decontaminate_spans" ->
+      Oracles.spanListSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5")),
+    "decontaminate_spans_bloom" ->
       Oracles.spanListSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5")),
     "decontaminate_spans_clean" ->
       Oracles.spanCleanSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5"),

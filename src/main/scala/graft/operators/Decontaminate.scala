@@ -132,6 +132,49 @@ object Decontaminate {
       col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /**
+   * [[contaminatedSpans]] for a benchmark set TOO BIG TO BROADCAST (a full
+   * eval-suite union, or decontaminating one corpus against another): the
+   * bench gram identities are folded into a Bloom filter (KBs–MBs regardless
+   * of bench size), the corpus gram relation is screened by
+   * `mightContainLong` BEFORE any exchange — so only probable hits (true
+   * matches + fpp false positives) shuffle into the exact verification join
+   * against the bench gram relation — and the exact join removes every Bloom
+   * false positive. RESULT-IDENTICAL to [[contaminatedSpans]] (the gate pins
+   * hash parity with its oracle); only the plan differs: a shuffle join of
+   * two hit-sized relations instead of a broadcast of the whole bench set.
+   *
+   * The screen probes `h1` only (the pair's exact equality is the verify
+   * join's job); `fpp` trades screen selectivity against filter size —
+   * at 1% fpp the corpus-side shuffle carries ~1% of non-matching grams.
+   *
+   * @return (idCol, span_start, span_end, n_grams) — as [[contaminatedSpans]]
+   */
+  def contaminatedSpansBloom(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 20,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val spark = corpus.sparkSession
+    val bh = bench
+      .select(explode(Dedup.charGrams(col(benchTextCol), k)).as("__h"))
+      .select(col("__h"), col("__h.h1").as("__h1")).distinct()
+    // the Bloom build is ONE aggregate over the bench gram relation; its
+    // expectedNumItems comes from the same pass's distinct count, so no
+    // caller-supplied cardinality guess can undersize the filter
+    val nGrams = math.max(bh.count(), 1L)
+    val bloom = bh.stat.bloomFilter("__h1", nGrams, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h1: Long) => bloomBc.value.mightContainLong(h1))
+    val g = corpus.select(col(idCol).as("__id"),
+        posexplode(Dedup.charGrams(col(textCol), k)).as(Seq("__i", "__h")))
+      .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
+      .filter(mightContain(col("__h.h1")))
+    val marked = g.join(bh.select(col("__h")), "__h").select(col("__id"), col("__p"))
+    Dedup.spansFromMarked(marked, k).select(col("__id").as(idCol),
+      col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** The cut form of [[contaminatedSpans]]: corpus documents rewritten with
     * every benchmark-leaked span spliced out (interval union-merge +
     * code-point cut, shared with [[Dedup.removeDuplicateSpans]]).

@@ -1260,6 +1260,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(self.get((1L, 2L)) == cross.get((1L, 2L)), s"self=$self cross=$cross")
   }
 
+  test("contaminatedSpansBloom: identical spans to the broadcast path") {
+    val leak = "this exact benchmark sentence leaked straight into the corpus"
+    val corpus = docsDf(Seq(
+      (10L, "prefix text " + leak + " and a suffix"),
+      (11L, "totally clean document with nothing from any benchmark in it"),
+      (12L, leak)))
+    val bench = docsDf(Seq((1L, leak), (2L, "other benchmark content here")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = rows(Decontaminate.contaminatedSpans(corpus, "doc_id", "text", bench, "text"))
+    val bloom = rows(Decontaminate.contaminatedSpansBloom(corpus, "doc_id", "text", bench, "text"))
+    assert(exact.nonEmpty && exact.exists(_._1 == 10L) && exact.exists(_._1 == 12L))
+    assert(bloom == exact, s"bloom=$bloom exact=$exact")
+  }
+
   test("ivfPqEncode/ivfPqSearchEncoded: bit-identical to fused topKIvfPq") {
     val s = spark
     import s.implicits._
