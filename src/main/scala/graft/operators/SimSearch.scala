@@ -1044,8 +1044,10 @@ object SimSearch {
       maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    require(nProbe > 0 && nProbe <= ivf.cents.length,
-      s"need 0 < nProbe <= nList=${ivf.cents.length}, got $nProbe")
+    // nProbe may exceed the trained list count (null seeds shrink the seed
+    // set — the shared seeding contract); probing clamps naturally via
+    // take(nProbe), exactly like the fused topKIvfPq
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
     requireIntegralId(encoded, eId, "encoded corpus")
     requireIntegralId(queries, qId, "queries")
     requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
