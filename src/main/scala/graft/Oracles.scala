@@ -417,6 +417,47 @@ object Oracles {
        |)
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= $k""".stripMargin
 
+  /** Exact mirror of SimSearch.topKSq: corpus int8-quantized with the
+    * emb_quantize formula (scale = max|x|/127, code = floor(x/scale + 0.5)),
+    * then cosine of the float query against the INTEGER code vector — the
+    * per-vector scale cancels in cosine, exactly as the Scala kernel scores.
+    * All-zero code rows and zero-norm queries are excluded (no angle). */
+  def annSqSql(k: Int, queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |m AS (
+       |  SELECT vec_id, e,
+       |    list_max(list_transform(e, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+       |  FROM v WHERE e IS NOT NULL
+       |),
+       |qz AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale = 0 THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+       |         ELSE list_transform(e, x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) END AS q
+       |  FROM m
+       |),
+       |qzn AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS cn2 FROM qz),
+       |ql AS (
+       |  SELECT vec_id, e FROM v
+       |  WHERE ($queryPred) AND e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |),
+       |sc AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list_transform(generate_series(1, len(b.q)),
+       |      d -> CAST(a.e[d] AS DOUBLE) * b.q[d]))
+       |      / (sqrt(list_sum(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(b.cn2)) AS cosine
+       |  FROM ql a JOIN qzn b ON len(a.e) = len(b.q) AND a.vec_id <> b.vec_id
+       |  WHERE b.cn2 > 0
+       |),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM sc
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS sq_cosine
+       |FROM r WHERE rn <= $k""".stripMargin
+
   /** Sequential-fold cosine between two DOUBLE-cast float lists (the shared
     * fragment of every embedding oracle; mirrors SimSearch's kernels). */
   private def listCos(a: String, b: String): String =

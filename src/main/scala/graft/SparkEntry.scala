@@ -309,6 +309,13 @@ object SparkEntry {
         emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         ivf, pq, 5, nProbe = 4, excludeSelf = true)
     }),
+    // SQ: brute-force cosine over the int8-quantized corpus — scale cancels
+    // in cosine, so scoring runs on the integer codes (4x smaller corpus)
+    "ann_sq" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKSq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, excludeSelf = true)
+    }),
     // lexical retrieval: rank the corpus against reference queries (targeted
     // curation); queries = a small document slice, broadcast by construction
     "bm25_topk" -> ((s, dir) => {
@@ -888,6 +895,7 @@ object SparkEntry {
     "ann_ivfpq_trained" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50", pqIters = 1),
     "ann_pq_encoded" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),
     "ann_ivfpq_encoded" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50", pqIters = 1),
+    "ann_sq" -> Oracles.annSqSql(5, "vec_id < 50"),
     "ann_topk" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |p AS (

@@ -966,6 +966,84 @@ object SimSearch {
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
   }
 
+  /**
+   * Scalar-quantization (SQ) ANN — the third compression point beside raw
+   * floats and PQ: brute-force cosine top-k over the int8-quantized corpus
+   * ([[Embeddings.quantizeInt8]], 4× smaller than float32). The per-vector
+   * scale CANCELS in cosine — cos(q, scale·c) = cos(q, c) — so scoring runs
+   * entirely on the integer code vectors: one corpus scan, no shuffle, no
+   * dequantization pass. Approximate only through the quantization rounding
+   * (≲ 0.4% per element at int8); exact ranking is [[topK]]. All-zero code
+   * rows (null / zero-norm originals) have no angle and are dropped — the
+   * shared eligibility contract. Deterministic: integer codes + fixed-order
+   * Double folds, mirrored by the `ann_sq` oracle.
+   *
+   * @return (query_id, neighbor_id, sq_cosine rounded to 4)
+   */
+  def topKSq(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    val quantized = Embeddings.quantizeInt8(corpus, cId, cVec)
+    sqSearchEncoded(quantized, cId, "q", queries, qId, qVec, k,
+      excludeSelf, maxQueryBytes)
+  }
+
+  /**
+   * Cosine top-k over a pre-quantized `(id, codes: array<int>)` corpus (the
+   * persisted form of [[topKSq]] — [[Embeddings.quantizeInt8]] output, the
+   * scale column unused since cosine is scale-invariant): queries collect
+   * and broadcast (guarded), ONE scan of the code frame scores each row with
+   * an integer-weighted fold.
+   */
+  def sqSearchEncoded(
+      encoded: DataFrame, eId: String, eCodes: String,
+      queries: DataFrame, qId: String, qVec: String,
+      k: Int, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    requireIntegralId(encoded, eId, "encoded corpus")
+    requireIntegralId(queries, qId, "queries")
+    requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
+    val spark = encoded.sparkSession
+    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect()
+      .flatMap(vecWithNorm)
+    val bc = spark.sparkContext.broadcast(qRows)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("neighbor_id", LongType),
+      StructField("__cos", DoubleType)))
+    val rdd = encoded.select(col(eId).cast("long"), col(eCodes)).rdd.mapPartitions { rows =>
+      val qs = bc.value
+      rows.flatMap { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) Iterator.empty
+        else {
+          val cid = r.getLong(0)
+          val q = r.getSeq[Int](1).toArray
+          var cn2 = 0.0; var i = 0
+          while (i < q.length) { cn2 += q(i).toDouble * q(i).toDouble; i += 1 }
+          if (cn2 == 0.0) Iterator.empty
+          else {
+            val cSqrt = math.sqrt(cn2)
+            qs.iterator.flatMap { case (qid, qv, qSqrt) =>
+              if (qv.length != q.length || (excludeSelf && qid == cid)) None
+              else {
+                var dot = 0.0; var d = 0
+                while (d < q.length) { dot += qv(d).toDouble * q(d).toDouble; d += 1 }
+                Some(Row(qid, cid, dot / (qSqrt * cSqrt)))
+              }
+            }
+          }
+        }
+      }
+    }
+    val scored = spark.createDataFrame(rdd, outSchema)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("sq_cosine"))
+  }
+
   /** Trained coarse quantizer: the IVF centroids with their norms. Small
     * (nList·dim doubles); rides closures/broadcasts whole. Build with
     * [[ivfTrainModel]]; consume with [[ivfPqEncode]]/[[ivfPqSearchEncoded]]. */

@@ -1260,6 +1260,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(self.get((1L, 2L)) == cross.get((1L, 2L)), s"self=$self cross=$cross")
   }
 
+  test("topKSq: int8 cosine tracks exact; zero/null rows absent; scale cancels") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 30L).map { i =>
+      (i, Array.tabulate(4)(d => math.sin(i * 4 + d + 1).toFloat))
+    } ++ Seq(
+      (100L, Array.fill(4)(0.0f)),                 // zero: no angle → absent
+      (101L, null.asInstanceOf[Array[Float]]))     // null → absent
+    val df = vecs.toDF("id", "vec")
+    val q = df.filter(col("id") < 4)
+    val sq = SimSearch.topKSq(q, "id", "vec", df, "id", "vec", 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = SimSearch.topK(q, "id", "vec", df, "id", "vec", 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sq.keys.forall { case (_, n) => n < 100L }, s"ineligible rows leaked: $sq")
+    // int8 rounding moves cosines < ~1%; every returned pair's score is close
+    // to the exact cosine of the same pair (when exact returned it too)
+    sq.foreach { case (pair, c) =>
+      exact.get(pair).foreach(e => assert(math.abs(c - e) < 0.02, s"$pair sq=$c exact=$e"))
+    }
+    // scaling the corpus leaves SQ cosine identical (scale cancels)
+    val scaled = df.select(col("id"),
+      transform(col("vec"), x => x * lit(3.0f)).as("vec"))
+    val sq2 = SimSearch.topKSq(q, "id", "vec", scaled, "id", "vec", 3, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sq2 == sq, s"scaled=$sq2 base=$sq")
+  }
+
   test("contaminatedSpansBloom: identical spans to the broadcast path") {
     val leak = "this exact benchmark sentence leaked straight into the corpus"
     val corpus = docsDf(Seq(
