@@ -569,6 +569,23 @@ object SparkEntry {
       IntervalJoin.pointInInterval(purchases, "us", sess, "win_start", "win_end",
         bucketWidth = 1800000000L, keyCols = Seq("user_id"))
     }),
+    // broadcast fast path: the session table collects into per-user sorted
+    // interval arrays; purchases probe via expression — no point shuffle, no
+    // bucket explode. Same oracle as events_in_session (row-identical).
+    "events_in_session_bcast" -> ((s, dir) => {
+      val ev0 = rd(s, dir, "events")
+      val ev = ev0.select(col("event_id"), col("user_id"), col("event_type"),
+        graft.streaming.EventTime.tsMicros(ev0).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val sess = graft.streaming.Sessionize
+        .sessions(ev0.filter(col("event_type") === "click"), 1800000000L)
+        .select(col("user_id"), col("session"),
+          (col("start_us") - 1800000000L).as("win_start"),
+          (col("end_us") + 1800000000L).as("win_end"))
+      IntervalJoin.pointInIntervalBroadcast(purchases, "us", sess,
+        "win_start", "win_end", keyCols = Seq("user_id"))
+    }),
     // interval-overlap join: same-user click sessions x view sessions whose
     // padded windows intersect (first-shared-bucket dedup, no distinct)
     "sessions_overlap" -> ((s, dir) => {
@@ -638,6 +655,29 @@ object SparkEntry {
     * dedup_minhash_lsh) use deterministic integer hash formulas, so their
     * bucketing/banding is mirrored EXACTLY in SQL — nothing is left on a
     * weaker rows-only check. */
+  /** Shared by events_in_session and its broadcast fast path (row-identical
+    * contract — one oracle keeps the two gates from diverging). */
+  private val eventsInSessionSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+      |f AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+      |                 THEN 1 ELSE 0 END AS news
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |),
+      |g AS (
+      |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
+      |  FROM f
+      |),
+      |sess AS (
+      |  SELECT user_id, CAST(session AS BIGINT) AS session,
+      |         min(us) - 1800000000 AS win_start, max(us) + 1800000000 AS win_end
+      |  FROM g GROUP BY 1, 2
+      |),
+      |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id, p.us, s.session, s.win_start, s.win_end
+      |FROM p JOIN sess s
+      |  ON p.user_id = s.user_id AND p.us BETWEEN s.win_start AND s.win_end""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "simjoin_words" ->
       """WITH t AS (
@@ -1398,26 +1438,9 @@ object SparkEntry {
         |  FROM events
         |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL) t
         |WHERE rn <= 3""".stripMargin,
-    "events_in_session" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
-        |f AS (
-        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
-        |                 THEN 1 ELSE 0 END AS news
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |),
-        |g AS (
-        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
-        |  FROM f
-        |),
-        |sess AS (
-        |  SELECT user_id, CAST(session AS BIGINT) AS session,
-        |         min(us) - 1800000000 AS win_start, max(us) + 1800000000 AS win_end
-        |  FROM g GROUP BY 1, 2
-        |),
-        |p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase')
-        |SELECT p.user_id, p.event_id, p.us, s.session, s.win_start, s.win_end
-        |FROM p JOIN sess s
-        |  ON p.user_id = s.user_id AND p.us BETWEEN s.win_start AND s.win_end""".stripMargin,
+    "events_in_session" -> eventsInSessionSql,
+    // the broadcast fast path is row-identical by contract — same oracle
+    "events_in_session_bcast" -> eventsInSessionSql,
     "sessions_overlap" ->
       """WITH ec AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
         |fc AS (

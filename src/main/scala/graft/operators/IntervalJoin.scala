@@ -87,6 +87,115 @@ object IntervalJoin {
   }
 
   /**
+   * Broadcast fast path of [[pointInInterval]] for SMALL interval sides
+   * (session tables, calendars, maintenance windows): the intervals collect
+   * into per-key start-sorted arrays with an augmented prefix-max-end index,
+   * broadcast, and every point probes its containing intervals through a
+   * columnar [[graft.functions.IntervalProbeExpr]] (O(log n + matches) per
+   * point) — the POINT SIDE NEVER SHUFFLES and never leaves Tungsten; no
+   * bucket explode exists at all, so `bucketWidth` disappears as a knob. At
+   * 100 TB of events against a few thousand windows, this skips the bucketed
+   * path's one exchange of every point. Row-identical to [[pointInInterval]]
+   * (gate `events_in_session_bcast` pins hash parity against its oracle).
+   *
+   * Restrictions (the [[AsOfJoin.asofJoinBroadcast]] posture, fail-fast):
+   * point/start/end columns must be INTEGRAL (probes compare exact Longs);
+   * at most ONE key column, with identical types on both sides (the
+   * broadcast map probes with raw JVM equality); `maxRightBytes` guards the
+   * collect (0 disables).
+   */
+  def pointInIntervalBroadcast(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      keyCols: Seq[String] = Nil,
+      maxRightBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    require(keyCols.size <= 1,
+      s"the broadcast path supports at most one key column, got $keyCols — " +
+        "combine keys into one column first or use pointInInterval")
+    val overlap = (points.columns.toSet intersect intervals.columns.toSet) -- keyCols
+    require(overlap.isEmpty,
+      s"non-key column names must be disjoint, both sides have: ${overlap.toSeq.sorted}")
+    keyCols.foreach { k =>
+      require(points.columns.contains(k) && intervals.columns.contains(k),
+        s"key column '$k' must exist on both sides")
+    }
+    def requireIntegral(df: DataFrame, c: String, side: String): Unit = {
+      val dt = df.schema(df.schema.fieldIndex(c)).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"$side column '$c' must be integral for the broadcast path (got " +
+          s"${dt.catalogString}); use pointInInterval for fractional domains")
+    }
+    requireIntegral(points, pointCol, "point")
+    requireIntegral(intervals, startCol, "interval start")
+    requireIntegral(intervals, endCol, "interval end")
+    keyCols.foreach { k =>
+      val l = points.schema(points.schema.fieldIndex(k)).dataType
+      val r = intervals.schema(intervals.schema.fieldIndex(k)).dataType
+      require(l == r, s"key column '$k' types differ (${l.catalogString} vs " +
+        s"${r.catalogString}) — align them first, or use pointInInterval")
+    }
+    require(maxRightBytes >= 0L, s"maxRightBytes must be >= 0, got $maxRightBytes")
+    if (maxRightBytes > 0L) {
+      val est = intervals.queryExecution.optimizedPlan.stats.sizeInBytes
+      require(est <= BigInt(maxRightBytes),
+        s"interval side estimate $est bytes exceeds the $maxRightBytes-byte broadcast " +
+          "guard — use pointInInterval (bucketed shuffle path), or raise maxRightBytes")
+    }
+    val spark = points.sparkSession
+    val keyOpt = keyCols.headOption
+    // payload = every interval column except the key copy (the output keeps
+    // the point side's key column, matching pointInInterval's join output)
+    val payCols = intervals.columns.filterNot(keyOpt.contains).toSeq
+    val payFields = payCols.map(c => intervals.schema(intervals.schema.fieldIndex(c)))
+    val elementType = StructType(payFields)
+    require(!points.columns.contains("__iv_probe"),
+      "points already has a '__iv_probe' column — rename it first")
+    // collected layout: 0 = key (or true literal), 1 = start, 2 = end, 3.. = payload
+    val keyExpr = keyOpt.map(col).getOrElse(lit(true))
+    val rRows = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol) &&
+        keyOpt.map(col(_).isNotNull).getOrElse(lit(true)))
+      .select((keyExpr.as("__k") +: col(startCol).cast("long") +:
+        col(endCol).cast("long") +: payCols.map(col)): _*)
+      .collect()
+    val keyConv = keyOpt
+      .map(k => CatalystTypeConverters.createToCatalystConverter(
+        points.schema(points.schema.fieldIndex(k)).dataType))
+      .getOrElse(CatalystTypeConverters.createToCatalystConverter(BooleanType))
+    val valConvs = payFields.map(f =>
+      CatalystTypeConverters.createToCatalystConverter(f.dataType)).toArray
+    val byKey = rRows.groupBy(_.get(0)).map { case (k, rows) =>
+      val sorted = rows.map { r => (r.getLong(1), r.getLong(2), r) }
+        .sortBy { case (s, e, _) => (s, e) }
+      val starts = sorted.map(_._1)
+      val ends = sorted.map(_._2)
+      val prefixMax = new Array[Long](ends.length)
+      var i = 0; var mx = Long.MinValue
+      while (i < ends.length) { mx = math.max(mx, ends(i)); prefixMax(i) = mx; i += 1 }
+      val irs: Array[InternalRow] = sorted.map { case (_, _, r) =>
+        val vals = new Array[Any](payCols.length)
+        var j = 0
+        while (j < payCols.length) { vals(j) = valConvs(j)(r.get(3 + j)); j += 1 }
+        new GenericInternalRow(vals): InternalRow
+      }
+      keyConv(k) -> (starts, ends, prefixMax, irs)
+    }
+    val bc = spark.sparkContext.broadcast(graft.functions.IntervalProbeTable(byKey))
+    val probe = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IntervalProbeExpr(
+        org.apache.spark.sql.GraftBridge.expression(keyOpt.map(col).getOrElse(lit(true))),
+        org.apache.spark.sql.GraftBridge.expression(col(pointCol).cast("long")),
+        bc, elementType))
+    points.withColumn("__iv_probe", explode(probe))
+      .select(points.columns.map(col) ++
+        payCols.map(c => col("__iv_probe").getField(c).as(c)): _*)
+  }
+
+  /**
    * INTERVAL-overlap join: pairs (a, b) with `a.s ≤ b.e AND b.s ≤ a.e`
    * (inclusive overlap), bucketed exactly like [[pointInInterval]]. Both
    * sides explode into their covered buckets; a pair overlapping several

@@ -1085,6 +1085,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInIntervalBroadcast: row-identical to the bucketed path; guards fail fast") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, "u", 5L), (2L, "u", 10L), (3L, "u", 25L), (4L, "v", 5L),
+      (5L, "u", 11L), (6L, null.asInstanceOf[String], 5L)).toDF("pid", "k", "t")
+    // overlapping intervals: a point inside both must emit BOTH rows
+    val ivs = Seq(("u", 100L, 5L, 10L), ("u", 150L, 8L, 12L), ("u", 200L, 24L, 95L),
+      ("v", 300L, 0L, 4L)).toDF("k", "iid", "s", "e")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = rows(IntervalJoin.pointInInterval(points, "t", ivs, "s", "e",
+      bucketWidth = 3L, keyCols = Seq("k")))
+    val bcast = rows(IntervalJoin.pointInIntervalBroadcast(points, "t", ivs, "s", "e",
+      keyCols = Seq("k")))
+    assert(bcast == bucketed, s"bcast=$bcast bucketed=$bcast")
+    assert(bcast.contains((2L, 100L)) && bcast.contains((2L, 150L)), s"multi-match: $bcast")
+    // two key columns unsupported on the broadcast path
+    val e1 = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInIntervalBroadcast(points, "t", ivs, "s", "e", Seq("k", "pid"))
+    }
+    assert(e1.getMessage.contains("one key column"))
+    // fractional point type fails fast
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.pointInIntervalBroadcast(
+        points.withColumn("t", col("t").cast("double")), "t", ivs, "s", "e", Seq("k"))
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("interval joins bucket exactly beyond 2^53 and floor negatives") {
     val s = spark
     import s.implicits._
