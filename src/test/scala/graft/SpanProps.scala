@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalacheck.{Gen, Properties, Test => SCTest}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.Dedup
+
+/**
+ * ScalaCheck property suite for the exact-substring span-dedup family on
+ * ARBITRARY small corpora (tiny alphabet → plenty of accidental repeats):
+ *   - soundness: every k-gram inside a reported span occurs in ≥ 2 distinct
+ *     docs (the Lee-et-al. duplication rule, checked brute-force)
+ *   - maximality: the gram just left/right of a span does NOT qualify
+ *   - conservation: removed_chars = len(text) − len(clean_text), and docs
+ *     without spans pass through byte-identical
+ */
+object SpanProps extends Properties("SpanDedup") {
+
+  override def overrideParameters(p: SCTest.Parameters): SCTest.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("span-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val K = 6
+  // tiny alphabet, docs of 0..40 chars — k-gram collisions are common
+  private val docGen: Gen[String] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', ' '))).map(_.mkString)
+  private val docsGen: Gen[List[String]] =
+    Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, docGen))
+
+  private def df(docs: List[String]): DataFrame = {
+    val s = spark; import s.implicits._
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  /** Brute duplication rule: the k-gram at 1-based position p of doc id
+    * occurs in ≥ 2 DISTINCT docs (within-doc repeats alone never qualify). */
+  private def dupGram(docs: List[String], id: Int, p: Int): Boolean = {
+    val g = docs(id).substring(p - 1, p - 1 + K)
+    docs.count(_.contains(g)) >= 2
+  }
+
+  property("every gram inside a span is corpus-duplicated; flanking grams are not") =
+    forAll(docsGen) { docs =>
+      val spans = Dedup.duplicateSpans(df(docs), "doc_id", "text", k = K)
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2).toInt))
+      spans.forall { case (id, s0, e0) =>
+        val inside = (s0 to (e0 - K + 1)).forall(p => dupGram(docs, id, p))
+        val leftOk = s0 == 1 || !dupGram(docs, id, s0 - 1)
+        val rightOk = e0 - K + 1 >= docs(id).length - K + 1 ||
+          !dupGram(docs, id, e0 - K + 2)
+        inside && leftOk && rightOk
+      }
+    }
+
+  property("removal conserves length and leaves span-free docs untouched") =
+    forAll(docsGen) { docs =>
+      val spanned = Dedup.duplicateSpans(df(docs), "doc_id", "text", k = K)
+        .collect().map(_.getLong(0)).toSet
+      val out = Dedup.removeDuplicateSpans(df(docs), "doc_id", "text", k = K)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      out.size == docs.length && out.forall { case (id, (clean, removed)) =>
+        val orig = docs(id.toInt)
+        removed == orig.length - clean.length &&
+          (spanned.contains(id) || (clean == orig && removed == 0L))
+      }
+    }
+}
