@@ -53,7 +53,9 @@ object PqProps extends Properties("PqIndex") {
   property("pqSearchEncoded over pqEncode equals fused topKPq") =
     forAll(corpusGen, partsGen, Gen.choose(0, 1)) { (vecs, parts, nIters) =>
       val corpus = df(vecs, parts)
-      val hasEligible = vecs.exists(v =>
+      // the seed rule filters AFTER the id-ranked LIMIT, so training fails
+      // fast (documented) unless an ELIGIBLE vector sits in the seed prefix
+      val hasEligible = vecs.take(4).exists(v =>
         v != null && v.length == 4 && v.exists(_ != 0.0f))
       !hasEligible || {
         val q = corpus.filter(col("id") < 4)
@@ -72,7 +74,9 @@ object PqProps extends Properties("PqIndex") {
   property("ivfPqSearchEncoded over ivfPqEncode equals fused topKIvfPq") =
     forAll(corpusGen, partsGen) { (vecs, parts) =>
       val corpus = df(vecs, parts)
-      val hasEligible = vecs.exists(v =>
+      // ivf seeds from the 2 smallest ids, pq from the 4 smallest (both
+      // filter after the LIMIT) — guard the stricter prefix
+      val hasEligible = vecs.take(2).exists(v =>
         v != null && v.length == 4 && v.exists(_ != 0.0f))
       !hasEligible || {
         val q = corpus.filter(col("id") < 4)
@@ -91,7 +95,7 @@ object PqProps extends Properties("PqIndex") {
   property("pqEncode keeps exactly the eligible rows") =
     forAll(corpusGen, partsGen) { (vecs, parts) =>
       val corpus = df(vecs, parts)
-      val hasEligible = vecs.exists(v =>
+      val hasEligible = vecs.take(4).exists(v =>
         v != null && v.length == 4 && v.exists(_ != 0.0f))
       !hasEligible || {
         val model = SimSearch.pqTrainModel(corpus, "id", "vec", nSub = 2, ksub = 4)

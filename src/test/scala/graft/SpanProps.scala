@@ -60,6 +60,24 @@ object SpanProps extends Properties("SpanDedup") {
       }
     }
 
+  property("exactIncrement keeps exactly the novel min-id digest holders") =
+    forAll(docsGen, docsGen) { (seenDocs, batchDocs) =>
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      val seen = Dedup.exactDigests(df(seenDocs), "text")
+      val out = Dedup.exactIncrement(df(batchDocs), "doc_id", "text", seen)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val seenHashes = seenDocs.map(md5hex).toSet
+      val expected = batchDocs.zipWithIndex.map { case (t, i) =>
+        val h = md5hex(t)
+        val isMin = batchDocs.zipWithIndex
+          .filter { case (u, _) => md5hex(u) == h }.map(_._2).min == i
+        i.toLong -> (if (!seenHashes.contains(h) && isMin) 1L else 0L)
+      }.toMap
+      out == expected
+    }
+
   property("removal conserves length and leaves span-free docs untouched") =
     forAll(docsGen) { docs =>
       val spanned = Dedup.duplicateSpans(df(docs), "doc_id", "text", k = K)
