@@ -323,6 +323,13 @@ object SparkEntry {
       Bm25.topK(docs, "doc_id", "text",
         docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
     }),
+    // encode-once lexical retrieval: build the postings index once, search it
+    // without the text — hash parity with bm25_topk (same oracle)
+    "bm25_topk_indexed" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val idx = Bm25.index(docs, "doc_id", "text")
+      Bm25.topKIndexed(idx, docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
+    }),
     // ---- LLM-pipeline: text analysis --------------------------------------
     "text_tokens" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
@@ -928,6 +935,7 @@ object SparkEntry {
     },
     "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50", nTables = 2),
     "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
+    "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),

@@ -50,6 +50,40 @@ object Bm25 {
   private val tfMapUdf = udf((ws: Seq[String]) =>
     ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong })
 
+  /**
+   * The PERSISTED postings index of [[topK]] — the encode-once layout for
+   * lexical retrieval: ONE tokenizer pass turns the corpus into the standard
+   * `(doc, dl, term, tf)` postings relation. Persist it and serve every
+   * query batch through [[topKIndexed]] without touching the text again —
+   * at 100 TB the index is the term-occurrence relation (ids + short terms +
+   * two Longs), not the documents. `dl` = Σ tf rides every posting row, so
+   * no doc-length side table is needed.
+   * @return (doc, dl, term, tf)
+   */
+  def index(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), wordsCol(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc"), size(col("__ws")).cast("long").as("dl"),
+        explode(tfMapUdf(col("__ws"))).as(Seq("term", "tf")))
+
+  /**
+   * BM25 top-k over a pre-built postings index (see [[index]]): corpus totals
+   * (N, Σdl) come from one aggregate over the distinct (doc, dl) pairs of the
+   * index itself, so the search needs NOTHING but the postings relation —
+   * bit-identical to the fused [[topK]] (gate `bm25_topk_indexed` pins hash
+   * parity against its oracle).
+   */
+  def topKIndexed(
+      idx: DataFrame, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = idx.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+      col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    val tot = tf.select(col("__d"), col("__dl")).distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    scoreHits(tf, tot, queries, qidCol, qtextCol, k, k1, b)
+  }
+
   def topK(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
@@ -67,6 +101,17 @@ object Bm25 {
       explode(tfMapUdf(col("__ws"))).as(Seq("__w", "__tf")))
     val dl = base.select(col("__d"), size(col("__ws")).cast("long").as("__dl"))
     val tot = dl.agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    scoreHits(tf, tot, queries, qidCol, qtextCol, k, k1, b)
+  }
+
+  /** Shared scoring tail of [[topK]] / [[topKIndexed]]: query-vocabulary
+    * semi-join, integer micro-nat idf, exact integer per-(query, doc) sums,
+    * rank-limited top-k window. `tf` = (__d, __dl, __w, __tf); `tot` = one
+    * row (__tw, __nd). */
+  private def scoreHits(
+      tf: DataFrame, tot: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val qt = queries
       .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
       .distinct()

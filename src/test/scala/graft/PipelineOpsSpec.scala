@@ -1289,6 +1289,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(self.get((1L, 2L)) == cross.get((1L, 2L)), s"self=$self cross=$cross")
   }
 
+  test("Bm25.topKIndexed over a persisted index equals fused topK") {
+    val docs = docsDf(Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "spark spark spark overload of one term"),
+      (3L, "completely unrelated words appear here"),
+      (4L, "data between the stages moves in a shuffle"),
+      (5L, "")))
+    val queries = docsDf(Seq((10L, "spark shuffle data"), (11L, "unrelated appear")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fused = rows(graft.operators.Bm25.topK(docs, "doc_id", "text",
+      queries, "doc_id", "text", 3))
+    val idx = graft.operators.Bm25.index(docs, "doc_id", "text")
+    assert(idx.columns.toSeq == Seq("doc", "dl", "term", "tf"))
+    assert(!idx.collect().map(_.getLong(0)).contains(5L)) // empty doc absent
+    val indexed = rows(graft.operators.Bm25.topKIndexed(idx, queries, "doc_id", "text", 3))
+    assert(indexed == fused, s"indexed=$indexed fused=$fused")
+    assert(fused.nonEmpty)
+  }
+
   test("topKSq: int8 cosine tracks exact; zero/null rows absent; scale cancels") {
     val s = spark
     import s.implicits._
