@@ -43,6 +43,12 @@ object Bench {
       // this (CC/CleanCorpus stage caches compounding across 50 queries).
       spark.sharedState.cacheManager.clearCache()
     }
+    // Stop Spark BEFORE printing: shutdown-hook log lines emitted after the
+    // JSON would consume the driver's tail-limited output capture and clip
+    // the head of the (single, long) JSON line — the exact BENCH_r6–r8
+    // truncation that made the alphabetically-first ~21 queries invisible.
+    try spark.stop() catch { case _: Throwable => () }
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"
@@ -51,7 +57,24 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}""")
-    spark.stop()
+    val line =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+
+    // Durable copy the driver ships whole (cwd = repo root under the driver's
+    // sbt invocation): survives any stdout truncation.
+    try {
+      val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+
+    // Redundant per-query chunk lines, printed in REVERSE alphabetical chunk
+    // order so the alphabetically-first queries (the ones a head-clipped tail
+    // capture has historically lost) land CLOSEST to the end of the output —
+    // the canonical one-line JSON stays very last for the driver's parser.
+    timings.toSeq.grouped(20).toSeq.reverse.foreach { chunk =>
+      val c = chunk.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+      println(s"""{"bench_chunk":$c}""")
+    }
+    println(line)
   }
 }

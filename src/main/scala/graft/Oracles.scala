@@ -986,6 +986,13 @@ object Oracles {
   /** Interval union-merge + lag-segment splice over a `sp(doc_id, s, e, ng)`
     * CTE chain (mirrors Dedup.cutSpans): every doc of `docSel` is returned;
     * docs with no span pass through with removed_chars = 0.
+    *
+    * DuckDB-version-robust by construction: `segs` never emits a zero-length
+    * segment (so no `substring(_, _, 0)` whose ''-vs-NULL result varies
+    * across DuckDB releases), every surviving segment is wrapped in
+    * `coalesce(substring(...), '')`, and a span-BEARING doc whose segments
+    * all vanished gets an explicit `''` — never the `ct -> text` fallback
+    * that resurrected the original text when `string_agg` collapsed to NULL.
     * @param docSel relation `(doc_id, text)` whose text is rewritten */
   def spanCleanSql(spanCtes: String, docSel: String): String =
     s"""$spanCtes,
@@ -1004,24 +1011,31 @@ object Oracles {
        |),
        |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mg1 GROUP BY doc_id, grp),
        |rem AS (SELECT doc_id, sum(e - s + 1) AS removed FROM mg GROUP BY doc_id),
-       |segs AS (
-       |  SELECT doc_id,
-       |         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS fp,
-       |         s - 1 AS tp
-       |  FROM mg
-       |  UNION ALL
-       |  SELECT doc_id, max(e) + 1 AS fp, NULL AS tp FROM mg GROUP BY doc_id
-       |),
        |doc AS ($docSel),
+       |segs AS (
+       |  SELECT doc_id, fp, tp FROM (
+       |    SELECT doc_id,
+       |           coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS fp,
+       |           s - 1 AS tp
+       |    FROM mg
+       |  ) WHERE tp >= fp
+       |  UNION ALL
+       |  SELECT m.doc_id, max(m.e) + 1 AS fp, max(length(dd.text)) AS tp
+       |  FROM mg m JOIN doc dd USING (doc_id)
+       |  GROUP BY m.doc_id
+       |  HAVING max(m.e) + 1 <= max(length(dd.text))
+       |),
        |clean0 AS (
        |  SELECT sg.doc_id,
-       |    string_agg(substring(dd.text, CAST(sg.fp AS INTEGER),
-       |        CAST(greatest(coalesce(sg.tp, length(dd.text)) - sg.fp + 1, 0) AS INTEGER)),
+       |    string_agg(coalesce(substring(dd.text, CAST(sg.fp AS INTEGER),
+       |        CAST(sg.tp - sg.fp + 1 AS INTEGER)), ''),
        |      '' ORDER BY sg.fp) AS ct
        |  FROM segs sg JOIN doc dd USING (doc_id)
        |  GROUP BY sg.doc_id
        |)
-       |SELECT dd.doc_id, coalesce(c.ct, dd.text) AS clean_text,
+       |SELECT dd.doc_id,
+       |       CASE WHEN r.removed IS NOT NULL THEN coalesce(c.ct, '')
+       |            ELSE dd.text END AS clean_text,
        |       coalesce(r.removed, 0) AS removed_chars
        |FROM doc dd
        |LEFT JOIN clean0 c USING (doc_id)

@@ -35,6 +35,30 @@ import org.apache.spark.sql.functions._
  */
 object AsOfJoin {
 
+  /** The driver-built broadcast probe maps ([[graft.functions.AsOfProbeTable]],
+    * [[graft.functions.IntervalProbeTable]]) key on CatalystTypeConverters
+    * output (GenericInternalRow / GenericArrayData / a fresh Array[Byte]), but
+    * executor-side child eval yields Unsafe forms (or a new byte array) whose
+    * equals/hashCode NEVER match the Generic forms — a struct-, array-, map-
+    * or binary-typed key would silently match nothing. Fail fast on anything
+    * but an atomic non-binary key (the same posture as the cross-side type
+    * guard). */
+  private[operators] def requireAtomicProbeKey(
+      dt: org.apache.spark.sql.types.DataType, what: String, shufflePath: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = dt match {
+      case StringType | BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    require(ok,
+      s"$what must be an atomic non-binary type (string/numeric/boolean/date/timestamp) " +
+        s"for the broadcast probe path, got ${dt.catalogString}: struct/array/map/binary " +
+        s"keys compare by reference in the broadcast map and would silently match " +
+        s"nothing — use $shufflePath (shuffle path) instead")
+  }
+
   /**
    * @param left     probe side (every row survives — left-join semantics)
    * @param right    build side
@@ -207,6 +231,7 @@ object AsOfJoin {
     require(lKeyDt == rKeyDt,
       s"left/right key column '$keyCol' types differ (${lKeyDt.catalogString} vs " +
         s"${rKeyDt.catalogString}) — align them first, or use asofJoin (shuffle path)")
+    requireAtomicProbeKey(lKeyDt, s"key column '$keyCol'", "asofJoin")
     require(maxRightBytes >= 0L, s"maxRightBytes must be >= 0, got $maxRightBytes")
     if (maxRightBytes > 0L) {
       val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -270,7 +295,13 @@ object AsOfJoin {
         org.apache.spark.sql.GraftBridge.expression(col(keyCol)),
         org.apache.spark.sql.GraftBridge.expression(col(leftTs).cast("long")),
         bc, resultType, direction, tolerance))
-    left.withColumn("__asof_probe", probe)
+    // explode(array(probe)) puts the probe in a Generate node — a projection
+    // barrier CollapseProject cannot cross — so the (CodegenFallback, hash-
+    // lookup + binary-search) probe evaluates exactly ONCE per left row
+    // instead of once per extracted field. Same shape as IntervalJoin's
+    // single-explode path; a 1-element array whose element may be a null
+    // struct still emits the row (left-join semantics preserved).
+    left.withColumn("__asof_probe", explode(array(probe)))
       .select(leftCols.map(col) ++
         payload.map { case (_, out) => col("__asof_probe").getField(out).as(out) } :+
         col("__asof_probe").getField("matched_ts").as("matched_ts"): _*)

