@@ -830,6 +830,57 @@ object Oracles {
        |)
        |SELECT id_a, id_b, round(cosine, 4) AS cosine FROM s WHERE cosine >= $threshold""".stripMargin
 
+  /** Exact mirror of Dedup.knnGraph: same signed-random-projection buckets as
+    * [[embeddingLshPairsSql]], candidates DIRECTED (both orientations), rank
+    * by (cosine rounded to 4 desc, neighbor id asc), keep rank ≤ k. */
+  def knnGraphSql(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |pd AS (
+       |  SELECT vec_id, t, j,
+       |    list_sum(list_transform(generate_series(1, len(e)), d ->
+       |      CAST(e[d] AS DOUBLE) *
+       |      (CAST((((t*$nPlanes + j)*8191 + (d-1)) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) AS dotj
+       |  FROM (SELECT vec_id, e, unnest(generate_series(0, ${nTables - 1})) AS t FROM v),
+       |       (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS j)
+       |),
+       |bt AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY vec_id, t
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+       |  FROM bt a JOIN bt b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |),
+       |s AS (
+       |  SELECT c.src, c.nbr,
+       |    round(${listCos("va.e", "vb.e")}, 4) AS cosine
+       |  FROM cand c JOIN v va ON c.src = va.vec_id JOIN v vb ON c.nbr = vb.vec_id
+       |),
+       |r AS (
+       |  SELECT src, nbr, cosine,
+       |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr ASC) AS rn
+       |  FROM s
+       |)
+       |SELECT src, nbr, cosine + 0.0 AS cosine, CAST(rn AS BIGINT) AS rank
+       |FROM r WHERE rn <= $k""".stripMargin
+
+  /** Exact mirror of Dedup.editVerifiedPairs (default 8×4 banding): LSH band
+    * candidates from [[minHashBandCtes]], verified by integer-normalized
+    * Levenshtein — both engines implement unit-cost edit distance and the
+    * corpus is ASCII, so the DP value is engine-independent. */
+  def editVerifiedPairsSql(maxDistMilli: Long): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes("dsh", "doc_id")},
+       |ev AS (
+       |  SELECT m.id_a, m.id_b,
+       |    (CAST(levenshtein(a.text, b.text) AS BIGINT) * 1000)
+       |      // greatest(length(a.text), length(b.text)) AS edit_milli
+       |  FROM mcand m
+       |  JOIN documents a ON m.id_a = a.doc_id
+       |  JOIN documents b ON m.id_b = b.doc_id
+       |)
+       |SELECT id_a, id_b, edit_milli FROM ev WHERE edit_milli <= $maxDistMilli""".stripMargin
+
   /** The two weighted code-point sums of the k-gram at 1-based position
     * `posExpr` of column `text` — mirrors KGramHashPairsExpr BY VALUE: the
     * same splitmix64 weight table the expression uses, embedded as a SQL
@@ -856,6 +907,30 @@ object Oracles {
        |        FROM documents)
        |),
        |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
+       |r AS (
+       |  SELECT doc_id, p,
+       |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |  FROM d
+       |),
+       |sp AS (
+       |  SELECT doc_id, min(p) AS s, max(p) + ${k - 1} AS e, count(*) AS ng
+       |  FROM r GROUP BY doc_id, isl
+       |)""".stripMargin
+
+  /** [[dupSpanCtes]] with the TOTAL-occurrence duplication rule (mirrors
+    * Dedup.duplicateSpansAll: a gram qualifies at >= 2 occurrences anywhere,
+    * within-doc repeats included) — only the HAVING clause differs. */
+  def dupSpanCtesAll(k: Int): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
+       |         ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents)
+       |),
+       |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) >= 2),
        |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
        |r AS (
        |  SELECT doc_id, p,
@@ -982,6 +1057,36 @@ object Oracles {
   def spanListSql(spanCtes: String): String =
     s"""$spanCtes
        |SELECT doc_id, s AS span_start, e AS span_end, ng AS n_grams FROM sp""".stripMargin
+
+  /** Interval union-merge + per-doc duplication stats over a
+    * `sp(doc_id, s, e, ng)` CTE chain (mirrors Dedup.spanDuplicationStats):
+    * every doc of `docSel` is returned; dup_milli = integer-milli duplicated
+    * fraction, 0 for span-free or empty docs. */
+  def spanStatsSql(spanCtes: String, docSel: String): String =
+    s"""$spanCtes,
+       |mg0 AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           -4611686018427387904) + 1
+       |         THEN 1 ELSE 0 END AS newg
+       |  FROM sp
+       |),
+       |mg1 AS (
+       |  SELECT doc_id, s, e,
+       |         sum(newg) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+       |  FROM mg0
+       |),
+       |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mg1 GROUP BY doc_id, grp),
+       |rem AS (SELECT doc_id, sum(e - s + 1) AS removed FROM mg GROUP BY doc_id),
+       |doc AS ($docSel)
+       |SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS total_chars,
+       |       coalesce(r.removed, 0) AS dup_chars,
+       |       CASE WHEN length(dd.text) > 0
+       |            THEN (coalesce(r.removed, 0) * 1000) // length(dd.text)
+       |            ELSE 0 END AS dup_milli
+       |FROM doc dd
+       |LEFT JOIN rem r USING (doc_id)""".stripMargin
 
   /** Interval union-merge + lag-segment splice over a `sp(doc_id, s, e, ng)`
     * CTE chain (mirrors Dedup.cutSpans): every doc of `docSel` is returned;

@@ -207,6 +207,20 @@ object SparkEntry {
       val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
       ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
     }),
+    // cluster-size distribution — the audit read before acting on a dedup run
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+      ConnectedComponents.sizeHistogram(
+        ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b"))
+    }),
+    // candidate→verify with a CHARACTER-level metric: LSH bands propose,
+    // normalized Levenshtein disposes (≤ 35% of the longer doc edited)
+    "dedup_edit_verify" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(rd(s, dir, "documents"), "doc_id", "text", 350L)),
+    // approximate kNN graph over the embedding corpus (top-3 per vector)
+    "knn_graph" -> ((s, dir) =>
+      Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3)),
     "decontaminate" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       Decontaminate.flagged(docs, "doc_id", "text",
@@ -374,6 +388,25 @@ object SparkEntry {
     // (every 20-gram in the span occurs in >= 2 docs)
     "dedup_substring" -> ((s, dir) =>
       Dedup.duplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
+    // total-occurrence rule: within-doc repeats also qualify (self-repetition
+    // / boilerplate-loop detection — the literal Lee et al. second-occurrence
+    // criterion)
+    "dedup_substring_self" -> ((s, dir) =>
+      Dedup.duplicateSpansAll(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
+    // per-doc duplication fraction — the drop-the-doc decision signal
+    // (3 longs per doc; a threshold filter at 100 TB ships no text)
+    "dedup_substring_stats" -> ((s, dir) =>
+      Dedup.spanDuplicationStats(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
+    // weighted sample without replacement: priority sampling on exact integer
+    // priorities — length-weighted top-64 of the corpus
+    "weighted_sample" -> ((s, dir) =>
+      Sampling.weightedTopK(rd(s, dir, "documents"), "doc_id", "n_chars", 64)),
+    // ...and the per-source quota form: best 16 docs of EACH source,
+    // length-weighted (WindowGroupLimit plan — no global sort, no full-group
+    // materialization)
+    "weighted_sample_by_source" -> ((s, dir) =>
+      Sampling.weightedTopKByGroup(
+        rd(s, dir, "documents"), "doc_id", "n_chars", "source", 16)),
     // ...and the REMOVAL form: documents rewritten with those spans cut out
     "dedup_substring_clean" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
@@ -801,6 +834,13 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashComponentCtes(0.8)}
          |SELECT doc_id, component FROM comp""".stripMargin,
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${Oracles.shingleCtes},
+         |${Oracles.minHashComponentCtes(0.8)},
+         |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size""".stripMargin,
+    "dedup_edit_verify" -> Oracles.editVerifiedPairsSql(350L),
+    "knn_graph" -> Oracles.knnGraphSql(3, 8, 2),
     "simjoin_tfidf" ->
       s"""WITH ${Oracles.trigramCtes("l", partSel + " WHERE p_partkey < 500")},
          |${Oracles.trigramCtes("r", partSel + " WHERE p_partkey < 500")},
@@ -1077,6 +1117,37 @@ object SparkEntry {
          |       a.p AS pos_a, b.p AS pos_b
          |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
     "dedup_substring" -> Oracles.spanListSql(Oracles.dupSpanCtes(20)),
+    "dedup_substring_self" -> Oracles.spanListSql(Oracles.dupSpanCtesAll(20)),
+    "dedup_substring_stats" ->
+      Oracles.spanStatsSql(Oracles.dupSpanCtes(20), "SELECT doc_id, text FROM documents"),
+    "weighted_sample" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    ((${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} % 1048576) + 1048576) % 1048576 + 1 AS uv
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars,
+         |  (CAST(round(CAST(n_chars AS DOUBLE) * 1000.0) AS BIGINT) * 1048576) // uv AS priority
+         |FROM u
+         |ORDER BY priority DESC, doc_id
+         |LIMIT 64""".stripMargin,
+    "weighted_sample_by_source" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars, source,
+         |    ((${Oracles.tHashSql("CAST(doc_id AS VARCHAR)")} % 1048576) + 1048576) % 1048576 + 1 AS uv
+         |  FROM documents
+         |),
+         |p AS (
+         |  SELECT doc_id, n_chars, source,
+         |    (CAST(round(CAST(n_chars AS DOUBLE) * 1000.0) AS BIGINT) * 1048576) // uv AS priority
+         |  FROM u
+         |),
+         |r AS (
+         |  SELECT doc_id, n_chars, source, priority,
+         |         row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rn
+         |  FROM p
+         |)
+         |SELECT doc_id, n_chars, source, priority FROM r WHERE rn <= 16""".stripMargin,
     "dedup_substring_clean" ->
       Oracles.spanCleanSql(Oracles.dupSpanCtes(20), "SELECT doc_id, text FROM documents"),
     "dedup_substring_words" -> Oracles.wordSpanListSql(8),

@@ -242,6 +242,55 @@ object Dedup {
   }
 
   /**
+   * EDIT-DISTANCE-verified near-dup pairs — the same LSH-banded candidate
+   * generation as [[minHashLshPairs]], but the verify stage is normalized
+   * Levenshtein distance instead of exact Jaccard: the classic
+   * candidate→verify shape where the (cheap, shingle-level) filter proposes
+   * and a (precise, character-level) metric disposes. Catches the near-dups
+   * Jaccard mis-ranks — short docs where one edited word moves 3 shingles,
+   * transpositions, small in-place edits — and is the standard second stage
+   * of template/boilerplate mining.
+   *
+   * `edit_milli` = `lev(a,b) * 1000 div max(len(a), len(b))` — integer-exact
+   * (both engines implement unit-cost Levenshtein; documents are ASCII so
+   * char-vs-byte indexing cannot diverge — non-ASCII corpora should
+   * normalize first). Scale shape: candidates are banding-bounded exactly as
+   * [[minHashLshPairs]] (no inverted-index blowup, quadratic only within
+   * buckets); the verify join ships each candidate's two texts once, and the
+   * O(len²) DP runs distributed per pair — `bandRows` is the cost knob.
+   *
+   * @param maxDistMilli keep pairs with normalized distance ≤ this (0-1000);
+   *        e.g. 200 = "at most 20% of the longer doc edited".
+   * @return (id_a, id_b, edit_milli), id_a < id_b.
+   */
+  def editVerifiedPairs(
+      df: DataFrame, idCol: String, textCol: String, maxDistMilli: Long,
+      bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
+    require(maxDistMilli >= 0L && maxDistMilli <= 1000L,
+      s"maxDistMilli must be in [0, 1000], got $maxDistMilli")
+    require(bandRows > 0 && graft.functions.TextFunctions.MinHashK % bandRows == 0,
+      s"bandRows must divide MinHashK=${graft.functions.TextFunctions.MinHashK}, got $bandRows")
+    val shs = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(size(col("__shs")) > 0)
+    val bands = shs.select(col("__id"),
+      posexplode(minHashBandKeysUdfFor(bandRows)(col("__shs"))).as(Seq("__band", "__bkey")))
+    val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
+      .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
+        Seq("__band", "__bkey"))
+      .filter(col("__a") < col("__b"))
+      .select(col("__a"), col("__b")).distinct()
+    val txt = df.select(col(idCol).as("__tid"), col(textCol).as("__txt"))
+    cand
+      .join(txt.select(col("__tid").as("__a"), col("__txt").as("__ta")), "__a")
+      .join(txt.select(col("__tid").as("__b"), col("__txt").as("__tb")), "__b")
+      .withColumn("__lev", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_milli",
+        expr("(__lev * 1000) DIV greatest(length(__ta), length(__tb))"))
+      .filter(col("edit_milli") <= maxDistMilli)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"), col("edit_milli"))
+  }
+
+  /**
    * PERSISTED MinHash signatures — the encode-once layout for the near-dup
    * family (the [[SimSearch.pqEncode]] analogue): ONE tokenize+hash pass
    * turns each doc into [[graft.functions.TextFunctions.MinHashK]] Long
@@ -514,6 +563,31 @@ object Dedup {
   }
 
   /**
+   * [[duplicateSpans]] counting TOTAL occurrences instead of distinct docs:
+   * a gram is duplicated when it appears ≥ `minOccurrences` times anywhere
+   * in the corpus — including repeats WITHIN one document, which the
+   * distinct-doc rule deliberately ignores. This is the variant that also
+   * flags self-repetition (boilerplate loops, degenerate generation runs):
+   * Lee et al. 2021's suffix-array criterion is likewise any-second-
+   * occurrence, not cross-doc-only. Same aggregate-only decision, same
+   * island merge, same scale shape — only the HAVING clause differs.
+   * @return (idCol, span_start, span_end, n_grams) as [[duplicateSpans]]
+   */
+  def duplicateSpansAll(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minOccurrences: Long = 2L): DataFrame = {
+    require(minOccurrences >= 2L, s"minOccurrences must be >= 2, got $minOccurrences")
+    val g = df.select(col(idCol).as("__id"),
+        posexplode(charGrams(col(textCol), k)).as(Seq("__i", "__h")))
+      .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
+    val dup = g.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minOccurrences).select(col("__h"))
+    val d = g.join(dup, "__h").select(col("__id"), col("__p"))
+    spansFromMarked(d, k).select(col("__id").as(idCol),
+      col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /**
    * WORD-unit form of [[duplicateSpans]] — the literal Lee et al. 2021
    * granularity (their suffix-array dedup removes duplicated ≥50-TOKEN
    * spans): a maximal run of n-word grams each occurring in ≥ minDocs
@@ -620,6 +694,43 @@ object Dedup {
         when(col("__ivs").isNull, col(textCol))
           .otherwise(cutUdf(col(textCol), col("__ivs"))).as("clean_text"),
         coalesce(col("__removed"), lit(0L)).as("removed_chars"))
+  }
+
+  /**
+   * Per-document span-duplication STATS — the drop-the-doc decision signal
+   * (Lee et al. also evaluate dropping whole documents above a duplication
+   * fraction, vs splicing spans out): union-merged duplicated chars per doc
+   * and the integer-milli duplicated fraction, for every doc (0 for docs
+   * with no span). Same interval merge as the cut stage, but no text
+   * rewrite — the output is 3 longs per doc, so a
+   * `filter(dup_milli < threshold)` over 100 TB ships no text at all.
+   * @return (idCol, total_chars, dup_chars, dup_milli) — dup_milli =
+   *         (dup_chars * 1000) div total_chars (0 when the doc is empty)
+   */
+  def spanDuplicationStats(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minDocs: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = duplicateSpans(df, idCol, textCol, k, minDocs)
+      .select(col(idCol).as("__id"),
+        col("span_start").as("__s"), col("span_end").as("__e"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__s"), col("__e"))
+    val runMax = max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = sp
+      .withColumn("__new",
+        when(runMax.isNull || col("__s") > runMax + 1, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(w))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__e") - col("__s") + 1).as("__dup"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("total_chars"))
+      .join(merged.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("total_chars"),
+        coalesce(col("__dup"), lit(0L)).as("dup_chars"),
+        when(col("total_chars") > 0L,
+          expr("(coalesce(__dup, 0L) * 1000) DIV total_chars"))
+          .otherwise(lit(0L)).as("dup_milli"))
   }
 
   /**
@@ -857,6 +968,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("__cos"))
       .dropDuplicates("id_a", "id_b") // a pair may collide in several tables
       .select(col("id_a"), col("id_b"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /**
+   * k-NEAREST-NEIGHBOR GRAPH over an embedding column — each vector's top-k
+   * most-cosine-similar neighbors among its LSH bucket collisions (the
+   * candidate generation of [[embeddingPairsLsh]], directed both ways). The
+   * substrate for graph-based curation: SemDeDup-style cluster seeds,
+   * label propagation, NN-descent initialization, graph-connectivity
+   * quality audits.
+   *
+   * Determinism: neighbors rank by (cosine ROUNDED to 4 decimals desc,
+   * neighbor id asc) — the rounding makes the sort key bit-stable across
+   * engines, and the id tiebreak totally orders equal scores. Vectors whose
+   * buckets collide with fewer than k others return fewer than k rows
+   * (approximate-kNN semantics — raise `nTables`/lower `nPlanes` for
+   * recall, exactly the [[embeddingPairsLsh]] operating point).
+   *
+   * Scale shape: per-table bucket join (never all-pairs), score before the
+   * cross-table dedup so the exchange carries (src, nbr, double) not two
+   * vectors, and the top-k is a `row_number` rank-limit — Spark plans
+   * `WindowGroupLimit`, truncating every input partition to k candidates
+   * per src BEFORE the window exchange.
+   *
+   * @return (src, nbr, cosine, rank) — rank 1..k, ≤ k rows per src.
+   */
+  def knnGraph(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      posexplode(SimSearch.lshBucketsUdf(nPlanes, nTables)(col(vecCol))).as(Seq("__t", "__b")))
+    val scored = b.select(col("__id").as("src"), col("__v").as("__va"), col("__t"), col("__b"))
+      .join(b.select(col("__id").as("nbr"), col("__v").as("__vb"), col("__t"), col("__b")),
+        Seq("__t", "__b"))
+      .filter(col("src") =!= col("nbr"))
+      .withColumn("__cos", round(SimSearch.cosineSim(col("__va"), col("__vb")), 4))
+      .select(col("src"), col("nbr"), col("__cos"))
+      .dropDuplicates("src", "nbr")
+    val w = Window.partitionBy(col("src")).orderBy(col("__cos").desc, col("nbr"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("src"), col("nbr"), col("__cos").as("cosine"),
+        col("__rn").cast("long").as("rank"))
   }
 
   /**

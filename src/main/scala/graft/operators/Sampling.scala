@@ -178,4 +178,78 @@ object Sampling {
     DenseRank.appendIndex(vtimed, Seq(col("__vt"), col(sourceCol), col(keyCol)), posOut)
       .select(col(keyCol), col(sourceCol), col(posOut))
   }
+
+  /**
+   * Deterministic WEIGHTED sample without replacement — priority sampling
+   * (Duffield, Lund & Thorup 2007): each row gets priority `w / u` for a
+   * key-stable pseudo-uniform `u`, and the k highest-priority rows are kept,
+   * so a row's inclusion probability grows with its weight while the whole
+   * draw stays reproducible (same keys → same sample, across re-runs and
+   * re-sharding). The quality-weighted curation pick ("keep 100k docs,
+   * favoring high quality×length") without seeded-RNG drift.
+   *
+   * EXACT integer arithmetic end to end — no float priority whose
+   * last-ulp could order differently across engines: `u` =
+   * `pmod(tHash(key), 2^20) + 1`, weight quantized to milli-units, and
+   * priority = `(w_milli * 2^20) div u` (BIGINT integer division on both
+   * engines). Ties (possible — u has 2^20 values) break by (priority, key)
+   * — fully ordered, oracle-stable.
+   *
+   * Scale shape: narrow projection + global `orderBy(...).limit(k)` —
+   * Spark executes TakeOrderedAndProject (per-partition top-k, merge of
+   * k-element heaps on the driver), NOT a full sort; nothing shuffles but
+   * the per-partition winners.
+   *
+   * @param weightCol positive numeric; quantized to milli-units and
+   *        capped at 2^42 milli (≈ 4.4e9) so the scaled dividend can't
+   *        overflow Long — violations raise.
+   * @return (keyCol, weightCol, priority) — the k sampled rows.
+   */
+  def weightedTopK(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    withPriority(df, keyCol, weightCol, Nil)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
+
+  /**
+   * Per-GROUP [[weightedTopK]] — the k highest-priority rows of every group
+   * (the per-source curation quota: "keep the best 100k docs of each crawl,
+   * quality-weighted", where [[withSourceCap]] keeps an unweighted first-k).
+   * Same exact-integer priorities; ranking is `row_number` over
+   * (priority desc, key) per group, so Spark plans a `WindowGroupLimit`
+   * (per-partition top-k BEFORE the group exchange) — skewed giant groups
+   * never materialize more than k rows per input partition.
+   * @return (keyCol, weightCol, groupCol, priority) — ≤ k rows per group.
+   */
+  def weightedTopKByGroup(
+      df: DataFrame, keyCol: String, weightCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(keyCol))
+    withPriority(df, keyCol, weightCol, Seq(groupCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(keyCol), col(weightCol), col(groupCol), col("priority"))
+  }
+
+  /** The shared integer-exact priority stage of [[weightedTopK]] /
+    * [[weightedTopKByGroup]]: (keyCol, weightCol, extraCols..., priority). */
+  private def withPriority(
+      df: DataFrame, keyCol: String, weightCol: String,
+      extraCols: Seq[String]): DataFrame = {
+    val wMilli = round(col(weightCol).cast("double") * 1000.0).cast("long")
+    val guarded = when(col(weightCol).isNull || wMilli <= 0L ||
+        wMilli > (1L << 42),
+        raise_error(concat(lit(s"weightedTopK: $weightCol must be in (0, 2^42 milli], got "),
+          coalesce(col(weightCol).cast("string"), lit("null")))))
+      .otherwise(wMilli)
+    val u = pmod(tHashUdf(col(keyCol).cast("string")), lit(1048576L)) + lit(1L)
+    val keep = Seq(col(keyCol), col(weightCol)) ++ extraCols.map(col)
+    df.select(keep ++ Seq(u.as("__u"), guarded.as("__wg")): _*)
+      .select(keep :+ expr("(__wg * 1048576) DIV __u").as("priority"): _*)
+  }
 }

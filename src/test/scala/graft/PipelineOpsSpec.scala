@@ -1692,4 +1692,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(streamed2 == sliding)
     } finally q2.stop()
   }
+
+  test("Sampling.weightedTopK: deterministic, weight-monotone on equal u, guards raise") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).map(i => (i, (i % 17 + 1) * 10.0)).toDF("k", "w")
+    val a = Sampling.weightedTopK(rows, "k", "w", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val b = Sampling.weightedTopK(rows.repartition(7), "k", "w", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(a.size == 25 && a == b, "sample must be partitioning-invariant")
+    // priority = (w_milli << 20) div u: doubling the weight at the SAME key
+    // (same u) exactly doubles the dividend, so priority never decreases
+    val doubled = Sampling.weightedTopK(
+        rows.select(col("k"), (col("w") * 2).as("w")), "k", "w", 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val base = a.toMap
+    base.foreach { case (k, p) =>
+      doubled.get(k).foreach(p2 => assert(p2 >= p, s"doubling weight lowered priority for $k"))
+    }
+    // the plan is a top-k, not a global sort
+    val plan = Sampling.weightedTopK(rows, "k", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$plan")
+    // zero / negative / overflow weights fail fast
+    intercept[Exception] {
+      Sampling.weightedTopK(Seq((1L, 0.0)).toDF("k", "w"), "k", "w", 1).collect()
+    }
+    intercept[Exception] {
+      Sampling.weightedTopK(Seq((1L, 1e13)).toDF("k", "w"), "k", "w", 1).collect()
+    }
+  }
+
+  test("Dedup.duplicateSpansAll: within-doc repeat flagged; distinct-doc rule ignores it") {
+    val K = 6
+    // one doc repeats a 10-char phrase twice with unique filler; no other doc
+    // shares it — the distinct-doc rule sees nothing, the total rule spans both
+    val docs = docsDf(Seq(
+      (0L, "XXabcdefghijYYabcdefghijZZ"),
+      (1L, "totally unrelated content")))
+    val crossOnly = Dedup.duplicateSpans(docs, "doc_id", "text", k = K)
+      .collect()
+    assert(crossOnly.isEmpty, "distinct-doc rule must ignore within-doc repeats")
+    val all = Dedup.duplicateSpansAll(docs, "doc_id", "text", k = K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all.nonEmpty && all.forall(_._1 == 0L), s"self-repeat must be spanned: ${all.toList}")
+    // both occurrences of the repeated phrase are covered
+    val covered = all.flatMap { case (_, s0, e0) => s0 to e0 }.toSet
+    val text = "XXabcdefghijYYabcdefghijZZ"
+    val first = text.indexOf("abcdefghij") + 1
+    val second = text.indexOf("abcdefghij", first) + 1
+    assert((first until first + 10).forall(p => covered(p.toLong)) &&
+      (second until second + 10).forall(p => covered(p.toLong)))
+  }
 }

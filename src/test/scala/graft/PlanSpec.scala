@@ -283,7 +283,33 @@ class PlanSpec extends AnyFunSuite {
     // which plans as a Scan ExistingRDD below everything else
     assert(!plan.contains("ExistingRDD"), plan)
     assert(plan.contains("asof_probe"), plan)
+    // the probe lives behind an explode(array(_)) Generate barrier, so
+    // CollapseProject can't inline the CodegenFallback probe into each
+    // getField extraction — it must appear exactly ONCE in the plan
+    assert(plan.contains("Generate"), plan)
+    assert("asof_probe_expr|AsOfProbeExpr".r.findAllIn(plan).size <= 1 &&
+      plan.split("explode", -1).length - 1 == 1,
+      s"probe must evaluate once behind a single explode:\n$plan")
     assert(out.count() == 500L)
+
+    // struct/array/binary keys compare by reference in the broadcast map —
+    // the guard must reject them before they silently match nothing
+    val structL = spark.read.parquet(dir + "/l")
+      .select(struct(col("k")).as("k"), col("ts"), col("lv"))
+    val structR = spark.read.parquet(dir + "/r")
+      .select(struct(col("k")).as("k"), col("rts"), col("tie"), col("pay"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.asofJoinBroadcast(
+        structL, structR, "k", "ts", "rts", Seq("pay" -> "pay"), "tie")
+    }
+    assert(e.getMessage.contains("atomic non-binary"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.IntervalJoin.pointInIntervalBroadcast(
+        structL.select(col("k"), col("ts").as("p")), "p",
+        structR.select(col("k"), col("rts").as("s0"), (col("rts") + 10L).as("e0")),
+        "s0", "e0", keyCols = Seq("k"))
+    }
+    assert(e2.getMessage.contains("atomic non-binary"), e2.getMessage)
   }
 
   test("per-row top-n uses WindowGroupLimit below the window sort") {
