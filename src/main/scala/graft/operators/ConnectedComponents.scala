@@ -280,4 +280,19 @@ object ConnectedComponents {
       .select(col("__id").as(idCol),
         coalesce(col("__comp"), col("__id")).as("component"))
   }
+
+  /**
+   * Duplicate-CLUSTER SIZE distribution over a `(id, component)` labeling —
+   * the corpus-health audit read before committing a dedup run: how many
+   * singletons, how many pairs, are there megaclusters (a megacluster
+   * usually means boilerplate the near-dup threshold is too loose for, and
+   * it is also where a naive "keep one per cluster" destroys the most
+   * data). Two partial-aggregating groupBys over 2 longs/row — at 100 TB
+   * this is the only safe way to LOOK at cluster structure before acting
+   * on it.
+   * @return (cluster_size, n_clusters) — one row per distinct size.
+   */
+  def sizeHistogram(labels: DataFrame, componentCol: String = "component"): DataFrame =
+    labels.groupBy(col(componentCol)).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
 }

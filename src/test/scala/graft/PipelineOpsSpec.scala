@@ -1745,4 +1745,84 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert((first until first + 10).forall(p => covered(p.toLong)) &&
       (second until second + 10).forall(p => covered(p.toLong)))
   }
+
+  test("Sampling.weightedTopKByGroup: per-group k, partitioning-invariant, WindowGroupLimit") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 120L).map(i => (i, (i % 13 + 1) * 5.0, s"src${i % 3}"))
+      .toDF("k", "w", "g")
+    val a = Sampling.weightedTopKByGroup(rows, "k", "w", "g", 7)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    val b = Sampling.weightedTopKByGroup(rows.repartition(11), "k", "w", "g", 7)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(a == b && a.size == 21, "per-group sample must be partitioning-invariant")
+    assert(a.groupBy(_._2).values.forall(_.size == 7))
+    // kept rows are exactly the per-group top-7 of the full priority ranking
+    val full = Sampling.weightedTopKByGroup(rows, "k", "w", "g", 1000)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getLong(0))).toSeq
+    val expect = full.groupBy(_._1).flatMap { case (_, xs) =>
+      xs.sortBy(t => (-t._2, t._3)).take(7).map(t => (t._3, t._1, t._2))
+    }.toSet
+    assert(a == expect)
+    val plan = Sampling.weightedTopKByGroup(rows, "k", "w", "g", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("Dedup.editVerifiedPairs: near-identical verified, distant rejected, identical = 0") {
+    // long shared prefix of DISTINCT alphabetic words (the shingle tokenizer
+    // drops digits, so "word1 word2 …" collapses to one token): ~97/99
+    // shingles shared (j ≈ 0.97) makes the fixed-hash 8×4 banding collide
+    // with near-certainty — short fixtures can deterministically miss
+    val shared = (0 until 100)
+      .map(i => s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    val docs = docsDf(Seq(
+      (0L, shared + " ending"),
+      (1L, shared + " endinz"),
+      (2L, "completely different subject matter with no overlapping phrases at all here now")))
+    val pairs = Dedup.editVerifiedPairs(docs, "doc_id", "text", 350L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 >= 0L && p._3 <= 50L),
+      s"one-char edit must verify tiny: ${pairs.toList}")
+    assert(pairs.forall(p => p._1 != 2L && p._2 != 2L), s"distant doc paired: ${pairs.toList}")
+    val same = docsDf(Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta")))
+    val sp = Dedup.editVerifiedPairs(same, "doc_id", "text", 0L).collect()
+    assert(sp.length == 1 && sp(0).getLong(2) == 0L)
+  }
+
+  test("Dedup.knnGraph: <= k neighbors per src, contiguous ranks, partitioning-invariant") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val g = Dedup.knnGraph(vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(g.nonEmpty)
+    g.groupBy(_._1).values.foreach { xs =>
+      assert(xs.length <= 3)
+      val sorted = xs.sortBy(_._4).toSeq
+      assert(sorted.map(_._4) == (1L to sorted.size), s"ranks not contiguous: $sorted")
+      sorted.zip(sorted.drop(1)).foreach { case (x, y) =>
+        assert(x._3 > y._3 || (x._3 == y._3 && x._2 < y._2),
+          s"rank order violates (cosine desc, nbr asc): $sorted")
+      }
+    }
+    val g2 = Dedup.knnGraph(vecs.repartition(5), "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(g.toSet == g2.toSet, "kNN graph must be partitioning-invariant")
+  }
+
+  test("ConnectedComponents.sizeHistogram: sizes count clusters and sum to node count") {
+    val s = spark
+    import s.implicits._
+    val nodes = (1L to 10L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val labels = ConnectedComponents.run(nodes, "id", edges, "a", "b")
+    val h = ConnectedComponents.sizeHistogram(labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(h == Map(3L -> 1L, 2L -> 1L, 1L -> 5L), h.toString)
+  }
 }
