@@ -973,6 +973,34 @@ object Oracles {
        |  FROM r GROUP BY doc_id, isl
        |)""".stripMargin
 
+  /** Exact mirror of Decontaminate.leakReport on the documents table:
+    * corpus = rows WHERE corpusPred (distinct gram identities only), bench =
+    * rows WHERE benchPred; one row per bench doc with the integer-milli
+    * leaked-gram fraction. */
+  def leakReportSql(k: Int, corpusPred: String, benchPred: String): String =
+    s"""WITH cg AS (
+       |  SELECT DISTINCT ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents WHERE $corpusPred)
+       |),
+       |bg AS (
+       |  SELECT doc_id, ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents WHERE $benchPred)
+       |),
+       |lk AS (SELECT doc_id, count(*) AS leaked FROM bg JOIN cg USING (h1, h2) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(greatest(length(d.text) - ${k - 1}, 0) AS BIGINT) AS total_grams,
+       |       coalesce(l.leaked, 0) AS leaked_grams,
+       |       CASE WHEN length(d.text) > ${k - 1}
+       |            THEN (coalesce(l.leaked, 0) * 1000) // (length(d.text) - ${k - 1})
+       |            ELSE 0 END AS leak_milli
+       |FROM documents d LEFT JOIN lk l USING (doc_id)
+       |WHERE $benchPred""".stripMargin
+
   /** Word-gram span CTE chain mirroring Dedup.duplicateSpansWords on the
     * documents table: emits `wsp(doc_id, ws, we, ng)` — maximal runs of
     * n-word grams (words = `[a-z]+` runs of lower(text), grams valued as the

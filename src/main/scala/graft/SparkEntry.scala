@@ -69,6 +69,15 @@ object SparkEntry {
           outLeft = "lid", outRight = "rid")
         .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
     }),
+    // the encode-once form: build the trigram postings index ONCE, join from
+    // postings alone — bit-identical to simjoin_direct (same oracle)
+    "simjoin_indexed" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
+      val idx = SimJoin.trigramIndex(part, "p_partkey", "p_name")
+      SimJoin.pairsFromIndex(idx, idx,
+          SimJoinOptions(topN = 3, normalization = "l2"))
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
     "simjoin_kernel" -> ((s, dir) => {
       val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
       SimKernel.keyedPairs(part, "p_partkey", "p_name", part, "p_partkey", "p_name",
@@ -234,6 +243,12 @@ object SparkEntry {
       Decontaminate.fuzzyFlagged(docs, "doc_id", "text",
           docs.filter(col("doc_id") < 20), "doc_id", "text", 0.5)
         .filter(col("doc_id") =!= col("bench_id"))
+    }),
+    // per-BENCHMARK-doc leak fractions — the eval-integrity report
+    "decontaminate_report" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Decontaminate.leakReport(docs.filter(col("doc_id") >= 20), "text",
+        docs.filter(col("doc_id") < 20), "doc_id", "text", k = 20)
     }),
     "dedup_canonical" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -744,6 +759,7 @@ object SparkEntry {
     "simjoin_count" -> Oracles.trigramPairs(partSel, partSel, 5, l2 = false),
     "simjoin_top1" -> Oracles.trigramPairs(partSel, partSel, 1, l2 = true),
     "simjoin_direct" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
+    "simjoin_indexed" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
     "simjoin_kernel" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
     "pairs_raw" -> Oracles.trigramPairsFloat(
       "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",
@@ -1160,6 +1176,7 @@ object SparkEntry {
     "decontaminate_spans_clean" ->
       Oracles.spanCleanSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5"),
         "SELECT doc_id, text FROM documents WHERE doc_id >= 5"),
+    "decontaminate_report" -> Oracles.leakReportSql(20, "doc_id >= 20", "doc_id < 20"),
     "text_xent" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
         |cnt AS (SELECT w, count(*) AS c FROM w GROUP BY w),

@@ -204,4 +204,46 @@ object Decontaminate {
       bench: DataFrame, benchTextCol: String, k: Int = 20): DataFrame =
     Dedup.cutSpans(corpus, idCol, textCol,
       contaminatedSpans(corpus, idCol, textCol, bench, benchTextCol, k))
+
+  /**
+   * Per-BENCHMARK-document leak report — the eval-integrity view of the same
+   * gram collision the span operators act on: for each benchmark doc, how
+   * many of its k-char-grams occur ANYWHERE in the training corpus, as an
+   * integer-milli fraction. This is the number an eval owner reads before
+   * trusting a score ("12% of this benchmark's text is in the training set"),
+   * where [[contaminatedSpans]] answers the corpus-side question ("which
+   * training spans must be cut").
+   *
+   * Scale shape: the corpus contributes ONE distinct-gram-identity aggregate
+   * (2 longs per distinct gram, no text, no positions); the benchmark side is
+   * tiny by contract. Output is 4 longs per bench doc. Same (h1, h2)
+   * codegen'd gram identity as [[Dedup.duplicateSpans]] — a single-hash
+   * collision would inflate the leak count, the paired identity makes that
+   * vanishingly unlikely.
+   *
+   * @return (benchIdCol, total_grams, leaked_grams, leak_milli) — one row
+   *         per bench doc; leak_milli = (leaked*1000) div total (0 when the
+   *         doc is shorter than k).
+   */
+  def leakReport(
+      corpus: DataFrame, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int = 20): DataFrame = {
+    val cg = corpus
+      .select(posexplode(Dedup.charGrams(col(textCol), k)).as(Seq("__i", "__h")))
+      .select(col("__h")).distinct()
+    val bg = bench.select(col(benchIdCol).as("__bid"),
+        posexplode(Dedup.charGrams(col(benchTextCol), k)).as(Seq("__i", "__h")))
+      .select(col("__bid"), col("__h"))
+    val leaked = bg.join(cg, "__h")
+      .groupBy(col("__bid")).agg(count(lit(1)).as("__leak"))
+    bench.select(col(benchIdCol).as("__bid"),
+        greatest(length(col(benchTextCol)).cast("long") - (k - 1), lit(0L)).as("total_grams"))
+      .join(leaked, Seq("__bid"), "left")
+      .select(col("__bid").as(benchIdCol), col("total_grams"),
+        coalesce(col("__leak"), lit(0L)).as("leaked_grams"),
+        when(col("total_grams") > 0L,
+          expr("(coalesce(__leak, 0L) * 1000) DIV total_grams"))
+          .otherwise(lit(0L)).as("leak_milli"))
+  }
 }

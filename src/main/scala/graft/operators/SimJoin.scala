@@ -224,6 +224,53 @@ object SimJoin {
       .filter(col(nOut) > 0)
       .select(col(idOut), col(nOut), explode(col("__toks")).as("__tok"))
 
+  /**
+   * PERSISTED trigram postings index — the encode-once layout for the
+   * flagship similarity join (the [[Bm25.index]] / `Dedup.minHashSignatures`
+   * analogue): ONE tokenizer pass per corpus aggregates each key into
+   * `(id, n, token, tf)` postings. Persist this and every later join runs
+   * from the postings alone — at 100 TB the corpus is tokenized once, the
+   * persisted relation is columnar-scan-friendly (three ints + a token per
+   * row, no source strings), and any `topN` / `normalization` operating
+   * point is served without another corpus pass.
+   * @return (id, n, token, tf) — n = total trigram count of the key,
+   *         tf = occurrences of `token` in it.
+   */
+  def trigramIndex(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    tokenRelation(df, idCol, keyCol, "id", "n")
+      .groupBy(col("id"), col("n"), col("__tok"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("id"), col("n"), col("__tok").as("token"), col("tf"))
+
+  /**
+   * [[keyedPairs]] FROM persisted [[trigramIndex]] postings — bit-identical
+   * to `strategy="direct"` on the original text: the occurrence-pair count
+   * that join computes is exactly `Σ_token tf_l·tf_r`, so scoring from
+   * aggregated postings reproduces the dot product (and the l2/count
+   * normalizations read only the persisted `n`). Same token-blocked join +
+   * `WindowGroupLimit` top-n shape as the direct strategy.
+   * @return (outLeft, outRight, outSim) ranked top-`opts.topN` per left id.
+   */
+  def pairsFromIndex(
+      leftIdx: DataFrame, rightIdx: DataFrame, opts: SimJoinOptions,
+      outLeft: String = "lid", outRight: String = "rid",
+      outSim: String = "sim"): DataFrame = {
+    require(opts.topN > 0, s"topN must be positive, got ${opts.topN}")
+    val lt = leftIdx.select(col("id").as("__row"), col("n").as("__nl"),
+      col("token").as("__tok"), col("tf").as("__tfl"))
+    val rt = rightIdx.select(col("id").as("__col"), col("n").as("__nr"),
+      col("token").as("__tok"), col("tf").as("__tfr"))
+    val dots = lt.join(rt, "__tok")
+      .groupBy(col("__row"), col("__col"))
+      .agg(sum(col("__tfl") * col("__tfr")).cast("long").as("__dot"),
+        first(col("__nl")).as("__nl"), first(col("__nr")).as("__nr"))
+      .withColumn("__sim", simExpr(col("__dot"), col("__nl"), col("__nr"), opts.normalization))
+    val w = Window.partitionBy(col("__row")).orderBy(col("__sim").desc, col("__col").asc)
+    dots.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= opts.topN)
+      .select(col("__row").as(outLeft), col("__col").as(outRight), col("__sim").as(outSim))
+  }
+
   /** Unranked scored candidates: all (left id, right id, sim) sharing ≥1 trigram. */
   private def scoredPairs(
       left: DataFrame, leftId: String, leftKey: String,

@@ -1815,6 +1815,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(g.toSet == g2.toSet, "kNN graph must be partitioning-invariant")
   }
 
+  test("Decontaminate.leakReport: leaked fraction per bench doc, zero for clean/short docs") {
+    val leakedPassage = "SECRETLEAKEDPASSAGEXYZABCDEF" // 28 chars -> 9 grams at k=20
+    val cleanText = "this benchmark text is clean and long enough to have grams"
+    val corpus = docsDf(Seq((10L, "A" * 10 + leakedPassage + "B" * 10)))
+    val bench = docsDf(Seq((0L, leakedPassage), (1L, cleanText), (2L, "short")))
+    val rep = Decontaminate.leakReport(corpus, "text", bench, "doc_id", "text", k = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rep.keySet == Set(0L, 1L, 2L))
+    assert(rep(0L) == ((9L, 9L, 1000L)), s"fully leaked doc: ${rep(0L)}")
+    assert(rep(1L) == (((cleanText.length - 19).toLong, 0L, 0L)), s"clean doc: ${rep(1L)}")
+    assert(rep(2L) == ((0L, 0L, 0L)), s"short doc: ${rep(2L)}")
+  }
+
   test("ConnectedComponents.sizeHistogram: sizes count clusters and sum to node count") {
     val s = spark
     import s.implicits._

@@ -235,4 +235,32 @@ class SimJoinSpec extends AnyFunSuite {
       assert(got == base, s"side=$side strategy=$strategy")
     }
   }
+
+  test("trigramIndex + pairsFromIndex reproduce keyedPairs(direct) bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Seq("ring", "bolt", "widget", "spring", "gear", "cog")
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill(3)(words(rnd.nextInt(words.size))).mkString(" ") + s" ${words(rnd.nextInt(words.size))}"))
+    val df = rows.toDF("id", "s")
+    for (norm <- Seq("l2", "count"); topN <- Seq(1, 3)) {
+      val opts = SimJoinOptions(topN = topN, normalization = norm, strategy = "direct")
+      val direct = SimJoin.keyedPairs(df, "id", "s", df, "id", "s", opts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+      val idx = SimJoin.trigramIndex(df, "id", "s")
+      val fromIdx = SimJoin.pairsFromIndex(idx, idx, opts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+      assert(fromIdx == direct, s"norm=$norm topN=$topN")
+    }
+    // repeated-trigram keys: tf products must reproduce the occurrence join
+    val rep = Seq((0L, "aaaaaa"), (1L, "aaa"), (2L, "aaaaaaaaa")).toDF("id", "s")
+    val o = SimJoinOptions(topN = 3, normalization = "count", strategy = "direct")
+    val a = SimJoin.keyedPairs(rep, "id", "s", rep, "id", "s", o)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    val b = SimJoin.pairsFromIndex(
+        SimJoin.trigramIndex(rep, "id", "s"), SimJoin.trigramIndex(rep, "id", "s"), o)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.get(2).toString)).toSet
+    assert(a == b, s"$a vs $b")
+  }
 }
