@@ -422,6 +422,11 @@ object SparkEntry {
     "weighted_sample_by_source" -> ((s, dir) =>
       Sampling.weightedTopKByGroup(
         rd(s, dir, "documents"), "doc_id", "n_chars", "source", 16)),
+    // mixture planning: per-source repeat factors for a weighted mixture
+    // (shares 30-70 milli over the 20 sources, 100k-char budget)
+    "mixture_epochs" -> ((s, dir) =>
+      Sampling.mixtureEpochs(rd(s, dir, "documents"), "source", "n_chars",
+        (0 until 20).map(i => s"src$i" -> ((i % 5) * 10L + 30L)).toMap, 100000L)),
     // ...and the REMOVAL form: documents rewritten with those spans cut out
     "dedup_substring_clean" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
@@ -1147,6 +1152,15 @@ object SparkEntry {
          |FROM u
          |ORDER BY priority DESC, doc_id
          |LIMIT 64""".stripMargin,
+    "mixture_epochs" -> {
+      val vals = (0 until 20).map(i => s"('src$i', ${(i % 5) * 10 + 30})").mkString(", ")
+      s"""WITH w(source, target_milli) AS (VALUES $vals),
+         |a AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS available
+         |      FROM documents GROUP BY source)
+         |SELECT a.source, a.available, CAST(w.target_milli AS BIGINT) AS target_milli,
+         |       ((CAST(w.target_milli AS BIGINT) * 100000) // 1000) * 1000 // a.available AS epochs_milli
+         |FROM a JOIN w USING (source) WHERE a.available > 0""".stripMargin
+    },
     "weighted_sample_by_source" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars, source,

@@ -236,6 +236,44 @@ object Sampling {
       .select(col(keyCol), col(weightCol), col(groupCol), col("priority"))
   }
 
+  /**
+   * MIXTURE-EPOCHS planner — the repeat-factor calculation behind weighted
+   * data mixtures (the Pile / DoReMi-style recipe): given per-source target
+   * shares (milli, summing to 1000) and a total training budget in size
+   * units, how many EPOCHS of each source does the mixture consume?
+   * `epochs_milli` > 1000 means the source is upsampled (repeated), < 1000
+   * downsampled — the number a pipeline owner reads before committing a
+   * mixture (4-epoch upsampling of a small high-quality source is a
+   * memorization risk; 0.05 epochs of a huge crawl wastes curation).
+   *
+   * Integer-exact end to end: needed = `target_milli * budget div 1000`,
+   * `epochs_milli` = `needed * 1000 div available`. One partial-aggregating
+   * groupBy over (source, size) + a broadcast join against the tiny weight
+   * table — nothing else moves, at any corpus size.
+   *
+   * @param weightsMilli target share per source, must sum to 1000
+   * @param budget       total mixture size in `sizeCol` units
+   * @return (sourceCol, available, target_milli, epochs_milli) — one row per
+   *         weighted source present in `df` with non-zero available size.
+   */
+  def mixtureEpochs(
+      df: DataFrame, sourceCol: String, sizeCol: String,
+      weightsMilli: Map[String, Long], budget: Long): DataFrame = {
+    require(budget > 0L, s"budget must be positive, got $budget")
+    require(weightsMilli.nonEmpty && weightsMilli.values.sum == 1000L,
+      s"target shares must sum to 1000 milli, got ${weightsMilli.values.sum}")
+    require(weightsMilli.values.forall(_ > 0L), "every target share must be positive")
+    val s = df.sparkSession
+    import s.implicits._
+    val w = weightsMilli.toSeq.toDF(sourceCol, "target_milli")
+    df.groupBy(col(sourceCol)).agg(sum(col(sizeCol)).cast("long").as("available"))
+      .filter(col("available") > 0L)
+      .join(broadcast(w), Seq(sourceCol))
+      .select(col(sourceCol), col("available"), col("target_milli"),
+        expr(s"((target_milli * ${budget}L) DIV 1000L) * 1000L DIV available")
+          .as("epochs_milli"))
+  }
+
   /** The shared integer-exact priority stage of [[weightedTopK]] /
     * [[weightedTopKByGroup]]: (keyCol, weightCol, extraCols..., priority). */
   private def withPriority(

@@ -1813,6 +1813,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     val g2 = Dedup.knnGraph(vecs.repartition(5), "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(g.toSet == g2.toSet, "kNN graph must be partitioning-invariant")
+    val plan = Dedup.knnGraph(vecs, "vec_id", "embedding", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("Sampling.mixtureEpochs: integer repeat factors; weight-sum guard") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 100L), ("a", 100L), ("b", 50L)).toDF("src", "n")
+    val r = Sampling.mixtureEpochs(df, "src", "n", Map("a" -> 600L, "b" -> 400L), 1000L)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // a: available 200, needed 600 -> 3.0 epochs; b: available 50, needed 400 -> 8.0
+    assert(r("a") == ((200L, 600L, 3000L)) && r("b") == ((50L, 400L, 8000L)), r.toString)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureEpochs(df, "src", "n", Map("a" -> 500L), 10L)
+    }
   }
 
   test("Decontaminate.leakReport: leaked fraction per bench doc, zero for clean/short docs") {
