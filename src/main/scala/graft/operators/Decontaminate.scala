@@ -235,7 +235,10 @@ object Decontaminate {
     val bg = bench.select(col(benchIdCol).as("__bid"),
         posexplode(Dedup.charGrams(col(benchTextCol), k)).as(Seq("__i", "__h")))
       .select(col("__bid"), col("__h"))
-    val leaked = bg.join(cg, "__h")
+    // build side = the BENCH gram table (tiny by contract) — without the hint
+    // Catalyst's size estimate can put the corpus distinct-gram relation on
+    // the broadcast side, which is exactly the side that is huge at scale
+    val leaked = cg.join(broadcast(bg), "__h")
       .groupBy(col("__bid")).agg(count(lit(1)).as("__leak"))
     bench.select(col(benchIdCol).as("__bid"),
         greatest(length(col(benchTextCol)).cast("long") - (k - 1), lit(0L)).as("total_grams"))
