@@ -216,6 +216,19 @@ object SparkEntry {
       val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
       ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
     }),
+    // incremental relabel: old labels are a star forest that preserves old
+    // connectivity — only edges touching the new batch (doc_id >= 250) are
+    // mined; must equal the full recompute (same oracle as dedup_clusters)
+    "dedup_clusters_incr" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 250)
+      val oldLabels = ConnectedComponents.run(old, "doc_id",
+        Dedup.minHashLshPairs(old, "doc_id", "text", 0.8), "id_a", "id_b")
+      val newEdges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+        .filter(col("id_b") >= 250)
+      ConnectedComponents.incrementalRun(oldLabels, docs, "doc_id",
+        newEdges, "id_a", "id_b")
+    }),
     // cluster-size distribution — the audit read before acting on a dedup run
     "dedup_cluster_sizes" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -852,6 +865,10 @@ object SparkEntry {
     "dedup_embedding_lsh" -> Oracles.embeddingLshPairsSql(0.4, 8, 2),
     "semdedup" -> Oracles.semDedupSql(0.4, 16, 1),
     "dedup_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.shingleCtes},
+         |${Oracles.minHashComponentCtes(0.8)}
+         |SELECT doc_id, component FROM comp""".stripMargin,
+    "dedup_clusters_incr" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashComponentCtes(0.8)}
          |SELECT doc_id, component FROM comp""".stripMargin,

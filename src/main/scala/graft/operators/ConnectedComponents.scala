@@ -282,6 +282,37 @@ object ConnectedComponents {
   }
 
   /**
+   * INCREMENTAL connected components — relabel after a crawl increment
+   * WITHOUT re-mining the old corpus's edges: a prior labeling is exactly a
+   * star forest (node → component root) that preserves the old subgraph's
+   * connectivity, so running components over (old star edges) ∪ (edges
+   * touching the new batch) yields the SAME labeling as a full recompute
+   * over every edge ever found. At 100 TB this is the difference between
+   * re-pairing the whole corpus each crawl and pairing only
+   * new-vs-(signatures + new) — the [[graft.operators.Dedup.minHashSignatures]] /
+   * `nearDupFromSignaturesBetween` companion for the clustering step.
+   *
+   * @param oldLabels prior `(idCol, component)` labeling (from [[run]] /
+   *        [[runStar]] / a previous incrementalRun)
+   * @param nodes     ALL nodes after the increment (old ∪ new)
+   * @param newEdges  edges involving the new batch (new-new and old-new;
+   *        old-old pairs are already summarized by the star edges)
+   * @return (idCol, component) over all of `nodes` — component = min
+   *         reachable node id, identical to a full [[run]] on the union
+   *         edge set.
+   */
+  def incrementalRun(
+      oldLabels: DataFrame, nodes: DataFrame, idCol: String,
+      newEdges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val starEdges = oldLabels
+      .filter(col(idCol) =!= col("component"))
+      .select(col(idCol).as(aCol), col("component").as(bCol))
+    run(nodes, idCol, starEdges.unionByName(newEdges.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter, checkpointDir)
+  }
+
+  /**
    * Duplicate-CLUSTER SIZE distribution over a `(id, component)` labeling —
    * the corpus-health audit read before committing a dedup run: how many
    * singletons, how many pairs, are there megaclusters (a megacluster

@@ -1844,6 +1844,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rep(2L) == ((0L, 0L, 0L)), s"short doc: ${rep(2L)}")
   }
 
+  test("ConnectedComponents.incrementalRun equals full recompute on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 30L
+      val cut = 18L // nodes >= cut are "the new batch"
+      val all = (1L to n)
+      val edges = Seq.fill(25)((all(rnd.nextInt(all.size)), all(rnd.nextInt(all.size))))
+        .filter(e => e._1 != e._2)
+      val edgesDf = edges.toDF("a", "b")
+      val nodesDf = all.toDF("id")
+      val full = ConnectedComponents.run(nodesDf, "id", edgesDf, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // incremental: label the old subgraph, then add only edges touching new
+      val oldNodes = all.filter(_ < cut).toDF("id")
+      val oldEdges = edges.filter(e => e._1 < cut && e._2 < cut).toDF("a", "b")
+      val oldLabels = ConnectedComponents.run(oldNodes, "id", oldEdges, "a", "b")
+      val newEdges = edges.filter(e => e._1 >= cut || e._2 >= cut).toDF("a", "b")
+      val incr = ConnectedComponents.incrementalRun(oldLabels, nodesDf, "id",
+          newEdges, "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(incr == full, s"trial $trial: incremental relabel diverged from full recompute")
+    }
+  }
+
   test("ConnectedComponents.sizeHistogram: sizes count clusters and sum to node count") {
     val s = spark
     import s.implicits._
