@@ -833,8 +833,11 @@ object Oracles {
   /** Exact mirror of Dedup.knnGraph: same signed-random-projection buckets as
     * [[embeddingLshPairsSql]], candidates DIRECTED (both orientations), rank
     * by (cosine rounded to 4 desc, neighbor id asc), keep rank ≤ k. */
-  def knnGraphSql(k: Int, nPlanes: Int, nTables: Int): String =
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+  /** Shared CTE chain of [[knnGraphSql]] / [[mutualKnnClustersSql]] — emits
+    * `kg(src, nbr, cosine, rank)`, the directed approximate-kNN edge list,
+    * so the two oracles cannot diverge on candidates or ranking. */
+  private def knnGraphCtes(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""v AS (SELECT vec_id, embedding AS e FROM embeddings),
        |pd AS (
        |  SELECT vec_id, t, j,
        |    list_sum(list_transform(generate_series(1, len(e)), d ->
@@ -860,9 +863,32 @@ object Oracles {
        |  SELECT src, nbr, cosine,
        |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr ASC) AS rn
        |  FROM s
-       |)
+       |),
+       |kg AS (SELECT src, nbr, cosine, rn FROM r WHERE rn <= $k)""".stripMargin
+
+  def knnGraphSql(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)}
        |SELECT src, nbr, cosine + 0.0 AS cosine, CAST(rn AS BIGINT) AS rank
-       |FROM r WHERE rn <= $k""".stripMargin
+       |FROM kg""".stripMargin
+
+  /** Exact mirror of Dedup.mutualKnnClusters: undirected edge iff BOTH
+    * directed kNN edges exist ([[knnGraphCtes]] both ways), components =
+    * min reachable vec_id over those edges; every embeddings row returned
+    * (singletons label themselves). Must run under `WITH RECURSIVE`. */
+  def mutualKnnClustersSql(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH RECURSIVE ${knnGraphCtes(k, nPlanes, nTables)},
+       |mut AS (
+       |  SELECT a.src AS id_a, a.nbr AS id_b
+       |  FROM kg a JOIN kg b ON a.src = b.nbr AND a.nbr = b.src
+       |  WHERE a.src < a.nbr
+       |),
+       |medges AS (SELECT id_a AS a, id_b AS b FROM mut UNION SELECT id_b AS a, id_a AS b FROM mut),
+       |mreach(msrc, mdst) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.msrc, e.b FROM mreach r JOIN medges e ON r.mdst = e.a
+       |)
+       |SELECT msrc AS vec_id, min(mdst) AS component FROM mreach GROUP BY msrc""".stripMargin
 
   /** Exact mirror of Dedup.editVerifiedPairs (default 8×4 banding): LSH band
     * candidates from [[minHashBandCtes]], verified by integer-normalized
@@ -1290,4 +1316,135 @@ object Oracles {
        |  FROM m
        |)""".stripMargin
   }
+
+  /** Exact mirror of Dedup.chunkDedup: non-overlapping `w`-word chunks of the
+    * lowercased `[a-z]+` word runs; a chunk is dup iff its exact text occurs
+    * in ≥ `minDocs` DISTINCT docs; clean_text = space-join of surviving
+    * chunks in order. Every doc returned (wordless → '', 0, 0). */
+  def chunkDedupSql(w: Int, minDocs: Int, keepFirst: Boolean = false): String =
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, gi,
+       |    array_to_string(list_slice(ws, gi*$w + 1, least((gi+1)*$w, len(ws))), ' ') AS chunk
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + ${w - 1}) // $w - 1)) AS gi
+       |        FROM d WHERE len(ws) > 0)
+       |),
+       |dk AS (
+       |  SELECT md5(chunk) AS ck, min(doc_id) AS kd
+       |  FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= $minDocs
+       |),
+       |kp AS (
+       |  SELECT dk.ck, dk.kd, min(c.gi) AS kg
+       |  FROM dk JOIN c ON md5(c.chunk) = dk.ck AND c.doc_id = dk.kd
+       |  GROUP BY 1, 2
+       |),
+       |f AS (
+       |  SELECT c.doc_id, c.gi, c.chunk,
+       |         CASE WHEN kp.ck IS NOT NULL
+       |              ${if (keepFirst) "AND NOT (c.doc_id = kp.kd AND c.gi = kp.kg)" else ""}
+       |              THEN 1 ELSE 0 END AS isdup
+       |  FROM c LEFT JOIN kp ON md5(c.chunk) = kp.ck
+       |),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_chunks, sum(isdup) AS dup_chunks,
+       |    coalesce(string_agg(CASE WHEN isdup = 0 THEN chunk END, ' ' ORDER BY gi), '') AS ct
+       |  FROM f GROUP BY doc_id
+       |)
+       |SELECT dd.doc_id, coalesce(a.ct, '') AS clean_text,
+       |       CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |       CAST(coalesce(a.dup_chunks, 0) AS BIGINT) AS dup_chunks
+       |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  /** Exact mirror of CorpusStats.sourceKlDivergence over documents: per-word
+    * micro-nat-quantized log ratio on exact integer products, exact integer
+    * per-source sum, final normalization rounded to 4. */
+  def sourceKlSql: String =
+    s"""WITH w AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS wd
+       |           FROM documents),
+       |csw AS (SELECT source, wd, count(*) AS csw FROM w GROUP BY 1, 2),
+       |cw AS (SELECT wd, sum(csw) AS cw FROM csw GROUP BY 1),
+       |ns AS (SELECT source, sum(csw) AS ns FROM csw GROUP BY 1),
+       |nn AS (SELECT sum(cw) AS N FROM cw),
+       |contrib AS (
+       |  SELECT c.source, s.ns,
+       |    c.csw * CAST(floor(ln(CAST(c.csw * nn.N AS DOUBLE) /
+       |                          CAST(s.ns * w2.cw AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+       |  FROM csw c JOIN cw w2 USING (wd) JOIN ns s USING (source), nn
+       |)
+       |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+       |       round(CAST(sum(q) AS DOUBLE) / (CAST(max(ns) AS DOUBLE) * 1000000.0), 4) AS kl
+       |FROM contrib GROUP BY source""".stripMargin
+
+  /** Exact mirror of CorpusStats.dsirWeights over documents: add-one-smoothed
+    * target/raw unigram distributions over the union vocabulary, per-word
+    * integer micro-nat surprisal difference, exact BIGINT per-doc sum. */
+  def dsirWeightsSql(targetPred: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ($targetPred) AS t,
+       |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS wd
+       |  FROM documents),
+       |tc AS (SELECT wd, count(*) AS ct FROM toks WHERE t GROUP BY 1),
+       |rc AS (SELECT wd, count(*) AS cr FROM toks WHERE NOT t GROUP BY 1),
+       |vocab AS (
+       |  SELECT coalesce(tc.wd, rc.wd) AS wd, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+       |  FROM tc FULL OUTER JOIN rc ON tc.wd = rc.wd),
+       |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM vocab),
+       |wt AS (
+       |  SELECT wd,
+       |    CAST(floor(-ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    - CAST(floor(-ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS d
+       |  FROM vocab, tot)
+       |SELECT t.doc_id, count(*) AS n_tokens, CAST(sum(w.d) AS BIGINT) AS dsir_micro
+       |FROM toks t JOIN wt w USING (wd) GROUP BY 1""".stripMargin
+
+  /** Exact mirror of Dedup.dedupRateBySource over documents. */
+  def dedupRateBySourceSql: String =
+    s"""SELECT source, count(*) AS docs,
+       |  count(text) AS docs_with_text,
+       |  count(text) - count(DISTINCT md5(text)) AS dup_docs,
+       |  CASE WHEN count(text) > 0
+       |       THEN (count(text) - count(DISTINCT md5(text))) * 1000 // count(text)
+       |       ELSE 0 END AS dup_milli
+       |FROM documents GROUP BY source""".stripMargin
+
+  /** Exact mirror of Sampling.temperatureShares on documents.source:
+    * w = n^tau via integer floor-sqrt chains (tauMilli ∈ {250,500,1000}). */
+  def temperatureSharesSql(budget: Long, tauMilli: Int): String = {
+    val wExpr = tauMilli match {
+      case 1000 => "available"
+      case 500  => "CAST(floor(sqrt(CAST(available AS DOUBLE))) AS BIGINT)"
+      case 250  => "CAST(floor(sqrt(floor(sqrt(CAST(available AS DOUBLE))))) AS BIGINT)"
+      case t    => throw new IllegalArgumentException(s"tauMilli $t")
+    }
+    s"""WITH counts AS (SELECT source, count(*) AS available FROM documents GROUP BY source),
+       |wt AS (SELECT source, available, $wExpr AS w FROM counts),
+       |tot AS (SELECT sum(w) AS tw FROM wt)
+       |SELECT source, available, w,
+       |       (w * 1000000) // tw AS share_micro,
+       |       (w * $budget) // tw AS quota
+       |FROM wt, tot""".stripMargin
+  }
+
+  /** Exact mirror of Embeddings.projectSrp (gate shape: one row per output
+    * dim): proj_micro[j] = Σ_i sign(j,i)·floor(v_i·10⁶ + 0.5), sign = parity
+    * of ((j·8191 + i)·2654435761) mod 1000003, i 0-based. */
+  def projectSrpSql(outDims: Int): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |p AS (
+       |  SELECT vec_id, j,
+       |    list_sum(list_transform(generate_series(1, len(e)), d ->
+       |      (CASE WHEN ((j*8191 + (d-1)) * 2654435761) % 1000003 % 2 = 0 THEN 1 ELSE -1 END)
+       |      * CAST(floor(CAST(e[d] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))) AS pm
+       |  FROM v, (SELECT unnest(generate_series(0, ${outDims - 1})) AS j)
+       |)
+       |SELECT vec_id, CAST(j AS BIGINT) AS dim, CAST(pm AS BIGINT) AS proj_micro FROM p""".stripMargin
+
+  /** Oracle for the bucketed-layout demo join — the plain relational answer
+    * (layout changes the PLAN, never the rows): customers with ≥ 1 order,
+    * order count + exact integer cents total. */
+  def bucketedJoinSql: String =
+    s"""SELECT c.c_custkey, count(*) AS n_orders,
+       |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+       |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       |GROUP BY c.c_custkey""".stripMargin
 }

@@ -27,7 +27,9 @@ object PlanAudit {
       "stratified_sample", "dedup_substring", "semdedup", "ann_pq", "text_xent3",
       "events_in_session", "sessions_overlap", "bpe_pairs", "dedup_substring_clean",
       "ann_pq_trained", "ann_pq_encoded", "dedup_minhash_sig", "dedup_sig_cross",
-      "dedup_exact_incr", "dedup_substring_words_clean")
+      "dedup_exact_incr", "dedup_substring_words_clean",
+      "chunk_dedup", "knn_mutual_clusters", "emb_project", "bucketed_join",
+      "mixture_temperature", "dedup_rate_by_source")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -243,6 +243,26 @@ object SparkEntry {
     // approximate kNN graph over the embedding corpus (top-3 per vector)
     "knn_graph" -> ((s, dir) =>
       Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3)),
+    // mutual-kNN density filter + connected components — semantic dup groups
+    "knn_mutual_clusters" -> ((s, dir) =>
+      Dedup.mutualKnnClusters(rd(s, dir, "embeddings"), "vec_id", "embedding", 3)),
+    // CCNet-style chunk-level cross-doc dedup (20-word chunks, ≥2 docs)
+    "chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(rd(s, dir, "documents"), "doc_id", "text", 20, 2)),
+    // ...and the keep-one-canonical-copy variant (min doc, min chunk index)
+    "chunk_dedup_keep_first" -> ((s, dir) =>
+      Dedup.chunkDedup(rd(s, dir, "documents"), "doc_id", "text", 20, 2,
+        keepFirst = true)),
+    // per-source exact-dup health rollup
+    "dedup_rate_by_source" -> ((s, dir) =>
+      Dedup.dedupRateBySource(rd(s, dir, "documents"), "text", "source")),
+    // per-source unigram KL vs the corpus mixture — domain-shift monitor
+    "source_kl" -> ((s, dir) =>
+      CorpusStats.sourceKlDivergence(rd(s, dir, "documents"), "text", "source")),
+    // DSIR unigram importance weights: target = sources src0-src4
+    "dsir_weights" -> ((s, dir) =>
+      CorpusStats.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
+        "source IN ('src0','src1','src2','src3','src4')")),
     "decontaminate" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       Decontaminate.flagged(docs, "doc_id", "text",
@@ -440,6 +460,30 @@ object SparkEntry {
     "mixture_epochs" -> ((s, dir) =>
       Sampling.mixtureEpochs(rd(s, dir, "documents"), "source", "n_chars",
         (0 until 20).map(i => s"src$i" -> ((i % 5) * 10L + 30L)).toMap, 100000L)),
+    // temperature-scaled (τ=0.5) per-source mixture shares, integer-exact
+    "mixture_temperature" -> ((s, dir) =>
+      Sampling.temperatureShares(rd(s, dir, "documents"), "source", 10000L, 500)),
+    // signed-random-projection JL reduction to 8 dims, micro-unit exact
+    // (gate shape: one row per dim — the array-cell comparator limit, r3)
+    "emb_project" -> ((s, dir) =>
+      Embeddings.projectSrp(rd(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .filter(col("proj").isNotNull)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "proj_micro")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("proj_micro"))),
+    // co-bucketed layout demo: both sides written bucketed by the join key,
+    // read back via the catalog, joined + aggregated with zero exchanges
+    // (plan pinned in PlanSpec; the ROWS are layout-independent — the oracle
+    // is the plain parquet join)
+    "bucketed_join" -> ((s, dir) => {
+      val cust = rd(s, dir, "customer").select(col("c_custkey"))
+      val ord = rd(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      graft.sources.BucketedTable
+        .cobucketedJoin(cust, ord, "c_custkey", 8, s"gb_${math.abs(dir.hashCode)}")
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)")).as("total_cents"))
+    }),
     // ...and the REMOVAL form: documents rewritten with those spans cut out
     "dedup_substring_clean" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
@@ -1178,6 +1222,16 @@ object SparkEntry {
          |       ((CAST(w.target_milli AS BIGINT) * 100000) // 1000) * 1000 // a.available AS epochs_milli
          |FROM a JOIN w USING (source) WHERE a.available > 0""".stripMargin
     },
+    "mixture_temperature" -> Oracles.temperatureSharesSql(10000L, 500),
+    "emb_project" -> Oracles.projectSrpSql(8),
+    "bucketed_join" -> Oracles.bucketedJoinSql,
+    "knn_mutual_clusters" -> Oracles.mutualKnnClustersSql(3, 8, 2),
+    "chunk_dedup" -> Oracles.chunkDedupSql(20, 2),
+    "chunk_dedup_keep_first" -> Oracles.chunkDedupSql(20, 2, keepFirst = true),
+    "dedup_rate_by_source" -> Oracles.dedupRateBySourceSql,
+    "source_kl" -> Oracles.sourceKlSql,
+    "dsir_weights" -> Oracles.dsirWeightsSql(
+      "source IN ('src0','src1','src2','src3','src4')"),
     "weighted_sample_by_source" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars, source,

@@ -433,4 +433,100 @@ object CorpusStats {
         floor(col("__n") * pct / lit(100)).cast("long"))
       .select(col(idCol), col(groupCol), col(scoreCol))
   }
+
+  /**
+   * PER-SOURCE UNIGRAM KL DIVERGENCE vs the whole corpus — the domain-shift
+   * monitor for multi-source crawls: KL(p_source ‖ p_corpus) =
+   * Σ_w p_s(w)·ln(p_s(w)/p(w)) over the source's observed words (p_s(w) > 0
+   * always, p(w) > 0 because the corpus contains the source — no smoothing
+   * needed). A source drifting from the mixture (different language, spam
+   * injection, template flood) spikes here long before eyeballing samples
+   * would catch it.
+   *
+   * Determinism: the per-word log ratio `ln((c_sw·N)/(N_s·c_w))` is computed
+   * on EXACT integer products (each < 2^53, so the double quotient is one
+   * correctly-rounded operation in any IEEE engine) and quantized to integer
+   * micro-nats (the [[unigramLogLoss]] idiom); the per-source aggregation is
+   * then an exact integer sum `Σ_w c_sw·q_w`, and only the final
+   * normalization by N_s is a rounded double.
+   *
+   * Scale shape: one (source, word) count, one word count derived from it by
+   * a second map-side-combined aggregation, totals via a broadcast 1-row
+   * frame — three exchanges total, none carrying text.
+   *
+   * @return (sourceCol, n_tokens, kl) — kl in nats rounded to 4.
+   */
+  def sourceKlDivergence(docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val w = docs.select(col(sourceCol).as("__src"), explode(wordsCol(col(textCol))).as("__w"))
+    val csw = w.groupBy(col("__src"), col("__w")).agg(count(lit(1)).as("__csw"))
+    val cw = csw.groupBy(col("__w")).agg(sum(col("__csw")).as("__cw"))
+    val ns = csw.groupBy(col("__src")).agg(sum(col("__csw")).as("__ns"))
+    val n = cw.agg(sum(col("__cw")).as("__N"))
+    val contrib = csw
+      .join(cw, "__w")
+      .join(ns, "__src")
+      .crossJoin(broadcast(n))
+      .select(col("__src"), col("__ns"),
+        (col("__csw") *
+          floor(log((col("__csw") * col("__N")).cast("double") /
+                    (col("__ns") * col("__cw")).cast("double")) * lit(1000000.0))
+            .cast("long")).as("__q"))
+    contrib.groupBy(col("__src"))
+      .agg(first(col("__ns")).as("__ns2"), sum(col("__q")).as("__s"))
+      .select(col("__src").as(sourceCol), col("__ns2").as("n_tokens"),
+        round(col("__s").cast("double") / (col("__ns2").cast("double") * lit(1000000.0)), 4)
+          .as("kl"))
+  }
+
+  /**
+   * DSIR IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection for Language
+   * Models via Importance Resampling") — per-document log importance ratio
+   * `log(p_target(doc) / p_raw(doc))` under add-one-smoothed unigram
+   * distributions of a TARGET slice (the domain you want more of) vs the
+   * RAW remainder. Selecting the top-weight raw documents (or Gumbel-top-k
+   * sampling on the weights) tilts a 100 TB crawl toward the target domain —
+   * the paper's hashed-n-gram features degrade to unigrams here, where the
+   * fixture vocabulary is small and exactly mirrorable.
+   *
+   * Determinism: both distributions quantize to integer micro-nat surprisals
+   * over the UNION vocabulary (`qT_w = floor(−ln((cT_w+1)/(NT+V))·1e6)`, the
+   * [[unigramLogLoss]] idiom; add-one keeps unseen-in-one-side words finite);
+   * a document's weight is the exact BIGINT sum `Σ_tokens (qR_w − qT_w)` —
+   * positive = looks like the target. No float reduction anywhere.
+   *
+   * Scale shape: two word-count aggregations + a full-outer vocab join
+   * (vocab-sized, not corpus-sized), then one join of the exploded corpus
+   * against the weight table (AQE broadcasts it when small) and one per-doc
+   * sum. Every doc with ≥ 1 word is scored — target docs too (their weights
+   * are diagnostics); wordless docs are absent (no distribution to score).
+   *
+   * @param targetPred SQL predicate over `docs` columns defining the target
+   * @return (idCol, n_tokens, dsir_micro) — dsir_micro = Σ (qR − qT) in
+   *         micro-nats, exact integer.
+   */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String, targetPred: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+      expr(targetPred).as("__t"), explode(wordsCol(col(textCol))).as("__w"))
+    def dist(side: DataFrame): DataFrame =
+      side.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val tCnt = dist(toks.filter(col("__t")))
+    val rCnt = dist(toks.filter(!col("__t")))
+    val vocab = tCnt.select(col("__w"), col("__c").as("__ct"))
+      .join(rCnt.select(col("__w"), col("__c").as("__cr")), Seq("__w"), "full_outer")
+      .select(col("__w"), coalesce(col("__ct"), lit(0L)).as("__ct"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    val tot = vocab.agg(sum(col("__ct")).as("__NT"), sum(col("__cr")).as("__NR"),
+      count(lit(1)).as("__V"))
+    def q(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      floor(-log((c + 1).cast("double") / (n + col("__V")).cast("double"))
+        * lit(1000000.0)).cast("long")
+    val wt = vocab.crossJoin(broadcast(tot))
+      .select(col("__w"),
+        (q(col("__cr"), col("__NR")) - q(col("__ct"), col("__NT"))).as("__d"))
+    toks.join(wt, "__w")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__d")).as("dsir_micro"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("dsir_micro"))
+  }
 }

@@ -1135,4 +1135,142 @@ object Dedup {
       .select(col("__cid").as(idCol), col("__cl").cast("long").as("cluster"),
         when(col("__gone").isNotNull, 0L).otherwise(1L).as("kept"))
   }
+
+  /**
+   * CHUNK-LEVEL CROSS-DOCUMENT DEDUP — the CCNet/RefinedWeb "paragraph dedup"
+   * primitive (Wenzek et al. 2020 dedup web text at paragraph granularity;
+   * here the unit is a fixed window of words, the natural analogue for
+   * unstructured text without line breaks). Each document is split into
+   * NON-overlapping `chunkWords`-word chunks (lowercased `[a-z]+` word runs);
+   * a chunk is duplicated iff its exact content occurs in ≥ `minDocs`
+   * DISTINCT documents; the cleaned text is the space-join of the surviving
+   * chunks in original order.
+   *
+   * Scale shape: the duplicated-chunk decision is ONE aggregation keyed by
+   * the chunk's md5 digest — the exchange carries (16-byte digest, doc id)
+   * pairs, never chunk text twice — and reassembly is doc-keyed. No pair
+   * join anywhere, so cost is linear in corpus size (the same argument as
+   * [[exact]], applied per chunk). At 100 TB both shuffles are slim:
+   * digests+ids for the verdict, and each chunk's text exactly once for the
+   * doc-side regroup.
+   *
+   * Determinism: md5 of exact chunk text; counts are integers; reassembly
+   * sorts by chunk index. 1:1 DuckDB oracle (`Oracles.chunkDedupSql`).
+   *
+   * @param keepFirst false (CCNet): every copy of a duplicated chunk is cut;
+   *                  true (RefinedWeb-style): the canonical occurrence —
+   *                  (min doc id, then min chunk index there) — survives
+   * @return one row per input doc: (idCol, clean_text, n_chunks, dup_chunks);
+   *         docs with no `[a-z]` word → ('', 0, 0).
+   */
+  def chunkDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 40, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val W = chunkWords
+    val chunks = df
+      .select(col(idCol).as("__id"),
+        expr(s"regexp_extract_all(lower($textCol), '[a-z]+', 0)").as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("__id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST((size(__ws) + ${W - 1}) DIV $W AS INT) - 1), " +
+          s"i -> array_join(slice(__ws, i * $W + 1, $W), ' '))")).as(Seq("__ci", "__chunk")))
+    val keyed = chunks.withColumn("__ck", md5(col("__chunk")))
+    // join on the key NAME (usingColumns), not a recomputed expression — the
+    // dup-key frame derives from `chunks`, and a condition re-evaluating
+    // md5(__chunk) binds ambiguously across the self-join's shared lineage
+    val dupKeys = keyed
+      .groupBy(col("__ck"))
+      .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__kd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__ck"), col("__kd"), lit(1L).as("__isdup"))
+    // keepFirst: the canonical occurrence of a duplicated chunk — (min doc,
+    // then min chunk index within that doc) — SURVIVES; all other copies cut.
+    // (CCNet removes every copy, RefinedWeb-style pipelines keep one; both
+    // semantics are one flag apart on the same machinery.)
+    val keeperKeys =
+      if (!keepFirst) null
+      else keyed.join(dupKeys.select(col("__ck"), col("__kd")), Seq("__ck"))
+        .filter(col("__id") === col("__kd"))
+        .groupBy(col("__ck"))
+        .agg(min(col("__ci")).as("__kc"))
+    val flagged0 = keyed
+      .join(dupKeys, Seq("__ck"), "left")
+    val flagged =
+      (if (!keepFirst) flagged0.withColumn("__keep0", lit(null))
+       else flagged0.join(keeperKeys, Seq("__ck"), "left")
+         .withColumn("__keep0",
+           when(col("__id") === col("__kd") && col("__ci") === col("__kc"), lit(1L))))
+      .select(col("__id"), col("__ci"), col("__chunk"),
+        when(col("__isdup").isNotNull && col("__keep0").isNull, 1L)
+          .otherwise(0L).as("__dup"))
+    val perDoc = flagged.groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("__dup")).as("dup_chunks"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN __dup = 0 THEN struct(__ci, __chunk) END)), x -> x.__chunk)"),
+          " ").as("clean_text"))
+    df.select(col(idCol))
+      .join(perDoc, col(idCol) === perDoc("__id"), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+  }
+
+  /**
+   * Per-source corpus-health rollup: how much of each source is exact-dup.
+   * The aggregate every large-scale crawl pipeline dashboards before and
+   * after a dedup pass — one groupBy over (source, digest), no text shuffle
+   * (the exchange carries 16-byte digests), so it runs casually at 100 TB.
+   *
+   * @return (sourceCol, docs, docs_with_text, dup_docs, dup_milli) where
+   *         dup_docs = docs_with_text − distinct digests and dup_milli is the
+   *         integer-milli duplicated fraction of docs_with_text (0 if none).
+   */
+  def dedupRateBySource(df: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("docs"),
+        count(col(textCol)).as("docs_with_text"),
+        countDistinct(md5(col(textCol))).as("__uniq"))
+      .select(col(sourceCol), col("docs"), col("docs_with_text"),
+        (col("docs_with_text") - col("__uniq")).as("dup_docs"),
+        when(col("docs_with_text") > 0L,
+          expr("((docs_with_text - __uniq) * 1000L) DIV docs_with_text"))
+          .otherwise(0L).as("dup_milli"))
+
+  /**
+   * MUTUAL-kNN NEAR-DUP CLUSTERS over an embedding column: an undirected edge
+   * joins a and b iff EACH appears in the other's approximate k-nearest-
+   * neighbor list ([[knnGraph]] — LSH-bucketed candidates, rank by rounded
+   * cosine); clusters are the connected components of that graph. The mutual
+   * constraint is the classic density filter (mutual-kNN graphs drop hub
+   * edges that one-directional kNN keeps), giving tighter semantic-dup
+   * groups than a raw threshold on cosine.
+   *
+   * Scale shape: [[knnGraph]] is bucket-joined (never all-pairs) and emits
+   * ≤ k rows per vector, so the mutuality self-join runs on an O(N·k) edge
+   * relation keyed by (src, nbr) — slim integers — and
+   * [[ConnectedComponents.run]] is the O(log² n)-round star contraction.
+   * Nothing is collected to the driver.
+   *
+   * @return (idCol, component) for EVERY input row — vectors with no mutual
+   *         neighbor are singletons (component = own id).
+   */
+  def mutualKnnClusters(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+    val g = knnGraph(df, idCol, vecCol, k, nPlanes, nTables)
+      .select(col("src"), col("nbr"))
+    val edges = g.as("a")
+      .join(g.as("b"),
+        col("a.src") === col("b.nbr") && col("a.nbr") === col("b.src"))
+      .filter(col("a.src") < col("a.nbr"))
+      .select(col("a.src").as("id_a"), col("a.nbr").as("id_b"))
+    ConnectedComponents.run(df.select(col(idCol)), idCol, edges, "id_a", "id_b")
+  }
 }

@@ -66,4 +66,41 @@ object Embeddings {
 
   def l2NormalizeCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     l2NormalizeUdf(vec)
+
+  /**
+   * SIGNED-RANDOM-PROJECTION dimensionality reduction (Achlioptas 2003
+   * database-friendly Johnson–Lindenstrauss: projection entries ∈ {−1, +1}
+   * preserve pairwise distances in expectation) — the cheap front-end for
+   * clustering / visualization / coarse ANN over a 100 TB embedding corpus
+   * where a float matrix multiply per row is still too much.
+   *
+   * Integer-exact by construction so it hash-matches a SQL oracle: inputs are
+   * first quantized to micro-units `q_i = floor(v_i·10⁶ + 0.5)` (the
+   * [[quantizeInt8]] half-up idiom — both engines branch identically on .5),
+   * the sign of cell (j, i) is the parity of the same splitmix-style integer
+   * mix the LSH planes use (`((j·8191 + i)·2654435761) mod 1000003`), and the
+   * output is the exact BIGINT sum Σᵢ sign(j,i)·qᵢ — no float reduction
+   * anywhere, so reduction order cannot matter.
+   *
+   * Scale shape: pure per-row codegen'd higher-order functions (transform /
+   * aggregate over the array column) — no UDF boxing, no shuffle, no state;
+   * the projection "matrix" is the hash formula, so nothing is broadcast.
+   *
+   * @param outDims projected dimensionality k (each output row carries k dims)
+   * @return (idCol, proj: array<long>) — micro-unit projections; null/empty
+   *         vectors → null.
+   */
+  def projectSrp(df: DataFrame, idCol: String, vecCol: String, outDims: Int): DataFrame = {
+    require(outDims > 0, s"outDims must be positive, got $outDims")
+    val proj = expr(
+      s"""transform(sequence(0, ${outDims - 1}), j ->
+         |  aggregate(sequence(0, size($vecCol) - 1), 0L, (acc, i) ->
+         |    acc + (CASE WHEN ((CAST(j AS BIGINT) * 8191 + i) * 2654435761L) % 1000003 % 2 = 0
+         |                THEN 1L ELSE -1L END)
+         |          * CAST(floor(CAST($vecCol[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)))
+         |""".stripMargin)
+    df.select(col(idCol),
+      when(col(vecCol).isNull || size(col(vecCol)) === 0, lit(null))
+        .otherwise(proj).as("proj"))
+  }
 }

@@ -274,6 +274,47 @@ object Sampling {
           .as("epochs_milli"))
   }
 
+  /**
+   * TEMPERATURE-SCALED MIXTURE SHARES — the multilingual/multi-source
+   * rebalancing rule (per-source sampling probability ∝ n^τ, τ < 1 upweights
+   * small sources; Conneau & Lample 2019, the mBERT/XLM-R recipe). Integer-
+   * exact by construction: τ is restricted to {0.25, 0.5, 1.0} (`tauMilli` ∈
+   * {250, 500, 1000}), where n^0.5 = floor(sqrt(n)) and n^0.25 =
+   * floor(sqrt(floor(sqrt(n)))) — floor(√·) of a BIGINT is bit-identical in
+   * any IEEE engine (exact for n < 2^52, and source counts are far smaller),
+   * so shares and quotas hash-match a SQL oracle with no float tolerance.
+   * A general float τ would hinge on cross-engine `pow` ULPs — rejected for
+   * the gated surface, documented here.
+   *
+   * Scale shape: one groupBy(source) count (map-side combined) over the
+   * corpus, then arithmetic on the tiny per-source relation against a
+   * broadcast 1-row weight total. Nothing leaves the executors but
+   * per-source counts.
+   *
+   * @param budget total documents wanted in the mixture epoch
+   * @return (sourceCol, available, w, share_micro, quota): `w` = n^τ,
+   *         share_micro = w·10⁶ DIV Σw, quota = w·budget DIV Σw.
+   */
+  def temperatureShares(
+      df: DataFrame, sourceCol: String, budget: Long, tauMilli: Int = 500): DataFrame = {
+    require(budget > 0L, s"budget must be positive, got $budget")
+    require(Set(250, 500, 1000).contains(tauMilli),
+      s"tauMilli must be one of 250/500/1000 (integer-exact n^tau), got $tauMilli")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("available"))
+    val w = tauMilli match {
+      case 1000 => col("available")
+      case 500  => floor(sqrt(col("available").cast("double"))).cast("long")
+      case 250  => floor(sqrt(floor(sqrt(col("available").cast("double"))))).cast("long")
+    }
+    val weighted = counts.select(col(sourceCol), col("available"), w.as("w"))
+    val total = weighted.agg(sum(col("w")).as("__tw"))
+    weighted.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("available"), col("w"),
+        expr("(w * 1000000L) DIV __tw").as("share_micro"),
+        expr(s"(w * ${budget}L) DIV __tw").as("quota"))
+  }
+
   /** The shared integer-exact priority stage of [[weightedTopK]] /
     * [[weightedTopKByGroup]]: (keyCol, weightCol, extraCols..., priority). */
   private def withPriority(

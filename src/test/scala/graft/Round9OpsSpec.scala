@@ -1,0 +1,247 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.BucketedTable
+
+/** Specs for the round-9 additions: chunk-level dedup, per-source dedup rate,
+  * temperature mixture shares, SRP projection, mutual-kNN clusters, and the
+  * bucketed sink/source layout. */
+class Round9OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("round9-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- chunkDedup ---------------------------------------------------------
+
+  test("chunkDedup removes chunks shared by >= minDocs docs, keeps order") {
+    // 3-word chunks; "aa bb cc" is shared by docs 1 and 2 as an aligned chunk
+    // (words are lowercased [a-z]+ runs — digits would merge "xa1"/"xa2")
+    val df = docsDf(Seq(
+      (1L, "aa bb cc xa ya za"),
+      (2L, "aa bb cc xb yb zb"),
+      (3L, "p q r"),
+      (4L, ""),
+      (5L, "one two")))
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("xa ya za", 2L, 1L)))
+    assert(out(2L) == (("xb yb zb", 2L, 1L)))
+    assert(out(3L) == (("p q r", 1L, 0L)))
+    assert(out(4L) == (("", 0L, 0L)))          // wordless doc passes through empty
+    assert(out(5L) == (("one two", 1L, 0L)))   // short tail chunk is its own chunk
+  }
+
+  test("chunkDedup counts DISTINCT docs: within-doc repeats are not dups") {
+    val df = docsDf(Seq(
+      (1L, "aa bb cc aa bb cc"), // same chunk twice in ONE doc -> not duplicated
+      (2L, "zz yy xx")))
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "aa bb cc aa bb cc")
+  }
+
+  test("chunkDedup fully-duplicated doc cleans to empty string") {
+    val df = docsDf(Seq((1L, "aa bb cc"), (2L, "aa bb cc")))
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) == (("", 1L)) && out(2L) == (("", 1L)))
+  }
+
+  test("chunkDedup keepFirst leaves the canonical copy (min doc, min index)") {
+    val df = docsDf(Seq(
+      (7L, "aa bb cc aa bb cc"), // dup chunk appears twice in the min doc
+      (8L, "aa bb cc zz yy xx"),
+      (9L, "aa bb cc")))
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkWords = 3, minDocs = 2,
+        keepFirst = true)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // doc 7 keeps only its FIRST copy; doc 8 and 9 lose theirs
+    assert(out(7L) == (("aa bb cc", 1L)))
+    assert(out(8L) == (("zz yy xx", 1L)))
+    assert(out(9L) == (("", 1L)))
+    // CCNet mode removes all three copies including the canonical one
+    val all = Dedup.chunkDedup(df, "doc_id", "text", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(7L) == "" && all(9L) == "")
+  }
+
+  // ---- sourceKlDivergence / dsirWeights -----------------------------------
+
+  test("sourceKlDivergence is 0 for identical distributions, > 0 for drift") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(50)("aa bb").zipWithIndex.map { case (t, i) => (i.toLong, t, "same1") } ++
+      Seq.fill(50)("aa bb").zipWithIndex.map { case (t, i) => (100L + i, t, "same2") } ++
+      Seq.fill(50)("zz qq").zipWithIndex.map { case (t, i) => (200L + i, t, "drift") })
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceKlDivergence(df, "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("same1")._1 == 100L)
+    // same1/same2 each hold half the aa/bb mass: ratio p_s/p = 1 within the
+    // shared words -> KL ≈ ln(150/100) from the mixture weight... compute:
+    // p_s(aa)=.5, p(aa)=100/300 -> ln(1.5) ≈ 0.405 for both shared sources
+    assert(math.abs(out("same1")._2 - out("same2")._2) < 1e-9)
+    assert(out("drift")._2 > out("same1")._2) // disjoint vocab: ln(3) ≈ 1.099
+    assert(math.abs(out("drift")._2 - math.log(3.0)) < 0.01)
+  }
+
+  test("dsirWeights scores target-like docs positive, off-target negative") {
+    val s = spark
+    import s.implicits._
+    val df = (
+      (1L to 20L).map(i => (i, "ml model training data", "target")) ++
+      (21L to 40L).map(i => (i, "celebrity gossip news", "web")) ++
+      Seq((50L, "ml model gossip", "web"))).toDF("doc_id", "text", "source")
+    val out = CorpusStats.dsirWeights(df, "doc_id", "text", "source = 'target'")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(21L)._2 < 0)           // pure off-target doc
+    assert(out(1L)._2 > 0)            // pure target doc (diagnostic score)
+    assert(out(50L)._1 == 3L)         // mixed doc scored over its 3 tokens
+    assert(out(50L)._2 > out(21L)._2 && out(50L)._2 < out(1L)._2)
+  }
+
+  // ---- dedupRateBySource --------------------------------------------------
+
+  test("dedupRateBySource counts exact dups per source, null text excluded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "same", "a"), (2L, "same", "a"), (3L, "other", "a"),
+      (4L, null.asInstanceOf[String], "b"), (5L, "x", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.dedupRateBySource(df, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") == ((3L, 3L, 1L, 333L)))
+    assert(out("b") == ((2L, 1L, 0L, 0L)))
+  }
+
+  // ---- temperatureShares --------------------------------------------------
+
+  test("temperatureShares tau=0.5 upweights small sources, integer-exact") {
+    val s = spark
+    import s.implicits._
+    // 100 docs of 'big', 4 of 'small': raw shares 96%/4%; sqrt shares 10/2
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("id", "source")
+    val out = Sampling.temperatureShares(df, "source", 1200L, 500)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("big") == ((100L, 10L, 833333L, 1000L)))
+    assert(out("small") == ((4L, 2L, 166666L, 200L)))
+    // tau=1.0 degenerates to proportional
+    val prop = Sampling.temperatureShares(df, "source", 1200L, 1000)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(prop("big") == 1153L && prop("small") == 46L)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureShares(df, "source", 1200L, 700)
+    }
+  }
+
+  // ---- projectSrp ---------------------------------------------------------
+
+  test("projectSrp is integer-exact, sign-deterministic, null-safe") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f)),
+      (2L, Seq.empty[Float]),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val rows = Embeddings.projectSrp(df, "vec_id", "embedding", 4)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(rows(2L) == null && rows(3L) == null)
+    val p = rows(1L)
+    assert(p.length == 4)
+    // exact recomputation: q = (1000000, -500000, 250000)
+    val q = Seq(1000000L, -500000L, 250000L)
+    val expect = (0 until 4).map { j =>
+      (0 until 3).map { i =>
+        val sign = if (((j.toLong * 8191 + i) * 2654435761L) % 1000003 % 2 == 0) 1L else -1L
+        sign * q(i)
+      }.sum
+    }
+    assert(p == expect)
+  }
+
+  // ---- mutualKnnClusters --------------------------------------------------
+
+  test("mutualKnnClusters groups mutual neighbors, singletons label themselves") {
+    val s = spark
+    import s.implicits._
+    // two tight pairs far apart + one outlier; k=1 makes mutuality strict
+    val df = Seq(
+      (1L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.02f, 0.0f, 0.0f)),
+      (10L, Seq(0.0f, 0.0f, 1.0f, 0.01f)),
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.02f)),
+      (99L, Seq(-1.0f, 1.0f, -1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.mutualKnnClusters(df, "vec_id", "embedding", 1, nPlanes = 2, nTables = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 5)
+    assert(out(1L) == out(2L))
+    assert(out(10L) == out(11L))
+    assert(out(1L) != out(10L))
+    assert(out(99L) == 99L)
+  }
+
+  // ---- BucketedTable ------------------------------------------------------
+
+  test("cobucketedJoin matches the plain join and reads back bucketed") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 50L).map(k => (k, s"n$k")).toDF("k", "name")
+    val right = (1L to 200L).map(i => (i % 60 + 1, i)).toDF("k", "v")
+    val got = BucketedTable.cobucketedJoin(left, right, "k", 4, "r9spec")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = left.join(right, "k").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want && got.nonEmpty)
+    // layout is recorded: the catalog table carries the bucket spec
+    val cat = spark.sql("DESCRIBE TABLE EXTENDED r9spec_l").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cat.get("Num Buckets").map(_.trim).contains("4"))
+  }
+
+  test("co-bucketed join + same-key agg plans ZERO shuffle exchanges") {
+    val s = spark
+    import s.implicits._
+    val left = (1L to 50L).map(k => (k, s"n$k")).toDF("k", "name")
+    val right = (1L to 200L).map(i => (i % 60 + 1, i)).toDF("k", "v")
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+             "spark.sql.adaptive.enabled" -> "false") {
+      val joined = BucketedTable.cobucketedJoin(left, right, "k", 4, "r9plan")
+        .groupBy("k").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free plan, got:\n$plan")
+    }
+  }
+
+  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
