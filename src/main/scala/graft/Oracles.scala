@@ -1355,6 +1355,61 @@ object Oracles {
        |       CAST(coalesce(a.dup_chunks, 0) AS BIGINT) AS dup_chunks
        |FROM documents dd LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Exact mirror of CorpusStats.gopherFlags over documents (default knobs):
+    * all-integer rule evaluation, list_sum(empty)=NULL handled by the
+    * n_words>0 branch. */
+  def gopherFlagsSql(
+      minWords: Int, maxWords: Int, minWlMilli: Long, maxWlMilli: Long,
+      minStop: Int): String = {
+    val stops = stopIn(graft.functions.TextFunctions.StopwordLists.head._2)
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |m AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |    list_sum(list_transform(ws, w -> length(w))) AS chars,
+       |    CAST(len(list_distinct(list_filter(ws, w -> w IN $stops))) AS BIGINT) AS stop_hits
+       |  FROM d
+       |),
+       |r AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words > 0 THEN (CAST(chars AS BIGINT) * 1000) // n_words
+       |         ELSE 0 END AS mean_wl_milli,
+       |    stop_hits
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, mean_wl_milli, stop_hits,
+       |  CASE WHEN n_words BETWEEN $minWords AND $maxWords THEN 1 ELSE 0 END AS flag_words,
+       |  CASE WHEN mean_wl_milli BETWEEN $minWlMilli AND $maxWlMilli THEN 1 ELSE 0 END AS flag_wordlen,
+       |  CASE WHEN stop_hits >= $minStop THEN 1 ELSE 0 END AS flag_stop,
+       |  (CASE WHEN n_words BETWEEN $minWords AND $maxWords THEN 1 ELSE 0 END)
+       |  * (CASE WHEN mean_wl_milli BETWEEN $minWlMilli AND $maxWlMilli THEN 1 ELSE 0 END)
+       |  * (CASE WHEN stop_hits >= $minStop THEN 1 ELSE 0 END) AS pass
+       |FROM r""".stripMargin
+  }
+
+  /** Exact mirror of Multimodal.frameSample over the documents demo payload
+    * (UTF-8 text bytes; the corpus is ASCII so char slices ARE byte slices —
+    * the established mm_meta equivalence): frames = least(n, len) evenly
+    * spaced byte slices, frame f = [f·len DIV fr, max((f+1)·len DIV fr,
+    * start+1)). */
+  def mmFramesSql(n: Int): String =
+    s"""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+       |           FROM documents WHERE length(text) > 0),
+       |f AS (
+       |  SELECT doc_id, text, len, least($n, len) AS fr,
+       |         unnest(generate_series(0, CAST(least($n, len) AS INT) - 1)) AS fi
+       |  FROM d
+       |),
+       |s AS (
+       |  SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+       |    fi * len // fr AS st,
+       |    greatest((fi + 1) * len // fr, fi * len // fr + 1) AS en
+       |  FROM f
+       |)
+       |SELECT s.doc_id, s.frame_idx,
+       |  sha256(substring(d.text, CAST(s.st + 1 AS INT), CAST(s.en - s.st AS INT))) AS frame_sha,
+       |  CAST(s.en - s.st AS BIGINT) AS frame_bytes
+       |FROM s JOIN d USING (doc_id)""".stripMargin
+
   /** Exact mirror of CorpusStats.sourceKlDivergence over documents: per-word
     * micro-nat-quantized log ratio on exact integer products, exact integer
     * per-source sum, final normalization rounded to 4. */

@@ -259,6 +259,18 @@ object SparkEntry {
     // per-source unigram KL vs the corpus mixture — domain-shift monitor
     "source_kl" -> ((s, dir) =>
       CorpusStats.sourceKlDivergence(rd(s, dir, "documents"), "text", "source")),
+    // Gopher rule-based quality flags (integer-exact rule evaluation)
+    "gopher_flags" -> ((s, dir) =>
+      CorpusStats.gopherFlags(rd(s, dir, "documents"), "doc_id", "text")),
+    // video-analogue frame sampling over the binary payload (byte-exact)
+    "mm_frames" -> ((s, dir) => {
+      val wp = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
+      wp.select(col("doc_id"),
+          posexplode(Multimodal.frameSample(col("payload"), 4)).as(Seq("frame_idx", "frame")))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          sha2(col("frame"), 256).as("frame_sha"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
+    }),
     // DSIR unigram importance weights: target = sources src0-src4
     "dsir_weights" -> ((s, dir) =>
       CorpusStats.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
@@ -1230,6 +1242,8 @@ object SparkEntry {
     "chunk_dedup_keep_first" -> Oracles.chunkDedupSql(20, 2, keepFirst = true),
     "dedup_rate_by_source" -> Oracles.dedupRateBySourceSql,
     "source_kl" -> Oracles.sourceKlSql,
+    "gopher_flags" -> Oracles.gopherFlagsSql(10, 100000, 2000L, 10000L, 2),
+    "mm_frames" -> Oracles.mmFramesSql(4),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),
     "weighted_sample_by_source" ->

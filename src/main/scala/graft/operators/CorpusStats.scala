@@ -435,6 +435,49 @@ object CorpusStats {
   }
 
   /**
+   * GOPHER QUALITY RULES (Rae et al. 2021, "Scaling Language Models" §A1.1 —
+   * the rule-based doc filter every large English crawl pipeline starts
+   * from): per-document boolean flags for the word-count window, the
+   * mean-word-length window, and the minimum-distinct-stopword rule, plus
+   * the conjunction. Documents failing `pass` are the cheap first cut before
+   * any model-based scoring.
+   *
+   * All-integer determinism: mean word length compares in integer
+   * milli-chars (`Σlen(w)·1000 DIV n`), stopword hits count DISTINCT list
+   * words present; no float anywhere, so the gate hash-matches a 1:1 SQL
+   * mirror. Scale shape: one pass of per-row scalar expressions — no shuffle
+   * at all (the aggregation is per row over its own word array).
+   *
+   * @return (idCol, n_words, mean_wl_milli, stop_hits,
+   *          flag_words, flag_wordlen, flag_stop, pass) — flags are 1/0.
+   */
+  def gopherFlags(
+      docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 10, maxWords: Int = 100000,
+      minWlMilli: Long = 2000L, maxWlMilli: Long = 10000L,
+      minStop: Int = 2): DataFrame = {
+    val stops = graft.functions.TextFunctions.StopwordLists.head._2
+    val stopsArr = s"array(${stops.map(w => s"'$w'").mkString(",")})"
+    docs.select(col(idCol), wordsCol(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        size(col("__ws")).cast("long").as("n_words"),
+        expr("aggregate(__ws, 0L, (a, w) -> a + length(w))").as("__chars"),
+        expr(s"size(array_intersect(__ws, $stopsArr))").cast("long").as("stop_hits"))
+      .select(col(idCol), col("n_words"),
+        when(col("n_words") > 0L, expr("(__chars * 1000L) DIV n_words"))
+          .otherwise(0L).as("mean_wl_milli"),
+        col("stop_hits"))
+      .select(col(idCol), col("n_words"), col("mean_wl_milli"), col("stop_hits"),
+        when(col("n_words") >= minWords && col("n_words") <= maxWords, 1L)
+          .otherwise(0L).as("flag_words"),
+        when(col("mean_wl_milli") >= minWlMilli && col("mean_wl_milli") <= maxWlMilli, 1L)
+          .otherwise(0L).as("flag_wordlen"),
+        when(col("stop_hits") >= minStop, 1L).otherwise(0L).as("flag_stop"))
+      .withColumn("pass",
+        col("flag_words") * col("flag_wordlen") * col("flag_stop"))
+  }
+
+  /**
    * PER-SOURCE UNIGRAM KL DIVERGENCE vs the whole corpus — the domain-shift
    * monitor for multi-source crawls: KL(p_source ‖ p_corpus) =
    * Σ_w p_s(w)·ln(p_s(w)/p(w)) over the source's observed words (p_s(w) > 0

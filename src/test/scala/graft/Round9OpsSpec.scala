@@ -115,6 +115,35 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(50L)._2 > out(21L)._2 && out(50L)._2 < out(1L)._2)
   }
 
+  test("gopherFlags evaluates the three rules and their conjunction") {
+    val df = docsDf(Seq(
+      (1L, "the cat sat on a mat with the dog and it was good here now ok"), // passes all
+      (2L, "short text"),                              // fails word count
+      (3L, "a b c d e f g h i j k l m"),               // 1-char words: mean < 2.0
+      (4L, "")))                                       // empty: all fail
+    val out = CorpusStats.gopherFlags(df, "doc_id", "text", minWords = 10,
+        maxWords = 100, minWlMilli = 2000L, maxWlMilli = 10000L, minStop = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(7)))).toMap
+    assert(out(1L)._4 == 1L)
+    assert(out(2L) == ((2L, 4500L, 0L, 0L)))
+    assert(out(3L)._1 == 13L && out(3L)._2 < 2000L && out(3L)._4 == 0L)
+    assert(out(4L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("frameSample gate shape: contiguous byte slices covering the payload") {
+    val df = docsDf(Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")))
+    val out = Multimodal.withBinaryPayload(df, "text", "payload")
+      .select(col("doc_id"),
+        posexplode(Multimodal.frameSample(col("payload"), 4)).as(Seq("fi", "frame")))
+      .select(col("doc_id"), col("fi"), col("frame").cast("string").as("s"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(out((1L, 0)) == "ab" && out((1L, 1)) == "cd" &&
+      out((1L, 2)) == "ef" && out((1L, 3)) == "gh")
+    assert(out((2L, 0)) == "x" && out((2L, 1)) == "y") // len < n: 1-byte frames
+    assert(!out.keySet.exists(_._1 == 3L))             // empty payload: no rows
+  }
+
   // ---- dedupRateBySource --------------------------------------------------
 
   test("dedupRateBySource counts exact dups per source, null text excluded") {
