@@ -42,6 +42,14 @@ object Bench {
       // the r3 driver bench ran 2-9× slower than isolated reruns from exactly
       // this (CC/CleanCorpus stage caches compounding across 50 queries).
       spark.sharedState.cacheManager.clearCache()
+      // ...and the RDD-level residue clearCache() cannot see: DenseRank/CC
+      // localCheckpoints and operator persists pin executor blocks until the
+      // ContextCleaner GCs them, which a large idle heap may never trigger —
+      // by query ~80 of 124 the accumulated blocks inflated tail queries
+      // 3-5× over their isolated warm receipts (r9 measurement: full-run
+      // dedup_canonical 14.4 s vs 3.0 s isolated). The finished query's RDDs
+      // are never recomputed, so dropping truncated-lineage blocks is safe.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // Stop Spark BEFORE printing: shutdown-hook log lines emitted after the
     // JSON would consume the driver's tail-limited output capture and clip

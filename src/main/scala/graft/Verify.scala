@@ -25,8 +25,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Same hygiene as Bench: don't let one query's leftover cached blocks
-      // shade the plans (or the memory) of the 49 that follow.
+      // shade the plans (or the memory) of the 49 that follow — including the
+      // RDD-level localCheckpoint/persist residue clearCache() cannot see.
       spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
