@@ -1317,6 +1317,35 @@ object Oracles {
        |)""".stripMargin
   }
 
+  /** Exact mirror of CuratePipeline.curate: quality filter ([[qualityScoredCtes]])
+    * → keep min doc id per md5(text) → integer floor-sqrt temperature quotas
+    * → per-source rank by (tHash priority, id), rank ≤ quota. */
+  def curatePipelineSql(minQuality: Double, budget: Long): String = {
+    val pr = s"((${tHashSql("CAST(u.doc_id AS VARCHAR)")} % 1048576) + 1048576) % 1048576"
+    s"""WITH $qualityScoredCtes,
+       |qd AS (
+       |  SELECT d2.doc_id, d2.source, d2.text
+       |  FROM documents d2 JOIN scored s USING (doc_id)
+       |  WHERE s.quality >= $minQuality
+       |),
+       |u AS (
+       |  SELECT doc_id, source FROM (
+       |    SELECT doc_id, source, min(doc_id) OVER (PARTITION BY md5(text)) AS kd FROM qd
+       |  ) WHERE doc_id = kd
+       |),
+       |c AS (SELECT source, count(*) AS n FROM u GROUP BY 1),
+       |w AS (SELECT source, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+       |twc AS (SELECT sum(w) AS tw FROM w),
+       |qt AS (SELECT source, (w * $budget) // tw AS quota FROM w, twc),
+       |p AS (
+       |  SELECT u.doc_id, u.source,
+       |    row_number() OVER (PARTITION BY u.source ORDER BY $pr, u.doc_id) AS rnk
+       |  FROM u
+       |)
+       |SELECT p.doc_id, p.source, CAST(rnk AS BIGINT) AS rank
+       |FROM p JOIN qt USING (source) WHERE rnk <= qt.quota""".stripMargin
+  }
+
   /** Exact mirror of Dedup.chunkDedup: non-overlapping `w`-word chunks of the
     * lowercased `[a-z]+` word runs; a chunk is dup iff its exact text occurs
     * in ≥ `minDocs` DISTINCT docs; clean_text = space-join of surviving

@@ -262,6 +262,12 @@ object SparkEntry {
     // Gopher rule-based quality flags (integer-exact rule evaluation)
     "gopher_flags" -> ((s, dir) =>
       CorpusStats.gopherFlags(rd(s, dir, "documents"), "doc_id", "text")),
+    // the end-to-end curation composition: quality >= 0.5 -> exact dedup ->
+    // sqrt-temperature per-source quotas over a 200-doc budget -> hash-priority
+    // selection (one operator, one composed oracle)
+    "pipeline_curate" -> ((s, dir) =>
+      CuratePipeline.curate(rd(s, dir, "documents"), "doc_id", "text", "source",
+        0.5, 200L)),
     // video-analogue frame sampling over the binary payload (byte-exact)
     "mm_frames" -> ((s, dir) => {
       val wp = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
@@ -1243,6 +1249,7 @@ object SparkEntry {
     "dedup_rate_by_source" -> Oracles.dedupRateBySourceSql,
     "source_kl" -> Oracles.sourceKlSql,
     "gopher_flags" -> Oracles.gopherFlagsSql(10, 100000, 2000L, 10000L, 2),
+    "pipeline_curate" -> Oracles.curatePipelineSql(0.5, 200L),
     "mm_frames" -> Oracles.mmFramesSql(4),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),

@@ -229,6 +229,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(99L) == 99L)
   }
 
+  test("curate pipeline: filters, dedups, respects sqrt-temperature quotas") {
+    val s = spark
+    import s.implicits._
+    val good = "the quick brown fox jumps over a lazy dog in the sun it is fine"
+    // 20 'big' docs (2 of them exact dups), 4 'small' docs, 1 garbage doc
+    val df = ((1L to 20L).map(i => (i, if (i <= 2) good else good + s" extra$i", "big")) ++
+      (50L to 53L).map(i => (i, good + s" tail$i", "small")) ++
+      Seq((99L, "123 456 789 @@@ ###", "junk"))).toDF("doc_id", "text", "source")
+    val out = CuratePipeline.curate(df, "doc_id", "text", "source", 0.5, 12L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // big: 19 distinct after dedup -> w=4; small: 4 -> w=2; junk filtered
+    // (quality 0): tw=6, quotas = 4*12/6=8 and 2*12/6=4
+    assert(bySource == Map("big" -> 8, "small" -> 4))
+    assert(!out.exists(_._2 == "junk"))
+    // the duplicated text survives exactly once IF selected, never twice
+    assert(out.count(t => t._1 == 1L || t._1 == 2L) <= 1)
+    // ranks are 1..quota within each source
+    assert(out.filter(_._2 == "big").map(_._3).sorted.toSeq == (1L to 8L))
+  }
+
   // ---- BucketedTable ------------------------------------------------------
 
   test("cobucketedJoin matches the plain join and reads back bucketed") {
