@@ -29,7 +29,8 @@ object PlanAudit {
       "ann_pq_trained", "ann_pq_encoded", "dedup_minhash_sig", "dedup_sig_cross",
       "dedup_exact_incr", "dedup_substring_words_clean",
       "chunk_dedup", "knn_mutual_clusters", "emb_project", "bucketed_join",
-      "mixture_temperature", "dedup_rate_by_source")
+      "mixture_temperature", "dedup_rate_by_source", "pipeline_curate",
+      "dsir_weights", "source_kl", "gopher_flags")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -42,10 +42,14 @@ object CuratePipeline {
       .select(col(idCol), col(sourceCol), col(textCol),
         qualityScoreCol(col(textCol)).as("__q"))
       .filter(col("__q") >= minQuality)
+    // Persisted: three consumers (per-source counts → quotas, the rank
+    // window, the final join) would otherwise re-run the scoring scan and the
+    // dedup window three times each — the CleanCorpus shared-stage pattern.
     val kept = scored
       .withColumn("__kd", min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
       .filter(col(idCol) === col("__kd"))
       .select(col(idCol), col(sourceCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = kept.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
     val weights = counts.select(col(sourceCol),
       floor(sqrt(col("__n").cast("double"))).cast("long").as("__w"))
