@@ -1462,11 +1462,21 @@ object Oracles {
   /** Exact mirror of CorpusStats.dsirWeights over documents: add-one-smoothed
     * target/raw unigram distributions over the union vocabulary, per-word
     * integer micro-nat surprisal difference, exact BIGINT per-doc sum. */
-  def dsirWeightsSql(targetPred: String): String =
+  def dsirWeightsSql(targetPred: String, ngram: Int = 1): String = {
+    val featSrc =
+      if (ngram == 1)
+        s"""SELECT doc_id, ($targetPred) AS t,
+           |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS wd
+           |  FROM documents""".stripMargin
+      else
+        s"""SELECT doc_id, t, ws[i] || ' ' || ws[i + 1] AS wd
+           |  FROM (
+           |    SELECT doc_id, ($targetPred) AS t,
+           |           regexp_extract_all(lower(text), '[a-z]+') AS ws,
+           |           unnest(generate_series(1, len(regexp_extract_all(lower(text), '[a-z]+')) - 1)) AS i
+           |    FROM documents)""".stripMargin
     s"""WITH toks AS (
-       |  SELECT doc_id, ($targetPred) AS t,
-       |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS wd
-       |  FROM documents),
+       |  $featSrc),
        |tc AS (SELECT wd, count(*) AS ct FROM toks WHERE t GROUP BY 1),
        |rc AS (SELECT wd, count(*) AS cr FROM toks WHERE NOT t GROUP BY 1),
        |vocab AS (
@@ -1480,6 +1490,7 @@ object Oracles {
        |  FROM vocab, tot)
        |SELECT t.doc_id, count(*) AS n_tokens, CAST(sum(w.d) AS BIGINT) AS dsir_micro
        |FROM toks t JOIN wt w USING (wd) GROUP BY 1""".stripMargin
+  }
 
   /** Exact mirror of Dedup.dedupRateBySource over documents. */
   def dedupRateBySourceSql: String =

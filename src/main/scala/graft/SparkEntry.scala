@@ -281,6 +281,10 @@ object SparkEntry {
     "dsir_weights" -> ((s, dir) =>
       CorpusStats.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
         "source IN ('src0','src1','src2','src3','src4')")),
+    // ...and the paper-faithful bigram-feature variant
+    "dsir_weights_bigram" -> ((s, dir) =>
+      CorpusStats.dsirWeights(rd(s, dir, "documents"), "doc_id", "text",
+        "source IN ('src0','src1','src2','src3','src4')", ngram = 2)),
     "decontaminate" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       Decontaminate.flagged(docs, "doc_id", "text",
@@ -1253,6 +1257,8 @@ object SparkEntry {
     "mm_frames" -> Oracles.mmFramesSql(4),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),
+    "dsir_weights_bigram" -> Oracles.dsirWeightsSql(
+      "source IN ('src0','src1','src2','src3','src4')", ngram = 2),
     "weighted_sample_by_source" ->
       s"""WITH u AS (
          |  SELECT doc_id, n_chars, source,

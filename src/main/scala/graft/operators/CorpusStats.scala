@@ -544,13 +544,26 @@ object CorpusStats {
    * are diagnostics); wordless docs are absent (no distribution to score).
    *
    * @param targetPred SQL predicate over `docs` columns defining the target
+   * @param ngram      feature order: 1 = unigrams, 2 = adjacent word bigrams
+   *                   (the paper's n-gram features at their exactly-mirrorable
+   *                   order; bigrams sharpen domain signal on short docs)
    * @return (idCol, n_tokens, dsir_micro) — dsir_micro = Σ (qR − qT) in
    *         micro-nats, exact integer.
    */
   def dsirWeights(
-      docs: DataFrame, idCol: String, textCol: String, targetPred: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
-      expr(targetPred).as("__t"), explode(wordsCol(col(textCol))).as("__w"))
+      docs: DataFrame, idCol: String, textCol: String, targetPred: String,
+      ngram: Int = 1): DataFrame = {
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
+    val base = docs.select(col(idCol).as("__id"),
+      expr(targetPred).as("__t"), wordsCol(col(textCol)).as("__ws"))
+    // docs with fewer than `ngram` words have no features and are absent
+    // (same contract as the wordless-doc exclusion below)
+    val toks =
+      if (ngram == 1) base.select(col("__id"), col("__t"), explode(col("__ws")).as("__w"))
+      else base.filter(size(col("__ws")) >= 2)
+        .select(col("__id"), col("__t"),
+          explode(expr("transform(sequence(0, size(__ws) - 2), " +
+            "i -> concat(__ws[i], ' ', __ws[i + 1]))")).as("__w"))
     def dist(side: DataFrame): DataFrame =
       side.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
     val tCnt = dist(toks.filter(col("__t")))

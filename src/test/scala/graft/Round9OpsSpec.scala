@@ -113,6 +113,14 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(1L)._2 > 0)            // pure target doc (diagnostic score)
     assert(out(50L)._1 == 3L)         // mixed doc scored over its 3 tokens
     assert(out(50L)._2 > out(21L)._2 && out(50L)._2 < out(1L)._2)
+    // bigram features: same sign structure, 1-word docs drop out
+    val bg = CorpusStats.dsirWeights(
+        df.union(Seq((60L, "solo", "web")).toDF("doc_id", "text", "source")),
+        "doc_id", "text", "source = 'target'", ngram = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bg(1L)._1 == 3L)           // 4 words -> 3 bigrams
+    assert(bg(1L)._2 > 0 && bg(21L)._2 < 0)
+    assert(!bg.contains(60L))         // 1-word doc: no bigram features
   }
 
   test("gopherFlags evaluates the three rules and their conjunction") {
