@@ -129,6 +129,27 @@ object Oracles {
       |),
       |dcnt AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)""".stripMargin
 
+  /** Exact mirror of Dedup.noveltyScores: per-shingle first-occurrence over
+    * [[shingleCtes]]'s distinct (doc_id, sh) relation, reduced per doc. */
+  def noveltySql: String =
+    s"""WITH $shingleCtes,
+       |fo AS (SELECT sh, min(doc_id) AS fd FROM dsh GROUP BY sh)
+       |SELECT d.doc_id, count(*) AS n_shingles,
+       |       sum(CASE WHEN d.doc_id = f.fd THEN 1 ELSE 0 END) AS n_novel,
+       |       round(CAST(sum(CASE WHEN d.doc_id = f.fd THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) + 0.0 AS novelty
+       |FROM dsh d JOIN fo f ON d.sh = f.sh
+       |GROUP BY d.doc_id""".stripMargin
+
+  /** Exact mirror of Dedup.softWeights: per-content-hash group size as a
+    * window over md5(text) (nulls partition together on both engines),
+    * weight = 1/group_size. */
+  def softWeightsSql: String =
+    s"""SELECT doc_id, md5(text) AS content_hash,
+       |       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       |       round(1.0 / count(*) OVER (PARTITION BY md5(text)), 6) + 0.0 AS weight
+       |FROM documents""".stripMargin
+
   /** Brute-force 3-word-shingle Jaccard pairs ≥ threshold (mirrors
     * Dedup.jaccardPairs AND the verified output of Dedup.minHashLshPairs). */
   def jaccardPairs(threshold: Double): String =
@@ -458,6 +479,24 @@ object Oracles {
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS sq_cosine
        |FROM r WHERE rn <= $k""".stripMargin
 
+  /** Exact mirror of SimSearch.rangeSearch: all query×corpus pairs with
+    * UNROUNDED cosine ≥ minCosine (the same [[listCos]] fold the Scala
+    * kernel computes, so the threshold cut is bit-identical), scores then
+    * rounded to 4. No per-query ranking — the result set is the range. */
+  def rangeSearchSql(minCosine: Double, queryPred: String): String =
+    s"""WITH q AS (SELECT vec_id, embedding AS e FROM embeddings WHERE $queryPred),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.e AS ea, c.embedding AS eb
+       |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |),
+       |s AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${listCos("ea", "eb")} AS cosine
+       |  FROM p
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
+       |FROM s WHERE cosine >= $minCosine""".stripMargin
+
   /** Sequential-fold cosine between two DOUBLE-cast float lists (the shared
     * fragment of every embedding oracle; mirrors SimSearch's kernels). */
   private def listCos(a: String, b: String): String =
@@ -541,6 +580,43 @@ object Oracles {
    * corpus rows are dropped on both sides.
    */
   def annPqSql(k: Int, nSub: Int, ksub: Int, queryPred: String, nIters: Int = 0): String =
+    s"""${pqAdcScoreCtes(nSub, ksub, nIters, queryPred)}
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
+       |FROM r WHERE rn <= $k""".stripMargin
+
+  /**
+   * Exact mirror of SimSearch.topKPqRerank: the [[annPqSql]] ADC chain cut to
+   * a `shortlist`-deep candidate list per query (unrounded ADC cosine,
+   * neighbor-id ties — bit-identical ordering across engines, so the
+   * shortlist SET matches), then each candidate re-scored EXACTLY against
+   * the raw float vectors ([[listCos]] = the CosineSimExpr fold) and cut to
+   * the final top-k by (exact cosine desc, neighbor_id asc).
+   */
+  def annPqRerankSql(
+      k: Int, shortlist: Int, nSub: Int, ksub: Int,
+      queryPred: String, nIters: Int = 0): String =
+    s"""${pqAdcScoreCtes(nSub, ksub, nIters, queryPred)},
+       |slist AS (SELECT query_id, neighbor_id FROM r WHERE rn <= $shortlist),
+       |ex AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${listCos("qv.e", "cv.e")} AS cosine
+       |  FROM slist s
+       |  JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v cv ON s.neighbor_id = cv.vec_id
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM ex
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
+       |FROM rr WHERE rn <= $k""".stripMargin
+
+  /** The [[annPqSql]] scoring chain, shared with [[annPqRerankSql]]: `WITH`
+    * prefix through `r` (per-query ADC-cosine ranking, unrounded). Callers
+    * append the final `SELECT` (or further CTEs after a comma). */
+  private def pqAdcScoreCtes(
+      nSub: Int, ksub: Int, nIters: Int, queryPred: String): String =
     s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
        |vl AS (
        |  SELECT vec_id, e FROM v
@@ -582,9 +658,7 @@ object Oracles {
        |  SELECT query_id, neighbor_id, cosine,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
        |  FROM s2
-       |)
-       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
-       |FROM r WHERE rn <= $k""".stripMargin
+       |)""".stripMargin
 
   /**
    * Exact mirror of SimSearch.topKIvfPq: the [[ivfAssignCtes]] coarse
@@ -595,6 +669,45 @@ object Oracles {
   def annIvfPqSql(
       k: Int, nList: Int, nProbe: Int, nIters: Int,
       nSub: Int, ksub: Int, queryPred: String, pqIters: Int = 0): String =
+    s"""${ivfPqAdcScoreCtes(nList, nProbe, nIters, nSub, ksub, queryPred, pqIters)}
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
+       |FROM r WHERE rn <= $k""".stripMargin
+
+  /**
+   * Exact mirror of SimSearch.topKIvfPqRerank: the [[annIvfPqSql]] IVFADC
+   * chain cut to a `shortlist`-deep candidate list per query (unrounded ADC
+   * cosine, neighbor-id ties — bit-identical ordering across engines), then
+   * each candidate re-scored EXACTLY against the raw float vectors
+   * ([[listCos]] = the CosineSimExpr fold) and cut to the final top-k by
+   * (exact cosine desc, neighbor_id asc).
+   */
+  def annIvfPqRerankSql(
+      k: Int, shortlist: Int, nList: Int, nProbe: Int, nIters: Int,
+      nSub: Int, ksub: Int, queryPred: String, pqIters: Int = 0): String =
+    s"""${ivfPqAdcScoreCtes(nList, nProbe, nIters, nSub, ksub, queryPred, pqIters)},
+       |slist AS (SELECT query_id, neighbor_id FROM r WHERE rn <= $shortlist),
+       |ex AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${listCos("qv.e", "cv.e")} AS cosine
+       |  FROM slist s
+       |  JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v cv ON s.neighbor_id = cv.vec_id
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM ex
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
+       |FROM rr WHERE rn <= $k""".stripMargin
+
+  /** The [[annIvfPqSql]] scoring chain, shared with [[annIvfPqRerankSql]]:
+    * `WITH` prefix through `r` (per-query ADC-cosine ranking over the probed
+    * coarse lists, unrounded). Callers append the final `SELECT` (or further
+    * CTEs after a comma). */
+  private def ivfPqAdcScoreCtes(
+      nList: Int, nProbe: Int, nIters: Int,
+      nSub: Int, ksub: Int, queryPred: String, pqIters: Int): String =
     s"""${ivfAssignCtes(nList, nIters)},
        |qasgn AS (
        |  SELECT vec_id, cj FROM (
@@ -640,9 +753,7 @@ object Oracles {
        |  SELECT query_id, neighbor_id, cosine,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
        |  FROM s2
-       |)
-       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS adc_cosine
-       |FROM r WHERE rn <= $k""".stripMargin
+       |)""".stripMargin
 
   /** Shared product-quantizer CTE chain (assumes `v` raw and `vl` eligible
     * vectors are already defined): seeds per-subspace codebooks `cw0` from the

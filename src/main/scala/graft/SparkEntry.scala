@@ -139,6 +139,12 @@ object SparkEntry {
     }),
     // ---- LLM-pipeline: deduplication --------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"), "doc_id", "text")),
+    // Soft dedup: duplicates down-weighted (1/group), not dropped
+    "dedup_soft_weights" -> ((s, dir) =>
+      Dedup.softWeights(rd(s, dir, "documents"), "doc_id", "text")),
+    // Per-doc novel-content fraction by shingle first-occurrence (id order)
+    "doc_novelty" -> ((s, dir) =>
+      Dedup.noveltyScores(rd(s, dir, "documents"), "doc_id", "text")),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
     // the scale-shaped form: shingles in > 20 docs excluded from the inverted
@@ -329,6 +335,12 @@ object SparkEntry {
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
     }),
+    // FAISS range_search parity: every neighbor at cosine >= 0.3, no top-k cut
+    "ann_range" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.rangeSearch(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 0.3, excludeSelf = true)
+    }),
     "ann_lsh" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
       SimSearch.topKLsh(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
@@ -345,6 +357,21 @@ object SparkEntry {
       val emb = rd(s, dir, "embeddings")
       SimSearch.topKPq(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, nSub = 8, ksub = 16, excludeSelf = true)
+    }),
+    // PQ shortlist + exact re-rank (FAISS "search then refine"): ADC top-20
+    // shortlist from the codes-only scan, exact cosine over the 20 floats
+    "ann_pq_rerank" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKPqRerank(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, shortlist = 20, nSub = 8, ksub = 16,
+        excludeSelf = true)
+    }),
+    // IVFADC shortlist + exact re-rank (FAISS IndexRefineFlat over IVFPQ)
+    "ann_ivfpq_rerank" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKIvfPqRerank(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, shortlist = 20, nList = 16, nProbe = 4,
+        nIters = 1, nSub = 8, ksub = 16, excludeSelf = true)
     }),
     // IVF-PQ: coarse-list pruning + ADC scoring (the FAISS IVFADC layout)
     "ann_ivfpq" -> ((s, dir) => {
@@ -894,6 +921,8 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
         |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
         |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
+    "dedup_soft_weights" -> Oracles.softWeightsSql,
+    "doc_novelty" -> Oracles.noveltySql,
     "dedup_jaccard" -> Oracles.jaccardPairs(0.8),
     "dedup_containment" -> Oracles.containmentPairs(0.9),
     "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
@@ -1082,7 +1111,10 @@ object SparkEntry {
     "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
+    "ann_pq_rerank" -> Oracles.annPqRerankSql(5, 20, 8, 16, "vec_id < 50"),
+    "ann_range" -> Oracles.rangeSearchSql(0.3, "vec_id < 50"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
+    "ann_ivfpq_rerank" -> Oracles.annIvfPqRerankSql(5, 20, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),
     "ann_ivfpq_trained" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50", pqIters = 1),
     "ann_pq_encoded" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),

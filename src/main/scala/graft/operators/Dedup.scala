@@ -37,6 +37,37 @@ object Dedup {
       explode(shinglesUdf(col(textCol))).as("__sh"))
 
   /**
+   * Per-document novelty score — the fraction of a doc's distinct 3-word
+   * shingles that FIRST occur in this doc (first = smallest id over the
+   * corpus). The standard duplication diagnostic for ordered corpora
+   * (crawl snapshots, date-sorted dumps): novelty 1.0 = all-new content,
+   * near 0 = the doc is assembled from already-seen text. The id order is
+   * the "seen before" order, matching [[exact]]'s min-id canonical
+   * convention.
+   *
+   * Plan shape: the [[shingleRelation]] inverted index is aggregated to a
+   * per-shingle first-occurrence (ONE exchange on the shingle), joined back
+   * to the same relation co-partitioned on the shingle (the exchange is
+   * reused, not repeated), then reduced per doc (one exchange on the id,
+   * partial-aggregated map-side). No pair join anywhere — cost is linear in
+   * total shingle count, exactly like the substring-dedup aggregate. Docs
+   * with fewer than 3 words (or null text) have no shingles and are absent
+   * from the output.
+   *
+   * @return (idCol, n_shingles, n_novel, novelty rounded to 6)
+   */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingleRelation(df, idCol, textCol)
+    val first = sh.groupBy(col("__sh")).agg(min(col("__id")).as("__first"))
+    sh.join(first, Seq("__sh"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__id") === col("__first"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 6).as("novelty"))
+  }
+
+  /**
    * Exact dedup: rows grouped by md5 of `textCol`; canonical id = min id within
    * the group. Output: (idCol, content_hash, canonical_id). One shuffle on the
    * 128-bit hash — the groupBy key is the hash, never the full text, so 100 TB of
@@ -48,6 +79,32 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"))
     hashed.join(canon, "content_hash")
       .select(col(idCol), col("content_hash"), col("canonical_id"))
+  }
+
+  /**
+   * Soft dedup — down-WEIGHT duplicates instead of dropping them (the
+   * SoftDeDup framing: exact duplicates share one unit of total sampling
+   * mass, so a doc duplicated n times trains with weight 1/n instead of
+   * either full weight or deletion). Output one row per input row:
+   * (idCol, content_hash, group_size, weight = 1/group_size). Feed `weight`
+   * to [[graft.operators.Sampling]]'s weighted samplers or a loss-weighting
+   * column downstream.
+   *
+   * Plan shape: ONE shuffle, and it carries (id, 32-hex digest) only — the
+   * text is hashed before the exchange and never moves, the same 100-TB
+   * contract as [[exact]]. The per-group count is a window over the digest
+   * partition (no join-back, so no second exchange). Null-text rows form
+   * their own md5(null)=null group (both engines partition nulls together).
+   *
+   * @return (idCol, content_hash, group_size, weight rounded to 6)
+   */
+  def softWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_hash"))
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col(idCol), col("content_hash"), col("group_size"),
+        round(lit(1.0) / col("group_size"), 6).as("weight"))
   }
 
   /** The persisted side of [[exactIncrement]]: the distinct content digests of

@@ -188,6 +188,31 @@ object SimSearch {
   }
 
   /**
+   * Range search — the FAISS `range_search` API shape: ALL corpus rows with
+   * cosine ≥ `minCosine` to each query, not a fixed top-k. The right call
+   * when the consumer wants "everything this similar" (duplicate sweeps,
+   * recall-complete candidate generation) and result counts per query are
+   * data-dependent. The threshold is applied to the UNROUNDED cosine (the
+   * exact [[cosineUdf]] fold, bit-identical across engines), so the result
+   * SET is deterministic; scores are then rounded to 4 for output.
+   *
+   * Plan shape: [[broadcastCosine]] — queries broadcast, ONE corpus scan,
+   * no shuffle at all (no window: unlike [[topK]] there is no per-query
+   * ranking step, so the 100-TB plan is a pure map). Queries side is
+   * collect-guarded by `maxQueryBytes`.
+   *
+   * @return (query_id, neighbor_id, cosine rounded to 4)
+   */
+  def rangeSearch(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      minCosine: Double, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame =
+    broadcastCosine(corpus, cId, cVec, queries, qId, qVec,
+      minCos = minCosine, excludeSelf = excludeSelf, maxQueryBytes = maxQueryBytes)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
+
+  /**
    * Brute-force cosine top-k: for each query row, the k corpus rows with highest
    * cosine; ties broken by corpus id ascending. Output:
    * (query_id, neighbor_id, cosine rounded to 4 decimals).
@@ -553,6 +578,43 @@ object SimSearch {
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
+  }
+
+  /**
+   * Two-stage PQ search — the FAISS "search then refine" layout: an ADC
+   * shortlist of `shortlist` candidates per query from [[topKPq]] (codes-only
+   * scan, 32× compressed corpus), each candidate then re-scored EXACTLY
+   * against the raw float vectors and cut to the final top-k. Recovers
+   * brute-force-quality ranking at shortlist-sized exact cost: the second
+   * stage touches `nQueries · shortlist` float vectors, not the corpus.
+   *
+   * Plan shape at 100 TB: stage 1 is [[topKPq]]'s single corpus scan (no
+   * corpus shuffle); the tiny (query_id, neighbor_id) shortlist joins the
+   * query vectors small×small, then broadcasts into ONE corpus scan that
+   * fetches the shortlisted float vectors — exact scoring runs inside
+   * whole-stage codegen ([[cosineSim]], no ScalaUDF). Nothing large ever
+   * shuffles; the only window is over nQueries·shortlist rows.
+   *
+   * Determinism/oracle contract: the stage-1 shortlist is cut on the
+   * UNROUNDED ADC cosine with neighbor-id ties (bit-identical across
+   * engines, so the shortlist SET matches `Oracles.annPqRerankSql`); exact
+   * scores use the [[graft.functions.CosineSimExpr]] d-ascending fold =
+   * the oracle's `list_sum(list_transform(...))` chain.
+   *
+   * @param shortlist ADC candidates per query (≥ k); FAISS's `k_factor·k`
+   * @return (query_id, neighbor_id, cosine rounded to 4) — exact scores
+   */
+  def topKPqRerank(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, shortlist: Int, nSub: Int = 8, ksub: Int = 16, nIters: Int = 0,
+      excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val sl = topKPq(queries, qId, qVec, corpus, cId, cVec, shortlist,
+        nSub, ksub, nIters, excludeSelf, maxQueryBytes)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(sl, queries, qId, qVec, corpus, cId, cVec, k)
   }
 
   /** Trained product-quantizer: per-subspace codebooks `cw(m)(j)(d)` (Doubles)
@@ -964,6 +1026,62 @@ object SimSearch {
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("adc_cosine"))
+  }
+
+  /**
+   * Two-stage IVF-PQ search — IVFADC with exact refinement (FAISS's
+   * `IndexRefineFlat` over an IVFPQ base): [[topKIvfPq]] prunes to each
+   * query's nProbe coarse lists and ADC-scores the survivors from codes
+   * alone, keeping a `shortlist`-deep candidate list per query; each
+   * candidate is then re-scored EXACTLY against the raw float vectors and
+   * cut to the final top-k. The production recall-repair layout for
+   * compressed corpora: stage 2 touches `nQueries · shortlist` float
+   * vectors, never the corpus.
+   *
+   * Plan shape at 100 TB: stage 1 is [[topKIvfPq]]'s single shuffle-free
+   * corpus scan; the tiny shortlist joins the query vectors small×small,
+   * then broadcasts into ONE corpus scan fetching the shortlisted floats —
+   * exact scoring runs inside whole-stage codegen ([[cosineSim]]). The only
+   * window is over nQueries·shortlist rows.
+   *
+   * Determinism/oracle contract: the stage-1 shortlist is cut on the
+   * UNROUNDED ADC cosine with neighbor-id ties (bit-identical across
+   * engines, so the shortlist SET matches `Oracles.annIvfPqRerankSql`);
+   * exact scores use the [[graft.functions.CosineSimExpr]] d-ascending fold.
+   *
+   * @param shortlist ADC candidates per query (≥ k); FAISS's `k_factor·k`
+   * @return (query_id, neighbor_id, cosine rounded to 4) — exact scores
+   */
+  def topKIvfPqRerank(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, shortlist: Int, nList: Int = 16, nProbe: Int = 4, nIters: Int = 0,
+      nSub: Int = 8, ksub: Int = 16, pqIters: Int = 0, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val sl = topKIvfPq(queries, qId, qVec, corpus, cId, cVec, shortlist,
+        nList, nProbe, nIters, nSub, ksub, pqIters, excludeSelf, maxQueryBytes)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(sl, queries, qId, qVec, corpus, cId, cVec, k)
+  }
+
+  /** Shared exact-refinement tail for the two-stage searches
+    * ([[topKPqRerank]], [[topKIvfPqRerank]]): join the (query_id,
+    * neighbor_id) shortlist back to both float-vector sides, score with the
+    * codegen'd [[cosineSim]] fold, cut to top-k by (cosine desc, id asc). */
+  private def exactRerank(
+      shortlist: DataFrame,
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as("query_id"), col(qVec).as("__qv"))
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(cVec).as("__cv"))
+    val pairs = shortlist.join(q, Seq("query_id"))
+    val scored = c.join(broadcast(pairs), Seq("neighbor_id"))
+      .withColumn("__cos", cosineSim(col("__qv"), col("__cv")))
+      .filter(col("__cos").isNotNull)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
   }
 
   /**

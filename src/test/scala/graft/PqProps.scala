@@ -92,6 +92,39 @@ object PqProps extends Properties("PqIndex") {
       }
     }
 
+  // strictly-positive coordinates: every vector (and therefore every codeword
+  // mean and reconstruction) has nonzero norm, so PQ's zero-recon-norm drop
+  // can't fire and a full-corpus shortlist makes rerank ≡ exact brute force
+  private val posVecGen: Gen[Array[Float]] =
+    Gen.listOfN(4, Gen.chooseNum(0.1f, 2.0f)).map(_.toArray)
+  private val posCorpusGen: Gen[List[Array[Float]]] =
+    Gen.choose(6, 24).flatMap(n => Gen.listOfN(n, posVecGen))
+
+  property("topKPqRerank with full-corpus shortlist equals brute-force topK") =
+    forAll(posCorpusGen, partsGen, Gen.choose(0, 1)) { (vecs, parts, nIters) =>
+      val corpus = df(vecs, parts)
+      val q = corpus.filter(col("id") < 4)
+      val rerank = resultMap(SimSearch.topKPqRerank(q, "id", "vec",
+        corpus, "id", "vec", 3, shortlist = math.max(3, vecs.length),
+        nSub = 2, ksub = 4, nIters = nIters, excludeSelf = true))
+      val brute = resultMap(SimSearch.topK(q, "id", "vec",
+        corpus, "id", "vec", 3, excludeSelf = true))
+      rerank == brute
+    }
+
+  property("topKIvfPqRerank with full probe + full-corpus shortlist equals brute-force topK") =
+    forAll(posCorpusGen, partsGen, Gen.choose(0, 1)) { (vecs, parts, nIters) =>
+      val corpus = df(vecs, parts)
+      val q = corpus.filter(col("id") < 4)
+      val rerank = resultMap(SimSearch.topKIvfPqRerank(q, "id", "vec",
+        corpus, "id", "vec", 3, shortlist = math.max(3, vecs.length),
+        nList = 4, nProbe = 4, nIters = nIters, nSub = 2, ksub = 4,
+        excludeSelf = true))
+      val brute = resultMap(SimSearch.topK(q, "id", "vec",
+        corpus, "id", "vec", 3, excludeSelf = true))
+      rerank == brute
+    }
+
   property("pqEncode keeps exactly the eligible rows") =
     forAll(corpusGen, partsGen) { (vecs, parts) =>
       val corpus = df(vecs, parts)

@@ -293,6 +293,60 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- softWeights --------------------------------------------------------
+
+  test("softWeights assigns 1/group_size and keeps every row") {
+    val df = docsDf(Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique"), (5L, null)))
+    val out = Dedup.softWeights(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 5)
+    assert(out(1L) == ((3L, 0.333333)) && out(2L) == ((3L, 0.333333)))
+    assert(out(4L) == ((1L, 1.0)))
+    assert(out(5L) == ((1L, 1.0))) // null text is its own (null-hash) group
+    // duplicated groups share one unit of mass up to rounding
+    assert(math.abs(Seq(1L, 2L, 3L).map(out(_)._2).sum - 1.0) < 1e-4)
+  }
+
+  // ---- noveltyScores ------------------------------------------------------
+
+  test("noveltyScores credits shingles to their smallest-id doc") {
+    val df = docsDf(Seq(
+      (1L, "aa bb cc dd"),      // shingles: "aa bb cc", "bb cc dd" — all first
+      (2L, "aa bb cc dd"),      // exact dup of 1 -> nothing novel
+      (3L, "aa bb cc zz"),      // "aa bb cc" seen, "bb cc zz" new -> 1/2
+      (4L, "x y"),              // < 3 words -> absent
+      (5L, null)))              // null -> absent
+    val out = Dedup.noveltyScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+  }
+
+  // ---- rangeSearch --------------------------------------------------------
+
+  test("rangeSearch returns exactly the pairs at or above the threshold") {
+    val s = spark
+    import s.implicits._
+    // unit vectors in the plane at known angles: cos(0,1)=cos45, cos(0,2)=0,
+    // cos(1,2)=cos45, cos(0,3)=-1
+    val v = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.7071068f, 0.7071068f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f)))
+    val df = v.toDF("id", "vec")
+    val out = SimSearch.rangeSearch(df, "id", "vec", df, "id", "vec",
+        0.5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)))
+    // threshold below -1 -> every non-self pair
+    val all = SimSearch.rangeSearch(df, "id", "vec", df, "id", "vec",
+        -2.0, excludeSelf = true).count()
+    assert(all == 12L)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
