@@ -141,6 +141,19 @@ object Oracles {
        |FROM dsh d JOIN fo f ON d.sh = f.sh
        |GROUP BY d.doc_id""".stripMargin
 
+  /** Exact mirror of Dedup.boilerplateScores: per-shingle distinct-doc
+    * frequency over [[shingleCtes]]'s distinct (doc_id, sh) relation,
+    * reduced per doc against the minDocs threshold. */
+  def boilerplateSql(minDocs: Long): String =
+    s"""WITH $shingleCtes,
+       |fr AS (SELECT sh, count(*) AS df FROM dsh GROUP BY sh)
+       |SELECT d.doc_id, count(*) AS n_shingles,
+       |       sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS n_common,
+       |       round(CAST(sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) + 0.0 AS boilerplate
+       |FROM dsh d JOIN fr f ON d.sh = f.sh
+       |GROUP BY d.doc_id""".stripMargin
+
   /** Exact mirror of Dedup.softWeights: per-content-hash group size as a
     * window over md5(text) (nulls partition together on both engines),
     * weight = 1/group_size. */

@@ -145,6 +145,9 @@ object SparkEntry {
     // Per-doc novel-content fraction by shingle first-occurrence (id order)
     "doc_novelty" -> ((s, dir) =>
       Dedup.noveltyScores(rd(s, dir, "documents"), "doc_id", "text")),
+    // Per-doc corpus-frequent-shingle fraction (C4-style boilerplate signal)
+    "doc_boilerplate" -> ((s, dir) =>
+      Dedup.boilerplateScores(rd(s, dir, "documents"), "doc_id", "text", minDocs = 2L)),
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
     // the scale-shaped form: shingles in > 20 docs excluded from the inverted
@@ -198,6 +201,15 @@ object SparkEntry {
     // StreamNearDup's batch form: screen a document slice against the full
     // corpus (16-bit banding, pigeonhole-exact at maxHamming=3 — the oracle
     // is therefore a plain fingerprint cross join, no banding approximation)
+    // streaming decontamination holds the eval-leak line; batch face here,
+    // stream parity spec-pinned (same output as Decontaminate.flagged)
+    "stream_decon_batch" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      graft.streaming.StreamDecontaminate.flagAgainst(
+          docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 20), "doc_id", "text", n = 13)
+        .filter(col("doc_id") =!= col("bench_id"))
+    }),
     "stream_neardup_batch" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       graft.streaming.StreamNearDup.flagAgainst(
@@ -844,6 +856,22 @@ object SparkEntry {
       |FROM p JOIN sess s
       |  ON p.user_id = s.user_id AND p.us BETWEEN s.win_start AND s.win_end""".stripMargin
 
+  /** Shared by the `decontaminate` gate and the streaming face's batch gate
+    * (`stream_decon_batch`) — both emit the same distinct collision pairs. */
+  private lazy val decontaminateSql: String = {
+    val gram13 = (0 until 13).map(k => s"ws[g+$k]").mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |cg AS (
+       |  SELECT doc_id, $gram13 AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 12, 0))) AS g FROM d)
+       |),
+       |ch AS (SELECT DISTINCT doc_id, ${Oracles.tHashSql("gram")} AS gh FROM cg),
+       |bh AS (SELECT doc_id AS bench_id, gh FROM ch WHERE doc_id < 20)
+       |SELECT DISTINCT c.doc_id, b.bench_id
+       |FROM ch c JOIN bh b ON c.gh = b.gh
+       |WHERE c.doc_id <> b.bench_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "simjoin_words" ->
       """WITH t AS (
@@ -923,6 +951,7 @@ object SparkEntry {
         |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
     "dedup_soft_weights" -> Oracles.softWeightsSql,
     "doc_novelty" -> Oracles.noveltySql,
+    "doc_boilerplate" -> Oracles.boilerplateSql(2L),
     "dedup_jaccard" -> Oracles.jaccardPairs(0.8),
     "dedup_containment" -> Oracles.containmentPairs(0.9),
     "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
@@ -1004,19 +1033,9 @@ object SparkEntry {
          |  FROM sims
          |)
          |SELECT lid, rid, round(sim, 6) AS sim FROM ranked WHERE rn <= 3""".stripMargin,
-    "decontaminate" -> {
-      val gram13 = (0 until 13).map(k => s"ws[g+$k]").mkString(" || ' ' || ")
-      s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-         |cg AS (
-         |  SELECT doc_id, $gram13 AS gram
-         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 12, 0))) AS g FROM d)
-         |),
-         |ch AS (SELECT DISTINCT doc_id, ${Oracles.tHashSql("gram")} AS gh FROM cg),
-         |bh AS (SELECT doc_id AS bench_id, gh FROM ch WHERE doc_id < 20)
-         |SELECT DISTINCT c.doc_id, b.bench_id
-         |FROM ch c JOIN bh b ON c.gh = b.gh
-         |WHERE c.doc_id <> b.bench_id""".stripMargin
-    },
+    "decontaminate" -> decontaminateSql,
+    // same collision-pair semantics through the streaming face's batch path
+    "stream_decon_batch" -> decontaminateSql,
     "dedup_canonical" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashComponentCtes(0.8)}

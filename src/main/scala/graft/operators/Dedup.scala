@@ -68,6 +68,35 @@ object Dedup {
   }
 
   /**
+   * Per-document boilerplate score — the fraction of a doc's distinct
+   * 3-word shingles that occur in at least `minDocs` documents corpus-wide
+   * (distinct-doc frequency, so within-doc repeats don't count). High score
+   * = the doc is mostly template/navigation text shared across the corpus —
+   * the C4/CCNet boilerplate signal, here as a scored diagnostic rather
+   * than a hard filter; feed it to [[graft.operators.CorpusStats]]'s
+   * percentile filters to pick a data-driven cutoff.
+   *
+   * Plan shape: identical to [[noveltyScores]] — per-shingle distinct-doc
+   * count (ONE exchange on the shingle, map-side partial counts), join back
+   * co-partitioned, per-doc reduce. Linear in total shingle count, no pair
+   * join. Docs with no shingles are absent.
+   *
+   * @return (idCol, n_shingles, n_common, boilerplate rounded to 6)
+   */
+  def boilerplateScores(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val sh = shingleRelation(df, idCol, textCol)
+    val freq = sh.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    sh.join(freq, Seq("__sh"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_common"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_shingles"), 6).as("boilerplate"))
+  }
+
+  /**
    * Exact dedup: rows grouped by md5 of `textCol`; canonical id = min id within
    * the group. Output: (idCol, content_hash, canonical_id). One shuffle on the
    * 128-bit hash — the groupBy key is the hash, never the full text, so 100 TB of

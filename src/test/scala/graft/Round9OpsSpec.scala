@@ -326,6 +326,20 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 1L, 0.5)))
   }
 
+  test("boilerplateScores counts distinct-doc-frequent shingles") {
+    val df = docsDf(Seq(
+      (1L, "aa bb cc dd"),      // "aa bb cc" shared with 2 and 3; "bb cc dd" with 2
+      (2L, "aa bb cc dd"),
+      (3L, "aa bb cc qq rr ss tt"), // 5 shingles, only "aa bb cc" common -> 1/5
+      (4L, "solo text here")))  // nothing shared -> 0
+    val out = Dedup.boilerplateScores(df, "doc_id", "text", minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 2L, 1.0)))
+    assert(out(2L) == ((2L, 2L, 1.0)))
+    assert(out(3L) == ((5L, 1L, 0.2)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
   // ---- rangeSearch --------------------------------------------------------
 
   test("rangeSearch returns exactly the pairs at or above the threshold") {

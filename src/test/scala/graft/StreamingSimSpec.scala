@@ -180,6 +180,44 @@ class StreamingSimSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("StreamDecontaminate: flags gram collisions with a static bench exactly once") {
+    val s = spark
+    import s.implicits._
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    val bench = Seq((900L, leak)).toDF("doc_id", "text")
+    // batch parity with the batch operator on the same frames
+    val docs = Seq(
+      (1L, "prefix words " + leak + " suffix words"),
+      (2L, "thirteen totally different words that never overlap the benchmark at all here")
+    ).toDF("doc_id", "text")
+    val batchGot = graft.streaming.StreamDecontaminate.flagAgainst(
+        docs, "doc_id", "text", bench, "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchOp = graft.operators.Decontaminate.flagged(
+        docs, "doc_id", "text", bench, "doc_id", "text", n = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchGot == Set((1L, 900L)) && batchGot == batchOp)
+    // streaming: b1 flags doc 1; b2 re-sends doc 1 (must NOT re-flag) + doc 3
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toFile
+    Seq((1L, "x " + leak)).toDF("doc_id", "text").write.parquet(dir + "/in/b1")
+    val stream = spark.readStream.schema(docs.schema).parquet(dir + "/in/*")
+    val out = graft.streaming.StreamDecontaminate.flagAgainst(
+      stream, "doc_id", "text", bench, "doc_id", "text", n = 13)
+    val q = out.writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("decon_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got().toSet == Set((1L, 900L)))
+      Seq((1L, "x " + leak), (3L, leak + " tail")).toDF("doc_id", "text")
+        .write.parquet(dir + "/in/b2")
+      q.processAllAvailable()
+      assert(got().toSet == Set((1L, 900L), (3L, 900L)))
+      assert(got().size == 2, "cross-batch re-flag of (1,900) must be deduped by state")
+    } finally q.stop()
+  }
+
   test("StreamDedup TTL: expired hashes re-emit; default state never expires") {
     val s = spark
     import s.implicits._
