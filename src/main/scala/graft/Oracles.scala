@@ -510,6 +510,66 @@ object Oracles {
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
        |FROM s WHERE cosine >= $minCosine""".stripMargin
 
+  /**
+   * Exact mirror of SimSearch.topKMmr: brute shortlist per query (unrounded
+   * cosine, neighbor-id ties), pairwise candidate similarities via the same
+   * [[listCos]] fold, then the k greedy MMR steps UNROLLED as CTEs — step i
+   * scores every unselected candidate `λ·rel − (1−λ)·max(sim to selected)`
+   * and picks the (score DESC, nid ASC) argmax, exactly the Scala kernel's
+   * loop. λ literals are formatted from the same Doubles the kernel
+   * multiplies with, so scores are bit-identical.
+   */
+  def annMmrSql(k: Int, shortlist: Int, lambda: Double, queryPred: String): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val steps = (2 to k).map { i =>
+      val prev = s"(${(1 until i).map(j => s"SELECT query_id, nid FROM sel$j").mkString(" UNION ALL ")})"
+      s"""m$i AS (
+         |  SELECT c.query_id, c.nid,
+         |         $lam * c.rel - $oneMinus * max(p.sim) AS score
+         |  FROM cand c
+         |  JOIN $prev s ON s.query_id = c.query_id
+         |  JOIN ps p ON p.query_id = c.query_id AND p.na = c.nid AND p.nb = s.nid
+         |  LEFT JOIN $prev x ON x.query_id = c.query_id AND x.nid = c.nid
+         |  WHERE x.nid IS NULL
+         |  GROUP BY c.query_id, c.nid, c.rel
+         |),
+         |sel$i AS (
+         |  SELECT query_id, nid, score, $i AS rank FROM (
+         |    SELECT query_id, nid, score,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nid ASC) AS rn
+         |    FROM m$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id, embedding AS e FROM embeddings WHERE $queryPred),
+       |c0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nid, q.e AS qe, c.embedding AS ce
+       |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |),
+       |cs AS (SELECT query_id, nid, ce, ${listCos("qe", "ce")} AS rel FROM c0),
+       |cand AS (
+       |  SELECT query_id, nid, ce, rel FROM (
+       |    SELECT query_id, nid, ce, rel,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rn
+       |    FROM cs) WHERE rn <= $shortlist
+       |),
+       |ps AS (
+       |  SELECT a.query_id, a.nid AS na, b.nid AS nb, ${listCos("a.ce", "b.ce")} AS sim
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid
+       |),
+       |sel1 AS (
+       |  SELECT query_id, nid, rel AS score, 1 AS rank FROM (
+       |    SELECT query_id, nid, rel,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, nid ASC) AS rn
+       |    FROM cand) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT query_id, nid AS neighbor_id, round(score, 4) + 0.0 AS mmr_score,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ($union)""".stripMargin
+  }
+
   /** Sequential-fold cosine between two DOUBLE-cast float lists (the shared
     * fragment of every embedding oracle; mirrors SimSearch's kernels). */
   private def listCos(a: String, b: String): String =

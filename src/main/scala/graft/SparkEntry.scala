@@ -347,6 +347,13 @@ object SparkEntry {
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
     }),
+    // MMR diversified top-k: relevance/redundancy greedy trade (λ=0.5)
+    "ann_mmr" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKMmr(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, shortlist = 20, lambda = 0.5,
+        excludeSelf = true)
+    }),
     // FAISS range_search parity: every neighbor at cosine >= 0.3, no top-k cut
     "ann_range" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1132,6 +1139,7 @@ object SparkEntry {
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
     "ann_pq_rerank" -> Oracles.annPqRerankSql(5, 20, 8, 16, "vec_id < 50"),
     "ann_range" -> Oracles.rangeSearchSql(0.3, "vec_id < 50"),
+    "ann_mmr" -> Oracles.annMmrSql(5, 20, 0.5, "vec_id < 50"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_ivfpq_rerank" -> Oracles.annIvfPqRerankSql(5, 20, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),

@@ -1065,6 +1065,110 @@ object SimSearch {
     exactRerank(sl, queries, qId, qVec, corpus, cId, cVec, k)
   }
 
+  /**
+   * MMR diversified top-k (Carbonell & Goldstein 1998, maximal marginal
+   * relevance): greedily select k results per query trading relevance
+   * against redundancy — pick argmax of
+   * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` at each step (rank 1 is
+   * pure relevance). The curation shape for diverse exemplar/few-shot
+   * selection, where plain top-k returns k near-copies of the same hit.
+   *
+   * Plan shape at 100 TB: stage 1 is [[broadcastCosine]]'s single corpus
+   * scan cut to a `shortlist`-deep candidate list per query (the [[topK]]
+   * window); the tiny shortlist broadcasts into ONE more corpus scan that
+   * fetches candidate vectors, then ONE exchange groups each query's
+   * `shortlist` candidates (ids + vectors — nQueries·shortlist·dim floats,
+   * corpus-size-independent) and the greedy selection runs per query inside
+   * a deterministic kernel. The O(k·shortlist) quadratic step never touches
+   * the corpus.
+   *
+   * Determinism/oracle contract: the shortlist is cut on the UNROUNDED
+   * cosine with neighbor-id ties; relevance and candidate-candidate
+   * similarities use the same d-ascending Double fold as [[cosineUdf]] /
+   * the oracle's `list_sum(list_transform(...))`; the MMR score is one
+   * multiply-subtract on those folds, and ties break by neighbor id — all
+   * bit-identical across engines (`Oracles.annMmrSql` unrolls the same k
+   * greedy steps in SQL).
+   *
+   * @param shortlist candidate pool per query (≥ k)
+   * @param lambda    relevance weight λ ∈ [0, 1] (0.5 = balanced)
+   * @return (query_id, neighbor_id, mmr_score rounded to 4, rank 1..k) —
+   *         rank-1 score is the plain cosine, later ranks the MMR objective
+   */
+  def topKMmr(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, shortlist: Int, lambda: Double = 0.5, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val scored = broadcastCosine(corpus, cId, cVec, queries, qId, qVec,
+      excludeSelf = excludeSelf, maxQueryBytes = maxQueryBytes)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    val sl = scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("__cos"))
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(cVec).as("__cv"))
+    val cand = c.join(broadcast(sl), Seq("neighbor_id"))
+    val sel = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
+      // deterministic candidate order = the shortlist ranking
+      val cs = cands.map { r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)
+      }.sortBy { case (nid, rel, _) => (-rel, nid) }.toArray
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+        val n = math.min(a.length, b.length)
+        while (d < n) {
+          dot += a(d).toDouble * b(d).toDouble
+          na += a(d).toDouble * a(d).toDouble
+          nb += b(d).toDouble * b(d).toDouble
+          d += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val used = new Array[Boolean](cs.length)
+      var rank = 1
+      while (rank <= math.min(k, cs.length)) {
+        var bestI = -1; var bestScore = 0.0
+        var i = 0
+        while (i < cs.length) {
+          if (!used(i)) {
+            val (nid, rel, v) = cs(i)
+            val score =
+              if (rank == 1) rel
+              else {
+                var maxSim = Double.NegativeInfinity
+                var j = 0
+                while (j < pickedVecs.length) {
+                  val s = cos(v, pickedVecs(j)); if (s > maxSim) maxSim = s; j += 1
+                }
+                lambda * rel - (1.0 - lambda) * maxSim
+              }
+            // candidates scan in (rel desc, nid asc) order, so strict > keeps
+            // the smallest-id argmax — the oracle's (score DESC, nid ASC) cut
+            if (bestI < 0 || score > bestScore ||
+                (score == bestScore && nid < cs(bestI)._1)) {
+              bestI = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        used(bestI) = true
+        picked += ((cs(bestI)._1, bestScore, rank))
+        pickedVecs += cs(bestI)._3
+        rank += 1
+      }
+      picked.toSeq
+    }
+    cand.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("neighbor_id"), col("__cos"), col("__cv"))).as("__cands"))
+      .select(col("query_id"), explode(sel(col("__cands"))).as("__s"))
+      .select(col("query_id"), col("__s._1").as("neighbor_id"),
+        round(col("__s._2"), 4).as("mmr_score"), col("__s._3").cast("long").as("rank"))
+  }
+
   /** Shared exact-refinement tail for the two-stage searches
     * ([[topKPqRerank]], [[topKIvfPqRerank]]): join the (query_id,
     * neighbor_id) shortlist back to both float-vector sides, score with the

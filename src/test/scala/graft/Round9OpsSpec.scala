@@ -361,6 +361,43 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(all == 12L)
   }
 
+  // ---- topKMmr ------------------------------------------------------------
+
+  test("topKMmr rank 1 is pure relevance; later ranks penalize redundancy") {
+    val s = spark
+    import s.implicits._
+    // query 0 = x-axis; 1 and 2 are the SAME vector (sim 1.0), 3 is equally
+    // relevant but deviates on a different axis (sim to 1 ~ 0.990) — plain
+    // top-2 would tie-break to {1,2}; MMR must pick the diverse {1,3}
+    val v = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.995f, 0.0995f, 0f)),
+      (2L, Array(0.995f, 0.0995f, 0f)),
+      (3L, Array(0.995f, 0f, 0.0995f)))
+    val df = v.toDF("id", "vec")
+    val out = SimSearch.topKMmr(df.filter(col("id") === 0L), "id", "vec",
+        df, "id", "vec", k = 2, shortlist = 3, lambda = 0.5, excludeSelf = true)
+      .collect().map(r => (r.getLong(3), r.getLong(1))).toMap // rank -> neighbor
+    assert(out(1L) == 1L, "rank 1 must be the most relevant candidate (smallest id on ties)")
+    assert(out(2L) == 3L, "rank 2 must prefer the diverse candidate over the exact copy")
+  }
+
+  test("topKMmr at lambda=1 degrades to plain topK order") {
+    val s = spark
+    import s.implicits._
+    val v = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.3f)),
+      (3L, Array(0.2f, 0.9f)), (4L, Array(-0.5f, 0.5f)))
+    val df = v.toDF("id", "vec")
+    val mmr = SimSearch.topKMmr(df.filter(col("id") === 0L), "id", "vec",
+        df, "id", "vec", k = 3, shortlist = 4, lambda = 1.0, excludeSelf = true)
+      .orderBy(col("rank")).collect().map(_.getLong(1)).toSeq
+    val plain = SimSearch.topK(df.filter(col("id") === 0L), "id", "vec",
+        df, "id", "vec", 3, excludeSelf = true)
+      .orderBy(col("cosine").desc, col("neighbor_id")).collect().map(_.getLong(1)).toSeq
+    assert(mmr == plain)
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
