@@ -139,6 +139,15 @@ object SparkEntry {
     }),
     // ---- LLM-pipeline: deduplication --------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"), "doc_id", "text")),
+    // Crawl-to-crawl snapshot diff: added/removed/changed/unchanged by digest
+    "corpus_diff" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 5 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(lit("rev2 "), col("text"))).otherwise(col("text")))
+      Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
     // Soft dedup: duplicates down-weighted (1/group), not dropped
     "dedup_soft_weights" -> ((s, dir) =>
       Dedup.softWeights(rd(s, dir, "documents"), "doc_id", "text")),
@@ -956,6 +965,18 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
         |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
         |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_hash, 1 AS op FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (SELECT doc_id,
+        |             md5(CASE WHEN doc_id % 11 = 0 THEN 'rev2 ' || text ELSE text END) AS new_hash,
+        |             1 AS np
+        |      FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash,
+        |       CASE WHEN o.op IS NULL THEN 'added'
+        |            WHEN n.np IS NULL THEN 'removed'
+        |            WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "dedup_soft_weights" -> Oracles.softWeightsSql,
     "doc_novelty" -> Oracles.noveltySql,
     "doc_boilerplate" -> Oracles.boilerplateSql(2L),

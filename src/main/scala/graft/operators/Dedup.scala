@@ -136,6 +136,37 @@ object Dedup {
         round(lit(1.0) / col("group_size"), 6).as("weight"))
   }
 
+  /**
+   * Corpus snapshot diff — the crawl-to-crawl audit: full outer join of two
+   * snapshots on the id, comparing content digests. Status per id:
+   * `added` (only in new), `removed` (only in old), `changed` (both, digest
+   * differs — null text counts as a distinct digest), `unchanged`. The
+   * operational complement of [[exactIncrement]]: that one decides what to
+   * KEEP, this one reports what MOVED between two kept corpora.
+   *
+   * Plan shape: both sides reduce to (id, 32-hex digest) BEFORE the join —
+   * one exchange per side on the id, text never shuffles; at 100 TB the
+   * join ships ~40 bytes/doc. Null-text rows hash to null digests, compared
+   * with null-safe equality (two null texts = unchanged).
+   *
+   * @return (idCol, old_hash, new_hash, status)
+   */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // explicit presence flags: a null digest means "text is null", never
+    // "row absent" — the two must not conflate in the status verdict
+    val o = oldDf.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("old_hash"), lit(1).as("__op"))
+    val n = newDf.select(col(idCol).as("__id"),
+      md5(col(textCol)).as("new_hash"), lit(1).as("__np"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol), col("old_hash"), col("new_hash"),
+        when(col("__op").isNull, lit("added"))
+          .when(col("__np").isNull, lit("removed"))
+          .when(col("old_hash") <=> col("new_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** The persisted side of [[exactIncrement]]: the distinct content digests of
     * a corpus — 32 hex bytes per unique document, the only state an
     * incremental exact-dedup pipeline carries between crawls. */

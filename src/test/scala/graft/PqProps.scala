@@ -125,6 +125,19 @@ object PqProps extends Properties("PqIndex") {
       rerank == brute
     }
 
+  property("rangeSearch with threshold -2 equals the full brute-force pair set") =
+    forAll(posCorpusGen, partsGen) { (vecs, parts) =>
+      val corpus = df(vecs, parts)
+      val q = corpus.filter(col("id") < 4)
+      val range = SimSearch.rangeSearch(q, "id", "vec", corpus, "id", "vec",
+          -2.0, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = resultMap(SimSearch.topK(q, "id", "vec",
+          corpus, "id", "vec", vecs.length, excludeSelf = true))
+        .map { case ((qid, nid), cos) => (qid, nid, cos) }.toSet
+      range == brute
+    }
+
   property("pqEncode keeps exactly the eligible rows") =
     forAll(corpusGen, partsGen) { (vecs, parts) =>
       val corpus = df(vecs, parts)

@@ -340,6 +340,21 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  // ---- corpusDiff ---------------------------------------------------------
+
+  test("corpusDiff classifies added/removed/changed/unchanged, null-text aware") {
+    val oldSnap = docsDf(Seq(
+      (1L, "same"), (2L, "before"), (3L, "gone"), (5L, null)))
+    val newSnap = docsDf(Seq(
+      (1L, "same"), (2L, "after"), (4L, "fresh"), (5L, null), (6L, null)))
+    val out = Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "unchanged", // null text on both sides: digests agree
+      6L -> "added"))    // present only in new, even though its digest is null
+  }
+
   // ---- rangeSearch --------------------------------------------------------
 
   test("rangeSearch returns exactly the pairs at or above the threshold") {
