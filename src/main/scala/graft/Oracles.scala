@@ -451,6 +451,65 @@ object Oracles {
        |)
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= $k""".stripMargin
 
+  /**
+   * Exact mirror of SimSearch.recallReport: brute-force top-k (the `ann_topk`
+   * chain) left-joined against the [[annLshSql]] LSH top-k per query —
+   * per-query hit count and recall@k, the ANN-quality audit as a gated
+   * relation. Both chains are the already-verified oracles, re-namespaced to
+   * coexist in one WITH.
+   */
+  def annRecallSql(k: Int, nPlanes: Int, nTables: Int, queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |bp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.e AS ea, c.e AS eb
+       |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |  WHERE ${queryPred.replace("vec_id", "q.vec_id")}
+       |),
+       |bs AS (SELECT query_id, neighbor_id, ${listCos("ea", "eb")} AS cosine FROM bp),
+       |br AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM bs
+       |),
+       |bt AS (SELECT query_id, neighbor_id FROM br WHERE rn <= $k),
+       |pdots AS (
+       |  SELECT vec_id, t, j,
+       |    list_sum(list_transform(generate_series(1, len(e)), d ->
+       |      CAST(e[d] AS DOUBLE) *
+       |      (CAST((((t*$nPlanes + j)*8191 + (d-1)) * 2654435761) % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) AS dotj
+       |  FROM (SELECT vec_id, e, unnest(generate_series(0, ${nTables - 1})) AS t FROM v),
+       |       (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS j)
+       |),
+       |bkt AS (
+       |  SELECT vec_id, t, CAST(sum(CASE WHEN dotj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY vec_id, t
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bkt q
+       |  JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE ${queryPred.replace("vec_id", "q.vec_id")}
+       |),
+       |lp AS (
+       |  SELECT cd.query_id, cd.neighbor_id, qv.e AS ea, cv.e AS eb
+       |  FROM cand cd
+       |  JOIN v qv ON cd.query_id = qv.vec_id
+       |  JOIN v cv ON cd.neighbor_id = cv.vec_id
+       |),
+       |ls AS (SELECT query_id, neighbor_id, ${listCos("ea", "eb")} AS cosine FROM lp),
+       |lr AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM ls
+       |),
+       |lt AS (SELECT query_id, neighbor_id, 1 AS hit FROM lr WHERE rn <= $k)
+       |SELECT b.query_id, count(*) AS k_eval,
+       |       sum(coalesce(l.hit, 0)) AS n_hits,
+       |       round(CAST(sum(coalesce(l.hit, 0)) AS DOUBLE) / count(*), 6) + 0.0 AS recall
+       |FROM bt b
+       |LEFT JOIN lt l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+       |GROUP BY b.query_id""".stripMargin
+
   /** Exact mirror of SimSearch.topKSq: corpus int8-quantized with the
     * emb_quantize formula (scale = max|x|/127, code = floor(x/scale + 0.5)),
     * then cosine of the float query against the INTEGER code vector — the

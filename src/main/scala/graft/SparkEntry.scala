@@ -356,6 +356,12 @@ object SparkEntry {
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
     }),
+    // In-engine ANN quality audit: per-query recall@5 of LSH vs brute force
+    "ann_recall_report" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.recallReport(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, nPlanes = 8, nTables = 2, excludeSelf = true)
+    }),
     // MMR diversified top-k: relevance/redundancy greedy trade (λ=0.5)
     "ann_mmr" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1161,6 +1167,7 @@ object SparkEntry {
     "ann_pq_rerank" -> Oracles.annPqRerankSql(5, 20, 8, 16, "vec_id < 50"),
     "ann_range" -> Oracles.rangeSearchSql(0.3, "vec_id < 50"),
     "ann_mmr" -> Oracles.annMmrSql(5, 20, 0.5, "vec_id < 50"),
+    "ann_recall_report" -> Oracles.annRecallSql(5, 8, 2, "vec_id < 50"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_ivfpq_rerank" -> Oracles.annIvfPqRerankSql(5, 20, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),

@@ -231,6 +231,41 @@ object SimSearch {
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
   }
 
+  /**
+   * ANN quality audit — per-query recall@k of the LSH index against exact
+   * brute force, AS A GATED RELATION: the "is my index good enough" number
+   * a production retrieval pipeline monitors, computed inside the engine
+   * instead of in a notebook. Joins [[topK]]'s exact top-k with
+   * [[topKLsh]]'s approximate top-k on (query, neighbor) and reduces per
+   * query. Deterministic end to end (both rankings are), so the report
+   * itself is oracle-verifiable — `Oracles.annRecallSql` re-runs both
+   * chains in SQL.
+   *
+   * Plan shape: two corpus scans (one brute, one bucketed) + one
+   * k·nQueries-row join — the audit costs one extra brute pass over the
+   * corpus, which is the point: run it on a SAMPLE of queries at 100 TB and
+   * let the LSH index serve the rest.
+   *
+   * @return (query_id, k_eval, n_hits, recall rounded to 6)
+   */
+  def recallReport(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, nPlanes: Int = 8, nTables: Int = 2, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    val brute = topK(queries, qId, qVec, corpus, cId, cVec, k,
+        excludeSelf, maxQueryBytes)
+      .select(col("query_id"), col("neighbor_id"))
+    val lsh = topKLsh(queries, qId, qVec, corpus, cId, cVec, k,
+        nPlanes, nTables, excludeSelf, maxQueryBytes)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k_eval"), sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), col("k_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_eval"), 6).as("recall"))
+  }
+
   /** Fixed pseudo-random hyperplane component d of plane j (integer formula). */
   private[operators] def planeComponent(j: Int, d: Int): Double =
     (((j.toLong * 8191L + d.toLong) * 2654435761L) % 1000003L).toDouble / 1000003.0 - 0.5
