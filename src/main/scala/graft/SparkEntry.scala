@@ -190,6 +190,13 @@ object SparkEntry {
       val seen = Dedup.exactDigests(docs.filter(col("doc_id") < 250), "text")
       Dedup.exactIncrement(docs.filter(col("doc_id") >= 250), "doc_id", "text", seen)
     }),
+    // Bloom-prescreened incremental: seen set too big to matter in the
+    // exchange — screen, then exact-verify (result = dedup_exact_incr)
+    "dedup_exact_incr_bloom" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val seen = Dedup.exactDigests(docs.filter(col("doc_id") < 250), "text")
+      Dedup.exactIncrementBloom(docs.filter(col("doc_id") >= 250), "doc_id", "text", seen)
+    }),
     // cross-corpus form: neither side broadcast — the crawl-vs-last-crawl shape
     "dedup_cross" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -993,6 +1000,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> Oracles.minHashSigPairsSql(0.5),
     "dedup_sig_cross" -> Oracles.minHashSigBetweenSql(0.5, "doc_id < 250", "doc_id >= 250"),
     "dedup_exact_incr" -> Oracles.exactIncrementSql("doc_id < 250", "doc_id >= 250"),
+    "dedup_exact_incr_bloom" -> Oracles.exactIncrementSql("doc_id < 250", "doc_id >= 250"),
     "dedup_cross" -> Oracles.minHashLshBetweenSql(0.8, "doc_id % 2 = 0", "doc_id % 2 = 1"),
     "dedup_simhash" ->
       s"""WITH ${Oracles.simHashCtes}

@@ -205,6 +205,63 @@ object Dedup {
           .otherwise(1L).as("kept"))
   }
 
+  /**
+   * [[exactIncrement]] for a seen-set too big to matter in the exchange — the
+   * Bloom-prescreened form (the same screen-then-verify design as
+   * [[Decontaminate.contaminatedSpansBloom]]): a Bloom filter over the seen
+   * digests (driver-built once, ~1.2 bytes/digest at fpp 0.01, broadcast
+   * whole) screens the batch BEFORE the seen join, so the rows that shuffle
+   * against the (potentially 100-TB-history) digest frame are only the true
+   * matches plus the fpp false positives — on a fresh crawl that is a few
+   * percent of the batch instead of all of it. The exact left join then
+   * removes every false positive, so the output is BIT-IDENTICAL to
+   * [[exactIncrement]] (same oracle gates both).
+   *
+   * The canon (min-id within batch) side never touches the seen frame and is
+   * unchanged. Null-text rows are excluded, as in [[exactIncrement]].
+   *
+   * @param fpp            Bloom false-positive rate (cost knob only — FPs are
+   *                       verified away, they just ride the exchange)
+   * @param maxFilterBytes guard on the driver-side filter size (0 disables)
+   * @return (idCol, content_hash, kept) — kept ∈ {0, 1}, = [[exactIncrement]]
+   */
+  def exactIncrementBloom(
+      batch: DataFrame, idCol: String, textCol: String,
+      seenDigests: DataFrame, digestCol: String = "content_hash",
+      fpp: Double = 0.01, maxFilterBytes: Long = 256L << 20): DataFrame = {
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    require(maxFilterBytes >= 0L,
+      s"maxFilterBytes must be >= 0 (0 disables the guard), got $maxFilterBytes")
+    val spark = batch.sparkSession
+    val seen = seenDigests.select(col(digestCol).as("content_hash")).distinct()
+      .persist()
+    val nSeen = math.max(seen.count(), 1L)
+    if (maxFilterBytes > 0L) {
+      val estBytes = math.ceil(-nSeen * math.log(fpp) /
+        (math.log(2) * math.log(2)) / 8.0).toLong
+      require(estBytes <= maxFilterBytes,
+        s"Bloom filter for $nSeen seen digests at fpp=$fpp needs ~$estBytes driver-side " +
+          s"bytes, over the $maxFilterBytes-byte guard — raise fpp, raise maxFilterBytes " +
+          "deliberately (and size the driver), or shard the seen set")
+    }
+    val bloom = seen.stat.bloomFilter("content_hash", nSeen, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: String) => bloomBc.value.mightContainString(h))
+    val hashed = batch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .filter(col("content_hash").isNotNull)
+    val canon = hashed.groupBy(col("content_hash")).agg(min(col(idCol)).as("__canon"))
+    val maybe = hashed.filter(mightContain(col("content_hash")))
+      .join(seen.withColumn("__seen", lit(1)), Seq("content_hash"), "left")
+      .select(col(idCol), col("content_hash"), col("__seen"))
+    val fresh = hashed.filter(!mightContain(col("content_hash")))
+      .select(col(idCol), col("content_hash"), lit(null).cast("int").as("__seen"))
+    maybe.unionByName(fresh)
+      .join(canon, "content_hash")
+      .select(col(idCol), col("content_hash"),
+        when(col("__seen").isNotNull || col(idCol) =!= col("__canon"), 0L)
+          .otherwise(1L).as("kept"))
+  }
+
   /** Internal: Jaccard from per-pair intersection counts (columns __a, __b,
     * __i) and per-doc set sizes `cnt` (__id, __n). Callers derive `cnt` from
     * the materialized per-doc shingle ARRAYS (`size(__shs)` — shingles are

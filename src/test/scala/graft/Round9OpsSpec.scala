@@ -340,6 +340,28 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  // ---- exactIncrementBloom ------------------------------------------------
+
+  test("exactIncrementBloom equals exactIncrement even at a high FP rate") {
+    val seenDocs = docsDf(Seq((1L, "kept before"), (2L, "also kept")))
+    val batch = docsDf(Seq(
+      (10L, "kept before"),   // seen -> 0
+      (11L, "brand new"),     // fresh canonical -> 1
+      (12L, "brand new"),     // batch dup of 11 -> 0
+      (13L, "also kept"),     // seen -> 0
+      (14L, "another fresh"), // fresh -> 1
+      (15L, null)))           // null text -> excluded
+    val seen = Dedup.exactDigests(seenDocs, "text")
+    val exact = Dedup.exactIncrement(batch, "doc_id", "text", seen)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    for (fpp <- Seq(0.01, 0.5)) { // 0.5: floods the verify join with FPs
+      val bloomed = Dedup.exactIncrementBloom(batch, "doc_id", "text", seen, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(bloomed == exact, s"fpp=$fpp")
+    }
+    assert(exact == Set((10L, 0L), (11L, 1L), (12L, 0L), (13L, 0L), (14L, 1L)))
+  }
+
   // ---- corpusDiff ---------------------------------------------------------
 
   test("corpusDiff classifies added/removed/changed/unchanged, null-text aware") {
