@@ -30,7 +30,11 @@ object PlanAudit {
       "dedup_exact_incr", "dedup_substring_words_clean",
       "chunk_dedup", "knn_mutual_clusters", "emb_project", "bucketed_join",
       "mixture_temperature", "dedup_rate_by_source", "pipeline_curate",
-      "dsir_weights", "source_kl", "gopher_flags")
+      "dsir_weights", "source_kl", "gopher_flags",
+      "ann_pq_rerank", "ann_ivfpq_rerank", "ann_range", "ann_mmr",
+      "ann_recall_report", "dedup_soft_weights", "doc_novelty",
+      "doc_boilerplate", "corpus_diff", "dedup_exact_incr_bloom",
+      "stream_decon_batch")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
