@@ -1044,6 +1044,59 @@ object Oracles {
   }
 
   /**
+   * Exact mirror of Dedup.clusterExemplars: the [[ivfAssignCtes]] quantizer
+   * (relevance = the assignment cosine, read back from `ccos`), pairwise
+   * within-cluster similarities via [[listCos]], then the k greedy MMR steps
+   * unrolled per cluster — the [[annMmrSql]] pattern keyed by `cj`.
+   */
+  def clusterExemplarsSql(k: Int, lambda: Double, nList: Int, nIters: Int): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val steps = (2 to k).map { i =>
+      val prev = s"(${(1 until i).map(j => s"SELECT cj, vec_id FROM xsel$j").mkString(" UNION ALL ")})"
+      s"""xm$i AS (
+         |  SELECT c.cj, c.vec_id,
+         |         $lam * c.cos - $oneMinus * max(p.sim) AS score
+         |  FROM rel0 c
+         |  JOIN $prev s ON s.cj = c.cj
+         |  JOIN xps p ON p.cj = c.cj AND p.na = c.vec_id AND p.nb = s.vec_id
+         |  LEFT JOIN $prev x ON x.cj = c.cj AND x.vec_id = c.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY c.cj, c.vec_id, c.cos
+         |),
+         |xsel$i AS (
+         |  SELECT cj, vec_id, score, $i AS rank FROM (
+         |    SELECT cj, vec_id, score,
+         |           row_number() OVER (PARTITION BY cj ORDER BY score DESC, vec_id ASC) AS rn
+         |    FROM xm$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM xsel$i").mkString(" UNION ALL ")
+    s"""${ivfAssignCtes(nList, nIters)},
+       |rel0 AS (
+       |  SELECT a.vec_id, a.cj, c.cos
+       |  FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj
+       |),
+       |xps AS (
+       |  SELECT a.cj, a.vec_id AS na, b.vec_id AS nb, ${listCos("xa.e", "xb.e")} AS sim
+       |  FROM rel0 a
+       |  JOIN rel0 b ON a.cj = b.cj AND a.vec_id <> b.vec_id
+       |  JOIN vl xa ON a.vec_id = xa.vec_id
+       |  JOIN vl xb ON b.vec_id = xb.vec_id
+       |),
+       |xsel1 AS (
+       |  SELECT cj, vec_id, cos AS score, 1 AS rank FROM (
+       |    SELECT cj, vec_id, cos,
+       |           row_number() OVER (PARTITION BY cj ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM rel0) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT CAST(cj AS BIGINT) AS cluster, vec_id, round(score, 4) + 0.0 AS score,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ($union)""".stripMargin
+  }
+
+  /**
    * Exact mirror of Dedup.embeddingPairsLsh: per (vector, table t) sign-LSH
    * bucket from plane family index `t·nPlanes + j`, same-bucket same-table
    * pairs deduped across tables, cosine ≥ threshold.

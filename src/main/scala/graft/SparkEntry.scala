@@ -363,6 +363,10 @@ object SparkEntry {
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
     }),
+    // Cluster-aware pruning: k prototypical-but-diverse exemplars per cluster
+    "cluster_exemplars" -> ((s, dir) =>
+      Dedup.clusterExemplars(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        3, lambda = 0.5, nList = 16, nIters = 1)),
     // In-engine ANN quality audit: per-query recall@5 of LSH vs brute force
     "ann_recall_report" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1176,6 +1180,7 @@ object SparkEntry {
     "ann_range" -> Oracles.rangeSearchSql(0.3, "vec_id < 50"),
     "ann_mmr" -> Oracles.annMmrSql(5, 20, 0.5, "vec_id < 50"),
     "ann_recall_report" -> Oracles.annRecallSql(5, 8, 2, "vec_id < 50"),
+    "cluster_exemplars" -> Oracles.clusterExemplarsSql(3, 0.5, 16, 1),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_ivfpq_rerank" -> Oracles.annIvfPqRerankSql(5, 20, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),

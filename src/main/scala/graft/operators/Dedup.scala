@@ -1435,6 +1435,74 @@ object Dedup {
    * @return (idCol, component) for EVERY input row — vectors with no mutual
    *         neighbor are singletons (component = own id).
    */
+  /**
+   * Per-cluster diverse exemplar selection — the data-pruning complement of
+   * [[semDedup]] (SSL-prototypes / coreset extraction): k-means-cluster the
+   * embedding space with the shared deterministic Lloyd quantizer, then in
+   * EACH cluster greedily pick k exemplars by MMR with relevance = cosine to
+   * the assigned centroid — rank 1 is the most prototypical member, later
+   * ranks stay central while avoiding redundancy with already-picked
+   * exemplars (`λ·rel − (1−λ)·max sim-to-picked`, ties to smaller id).
+   * Keep the exemplars, drop (or down-weight) the rest: cluster-aware
+   * pruning that preserves coverage instead of uniform subsampling.
+   *
+   * Scale shape: one corpus scan assigns clusters (centroids broadcast in
+   * the closure, no corpus shuffle), ONE exchange groups each cluster's
+   * (id, rel, vec) rows — cluster size is bounded by nList exactly as in
+   * [[semDedup]] — and the O(k·|cluster|) greedy kernel runs per cluster.
+   * Null / zero-norm embeddings cannot be assigned and are absent.
+   *
+   * Determinism/oracle contract: the quantizer is the [[SimSearch.topKIvf]]
+   * chain (id-seeded, integer-quantized Lloyd — bit-identical in SQL);
+   * relevance is the assignment cosine itself; the greedy steps are the
+   * shared [[SimSearch.mmrSelect]] kernel, unrolled as CTEs in
+   * `Oracles.clusterExemplarsSql`.
+   *
+   * @return (cluster, idCol, score rounded to 4, rank 1..k) — score at rank
+   *         1 is the centroid cosine, later ranks the MMR objective
+   */
+  def clusterExemplars(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      lambda: Double = 0.5, nList: Int = 16, nIters: Int = 1): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(nList > 0, s"nList must be positive, got $nList")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
+    SimSearch.requireIntegralId(df, idCol, "input")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val slim = df.select(col(idCol).cast("long"), col(vecCol))
+    val seeds = slim.orderBy(col(idCol).cast("long")).limit(nList).collect()
+      .flatMap(SimSearch.vecWithNorm).map { case (_, v, n) => (v.map(_.toDouble), n) }
+    require(seeds.nonEmpty, "input has no non-null non-zero vectors to seed centroids")
+    val cents = SimSearch.lloydRefine(slim, seeds, nIters)
+    val schema = StructType(Seq(
+      StructField("cluster", IntegerType), StructField("__id", LongType),
+      StructField("__rel", DoubleType), StructField("__v", ArrayType(FloatType))))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        SimSearch.vecWithNorm(r).map { case (id, v, n) =>
+          val cos = SimSearch.ivfCentroidCos(cents, v, n)
+          var bj = 0; var j = 1
+          while (j < cos.length) { if (cos(j) > cos(bj)) bj = j; j += 1 }
+          Row(bj, id, cos(bj), v.toSeq)
+        }
+      }
+    }
+    val sel = udf { (cands: Seq[Row]) =>
+      SimSearch.mmrSelect(cands.map { r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)
+      }.toArray, k, lambda)
+    }
+    spark.createDataFrame(rdd, schema)
+      .groupBy(col("cluster"))
+      .agg(collect_list(struct(col("__id"), col("__rel"), col("__v"))).as("__cands"))
+      .select(col("cluster").cast("long").as("cluster"), explode(sel(col("__cands"))).as("__s"))
+      .select(col("cluster"), col("__s._1").as(idCol),
+        round(col("__s._2"), 4).as("score"), col("__s._3").cast("long").as("rank"))
+  }
+
   def mutualKnnClusters(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 2): DataFrame = {

@@ -1146,62 +1146,75 @@ object SimSearch {
     val c = corpus.select(col(cId).cast("long").as("neighbor_id"), col(cVec).as("__cv"))
     val cand = c.join(broadcast(sl), Seq("neighbor_id"))
     val sel = udf { (cands: Seq[org.apache.spark.sql.Row]) =>
-      // deterministic candidate order = the shortlist ranking
-      val cs = cands.map { r =>
+      mmrSelect(cands.map { r =>
         (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)
-      }.sortBy { case (nid, rel, _) => (-rel, nid) }.toArray
-      def cos(a: Array[Float], b: Array[Float]): Double = {
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
-        val n = math.min(a.length, b.length)
-        while (d < n) {
-          dot += a(d).toDouble * b(d).toDouble
-          na += a(d).toDouble * a(d).toDouble
-          nb += b(d).toDouble * b(d).toDouble
-          d += 1
-        }
-        dot / (math.sqrt(na) * math.sqrt(nb))
-      }
-      val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
-      val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-      val used = new Array[Boolean](cs.length)
-      var rank = 1
-      while (rank <= math.min(k, cs.length)) {
-        var bestI = -1; var bestScore = 0.0
-        var i = 0
-        while (i < cs.length) {
-          if (!used(i)) {
-            val (nid, rel, v) = cs(i)
-            val score =
-              if (rank == 1) rel
-              else {
-                var maxSim = Double.NegativeInfinity
-                var j = 0
-                while (j < pickedVecs.length) {
-                  val s = cos(v, pickedVecs(j)); if (s > maxSim) maxSim = s; j += 1
-                }
-                lambda * rel - (1.0 - lambda) * maxSim
-              }
-            // candidates scan in (rel desc, nid asc) order, so strict > keeps
-            // the smallest-id argmax — the oracle's (score DESC, nid ASC) cut
-            if (bestI < 0 || score > bestScore ||
-                (score == bestScore && nid < cs(bestI)._1)) {
-              bestI = i; bestScore = score
-            }
-          }
-          i += 1
-        }
-        used(bestI) = true
-        picked += ((cs(bestI)._1, bestScore, rank))
-        pickedVecs += cs(bestI)._3
-        rank += 1
-      }
-      picked.toSeq
+      }.toArray, k, lambda)
     }
     cand.groupBy(col("query_id"))
       .agg(collect_list(struct(col("neighbor_id"), col("__cos"), col("__cv"))).as("__cands"))
       .select(col("query_id"), explode(sel(col("__cands"))).as("__s"))
       .select(col("query_id"), col("__s._1").as("neighbor_id"),
         round(col("__s._2"), 4).as("mmr_score"), col("__s._3").cast("long").as("rank"))
+  }
+
+  /**
+   * Shared greedy MMR selection over an in-memory candidate set
+   * ([[topKMmr]] per query, [[Dedup.clusterExemplars]] per cluster): sort by
+   * (rel desc, id asc), then k greedy steps — rank 1 is pure relevance,
+   * later ranks maximize `λ·rel − (1−λ)·max(sim to picked)` with ties to the
+   * smaller id. Candidate-candidate cosine is the d-ascending Double fold
+   * (bit-identical to the oracle's `list_sum(list_transform(...))`).
+   */
+  private[operators] def mmrSelect(
+      cands: Array[(Long, Double, Array[Float])], k: Int,
+      lambda: Double): Seq[(Long, Double, Int)] = {
+    val cs = cands.sortBy { case (nid, rel, _) => (-rel, nid) }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      val n = math.min(a.length, b.length)
+      while (d < n) {
+        dot += a(d).toDouble * b(d).toDouble
+        na += a(d).toDouble * a(d).toDouble
+        nb += b(d).toDouble * b(d).toDouble
+        d += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val used = new Array[Boolean](cs.length)
+    var rank = 1
+    while (rank <= math.min(k, cs.length)) {
+      var bestI = -1; var bestScore = 0.0
+      var i = 0
+      while (i < cs.length) {
+        if (!used(i)) {
+          val (nid, rel, v) = cs(i)
+          val score =
+            if (rank == 1) rel
+            else {
+              var maxSim = Double.NegativeInfinity
+              var j = 0
+              while (j < pickedVecs.length) {
+                val s = cos(v, pickedVecs(j)); if (s > maxSim) maxSim = s; j += 1
+              }
+              lambda * rel - (1.0 - lambda) * maxSim
+            }
+          // strict > plus the explicit id tie-break keeps the smallest-id
+          // argmax — the oracle's (score DESC, nid ASC) cut
+          if (bestI < 0 || score > bestScore ||
+              (score == bestScore && nid < cs(bestI)._1)) {
+            bestI = i; bestScore = score
+          }
+        }
+        i += 1
+      }
+      used(bestI) = true
+      picked += ((cs(bestI)._1, bestScore, rank))
+      pickedVecs += cs(bestI)._3
+      rank += 1
+    }
+    picked.toSeq
   }
 
   /** Shared exact-refinement tail for the two-stage searches
