@@ -1165,7 +1165,7 @@ object SimSearch {
    * smaller id. Candidate-candidate cosine is the d-ascending Double fold
    * (bit-identical to the oracle's `list_sum(list_transform(...))`).
    */
-  private[operators] def mmrSelect(
+  private[graft] def mmrSelect(
       cands: Array[(Long, Double, Array[Float])], k: Int,
       lambda: Double): Seq[(Long, Double, Int)] = {
     val cs = cands.sortBy { case (nid, rel, _) => (-rel, nid) }
