@@ -1593,6 +1593,56 @@ object Oracles {
        |SELECT q AS query_id, d AS doc_id, score_micro, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= $k""".stripMargin
 
+  /**
+   * Exact mirror of the `hybrid_rrf` gate: [[bm25Sql]]'s full ranking and a
+   * brute dense top-k (rank re-derived from the ROUNDED cosine with id ties,
+   * exactly like the Spark side) fused by reciprocal rank —
+   * `Σ 1/(kRrf + rank)`, fixed two-term order, ties by doc id.
+   */
+  def hybridRrfSql(
+      k: Int, kRrf: Int, bmPred: String, densePred: String,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH bm AS (
+       |${bm25Sql(k, k1, b, bmPred)}
+       |),
+       |dq AS (SELECT vec_id, embedding AS e FROM embeddings WHERE $densePred),
+       |dp AS (
+       |  SELECT dq.vec_id AS query_id, c.vec_id AS neighbor_id, dq.e AS ea, c.embedding AS eb
+       |  FROM dq JOIN embeddings c ON dq.vec_id <> c.vec_id
+       |),
+       |ds AS (SELECT query_id, neighbor_id, ${listCos("ea", "eb")} AS cosine FROM dp),
+       |dt AS (
+       |  SELECT query_id, neighbor_id, round(cosine, 4) AS rcos FROM (
+       |    SELECT query_id, neighbor_id, cosine,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |    FROM ds) WHERE rn <= $k
+       |),
+       |dr AS (
+       |  SELECT query_id, neighbor_id AS doc_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY rcos DESC, neighbor_id ASC) AS rank
+       |  FROM dt
+       |),
+       |u AS (
+       |  SELECT coalesce(b2.query_id, d.query_id) AS query_id,
+       |         coalesce(b2.doc_id, d.doc_id) AS doc_id,
+       |         b2.rank AS ra, d.rank AS rb
+       |  FROM bm b2 FULL OUTER JOIN dr d
+       |    ON b2.query_id = d.query_id AND b2.doc_id = d.doc_id
+       |),
+       |sc AS (
+       |  SELECT query_id, doc_id,
+       |    coalesce(1.0 / ($kRrf.0 + CAST(ra AS DOUBLE)), 0.0)
+       |      + coalesce(1.0 / ($kRrf.0 + CAST(rb AS DOUBLE)), 0.0) AS score
+       |  FROM u
+       |),
+       |rr AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM sc
+       |)
+       |SELECT query_id, doc_id, round(score, 6) + 0.0 AS rrf_score, CAST(rn AS BIGINT) AS rank
+       |FROM rr WHERE rn <= $k""".stripMargin
+
   def qualityScoredCtes: String = {
     val stops = stopIn(graft.functions.TextFunctions.StopwordLists.head._2)
     s"""d AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),

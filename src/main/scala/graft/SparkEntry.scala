@@ -363,6 +363,23 @@ object SparkEntry {
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
     }),
+    // Hybrid retrieval: RRF fusion of the BM25 and dense-cosine rankings
+    "hybrid_rrf" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val emb = rd(s, dir, "embeddings")
+      val lex = Bm25.topK(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      // dense rank on the ROUNDED cosine (hash-stable), ties by id — the
+      // oracle derives its rank the same way
+      val dw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val dense = SimSearch.topK(emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          emb, "vec_id", "embedding", 10, excludeSelf = true)
+        .withColumn("rank", row_number().over(dw))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      Fusion.rrf(lex, dense, "query_id", "doc_id", "rank", 10)
+    }),
     // Cluster-aware pruning: k prototypical-but-diverse exemplars per cluster
     "cluster_exemplars" -> ((s, dir) =>
       Dedup.clusterExemplars(rd(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1181,6 +1198,7 @@ object SparkEntry {
     "ann_mmr" -> Oracles.annMmrSql(5, 20, 0.5, "vec_id < 50"),
     "ann_recall_report" -> Oracles.annRecallSql(5, 8, 2, "vec_id < 50"),
     "cluster_exemplars" -> Oracles.clusterExemplarsSql(3, 0.5, 16, 1),
+    "hybrid_rrf" -> Oracles.hybridRrfSql(10, 60, "doc_id < 5", "vec_id < 5"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_ivfpq_rerank" -> Oracles.annIvfPqRerankSql(5, 20, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),

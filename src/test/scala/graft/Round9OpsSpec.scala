@@ -340,6 +340,27 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((1L, 0L, 0.0)))
   }
 
+  // ---- Fusion.rrf ---------------------------------------------------------
+
+  test("rrf fuses ranks, handles one-list-only candidates, breaks ties by id") {
+    val s = spark
+    import s.implicits._
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("q", "d", "rank")
+    val dense = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("q", "d", "rank")
+    val out = Fusion.rrf(lex, dense, "q", "d", "rank", 10, kRrf = 60)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // 11: 1/62 + 1/61 ~ .032522; 10: 1/61 ~ .016393; 12: 1/62 ~ .016129
+    assert(out.map(t => t._2) sameElements Array(11L, 10L, 12L))
+    assert(out(0)._3 == 0.032522 && out(1)._3 == 0.016393 && out(2)._3 == 0.016129)
+    // exact tie (same single-list rank) breaks by smaller id
+    val a2 = Seq((1L, 20L, 1L)).toDF("q", "d", "rank")
+    val b2 = Seq((1L, 19L, 1L)).toDF("q", "d", "rank")
+    val tied = Fusion.rrf(a2, b2, "q", "d", "rank", 2).orderBy(col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(tied == Seq(19L, 20L))
+  }
+
   // ---- exactIncrementBloom ------------------------------------------------
 
   test("exactIncrementBloom equals exactIncrement even at a high FP rate") {
