@@ -715,6 +715,12 @@ object SparkEntry {
           posexplode(Embeddings.l2NormalizeCol(col("embedding"))).as(Seq("dim", "u")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
           round(col("u"), 6).as("unit_value"))),
+    // Matryoshka truncation: 16-dim prefix re-normalized (MRL storage dial)
+    "emb_truncate" -> ((s, dir) =>
+      Embeddings.truncate(rd(s, dir, "embeddings"), "vec_id", "embedding", 16)
+        .select(col("vec_id"), posexplode(col("vec_trunc")).as(Seq("dim", "u")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          round(col("u"), 6).as("unit_value"))),
     "emb_centroids" -> ((s, dir) => {
       // per-element values quantized to exact integer micro-units BEFORE the
       // sum: a raw double avg is perturbed by distributed reduction order and
@@ -1679,6 +1685,16 @@ object SparkEntry {
       """WITH n AS (
         |  SELECT vec_id, embedding AS e,
         |    list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) AS ss
+        |  FROM embeddings
+        |)
+        |SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,
+        |  round(CAST(x AS DOUBLE) / sqrt(ss), 6) + 0.0 AS unit_value
+        |FROM (SELECT vec_id, ss, unnest(e) AS x,
+        |             unnest(generate_series(1, len(e))) AS dim FROM n WHERE ss <> 0)""".stripMargin,
+    "emb_truncate" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding[1:16] AS e,
+        |    list_sum(list_transform(embedding[1:16], y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE))) AS ss
         |  FROM embeddings
         |)
         |SELECT vec_id, CAST(dim - 1 AS BIGINT) AS dim,

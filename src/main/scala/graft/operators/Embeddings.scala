@@ -68,6 +68,24 @@ object Embeddings {
     l2NormalizeUdf(vec)
 
   /**
+   * Matryoshka-style truncation (Kusupati et al. 2022 MRL): keep the first
+   * `d` dimensions and re-L2-normalize, so downstream dot products over the
+   * truncated vectors are again cosines. With MRL-trained embeddings this is
+   * the standard storage/recall dial — index the 64-dim prefix, re-rank on
+   * the full vector (compose with [[graft.operators.SimSearch.topKPqRerank]]'s
+   * refine pattern). Pure per-row arithmetic, zero shuffles; truncated
+   * all-zero prefixes (and null / short vectors' missing tail) follow
+   * [[l2NormalizeCol]]'s null contract.
+   *
+   * @return (idCol, vec_trunc: array<double> L2-normalized prefix)
+   */
+  def truncate(df: DataFrame, idCol: String, vecCol: String, d: Int): DataFrame = {
+    require(d > 0, s"d must be positive, got $d")
+    df.select(col(idCol),
+      l2NormalizeCol(slice(col(vecCol), 1, d)).as("vec_trunc"))
+  }
+
+  /**
    * SIGNED-RANDOM-PROJECTION dimensionality reduction (Achlioptas 2003
    * database-friendly Johnson–Lindenstrauss: projection entries ∈ {−1, +1}
    * preserve pairwise distances in expectation) — the cheap front-end for
