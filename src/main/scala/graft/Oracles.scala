@@ -744,6 +744,42 @@ object Oracles {
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
        |FROM rr WHERE rn <= $k""".stripMargin
 
+  /**
+   * Exact mirror of SimSearch.topKMrlRerank: prefix-cosine shortlist
+   * (unrounded fold over `embedding[1:prefixDim]`, neighbor-id ties), then
+   * exact cosine over the full vectors cut to top-k — the [[annPqRerankSql]]
+   * refine tail on a Matryoshka stage 1.
+   */
+  def annMrlRerankSql(
+      k: Int, shortlist: Int, prefixDim: Int, queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+       |q AS (SELECT vec_id, e[1:$prefixDim] AS p FROM v WHERE $queryPred),
+       |cp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.p AS ea, c.e[1:$prefixDim] AS eb
+       |  FROM q JOIN v c ON q.vec_id <> c.vec_id
+       |),
+       |ps AS (SELECT query_id, neighbor_id, ${listCos("ea", "eb")} AS pcos FROM cp),
+       |pr AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY pcos DESC, neighbor_id ASC) AS rn
+       |  FROM ps
+       |),
+       |slist AS (SELECT query_id, neighbor_id FROM pr WHERE rn <= $shortlist),
+       |ex AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${listCos("qv.e", "cv.e")} AS cosine
+       |  FROM slist s
+       |  JOIN v qv ON s.query_id = qv.vec_id
+       |  JOIN v cv ON s.neighbor_id = cv.vec_id
+       |),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |  FROM ex
+       |)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
+       |FROM rr WHERE rn <= $k""".stripMargin
+
   /** The [[annPqSql]] scoring chain, shared with [[annPqRerankSql]]: `WITH`
     * prefix through `r` (per-query ADC-cosine ranking, unrounded). Callers
     * append the final `SELECT` (or further CTEs after a comma). */

@@ -363,6 +363,13 @@ object SparkEntry {
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
     }),
+    // MRL adaptive retrieval: 16-dim prefix shortlist + full-vector refine
+    "ann_mrl_rerank" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKMrlRerank(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5, shortlist = 20, prefixDim = 16,
+        excludeSelf = true)
+    }),
     // Hybrid retrieval: RRF fusion of the BM25 and dense-cosine rankings
     "hybrid_rrf" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -1205,6 +1212,7 @@ object SparkEntry {
     "ann_recall_report" -> Oracles.annRecallSql(5, 8, 2, "vec_id < 50"),
     "cluster_exemplars" -> Oracles.clusterExemplarsSql(3, 0.5, 16, 1),
     "hybrid_rrf" -> Oracles.hybridRrfSql(10, 60, "doc_id < 5", "vec_id < 5"),
+    "ann_mrl_rerank" -> Oracles.annMrlRerankSql(5, 20, 16, "vec_id < 50"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_ivfpq_rerank" -> Oracles.annIvfPqRerankSql(5, 20, 16, 4, 1, 8, 16, "vec_id < 50"),
     "ann_pq_trained" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50", nIters = 1),

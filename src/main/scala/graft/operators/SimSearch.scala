@@ -1158,6 +1158,40 @@ object SimSearch {
   }
 
   /**
+   * Two-stage Matryoshka (MRL) search — shortlist on the `prefixDim`-dim
+   * vector PREFIX, exact re-rank on the full vectors: the retrieval pattern
+   * MRL-trained embeddings are built for (Kusupati et al. 2022 §4 adaptive
+   * retrieval). Cosine is scale-invariant, so the prefix shortlist ranks on
+   * the raw sliced floats — no renormalization pass, and the stage-1 scan
+   * reads prefixDim/dim of the vector bytes (with a column-pruned parquet
+   * layout, only that prefix). The exact stage touches nQueries·shortlist
+   * full vectors via the shared [[exactRerank]] tail.
+   *
+   * Determinism/oracle contract: shortlist cut on the UNROUNDED prefix
+   * cosine with neighbor-id ties (bit-identical across engines — the same
+   * fold over the same sliced floats); exact scores = the [[cosineSim]]
+   * fold. Mirrored in `Oracles.annMrlRerankSql`.
+   *
+   * @param prefixDim prefix length for stage 1 (the MRL granularity in use)
+   * @param shortlist candidates per query (≥ k); FAISS's `k_factor·k`
+   * @return (query_id, neighbor_id, cosine rounded to 4) — exact scores
+   */
+  def topKMrlRerank(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, shortlist: Int, prefixDim: Int, excludeSelf: Boolean = false,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(prefixDim > 0, s"prefixDim must be positive, got $prefixDim")
+    val qPre = queries.select(col(qId), slice(col(qVec), 1, prefixDim).as(qVec))
+    val cPre = corpus.select(col(cId), slice(col(cVec), 1, prefixDim).as(cVec))
+    val sl = topK(qPre, qId, qVec, cPre, cId, cVec, shortlist,
+        excludeSelf, maxQueryBytes)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(sl, queries, qId, qVec, corpus, cId, cVec, k)
+  }
+
+  /**
    * Shared greedy MMR selection over an in-memory candidate set
    * ([[topKMmr]] per query, [[Dedup.clusterExemplars]] per cluster): sort by
    * (rel desc, id asc), then k greedy steps — rank 1 is pure relevance,
