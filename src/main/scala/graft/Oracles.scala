@@ -1924,4 +1924,37 @@ object Oracles {
        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
+
+  /** Count-min-sketch heavy hitters (mirrors CorpusStats.cmsTopTokens):
+    * depth×width sketch over corpus words via the tHash identity folded to
+    * [0, 2³¹) + one affine map per hash row, estimate = min over the depth
+    * cells, top-k by (est_count DESC, word). The A/B list literals mirror
+    * CorpusStats.CmsA/CmsB; `h·A + B < 2⁶²` so BIGINT arithmetic is exact in
+    * both engines. */
+  def cmsTopTokensSql(width: Int, depth: Int, topK: Int): String = {
+    val aLit = graft.operators.CorpusStats.CmsA.take(depth).mkString("[", ",", "]")
+    val bLit = graft.operators.CorpusStats.CmsB.take(depth).mkString("[", ",", "]")
+    s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |           FROM documents),
+       |th AS (SELECT word, ${tHashSql("word")} % 2147483647 AS h FROM w),
+       |jj AS (SELECT unnest(generate_series(0, ${depth - 1})) AS j),
+       |sk AS (
+       |  SELECT CAST(jj.j AS BIGINT) AS j,
+       |         (th.h * ($aLit)[jj.j + 1] + ($bLit)[jj.j + 1]) % $width AS b,
+       |         count(*) AS c
+       |  FROM th, jj GROUP BY 1, 2
+       |),
+       |cand AS (SELECT DISTINCT word, h FROM th),
+       |cb AS (
+       |  SELECT word, CAST(jj.j AS BIGINT) AS j,
+       |         (cand.h * ($aLit)[jj.j + 1] + ($bLit)[jj.j + 1]) % $width AS b
+       |  FROM cand, jj
+       |),
+       |est AS (
+       |  SELECT word, min(c) AS est_count
+       |  FROM cb JOIN sk USING (j, b) GROUP BY word
+       |)
+       |SELECT word, est_count FROM est
+       |ORDER BY est_count DESC, word LIMIT $topK""".stripMargin
+  }
 }

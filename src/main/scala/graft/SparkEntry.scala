@@ -648,6 +648,12 @@ object SparkEntry {
     "len_hist" -> ((s, dir) =>
       CorpusStats.exactHistogram(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // count-min-sketch heavy hitters: depth×width mergeable sketch, estimate
+    // = min over the depth cells — deterministic hashes make the one-sided
+    // estimate itself oracle-checkable
+    "tokens_cms_topk" -> ((s, dir) =>
+      CorpusStats.cmsTopTokens(rd(s, dir, "documents"), "text",
+        width = 1024, depth = 4, topK = 50)),
     // BPE tokenizer-training statistic: top adjacent char-pair counts
     "bpe_pairs" -> ((s, dir) =>
       CorpusStats.bpePairCounts(rd(s, dir, "documents"), "text", 20)),
@@ -1512,6 +1518,7 @@ object SparkEntry {
         |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
         |  count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents

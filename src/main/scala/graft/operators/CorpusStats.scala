@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions.wordsCol
 
 /**
@@ -584,5 +585,93 @@ object CorpusStats {
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("__d")).as("dsir_micro"))
       .select(col("__id").as(idCol), col("n_tokens"), col("dsir_micro"))
+  }
+
+  /** Per-row count-min-sketch hash constants (depth ≤ 8). All < 2³¹ so the
+    * bucket arithmetic `h·A + B` stays < 2⁶² — exact in BIGINT in both
+    * engines (no overflow, no wrap divergence). Mirrored as SQL list
+    * literals in [[graft.Oracles.cmsTopTokensSql]]. */
+  private[graft] val CmsA: Seq[Long] = Seq(
+    1103515245L, 1583458089L, 784588717L, 999999937L,
+    1299709L, 15485863L, 32452843L, 49979687L)
+  private[graft] val CmsB: Seq[Long] = Seq(
+    12345L, 54321L, 2531011L, 7919L, 104729L, 1299721L, 15485867L, 982451653L)
+
+  private def cmsBucketRows(h: org.apache.spark.sql.Column, width: Int, depth: Int) =
+    explode(array((0 until depth).map { j =>
+      struct(lit(j).cast("long").as("__j"),
+        ((h * lit(CmsA(j)) + lit(CmsB(j))) % lit(width.toLong)).as("__b"))
+    }: _*))
+
+  private def requireCms(width: Int, depth: Int): Unit = {
+    require(width > 1, s"width must be > 1, got $width")
+    require(depth >= 1 && depth <= CmsA.length,
+      s"depth must be in [1, ${CmsA.length}], got $depth")
+  }
+
+  /**
+   * Count-min sketch (Cormode & Muthukrishnan 2005) over a value column:
+   * `depth` hash rows × `width` buckets, cell = occurrence count of values
+   * hashing there. THE mergeable frequency artifact for a 100 TB corpus —
+   * at most `depth·width` Longs regardless of corpus size, built by one
+   * map-side-combined aggregation (sketches of two corpus halves merge by
+   * cell-wise +). Hashing is the library's deterministic [[TextFunctions.tHash]]
+   * folded to [0, 2³¹) then one affine map per row, so the sketch CONTENT is
+   * bit-identical across engines — the estimate itself is oracle-checkable
+   * (same posture as [[approxDistinctByGroup]]'s KMV).
+   * Null values are ignored.
+   * @return (j, b, c) — hash-row index, bucket, occurrence count.
+   */
+  def cmsSketch(df: DataFrame, colName: String, width: Int, depth: Int): DataFrame = {
+    requireCms(width, depth)
+    df.select(col(colName)).where(col(colName).isNotNull)
+      .select(pmod(TextFunctions.tHashUdf(col(colName)), lit(2147483647L)).as("__h"))
+      .select(cmsBucketRows(col("__h"), width, depth).as("rb"))
+      .groupBy(col("rb.__j").as("j"), col("rb.__b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /**
+   * Point-query a [[cmsSketch]] for a candidate list: estimate = min over
+   * the `depth` cells a value hashes to — the classic one-sided CMS bound
+   * (estimate ≥ true count, always). The sketch side is ≤ `depth·width`
+   * rows and is broadcast, so candidates never shuffle: at 100 TB the
+   * candidate list is a sample / watch-list / other corpus' vocabulary,
+   * queried WITHOUT re-scanning the sketched corpus.
+   * @return (colName, est_count)
+   */
+  def cmsEstimate(
+      sketch: DataFrame, candidates: DataFrame, colName: String,
+      width: Int, depth: Int): DataFrame = {
+    requireCms(width, depth)
+    candidates.select(col(colName)).where(col(colName).isNotNull).distinct()
+      .select(col(colName),
+        pmod(TextFunctions.tHashUdf(col(colName)), lit(2147483647L)).as("__h"))
+      .select(col(colName), cmsBucketRows(col("__h"), width, depth).as("rb"))
+      .select(col(colName), col("rb.__j").as("j"), col("rb.__b").as("b"))
+      .join(broadcast(sketch), Seq("j", "b"))
+      .groupBy(col(colName))
+      .agg(min(col("c")).as("est_count"))
+  }
+
+  /**
+   * Heavy-hitter words of a document corpus via [[cmsSketch]] +
+   * [[cmsEstimate]]: top `topK` by estimated count, ties broken
+   * alphabetically (deterministic total order — word is unique).
+   * The gate face deliberately uses the corpus' own distinct words as the
+   * candidate list (worst case); the scale deployment queries the sketch
+   * with an external candidate list instead.
+   * @return (word, est_count) — est_count ≥ the exact count, = for words
+   *         colliding with nothing in at least one hash row.
+   */
+  def cmsTopTokens(
+      docs: DataFrame, textCol: String,
+      width: Int = 1024, depth: Int = 4, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val words = docs.select(explode(wordsCol(col(textCol))).as("word"))
+    val sk = cmsSketch(words, "word", width, depth)
+    cmsEstimate(sk, words, "word", width, depth)
+      .orderBy(desc("est_count"), col("word"))
+      .limit(topK)
   }
 }
