@@ -1925,6 +1925,38 @@ object Oracles {
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
 
+  /** Z-order (Morton) layout key (mirrors Embeddings.zorderKey): per-dim
+    * min–max quantization of the first `dims` embedding dims to `bits` bits
+    * — `(x−mn)/(mx−mn)·(2^bits−1)` in the identical correctly-rounded IEEE
+    * op order, floor→BIGINT→clamp — then pure BIGINT bit interleave. */
+  def zorderKeySql(dims: Int, bits: Int): String = {
+    val maxQ = (1L << bits) - 1
+    val xs = (0 until dims).map(d =>
+      s"CAST(embedding[${d + 1}] AS DOUBLE) AS x$d").mkString(",\n         ")
+    val exts = (0 until dims).map(d =>
+      s"min(x$d) AS mn$d, max(x$d) AS mx$d").mkString(", ")
+    val qs = (0 until dims).map { d =>
+      s"""CASE WHEN mx$d = mn$d THEN 0
+         |      ELSE least(greatest(CAST(floor((x$d - mn$d) / (mx$d - mn$d) * $maxQ.0)
+         |             AS BIGINT), 0), $maxQ) END AS q$d""".stripMargin
+    }.mkString(",\n    ")
+    val terms = (for { b <- 0 until bits; d <- 0 until dims } yield
+      s"(((q$d >> $b) & 1) << ${b * dims + d})").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         $xs
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims
+       |),
+       |ext AS (SELECT $exts FROM base),
+       |q AS (
+       |  SELECT vec_id,
+       |    $qs
+       |  FROM base, ext
+       |)
+       |SELECT vec_id, CAST($terms AS BIGINT) AS zkey FROM q""".stripMargin
+  }
+
   /** Count-min-sketch heavy hitters (mirrors CorpusStats.cmsTopTokens):
     * depth×width sketch over corpus words via the tHash identity folded to
     * [0, 2³¹) + one affine map per hash row, estimate = min over the depth

@@ -648,6 +648,11 @@ object SparkEntry {
     "len_hist" -> ((s, dir) =>
       CorpusStats.exactHistogram(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // Z-order (Morton) layout key: the data-layout lever — range-partition +
+    // sort by zkey co-locates embedding-space neighbors for scan pruning
+    "layout_zorder" -> ((s, dir) =>
+      Embeddings.zorderKey(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 4, bits = 8)),
     // count-min-sketch heavy hitters: depth×width mergeable sketch, estimate
     // = min over the depth cells — deterministic hashes make the one-sided
     // estimate itself oracle-checkable
@@ -1518,6 +1523,7 @@ object SparkEntry {
         |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
         |  count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "bpe_pairs" ->
       """WITH w AS (

@@ -121,4 +121,52 @@ object Embeddings {
       when(col(vecCol).isNull || size(col(vecCol)) === 0, lit(null))
         .otherwise(proj).as("proj"))
   }
+
+  /**
+   * Z-ORDER (Morton) layout key over the first `dims` embedding dimensions:
+   * per-dim min–max quantization to `bits` bits, then bit interleave — rows
+   * close in embedding space get close keys, so `repartitionByRange(zkey)` +
+   * `sortWithinPartitions(zkey)` + parquet write CO-LOCATES similar vectors
+   * (the Delta/Iceberg OPTIMIZE ZORDER layout move, here first-class). At
+   * 100 TB this is the data-layout lever behind every scan-heavy ANN /
+   * near-dup pass: candidate generation over a z-ordered corpus touches a
+   * contiguous key range instead of the whole table, and min/max parquet
+   * row-group stats on zkey actually prune.
+   *
+   * Determinism: the per-dim extremes are one global aggregate joined back by
+   * broadcast; `(x−mn)/(mx−mn)·(2^bits−1)` is three correctly-rounded IEEE
+   * ops in a fixed order, floored then clamped — bit-identical in any IEEE
+   * engine (the [[graft.operators.CorpusStats.sourceKlDivergence]] posture);
+   * everything after is BIGINT bit algebra. Vectors shorter than `dims` are
+   * excluded (mirrored by the oracle); a constant dimension (mx = mn)
+   * quantizes to 0.
+   *
+   * @param dims leading dimensions to interleave (dims·bits ≤ 62)
+   * @param bits bits per dimension
+   * @return (idCol, zkey: BIGINT)
+   */
+  def zorderKey(df: DataFrame, idCol: String, vecCol: String,
+      dims: Int = 4, bits: Int = 8): DataFrame = {
+    require(dims >= 1 && bits >= 1 && dims * bits <= 62,
+      s"need 1 <= dims, 1 <= bits, dims*bits <= 62; got dims=$dims bits=$bits")
+    val maxQ = (1L << bits) - 1
+    val base = df.where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+      .select(col(idCol) +: (0 until dims).map(d =>
+        col(vecCol).getItem(d).cast("double").as(s"__x$d")): _*)
+    val extCols = (0 until dims).flatMap(d => Seq(
+      min(col(s"__x$d")).as(s"__mn$d"), max(col(s"__x$d")).as(s"__mx$d")))
+    val ext = base.agg(extCols.head, extCols.tail: _*)
+    val q = base.crossJoin(broadcast(ext)).select(
+      col(idCol) +: (0 until dims).map { d =>
+        val ratio = (col(s"__x$d") - col(s"__mn$d")) /
+          (col(s"__mx$d") - col(s"__mn$d")) * lit(maxQ.toDouble)
+        when(col(s"__mx$d") === col(s"__mn$d"), lit(0L))
+          .otherwise(least(greatest(floor(ratio).cast("long"), lit(0L)), lit(maxQ)))
+          .as(s"__q$d")
+      }: _*)
+    val zkey = (for { b <- 0 until bits; d <- 0 until dims } yield
+        shiftleft(shiftright(col(s"__q$d"), b).bitwiseAND(lit(1L)), b * dims + d))
+      .reduce(_ + _)
+    q.select(col(idCol), zkey.cast("long").as("zkey"))
+  }
 }

@@ -456,6 +456,38 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(mmr == plain)
   }
 
+  test("zorderKey matches a brute-force Morton model on an exhaustive grid") {
+    val s = spark
+    import s.implicits._
+    // 4×4 grid in 2 dims: min-max quantization at bits=2 maps coordinate
+    // k/3.0 exactly to cell k, so zkey must equal the hand-interleaved code
+    val pts = for { x <- 0 to 3; y <- 0 to 3 } yield
+      ((x * 4 + y).toLong, Seq(x / 3.0f * 3.0f, y / 3.0f * 3.0f))
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Embeddings.zorderKey(df, "vec_id", "embedding", dims = 2, bits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def morton(qx: Long, qy: Long): Long =
+      (0 until 2).map(b => (((qx >> b) & 1L) << (b * 2)) | (((qy >> b) & 1L) << (b * 2 + 1))).sum
+    pts.foreach { case (id, v) =>
+      val (qx, qy) = (math.round(v.head / 1.0), math.round(v(1) / 1.0))
+      assert(got(id) == morton(qx, qy), s"id=$id v=$v")
+    }
+    assert(got.values.toSet.size == 16, "exhaustive grid must fill all 16 codes")
+  }
+
+  test("zorderKey excludes short/null vectors and keeps keys in range") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(0.1f, 0.2f, 0.3f, 0.4f, 0.9f)),
+      (2L, Seq(0.5f, 0.6f, 0.7f, 0.8f)),
+      (3L, Seq(0.1f, 0.2f)), // shorter than dims=4 -> excluded
+      (4L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val out = Embeddings.zorderKey(df, "vec_id", "embedding", dims = 4, bits = 8).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 2L))
+    out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
