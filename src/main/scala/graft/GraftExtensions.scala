@@ -32,5 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 2, "cosine_sim takes exactly two arguments")
         CosineSimExpr(exprs.head, exprs(1))
       }))
+    // UDF-to-native rewrite: plans written with the boxed Trigrams.tokensUdf
+    // get the codegen'd TrigramTokensExpr automatically (null-exact).
+    ext.injectOptimizerRule(_ => graft.plans.RewriteTrigramUdf())
   }
 }

@@ -46,6 +46,15 @@ object Smoke {
     val extBadType = try { spark.sql("SELECT trigram_tokens(42)").head().toString }
       catch { case e: Exception => "error: " + Option(e.getMessage).getOrElse("").take(80) }
     println("PROBE trigram_tokens(int) -> " + extBadType)
+    // optimizer-rule drive: the boxed UDF form must leave no ScalaUDF in the
+    // session's OWN optimized plan (RewriteTrigramUdf, injected above)
+    val udfForm = part.select(graft.functions.Trigrams.tokensUdf(
+      org.apache.spark.sql.functions.col("p_name")).as("t"))
+    val optimized = udfForm.queryExecution.optimizedPlan
+    val udfSurvived = optimized.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
+    require(!udfSurvived, "RewriteTrigramUdf did not fire in the extension session")
+    println("RULE trigram UDF rewritten, rows=" + udfForm.count())
 
     // fuzzy dedup drive
     val dd = graft.operators.SimDedup.dedup(part, "p_partkey", "p_name", 0.85)

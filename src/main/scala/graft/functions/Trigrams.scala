@@ -95,8 +95,13 @@ object Trigrams {
       new String(Array(c0, c1, c2))
     }
 
-  /** UDF form: string -> array<int> of distinct token ids. */
-  val tokensUdf: UserDefinedFunction = udf((s: String) => tokenIds(s))
+  /** Registered name of [[tokensUdf]] — the key [[graft.plans.RewriteTrigramUdf]]
+    * matches on to swap the boxed UDF for the codegen'd expression. */
+  val TokensUdfName = "graft_trigram_tokens"
+
+  /** UDF form: string -> array<int> of distinct token ids. Named so the
+    * optimizer rule can recognize (and replace) it in any plan. */
+  val tokensUdf: UserDefinedFunction = udf((s: String) => tokenIds(s)).withName(TokensUdfName)
 
   /** UDF form: string -> array<string> of distinct trigram strings (ascending). */
   val tokenStringsUdf: UserDefinedFunction = udf((s: String) => tokenStrings(s))

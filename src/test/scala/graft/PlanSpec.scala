@@ -441,4 +441,29 @@ class PlanSpec extends AnyFunSuite {
       SimJoinOptions(topN = 10, maxTokenFrequency = 1)).count()
     assert(kernelGuarded == 1L)
   }
+
+  test("RewriteTrigramUdf swaps the ScalaUDF for the codegen'd expression, null-exact") {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val s = spark
+    import s.implicits._
+    // null row exercises the UDF's empty-array-on-null contract
+    val df = Seq((1L, "small ring"), (2L, null.asInstanceOf[String]), (3L, "ab"))
+      .toDF("id", "s")
+      .select(col("id"), Trigrams.tokensUdf(col("s")).as("t"))
+    def hasUdf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+    val analyzed = df.queryExecution.analyzed
+    assert(hasUdf(analyzed), "precondition: the UDF form must start as a ScalaUDF")
+    val rewritten = graft.plans.RewriteTrigramUdf()(analyzed)
+    assert(!hasUdf(rewritten), "no ScalaUDF may survive the rewrite")
+    val got = org.apache.spark.sql.GraftBridge.ofRows(spark, rewritten)
+      .orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getSeq[Int](1) == w.getSeq[Int](1))
+    }
+    // the null row must yield the UDF's empty array, not null
+    assert(got(1).getSeq[Int](1) == Seq.empty)
+  }
 }
