@@ -1925,6 +1925,25 @@ object Oracles {
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
 
+  /** First-occurrence chunk ledger (mirrors StreamChunkDedup.firstPerChunk on
+    * a batch frame): the chunkDedupSql splitter, then each distinct chunk
+    * hash at its minimum (doc_id, chunk_index) occurrence. */
+  def streamChunkBatchSql(w: Int): String =
+    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |c AS (
+       |  SELECT doc_id, gi,
+       |    array_to_string(list_slice(ws, gi*$w + 1, least((gi+1)*$w, len(ws))), ' ') AS chunk
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + ${w - 1}) // $w - 1)) AS gi
+       |        FROM d WHERE len(ws) > 0)
+       |),
+       |r AS (
+       |  SELECT doc_id, gi, md5(chunk) AS ck,
+       |         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, gi) AS rn
+       |  FROM c
+       |)
+       |SELECT doc_id, CAST(gi AS BIGINT) AS chunk_index, ck AS chunk_hash
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** Z-order (Morton) layout key (mirrors Embeddings.zorderKey): per-dim
     * min–max quantization of the first `dims` embedding dims to `bits` bits
     * — `(x−mn)/(mx−mn)·(2^bits−1)` in the identical correctly-rounded IEEE

@@ -219,6 +219,12 @@ object SparkEntry {
     // is therefore a plain fingerprint cross join, no banding approximation)
     // streaming decontamination holds the eval-leak line; batch face here,
     // stream parity spec-pinned (same output as Decontaminate.flagged)
+    // streaming chunk dedup driven on a batch frame: every distinct chunk at
+    // its canonical (min doc, min index) first occurrence — the keep-first
+    // chunk ledger the stream maintains exactly-once across micro-batches
+    "stream_chunk_batch" -> ((s, dir) =>
+      graft.streaming.StreamChunkDedup.firstPerChunk(
+        rd(s, dir, "documents"), "doc_id", "text", chunkWords = 20).toDF()),
     "stream_decon_batch" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       graft.streaming.StreamDecontaminate.flagAgainst(
@@ -1122,6 +1128,7 @@ object SparkEntry {
          |SELECT lid, rid, round(sim, 6) AS sim FROM ranked WHERE rn <= 3""".stripMargin,
     "decontaminate" -> decontaminateSql,
     // same collision-pair semantics through the streaming face's batch path
+    "stream_chunk_batch" -> Oracles.streamChunkBatchSql(20),
     "stream_decon_batch" -> decontaminateSql,
     "dedup_canonical" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},

@@ -271,4 +271,37 @@ class StreamingSimSpec extends AnyFunSuite {
     assert(run("on", 400L) == Set(1L, 2L, 3L), "expired hash must re-emit under TTL")
     assert(run("off", 0L) == Set(1L, 2L), "default NoTimeout state must never expire")
   }
+
+  test("StreamChunkDedup.firstPerChunk: chunk ledger is exactly-once across batches") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunkstream").toFile
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+    // 2-word chunks: doc 1 = [aa bb][cc dd], doc 2 repeats [aa bb] + new [ee ff]
+    Seq((1L, "aa bb cc dd"), (2L, "aa bb ee ff"))
+      .toDF("doc_id", "text").write.parquet(dir + "/in/b1")
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+    val out = graft.streaming.StreamChunkDedup.firstPerChunk(
+      stream.toDF(), "doc_id", "text", chunkWords = 2)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got() = spark.table("chunk_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // [aa bb] credits doc 1 index 0 (min occurrence); 3 distinct chunks total
+      assert(got() == Set((1L, 0L), (1L, 1L), (2L, 1L)))
+      // batch 2: an already-seen chunk (suppressed) + one new chunk
+      Seq((3L, "aa bb gg hh")).toDF("doc_id", "text").write.parquet(dir + "/in/b2")
+      q.processAllAvailable()
+      assert(got() == Set((1L, 0L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    } finally q.stop()
+
+    // batch semantics = every distinct chunk at its min (doc, index) occurrence
+    val batchOut = graft.streaming.StreamChunkDedup.firstPerChunk(
+        Seq((7L, "aa bb aa bb"), (6L, "aa bb")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkWords = 2)
+      .collect().map(c => (c.doc_id, c.chunk_index)).toSet
+    assert(batchOut == Set((6L, 0L)))
+  }
 }
