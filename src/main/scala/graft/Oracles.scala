@@ -1925,6 +1925,46 @@ object Oracles {
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
 
+  /** Rendezvous shard assignment (mirrors Packing.rendezvousShard): argmax
+    * over per-(id, shard) integer-mix weights, ties to the smallest shard
+    * (list_position finds the FIRST maximum). */
+  def rendezvousShardSql(nShards: Int): String =
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${nShards - 1}), s ->
+       |      ((doc_id % 1000003) * 8191 + s) % 1000003 * 2654435761 % 1000003) AS rw
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(list_position(rw, list_aggregate(rw, 'max')) - 1 AS BIGINT) AS shard
+       |FROM r""".stripMargin
+
+  /** PMI collocations (mirrors CorpusStats.collocations): adjacent word
+    * pairs within docs, integer micro-nat PMI
+    * `q(cx/N1) + q(cy/N1) − q(cxy/N2)`, top-k by (pmi DESC, w1, w2). */
+  def collocationsSql(minCount: Long, topK: Int): String =
+    s"""WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |b AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM d WHERE len(ws) >= 2)
+       |),
+       |uc AS (SELECT w, count(*) AS c1
+       |       FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+       |n1 AS (SELECT sum(c1) AS n1 FROM uc),
+       |bc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2),
+       |n2 AS (SELECT sum(n_pair) AS n2 FROM bc)
+       |SELECT w1, w2, n_pair,
+       |  CAST(floor(-ln(CAST(x.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |  + CAST(floor(-ln(CAST(y.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |  - CAST(floor(-ln(CAST(bc.n_pair AS DOUBLE) / CAST(n2.n2 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |  AS pmi_micro
+       |FROM bc, n1, n2
+       |JOIN uc x ON x.w = bc.w1
+       |JOIN uc y ON y.w = bc.w2
+       |WHERE bc.n_pair >= $minCount
+       |ORDER BY pmi_micro DESC, w1, w2 LIMIT $topK""".stripMargin
+
   /** First-occurrence chunk ledger (mirrors StreamChunkDedup.firstPerChunk on
     * a batch frame): the chunkDedupSql splitter, then each distinct chunk
     * hash at its minimum (doc_id, chunk_index) occurrence. */

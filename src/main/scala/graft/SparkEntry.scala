@@ -654,6 +654,16 @@ object SparkEntry {
     "len_hist" -> ((s, dir) =>
       CorpusStats.exactHistogram(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // rendezvous (highest-random-weight) sharding: stable under shard-count
+    // growth — only rows whose argmax IS the new shard move
+    "shard_rendezvous" -> ((s, dir) =>
+      Packing.rendezvousShard(
+        rd(s, dir, "documents").select("doc_id"), "doc_id", nShards = 10)),
+    // PMI collocations: phrase mining in integer micro-nats — the
+    // tokenizer-seeding statistic, reduction-order-proof ranking
+    "collocations" -> ((s, dir) =>
+      CorpusStats.collocations(rd(s, dir, "documents"), "text",
+        minCount = 3L, topK = 100)),
     // Z-order (Morton) layout key: the data-layout lever — range-partition +
     // sort by zkey co-locates embedding-space neighbors for scan pruning
     "layout_zorder" -> ((s, dir) =>
@@ -1530,6 +1540,8 @@ object SparkEntry {
         |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
         |  count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
+    "collocations" -> Oracles.collocationsSql(3L, 100),
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "bpe_pairs" ->

@@ -587,6 +587,54 @@ object CorpusStats {
       .select(col("__id").as(idCol), col("n_tokens"), col("dsir_micro"))
   }
 
+  /**
+   * Collocation extraction by pointwise mutual information over adjacent
+   * word pairs — the phrase-mining / tokenizer-seeding step ("new york",
+   * "machine learning" score high; chance co-occurrences score ~0). Scored
+   * in integer micro-nats so the ranking is reduction-order-proof and
+   * oracle-exact: `pmi_micro = q(c_x/N₁) + q(c_y/N₁) − q(c_xy/N₂)` with
+   * `q(p) = floor(−ln(p)·10⁶)` (the [[unigramLogLoss]] idiom; observed
+   * pairs only, so no smoothing is needed). Bigrams never cross document
+   * boundaries.
+   *
+   * Scale shape: two word-keyed aggregations + one join of the bigram
+   * relation against the (much smaller) unigram table — AQE broadcasts it
+   * when the vocabulary allows; scalar totals ride a 1-row broadcast.
+   *
+   * @param minCount noise floor: pairs rarer than this are dropped BEFORE
+   *                 the join (rare pairs otherwise dominate PMI rankings)
+   * @return (w1, w2, n_pair, pmi_micro) — top `topK` by
+   *         (pmi_micro DESC, w1, w2), a deterministic total order.
+   */
+  def collocations(
+      docs: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ws = docs.select(wordsCol(col(textCol)).as("__ws"))
+    val uni = ws.select(explode(col("__ws")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+    val bi = ws.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__ws) - 2), i -> struct(__ws[i] AS w1, __ws[i + 1] AS w2))"))
+        .as("__p"))
+      .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val n1 = uni.agg(sum(col("__c1")).as("__N1"))
+    val n2 = bi.agg(sum(col("n_pair")).as("__N2"))
+    def q(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      floor(-log(c.cast("double") / n.cast("double")) * lit(1000000.0)).cast("long")
+    bi.filter(col("n_pair") >= minCount)
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .join(uni.select(col("__w").as("w1"), col("__c1").as("__cx")), "w1")
+      .join(uni.select(col("__w").as("w2"), col("__c1").as("__cy")), "w2")
+      .select(col("w1"), col("w2"), col("n_pair"),
+        (q(col("__cx"), col("__N1")) + q(col("__cy"), col("__N1")) -
+          q(col("n_pair"), col("__N2"))).as("pmi_micro"))
+      .orderBy(desc("pmi_micro"), col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Per-row count-min-sketch hash constants (depth ≤ 8). All < 2³¹ so the
     * bucket arithmetic `h·A + B` stays < 2⁶² — exact in BIGINT in both
     * engines (no overflow, no wrap divergence). Mirrored as SQL list

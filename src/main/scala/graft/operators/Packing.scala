@@ -92,4 +92,36 @@ object Packing {
     withPrefixSum(df, idCol, nCol, cumOut)
       .withColumn(shardOut, expr(s"(`$cumOut` - `$nCol`) div ${budget}L"))
   }
+
+  /**
+   * RENDEZVOUS (highest-random-weight) shard assignment — the stable
+   * re-sharding rule for an incrementally-growing corpus: each row's shard is
+   * `argmax_s w(id, s)` over a per-(row, shard) deterministic weight, so
+   * growing `nShards` → `nShards + 1` moves ONLY the rows whose argmax IS the
+   * new shard (≈ 1/(n+1) of the data — property-pinned), where hash-mod
+   * sharding reshuffles ~everything. The consistent-hashing move for shard
+   * layouts, checkpoint assignment, and cache routing, as one column.
+   *
+   * Weight: `w(id, s) = (((id % 1000003)·8191 + s) % 1000003 · 2654435761) %
+   * 1000003` — the SRP/LSH integer-mix family; every product < 2⁶² so BIGINT
+   * arithmetic is exact in both engines, and ties break to the smallest
+   * shard (array_position returns the FIRST maximum). Pure per-row codegen'd
+   * HOFs — no shuffle, no state, no driver work.
+   *
+   * @param idCol unique non-null numeric row id
+   * @return df + (shardOut: BIGINT in [0, nShards))
+   */
+  def rendezvousShard(
+      df: DataFrame, idCol: String, nShards: Int,
+      shardOut: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(!df.columns.contains(shardOut), s"output column '$shardOut' collides")
+    df.withColumn("__rw", expr(
+        s"""transform(sequence(0, ${nShards - 1}), s ->
+           |  ((CAST($idCol AS BIGINT) % 1000003) * 8191 + s) % 1000003
+           |    * 2654435761L % 1000003)""".stripMargin))
+      .withColumn(shardOut,
+        expr(s"CAST(array_position(__rw, array_max(__rw)) - 1 AS BIGINT)"))
+      .drop("__rw")
+  }
 }

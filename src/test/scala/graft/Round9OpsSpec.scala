@@ -456,6 +456,50 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(mmr == plain)
   }
 
+  test("rendezvousShard: stability — growing n moves rows ONLY into the new shard") {
+    val s = spark
+    import s.implicits._
+    val ids = (1L to 500L).toDF("doc_id")
+    def assign(n: Int) = Packing.rendezvousShard(ids, "doc_id", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at5 = assign(5)
+    val at6 = assign(6)
+    assert(at5.values.forall(v => v >= 0 && v < 5))
+    assert(at6.values.forall(v => v >= 0 && v < 6))
+    val moved = at5.keys.filter(id => at5(id) != at6(id))
+    assert(moved.nonEmpty, "some rows must move to the new shard")
+    moved.foreach(id => assert(at6(id) == 5L,
+      s"row $id moved $at5($id)->${at6(id)} — rendezvous may only move INTO the new shard"))
+    // roughly balanced: every shard is populated
+    assert(at6.values.toSet.size == 6)
+  }
+
+  test("collocations matches a brute-force micro-nat PMI model") {
+    val texts = Seq(
+      (1L, "new york is big and new york is loud"),
+      (2L, "york new has no glue but new york does"),
+      (3L, "big and loud and big and loud"))
+    val out = CorpusStats.collocations(docsDf(texts), "text", minCount = 2L, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    // brute-force model
+    val docsWords = texts.map(_._2.split(' ').toSeq)
+    val uni = docsWords.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n1 = uni.values.sum
+    val bi = docsWords.flatMap(ws => ws.zip(ws.tail)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val n2 = bi.values.sum
+    def q(c: Long, n: Long): Long = math.floor(-math.log(c.toDouble / n.toDouble) * 1e6).toLong
+    val want = bi.filter(_._2 >= 2L).map { case ((x, y), c) =>
+      ((x, y), (c, q(uni(x), n1) + q(uni(y), n1) - q(c, n2)))
+    }
+    val gotMap = out.toMap
+    assert(gotMap == want)
+    // "new york" (3 hits, strongly associated) must be present and ranked
+    val order = out.map(_._1).toSeq
+    assert(order.indexOf(("new", "york")) >= 0)
+    assert(gotMap(("new", "york"))._1 == 3L)
+  }
+
   test("zorderKey matches a brute-force Morton model on an exhaustive grid") {
     val s = spark
     import s.implicits._
