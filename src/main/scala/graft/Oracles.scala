@@ -1925,6 +1925,33 @@ object Oracles {
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
 
+  /** Integer-exact PageRank over the approximate-kNN graph (mirrors
+    * GraphRank.pageRank on Dedup.knnGraph edges): the knn CTEs feed an
+    * unrolled fixed-iteration chain — contribution `r DIV outdeg`, update
+    * `teleport + (damping·Σ) DIV 1000` — all BIGINT, reduction-order-proof. */
+  def pageRankSql(k: Int, nPlanes: Int, nTables: Int,
+      nIters: Int, dampingMilli: Int): String = {
+    val teleport = (1000L - dampingMilli) * 1000L
+    val iters = (1 to nIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, sum(r${i - 1}.r // dg.od) AS s
+         |  FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src JOIN dg ON dg.src = e.src
+         |  GROUP BY 1
+         |),
+         |r$i AS (
+         |  SELECT nd.node, $teleport + ($dampingMilli * coalesce(c$i.s, 0)) // 1000 AS r
+         |  FROM nd LEFT JOIN c$i ON c$i.dst = nd.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+       |e AS (SELECT src, nbr AS dst FROM kg),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |dg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+       |$iters
+       |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r$nIters""".stripMargin
+  }
+
   /** Rendezvous shard assignment (mirrors Packing.rendezvousShard): argmax
     * over per-(id, shard) integer-mix weights, ties to the smallest shard
     * (list_position finds the FIRST maximum). */

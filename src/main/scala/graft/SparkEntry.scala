@@ -654,6 +654,12 @@ object SparkEntry {
     "len_hist" -> ((s, dir) =>
       CorpusStats.exactHistogram(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // integer-exact PageRank on the kNN graph: semantic-hub centrality as a
+    // curation signal; per iteration one edge join + one dst aggregation
+    "graph_pagerank" -> ((s, dir) =>
+      GraphRank.pageRank(
+        Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
+        "src", "nbr", nIters = 3, dampingMilli = 850)),
     // rendezvous (highest-random-weight) sharding: stable under shard-count
     // growth — only rows whose argmax IS the new shard move
     "shard_rendezvous" -> ((s, dir) =>
@@ -1540,6 +1546,7 @@ object SparkEntry {
         |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
         |  count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    "graph_pagerank" -> Oracles.pageRankSql(3, 8, 2, 3, 850),
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
     "collocations" -> Oracles.collocationsSql(3L, 100),
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),

@@ -456,6 +456,28 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(mmr == plain)
   }
 
+  test("pageRank matches a brute-force integer model; hubs outrank leaves") {
+    val s = spark
+    import s.implicits._
+    // star: 1..4 all point at 5; 5 points back at 1 only
+    val edges = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (5L, 1L))
+    val got = GraphRank.pageRank(edges.toDF("src", "dst"), "src", "dst",
+        nIters = 3, dampingMilli = 850)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force model with the same integer ops
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outDeg(u) }.sum).toMap
+      rank = nodes.map(n => n -> (150000L + 850L * contrib.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    assert(got == rank)
+    assert(got(5L) == got.values.max, "the star hub must rank highest")
+    assert(got(2L) == got(3L) && got(3L) == got(4L), "symmetric leaves tie")
+  }
+
   test("rendezvousShard: stability — growing n moves rows ONLY into the new shard") {
     val s = spark
     import s.implicits._
