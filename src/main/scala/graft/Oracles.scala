@@ -1925,6 +1925,18 @@ object Oracles {
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
 
+  /** Per-column profile of the documents table (mirrors TableProfile.profile):
+    * one UNION ALL branch per column — counts, exact distinct, stringified
+    * min/max. */
+  def profileDocsSql(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Integer-exact PageRank over the approximate-kNN graph (mirrors
     * GraphRank.pageRank on Dedup.knnGraph edges): the knn CTEs feed an
     * unrolled fixed-iteration chain — contribution `r DIV outdeg`, update

@@ -654,6 +654,11 @@ object SparkEntry {
     "len_hist" -> ((s, dir) =>
       CorpusStats.exactHistogram(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // ANALYZE-style per-column profile: |columns| output rows regardless of
+    // corpus size — the new-snapshot sanity check and drift diff input
+    "profile_docs" -> ((s, dir) =>
+      TableProfile.profile(rd(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
     // integer-exact PageRank on the kNN graph: semantic-hub centrality as a
     // curation signal; per iteration one edge join + one dst aggregation
     "graph_pagerank" -> ((s, dir) =>
@@ -1546,6 +1551,8 @@ object SparkEntry {
         |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
         |  count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    "profile_docs" -> Oracles.profileDocsSql(
+      Seq("doc_id", "text", "lang", "source", "n_chars")),
     "graph_pagerank" -> Oracles.pageRankSql(3, 8, 2, 3, 850),
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
     "collocations" -> Oracles.collocationsSql(3L, 100),

@@ -456,6 +456,25 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(mmr == plain)
   }
 
+  test("profile reports exact per-column stats, null-aware") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Some("aa"), Some(10)),
+      (2L, None, Some(20)),
+      (3L, Some("bb"), None),
+      (4L, Some("aa"), Some(20))).toDF("id", "t", "n")
+    val out = TableProfile.profile(df, Seq("id", "t", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(out("t") == ((4L, 1L, 2L, "aa", "bb")))
+    assert(out("n") == ((4L, 1L, 2L, "10", "20")))
+    intercept[IllegalArgumentException] {
+      TableProfile.profile(df, Seq("nope"))
+    }
+  }
+
   test("pageRank matches a brute-force integer model; hubs outrank leaves") {
     val s = spark
     import s.implicits._
