@@ -1925,6 +1925,42 @@ object Oracles {
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
 
+  /** LSH-banding recall audit (mirrors Dedup.lshAuditReport): truth = the
+    * jaccardPairs CTEs, found = the minHashLshPairs CTEs, one summary row. */
+  def lshAuditSql(threshold: Double): String =
+    s"""WITH $shingleCtes,
+       |${minHashBandCtes("dsh", "doc_id")},
+       |tinter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |truth AS (
+       |  SELECT id_a, id_b
+       |  FROM tinter JOIN dcnt ca ON tinter.id_a = ca.doc_id
+       |              JOIN dcnt cb ON tinter.id_b = cb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= $threshold
+       |),
+       |finter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM mcand c
+       |  JOIN dsh a ON c.id_a = a.doc_id
+       |  JOIN dsh b ON c.id_b = b.doc_id AND a.sh = b.sh
+       |  GROUP BY 1, 2
+       |),
+       |found AS (
+       |  SELECT id_a, id_b, 1 AS hit
+       |  FROM finter JOIN dcnt ca ON finter.id_a = ca.doc_id
+       |              JOIN dcnt cb ON finter.id_b = cb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= $threshold
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |  CAST(coalesce(sum(coalesce(f.hit, 0)), 0) AS BIGINT) AS n_found,
+       |  CASE WHEN count(*) = 0 THEN 1.0
+       |       ELSE round(CAST(coalesce(sum(coalesce(f.hit, 0)), 0) AS DOUBLE)
+       |              / count(*), 6) END AS recall
+       |FROM truth t LEFT JOIN found f USING (id_a, id_b)""".stripMargin
+
   /** Per-column profile of the documents table (mirrors TableProfile.profile):
     * one UNION ALL branch per column — counts, exact distinct, stringified
     * min/max. */

@@ -654,6 +654,10 @@ object SparkEntry {
     "len_hist" -> ((s, dir) =>
       CorpusStats.exactHistogram(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // LSH-banding recall audit: measured fraction of true near-dup pairs the
+    // banding path surfaces — justify the parameters before the 100 TB run
+    "dedup_lsh_audit" -> ((s, dir) =>
+      Dedup.lshAuditReport(rd(s, dir, "documents"), "doc_id", "text", 0.8)),
     // ANALYZE-style per-column profile: |columns| output rows regardless of
     // corpus size — the new-snapshot sanity check and drift diff input
     "profile_docs" -> ((s, dir) =>
@@ -1551,6 +1555,7 @@ object SparkEntry {
         |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
         |  count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    "dedup_lsh_audit" -> Oracles.lshAuditSql(0.8),
     "profile_docs" -> Oracles.profileDocsSql(
       Seq("doc_id", "text", "lang", "source", "n_chars")),
     "graph_pagerank" -> Oracles.pageRankSql(3, 8, 2, 3, 850),

@@ -382,6 +382,36 @@ object Dedup {
    *        fewer, higher-precision candidates (bandRows=8 at j=0.9: fn ~0.84
    *        vs bandRows=4's ~0.04 — tune to the operating point).
    */
+  /**
+   * In-engine LSH-banding recall audit — [[graft.operators.SimSearch.recallReport]]'s
+   * stance applied to near-dup dedup: how many TRUE near-duplicate pairs
+   * (exact Jaccard ≥ threshold, from the exhaustive shingle inverted index)
+   * does the MinHash-LSH banding path actually surface? The number that
+   * justifies (or indicts) the banding parameters before a 100 TB run —
+   * measured, not assumed, and cheap at audit scale (run it on a sample; the
+   * truth side is the quadratic-ish path you're avoiding at full scale).
+   * Banding recall is a random variable of the FIXED hash family, so the
+   * measured value is deterministic and oracle-checkable.
+   *
+   * @return one row: (n_true, n_found, recall) — recall = 1.0 when there are
+   *         no true pairs.
+   */
+  def lshAuditReport(
+      df: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val found = minHashLshPairs(df, idCol, textCol, threshold, bandRows)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        when(col("n_true") === 0L, lit(1.0))
+          .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
+          .as("recall"))
+  }
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
       bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
     // fail fast at plan time — inside the UDF the same require surfaces only
