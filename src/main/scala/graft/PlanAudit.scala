@@ -34,7 +34,11 @@ object PlanAudit {
       "ann_pq_rerank", "ann_ivfpq_rerank", "ann_range", "ann_mmr",
       "ann_recall_report", "dedup_soft_weights", "doc_novelty",
       "doc_boilerplate", "corpus_diff", "dedup_exact_incr_bloom",
-      "stream_decon_batch")
+      "stream_decon_batch",
+      "hybrid_rrf", "emb_truncate", "ann_mrl_rerank",
+      "tokens_cms_topk", "layout_zorder", "stream_chunk_batch",
+      "collocations", "shard_rendezvous", "graph_pagerank",
+      "profile_docs", "dedup_lsh_audit")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
