@@ -1925,6 +1925,30 @@ object Oracles {
        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
        |GROUP BY c.c_custkey""".stripMargin
 
+  /** Zipf slope (mirrors CorpusStats.zipfSlope): the vocab rank CTE, logs
+    * quantized to integer milli-nats, closed-form least squares in BIGINT. */
+  def zipfSlopeSql(maxRank: Int): String =
+    s"""WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |           FROM documents),
+       |s AS (SELECT word, count(*) AS cf FROM w GROUP BY word),
+       |v AS (SELECT cf, row_number() OVER (ORDER BY cf DESC, word ASC) AS rank FROM s),
+       |q AS (
+       |  SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+       |         CAST(floor(ln(CAST(cf AS DOUBLE)) * 1000.0) AS BIGINT) AS y
+       |  FROM v WHERE rank <= $maxRank
+       |),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM q
+       |)
+       |SELECT n AS n_words,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+       |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+       |              / CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS slope
+       |FROM a""".stripMargin
+
   /** LSH-banding recall audit (mirrors Dedup.lshAuditReport): truth = the
     * jaccardPairs CTEs, found = the minHashLshPairs CTEs, one summary row. */
   def lshAuditSql(threshold: Double): String =

@@ -654,6 +654,11 @@ object SparkEntry {
     "len_hist" -> ((s, dir) =>
       CorpusStats.exactHistogram(
         rd(s, dir, "documents").select(col("n_chars")), "n_chars", 0.0, 600.0, 12)),
+    // Zipf-law slope: one-number corpus health check — integer milli-nat
+    // least squares over the frequency spectrum
+    "zipf_slope" -> ((s, dir) =>
+      CorpusStats.zipfSlope(rd(s, dir, "documents"), "doc_id", "text",
+        maxRank = 500)),
     // LSH-banding recall audit: measured fraction of true near-dup pairs the
     // banding path surfaces — justify the parameters before the 100 TB run
     "dedup_lsh_audit" -> ((s, dir) =>
@@ -1555,6 +1560,7 @@ object SparkEntry {
         |  round(0.0 + CAST(bin + 1 AS DOUBLE) * 50.0, 4) AS hi_edge,
         |  count(*) AS n
         |FROM b GROUP BY bin""".stripMargin,
+    "zipf_slope" -> Oracles.zipfSlopeSql(500),
     "dedup_lsh_audit" -> Oracles.lshAuditSql(0.8),
     "profile_docs" -> Oracles.profileDocsSql(
       Seq("doc_id", "text", "lang", "source", "n_chars")),

@@ -588,6 +588,40 @@ object CorpusStats {
   }
 
   /**
+   * Zipf-law slope of the corpus frequency spectrum — the one-number corpus
+   * health check: natural text fits `ln cf ≈ a + slope·ln rank` with slope
+   * ≈ −1; a much flatter slope flags template/boilerplate floods, a much
+   * steeper one flags collapsed vocabulary (both classic crawl pathologies).
+   * Least squares over the top `maxRank` of [[vocabulary]]'s spectrum with
+   * both logs quantized to integer MILLI-nats first, so every sum in the
+   * closed-form slope `(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)` is an exact BIGINT
+   * (all magnitudes < 10¹⁴ at any corpus size — milli not micro precisely to
+   * keep ΣxΣy in range); only the final division is a double, rounded to 6.
+   *
+   * @return one row: (n_words, slope) — slope = 0.0 for degenerate spectra
+   *         (fewer than 2 distinct ranks).
+   */
+  def zipfSlope(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxRank: Int = 500): DataFrame = {
+    require(maxRank >= 2, s"maxRank must be >= 2, got $maxRank")
+    val q = vocabulary(docs, idCol, textCol)
+      .filter(col("rank") <= maxRank)
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1000.0)).cast("long").as("__x"),
+        floor(log(col("cf").cast("double")) * lit(1000.0)).cast("long").as("__y"))
+    q.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"), sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("__n").as("n_words"),
+        when(col("__n") * col("__sxx") - col("__sx") * col("__sx") === 0L, lit(0.0))
+          .otherwise(round(
+            (col("__n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+              (col("__n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"), 6))
+          .as("slope"))
+  }
+
+  /**
    * Collocation extraction by pointwise mutual information over adjacent
    * word pairs — the phrase-mining / tokenizer-seeding step ("new york",
    * "machine learning" score high; chance co-occurrences score ~0). Scored

@@ -456,6 +456,36 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(mmr == plain)
   }
 
+  test("zipfSlope matches a brute-force model; Zipfian text slopes near -1") {
+    // word k appears floor(100/k) times -> cf(rank k) ~ 100/k, slope ~ -1
+    val zipfText = (1 to 20).flatMap(k => Seq.fill(100 / k)(s"w${('a' + k - 1).toChar}")).mkString(" ")
+    val out = CorpusStats.zipfSlope(docsDf(Seq((1L, zipfText))), "doc_id", "text",
+      maxRank = 20).collect().head
+    val (n, slope) = (out.getLong(0), out.getDouble(1))
+    assert(n == 20L)
+    assert(slope < -0.8 && slope > -1.2, s"expected ~-1, got $slope")
+    // brute-force model with the same milli-nat quantization
+    val words = zipfText.split(' ').toSeq
+    val cf = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = cf.toSeq.sortBy { case (w, c) => (-c, w) }.take(20)
+    val pts = ranked.zipWithIndex.map { case ((_, c), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1000).toLong,
+        math.floor(math.log(c.toDouble) * 1000).toLong)
+    }
+    val nn = pts.size.toLong
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val want = BigDecimal((nn * sxy - sx * sy).toDouble / (nn * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(slope == want)
+    // a uniform corpus (flat spectrum) slopes near 0
+    val flatText = (1 to 20).flatMap(k => Seq.fill(5)(s"u${('a' + k - 1).toChar}")).mkString(" ")
+    val flat = CorpusStats.zipfSlope(docsDf(Seq((1L, flatText))), "doc_id", "text",
+      maxRank = 20).collect().head.getDouble(1)
+    assert(math.abs(flat) < 0.05, s"flat spectrum must slope ~0, got $flat")
+  }
+
   test("profile reports exact per-column stats, null-aware") {
     val s = spark
     import s.implicits._
