@@ -1977,13 +1977,19 @@ object Oracles {
        |  FROM finter JOIN dcnt ca ON finter.id_a = ca.doc_id
        |              JOIN dcnt cb ON finter.id_b = cb.doc_id
        |  WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= $threshold
+       |),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM mcand),
+       |tt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+       |         CAST(coalesce(sum(coalesce(f.hit, 0)), 0) AS BIGINT) AS n_found
+       |  FROM truth t LEFT JOIN found f USING (id_a, id_b)
        |)
-       |SELECT CAST(count(*) AS BIGINT) AS n_true,
-       |  CAST(coalesce(sum(coalesce(f.hit, 0)), 0) AS BIGINT) AS n_found,
-       |  CASE WHEN count(*) = 0 THEN 1.0
-       |       ELSE round(CAST(coalesce(sum(coalesce(f.hit, 0)), 0) AS DOUBLE)
-       |              / count(*), 6) END AS recall
-       |FROM truth t LEFT JOIN found f USING (id_a, id_b)""".stripMargin
+       |SELECT tt.n_true, nc.n_cand, tt.n_found,
+       |  CASE WHEN tt.n_true = 0 THEN 1.0
+       |       ELSE round(CAST(tt.n_found AS DOUBLE) / tt.n_true, 6) END AS recall,
+       |  CASE WHEN nc.n_cand = 0 THEN 1.0
+       |       ELSE round(CAST(tt.n_found AS DOUBLE) / nc.n_cand, 6) END AS precision
+       |FROM tt, nc""".stripMargin
 
   /** Per-column profile of the documents table (mirrors TableProfile.profile):
     * one UNION ALL branch per column — counts, exact distinct, stringified

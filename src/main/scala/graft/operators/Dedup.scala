@@ -393,23 +393,35 @@ object Dedup {
    * Banding recall is a random variable of the FIXED hash family, so the
    * measured value is deterministic and oracle-checkable.
    *
-   * @return one row: (n_true, n_found, recall) — recall = 1.0 when there are
-   *         no true pairs.
+   * The PRECISION leg reads the same pipeline: of the distinct banding
+   * candidate pairs, how many survive exact verification at the threshold —
+   * the wasted-verify-work measurement (low precision = bands too coarse,
+   * you are paying exact-Jaccard for junk candidates).
+   *
+   * @return one row: (n_true, n_cand, n_found, recall, precision) — recall
+   *         (resp. precision) = 1.0 when there are no true pairs (resp. no
+   *         candidates).
    */
   def lshAuditReport(
       df: DataFrame, idCol: String, textCol: String, threshold: Double,
       bandRows: Int = graft.functions.TextFunctions.MinHashBandRows): DataFrame = {
     val truth = jaccardPairs(df, idCol, textCol, threshold)
       .select(col("id_a"), col("id_b"))
-    val found = minHashLshPairs(df, idCol, textCol, threshold, bandRows)
-      .select(col("id_a"), col("id_b"), lit(1L).as("__hit"))
+    val (cand, verified) = lshCandVerified(df, idCol, textCol, bandRows)
+    val found = verified.filter(col("jaccard") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"), lit(1L).as("__hit"))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
     truth.join(found, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true"),
         coalesce(sum(coalesce(col("__hit"), lit(0L))), lit(0L)).as("n_found"))
-      .select(col("n_true"), col("n_found"),
+      .crossJoin(broadcast(nCand))
+      .select(col("n_true"), col("n_cand"), col("n_found"),
         when(col("n_true") === 0L, lit(1.0))
           .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
-          .as("recall"))
+          .as("recall"),
+        when(col("n_cand") === 0L, lit(1.0))
+          .otherwise(round(col("n_found").cast("double") / col("n_cand"), 6))
+          .as("precision"))
   }
 
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double,
@@ -424,6 +436,19 @@ object Dedup {
     // at corpus scale that is tokenizing the corpus 4× instead of once. The
     // checkpoint holds the compact per-doc arrays; the explodes below are
     // narrow reads of the materialized blocks, not recomputation.
+    val (_, verified) = lshCandVerified(df, idCol, textCol, bandRows)
+    verified
+      .filter(col("jaccard") >= threshold)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Shared banding core of [[minHashLshPairs]] / [[lshAuditReport]]:
+    * (distinct candidate pairs `(__a, __b)`, exact-Jaccard-verified pairs
+    * `(__a, __b, jaccard)` — unthresholded). */
+  private def lshCandVerified(
+      df: DataFrame, idCol: String, textCol: String,
+      bandRows: Int): (DataFrame, DataFrame) = {
     val shs = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
       .filter(size(col("__shs")) > 0)
       .localCheckpoint(true)
@@ -439,10 +464,7 @@ object Dedup {
       .filter(col("__a") < col("__b"))
       .select(col("__a"), col("__b")).distinct()
     val cnt = shs.select(col("__id"), size(col("__shs")).cast("long").as("__n"))
-    verifyJaccard(t, cnt, cand)
-      .filter(col("jaccard") >= threshold)
-      .select(col("__a").as("id_a"), col("__b").as("id_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+    (cand, verifyJaccard(t, cnt, cand))
   }
 
   /**
