@@ -2008,8 +2008,14 @@ object Oracles {
     * unrolled fixed-iteration chain — contribution `r DIV outdeg`, update
     * `teleport + (damping·Σ) DIV 1000` — all BIGINT, reduction-order-proof. */
   def pageRankSql(k: Int, nPlanes: Int, nTables: Int,
-      nIters: Int, dampingMilli: Int): String = {
+      nIters: Int, dampingMilli: Int, seedPred: Option[String] = None): String = {
     val teleport = (1000L - dampingMilli) * 1000L
+    val (r0r, r0t) = seedPred match {
+      case None => ("CAST(1000000 AS BIGINT)", s"CAST($teleport AS BIGINT)")
+      case Some(p) => (
+        s"CAST(CASE WHEN $p THEN 1000000 ELSE 0 END AS BIGINT)",
+        s"CAST(CASE WHEN $p THEN $teleport ELSE 0 END AS BIGINT)")
+    }
     val iters = (1 to nIters).map { i =>
       s"""c$i AS (
          |  SELECT e.dst, sum(r${i - 1}.r // dg.od) AS s
@@ -2017,15 +2023,15 @@ object Oracles {
          |  GROUP BY 1
          |),
          |r$i AS (
-         |  SELECT nd.node, $teleport + ($dampingMilli * coalesce(c$i.s, 0)) // 1000 AS r
-         |  FROM nd LEFT JOIN c$i ON c$i.dst = nd.node
+         |  SELECT nd.node, r0.t0 + ($dampingMilli * coalesce(c$i.s, 0)) // 1000 AS r
+         |  FROM nd LEFT JOIN c$i ON c$i.dst = nd.node JOIN r0 ON r0.node = nd.node
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
        |e AS (SELECT src, nbr AS dst FROM kg),
        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |dg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
-       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nd),
+       |r0 AS (SELECT node, $r0r AS r, $r0t AS t0 FROM nd),
        |$iters
        |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r$nIters""".stripMargin
   }

@@ -674,6 +674,14 @@ object SparkEntry {
       GraphRank.pageRank(
         Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
         "src", "nbr", nIters = 3, dampingMilli = 850)),
+    // personalized PageRank: teleport only to a seed set — random-walk
+    // proximity to a curated set ("find more like these")
+    "graph_ppr" -> ((s, dir) =>
+      GraphRank.personalizedPageRank(
+        Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
+        "src", "nbr",
+        rd(s, dir, "embeddings").filter(col("vec_id") < 10).select("vec_id"),
+        "vec_id", nIters = 3, dampingMilli = 850)),
     // rendezvous (highest-random-weight) sharding: stable under shard-count
     // growth — only rows whose argmax IS the new shard move
     "shard_rendezvous" -> ((s, dir) =>
@@ -1565,6 +1573,7 @@ object SparkEntry {
     "profile_docs" -> Oracles.profileDocsSql(
       Seq("doc_id", "text", "lang", "source", "n_chars")),
     "graph_pagerank" -> Oracles.pageRankSql(3, 8, 2, 3, 850),
+    "graph_ppr" -> Oracles.pageRankSql(3, 8, 2, 3, 850, Some("node < 10")),
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
     "collocations" -> Oracles.collocationsSql(3L, 100),
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),

@@ -38,15 +38,56 @@ object GraphRank {
   def pageRank(
       edges: DataFrame, srcCol: String, dstCol: String,
       nIters: Int = 3, dampingMilli: Int = 850): DataFrame = {
-    require(nIters >= 1, s"nIters must be >= 1, got $nIters")
-    require(dampingMilli >= 0 && dampingMilli <= 1000,
-      s"dampingMilli must be in [0, 1000], got $dampingMilli")
+    val (e, nodes) = edgeNodes(edges, srcCol, dstCol)
+    val teleport = (1000L - dampingMilli) * 1000L
+    iterate(e,
+      nodes.select(col("node"), lit(teleport).as("__t0"), lit(1000000L).as("__r0")),
+      nIters, dampingMilli)
+  }
+
+  /**
+   * PERSONALIZED PageRank: teleport mass returns only to the `seeds` set, so
+   * rank measures graph PROXIMITY TO THE SEEDS — "find more documents like
+   * this curated set" as random-walk relevance, the retrieval complement of
+   * the global hub score. Same integer-exact iteration: seeds start at 10⁶
+   * and receive the full teleport term; non-seeds start at 0 and receive
+   * only propagated mass (nodes unreachable from the seeds stay at 0).
+   *
+   * @param seeds relation whose `seedIdCol` lists the seed node ids (ids
+   *              absent from the graph are ignored)
+   */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedIdCol: String,
+      nIters: Int = 3, dampingMilli: Int = 850): DataFrame = {
+    val (e, nodes) = edgeNodes(edges, srcCol, dstCol)
+    val teleport = (1000L - dampingMilli) * 1000L
+    val flagged = nodes
+      .join(seeds.select(col(seedIdCol).as("node")).distinct()
+        .withColumn("__seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(teleport)).otherwise(lit(0L)).as("__t0"),
+        when(col("__seed").isNotNull, lit(1000000L)).otherwise(lit(0L)).as("__r0"))
+    iterate(e, flagged, nIters, dampingMilli)
+  }
+
+  private def edgeNodes(edges: DataFrame, srcCol: String, dstCol: String) = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+    (e, nodes)
+  }
+
+  /** Shared fixed-point loop over `(node, __t0 = per-node teleport,
+    * __r0 = initial rank)` — uniform for [[pageRank]], seed-shaped for
+    * [[personalizedPageRank]]. */
+  private def iterate(
+      e: DataFrame, nodes: DataFrame, nIters: Int, dampingMilli: Int): DataFrame = {
+    require(nIters >= 1, s"nIters must be >= 1, got $nIters")
+    require(dampingMilli >= 0 && dampingMilli <= 1000,
+      s"dampingMilli must be in [0, 1000], got $dampingMilli")
     val outDeg = e.groupBy(col("__src")).agg(count(lit(1)).as("__od"))
-    val teleport = (1000L - dampingMilli) * 1000L
-    var r = nodes.withColumn("__r", lit(1000000L))
+    var r = nodes.select(col("node"), col("__r0").as("__r"))
     for (_ <- 1 to nIters) {
       val contrib = e
         .join(r.select(col("node").as("__src"), col("__r")), "__src")
@@ -55,7 +96,7 @@ object GraphRank {
         .groupBy(col("__dst")).agg(sum(col("__c")).as("__s"))
       r = nodes.join(contrib.select(col("__dst").as("node"), col("__s")), Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + expr(s"($dampingMilli * coalesce(__s, 0L)) div 1000"))
+          (col("__t0") + expr(s"($dampingMilli * coalesce(__s, 0L)) div 1000"))
             .as("__r"))
     }
     r.select(col("node"), col("__r").as("rank_micro"))

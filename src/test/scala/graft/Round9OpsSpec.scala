@@ -527,6 +527,34 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got(2L) == got(3L) && got(3L) == got(4L), "symmetric leaves tie")
   }
 
+  test("personalizedPageRank concentrates rank near the seeds") {
+    val s = spark
+    import s.implicits._
+    // two symmetric triangles bridged by one edge; seed in triangle A
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // triangle A
+      (4L, 5L), (5L, 6L), (6L, 4L), // triangle B
+      (3L, 4L))                     // bridge
+    val got = GraphRank.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq(Tuple1(1L)).toDF("id"), "id", nIters = 3, dampingMilli = 850)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // model with the same integer ops
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = nodes.map(n => n -> (if (n == 1L) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outDeg(u) }.sum).toMap
+      rank = nodes.map(n => n ->
+        ((if (n == 1L) 150000L else 0L) + 850L * contrib.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    assert(got == rank)
+    // seed triangle members outrank the far triangle reached only via bridge
+    assert(got(2L) > got(5L) && got(1L) > got(6L))
+    // unreachable-from-seed mass: node 5 gets only propagated crumbs, no teleport
+    assert(got(5L) < 150000L)
+  }
+
   test("rendezvousShard: stability — growing n moves rows ONLY into the new shard") {
     val s = spark
     import s.implicits._
