@@ -820,6 +820,11 @@ object SparkEntry {
           round(col("value").cast("double"), 6).as("value"))
     }),
     // ---- streaming-compatible windowed aggregation ------------------------
+    // deterministic per-user action sequences: sort_array(collect_list(struct))
+    // makes the aggregation layout-independent — the training-sequence builder
+    "events_user_seq" -> ((s, dir) =>
+      Sequences.userEventSequences(rd(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id")),
     "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventWindows.slidingTwoHourByType(rd(s, dir, "events"))),
     "events_sessions" -> ((s, dir) =>
@@ -1810,6 +1815,11 @@ object SparkEntry {
         |       ELSE round(CAST(CAST(COALESCE(c.c, 0) AS REAL) / CAST(g.n AS REAL) AS DOUBLE), 6)
         |  END AS value
         |FROM grid g LEFT JOIN cnt c ON g.doc_id = c.doc_id AND g.d = c.d""".stripMargin,
+    "events_user_seq" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY user_id""".stripMargin,
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
         |  count(*) AS n, round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS sum_value

@@ -527,6 +527,22 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got(2L) == got(3L) && got(3L) == got(4L), "symmetric leaves tie")
   }
 
+  test("userEventSequences orders by (ts, tie) and drops null types") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, 100L, "u1", Some("a")),
+      (3L, 100L, "u1", Some("b")), // same ts: event_id 1 before 3
+      (2L, 50L, "u1", Some("c")),  // earliest
+      (4L, 75L, "u1", None),       // null type dropped
+      (5L, 10L, "u2", Some("z"))).toDF("event_id", "ts", "user_id", "event_type")
+      .repartition(4) // deterministic REGARDLESS of layout
+    val out = Sequences.userEventSequences(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out("u1") == ((3L, "c>a>b")))
+    assert(out("u2") == ((1L, "z")))
+  }
+
   test("personalizedPageRank concentrates rank near the seeds") {
     val s = spark
     import s.implicits._
