@@ -687,6 +687,15 @@ object SparkEntry {
     "shard_rendezvous" -> ((s, dir) =>
       Packing.rendezvousShard(
         rd(s, dir, "documents").select("doc_id"), "doc_id", nShards = 10)),
+    // the WRITE path: HRW-sharded partitioned-parquet round trip (the gate
+    // covers the sink layout itself — assignment is re-read from disk)
+    "sink_sharded" -> ((s, dir) => {
+      val sharded = Packing.rendezvousShard(
+        rd(s, dir, "documents").select("doc_id"), "doc_id", nShards = 8)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_sharded/ss_${math.abs(dir.hashCode)}"
+      graft.sources.ShardedSink.write(sharded, base, "shard")
+      graft.sources.ShardedSink.read(s, base).select(col("doc_id"), col("shard"))
+    }),
     // PMI collocations: phrase mining in integer micro-nats — the
     // tokenizer-seeding statistic, reduction-order-proof ranking
     "collocations" -> ((s, dir) =>
@@ -722,6 +731,13 @@ object SparkEntry {
       Packing.packByBudget(
         rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", 10000L)),
+    // greedy per-source context-window packing (no doc straddles a bin); the
+    // oracle unrolls the same fold as a recursive CTE over row_number chains
+    "pack_greedy" -> ((s, dir) =>
+      Packing.packGreedy(
+        rd(s, dir, "documents")
+          .select(col("source"), col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
+        "source", "doc_id", "n_tokens", 1024L)),
     "shuffle_order" -> ((s, dir) =>
       Sampling.withShuffleOrder(rd(s, dir, "documents").select(col("doc_id")), "doc_id")),
     "quality_filter" -> ((s, dir) =>
@@ -825,6 +841,13 @@ object SparkEntry {
     "events_user_seq" -> ((s, dir) =>
       Sequences.userEventSequences(rd(s, dir, "events"),
         "user_id", "ts", "event_type", "event_id")),
+    // ordered funnel, chained-earliest-match; one shuffle + array fold (the
+    // oracle's k-join chained-min formulation is provably equivalent)
+    "events_funnel" -> ((s, dir) =>
+      Funnel.funnel(s, rd(s, dir, "events"), "user_id", "event_type",
+        "event_id", Seq("signup", "view", "click", "purchase"))),
+    "events_retention" -> ((s, dir) =>
+      Funnel.retention(rd(s, dir, "events"), "user_id")),
     "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventWindows.slidingTwoHourByType(rd(s, dir, "events"))),
     "events_sessions" -> ((s, dir) =>
@@ -1580,6 +1603,7 @@ object SparkEntry {
     "graph_pagerank" -> Oracles.pageRankSql(3, 8, 2, 3, 850),
     "graph_ppr" -> Oracles.pageRankSql(3, 8, 2, 3, 850, Some("node < 10")),
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
+    "sink_sharded" -> Oracles.rendezvousShardSql(8),
     "collocations" -> Oracles.collocationsSql(3L, 100),
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
@@ -1648,6 +1672,26 @@ object SparkEntry {
          |    CASE WHEN nu < 32 THEN CAST(nu AS DOUBLE)
          |         ELSE 31.0 / ((CAST(un[32] AS DOUBLE) + 1.0) / 2147483648.0) END, 4) AS inter_est
          |FROM c""".stripMargin,
+    "pack_greedy" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT CAST(source AS VARCHAR) AS source, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        |),
+        |p AS (
+        |  SELECT source, doc_id, n_tokens, rn, n_tokens AS acc,
+        |    CAST(0 AS BIGINT) AS bin
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+        |    CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > 1024
+        |         THEN d.n_tokens ELSE p.acc + d.n_tokens END,
+        |    CASE WHEN p.acc > 0 AND p.acc + d.n_tokens > 1024
+        |         THEN p.bin + 1 ELSE p.bin END
+        |  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1
+        |)
+        |SELECT source, doc_id, n_tokens, bin FROM p""".stripMargin,
     "pack_shards" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1820,6 +1864,31 @@ object SparkEntry {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
         |FROM events WHERE event_type IS NOT NULL
         |GROUP BY user_id""".stripMargin,
+    "events_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |       (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+        |UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)""".stripMargin,
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS c
+        |           FROM events GROUP BY 1)
+        |SELECT strftime(f.c, '%Y-%m-%d') AS cohort,
+        |  CAST(date_diff('day', f.c, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f ON e.user_id = f.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
         |  count(*) AS n, round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS sum_value

@@ -124,4 +124,55 @@ object Packing {
         expr(s"CAST(array_position(__rw, array_max(__rw)) - 1 AS BIGINT)"))
       .drop("__rw")
   }
+
+  /**
+   * GREEDY capacity-reset sequence packing — the context-window packer:
+   * within each group (source), walk documents in ascending `idCol` order
+   * accumulating token counts; when adding the next document would overflow
+   * `capacity`, close the bin and start the next. Unlike [[packByBudget]]'s
+   * offset-window rule, no document straddles a bin: the first document of a
+   * bin is always admitted whole (even alone over capacity), which is the
+   * contract a fixed-context training loader wants.
+   *
+   * The fold is inherently sequential PER GROUP — that is the semantic, not a
+   * limitation — and embarrassingly parallel ACROSS groups: one hash exchange
+   * on the group key, an in-partition sort, and a single streaming pass
+   * (`mapPartitions`, O(1) state). A pathologically large single group
+   * serializes its own scan only; at 100 TB you shard the corpus by source
+   * exactly this way. Null group/id rows are dropped (the engine-wide null-key
+   * convention); a null token count raises loudly, mirroring
+   * [[withPrefixSum]]'s contract.
+   *
+   * @return (groupCol, idCol, nCol, binOut) — binOut = 0-based bin within group
+   */
+  def packGreedy(
+      df: DataFrame, groupCol: String, idCol: String, nCol: String,
+      capacity: Long, binOut: String = "bin"): DataFrame = {
+    require(capacity > 0L, s"capacity must be positive, got $capacity")
+    val spark = df.sparkSession
+    val slim = df
+      .filter(col(groupCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).cast("string").as(groupCol), col(idCol),
+        col(nCol).cast("long").as(nCol))
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+    val outSchema = StructType(slim.schema.fields :+
+      org.apache.spark.sql.types.StructField(binOut, LongType, nullable = false))
+    val outRdd = slim.rdd.mapPartitions { it =>
+      var g: String = null
+      var acc = 0L
+      var bin = 0L
+      it.map { r =>
+        if (r.isNullAt(2)) throw new IllegalArgumentException(
+          s"null $nCol at $idCol=${r.get(1)}: token counts must be non-null")
+        val rg = r.getString(0)
+        val n = r.getLong(2)
+        if (rg != g) { g = rg; acc = 0L; bin = 0L }
+        if (acc > 0L && acc + n > capacity) { bin += 1L; acc = 0L }
+        acc += n
+        Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
 }

@@ -647,6 +647,111 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- sharded sink -------------------------------------------------------
+
+  test("ShardedSink round-trips assignments and prunes partitions on read") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val sharded = Packing.rendezvousShard(df, "doc_id", nShards = 4)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_sharded_spec"
+    graft.sources.ShardedSink.write(sharded, base, "shard")
+    val back = graft.sources.ShardedSink.read(s, base)
+    val want = sharded.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // pruning: a shard-filtered scan must touch only that shard's directory
+    val files = back.filter(col("shard") === 1L)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
+  }
+
+  // ---- greedy packing -----------------------------------------------------
+
+  test("packGreedy matches a sequential fold model; resets per group") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", 1L, 300L), ("a", 2L, 400L), ("a", 3L, 400L), // 300+400=700, +400>1000 -> new bin
+      ("a", 4L, 1500L),                                  // oversized doc gets its own bin
+      ("a", 5L, 10L),
+      ("b", 10L, 999L), ("b", 11L, 1L), ("b", 12L, 1L)   // 999+1=1000 fits exactly
+    )
+    val df = rows.toDF("source", "doc_id", "n")
+    val got = Packing.packGreedy(df, "source", "doc_id", "n", 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    def model(ns: Seq[(Long, Long)]): Map[Long, Long] = {
+      var acc = 0L; var bin = 0L
+      ns.sortBy(_._1).map { case (id, n) =>
+        if (acc > 0L && acc + n > 1000L) { bin += 1L; acc = 0L }
+        acc += n; id -> bin
+      }.toMap
+    }
+    for ((g, items) <- rows.groupBy(_._1)) {
+      val m = model(items.map(t => (t._2, t._3)))
+      for ((id, bin) <- m) assert(got((g, id)) == bin, s"group $g id $id")
+    }
+    assert(got(("a", 4L)) == 2L && got(("a", 5L)) == 3L) // oversized isolates
+    assert(got(("b", 11L)) == 0L)                        // exact-fit boundary
+    assert(got(("b", 12L)) == 1L)                        // one over closes it
+  }
+
+  // ---- funnel + retention -------------------------------------------------
+
+  private def eventsDf(rows: Seq[(Long, String, Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "tss", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+  }
+
+  test("funnel userStages matches the greedy chained-earliest-match model") {
+    val ev = eventsDf(Seq(
+      // u1 completes all four in order
+      (1L, "2024-01-01 00:00:01", 1L, "signup"),
+      (2L, "2024-01-01 00:00:02", 1L, "view"),
+      (3L, "2024-01-01 00:00:03", 1L, "click"),
+      (4L, "2024-01-01 00:00:04", 1L, "purchase"),
+      // u2: click ties the view anchor's timestamp -> strict > excludes it
+      (5L, "2024-01-01 00:00:02", 2L, "signup"),
+      (6L, "2024-01-01 00:00:03", 2L, "view"),
+      (7L, "2024-01-01 00:00:03", 2L, "click"),
+      (8L, "2024-01-01 00:00:04", 2L, "purchase"),
+      // u3: signup only; u4: right events, wrong order
+      (9L, "2024-01-01 00:00:05", 3L, "signup"),
+      (10L, "2024-01-01 00:00:01", 4L, "purchase"),
+      (11L, "2024-01-01 00:00:02", 4L, "click"),
+      (12L, "2024-01-01 00:00:03", 4L, "view"),
+      (13L, "2024-01-01 00:00:04", 4L, "signup"),
+      // u5: no funnel event types at all
+      (14L, "2024-01-01 00:00:01", 5L, "error")))
+    val steps = Seq("signup", "view", "click", "purchase")
+    val got = Funnel.userStages(ev, "user_id", "event_type", "event_id", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 4, 2L -> 2, 3L -> 1, 4L -> 1))
+    val f = Funnel.funnel(spark, ev, "user_id", "event_type", "event_id", steps)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(f.toSeq == Seq((1L, "signup", 4L), (2L, "view", 2L),
+      (3L, "click", 1L), (4L, "purchase", 1L)))
+  }
+
+  test("retention matches the hand cohort matrix") {
+    val ev = eventsDf(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),  // u1 cohort 01-01
+      (2L, "2024-01-02 11:00:00", 1L, "click"), //   active offset 1
+      (3L, "2024-01-02 23:00:00", 1L, "view"),  //   same cell, counted once
+      (4L, "2024-01-01 09:00:00", 2L, "view"),  // u2 cohort 01-01
+      (5L, "2024-01-03 00:00:00", 2L, "view"),  //   active offset 2
+      (6L, "2024-01-02 05:00:00", 3L, "signup") // u3 cohort 01-02 only
+    ))
+    val got = Funnel.retention(ev, "user_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 1L) -> 1L,
+      ("2024-01-01", 2L) -> 1L, ("2024-01-02", 0L) -> 1L))
+  }
+
   private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
     val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
