@@ -639,6 +639,12 @@ object SparkEntry {
     }),
     "text_xent" -> ((s, dir) =>
       CorpusStats.unigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
+    // CCNet-style: LM trained on the trusted slice only, all docs scored
+    "text_xent_ref" -> ((s, dir) =>
+      CorpusStats.refUnigramLogLoss(rd(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0")),
+    "text_char_entropy" -> ((s, dir) =>
+      CorpusStats.charEntropy(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent2" -> ((s, dir) =>
       CorpusStats.bigramLogLoss(rd(s, dir, "documents"), "doc_id", "text")),
     "text_xent3" -> ((s, dir) =>
@@ -1516,6 +1522,43 @@ object SparkEntry {
         |SELECT doc_id,
         |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent
         |FROM w JOIN q USING (w) GROUP BY doc_id""".stripMargin,
+    "text_xent_ref" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |  FROM documents WHERE source = 'src0') GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS N, count(*) AS V FROM cnt),
+        |q AS (
+        |  SELECT w, CAST(floor(-ln(CAST(c + 1 AS DOUBLE) / CAST(N + V + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS qn
+        |  FROM cnt, tot
+        |),
+        |sc AS (
+        |  SELECT doc_id, coalesce(q.qn,
+        |    (SELECT CAST(floor(-ln(1.0 / CAST(N + V + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) FROM tot)) AS qn
+        |  FROM w LEFT JOIN q USING (w)
+        |)
+        |SELECT doc_id,
+        |  round(CAST(sum(qn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 4) AS xent_ref
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    "text_char_entropy" ->
+      """WITH i AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |),
+        |cnt AS (
+        |  SELECT doc_id, substring(text, i, 1) AS ch, count(*) AS c
+        |  FROM i GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM cnt GROUP BY 1
+        |)
+        |SELECT doc_id, n AS n_chars,
+        |  round(CAST(CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |      - CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0, 4) AS entropy
+        |FROM agg""".stripMargin,
     "text_xent2" ->
       """WITH ws AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
         |b AS (

@@ -65,6 +65,79 @@ object CorpusStats {
   }
 
   /**
+   * REFERENCE-LM quality scoring (the CCNet shape): an add-one unigram model
+   * is trained on only the rows matching `refFilter` (the trusted slice —
+   * wiki-like source, curated seed set), and EVERY document is scored under
+   * it. Words outside the reference vocabulary take the OOV bucket
+   * probability `1/(N+V+1)` (add-one over vocab ∪ {OOV}); in-vocab words take
+   * `(c+1)/(N+V+1)`. High cross-entropy under the trusted model = off-
+   * distribution text — the standard "does this look like quality prose"
+   * filter, as one relational pass.
+   *
+   * Same integer micro-nat quantization as [[unigramLogLoss]] (per-word log
+   * costs floored to 1e-6 nats BEFORE the per-doc sum), so distributed
+   * reduction order cannot perturb the result and the SQL oracle mirrors it
+   * bit-exactly. Scale shape: the model is vocabulary-sized (broadcast-bound
+   * totals; the word→cost relation shuffles once on the word key); the corpus
+   * streams through one explode + join + agg — no per-doc state.
+   *
+   * @return (idCol, xent_ref) — mean micro-nat cost / 1e6, rounded to 4.
+   */
+  def refUnigramLogLoss(
+      docs: DataFrame, idCol: String, textCol: String,
+      refFilter: org.apache.spark.sql.Column): DataFrame = {
+    val w = docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("__w"))
+    val cnt = docs.filter(refFilter)
+      .select(explode(wordsCol(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val tot = cnt.agg(sum(col("__c")).as("__N"), count(lit(1)).as("__V"))
+    val q = cnt.crossJoin(broadcast(tot))
+      .select(col("__w"),
+        floor(-log((col("__c") + 1).cast("double")
+            / (col("__N") + col("__V") + 1).cast("double"))
+          * lit(1000000.0)).cast("long").as("__qn"))
+    val oov = floor(-log(lit(1.0) / (col("__N") + col("__V") + 1).cast("double"))
+      * lit(1000000.0)).cast("long")
+    w.join(q, Seq("__w"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__id"), coalesce(col("__qn"), oov).as("__qn"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__qn")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("__id").as(idCol),
+        round(col("__s").cast("double") / (col("__n").cast("double") * lit(1000000.0)), 4)
+          .as("xent_ref"))
+  }
+
+  /**
+   * Per-document CHARACTER entropy — the gibberish/binary detector: low
+   * entropy flags repeated-char runs and boilerplate, implausibly high
+   * entropy flags random noise. `H = ln(n) − (1/n) Σ c·ln(c)` over per-doc
+   * character counts, computed in exact integers after per-term micro-nat
+   * flooring (`Σ c·⌊ln(c)·1e6⌋` is a BIGINT sum — reduction-order-proof, and
+   * the oracle mirrors the same floors). One explode + two aggregations, all
+   * doc-keyed — embarrassingly parallel.
+   *
+   * @return (idCol, n_chars, entropy) — micro-nat entropy / 1e6 rounded to 4;
+   *         empty/null texts are absent (no characters to measure).
+   */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs
+      .select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) > 0)
+      .select(col("__id"), explode(expr("sequence(1, length(__t))")).as("__i"), col("__t"))
+      .select(col("__id"), expr("substring(__t, __i, 1)").as("__ch"))
+    val cnt = chars.groupBy(col("__id"), col("__ch")).agg(count(lit(1)).as("__c"))
+    cnt.groupBy(col("__id"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c") * floor(log(col("__c").cast("double")) * lit(1000000.0)).cast("long"))
+          .as("__s"))
+      .select(col("__id").as(idCol), col("__n").as("n_chars"),
+        round((floor(log(col("__n").cast("double")) * lit(1000000.0)).cast("long")
+            - floor(col("__s").cast("double") / col("__n").cast("double")).cast("long"))
+          .cast("double") / lit(1000000.0), 4).as("entropy"))
+  }
+
+  /**
    * Approximate per-group distinct count via the [[graft.functions.KmvAgg]]
    * bottom-k sketch — `select approx_count_distinct` you can ORACLE: the
    * hash is the library's deterministic [[graft.functions.TextFunctions.tHash]]

@@ -647,6 +647,48 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- reference-LM scoring + char entropy --------------------------------
+
+  test("refUnigramLogLoss: in-vocab words cost per the ref counts, OOV takes the bucket") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "good words good", "ref"),
+      (2L, "good words", "other"),
+      (3L, "zzz qqq", "other") // fully OOV
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.refUnigramLogLoss(docs, "doc_id", "text", col("source") === "ref")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ref slice: good=2, words=1 -> N=3, V=2, denom=6
+    def q(p: Double): Long = math.floor(-math.log(p) * 1e6).toLong
+    val qGood = q(3.0 / 6.0); val qWords = q(2.0 / 6.0); val qOov = q(1.0 / 6.0)
+    def m(qs: Seq[Long]): Double =
+      BigDecimal(qs.sum.toDouble / (qs.size * 1e6)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == m(Seq(qGood, qWords, qGood)))
+    assert(out(2L) == m(Seq(qGood, qWords)))
+    assert(out(3L) == m(Seq(qOov, qOov)))
+  }
+
+  test("charEntropy matches the micro-nat model; uniform beats repeated") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abcd"), (3L, "aabb"), (4L, "")).toDF("doc_id", "text")
+    val out = CorpusStats.charEntropy(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    def model(t: String): (Long, Double) = {
+      val cs = t.groupBy(identity).values.map(_.length.toLong)
+      val n = cs.sum
+      val sSum = cs.map(c => c * math.floor(math.log(c.toDouble) * 1e6).toLong).sum
+      val ent = math.floor(math.log(n.toDouble) * 1e6).toLong - math.floor(sSum.toDouble / n).toLong
+      (n, BigDecimal(ent.toDouble / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out(1L) == model("aaaa") && out(1L)._2 == 0.0)
+    assert(out(2L) == model("abcd"))
+    assert(out(3L) == model("aabb"))
+    assert(!out.contains(4L)) // empty text has no characters to measure
+    assert(out(2L)._2 > out(3L)._2 && out(3L)._2 > out(1L)._2)
+  }
+
   // ---- sharded sink -------------------------------------------------------
 
   test("ShardedSink round-trips assignments and prunes partitions on read") {
