@@ -2036,6 +2036,55 @@ object Oracles {
        |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r$nIters""".stripMargin
   }
 
+  /** Exact mirror of GraphRank.triangleCounts over the kNN graph: symmetrize
+    * + orient `a < b`, wedge join `a<b<c`, close with a third edge probe,
+    * one explode-count per triangle corner. */
+  def triangleCountsSql(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+       |und AS (
+       |  SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b
+       |  FROM kg WHERE least(src, nbr) < greatest(src, nbr)
+       |),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+       |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+       |),
+       |corners AS (
+       |  SELECT a AS node FROM tri
+       |  UNION ALL SELECT b FROM tri
+       |  UNION ALL SELECT c FROM tri
+       |)
+       |SELECT node, count(*) AS triangles FROM corners GROUP BY 1""".stripMargin
+
+  /** Exact mirror of GraphRank.hits (unnormalized integer HITS), iterations
+    * unrolled: aᵢ = Σ hᵢ₋₁ over in-edges, hᵢ = Σ aᵢ over out-edges. */
+  def hitsSql(k: Int, nPlanes: Int, nTables: Int, nIters: Int): String = {
+    val iters = (1 to nIters).map { i =>
+      s"""a$i AS (
+         |  SELECT nd.node, CAST(coalesce(s.s, 0) AS BIGINT) AS a
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.dst, sum(h${i - 1}.h) AS s
+         |    FROM e JOIN h${i - 1} ON h${i - 1}.node = e.src GROUP BY 1) s
+         |  ON s.dst = nd.node
+         |),
+         |h$i AS (
+         |  SELECT nd.node, CAST(coalesce(s.s, 0) AS BIGINT) AS h
+         |  FROM nd LEFT JOIN (
+         |    SELECT e.src, sum(a$i.a) AS s
+         |    FROM e JOIN a$i ON a$i.node = e.dst GROUP BY 1) s
+         |  ON s.src = nd.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+       |e AS (SELECT src, nbr AS dst FROM kg),
+       |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nd),
+       |$iters
+       |SELECT h$nIters.node, h$nIters.h AS hub, a$nIters.a AS auth
+       |FROM h$nIters JOIN a$nIters ON a$nIters.node = h$nIters.node""".stripMargin
+  }
+
   /** Rendezvous shard assignment (mirrors Packing.rendezvousShard): argmax
     * over per-(id, shard) integer-mix weights, ties to the smallest shard
     * (list_position finds the FIRST maximum). */

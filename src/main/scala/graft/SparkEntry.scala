@@ -688,6 +688,16 @@ object SparkEntry {
         "src", "nbr",
         rd(s, dir, "embeddings").filter(col("vec_id") < 10).select("vec_id"),
         "vec_id", nIters = 3, dampingMilli = 850)),
+    // per-node triangle participation on the kNN graph (local-density signal)
+    "graph_triangles" -> ((s, dir) =>
+      GraphRank.triangleCounts(
+        Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
+        "src", "nbr")),
+    // integer-exact unnormalized HITS (ranking-equivalent to normalized form)
+    "graph_hits" -> ((s, dir) =>
+      GraphRank.hits(
+        Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
+        "src", "nbr", nIters = 2)),
     // rendezvous (highest-random-weight) sharding: stable under shard-count
     // growth — only rows whose argmax IS the new shard move
     "shard_rendezvous" -> ((s, dir) =>
@@ -1645,6 +1655,8 @@ object SparkEntry {
       Seq("doc_id", "text", "lang", "source", "n_chars")),
     "graph_pagerank" -> Oracles.pageRankSql(3, 8, 2, 3, 850),
     "graph_ppr" -> Oracles.pageRankSql(3, 8, 2, 3, 850, Some("node < 10")),
+    "graph_triangles" -> Oracles.triangleCountsSql(3, 8, 2),
+    "graph_hits" -> Oracles.hitsSql(3, 8, 2, 2),
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
     "sink_sharded" -> Oracles.rendezvousShardSql(8),
     "collocations" -> Oracles.collocationsSql(3L, 100),

@@ -71,6 +71,75 @@ object GraphRank {
     iterate(e, flagged, nIters, dampingMilli)
   }
 
+  /**
+   * Per-node TRIANGLE counts over the undirected graph induced by the edge
+   * list — the local-density signal (clustering coefficient numerator):
+   * triangle-rich neighborhoods in a kNN graph are tight semantic clusters,
+   * triangle-free high-degree nodes are hub-like boilerplate attractors.
+   *
+   * Exact relational form: symmetrize + orient each edge `a < b` (self-loops
+   * and duplicates drop), enumerate wedges `a<b<c` with one self-join, close
+   * them with a second. The `a<b<c` orientation counts each triangle exactly
+   * once and bounds the wedge join by the oriented out-degree. (At extreme
+   * degree skew the literature orients by DEGREE, not id — for a kNN graph
+   * out-degree is already capped at k by construction, so id orientation
+   * keeps the oracle bit-exact with no skew risk.) Nodes in no triangle are
+   * absent — left-join the node relation if zeros are needed.
+   *
+   * @return (node, triangles) — triangles the node participates in.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val wedges = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tris = wedges.join(und.as("e3"),
+      col("wa") === col("e3.a") && col("wc") === col("e3.b"))
+      .select(col("wa"), col("wb"), col("wc"))
+    tris.select(explode(array(col("wa"), col("wb"), col("wc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /**
+   * HITS hubs & authorities on the directed edge list, UNNORMALIZED
+   * integer-exact fixed-iteration form: h₀ = 1; aᵢ(v) = Σ_{(u,v)} hᵢ₋₁(u);
+   * hᵢ(u) = Σ_{(u,v)} aᵢ(v). Per-iteration normalization only rescales the
+   * vectors, so the unnormalized RANKING is identical — and dropping it keeps
+   * every score an exact BIGINT sum the oracle can mirror (the same stance as
+   * [[pageRank]]'s micro-units). Magnitudes grow ≤ (d_in·d_out)^iters — with
+   * a degree-capped kNN graph and the small fixed `nIters` a curation signal
+   * needs, far inside BIGINT range; the require below fails loudly rather
+   * than letting a pathological graph overflow silently.
+   *
+   * Two joins + two aggregations per iteration, slim (node, score) relations
+   * on the wire — same scale shape as [[pageRank]].
+   *
+   * @return (node, hub, auth) — one row per distinct endpoint.
+   */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String, nIters: Int = 2): DataFrame = {
+    require(nIters >= 1 && nIters <= 4,
+      s"nIters must be in [1, 4] (unnormalized scores grow geometrically), got $nIters")
+    val (e, nodes) = edgeNodes(edges, srcCol, dstCol)
+    var h = nodes.select(col("node"), lit(1L).as("__h"))
+    var a = nodes.select(col("node"), lit(0L).as("__a"))
+    for (_ <- 1 to nIters) {
+      a = nodes.join(
+        e.join(h.select(col("node").as("__src"), col("__h")), "__src")
+          .groupBy(col("__dst").as("node")).agg(sum(col("__h")).as("__s")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("__a"))
+      h = nodes.join(
+        e.join(a.select(col("node").as("__dst"), col("__a")), "__dst")
+          .groupBy(col("__src").as("node")).agg(sum(col("__a")).as("__s")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("__s"), lit(0L)).as("__h"))
+    }
+    h.join(a, "node").select(col("node"), col("__h").as("hub"), col("__a").as("auth"))
+  }
+
   private def edgeNodes(edges: DataFrame, srcCol: String, dstCol: String) = {
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
     val nodes = e.select(col("__src").as("node"))

@@ -647,6 +647,40 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- graph: triangles + HITS --------------------------------------------
+
+  test("triangleCounts finds exactly the closed wedges, once per corner") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5 and a
+    // directed duplicate + self-loop that must not distort counts
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (3L, 3L)).toDF("src", "dst")
+    val got = GraphRank.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)) // 5 in none
+  }
+
+  test("hits matches a hand-iterated unnormalized model") {
+    val s = spark
+    import s.implicits._
+    val edgeList = Seq((1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L))
+    val got = GraphRank.hits(edgeList.toDF("src", "dst"), "src", "dst", nIters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to 2) {
+      a = nodes.map(n => n -> edgeList.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      h = nodes.map(n => n -> edgeList.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+    }
+    assert(got == nodes.map(n => n -> (h(n), a(n))).toMap)
+    // node 2 points at both authorities -> top hub; 4 fed by the hubs -> top auth
+    assert(got(2L)._1 == got.values.map(_._1).max)
+    assert(got(4L)._2 == got.values.map(_._2).max)
+  }
+
   // ---- reference-LM scoring + char entropy --------------------------------
 
   test("refUnigramLogLoss: in-vocab words cost per the ref counts, OOV takes the bucket") {
