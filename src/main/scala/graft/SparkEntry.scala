@@ -864,6 +864,12 @@ object SparkEntry {
         "event_id", Seq("signup", "view", "click", "purchase"))),
     "events_retention" -> ((s, dir) =>
       Funnel.retention(rd(s, dir, "events"), "user_id")),
+    // first-order Markov transition counts over per-user (ts, id) order
+    "events_transitions" -> ((s, dir) =>
+      EventStats.transitions(rd(s, dir, "events"), "user_id", "event_type", "event_id")),
+    // hourly burst flags: |c − μ| > 2σ with all divisions multiplied through
+    "events_anomaly" -> ((s, dir) =>
+      EventStats.hourlyAnomalies(rd(s, dir, "events"), "event_type", sigmaK = 2)),
     "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventWindows.slidingTwoHourByType(rd(s, dir, "events"))),
     "events_sessions" -> ((s, dir) =>
@@ -1944,6 +1950,28 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "events_transitions" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events WHERE event_type IS NOT NULL
+        |)
+        |SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+        |FROM e WHERE nxt IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    "events_anomaly" ->
+      """WITH cells AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    event_type, count(*) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS HUGEINT) AS nh,
+        |    CAST(sum(n) AS HUGEINT) AS s, CAST(sum(n * n) AS HUGEINT) AS s2
+        |  FROM cells GROUP BY 1
+        |)
+        |SELECT c.hour, c.event_type, c.n,
+        |  (c.n * m.nh - m.s) * (c.n * m.nh - m.s) > 4 * (m.nh * m.s2 - m.s * m.s) AS flagged
+        |FROM cells c JOIN m ON m.event_type = c.event_type""".stripMargin,
     "events_windowed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws, event_type,
         |  count(*) AS n, round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS sum_value

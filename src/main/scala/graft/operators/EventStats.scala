@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.streaming.EventTime
+
+/**
+ * Event-log statistics: Markov transition counts and integer-exact burst
+ * detection — the "what does normal traffic look like" pair.
+ */
+object EventStats {
+
+  /**
+   * First-order Markov TRANSITION counts: for each user, pair every event
+   * with its successor in (ts, tie) order; count (from_type, to_type) pairs
+   * corpus-wide. The empirical transition matrix behind next-action priors,
+   * bot-loop detection (self-transitions), and sequence-model sanity checks.
+   *
+   * One shuffle (user-keyed window); `lead` over the unique (ts, tie) order
+   * is deterministic under any physical layout. Null event types are dropped
+   * BEFORE pairing so both engines agree on adjacency.
+   */
+  def transitions(
+      events: DataFrame, userCol: String, typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__tsu"), col(tieCol))
+    events
+      .filter(col(typeCol).isNotNull)
+      .withColumn("__tsu", EventTime.tsMicros(events))
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * INTEGER-EXACT burst flagging on hourly counts: an (hour, type) cell is
+   * anomalous when its count deviates from that type's hourly mean by more
+   * than `sigmaK` standard deviations. The two-sigma rule is evaluated with
+   * every division multiplied through — `(c·n − S)² > k²·(n·Σc² − S²)` over
+   * BIGINT (n hours, S = Σc, per type) — so there is no float mean, no float
+   * stddev, and the flag is bit-identical in any engine and any reduction
+   * order. Hours with zero events are NOT materialized (count cells only);
+   * the baseline is "hours that had traffic", which is the operative
+   * question for burst detection on a busy stream.
+   *
+   * Two aggregations (cell counts, per-type moments) + one broadcast-sized
+   * join back — nothing scales with raw event count after the first pass.
+   *
+   * @return (hour, event_type, n, flagged)
+   */
+  def hourlyAnomalies(
+      events: DataFrame, typeCol: String, sigmaK: Int = 2): DataFrame = {
+    require(sigmaK >= 1, s"sigmaK must be >= 1, got $sigmaK")
+    val cells = events
+      .filter(col(typeCol).isNotNull)
+      .withColumn("__h", date_format(date_trunc("hour", EventTime.tsCol(events)),
+        "yyyy-MM-dd HH:mm:ss"))
+      .groupBy(col("__h").as("hour"), col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val moments = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__nh"), sum(col("n")).as("__s"),
+        sum(col("n") * col("n")).as("__s2"))
+    // the squared terms can exceed Long at cluster-scale hourly counts
+    // (c·n_h ~ 1e10·1e3 squares past 2⁶³); decimal(38,0) keeps the algebra
+    // exact where a silent Long wraparound would flip flags — the oracle's
+    // HUGEINT does the same on its side
+    val nD = col("n").cast("decimal(38,0)")
+    val nhD = col("__nh").cast("decimal(38,0)")
+    val sD = col("__s").cast("decimal(38,0)")
+    val s2D = col("__s2").cast("decimal(38,0)")
+    val dev = nD * nhD - sD
+    cells.join(moments, "event_type")
+      .select(col("hour"), col("event_type"), col("n"),
+        (dev * dev > lit(sigmaK.toLong * sigmaK) * (nhD * s2D - sD * sD)).as("flagged"))
+  }
+}

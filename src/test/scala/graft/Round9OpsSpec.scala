@@ -647,6 +647,46 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- event transitions + anomalies --------------------------------------
+
+  test("transitions pairs successors per user in (ts, id) order") {
+    val ev = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "view"),
+      (2L, "2024-01-01 00:00:02", 1L, "click"),
+      (3L, "2024-01-01 00:00:03", 1L, "view"),
+      (4L, "2024-01-01 00:00:02", 2L, "view"),   // u2 out-of-id-order rows
+      (5L, "2024-01-01 00:00:01", 2L, "click"),  //   click@1 precedes view@2
+      (6L, "2024-01-01 00:00:09", 3L, "signup")  // no successor
+    ))
+    val got = EventStats.transitions(ev, "user_id", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 1L, ("click", "view") -> 2L))
+  }
+
+  test("hourlyAnomalies flags exactly the >k-sigma cells, integer-exactly") {
+    // type A: 9 hours of 10 + one hour of 100 -> mean 19, var 729, sigma 27;
+    // dev 81 > 2*27 flags only the burst hour (note a lone outlier among few
+    // hours can never exceed 2 sigma: max standardized dev is (n-1)/sqrt(n))
+    val rows = (
+      (0 to 8).flatMap(h => (1 to 10).map(i => (f"2024-01-01 $h%02d:00:00", "A", i))) ++
+      (1 to 100).map(i => ("2024-01-01 09:00:00", "A", i)) ++
+      (1 to 5).map(i => ("2024-01-01 00:00:00", "B", i)) ++
+      (1 to 5).map(i => ("2024-01-01 01:00:00", "B", i))
+    ).zipWithIndex.map { case ((h, t, _), i) => (i.toLong, h, 100L + i, t) }
+    val ev = eventsDf(rows)
+    val got = EventStats.hourlyAnomalies(ev, "event_type", sigmaK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got(("2024-01-01 09:00:00", "A")) == (100L, true))
+    (0 to 8).foreach { h =>
+      assert(got((f"2024-01-01 $h%02d:00:00", "A")) == (10L, false))
+    }
+    Seq("00", "01").foreach { h =>
+      assert(got((s"2024-01-01 $h:00:00", "B")) == (5L, false))
+    }
+  }
+
   // ---- graph: triangles + HITS --------------------------------------------
 
   test("triangleCounts finds exactly the closed wedges, once per corner") {
