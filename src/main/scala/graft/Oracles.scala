@@ -2182,10 +2182,12 @@ object Oracles {
     * cells, top-k by (est_count DESC, word). The A/B list literals mirror
     * CorpusStats.CmsA/CmsB; `h·A + B < 2⁶²` so BIGINT arithmetic is exact in
     * both engines. */
-  def cmsTopTokensSql(width: Int, depth: Int, topK: Int): String = {
+  /** Shared CMS sketch + estimate CTE chain (ends at `est(word, est_count)`),
+    * mirroring CorpusStats.{cmsSketch, cmsEstimate} over the corpus words. */
+  private def cmsEstCtes(width: Int, depth: Int): String = {
     val aLit = graft.operators.CorpusStats.CmsA.take(depth).mkString("[", ",", "]")
     val bLit = graft.operators.CorpusStats.CmsB.take(depth).mkString("[", ",", "]")
-    s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |           FROM documents),
        |th AS (SELECT word, ${tHashSql("word")} % 2147483647 AS h FROM w),
        |jj AS (SELECT unnest(generate_series(0, ${depth - 1})) AS j),
@@ -2204,8 +2206,25 @@ object Oracles {
        |est AS (
        |  SELECT word, min(c) AS est_count
        |  FROM cb JOIN sk USING (j, b) GROUP BY word
-       |)
+       |)""".stripMargin
+  }
+
+  def cmsTopTokensSql(width: Int, depth: Int, topK: Int): String =
+    s"""WITH ${cmsEstCtes(width, depth)}
        |SELECT word, est_count FROM est
        |ORDER BY est_count DESC, word LIMIT $topK""".stripMargin
-  }
+
+  /** Mirror of CorpusStats.derivedStopwordRatio: the sketch-derived top-K
+    * list becomes the stopword set; per-doc ratio in integer micro-units. */
+  def derivedStopwordRatioSql(width: Int, depth: Int, topK: Int): String =
+    s"""WITH ${cmsEstCtes(width, depth)},
+       |stop AS (SELECT word FROM est ORDER BY est_count DESC, word LIMIT $topK),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |       FROM documents)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN s.word IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       |  CAST(sum(CASE WHEN s.word IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS stop_micro
+       |FROM dw LEFT JOIN stop s ON dw.word = s.word
+       |GROUP BY doc_id""".stripMargin
 }

@@ -728,6 +728,11 @@ object SparkEntry {
     "tokens_cms_topk" -> ((s, dir) =>
       CorpusStats.cmsTopTokens(rd(s, dir, "documents"), "text",
         width = 1024, depth = 4, topK = 50)),
+    // the composed sketch pipeline: CMS heavy hitters become the stopword
+    // list; per-doc ratio in exact integer micro-units
+    "stopword_ratio" -> ((s, dir) =>
+      CorpusStats.derivedStopwordRatio(rd(s, dir, "documents"), "doc_id", "text",
+        width = 1024, depth = 4, topK = 50)),
     // BPE tokenizer-training statistic: top adjacent char-pair counts
     "bpe_pairs" -> ((s, dir) =>
       CorpusStats.bpePairCounts(rd(s, dir, "documents"), "text", 20)),
@@ -1668,6 +1673,7 @@ object SparkEntry {
     "collocations" -> Oracles.collocationsSql(3L, 100),
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
+    "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents

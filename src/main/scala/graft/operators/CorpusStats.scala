@@ -829,4 +829,34 @@ object CorpusStats {
       .orderBy(desc("est_count"), col("word"))
       .limit(topK)
   }
+
+  /**
+   * SKETCH-DERIVED stopword ratio — the composed pipeline the CMS family
+   * exists for: the corpus' own [[cmsTopTokens]] heavy hitters BECOME the
+   * stopword list (no hand-curated list needed per language/domain), and
+   * every document is scored by the fraction of its tokens in that list.
+   * High ratio = glue-word prose (normal), low = keyword salad / code /
+   * gibberish — a quality feature derived entirely from the data.
+   *
+   * The ratio is an exact integer micro-unit division (`n_stop·10⁶ div
+   * n_tokens`), so no float crosses an engine boundary. Scale shape: the
+   * heavy-hitter list is topK rows (broadcast); the corpus streams through
+   * one explode + broadcast join + doc-keyed aggregation — the sketched
+   * first pass never re-runs at query time in the persisted deployment.
+   *
+   * @return (idCol, n_tokens, n_stop, stop_micro); zero-token docs absent.
+   */
+  def derivedStopwordRatio(
+      docs: DataFrame, idCol: String, textCol: String,
+      width: Int = 1024, depth: Int = 4, topK: Int = 50): DataFrame = {
+    val stop = cmsTopTokens(docs, textCol, width, depth, topK)
+      .select(col("word"), lit(1L).as("__stop"))
+    docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("word"))
+      .join(broadcast(stop), Seq("word"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__stop"), lit(0L))).as("n_stop"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_stop"),
+        expr("n_stop * 1000000L div n_tokens").as("stop_micro"))
+  }
 }

@@ -647,6 +647,23 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- derived stopword ratio ---------------------------------------------
+
+  test("derivedStopwordRatio scores docs against the sketch-derived list") {
+    val docs = docsDf(Seq(
+      (1L, "the the the cat"),  // 3 of 4 in top-2 {the, and}? see below
+      (2L, "and and dog fox"),
+      (3L, "qqq zzz www yyy")))
+    // corpus counts: the=3, and=2, rest=1 -> top-2 (width wide, no
+    // collisions at this size) = {and, the} after the (count desc, word) sort
+    val out = CorpusStats.derivedStopwordRatio(docs, "doc_id", "text",
+      width = 1024, depth = 4, topK = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (4L, 3L, 750000L))
+    assert(out(2L) == (4L, 2L, 500000L))
+    assert(out(3L) == (4L, 0L, 0L))
+  }
+
   // ---- event transitions + anomalies --------------------------------------
 
   test("transitions pairs successors per user in (ts, id) order") {
