@@ -38,7 +38,11 @@ object PlanAudit {
       "hybrid_rrf", "emb_truncate", "ann_mrl_rerank",
       "tokens_cms_topk", "layout_zorder", "stream_chunk_batch",
       "collocations", "shard_rendezvous", "graph_pagerank",
-      "profile_docs", "dedup_lsh_audit")
+      "profile_docs", "dedup_lsh_audit",
+      "graph_ppr", "events_user_seq",
+      "events_funnel", "events_retention", "pack_greedy", "sink_sharded",
+      "text_xent_ref", "text_char_entropy", "graph_triangles", "graph_hits",
+      "events_transitions", "events_anomaly", "stopword_ratio")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

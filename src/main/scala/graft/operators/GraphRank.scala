@@ -89,10 +89,13 @@ object GraphRank {
    * @return (node, triangles) — triangles the node participates in.
    */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the edge list is often an expensive subtree (a kNN-graph build); the
+    // three-way self-join below would replay it per reference — cut it once
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
     val wedges = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
     val tris = wedges.join(und.as("e3"),
@@ -141,9 +144,14 @@ object GraphRank {
   }
 
   private def edgeNodes(edges: DataFrame, srcCol: String, dstCol: String) = {
+    // materialize the slim edge relation ONCE: every iteration references it
+    // (and `nodes` derives from it), so an un-cut upstream — typically the
+    // whole LSH kNN-graph build — would otherwise re-execute per iteration
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
+      .localCheckpoint()
     val nodes = e.select(col("__src").as("node"))
       .union(e.select(col("__dst").as("node"))).distinct()
+      .localCheckpoint()
     (e, nodes)
   }
 
