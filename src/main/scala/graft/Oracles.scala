@@ -2039,8 +2039,10 @@ object Oracles {
   /** Exact mirror of GraphRank.triangleCounts over the kNN graph: symmetrize
     * + orient `a < b`, wedge join `a<b<c`, close with a third edge probe,
     * one explode-count per triangle corner. */
-  def triangleCountsSql(k: Int, nPlanes: Int, nTables: Int): String =
-    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+  /** Shared undirected-kNN-edge + triangle-count CTE chain, ending at
+    * `tric(node, triangles)`. */
+  private def triangleCtes(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""${knnGraphCtes(k, nPlanes, nTables)},
        |und AS (
        |  SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b
        |  FROM kg WHERE least(src, nbr) < greatest(src, nbr)
@@ -2054,8 +2056,25 @@ object Oracles {
        |  SELECT a AS node FROM tri
        |  UNION ALL SELECT b FROM tri
        |  UNION ALL SELECT c FROM tri
-       |)
-       |SELECT node, count(*) AS triangles FROM corners GROUP BY 1""".stripMargin
+       |),
+       |tric AS (SELECT node, count(*) AS triangles FROM corners GROUP BY 1)""".stripMargin
+
+  def triangleCountsSql(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH ${triangleCtes(k, nPlanes, nTables)}
+       |SELECT node, triangles FROM tric""".stripMargin
+
+  /** Mirror of GraphRank.clusteringCoefficient: `2·tri·10⁶ // (d·(d−1))`,
+    * 0 for degree-1 nodes, triangles defaulted to 0. */
+  def clusteringCoefficientSql(k: Int, nPlanes: Int, nTables: Int): String =
+    s"""WITH ${triangleCtes(k, nPlanes, nTables)},
+       |ends AS (SELECT a AS node FROM und UNION ALL SELECT b FROM und),
+       |deg AS (SELECT node, count(*) AS degree FROM ends GROUP BY 1)
+       |SELECT deg.node, deg.degree,
+       |  CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       |  CAST(CASE WHEN deg.degree >= 2
+       |    THEN 2 * coalesce(t.triangles, 0) * 1000000 // (deg.degree * (deg.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS cc_micro
+       |FROM deg LEFT JOIN tric t ON t.node = deg.node""".stripMargin
 
   /** Exact mirror of GraphRank.hits (unnormalized integer HITS), iterations
     * unrolled: aᵢ = Σ hᵢ₋₁ over in-edges, hᵢ = Σ aᵢ over out-edges. */

@@ -42,7 +42,8 @@ object PlanAudit {
       "graph_ppr", "events_user_seq",
       "events_funnel", "events_retention", "pack_greedy", "sink_sharded",
       "text_xent_ref", "text_char_entropy", "graph_triangles", "graph_hits",
-      "events_transitions", "events_anomaly", "stopword_ratio")
+      "events_transitions", "events_anomaly", "stopword_ratio",
+      "graph_clustering", "events_rfm")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -698,6 +698,11 @@ object SparkEntry {
       GraphRank.hits(
         Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
         "src", "nbr", nIters = 2)),
+    // local clustering coefficient in exact micro-units
+    "graph_clustering" -> ((s, dir) =>
+      GraphRank.clusteringCoefficient(
+        Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
+        "src", "nbr")),
     // rendezvous (highest-random-weight) sharding: stable under shard-count
     // growth — only rows whose argmax IS the new shard move
     "shard_rendezvous" -> ((s, dir) =>
@@ -875,6 +880,14 @@ object SparkEntry {
     // hourly burst flags: |c − μ| > 2σ with all divisions multiplied through
     "events_anomaly" -> ((s, dir) =>
       EventStats.hourlyAnomalies(rd(s, dir, "events"), "event_type", sigmaK = 2)),
+    // RFM feature table: recency (µs), frequency, monetary (quantized)
+    "events_rfm" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      ev.groupBy(col("user_id"))
+        .agg(max(graft.streaming.EventTime.tsMicros(ev)).as("last_us"),
+          count(lit(1)).as("n_events"),
+          graft.streaming.EventTime.quantizedSum4(col("value")).as("total_value"))
+    }),
     "events_windowed" -> ((s, dir) => EventWindows.hourlyByType(rd(s, dir, "events"))),
     "events_sliding" -> ((s, dir) => EventWindows.slidingTwoHourByType(rd(s, dir, "events"))),
     "events_sessions" -> ((s, dir) =>
@@ -1668,6 +1681,7 @@ object SparkEntry {
     "graph_ppr" -> Oracles.pageRankSql(3, 8, 2, 3, 850, Some("node < 10")),
     "graph_triangles" -> Oracles.triangleCountsSql(3, 8, 2),
     "graph_hits" -> Oracles.hitsSql(3, 8, 2, 2),
+    "graph_clustering" -> Oracles.clusteringCoefficientSql(3, 8, 2),
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
     "sink_sharded" -> Oracles.rendezvousShardSql(8),
     "collocations" -> Oracles.collocationsSql(3L, 100),
@@ -1956,6 +1970,10 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "events_rfm" ->
+      """SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events,
+        |  round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
     "events_transitions" ->
       """WITH e AS (
         |  SELECT event_type,

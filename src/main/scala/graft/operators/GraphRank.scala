@@ -88,14 +88,43 @@ object GraphRank {
    *
    * @return (node, triangles) — triangles the node participates in.
    */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // the edge list is often an expensive subtree (a kNN-graph build); the
-    // three-way self-join below would replay it per reference — cut it once
-    val und = edges
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    trianglesFromUnd(undirected(edges, srcCol, dstCol))
+
+  /**
+   * Local CLUSTERING COEFFICIENT per node — triangles normalized by possible
+   * wedges: `cc = 2·tri / (d·(d−1))`, reported in exact integer micro-units
+   * (`div`, no float). Degree-1 and isolated-in-triangle-terms nodes report
+   * 0. The per-node tightness score that separates "dense semantic clique
+   * member" from "chain/hub node" where raw triangle counts cannot.
+   *
+   * @return (node, degree, triangles, cc_micro) — one row per node with ≥1
+   *         undirected edge.
+   */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val tri = trianglesFromUnd(und)
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          expr("2L * coalesce(triangles, 0L) * 1000000L div (degree * (degree - 1L))"))
+          .otherwise(lit(0L)).as("cc_micro"))
+  }
+
+  /** Symmetrized, oriented (`a < b`), deduplicated edge relation, cut once —
+    * the self-joins downstream would otherwise replay an expensive upstream
+    * (typically the whole kNN-graph build) per reference. */
+  private def undirected(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") < col("b")).distinct()
       .localCheckpoint()
+
+  private def trianglesFromUnd(und: DataFrame): DataFrame = {
     val wedges = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
       .select(col("e1.a").as("wa"), col("e1.b").as("wb"), col("e2.b").as("wc"))
     val tris = wedges.join(und.as("e3"),

@@ -719,6 +719,20 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)) // 5 in none
   }
 
+  test("clusteringCoefficient: closed K3 corner = 1.0, chain middle = 0") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} with a pendant chain 3-4-5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val got = GraphRank.clusteringCoefficient(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (2L, 1L, 1000000L)) // both neighbors connected
+    assert(got(2L) == (2L, 1L, 1000000L))
+    assert(got(3L) == (3L, 1L, 333333L))  // 2*1*1e6 div (3*2)
+    assert(got(4L) == (2L, 0L, 0L))       // open wedge
+    assert(got(5L) == (1L, 0L, 0L))       // degree 1: defined as 0
+  }
+
   test("hits matches a hand-iterated unnormalized model") {
     val s = spark
     import s.implicits._
