@@ -43,7 +43,7 @@ object PlanAudit {
       "events_funnel", "events_retention", "pack_greedy", "sink_sharded",
       "text_xent_ref", "text_char_entropy", "graph_triangles", "graph_hits",
       "events_transitions", "events_anomaly", "stopword_ratio",
-      "graph_clustering", "events_rfm")
+      "graph_clustering", "events_rfm", "events_bots", "quality_deciles")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -733,6 +733,12 @@ object SparkEntry {
     "tokens_cms_topk" -> ((s, dir) =>
       CorpusStats.cmsTopTokens(rd(s, dir, "documents"), "text",
         width = 1024, depth = 4, topK = 50)),
+    // ntile without ntile's one-task window: DenseRank-based decile buckets
+    "quality_deciles" -> ((s, dir) =>
+      CorpusStats.quantileBuckets(
+        rd(s, dir, "documents").select(col("doc_id"),
+          qualityScoreCol(col("text")).as("quality")),
+        "doc_id", "quality", buckets = 10)),
     // the composed sketch pipeline: CMS heavy hitters become the stopword
     // list; per-doc ratio in exact integer micro-units
     "stopword_ratio" -> ((s, dir) =>
@@ -880,6 +886,10 @@ object SparkEntry {
     // hourly burst flags: |c − μ| > 2σ with all divisions multiplied through
     "events_anomaly" -> ((s, dir) =>
       EventStats.hourlyAnomalies(rd(s, dir, "events"), "event_type", sigmaK = 2)),
+    // bot-regularity: gap CV < 1/4 with the division multiplied through
+    "events_bots" -> ((s, dir) =>
+      EventStats.botFlags(rd(s, dir, "events"), "user_id", "event_id",
+        minEvents = 5, cvDenom = 4)),
     // RFM feature table: recency (µs), frequency, monetary (quantized)
     "events_rfm" -> ((s, dir) => {
       val ev = rd(s, dir, "events")
@@ -1970,6 +1980,32 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "events_bots" ->
+      """WITH g0 AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |),
+        |g AS (SELECT user_id, tsu - prev AS g FROM g0 WHERE prev IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(g) AS HUGEINT) AS s, sum(CAST(g AS HUGEINT) * g) AS s2
+        |  FROM g GROUP BY 1 HAVING count(*) >= 4
+        |)
+        |SELECT user_id, n_gaps,
+        |  (16 * (n_gaps * s2 - s * s) < s * s) AS bot
+        |FROM m""".stripMargin,
+    "quality_deciles" -> {
+      s"""WITH ${Oracles.qualityScoredCtes},
+         |r AS (
+         |  SELECT doc_id, quality,
+         |    row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS rk
+         |  FROM scored
+         |),
+         |t AS (SELECT count(*) AS n FROM scored)
+         |SELECT doc_id, quality, CAST(rk * 10 // n AS BIGINT) AS bucket
+         |FROM r, t""".stripMargin
+    },
     "events_rfm" ->
       """SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events,
         |  round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS total_value

@@ -846,6 +846,30 @@ object CorpusStats {
    *
    * @return (idCol, n_tokens, n_stop, stop_micro); zero-token docs absent.
    */
+  /**
+   * Scale-safe QUANTILE BINNING: bucket = `rank·buckets div n` over the
+   * unique (score desc, id asc) total order — `ntile()` without `ntile`'s
+   * scale trap (a partition-less window funnels the whole table through one
+   * task; the shared [[DenseRank]] range-partition + zipWithIndex rank keeps
+   * every stage distributed). The feature-engineering staple: decile flags
+   * for stratified eval splits, threshold sweeps, quality-tier routing.
+   *
+   * Bucket sizes differ by at most one; the mapping is deterministic because
+   * the order key is unique. @return (idCol, scoreCol, bucket ∈ [0, buckets)).
+   */
+  def quantileBuckets(
+      df: DataFrame, idCol: String, scoreCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val slim = df.select(col(idCol), col(scoreCol))
+    val ranked = DenseRank.appendIndex(slim,
+      Seq(col(scoreCol).desc, col(idCol).asc), "__rk",
+      failOnNullCol = Some(idCol))
+    val tot = slim.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col(idCol), col(scoreCol),
+        expr(s"__rk * ${buckets}L div __n").as("bucket"))
+  }
+
   def derivedStopwordRatio(
       docs: DataFrame, idCol: String, textCol: String,
       width: Int = 1024, depth: Int = 4, topK: Int = 50): DataFrame = {

@@ -74,4 +74,37 @@ object EventStats {
       .select(col("hour"), col("event_type"), col("n"),
         (dev * dev > lit(sigmaK.toLong * sigmaK) * (nhD * s2D - sD * sD)).as("flagged"))
   }
+
+  /**
+   * BOT-REGULARITY flags: a user whose inter-event gaps are implausibly
+   * uniform (coefficient of variation < 1/cvDenom) is a scheduler, not a
+   * human. The CV test runs with every division multiplied through —
+   * `cvDenom²·(n·Σg² − S²) < S²` over exact integer µs gaps (decimal(38,0):
+   * µs gaps square to ~10²⁴ at month-long idles, past Long) — so the flag is
+   * bit-identical in any engine. Gaps come from the same one-shuffle
+   * (ts, tie)-ordered window as [[transitions]]; users with < minEvents
+   * events are excluded (too few gaps to judge).
+   *
+   * @return (userCol, n_gaps, bot) — bot = true when the gap CV < 1/cvDenom.
+   */
+  def botFlags(
+      events: DataFrame, userCol: String, tieCol: String,
+      minEvents: Int = 5, cvDenom: Int = 4): DataFrame = {
+    require(minEvents >= 3, s"minEvents must be >= 3, got $minEvents")
+    require(cvDenom >= 1, s"cvDenom must be >= 1, got $cvDenom")
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__tsu"), col(tieCol))
+    val gaps = events
+      .withColumn("__tsu", EventTime.tsMicros(events))
+      .withColumn("__prev", lag(col("__tsu"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col(userCol), (col("__tsu") - col("__prev")).as("__g"))
+    val m = gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("__s"),
+        sum(col("__g").cast("decimal(38,0)") * col("__g").cast("decimal(38,0)")).as("__s2"))
+      .filter(col("n_gaps") >= minEvents - 1)
+    val nD = col("n_gaps").cast("decimal(38,0)")
+    val sD = col("__s").cast("decimal(38,0)")
+    m.select(col(userCol), col("n_gaps"),
+      (lit(cvDenom.toLong * cvDenom) * (nD * col("__s2") - sD * sD) < sD * sD).as("bot"))
+  }
 }

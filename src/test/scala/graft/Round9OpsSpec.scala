@@ -647,6 +647,40 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- bot flags + quantile buckets ---------------------------------------
+
+  test("botFlags: metronome user flagged, bursty user not, short history excluded") {
+    val base = "2024-01-01 00:%02d:%02d"
+    // u1: 6 events exactly 60 s apart (CV = 0) -> bot
+    val u1 = (0 until 6).map(i => (i.toLong, base.format(i, 0), 1L, "click"))
+    // u2: gaps 1,1,1,240 s -> CV >> 1/4 -> not a bot
+    val u2 = Seq(0, 1, 2, 3, 7).zipWithIndex.map { case (m, i) =>
+      (10L + i, base.format(m, if (m == 7) 0 else i % 60), 2L, "view") }
+    // u3: only 3 events -> below minEvents, excluded
+    val u3 = (0 until 3).map(i => (20L + i, base.format(i, 30), 3L, "view"))
+    val ev = eventsDf(u1 ++ u2 ++ u3)
+    val got = EventStats.botFlags(ev, "user_id", "event_id", minEvents = 5, cvDenom = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (5L, true))
+    assert(got(2L)._2 == false)
+    assert(!got.contains(3L))
+  }
+
+  test("quantileBuckets assigns near-equal deciles over the unique order") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 25L).map(i => (i, (i % 7).toDouble)).toDF("doc_id", "score")
+    val got = CorpusStats.quantileBuckets(df, "doc_id", "score", buckets = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // model: rank in (score desc, id asc) order, bucket = rank*5 div 25
+    val order = (1L to 25L).map(i => (i, (i % 7).toDouble))
+      .sortBy { case (id, sc) => (-sc, id) }
+    val want = order.zipWithIndex.map { case ((id, _), rk) => id -> (rk * 5L / 25L) }.toMap
+    assert(got == want)
+    val sizes = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.values.toSet == Set(5)) // 25 rows / 5 buckets exactly
+  }
+
   // ---- derived stopword ratio ---------------------------------------------
 
   test("derivedStopwordRatio scores docs against the sketch-derived list") {
