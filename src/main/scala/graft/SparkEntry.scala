@@ -708,6 +708,16 @@ object SparkEntry {
     "shard_rendezvous" -> ((s, dir) =>
       Packing.rendezvousShard(
         rd(s, dir, "documents").select("doc_id"), "doc_id", nShards = 10)),
+    // JSONL round trip: the corpus-interchange text format; explicit-schema
+    // FAILFAST read, text hashed bit-exactly after JSON escaping both ways
+    "source_jsonl" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_jsonl/jl_${math.abs(dir.hashCode)}"
+      graft.sources.JsonlTable.write(docs, base)
+      graft.sources.JsonlTable.read(s, base, docs.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"), col("source"))
+    }),
     // the WRITE path: HRW-sharded partitioned-parquet round trip (the gate
     // covers the sink layout itself — assignment is re-read from disk)
     "sink_sharded" -> ((s, dir) => {
@@ -1694,6 +1704,9 @@ object SparkEntry {
     "graph_clustering" -> Oracles.clusteringCoefficientSql(3, 8, 2),
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
     "sink_sharded" -> Oracles.rendezvousShardSql(8),
+    "source_jsonl" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source
+        |FROM documents""".stripMargin,
     "collocations" -> Oracles.collocationsSql(3L, 100),
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),

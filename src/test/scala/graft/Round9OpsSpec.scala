@@ -647,6 +647,23 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- JSONL round trip ---------------------------------------------------
+
+  test("JsonlTable round-trips quotes, unicode, newline-free text exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, """he said "hi" \ backslash"""),
+      (2L, "unicode: café 中文 ☃"),
+      (3L, "tabs\tandcontrol")).toDF("doc_id", "text")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_jsonl_spec"
+    graft.sources.JsonlTable.write(df, base)
+    val back = graft.sources.JsonlTable.read(s, base, df.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want)
+  }
+
   // ---- bot flags + quantile buckets ---------------------------------------
 
   test("botFlags: metronome user flagged, bursty user not, short history excluded") {
