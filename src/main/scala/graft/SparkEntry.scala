@@ -896,6 +896,16 @@ object SparkEntry {
     // hourly burst flags: |c − μ| > 2σ with all divisions multiplied through
     "events_anomaly" -> ((s, dir) =>
       EventStats.hourlyAnomalies(rd(s, dir, "events"), "event_type", sigmaK = 2)),
+    // top user journeys: full-path frequency with a deterministic tiebreak
+    "events_top_paths" -> ((s, dir) =>
+      Sequences.userEventSequences(rd(s, dir, "events"),
+          "user_id", "ts", "event_type", "event_id")
+        .groupBy(col("seq")).agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("seq")).limit(20)),
+    // trailing-7-day revenue: pre-aggregate to day grain, then a bounded
+    // self-join — never a partition-less RANGE window over the raw table
+    "orders_rolling7" -> ((s, dir) =>
+      Rolling.trailingDailySum(rd(s, dir, "orders"), "o_orderdate", "o_totalprice", 7)),
     // bot-regularity: gap CV < 1/4 with the division multiplied through
     "events_bots" -> ((s, dir) =>
       EventStats.botFlags(rd(s, dir, "events"), "user_id", "event_id",
@@ -1993,6 +2003,24 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "events_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY user_id
+        |)
+        |SELECT seq, count(*) AS n_users FROM s
+        |GROUP BY 1 ORDER BY n_users DESC, seq LIMIT 20""".stripMargin,
+    "orders_rolling7" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+        |    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS day,
+        |  CAST(sum(b.n) AS BIGINT) AS rolling_orders,
+        |  CAST(sum(b.cents) AS BIGINT) AS rolling_cents
+        |FROM daily a JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day
+        |GROUP BY 1""".stripMargin,
     "events_bots" ->
       """WITH g0 AS (
         |  SELECT user_id, epoch_us(ts) AS tsu,

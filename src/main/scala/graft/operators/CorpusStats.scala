@@ -860,7 +860,9 @@ object CorpusStats {
   def quantileBuckets(
       df: DataFrame, idCol: String, scoreCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val slim = df.select(col(idCol), col(scoreCol))
+    // cut the (often expensive) score expression ONCE: the range partitioner's
+    // sampling pass, the sort shuffle, and the count would each re-evaluate it
+    val slim = df.select(col(idCol), col(scoreCol)).localCheckpoint()
     val ranked = DenseRank.appendIndex(slim,
       Seq(col(scoreCol).desc, col(idCol).asc), "__rk",
       failOnNullCol = Some(idCol))

@@ -647,6 +647,24 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- rolling window -----------------------------------------------------
+
+  test("trailingDailySum matches a hand model incl. gap days") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("2024-01-01 00:00:00", 10.00), ("2024-01-01 12:00:00", 5.50),
+      ("2024-01-02 01:00:00", 2.25),
+      ("2024-01-05 09:00:00", 100.00) // 3-day gap inside the window
+    ).toDF("tss", "price").withColumn("ts", to_timestamp(col("tss")))
+    val got = Rolling.trailingDailySum(df, "ts", "price", 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "2024-01-01" -> (2L, 1550L),
+      "2024-01-02" -> (3L, 1775L),        // includes both day-1 orders
+      "2024-01-05" -> (1L, 10000L)))      // days 3-4 empty, day 2 outside
+  }
+
   // ---- JSONL round trip ---------------------------------------------------
 
   test("JsonlTable round-trips quotes, unicode, newline-free text exactly") {
