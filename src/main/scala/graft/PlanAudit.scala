@@ -44,7 +44,8 @@ object PlanAudit {
       "text_xent_ref", "text_char_entropy", "graph_triangles", "graph_hits",
       "events_transitions", "events_anomaly", "stopword_ratio",
       "graph_clustering", "events_rfm", "events_bots", "quality_deciles",
-      "events_top_paths", "orders_rolling7", "source_jsonl")
+      "events_top_paths", "orders_rolling7", "source_jsonl",
+      "text_phrase_hits", "search_and")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

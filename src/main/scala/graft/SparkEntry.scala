@@ -516,6 +516,32 @@ object SparkEntry {
       val idx = Bm25.index(docs, "doc_id", "text")
       Bm25.topKIndexed(idx, docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
     }),
+    // phrase search over the positional index: start-position voting, one
+    // join for all phrases; the phrase set = the corpus' own top-5 bigrams
+    "text_phrase_hits" -> ((s, dir) => {
+      val pidx = Bm25.positionalIndex(rd(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint()
+      val big = pidx.as("x").join(pidx.as("y"),
+          col("x.doc") === col("y.doc") && col("y.pos") === col("x.pos") + 1)
+        .select(col("x.term").as("w1"), col("y.term").as("w2"))
+      val top = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("w1"), col("w2")).limit(5)
+      val phrases = top.select(concat_ws(" ", col("w1"), col("w2")).as("phrase_id"),
+          col("w1").as("term"), lit(0L).as("offset"))
+        .union(top.select(concat_ws(" ", col("w1"), col("w2")).as("phrase_id"),
+          col("w2").as("term"), lit(1L).as("offset")))
+      Bm25.phraseHits(pidx, phrases)
+        .select(col("phrase_id"), col("doc").as("doc_id"), col("n_hits"))
+    }),
+    // conjunctive (boolean AND) retrieval over the tf postings index
+    "search_and" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val q = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(slice(wordsCol(col("text")), 1, 3))).as("term"))
+      Bm25.booleanAnd(Bm25.index(docs, "doc_id", "text"), q)
+        .select(col("query_id"), col("doc").as("doc_id"))
+    }),
     // ---- LLM-pipeline: text analysis --------------------------------------
     "text_tokens" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
@@ -2003,6 +2029,28 @@ object SparkEntry {
         |  count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "text_phrase_hits" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |i AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+        |      FROM d WHERE len(ws) >= 2),
+        |b AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM i),
+        |top5 AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2
+        |         ORDER BY n DESC, w1, w2 LIMIT 5)
+        |SELECT b.w1 || ' ' || b.w2 AS phrase_id, b.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM b JOIN top5 ON b.w1 = top5.w1 AND b.w2 = top5.w2
+        |GROUP BY 1, 2""".stripMargin,
+    "search_and" ->
+      """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+        |q AS (SELECT doc_id AS query_id, unnest(list_distinct(ws[1:3])) AS term
+        |      FROM d WHERE doc_id < 5),
+        |qn AS (SELECT query_id, count(*) AS k FROM q GROUP BY 1),
+        |p0 AS (SELECT doc_id AS doc, unnest(ws) AS term FROM d),
+        |p AS (SELECT DISTINCT doc, term FROM p0),
+        |c AS (SELECT q.query_id, p.doc, count(*) AS cnt
+        |      FROM p JOIN q ON p.term = q.term GROUP BY 1, 2)
+        |SELECT c.query_id, c.doc AS doc_id
+        |FROM c JOIN qn ON qn.query_id = c.query_id WHERE c.cnt = qn.k""".stripMargin,
     "events_top_paths" ->
       """WITH s AS (
         |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS seq

@@ -140,4 +140,60 @@ object Bm25 {
       .select(col("__q").as("query_id"), col("__d").as("doc_id"),
         col("score_micro"), col("rank").cast("long").as("rank"))
   }
+
+  /**
+   * POSITIONAL postings index — `(doc, pos, term)`, one row per token
+   * occurrence. The layout phrase and proximity queries need: [[index]]'s
+   * (term, tf) postings answer "how often", positions answer "where". ~1
+   * extra Long per occurrence over the tf index; persist like [[index]].
+   */
+  def positionalIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"), posexplode(wordsCol(col(textCol))).as(Seq("pos", "term")))
+      .select(col("doc"), col("pos").cast("long").as("pos"), col("term"))
+
+  /**
+   * PHRASE search over a positional index by start-position voting: each
+   * phrase-term occurrence votes for `start = pos − i` (its offset in the
+   * phrase); a start collecting ALL |phrase| distinct offsets is an exact
+   * consecutive match. ONE join + one aggregation for every phrase at once —
+   * no per-phrase chained self-joins, no quadratic position pairing; repeated
+   * terms inside a phrase are handled by counting DISTINCT offsets.
+   *
+   * @param phrases (phrase_id, term, offset) relation — offsets 0..len−1
+   * @return (phrase_id, doc, n_hits) — docs with ≥1 exact phrase occurrence.
+   */
+  def phraseHits(pidx: DataFrame, phrases: DataFrame): DataFrame = {
+    val plen = phrases.groupBy(col("phrase_id")).agg(count(lit(1)).as("__len"))
+    pidx.join(phrases, "term")
+      .select(col("phrase_id"), col("doc"), (col("pos") - col("offset")).as("__start"),
+        col("offset"))
+      .groupBy(col("phrase_id"), col("doc"), col("__start"))
+      .agg(count_distinct(col("offset")).as("__n"))
+      .join(broadcast(plen), "phrase_id")
+      .filter(col("__n") === col("__len"))
+      .groupBy(col("phrase_id"), col("doc"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /**
+   * Boolean AND retrieval: documents containing EVERY query term — the
+   * conjunctive filter face of the postings index ([[topK]] ranks, this
+   * gates). Distinct (doc, term) postings semi-joined to the query terms,
+   * then a match-count-equals-query-size filter; the corpus never shuffles
+   * beyond the term join.
+   *
+   * @param queryTerms (query_id, term) relation (dedup'd internally)
+   * @return (query_id, doc) — exact conjunctive matches.
+   */
+  def booleanAnd(idx: DataFrame, queryTerms: DataFrame): DataFrame = {
+    val qt = queryTerms.select(col("query_id"), col("term")).distinct()
+    val qn = qt.groupBy(col("query_id")).agg(count(lit(1)).as("__k"))
+    idx.select(col("doc"), col("term")).distinct()
+      .join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col("doc"))
+      .agg(count(lit(1)).as("__m"))
+      .join(broadcast(qn), "query_id")
+      .filter(col("__m") === col("__k"))
+      .select(col("query_id"), col("doc"))
+  }
 }

@@ -647,6 +647,40 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- positional search --------------------------------------------------
+
+  test("phraseHits finds exact consecutive matches, incl. repeated-term phrases") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "cat the cat"),   // "the cat" once at pos 1; reversed pair not a hit
+      (3L, "buffalo buffalo buffalo")).toDF("doc_id", "text")
+    val pidx = Bm25.positionalIndex(docs, "doc_id", "text")
+    val phrases = Seq(
+      ("the cat", "the", 0L), ("the cat", "cat", 1L),
+      ("buffalo buffalo", "buffalo", 0L), ("buffalo buffalo", "buffalo", 1L))
+      .toDF("phrase_id", "term", "offset")
+    val got = Bm25.phraseHits(pidx, phrases)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("the cat", 1L) -> 2L, ("the cat", 2L) -> 1L,
+      ("buffalo buffalo", 3L) -> 2L)) // overlapping starts 0 and 1 both count
+  }
+
+  test("booleanAnd keeps only docs containing every query term") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "beta gamma alpha x"),
+      (4L, "alpha alpha alpha")).toDF("doc_id", "text")
+    val idx = Bm25.index(docs, "doc_id", "text")
+    val q = Seq((100L, "alpha"), (100L, "gamma"), (200L, "beta")).toDF("query_id", "term")
+    val got = Bm25.booleanAnd(idx, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 1L), (100L, 3L), (200L, 1L), (200L, 2L), (200L, 3L)))
+  }
+
   // ---- rolling window -----------------------------------------------------
 
   test("trailingDailySum matches a hand model incl. gap days") {
