@@ -932,6 +932,16 @@ object SparkEntry {
     // self-join — never a partition-less RANGE window over the raw table
     "orders_rolling7" -> ((s, dir) =>
       Rolling.trailingDailySum(rd(s, dir, "orders"), "o_orderdate", "o_totalprice", 7)),
+    // CUSUM drift: sustained small shifts accumulate where the sigma rule
+    // sees nothing; integer recurrence multiplied through by the day count
+    "events_cusum" -> ((s, dir) =>
+      EventStats.cusumDaily(rd(s, dir, "events"), "event_type",
+        slack = 5L, threshold = 40L)),
+    // robust outliers: |len − median| > 3·MAD, rank-selected exact medians
+    "len_outliers" -> ((s, dir) =>
+      CorpusStats.madOutliers(
+        rd(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 3L)),
     // bot-regularity: gap CV < 1/4 with the division multiplied through
     "events_bots" -> ((s, dir) =>
       EventStats.botFlags(rd(s, dir, "events"), "user_id", "event_id",
@@ -2069,6 +2079,40 @@ object SparkEntry {
         |  CAST(sum(b.cents) AS BIGINT) AS rolling_cents
         |FROM daily a JOIN daily b ON b.day BETWEEN a.day - 6 AND a.day
         |GROUP BY 1""".stripMargin,
+    "events_cusum" ->
+      """WITH RECURSIVE cells AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+        |),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |        CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY 1),
+        |d AS (
+        |  SELECT cells.event_type, cells.day, cells.c, m.nh, m.s,
+        |    row_number() OVER (PARTITION BY cells.event_type ORDER BY cells.day) AS rn
+        |  FROM cells JOIN m ON m.event_type = cells.event_type
+        |),
+        |r AS (
+        |  SELECT event_type, day, c, nh, s, rn,
+        |    greatest(0, c * nh - s - 5 * nh) AS cu
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.event_type, d.day, d.c, d.nh, d.s, d.rn,
+        |    greatest(0, r.cu + d.c * d.nh - d.s - 5 * d.nh)
+        |  FROM d JOIN r ON d.event_type = r.event_type AND d.rn = r.rn + 1
+        |)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c AS n,
+        |  CAST(cu AS BIGINT) AS cusum, cu > 40 * nh AS flagged
+        |FROM r""".stripMargin,
+    "len_outliers" ->
+      """WITH v AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+        |t AS (SELECT count(*) AS n FROM v),
+        |r1 AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars, doc_id) AS rk FROM v),
+        |med AS (SELECT n_chars AS m FROM r1, t WHERE rk = (n + 1) // 2),
+        |dv AS (SELECT v.doc_id, v.n_chars, abs(v.n_chars - med.m) AS dev FROM v, med),
+        |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev, doc_id) AS rk FROM dv),
+        |mad AS (SELECT dev AS md FROM r2, t WHERE rk = (n + 1) // 2)
+        |SELECT dv.doc_id, dv.n_chars, dv.dev, (dv.dev > 3 * mad.md) AS flagged
+        |FROM dv, mad""".stripMargin,
     "events_bots" ->
       """WITH g0 AS (
         |  SELECT user_id, epoch_us(ts) AS tsu,

@@ -831,6 +831,43 @@ object CorpusStats {
   }
 
   /**
+   * MEDIAN-ABSOLUTE-DEVIATION outlier flags — the robust-statistics
+   * complement of the sigma rules in [[EventStats]]: mean/stddev are
+   * themselves dragged by the outliers they should flag; median and MAD are
+   * not. `flagged = |x − med| > k·MAD`, entirely on exact integers (the
+   * median of an integer column is selected by rank, never averaged — for
+   * even n this takes the lower-middle element, mirrored in the oracle).
+   *
+   * Each median is a rank selection over the unique (value, id) order via
+   * the shared scale-safe [[DenseRank]] (two passes over a slim 2-column
+   * relation; the 1-row medians broadcast back). The standard length-filter:
+   * truncation/boilerplate floods move the mean, not the median.
+   *
+   * @return (idCol, valCol, dev, flagged)
+   */
+  def madOutliers(
+      df: DataFrame, idCol: String, valCol: String, k: Long = 3L): DataFrame = {
+    require(k >= 1L, s"k must be >= 1, got $k")
+    val slim = df.select(col(idCol), col(valCol).cast("long").as(valCol))
+    def medianOf(d: DataFrame, c: String): DataFrame = {
+      val ranked = DenseRank.appendIndex(d, Seq(col(c).asc, col(idCol).asc), "__rk",
+        startAt = 1L, failOnNullCol = Some(idCol))
+      val n = d.agg(count(lit(1)).as("__n"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("__rk") === expr("(__n + 1L) div 2L"))
+        .select(col(c).as("__med"))
+    }
+    val med = medianOf(slim, valCol)
+    val withDev = slim.crossJoin(broadcast(med))
+      .select(col(idCol), col(valCol), abs(col(valCol) - col("__med")).as("dev"))
+    val mad = medianOf(withDev.select(col(idCol), col("dev")), "dev")
+      .select(col("__med").as("__mad"))
+    withDev.crossJoin(broadcast(mad))
+      .select(col(idCol), col(valCol), col("dev"),
+        (col("dev") > lit(k) * col("__mad")).as("flagged"))
+  }
+
+  /**
    * SKETCH-DERIVED stopword ratio — the composed pipeline the CMS family
    * exists for: the corpus' own [[cmsTopTokens]] heavy hitters BECOME the
    * stopword list (no hand-curated list needed per language/domain), and

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 import graft.streaming.EventTime
 
 /**
@@ -73,6 +74,62 @@ object EventStats {
     cells.join(moments, "event_type")
       .select(col("hour"), col("event_type"), col("n"),
         (dev * dev > lit(sigmaK.toLong * sigmaK) * (nhD * s2D - sD * sD)).as("flagged"))
+  }
+
+  /**
+   * CUSUM drift detection on daily counts — the sustained-shift detector
+   * that [[hourlyAnomalies]]'s single-cell sigma rule cannot be: a level
+   * shift too small to flag any one day accumulates in
+   * `S_i = max(0, S_{i−1} + (c_i − mean − slack))` until it crosses the
+   * decision threshold. Everything is multiplied through by the per-type day
+   * count `n_h`, so the recurrence runs on exact integers:
+   * `S_i = max(0, S_{i−1} + c_i·n_h − ΣC − slack·n_h)`, flag at
+   * `S_i > threshold·n_h` — bit-identical to the oracle's recursive CTE.
+   *
+   * The fold is sequential per type over the DAY-grain relation (|types| ×
+   * |days| rows — thousands forever, never the raw log), parallel across
+   * types: the same repartition + in-partition sort + streaming pass shape
+   * as [[Packing.packGreedy]].
+   *
+   * @param slack     per-day allowance in count units (absorbs noise)
+   * @param threshold decision level in count units
+   * @return (event_type, day, n, cusum, flagged)
+   */
+  def cusumDaily(
+      events: DataFrame, typeCol: String, slack: Long, threshold: Long): DataFrame = {
+    require(slack >= 0L && threshold > 0L,
+      s"need slack >= 0 and threshold > 0, got $slack/$threshold")
+    val spark = events.sparkSession
+    val cells = events
+      .filter(col(typeCol).isNotNull)
+      .withColumn("__day", to_date(EventTime.tsCol(events)))
+      .groupBy(col(typeCol).as("event_type"), col("__day").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val m = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__nh"), sum(col("n")).as("__s"))
+    val slim = cells.join(m, "event_type")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("__nh"), col("__s"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("day"))
+    val outSchema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("day", StringType),
+      StructField("n", LongType, nullable = false),
+      StructField("cusum", LongType, nullable = false),
+      StructField("flagged", BooleanType, nullable = false)))
+    val outRdd = slim.rdd.mapPartitions { it =>
+      var t: String = null
+      var s = 0L
+      it.map { r =>
+        val rt = r.getString(0)
+        if (rt != t) { t = rt; s = 0L }
+        val n = r.getLong(2); val nh = r.getLong(3); val tot = r.getLong(4)
+        s = math.max(0L, s + n * nh - tot - slack * nh)
+        Row(rt, r.getString(1), n, s, s > threshold * nh)
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
   }
 
   /**

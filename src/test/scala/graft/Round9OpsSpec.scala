@@ -647,6 +647,44 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- CUSUM + MAD outliers -----------------------------------------------
+
+  test("cusumDaily accumulates a sustained shift the sigma rule would miss") {
+    // type A: 5 days at 10, then 5 days at 14 — no single day is anomalous,
+    // but the +4/day shift accumulates. mean=12, nh=10, tot=120.
+    val rows = (
+      (0 until 5).flatMap(d => (1 to 10).map(i => (f"2024-01-${d + 1}%02d 00:00:00", i))) ++
+      (5 until 10).flatMap(d => (1 to 14).map(i => (f"2024-01-${d + 1}%02d 00:00:00", i)))
+    ).zipWithIndex.map { case ((h, _), i) => (i.toLong, h, 1L, "A") }
+    val ev = eventsDf(rows)
+    val got = EventStats.cusumDaily(ev, "event_type", slack = 1L, threshold = 3L)
+      .collect().map(r => r.getString(1) -> (r.getLong(3), r.getBoolean(4))).toMap
+    // model: s = max(0, s + c*10 - 120 - 1*10); flag s > 3*10... in
+    // multiplied units: early days c=10 -> delta = -30 -> s stays 0;
+    // late days c=14 -> delta = +10 per day -> s = 10,20,30,40,50
+    (1 to 5).foreach(d => assert(got(f"2024-01-$d%02d") == (0L, false)))
+    assert(got("2024-01-06") == (10L, false))
+    assert(got("2024-01-08") == (30L, false)) // at threshold, not over
+    assert(got("2024-01-09") == (40L, true))
+    assert(got("2024-01-10") == (50L, true))
+  }
+
+  test("madOutliers flags by robust deviation; median unmoved by the outlier") {
+    val s = spark
+    import s.implicits._
+    // lens 100..108 (median 104, MAD 2) plus one 1000: dev 896 > 3*2
+    val df = ((0 to 8).map(i => (i.toLong, 100L + i)) :+ (9L, 1000L))
+      .toDF("doc_id", "len")
+    val got = CorpusStats.madOutliers(df, "doc_id", "len", k = 3L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // n=10 -> median = rank 5 element of (100..108,1000) = 104; devs of the
+    // in-range docs: 4,3,2,1,0,1,2,3,4 and 896 -> MAD = rank-5 dev = 2
+    assert(got(9L) == (896L, true))
+    assert(got(4L) == (0L, false))
+    assert(got(0L) == (4L, false))   // 4 <= 3*2
+    assert(got.count(_._2._2) == 1)
+  }
+
   // ---- positional search --------------------------------------------------
 
   test("phraseHits finds exact consecutive matches, incl. repeated-term phrases") {
