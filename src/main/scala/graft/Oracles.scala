@@ -2144,6 +2144,31 @@ object Oracles {
        |WHERE bc.n_pair >= $minCount
        |ORDER BY pmi_micro DESC, w1, w2 LIMIT $topK""".stripMargin
 
+  /** Mirror of CorpusStats.cooccurrence: the collocations PMI tail over a
+    * ±window skip-gram pair relation. */
+  def cooccurrenceSql(window: Int, minCount: Long, topK: Int): String =
+    s"""WITH d AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |i AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |      FROM d WHERE len(ws) >= 2),
+       |pp AS (SELECT ws, i, unnest(generate_series(1, least($window, len(ws) - i))) AS dd
+       |       FROM i),
+       |b AS (SELECT ws[i] AS w1, ws[i + dd] AS w2 FROM pp),
+       |uc AS (SELECT w, count(*) AS c1
+       |       FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1),
+       |n1 AS (SELECT sum(c1) AS n1 FROM uc),
+       |bc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2),
+       |n2 AS (SELECT sum(n_pair) AS n2 FROM bc)
+       |SELECT w1, w2, n_pair,
+       |  CAST(floor(-ln(CAST(x.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |  + CAST(floor(-ln(CAST(y.c1 AS DOUBLE) / CAST(n1.n1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |  - CAST(floor(-ln(CAST(bc.n_pair AS DOUBLE) / CAST(n2.n2 AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |  AS pmi_micro
+       |FROM bc, n1, n2
+       |JOIN uc x ON x.w = bc.w1
+       |JOIN uc y ON y.w = bc.w2
+       |WHERE bc.n_pair >= $minCount
+       |ORDER BY pmi_micro DESC, w1, w2 LIMIT $topK""".stripMargin
+
   /** First-occurrence chunk ledger (mirrors StreamChunkDedup.firstPerChunk on
     * a batch frame): the chunkDedupSql splitter, then each distinct chunk
     * hash at its minimum (doc_id, chunk_index) occurrence. */

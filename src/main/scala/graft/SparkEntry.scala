@@ -758,6 +758,10 @@ object SparkEntry {
     "collocations" -> ((s, dir) =>
       CorpusStats.collocations(rd(s, dir, "documents"), "text",
         minCount = 3L, topK = 100)),
+    // ±2-token skip-gram PMI: the word2vec counting window
+    "cooccurrence" -> ((s, dir) =>
+      CorpusStats.cooccurrence(rd(s, dir, "documents"), "text",
+        window = 2, minCount = 3L, topK = 100)),
     // Z-order (Morton) layout key: the data-layout lever — range-partition +
     // sort by zkey co-locates embedding-space neighbors for scan pruning
     "layout_zorder" -> ((s, dir) =>
@@ -1754,6 +1758,7 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5, lang, source
         |FROM documents""".stripMargin,
     "collocations" -> Oracles.collocationsSql(3L, 100),
+    "cooccurrence" -> Oracles.cooccurrenceSql(2, 3L, 100),
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),

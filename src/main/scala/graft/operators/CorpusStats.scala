@@ -727,6 +727,40 @@ object CorpusStats {
         .as("__p"))
       .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
+    pmiTopK(bi, uni, minCount, topK)
+  }
+
+  /**
+   * SKIP-GRAM co-occurrence PMI — [[collocations]] widened to a ±`window`
+   * token window (the word2vec/GloVe counting shape): every ordered pair
+   * `(ws[i], ws[i+d])` with `1 ≤ d ≤ window` counts, so associations that
+   * skip a token ("new __ york") surface too. Same exact micro-nat PMI
+   * quantization and (pmi desc, w1, w2) total order; the pair relation is
+   * `window×` larger — still one explode + one aggregation.
+   */
+  def cooccurrence(
+      docs: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val ws = docs.select(wordsCol(col(textCol)).as("__ws"))
+    val uni = ws.select(explode(col("__ws")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+    val bi = ws.filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(__ws) - 2),
+           | i -> transform(sequence(1, least($window, size(__ws) - 1 - i)),
+           |   d -> struct(__ws[i] AS w1, __ws[i + d] AS w2))))""".stripMargin))
+        .as("__p"))
+      .groupBy(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    pmiTopK(bi, uni, minCount, topK)
+  }
+
+  /** Shared micro-nat PMI ranking tail of [[collocations]]/[[cooccurrence]]. */
+  private def pmiTopK(
+      bi: DataFrame, uni: DataFrame, minCount: Long, topK: Int): DataFrame = {
     val n1 = uni.agg(sum(col("__c1")).as("__N1"))
     val n2 = bi.agg(sum(col("n_pair")).as("__N2"))
     def q(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =

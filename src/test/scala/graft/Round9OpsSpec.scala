@@ -647,6 +647,23 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- skip-gram co-occurrence --------------------------------------------
+
+  test("cooccurrence counts all pairs within the window, in order") {
+    val docs = docsDf(Seq((1L, "a b c d")))
+    val got = CorpusStats.cooccurrence(docs, "text", window = 2, minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs at distance 1: ab bc cd; distance 2: ac bd
+    assert(got.keySet == Set(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("b", "d")))
+    assert(got.values.forall(_ == 1L))
+    // window=1 must reduce exactly to the adjacent collocation pairs
+    val adj = CorpusStats.cooccurrence(docs, "text", window = 1, minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val coll = CorpusStats.collocations(docs, "text", minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(adj == coll)
+  }
+
   // ---- CUSUM + MAD outliers -----------------------------------------------
 
   test("cusumDaily accumulates a sustained shift the sigma rule would miss") {
