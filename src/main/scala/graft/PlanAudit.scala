@@ -45,7 +45,8 @@ object PlanAudit {
       "events_transitions", "events_anomaly", "stopword_ratio",
       "graph_clustering", "events_rfm", "events_bots", "quality_deciles",
       "events_top_paths", "orders_rolling7", "source_jsonl",
-      "text_phrase_hits", "search_and", "events_cusum", "len_outliers")
+      "text_phrase_hits", "search_and", "events_cusum", "len_outliers",
+      "cooccurrence", "corpus_health")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

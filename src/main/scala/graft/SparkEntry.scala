@@ -758,6 +758,15 @@ object SparkEntry {
     "collocations" -> ((s, dir) =>
       CorpusStats.collocations(rd(s, dir, "documents"), "text",
         minCount = 3L, topK = 100)),
+    // one-row corpus dashboard: the new-snapshot sanity read in ONE pass
+    // (plus the distinct-digest dup count) — every value integer-exact
+    "corpus_health" -> ((s, dir) =>
+      rd(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(wsTokenCount(col("text"))).as("total_tokens"),
+        (count(lit(1)) - count_distinct(md5(col("text")))).as("dup_docs"),
+        expr("sum(n_chars) * 1000000L div count(*)").as("mean_chars_micro"))),
     // ±2-token skip-gram PMI: the word2vec counting window
     "cooccurrence" -> ((s, dir) =>
       CorpusStats.cooccurrence(rd(s, dir, "documents"), "text",
@@ -1759,6 +1768,13 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "collocations" -> Oracles.collocationsSql(3L, 100),
     "cooccurrence" -> Oracles.cooccurrenceSql(2, 3L, 100),
+    "corpus_health" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+        |  CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_chars_micro
+        |FROM documents""".stripMargin,
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
