@@ -945,6 +945,40 @@ object SparkEntry {
     // self-join — never a partition-less RANGE window over the raw table
     "orders_rolling7" -> ((s, dir) =>
       Rolling.trailingDailySum(rd(s, dir, "orders"), "o_orderdate", "o_totalprice", 7)),
+    // the TPC-H Q1 shape: grouped pricing summary with every double product
+    // quantized per-row BEFORE the sums (reduction-order-proof money math)
+    "lineitem_pricing" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("count_order"),
+          sum(floor(col("l_quantity") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .as("sum_qty_micro"),
+          sum(floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_base_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0)
+            + lit(0.5)).cast("long")).as("sum_disc_cents"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")) * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_charge_cents"))
+        .withColumn("avg_qty_micro", expr("sum_qty_micro div count_order"))),
+    // DAU / trailing-7-day WAU / integer stickiness ratio, over the compact
+    // (day, user) distinct relation — never a rolling distinct on the raw log
+    "events_dau_wau" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val du = ev.select(to_date(graft.streaming.EventTime.tsCol(ev)).as("day"),
+        col("user_id")).distinct()
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = du.as("a").select(col("a.day").as("__d")).distinct()
+        .join(du.as("b"),
+          col("b.day") >= date_sub(col("__d"), 6) && col("b.day") <= col("__d"))
+        .groupBy(col("__d").as("day"))
+        .agg(count_distinct(col("b.user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("dau"), col("wau"),
+          expr("dau * 1000000L div wau").as("stickiness_micro"))
+    }),
     // CUSUM drift: sustained small shifts accumulate where the sigma rule
     // sees nothing; integer recurrence multiplied through by the day count
     "events_cusum" -> ((s, dir) =>
@@ -2089,6 +2123,28 @@ object SparkEntry {
         |)
         |SELECT seq, count(*) AS n_users FROM s
         |GROUP BY 1 ORDER BY n_users DESC, seq LIMIT 20""".stripMargin,
+    "lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
+        |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_micro,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS avg_qty_micro
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "events_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |wau AS (
+        |  SELECT a.day, count(DISTINCT b.user_id) AS wau
+        |  FROM (SELECT DISTINCT day FROM du) a
+        |  JOIN du b ON b.day BETWEEN a.day - 6 AND a.day
+        |  GROUP BY 1
+        |)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+        |  CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_micro
+        |FROM dau JOIN wau ON wau.day = dau.day""".stripMargin,
     "orders_rolling7" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
