@@ -1304,6 +1304,30 @@ object Oracles {
     * documents WHERE corpusPred, benchmark gram hashes from documents WHERE
     * benchPred; sp = maximal corpus runs whose gram hash occurs ANYWHERE in
     * the benchmark text. */
+  /** Mirror of Decontaminate.benchCoverage: distinct bench grams vs the
+    * distinct matched grams, integer micro coverage ratio. */
+  def benchCoverageSql(k: Int, corpusPred: String, benchPred: String): String =
+    s"""WITH bh AS (
+       |  SELECT DISTINCT ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents WHERE $benchPred)
+       |),
+       |cg AS (
+       |  SELECT ${gramHashSql("gp", k, 1)} AS h1,
+       |         ${gramHashSql("gp", k, 2)} AS h2
+       |  FROM (SELECT text,
+       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
+       |        FROM documents WHERE $corpusPred)
+       |),
+       |f AS (SELECT DISTINCT cg.h1, cg.h2 FROM cg
+       |      JOIN bh ON bh.h1 = cg.h1 AND bh.h2 = cg.h2)
+       |SELECT CAST((SELECT count(*) FROM bh) AS BIGINT) AS n_bench,
+       |  CAST((SELECT count(*) FROM f) AS BIGINT) AS n_found,
+       |  CAST((SELECT count(*) FROM f) * 1000000 // (SELECT count(*) FROM bh) AS BIGINT)
+       |    AS coverage_micro""".stripMargin
+
   def contamSpanCtes(k: Int, corpusPred: String, benchPred: String): String =
     s"""WITH g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,

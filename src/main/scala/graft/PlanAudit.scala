@@ -46,7 +46,8 @@ object PlanAudit {
       "graph_clustering", "events_rfm", "events_bots", "quality_deciles",
       "events_top_paths", "orders_rolling7", "source_jsonl",
       "text_phrase_hits", "search_and", "events_cusum", "len_outliers",
-      "cooccurrence", "corpus_health", "lineitem_pricing", "events_dau_wau")
+      "cooccurrence", "corpus_health", "lineitem_pricing", "events_dau_wau",
+      "bench_coverage")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -651,6 +651,12 @@ object SparkEntry {
       Decontaminate.contaminatedSpans(docs.filter(col("doc_id") >= 5), "doc_id", "text",
         docs.filter(col("doc_id") < 5), "text")
     }),
+    // release-gate number: fraction of bench k-grams present in the corpus
+    "bench_coverage" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Decontaminate.benchCoverage(docs.filter(col("doc_id") >= 5), "text",
+        docs.filter(col("doc_id") < 5), "text", 20)
+    }),
     "decontaminate_spans_clean" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       Decontaminate.removeContaminatedSpans(docs.filter(col("doc_id") >= 5), "doc_id", "text",
@@ -1652,6 +1658,7 @@ object SparkEntry {
       Oracles.spanCleanSql(Oracles.wordSpanCleanCtes(8), "SELECT doc_id, text FROM documents"),
     "decontaminate_spans" ->
       Oracles.spanListSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5")),
+    "bench_coverage" -> Oracles.benchCoverageSql(20, "doc_id >= 5", "doc_id < 5"),
     "decontaminate_spans_bloom" ->
       Oracles.spanListSql(Oracles.contamSpanCtes(20, "doc_id >= 5", "doc_id < 5")),
     "decontaminate_spans_clean" ->

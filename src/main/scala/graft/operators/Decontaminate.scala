@@ -106,6 +106,41 @@ object Decontaminate {
    * @return (idCol, span_start, span_end, n_grams) — 1-based inclusive
    *         code-point positions in the corpus document.
    */
+  /**
+   * BENCHMARK COVERAGE — the aggregate complement of span decontamination:
+   * what fraction of the benchmark's distinct k-grams appear ANYWHERE in the
+   * corpus (1.0-ish = the eval set is memorizable from training data; ~0 =
+   * clean). One number per run, suitable for a release gate.
+   *
+   * Direction matters at scale: the corpus' gram relation is only ever
+   * FILTERED by the broadcast bench-gram set — the distinct() runs on the
+   * matched (bench-bounded) grams, never on the corpus' full gram space.
+   * Same broadcast-size guard as [[contaminatedSpans]].
+   *
+   * @return one row: (n_bench, n_found, coverage_micro = found·10⁶ div bench)
+   */
+  def benchCoverage(
+      corpus: DataFrame, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 20,
+      maxBenchBytes: Long = graft.operators.SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    require(maxBenchBytes >= 0L,
+      s"maxBenchBytes must be >= 0 (0 disables the guard), got $maxBenchBytes")
+    if (maxBenchBytes > 0L) {
+      val est = bench.select(col(benchTextCol)).queryExecution.optimizedPlan.stats.sizeInBytes
+      require(est <= BigInt(maxBenchBytes),
+        s"benchmark side estimate $est bytes exceeds the $maxBenchBytes-byte broadcast guard")
+    }
+    val bh = bench.select(explode(Dedup.charGrams(col(benchTextCol), k)).as("__h"))
+      .distinct().localCheckpoint() // consumed twice: the count and the join
+    val nb = bh.agg(count(lit(1)).as("n_bench"))
+    val nf = corpus.select(explode(Dedup.charGrams(col(textCol), k)).as("__h"))
+      .join(broadcast(bh), "__h").distinct()
+      .agg(count(lit(1)).as("n_found"))
+    nb.crossJoin(nf)
+      .select(col("n_bench"), col("n_found"),
+        expr("n_found * 1000000L div n_bench").as("coverage_micro"))
+  }
+
   def contaminatedSpans(
       corpus: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 20,
