@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // UDF-to-native rewrite: plans written with the boxed Trigrams.tokensUdf
     // get the codegen'd TrigramTokensExpr automatically (null-exact).
     ext.injectOptimizerRule(_ => graft.plans.RewriteTrigramUdf())
+    // custom whole-operator path: SimKernelJoin logical node -> SimKernelExec
+    ext.injectPlannerStrategy(_ => graft.plans.SimKernelStrategy)
   }
 }

@@ -85,6 +85,16 @@ object SparkEntry {
           outLeft = "lid", outRight = "rid")
         .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
     }),
+    // the same kernel as a FIRST-CLASS PLANNER OPERATOR: SimKernelJoin
+    // logical node -> SimKernelStrategy -> SimKernelExec (shared core)
+    "simjoin_plan" -> ((s, dir) => {
+      val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
+      graft.plans.SimKernelPlan.keyedPairs(
+          part, "p_partkey", "p_name", part, "p_partkey", "p_name",
+          SimJoinOptions(topN = 3, normalization = "l2"),
+          outLeft = "lid", outRight = "rid")
+        .select(col("lid"), col("rid"), round(col("sim"), 6).as("sim"))
+    }),
     "pairs_raw" -> ((s, dir) => {
       val part = rd(s, dir, "part").filter(col("p_partkey") < 300)
       SimJoin.pairs(part, part,
@@ -1205,6 +1215,7 @@ object SparkEntry {
     "simjoin_direct" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
     "simjoin_indexed" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
     "simjoin_kernel" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
+    "simjoin_plan" -> Oracles.trigramPairs(part300Sel, part300Sel, 3, l2 = true),
     "pairs_raw" -> Oracles.trigramPairsFloat(
       "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",
       "SELECT row_number() OVER (ORDER BY p_partkey) - 1 AS id, p_name AS s FROM part WHERE p_partkey < 300",

@@ -647,6 +647,29 @@ class Round9OpsSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
   }
 
+  // ---- custom planner operator --------------------------------------------
+
+  test("SimKernelPlan plans through SimKernelExec and equals the kernel face") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "spark kernel"), (2L, "spark kennel"), (3L, "plan node"),
+      (4L, "spark kernels")).toDF("id", "name")
+    val opts = graft.operators.SimJoinOptions(topN = 2, normalization = "l2")
+    val viaPlan = graft.plans.SimKernelPlan.keyedPairs(
+      df, "id", "name", df, "id", "name", opts)
+    // the strategy must actually plan our node into the custom physical op
+    val execs = viaPlan.queryExecution.executedPlan.collect {
+      case e: graft.plans.SimKernelExec => e
+    }
+    assert(execs.nonEmpty,
+      s"plan was:\n${viaPlan.queryExecution.executedPlan.treeString.take(3000)}")
+    val got = viaPlan.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.operators.SimKernel.keyedPairs(
+      df, "id", "name", df, "id", "name", opts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   // ---- skip-gram co-occurrence --------------------------------------------
 
   test("cooccurrence counts all pairs within the window, in order") {
