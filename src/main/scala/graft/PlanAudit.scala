@@ -47,7 +47,7 @@ object PlanAudit {
       "events_top_paths", "orders_rolling7", "source_jsonl",
       "text_phrase_hits", "search_and", "events_cusum", "len_outliers",
       "cooccurrence", "corpus_health", "lineitem_pricing", "events_dau_wau",
-      "bench_coverage", "simjoin_plan")
+      "bench_coverage", "simjoin_plan", "orders_by_region", "sessions_duration")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

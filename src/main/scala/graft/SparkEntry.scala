@@ -961,6 +961,30 @@ object SparkEntry {
     // self-join — never a partition-less RANGE window over the raw table
     "orders_rolling7" -> ((s, dir) =>
       Rolling.trailingDailySum(rd(s, dir, "orders"), "o_orderdate", "o_totalprice", 7)),
+    // the star-join shape: fact shuffles once onto the customer key; the
+    // nation→region dim chain rides BROADCAST hash joins (plan-audited)
+    "orders_by_region" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("__cents"))
+        .join(rd(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(rd(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(rd(s, dir, "region").select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("__cents")).as("revenue_cents"))),
+    // session-duration mix: fixed integer-µs boundaries over the session
+    // relation (exact comparisons — no float log bucketing)
+    "sessions_duration" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessions(rd(s, dir, "events"), 1800000000L)
+        .withColumn("bucket",
+          when(col("end_us") - col("start_us") < 60000000L, "a_under_1m")
+            .when(col("end_us") - col("start_us") < 600000000L, "b_1m_10m")
+            .when(col("end_us") - col("start_us") < 1800000000L, "c_10m_30m")
+            .otherwise("d_over_30m"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_sessions"))),
     // the TPC-H Q1 shape: grouped pricing summary with every double product
     // quantized per-row BEFORE the sums (reduction-order-proof money math)
     "lineitem_pricing" -> ((s, dir) =>
@@ -2141,6 +2165,33 @@ object SparkEntry {
         |)
         |SELECT seq, count(*) AS n_users FROM s
         |GROUP BY 1 ORDER BY n_users DESC, seq LIMIT 20""".stripMargin,
+    "orders_by_region" ->
+      """SELECT r.r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders o
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |GROUP BY 1""".stripMargin,
+    "sessions_duration" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000 OR lag(us) OVER w IS NULL
+        |                 THEN 1 ELSE 0 END AS news
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |g AS (
+        |  SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session
+        |  FROM f
+        |),
+        |sess AS (SELECT user_id, session, max(us) - min(us) AS dur
+        |         FROM g GROUP BY 1, 2)
+        |SELECT CASE WHEN dur < 60000000 THEN 'a_under_1m'
+        |            WHEN dur < 600000000 THEN 'b_1m_10m'
+        |            WHEN dur < 1800000000 THEN 'c_10m_30m'
+        |            ELSE 'd_over_30m' END AS bucket,
+        |  count(*) AS n_sessions
+        |FROM sess GROUP BY 1""".stripMargin,
     "lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_micro,
