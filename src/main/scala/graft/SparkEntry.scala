@@ -760,6 +760,16 @@ object SparkEntry {
       graft.sources.JsonlTable.read(s, base, docs.schema)
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"), col("source"))
     }),
+    // compaction sink + manifest-pruned scan: write ceil(n/64) range-
+    // partitioned files + a min/max manifest, then answer a range query
+    // opening only intersecting files — result must equal scan+filter
+    "source_compacted" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_compact/ct_${math.abs(dir.hashCode)}"
+      graft.sources.CompactTable.writeCompacted(docs, base, "n_chars", targetRowsPerFile = 64L)
+      graft.sources.CompactTable.prunedRead(s, base, "n_chars", 200L, 500L)
+        .select(col("doc_id"), col("n_chars"), md5(col("text")).as("text_md5"))
+    }),
     // the WRITE path: HRW-sharded partitioned-parquet round trip (the gate
     // covers the sink layout itself — assignment is re-read from disk)
     "sink_sharded" -> ((s, dir) => {
@@ -1842,6 +1852,10 @@ object SparkEntry {
     "source_jsonl" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source
         |FROM documents""".stripMargin,
+    // pruning is an IO move only: the result must equal plain scan+filter
+    "source_compacted" ->
+      """SELECT doc_id, n_chars, md5(text) AS text_md5
+        |FROM documents WHERE n_chars BETWEEN 200 AND 500""".stripMargin,
     "collocations" -> Oracles.collocationsSql(3L, 100),
     "cooccurrence" -> Oracles.cooccurrenceSql(2, 3L, 100),
     "corpus_health" ->

@@ -995,6 +995,34 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- compaction sink + manifest skipping --------------------------------
+
+  test("CompactTable lays out sized files and the pruned read skips files") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 100L).map(i => (i, s"doc $i", i * 10L)).toDF("doc_id", "text", "len")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_compact_spec"
+    graft.sources.CompactTable.writeCompacted(df, base, "len", targetRowsPerFile = 25L)
+    // ceil(100/25) = 4 files, disjoint len ranges covering all 100 rows
+    val man = graft.sources.CompactTable.manifest(s, base).collect()
+    assert(man.length == 4, man.mkString(","))
+    assert(man.map(_.getAs[Long]("rows")).sum == 100L)
+    val ranges = man.map(r => (r.getAs[Long]("min_v"), r.getAs[Long]("max_v"))).sorted
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) => assert(hi < lo) }
+    // pruned read = full filter, bit-identical
+    val got = graft.sources.CompactTable.prunedRead(s, base, "len", 200L, 400L)
+      .select("doc_id", "len").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = df.filter(col("len") >= 200L && col("len") <= 400L)
+      .select("doc_id", "len").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+    // and it actually skipped files: a narrow range opens a strict subset
+    val opened = graft.sources.CompactTable.prunedRead(s, base, "len", 200L, 240L)
+      .select(input_file_name()).distinct().count()
+    assert(opened < 4, s"expected pruning, opened $opened of 4 files")
+    // empty range yields zero rows without error
+    assert(graft.sources.CompactTable.prunedRead(s, base, "len", 5000L, 6000L).count() == 0L)
+  }
+
   // ---- greedy packing -----------------------------------------------------
 
   test("packGreedy matches a sequential fold model; resets per group") {
