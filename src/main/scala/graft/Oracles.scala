@@ -2295,4 +2295,23 @@ object Oracles {
        |    // count(*) AS BIGINT) AS stop_micro
        |FROM dw LEFT JOIN stop s ON dw.word = s.word
        |GROUP BY doc_id""".stripMargin
+
+  /** Mirror of CorpusStats.linearTextScore with the gate's deterministic
+    * HRW-mix weight table (non-negative, so `div` and `//` agree). */
+  def linearTextScoreSql(dim: Int): String =
+    s"""WITH w AS (
+       |  SELECT CAST(s AS BIGINT) AS bucket,
+       |    CAST((s % 1000003) * 8191 % 1000003 * 2654435761 % 1000003 AS BIGINT) AS w_micro
+       |  FROM (SELECT unnest(generate_series(0, ${dim - 1})) AS s)
+       |),
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |       FROM documents),
+       |db AS (SELECT doc_id,
+       |         ((${tHashSql("word")} % $dim) + $dim) % $dim AS bucket
+       |       FROM dw)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(coalesce(w.w_micro, 0)) AS BIGINT) AS w_sum,
+       |  CAST(sum(coalesce(w.w_micro, 0)) // count(*) AS BIGINT) AS score_micro
+       |FROM db LEFT JOIN w USING (bucket)
+       |GROUP BY doc_id""".stripMargin
 }

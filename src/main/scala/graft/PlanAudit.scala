@@ -42,7 +42,7 @@ object PlanAudit {
       "graph_ppr", "events_user_seq",
       "events_funnel", "events_retention", "pack_greedy", "sink_sharded",
       "text_xent_ref", "text_char_entropy", "graph_triangles", "graph_hits",
-      "events_transitions", "events_anomaly", "stopword_ratio",
+      "events_transitions", "events_anomaly", "stopword_ratio", "quality_classifier",
       "graph_clustering", "events_rfm", "events_bots", "quality_deciles",
       "events_top_paths", "orders_rolling7", "source_jsonl", "source_compacted",
       "text_phrase_hits", "search_and", "events_cusum", "len_outliers",

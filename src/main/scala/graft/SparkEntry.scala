@@ -808,6 +808,14 @@ object SparkEntry {
     "tokens_cms_topk" -> ((s, dir) =>
       CorpusStats.cmsTopTokens(rd(s, dir, "documents"), "text",
         width = 1024, depth = 4, topK = 50)),
+    // hashed linear classifier inference (fastText shape): deterministic
+    // HRW-mix weights stand in for a learned export; the hashing + broadcast
+    // + integer scoring plumbing is the operator under test
+    "quality_classifier" -> ((s, dir) => {
+      val w = s.range(256).select(col("id").as("bucket"),
+        expr("(id % 1000003) * 8191 % 1000003 * 2654435761L % 1000003").as("w_micro"))
+      CorpusStats.linearTextScore(rd(s, dir, "documents"), "doc_id", "text", w, 256)
+    }),
     // ntile without ntile's one-task window: DenseRank-based decile buckets
     "quality_deciles" -> ((s, dir) =>
       CorpusStats.quantileBuckets(
@@ -1868,6 +1876,7 @@ object SparkEntry {
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
+    "quality_classifier" -> Oracles.linearTextScoreSql(256),
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents

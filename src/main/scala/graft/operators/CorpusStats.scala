@@ -956,4 +956,50 @@ object CorpusStats {
       .select(col("__id").as(idCol), col("n_tokens"), col("n_stop"),
         expr("n_stop * 1000000L div n_tokens").as("stop_micro"))
   }
+
+  /**
+   * HASHED LINEAR TEXT-MODEL INFERENCE — the fastText-classifier /
+   * hashing-trick scoring shape, as one operator: each word maps to a
+   * bucket in `[0, dim)` via the library's deterministic [[TextFunctions.tHash]],
+   * the model is ONE `(bucket, w_micro)` weight table, and a document's
+   * score is the exact integer mean `Σ w_micro[bucket(word)] div n_tokens`
+   * (micro-units).
+   *
+   * This is the INFERENCE half of a learned quality / toxicity / topic
+   * classifier: train anywhere (fastText, sklearn, a GPU job), export one
+   * hashed-bucket weight row per feature, then score 100 TB of text with a
+   * broadcast join (the weight table is ≤ `dim` rows by construction —
+   * never corpus-sized) plus one doc-key aggregation. The corpus text is
+   * read once; only `(doc, bucket)` pairs exist pre-aggregation, and the
+   * single exchange is on the doc key. OOV is impossible by construction
+   * (hashing covers every word); buckets absent from a sparse weight table
+   * contribute 0. Documents with zero extractable words are absent from the
+   * output (the corpus-wide explode convention).
+   *
+   * Integer contract: `n_tokens`, the weight sum, and the truncating-div
+   * mean are all BIGINT-exact, so scores are reduction-order-proof and
+   * hash-comparable across engines; keep weights non-negative if the
+   * `div`-vs-floor distinction on negatives matters to a mirror.
+   *
+   * @param weights (bucket: BIGINT in [0, dim), w_micro: BIGINT) — rows with
+   *                out-of-range buckets simply never match
+   * @return (idCol, n_tokens, w_sum, score_micro)
+   */
+  def linearTextScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(weights.columns.contains("bucket") && weights.columns.contains("w_micro"),
+      s"weights needs (bucket, w_micro), got ${weights.columns.mkString(",")}")
+    docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("__w"))
+      .select(col("__id"),
+        pmod(TextFunctions.tHashUdf(col("__w")), lit(dim.toLong)).as("bucket"))
+      .join(broadcast(weights.select(col("bucket").cast("long").as("bucket"),
+        col("w_micro").cast("long").as("w_micro"))), Seq("bucket"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_micro"), lit(0L))).as("w_sum"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("w_sum"),
+        expr("w_sum div n_tokens").as("score_micro"))
+  }
 }

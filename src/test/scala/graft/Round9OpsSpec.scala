@@ -995,6 +995,40 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- hashed linear classifier -------------------------------------------
+
+  test("linearTextScore matches a brute-force hashed-model evaluation") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val docs = docsDf(Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "GAMMA, delta!"),   // lowercased word runs: gamma, delta
+      (3L, ""),                // no words -> absent from output
+      (4L, "alpha")))
+    // sparse weight table: only some buckets carry weight (missing -> 0),
+    // including a negative weight to exercise the generic path
+    val bucketOf = (w: String) =>
+      ((graft.functions.TextFunctions.tHash(w) % dim) + dim) % dim
+    val weights = Seq(
+      (bucketOf("alpha"), 500000L),
+      (bucketOf("gamma"), -250000L)).toDF("bucket", "w_micro")
+    val out = CorpusStats.linearTextScore(docs, "doc_id", "text", weights, dim)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // model: per-word weight lookup, integer-truncated mean
+    def model(ws: Seq[String]) = {
+      val wm = Map(bucketOf("alpha") -> 500000L, bucketOf("gamma") -> -250000L)
+      val sum = ws.map(w => wm.getOrElse(bucketOf(w), 0L)).sum
+      (ws.size.toLong, sum, sum / ws.size)
+    }
+    assert(out(1L) == model(Seq("alpha", "beta", "alpha")))
+    assert(out(2L) == model(Seq("gamma", "delta")))
+    assert(out(4L) == model(Seq("alpha")))
+    assert(!out.contains(3L))
+    // sanity: alpha-heavy doc outscores the negative-weight doc
+    assert(out(1L)._3 > out(2L)._3)
+  }
+
   // ---- compaction sink + manifest skipping --------------------------------
 
   test("CompactTable lays out sized files and the pruned read skips files") {
