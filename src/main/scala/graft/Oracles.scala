@@ -1133,6 +1133,77 @@ object Oracles {
   }
 
   /**
+   * Exact mirror of Dedup.groupExemplars on the embeddings table with
+   * `label` as the group: integer-quantized per-dim mean centroid per label,
+   * relevance = cosine(vector, centroid), then the k greedy MMR steps
+   * unrolled as CTEs (the clusterExemplarsSql shape with label groups).
+   */
+  def groupExemplarsSql(k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    def norm(e: String) =
+      s"list_sum(list_transform(generate_series(1, len($e)), i -> CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE)))"
+    val steps = (2 to k).map { i =>
+      val prev = s"(${(1 until i).map(j => s"SELECT g, vec_id FROM gsel$j").mkString(" UNION ALL ")})"
+      s"""gm$i AS (
+         |  SELECT c.g, c.vec_id,
+         |         $lam * c.cos - $oneMinus * max(p.sim) AS score
+         |  FROM grel c
+         |  JOIN $prev s ON s.g = c.g
+         |  JOIN gps p ON p.g = c.g AND p.na = c.vec_id AND p.nb = s.vec_id
+         |  LEFT JOIN $prev x ON x.g = c.g AND x.vec_id = c.vec_id
+         |  WHERE x.vec_id IS NULL
+         |  GROUP BY c.g, c.vec_id, c.cos
+         |),
+         |gsel$i AS (
+         |  SELECT g, vec_id, score, $i AS rank FROM (
+         |    SELECT g, vec_id, score,
+         |           row_number() OVER (PARTITION BY g ORDER BY score DESC, vec_id ASC) AS rn
+         |    FROM gm$i) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i => s"SELECT * FROM gsel$i").mkString(" UNION ALL ")
+    s"""WITH gv AS (
+       |  SELECT vec_id, label AS g, embedding AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND label IS NOT NULL
+       |),
+       |gcd AS (
+       |  SELECT g, dim,
+       |    SUM(CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+       |    COUNT(*) AS n
+       |  FROM (SELECT g, unnest(e) AS x,
+       |               unnest(generate_series(1, len(e))) AS dim FROM gv)
+       |  GROUP BY g, dim
+       |),
+       |gcent AS (
+       |  SELECT g, list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) ORDER BY dim) AS c
+       |  FROM gcd GROUP BY g
+       |),
+       |grel AS (
+       |  SELECT x.vec_id, x.g, ${listCos("x.e", "c.c")} AS cos
+       |  FROM gv x JOIN gcent c USING (g)
+       |  WHERE len(x.e) = len(c.c) AND ${norm("x.e")} > 0 AND ${norm("c.c")} > 0
+       |),
+       |gps AS (
+       |  SELECT a.g, a.vec_id AS na, b.vec_id AS nb, ${listCos("xa.e", "xb.e")} AS sim
+       |  FROM grel a
+       |  JOIN grel b ON a.g = b.g AND a.vec_id <> b.vec_id
+       |  JOIN gv xa ON a.vec_id = xa.vec_id
+       |  JOIN gv xb ON b.vec_id = xb.vec_id
+       |),
+       |gsel1 AS (
+       |  SELECT g, vec_id, cos AS score, 1 AS rank FROM (
+       |    SELECT g, vec_id, cos,
+       |           row_number() OVER (PARTITION BY g ORDER BY cos DESC, vec_id ASC) AS rn
+       |    FROM grel) WHERE rn = 1
+       |),
+       |$steps
+       |SELECT g AS label, vec_id, round(score, 4) + 0.0 AS score,
+       |       CAST(rank AS BIGINT) AS rank
+       |FROM ($union)""".stripMargin
+  }
+
+  /**
    * Exact mirror of Dedup.embeddingPairsLsh: per (vector, table t) sign-LSH
    * bucket from plane family index `t·nPlanes + j`, same-bucket same-table
    * pairs deduped across tables, cosine ≥ threshold.

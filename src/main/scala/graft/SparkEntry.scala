@@ -407,6 +407,11 @@ object SparkEntry {
     "cluster_exemplars" -> ((s, dir) =>
       Dedup.clusterExemplars(rd(s, dir, "embeddings"), "vec_id", "embedding",
         3, lambda = 0.5, nList = 16, nIters = 1)),
+    // Grouped MMR over a PRECOMPUTED partition: per-label exemplars scored
+    // against the label's own mean centroid — "show me each source"
+    "label_exemplars" -> ((s, dir) =>
+      Dedup.groupExemplars(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", k = 4, lambda = 0.5)),
     // In-engine ANN quality audit: per-query recall@5 of LSH vs brute force
     "ann_recall_report" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1507,6 +1512,7 @@ object SparkEntry {
     "ann_mmr" -> Oracles.annMmrSql(5, 20, 0.5, "vec_id < 50"),
     "ann_recall_report" -> Oracles.annRecallSql(5, 8, 2, "vec_id < 50"),
     "cluster_exemplars" -> Oracles.clusterExemplarsSql(3, 0.5, 16, 1),
+    "label_exemplars" -> Oracles.groupExemplarsSql(4, 0.5),
     "hybrid_rrf" -> Oracles.hybridRrfSql(10, 60, "doc_id < 5", "vec_id < 5"),
     "ann_mrl_rerank" -> Oracles.annMrlRerankSql(5, 20, 16, "vec_id < 50"),
     "ann_ivfpq" -> Oracles.annIvfPqSql(5, 16, 4, 1, 8, 16, "vec_id < 50"),

@@ -1555,6 +1555,75 @@ object Dedup {
         round(col("__s._2"), 4).as("score"), col("__s._3").cast("long").as("rank"))
   }
 
+  /**
+   * Per-GROUP diverse exemplar selection — [[clusterExemplars]] generalized
+   * to a precomputed partition of the corpus (source, language, topic label,
+   * shard): within each `groupCol` value, relevance is the cosine to the
+   * group's own mean centroid (the integer-quantized per-dim mean — exact
+   * Long sums, so the centroid is bit-identical across engines), and the k
+   * exemplars are picked by the shared greedy MMR kernel
+   * ([[SimSearch.mmrSelect]]): prototypical-but-diverse representatives per
+   * group — the "show me what each source contains" / per-domain coreset
+   * read.
+   *
+   * Scale shape: one posexplode aggregation builds the ≤ |groups|·dim
+   * centroid relation (broadcast-joined back — never corpus-sized), one
+   * exchange groups each group's (id, rel, vec) candidates, and the
+   * O(k·|group|) greedy kernel runs per group, parallel across groups. A
+   * pathologically large single group bounds its own kernel only — shard
+   * the corpus by exactly this column at 100 TB. Null-group / null-vector
+   * rows are dropped; zero-norm vectors and vectors whose length differs
+   * from the group centroid cannot be scored and are absent (the
+   * [[SimSearch.vecWithNorm]] convention).
+   *
+   * Determinism/oracle contract: relevance and candidate-candidate cosines
+   * are d-ascending Double folds (codegen'd `zip_with`/`aggregate` HOFs),
+   * mirrored by the oracle's `list_sum(list_transform(...))`; greedy steps
+   * unrolled as CTEs in `Oracles.groupExemplarsSql`.
+   *
+   * @return (groupCol, idCol, score rounded to 4, rank 1..k)
+   */
+  def groupExemplars(
+      df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+      k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    SimSearch.requireIntegralId(df, idCol, "input")
+    import org.apache.spark.sql.Row
+    val slim = df.select(col(groupCol).as("__g"), col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+    val cent = slim
+      .select(col("__g"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy(col("__g"), col("__d"))
+      .agg(sum(floor(col("__x").cast("double") * lit(1000000.0) + lit(0.5)).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__g"), col("__d"),
+        (col("__s").cast("double") / (col("__n").cast("double") * lit(1000000.0))).as("__c"))
+      .groupBy(col("__g"))
+      .agg(expr("transform(sort_array(collect_list(struct(__d, __c))), s -> s.__c)").as("__cent"))
+    val rel = slim.join(broadcast(cent), Seq("__g"))
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__v, __cent, (a, c) -> CAST(a AS DOUBLE) * c), 0D, (acc, x) -> acc + x)"))
+      .withColumn("__nv", expr(
+        "aggregate(__v, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("__nc", expr("aggregate(__cent, 0D, (acc, x) -> acc + x * x)"))
+      .where(col("__nv") > 0.0 && col("__nc") > 0.0 &&
+        size(col("__v")) === size(col("__cent")))
+      .select(col("__g"), col("__id"),
+        (col("__dot") / (sqrt(col("__nv")) * sqrt(col("__nc")))).as("__rel"), col("__v"))
+    val sel = udf { (cands: Seq[Row]) =>
+      SimSearch.mmrSelect(cands.map { r =>
+        (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray)
+      }.toArray, k, lambda)
+    }
+    rel.groupBy(col("__g"))
+      .agg(collect_list(struct(col("__id"), col("__rel"), col("__v"))).as("__cands"))
+      .select(col("__g").as(groupCol), explode(sel(col("__cands"))).as("__s"))
+      .select(col(groupCol), col("__s._1").as(idCol),
+        round(col("__s._2"), 4).as("score"), col("__s._3").cast("long").as("rank"))
+  }
+
   def mutualKnnClusters(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 2): DataFrame = {

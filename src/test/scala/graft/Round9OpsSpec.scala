@@ -995,6 +995,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- grouped MMR exemplars ----------------------------------------------
+
+  test("groupExemplars picks the prototypical row first, then diversity") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // group "a": two duplicate (1,0) vectors + one orthogonal (0,1)
+      (1L, "a", Array(1f, 0f)),
+      (2L, "a", Array(1f, 0f)),
+      (3L, "a", Array(0f, 1f)),
+      // group "b": singleton; group null and zero-norm rows must vanish
+      (10L, "b", Array(3f, 4f)),
+      (11L, null.asInstanceOf[String], Array(1f, 1f)),
+      (12L, "a", Array(0f, 0f)))
+    val df = rows.toDF("vec_id", "source", "embedding")
+    val out = Dedup.groupExemplars(df, "vec_id", "embedding", "source", k = 2, lambda = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    // a: centroid leans to (1,0) -> rank1 = id 1 (tie to smaller id over the
+    // duplicate id 2); rank2 = the ORTHOGONAL id 3, not the duplicate
+    // b: single eligible member at rank 1; null-group + zero-norm dropped
+    assert(out == Set(("a", 1L, 1L), ("a", 3L, 2L), ("b", 10L, 1L)), out)
+  }
+
   // ---- hashed linear classifier -------------------------------------------
 
   test("linearTextScore matches a brute-force hashed-model evaluation") {
