@@ -2367,6 +2367,34 @@ object Oracles {
        |FROM dw LEFT JOIN stop s ON dw.word = s.word
        |GROUP BY doc_id""".stripMargin
 
+  /** Mirror of CorpusStats.psiDrift over documents.n_chars with the gate's
+    * even/odd doc_id split (base = even ids, current = odd ids). */
+  def psiDriftSql(lo: Double, hi: Double, nBins: Int): String = {
+    val w = (hi - lo) / nBins
+    def binned(pred: String) =
+      s"""SELECT least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - $lo) / $w) AS BIGINT), 0),
+         |    ${nBins - 1}) AS bin, count(*) AS n
+         |  FROM documents WHERE $pred AND n_chars IS NOT NULL GROUP BY 1""".stripMargin
+    s"""WITH bb AS (${binned("doc_id % 2 = 0")}),
+       |cc AS (${binned("doc_id % 2 = 1")}),
+       |tb AS (SELECT coalesce(sum(n), 0) AS t FROM bb),
+       |tc AS (SELECT coalesce(sum(n), 0) AS t FROM cc),
+       |sp AS (SELECT CAST(unnest(generate_series(0, ${nBins - 1})) AS BIGINT) AS bin),
+       |j AS (
+       |  SELECT sp.bin, CAST(coalesce(bb.n, 0) AS BIGINT) AS n_base,
+       |         CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur,
+       |         CAST((coalesce(bb.n, 0) + 1) * 1000000 // (tb.t + $nBins) AS BIGINT) AS base_micro,
+       |         CAST((coalesce(cc.n, 0) + 1) * 1000000 // (tc.t + $nBins) AS BIGINT) AS cur_micro
+       |  FROM sp LEFT JOIN bb USING (bin) LEFT JOIN cc USING (bin)
+       |  CROSS JOIN tb CROSS JOIN tc
+       |)
+       |SELECT bin, n_base, n_cur, base_micro, cur_micro,
+       |  CAST((cur_micro - base_micro)
+       |    * CAST(floor((ln(CAST(cur_micro AS DOUBLE)) - ln(CAST(base_micro AS DOUBLE))) * 1000000.0) AS BIGINT)
+       |    // 1000000 AS BIGINT) AS psi_micro
+       |FROM j""".stripMargin
+  }
+
   /** Mirror of CorpusStats.linearTextScore with the gate's deterministic
     * HRW-mix weight table (non-negative, so `div` and `//` agree). */
   def linearTextScoreSql(dim: Int): String =

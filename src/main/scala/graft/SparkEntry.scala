@@ -149,6 +149,13 @@ object SparkEntry {
     }),
     // ---- LLM-pipeline: deduplication --------------------------------------
     "dedup_exact" -> ((s, dir) => Dedup.exact(rd(s, dir, "documents"), "doc_id", "text")),
+    // keep-best canonical rule: the duplicate group's highest-quality copy
+    // survives instead of the smallest id
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestBy(
+        rd(s, dir, "documents").select(col("doc_id"), col("text"),
+          qualityScoreCol(col("text")).as("quality")),
+        "doc_id", "text", "quality")),
     // Crawl-to-crawl snapshot diff: added/removed/changed/unchanged by digest
     "corpus_diff" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -813,6 +820,14 @@ object SparkEntry {
     "tokens_cms_topk" -> ((s, dir) =>
       CorpusStats.cmsTopTokens(rd(s, dir, "documents"), "text",
         width = 1024, depth = 4, topK = 50)),
+    // PSI drift: the snapshot-vs-snapshot distribution-shift monitor in
+    // integer micro-units (even/odd id split stands in for two crawls)
+    "drift_psi" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      CorpusStats.psiDrift(
+        d.where(expr("doc_id % 2 = 0")), d.where(expr("doc_id % 2 = 1")),
+        "n_chars", 0.0, 600.0, 12)
+    }),
     // hashed linear classifier inference (fastText shape): deterministic
     // HRW-mix weights stand in for a learned export; the hashing + broadcast
     // + integer scoring plumbing is the operator under test
@@ -1312,6 +1327,17 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
         |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1)
         |SELECT h.doc_id, h.content_hash, c.canonical_id FROM h JOIN c USING (content_hash)""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH ${Oracles.qualityScoredCtes},
+         |h AS (SELECT s.doc_id, md5(dd.text) AS content_hash, s.quality
+         |      FROM scored s JOIN d dd USING (doc_id) WHERE dd.text IS NOT NULL),
+         |r AS (SELECT doc_id, content_hash, quality,
+         |        row_number() OVER (PARTITION BY content_hash
+         |          ORDER BY quality DESC NULLS LAST, doc_id ASC) AS rn
+         |      FROM h)
+         |SELECT doc_id, content_hash, quality,
+         |       CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r""".stripMargin,
     "corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_hash, 1 AS op FROM documents WHERE doc_id % 5 <> 0),
         |n AS (SELECT doc_id,
@@ -1883,6 +1909,7 @@ object SparkEntry {
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
     "quality_classifier" -> Oracles.linearTextScoreSql(256),
+    "drift_psi" -> Oracles.psiDriftSql(0.0, 600.0, 12),
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents

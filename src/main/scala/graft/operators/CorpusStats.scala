@@ -958,6 +958,58 @@ object CorpusStats {
   }
 
   /**
+   * POPULATION STABILITY INDEX drift monitor — THE snapshot-to-snapshot
+   * distribution-shift number a crawl pipeline watches per field: bin both
+   * corpora with [[exactHistogram]]'s clamped-edge rule, add-one-smooth the
+   * bin masses (so empty bins cannot divide by zero), and report the
+   * per-bin PSI contribution `(q − p)·ln(q/p)` plus the masses themselves.
+   * Sum psi_micro over bins for the headline PSI (<0.1 stable / 0.1–0.25
+   * drifting / >0.25 shifted, the conventional bands, in micro-units).
+   *
+   * Integer contract (reduction-order-proof, oracle-mirrored): smoothed
+   * masses are BIGINT micro-units `(c+1)·10⁶ div (n+nBins)`; the log ratio
+   * is quantized micro-nats `floor((ln q − ln p)·10⁶)` of those exact
+   * integers (the [[unigramLogLoss]] idiom); the contribution
+   * `(q − p)·dln div 10⁶` is a product of same-sign factors, so it is
+   * non-negative and `div`-vs-floor-proof. Scale shape: each corpus is one
+   * scan + one bin aggregation (≤ nBins rows); totals ride 1-row broadcast
+   * cross joins; output is exactly nBins rows.
+   *
+   * @return (bin, n_base, n_cur, base_micro, cur_micro, psi_micro)
+   */
+  def psiDrift(
+      base: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    def binned(df: DataFrame, out: String) =
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
+        .select(least(greatest(floor((col("__v") - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+          lit(nBins.toLong - 1L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val spark = base.sparkSession
+    val b = binned(base, "__nb")
+    val c = binned(cur, "__nc")
+    val tb = b.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
+    val tc = c.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
+    spark.range(nBins).select(col("id").as("bin"))
+      .join(b, Seq("bin"), "left")
+      .join(c, Seq("bin"), "left")
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tc))
+      .select(col("bin"), coalesce(col("__nb"), lit(0L)).as("n_base"),
+        coalesce(col("__nc"), lit(0L)).as("n_cur"), col("__tb"), col("__tc"))
+      .withColumn("base_micro", expr(s"(n_base + 1) * 1000000L div (__tb + $nBins)"))
+      .withColumn("cur_micro", expr(s"(n_cur + 1) * 1000000L div (__tc + $nBins)"))
+      .withColumn("__dln", floor((log(col("cur_micro").cast("double")) -
+        log(col("base_micro").cast("double"))) * lit(1000000.0)).cast("long"))
+      .withColumn("psi_micro", expr("(cur_micro - base_micro) * __dln div 1000000L"))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        col("base_micro"), col("cur_micro"), col("psi_micro"))
+  }
+
+  /**
    * HASHED LINEAR TEXT-MODEL INFERENCE — the fastText-classifier /
    * hashing-trick scoring shape, as one operator: each word maps to a
    * bucket in `[0, dim)` via the library's deterministic [[TextFunctions.tHash]],

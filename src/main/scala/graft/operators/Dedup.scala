@@ -111,6 +111,35 @@ object Dedup {
   }
 
   /**
+   * Keep-BEST exact dedup — [[exact]]'s min-id canonical rule replaced by a
+   * caller-supplied preference: within each md5 group, the copy with the
+   * highest `scoreCol` (ties to the smaller id, nulls last) is kept. The
+   * rule production dedup actually wants when duplicates differ in
+   * provenance — keep the copy from the cleaner source / later crawl /
+   * higher quality score, not just the smallest id.
+   *
+   * Plan shape: text is digested once and never reshuffled — the single
+   * exchange carries (id, 32-hex digest, score) only; the verdict is one
+   * rank-1 window over the digest partition (WindowGroupLimit-eligible
+   * physical form). Null-text rows are dropped (the engine-wide null-key
+   * convention).
+   *
+   * @return one verdict row per input doc: (idCol, content_hash, scoreCol,
+   *         kept 1/0)
+   */
+  def keepBestBy(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol), md5(col(textCol)).as("content_hash"), col(scoreCol))
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("content_hash"), col(scoreCol),
+        when(col("__rn") === 1, 1L).otherwise(0L).as("kept"))
+  }
+
+  /**
    * Soft dedup — down-WEIGHT duplicates instead of dropping them (the
    * SoftDeDup framing: exact duplicates share one unit of total sampling
    * mass, so a doc duplicated n times trains with weight 1/n instead of

@@ -995,6 +995,51 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- keep-best dedup ----------------------------------------------------
+
+  test("keepBestBy keeps the highest-scored duplicate, ties to smaller id") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "same text", 0.3),
+      (2L, "same text", 0.9),  // highest score in the group -> kept
+      (3L, "same text", 0.9),  // tie with 2 -> larger id loses
+      (4L, "unique", 0.1),     // singleton -> kept
+      (5L, null.asInstanceOf[String], 0.5)) // null text dropped
+      .toDF("doc_id", "text", "quality")
+    val out = Dedup.keepBestBy(df, "doc_id", "text", "quality")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L), out)
+  }
+
+  // ---- PSI drift ----------------------------------------------------------
+
+  test("psiDrift is zero for identical corpora and flags a shifted one") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(10L, 10L, 20L, 30L, 30L, 30L).toDF("v")
+    // identical distribution -> every smoothed mass matches -> psi 0
+    val same = CorpusStats.psiDrift(base, base, "v", 0.0, 40.0, 4).collect()
+    assert(same.length == 4)
+    assert(same.forall(_.getAs[Long]("psi_micro") == 0L))
+    assert(same.map(_.getAs[Long]("n_base")).sum == 6L)
+    // mass moved entirely to the top bin -> positive psi in moved-from/to bins
+    val shifted = Seq(39L, 39L, 39L, 39L, 39L, 39L).toDF("v")
+    val drift = CorpusStats.psiDrift(base, shifted, "v", 0.0, 40.0, 4)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("psi_micro")).toMap
+    assert(drift.values.forall(_ >= 0L))
+    assert(drift(3L) > 0L && drift(1L) > 0L, drift)
+    // model-check one cell exactly: bin 3 has base c=3/t=6, cur c=6/t=6
+    val bm = (3L + 1L) * 1000000L / (6L + 4L)
+    val cm = (6L + 1L) * 1000000L / (6L + 4L)
+    val dln = math.floor((math.log(cm.toDouble) - math.log(bm.toDouble)) * 1e6).toLong
+    assert(drift(3L) == (cm - bm) * dln / 1000000L)
+    // clamp rule: out-of-range values land in edge bins, not dropped
+    val clamped = CorpusStats.psiDrift(Seq(-5L).toDF("v"), Seq(99L).toDF("v"), "v", 0.0, 40.0, 4)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_base"), r.getAs[Long]("n_cur")))
+    assert(clamped.contains((0L, 1L, 0L)) && clamped.contains((3L, 0L, 1L)))
+  }
+
   // ---- grouped MMR exemplars ----------------------------------------------
 
   test("groupExemplars picks the prototypical row first, then diversity") {
