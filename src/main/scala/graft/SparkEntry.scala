@@ -594,6 +594,11 @@ object SparkEntry {
     "sample_split" -> ((s, dir) =>
       Sampling.withSplit(rd(s, dir, "documents"), "doc_id", 80, 10)
         .select(col("doc_id"), col("bucket"), col("split"))),
+    // leakage-safe split: every exact duplicate co-assigns (split key = the
+    // duplicate group's canonical id, not the row id)
+    "sample_split_grouped" -> ((s, dir) =>
+      Sampling.splitByDuplicateGroup(rd(s, dir, "documents"), "doc_id", "text", 80, 10)
+        .select(col("doc_id"), col("canonical_id"), col("bucket"), col("split"))),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowPairs(rd(s, dir, "documents"), "doc_id", "text", minShared = 5L,
         maxDocFrequency = 100L)),
@@ -902,6 +907,13 @@ object SparkEntry {
       rd(s, dir, "documents").select(col("doc_id"),
         redactPiiCol(col("text")).as("redacted"))
     }),
+    // canonicalize-before-hash: control chars -> space, whitespace collapse,
+    // trim — formatting-only variants dedup identically afterwards
+    "text_normalize" -> ((s, dir) =>
+      rd(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("n_before"),
+        length(normalizeTextCol(col("text"))).cast("long").as("n_after"),
+        md5(normalizeTextCol(col("text"))).as("norm_md5"))),
     "text_repetition" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         repetitionRatioCol(col("text")).as("rep_ratio"))
@@ -1617,6 +1629,27 @@ object SparkEntry {
          |       WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM b""".stripMargin,
+    "sample_split_grouped" ->
+      s"""WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+         |c AS (SELECT content_hash, min(doc_id) AS canonical_id FROM h GROUP BY 1),
+         |j AS (SELECT h.doc_id, c.canonical_id FROM h JOIN c USING (content_hash)),
+         |b AS (
+         |  SELECT doc_id, canonical_id,
+         |    ((${Oracles.tHashSql("CAST(canonical_id AS VARCHAR)")} % 100) + 100) % 100 AS bucket
+         |  FROM j
+         |)
+         |SELECT doc_id, canonical_id, bucket,
+         |       CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM b""".stripMargin,
+    "text_normalize" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before,
+         |  CAST(length(trim(regexp_replace(regexp_replace(text,
+         |    '${TextFunctions.ControlPattern}', ' ', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS n_after,
+         |  md5(trim(regexp_replace(regexp_replace(text,
+         |    '${TextFunctions.ControlPattern}', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_md5
+         |FROM documents""".stripMargin,
     "dedup_winnow" ->
       s"""WITH pos AS (
          |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS gp

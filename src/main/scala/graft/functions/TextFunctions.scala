@@ -545,6 +545,22 @@ object TextFunctions {
         EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** C0/C1-ish control characters (tab/newline excluded — those are
+    * whitespace and handled by the collapse step). */
+  val ControlPattern = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"
+
+  /**
+   * Text canonicalization — the normalize-before-hash pipeline stage:
+   * control characters → space, whitespace runs collapsed to one space,
+   * leading/trailing space trimmed. Run BEFORE md5/MinHash/shingling so
+   * formatting-only variants (trailing newlines, tab-vs-space, CR/LF) dedup
+   * as the same document. Fixed rule order — the SQL mirror chains the same
+   * three regexp_replace/trim calls; both engines' `\s` classes agree
+   * ([ \t\n\x0B\f\r]). Pure per-row codegen'd scalar, zero shuffles.
+   */
+  def normalizeTextCol(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, ControlPattern, " "), "\\s+", " "))
+
   /**
    * Line-repetition ratio in [0,1]: 1 − distinctNonEmptyLines/nonEmptyLines
    * (0.0 for docs with no non-empty line) — the standard boilerplate/spam

@@ -49,6 +49,31 @@ object Sampling {
   }
 
   /**
+   * LEAKAGE-SAFE train/val/test split — the fix for the classic eval bug
+   * where near-identical copies of a document straddle train and test and
+   * inflate every metric: the split key is the EXACT-DUPLICATE GROUP's
+   * canonical id ([[Dedup.exact]]'s min-id rule), so every copy of the same
+   * text deterministically lands in the same split. Compose with a
+   * near-dup clustering first (feed `canonical_id` from
+   * [[Dedup.canonicalize]] through [[withSplit]] directly) when fuzzy
+   * copies must co-assign too — this operator gates the exact-group
+   * composition.
+   *
+   * Plan shape: [[Dedup.exact]]'s digest-only exchange + one id-keyed join
+   * back; the split itself is the same pure per-row hash bucket as
+   * [[withSplit]] — no extra shuffle.
+   *
+   * @return df's id column + (canonical_id, bucket 0-99, split)
+   */
+  def splitByDuplicateGroup(
+      df: DataFrame, idCol: String, textCol: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val canon = Dedup.exact(df, idCol, textCol)
+      .select(col(idCol), col("canonical_id"))
+    withSplit(canon, "canonical_id", trainPct, valPct)
+  }
+
+  /**
    * Deterministic STRATIFIED sample: per-stratum keep percentages (e.g.
    * downsample an over-represented language while keeping all of a rare one)
    * with the same key-stable bucket rule as [[deterministicSample]] — a row

@@ -995,6 +995,46 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- text canonicalization + leakage-safe split -------------------------
+
+  test("normalizeTextCol collapses whitespace and strips control chars") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "  hello\t\tworld \r\n"),
+      (2L, "a\u0000b\u0007c"),      // control chars -> spaces -> collapsed
+      (3L, "already clean"),
+      (4L, "\n\n\n"),               // whitespace-only -> empty
+      (5L, "hello world"))
+    val out = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.TextFunctions.normalizeTextCol(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "a b c")
+    assert(out(3L) == "already clean")
+    assert(out(4L) == "")
+    // formatting-only variants now hash identically
+    assert(out(1L) == out(5L))
+  }
+
+  test("splitByDuplicateGroup co-assigns every exact duplicate") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 30L).map(i => (i, s"text ${i % 7}")).toDF("doc_id", "text")
+    val out = Sampling.splitByDuplicateGroup(df, "doc_id", "text", 60, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(out.length == 30)
+    // all copies of the same text share one canonical id and one split
+    val byCanon = out.groupBy(_._2)
+    assert(byCanon.size == 7)
+    byCanon.values.foreach { g => assert(g.map(_._3).distinct.length == 1) }
+    // and the split matches withSplit on the canonical key directly
+    val direct = Sampling.withSplit(
+        df.select(col("doc_id") % 7 as "canonical_id").distinct(), "canonical_id", 60, 20)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out.foreach { case (id, canon, split) => assert(split == direct(id % 7)) }
+  }
+
   // ---- keep-best dedup ----------------------------------------------------
 
   test("keepBestBy keeps the highest-scored duplicate, ties to smaller id") {
