@@ -2395,6 +2395,81 @@ object Oracles {
        |FROM j""".stripMargin
   }
 
+  /** Mirror of CorpusStats.ksDrift over documents.n_chars, even/odd split. */
+  def ksDriftSql(lo: Double, hi: Double, nBins: Int): String = {
+    val w = (hi - lo) / nBins
+    def binned(pred: String) =
+      s"""SELECT least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - $lo) / $w) AS BIGINT), 0),
+         |    ${nBins - 1}) AS bin, count(*) AS n
+         |  FROM documents WHERE $pred AND n_chars IS NOT NULL GROUP BY 1""".stripMargin
+    s"""WITH bb AS (${binned("doc_id % 2 = 0")}),
+       |cc AS (${binned("doc_id % 2 = 1")}),
+       |tb AS (SELECT coalesce(sum(n), 0) AS t FROM bb),
+       |tc AS (SELECT coalesce(sum(n), 0) AS t FROM cc),
+       |sp AS (SELECT CAST(unnest(generate_series(0, ${nBins - 1})) AS BIGINT) AS bin),
+       |j AS (
+       |  SELECT sp.bin, coalesce(bb.n, 0) AS nb, coalesce(cc.n, 0) AS nc
+       |  FROM sp LEFT JOIN bb USING (bin) LEFT JOIN cc USING (bin)
+       |),
+       |cum AS (
+       |  SELECT bin,
+       |    sum(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cb,
+       |    sum(nc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn
+       |  FROM j
+       |),
+       |g AS (
+       |  SELECT bin,
+       |    abs(cb * 1000000 // greatest(tb.t, 1) - cn * 1000000 // greatest(tc.t, 1)) AS gap
+       |  FROM cum CROSS JOIN tb CROSS JOIN tc
+       |)
+       |SELECT CAST(tb.t AS BIGINT) AS n_base, CAST(tc.t AS BIGINT) AS n_cur,
+       |       CAST(gap AS BIGINT) AS ks_micro, bin AS at_bin
+       |FROM g CROSS JOIN tb CROSS JOIN tc
+       |ORDER BY gap DESC, bin ASC LIMIT 1""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.psiDriftByGroup over documents (source groups,
+    * n_chars values, each source vs the whole corpus). */
+  def psiDriftByGroupSql(lo: Double, hi: Double, nBins: Int): String = {
+    val w = (hi - lo) / nBins
+    s"""WITH r AS (
+       |  SELECT source AS g,
+       |    least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - $lo) / $w) AS BIGINT), 0),
+       |      ${nBins - 1}) AS bin
+       |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+       |),
+       |pg AS (SELECT g, bin, count(*) AS ng FROM r GROUP BY 1, 2),
+       |cp AS (SELECT bin, count(*) AS nc FROM r GROUP BY 1),
+       |tg AS (SELECT g, sum(ng) AS t FROM pg GROUP BY 1),
+       |tcx AS (SELECT coalesce(sum(nc), 0) AS t FROM cp),
+       |sp AS (
+       |  SELECT tg.g, tg.t, b.bin
+       |  FROM tg CROSS JOIN (SELECT CAST(unnest(generate_series(0, ${nBins - 1})) AS BIGINT) AS bin) b
+       |),
+       |j AS (
+       |  SELECT sp.g, sp.t AS tgt, coalesce(pg.ng, 0) AS ng,
+       |         coalesce(cp.nc, 0) AS nc, tcx.t AS tct
+       |  FROM sp LEFT JOIN pg ON pg.g = sp.g AND pg.bin = sp.bin
+       |  LEFT JOIN cp ON cp.bin = sp.bin
+       |  CROSS JOIN tcx
+       |),
+       |k AS (
+       |  SELECT g, tgt,
+       |    (nc + 1) * 1000000 // (tct + $nBins) AS bm,
+       |    (ng + 1) * 1000000 // (tgt + $nBins) AS cm
+       |  FROM j
+       |),
+       |p AS (
+       |  SELECT g, tgt,
+       |    (cm - bm) * CAST(floor((ln(CAST(cm AS DOUBLE)) - ln(CAST(bm AS DOUBLE))) * 1000000.0) AS BIGINT)
+       |      // 1000000 AS psi
+       |  FROM k
+       |)
+       |SELECT g AS source, CAST(max(tgt) AS BIGINT) AS n_docs,
+       |       CAST(sum(psi) AS BIGINT) AS psi_micro
+       |FROM p GROUP BY 1""".stripMargin
+  }
+
   /** Mirror of CorpusStats.linearTextScore with the gate's deterministic
     * HRW-mix weight table (non-negative, so `div` and `//` agree). */
   def linearTextScoreSql(dim: Int): String =

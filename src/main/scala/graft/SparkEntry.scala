@@ -833,6 +833,17 @@ object SparkEntry {
         d.where(expr("doc_id % 2 = 0")), d.where(expr("doc_id % 2 = 1")),
         "n_chars", 0.0, 600.0, 12)
     }),
+    // KS drift: the worst single CDF gap (catches localized shifts PSI smears)
+    "drift_ks" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      CorpusStats.ksDrift(
+        d.where(expr("doc_id % 2 = 0")), d.where(expr("doc_id % 2 = 1")),
+        "n_chars", 0.0, 600.0, 12)
+    }),
+    // which-source-drifted rollup: each source's distribution vs the corpus
+    "drift_psi_by_source" -> ((s, dir) =>
+      CorpusStats.psiDriftByGroup(rd(s, dir, "documents"), "source", "n_chars",
+        0.0, 600.0, 12)),
     // hashed linear classifier inference (fastText shape): deterministic
     // HRW-mix weights stand in for a learned export; the hashing + broadcast
     // + integer scoring plumbing is the operator under test
@@ -1943,6 +1954,8 @@ object SparkEntry {
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
     "quality_classifier" -> Oracles.linearTextScoreSql(256),
     "drift_psi" -> Oracles.psiDriftSql(0.0, 600.0, 12),
+    "drift_ks" -> Oracles.ksDriftSql(0.0, 600.0, 12),
+    "drift_psi_by_source" -> Oracles.psiDriftByGroupSql(0.0, 600.0, 12),
     "bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents

@@ -1010,6 +1010,98 @@ object CorpusStats {
   }
 
   /**
+   * KOLMOGOROV–SMIRNOV-style drift check over the same clamped bins as
+   * [[psiDrift]] — the complementary read: PSI weights every bin's shift,
+   * KS reports the single worst CDF gap, catching a localized shift PSI
+   * smears out. `ks_micro = max_bin |cumP − cumQ|` with both CDFs as exact
+   * BIGINT micro-units (`cum·10⁶ div n`); `at_bin` is the smallest bin
+   * attaining the max. All window work runs on the ≤ nBins aggregated
+   * relation — never on corpus rows.
+   *
+   * @return ONE row: (n_base, n_cur, ks_micro, at_bin)
+   */
+  def ksDrift(
+      base: DataFrame, cur: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / nBins
+    def binned(df: DataFrame, out: String) =
+      df.select(col(valueCol).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
+        .select(least(greatest(floor((col("__v") - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+          lit(nBins.toLong - 1L)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val spark = base.sparkSession
+    val b = binned(base, "__nb")
+    val c = binned(cur, "__nc")
+    val tb = b.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
+    val tc = c.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
+    val cumW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spark.range(nBins).select(col("id").as("bin"))
+      .join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .crossJoin(broadcast(tb)).crossJoin(broadcast(tc))
+      .select(col("bin"), coalesce(col("__nb"), lit(0L)).as("nb"),
+        coalesce(col("__nc"), lit(0L)).as("nc"), col("__tb"), col("__tc"))
+      .withColumn("__cb", sum(col("nb")).over(cumW))
+      .withColumn("__cc", sum(col("nc")).over(cumW))
+      .withColumn("__gap", abs(expr("__cb * 1000000L div greatest(__tb, 1L)") -
+        expr("__cc * 1000000L div greatest(__tc, 1L)")))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("__gap").desc, col("bin").asc)))
+      .where(col("__rn") === 1)
+      .select(col("__tb").as("n_base"), col("__tc").as("n_cur"),
+        col("__gap").as("ks_micro"), col("bin").as("at_bin"))
+  }
+
+  /**
+   * Per-GROUP PSI — [[psiDrift]] with each group's distribution compared
+   * against the WHOLE corpus (the "which source drifted" rollup a crawl
+   * dashboard shows): one row per group, psi summed over bins, exact
+   * BIGINT throughout. Everything past the two bin aggregations runs on
+   * ≤ |groups|·nBins rows.
+   *
+   * @return (groupCol, n_docs, psi_micro) — psi of the group's value
+   *         distribution vs the corpus-wide one
+   */
+  def psiDriftByGroup(
+      df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / nBins
+    val binnedRows = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
+      .select(col("__g"),
+        least(greatest(floor((col("__v") - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+          lit(nBins.toLong - 1L)).as("bin"))
+    val perGroup = binnedRows.groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("__ng"))
+    val corpus = binnedRows.groupBy(col("bin")).agg(count(lit(1)).as("__nc"))
+    val totals = perGroup.groupBy(col("__g")).agg(sum(col("__ng")).as("__tg"))
+    val tc = corpus.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
+    val spine = totals.crossJoin(
+      df.sparkSession.range(nBins).select(col("id").as("bin")))
+    spine
+      .join(perGroup, Seq("__g", "bin"), "left")
+      .join(broadcast(corpus), Seq("bin"), "left")
+      .crossJoin(broadcast(tc))
+      .select(col("__g"), col("bin"), col("__tg"),
+        coalesce(col("__ng"), lit(0L)).as("ng"),
+        coalesce(col("__nc"), lit(0L)).as("nc"), col("__tc"))
+      .withColumn("base_micro", expr(s"(nc + 1) * 1000000L div (__tc + $nBins)"))
+      .withColumn("cur_micro", expr(s"(ng + 1) * 1000000L div (__tg + $nBins)"))
+      .withColumn("__dln", floor((log(col("cur_micro").cast("double")) -
+        log(col("base_micro").cast("double"))) * lit(1000000.0)).cast("long"))
+      .withColumn("__psi", expr("(cur_micro - base_micro) * __dln div 1000000L"))
+      .groupBy(col("__g"))
+      .agg(max(col("__tg")).as("n_docs"), sum(col("__psi")).as("psi_micro"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("psi_micro"))
+  }
+
+  /**
    * HASHED LINEAR TEXT-MODEL INFERENCE — the fastText-classifier /
    * hashing-trick scoring shape, as one operator: each word maps to a
    * bucket in `[0, dim)` via the library's deterministic [[TextFunctions.tHash]],

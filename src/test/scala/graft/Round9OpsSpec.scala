@@ -1080,6 +1080,37 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(clamped.contains((0L, 1L, 0L)) && clamped.contains((3L, 0L, 1L)))
   }
 
+  test("ksDrift finds the worst CDF gap; zero for identical corpora") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(5L, 15L, 25L, 35L).toDF("v")
+    val same = CorpusStats.ksDrift(base, base, "v", 0.0, 40.0, 4).collect()
+    assert(same.length == 1 && same(0).getAs[Long]("ks_micro") == 0L)
+    // cur mass all in bin 0 -> CDF gap peaks at bin 0: |1e6*1/1 - 1e6*1/4|
+    val cur = Seq(1L, 2L).toDF("v")
+    val r = CorpusStats.ksDrift(base, cur, "v", 0.0, 40.0, 4).collect()(0)
+    assert(r.getAs[Long]("n_base") == 4L && r.getAs[Long]("n_cur") == 2L)
+    assert(r.getAs[Long]("at_bin") == 0L)
+    assert(r.getAs[Long]("ks_micro") == math.abs(1000000L * 1 / 4 - 1000000L * 2 / 2))
+  }
+
+  test("psiDriftByGroup flags the shifted source only") {
+    val s = spark
+    import s.implicits._
+    // two big uniform sources dominate the corpus mix; a small all-high
+    // source must stand out against that blend
+    val df = (Seq.tabulate(40)(i => ("a", (i % 4) * 10L + 5L)) ++
+      Seq.tabulate(40)(i => ("c", (i % 4) * 10L + 5L)) ++
+      Seq.fill(8)(("b", 35L))).toDF("source", "v")
+    val out = CorpusStats.psiDriftByGroup(df, "source", "v", 0.0, 40.0, 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("a")._1 == 40L && out("b")._1 == 8L)
+    assert(out("b")._2 > out("a")._2 && out("b")._2 > out("c")._2, out)
+    // the two corpus-shaped sources score identically and low
+    assert(out("a")._2 == out("c")._2)
+    assert(out.values.forall(_._2 >= 0L))
+  }
+
   // ---- grouped MMR exemplars ----------------------------------------------
 
   test("groupExemplars picks the prototypical row first, then diversity") {
