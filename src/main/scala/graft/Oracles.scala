@@ -2395,6 +2395,73 @@ object Oracles {
        |FROM j""".stripMargin
   }
 
+  /** Exact mirror of CorpusStats.bpeTrainMerges: nMerges unrolled rounds,
+    * each recomputing its own best pair (count desc, pair asc), applying it
+    * greedily leftmost-non-overlapping via the same sequence-index
+    * gaps-and-islands windows, and feeding the merged symbols forward. */
+  def bpeTrainSql(nMerges: Int): String = {
+    // Every multiply-referenced CTE is MATERIALIZED: default CTE inlining
+    // would expand each round's references multiplicatively (4^nMerges
+    // copies of the base scan — measured as an fd-exhaustion failure), while
+    // materialization keeps the chain linear. The take flag is computed by
+    // chained windows (running mark count -> island id -> in-island parity),
+    // not a self-join, so each round is one single-pass pipeline.
+    val rounds = (1 to nMerges).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT w, n, p, s,
+         |         lead(s) OVER (PARTITION BY w ORDER BY p) AS nx,
+         |         row_number() OVER (PARTITION BY w ORDER BY p) AS i
+         |  FROM sq$r
+         |),
+         |best$r AS MATERIALIZED (
+         |  SELECT s AS a, nx AS b, sum(n) AS c FROM e$r
+         |  WHERE nx IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1
+         |),
+         |mk$r AS (
+         |  SELECT e.w, e.n, e.p, e.s, e.nx, e.i,
+         |         (e.s = b.a AND e.nx IS NOT NULL AND e.nx = b.b) AS mark
+         |  FROM e$r e CROSS JOIN best$r b
+         |),
+         |mk2$r AS (
+         |  SELECT w, n, p, s, nx, mark,
+         |    CASE WHEN mark THEN i - count(*) FILTER (WHERE mark)
+         |      OVER (PARTITION BY w ORDER BY p ROWS UNBOUNDED PRECEDING)
+         |    END AS isl
+         |  FROM mk$r
+         |),
+         |mk3$r AS (
+         |  SELECT w, n, p, s, nx,
+         |    (mark AND row_number() OVER (PARTITION BY w, isl ORDER BY p) % 2 = 1) AS take
+         |  FROM mk2$r
+         |),
+         |lg$r AS (
+         |  SELECT w, n, p, s, nx, take,
+         |         lag(take) OVER (PARTITION BY w ORDER BY p) AS ptake
+         |  FROM mk3$r
+         |),
+         |sq${r + 1} AS MATERIALIZED (
+         |  SELECT w, n, p, CASE WHEN take THEN s || nx ELSE s END AS s
+         |  FROM lg$r WHERE ptake IS NULL OR NOT ptake
+         |)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to nMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b,
+         |       a || b AS merged, CAST(c AS BIGINT) AS cnt FROM best$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY 1
+       |),
+       |sq1 AS (
+       |  SELECT w, n, i - 1 AS p, substring(w, i, 1) AS s
+       |  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM w0)
+       |),
+       |$rounds
+       |$union""".stripMargin
+  }
+
   /** Mirror of CorpusStats.ksDrift over documents.n_chars, even/odd split. */
   def ksDriftSql(lo: Double, hi: Double, nBins: Int): String = {
     val w = (hi - lo) / nBins

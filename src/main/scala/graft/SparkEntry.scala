@@ -833,6 +833,9 @@ object SparkEntry {
         d.where(expr("doc_id % 2 = 0")), d.where(expr("doc_id % 2 = 1")),
         "n_chars", 0.0, 600.0, 12)
     }),
+    // the BPE trainer LOOP (not just round-1 candidates): 8 learned merges
+    "bpe_merges" -> ((s, dir) =>
+      CorpusStats.bpeTrainMerges(rd(s, dir, "documents"), "text", 8)),
     // KS drift: the worst single CDF gap (catches localized shifts PSI smears)
     "drift_ks" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -1955,6 +1958,7 @@ object SparkEntry {
     "quality_classifier" -> Oracles.linearTextScoreSql(256),
     "drift_psi" -> Oracles.psiDriftSql(0.0, 600.0, 12),
     "drift_ks" -> Oracles.ksDriftSql(0.0, 600.0, 12),
+    "bpe_merges" -> Oracles.bpeTrainSql(8),
     "drift_psi_by_source" -> Oracles.psiDriftByGroupSql(0.0, 600.0, 12),
     "bpe_pairs" ->
       """WITH w AS (

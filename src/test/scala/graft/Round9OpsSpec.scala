@@ -1080,6 +1080,22 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(clamped.contains((0L, 1L, 0L)) && clamped.contains((3L, 0L, 1L)))
   }
 
+  test("bpeTrainMerges learns greedy non-overlapping merges across rounds") {
+    val df = docsDf(Seq((1L, "aaaa aaaa aaaa aaaaaa ab")))
+    val out = CorpusStats.bpeTrainMerges(df, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).sortBy(_._1)
+    // r1: (a,a) = 3 words x 3 pairs + 5 pairs in aaaaaa = 14; aaaa -> [aa,aa],
+    //     aaaaaa -> [aa,aa,aa] (1st/3rd/5th marks of the run)
+    // r2: (aa,aa) = 3x1 + 2 = 5; [aa,aa,aa] takes only the FIRST overlapping
+    //     mark -> [aaaa,aa] (the gapped-position overlap case)
+    // r3: tie (aaaa,aa)=1 vs (a,b)=1 -> pair-asc tie-break picks (a,b)
+    assert(out sameElements Array(
+      (1L, "a", "a", "aa", 14L),
+      (2L, "aa", "aa", "aaaa", 5L),
+      (3L, "a", "b", "ab", 1L)), out.mkString(", "))
+  }
+
   test("ksDrift finds the worst CDF gap; zero for identical corpora") {
     val s = spark
     import s.implicits._
