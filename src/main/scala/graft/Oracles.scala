@@ -2400,6 +2400,23 @@ object Oracles {
     * greedily leftmost-non-overlapping via the same sequence-index
     * gaps-and-islands windows, and feeding the merged symbols forward. */
   def bpeTrainSql(nMerges: Int): String = {
+    val union = (1 to nMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b,
+         |       a || b AS merged, CAST(c AS BIGINT) AS cnt FROM best$r""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeRoundsCtes(nMerges)}
+       |$union""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.bpeSegmentWords: the same round chain, read out
+    * as the final segmentation of every vocabulary word. */
+  def bpeSegmentSql(nMerges: Int): String =
+    s"""WITH ${bpeRoundsCtes(nMerges)}
+       |SELECT w AS word, n, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       string_agg(s, ' ' ORDER BY p) AS seg
+       |FROM sq${nMerges + 1} GROUP BY w, n""".stripMargin
+
+  private def bpeRoundsCtes(nMerges: Int): String = {
     // Every multiply-referenced CTE is MATERIALIZED: default CTE inlining
     // would expand each round's references multiplicatively (4^nMerges
     // copies of the base scan — measured as an fd-exhaustion failure), while
@@ -2445,11 +2462,7 @@ object Oracles {
          |  FROM lg$r WHERE ptake IS NULL OR NOT ptake
          |)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to nMerges).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS merge_round, a AS sym_a, b AS sym_b,
-         |       a || b AS merged, CAST(c AS BIGINT) AS cnt FROM best$r""".stripMargin
-    }.mkString(" UNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
        |  GROUP BY 1
@@ -2458,8 +2471,7 @@ object Oracles {
        |  SELECT w, n, i - 1 AS p, substring(w, i, 1) AS s
        |  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM w0)
        |),
-       |$rounds
-       |$union""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Mirror of CorpusStats.ksDrift over documents.n_chars, even/odd split. */

@@ -836,6 +836,10 @@ object SparkEntry {
     // the BPE trainer LOOP (not just round-1 candidates): 8 learned merges
     "bpe_merges" -> ((s, dir) =>
       CorpusStats.bpeTrainMerges(rd(s, dir, "documents"), "text", 8)),
+    // the APPLY face: final vocabulary segmentation under those merges —
+    // the word -> subword table an encoder broadcast-joins at corpus scale
+    "bpe_segments" -> ((s, dir) =>
+      CorpusStats.bpeSegmentWords(rd(s, dir, "documents"), "text", 8)),
     // KS drift: the worst single CDF gap (catches localized shifts PSI smears)
     "drift_ks" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -1959,6 +1963,7 @@ object SparkEntry {
     "drift_psi" -> Oracles.psiDriftSql(0.0, 600.0, 12),
     "drift_ks" -> Oracles.ksDriftSql(0.0, 600.0, 12),
     "bpe_merges" -> Oracles.bpeTrainSql(8),
+    "bpe_segments" -> Oracles.bpeSegmentSql(8),
     "drift_psi_by_source" -> Oracles.psiDriftByGroupSql(0.0, 600.0, 12),
     "bpe_pairs" ->
       """WITH w AS (

@@ -1037,6 +1037,35 @@ object CorpusStats {
   def bpeTrainMerges(
       docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 1L, maxVocab: Int = 2000000): DataFrame = {
+    val (out, _, _) = bpeTrainCore(docs, textCol, nMerges, minCount, maxVocab)
+    import docs.sparkSession.implicits._
+    out.toDF("merge_round", "sym_a", "sym_b", "merged", "cnt")
+  }
+
+  /**
+   * The APPLY face of [[bpeTrainMerges]]: train `nMerges` merges, then emit
+   * the final segmentation of every vocabulary word under them — the
+   * word → subword-tokens table a downstream encoder broadcast-joins against
+   * the corpus (segmentation is per-word, so encoding any number of
+   * documents is a pure map over this vocabulary-bounded table). `seg` is
+   * the space-joined symbol sequence; `n_tokens` its length.
+   *
+   * @return (word, n, n_tokens, seg)
+   */
+  def bpeSegmentWords(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 1L, maxVocab: Int = 2000000): DataFrame = {
+    val (_, wc, seqs) = bpeTrainCore(docs, textCol, nMerges, minCount, maxVocab)
+    import docs.sparkSession.implicits._
+    wc.indices.map { i =>
+      (wc(i)._1, wc(i)._2, seqs(i).length.toLong, seqs(i).mkString(" "))
+    }.toDF("word", "n", "n_tokens", "seg")
+  }
+
+  private def bpeTrainCore(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long, maxVocab: Int)
+      : (Seq[(Long, String, String, String, Long)], Array[(String, Long)], Array[Array[String]]) = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     // The CORPUS-scale pass — word occurrence counting — is the one
@@ -1097,8 +1126,7 @@ object CorpusStats {
         r += 1
       }
     }
-    import spark.implicits._
-    out.toSeq.toDF("merge_round", "sym_a", "sym_b", "merged", "cnt")
+    (out.toSeq, wc, seqs)
   }
 
   /**

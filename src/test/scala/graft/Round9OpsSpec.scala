@@ -1096,6 +1096,16 @@ class Round9OpsSpec extends AnyFunSuite {
       (3L, "a", "b", "ab", 1L)), out.mkString(", "))
   }
 
+  test("bpeSegmentWords emits the final segmentation under the learned merges") {
+    val df = docsDf(Seq((1L, "aaaa aaaa aaaa aaaaaa ab")))
+    val out = CorpusStats.bpeSegmentWords(df, "text", 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out == Map(
+      "aaaa" -> ((3L, 1L, "aaaa")),
+      "aaaaaa" -> ((1L, 2L, "aaaa aa")),
+      "ab" -> ((1L, 1L, "ab"))), out)
+  }
+
   test("ksDrift finds the worst CDF gap; zero for identical corpora") {
     val s = spark
     import s.implicits._
