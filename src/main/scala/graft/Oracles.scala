@@ -2474,6 +2474,23 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** Mirror of CorpusStats.bpeEncodeStats: the segment chain joined back to
+    * every word occurrence, reduced per document. */
+  def bpeEncodeSql(nMerges: Int): String =
+    s"""WITH ${bpeRoundsCtes(nMerges)},
+       |segt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS t
+       |  FROM sq${nMerges + 1} GROUP BY w
+       |),
+       |dwx AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(coalesce(segt.t, length(dwx.w))) AS BIGINT) AS n_subwords
+       |FROM dwx LEFT JOIN segt USING (w)
+       |GROUP BY doc_id""".stripMargin
+
   /** Mirror of CorpusStats.ksDrift over documents.n_chars, even/odd split. */
   def ksDriftSql(lo: Double, hi: Double, nBins: Int): String = {
     val w = (hi - lo) / nBins

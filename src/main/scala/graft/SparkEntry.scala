@@ -840,6 +840,9 @@ object SparkEntry {
     // the word -> subword table an encoder broadcast-joins at corpus scale
     "bpe_segments" -> ((s, dir) =>
       CorpusStats.bpeSegmentWords(rd(s, dir, "documents"), "text", 8)),
+    // the ENCODE face: corpus scanned once, segmentation rides a broadcast
+    "bpe_encode" -> ((s, dir) =>
+      CorpusStats.bpeEncodeStats(rd(s, dir, "documents"), "doc_id", "text", 8)),
     // KS drift: the worst single CDF gap (catches localized shifts PSI smears)
     "drift_ks" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -1964,6 +1967,7 @@ object SparkEntry {
     "drift_ks" -> Oracles.ksDriftSql(0.0, 600.0, 12),
     "bpe_merges" -> Oracles.bpeTrainSql(8),
     "bpe_segments" -> Oracles.bpeSegmentSql(8),
+    "bpe_encode" -> Oracles.bpeEncodeSql(8),
     "drift_psi_by_source" -> Oracles.psiDriftByGroupSql(0.0, 600.0, 12),
     "bpe_pairs" ->
       """WITH w AS (

@@ -1062,6 +1062,31 @@ object CorpusStats {
     }.toDF("word", "n", "n_tokens", "seg")
   }
 
+  /**
+   * Corpus ENCODING under the learned merges — the end of the BPE chain:
+   * explode each document's word occurrences, broadcast-join the
+   * vocabulary-bounded [[bpeSegmentWords]] table, and reduce per document.
+   * This is the exact scale shape of production tokenization: the corpus is
+   * scanned once, the segmentation rides a broadcast, and the only exchange
+   * is the per-document aggregation. Words below `minCount` (absent from
+   * the trained vocabulary) count their character length — the
+   * fall-back-to-chars convention. Documents with no words are absent.
+   *
+   * @return (idCol, n_words, n_subwords)
+   */
+  def bpeEncodeStats(
+      docs: DataFrame, idCol: String, textCol: String, nMerges: Int,
+      minCount: Long = 1L, maxVocab: Int = 2000000): DataFrame = {
+    val seg = bpeSegmentWords(docs, textCol, nMerges, minCount, maxVocab)
+      .select(col("word").as("__w"), col("n_tokens").as("__t"))
+    docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("__w"))
+      .join(broadcast(seg), Seq("__w"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__t"), length(col("__w")).cast("long"))).as("n_subwords"))
+      .select(col("__id").as(idCol), col("n_words"), col("n_subwords"))
+  }
+
   private def bpeTrainCore(
       docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long, maxVocab: Int)
