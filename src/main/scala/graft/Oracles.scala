@@ -2491,6 +2491,36 @@ object Oracles {
        |FROM dwx LEFT JOIN segt USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  /** Composed mirror of IngestScreen.screen: exactIncrement + LSH-between +
+    * 13-gram contamination, joined to one verdict row per batch doc. */
+  def ingestScreenSql(
+      histPred: String, batchPred: String, benchPred: String,
+      threshold: Double): String = {
+    val gram13 = (0 until 13).map(k => s"ws[g+$k]").mkString(" || ' ' || ")
+    s"""WITH ex AS (${exactIncrementSql(histPred, batchPred)}),
+       |ndp AS (${minHashLshBetweenSql(threshold, batchPred, histPred)}),
+       |ndx AS (SELECT DISTINCT id_a AS doc_id FROM ndp),
+       |ctd AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |ctg AS (
+       |  SELECT doc_id, $gram13 AS gram
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 12, 0))) AS g FROM ctd)
+       |),
+       |cth AS (SELECT DISTINCT doc_id, ${tHashSql("gram")} AS gh FROM ctg),
+       |ctx AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM cth c JOIN (SELECT DISTINCT gh FROM cth WHERE doc_id IN
+       |    (SELECT doc_id FROM documents WHERE $benchPred)) b ON c.gh = b.gh
+       |  WHERE c.doc_id IN (SELECT doc_id FROM documents WHERE $batchPred)
+       |)
+       |SELECT ex.doc_id, ex.content_hash,
+       |  CAST(1 - ex.kept AS BIGINT) AS exact_dup,
+       |  CAST(CASE WHEN ndx.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_dup,
+       |  CAST(CASE WHEN ctx.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated,
+       |  CAST(CASE WHEN ex.kept = 1 AND ndx.doc_id IS NULL AND ctx.doc_id IS NULL
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM ex LEFT JOIN ndx USING (doc_id) LEFT JOIN ctx USING (doc_id)""".stripMargin
+  }
+
   /** Mirror of CorpusStats.ksDrift over documents.n_chars, even/odd split. */
   def ksDriftSql(lo: Double, hi: Double, nBins: Int): String = {
     val w = (hi - lo) / nBins

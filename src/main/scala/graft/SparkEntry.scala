@@ -214,6 +214,14 @@ object SparkEntry {
       val seen = Dedup.exactDigests(docs.filter(col("doc_id") < 250), "text")
       Dedup.exactIncrementBloom(docs.filter(col("doc_id") >= 250), "doc_id", "text", seen)
     }),
+    // one-call ingest screening: exact/near/contamination verdicts for a
+    // new batch vs (history, bench) — the admission checklist composed
+    "pipeline_ingest" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      IngestScreen.screen(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") < 20), 0.8)
+    }),
     // cross-corpus form: neither side broadcast — the crawl-vs-last-crawl shape
     "dedup_cross" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -1395,6 +1403,8 @@ object SparkEntry {
     "dedup_exact_incr" -> Oracles.exactIncrementSql("doc_id < 250", "doc_id >= 250"),
     "dedup_exact_incr_bloom" -> Oracles.exactIncrementSql("doc_id < 250", "doc_id >= 250"),
     "dedup_cross" -> Oracles.minHashLshBetweenSql(0.8, "doc_id % 2 = 0", "doc_id % 2 = 1"),
+    "pipeline_ingest" ->
+      Oracles.ingestScreenSql("doc_id < 250", "doc_id >= 250", "doc_id < 20", 0.8),
     "dedup_simhash" ->
       s"""WITH ${Oracles.simHashCtes}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -995,6 +995,30 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- ingest screening ---------------------------------------------------
+
+  test("IngestScreen flags exact, near-dup and contaminated batch docs") {
+    val s = spark
+    import s.implicits._
+    val longA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val bench13 = (1 to 13).map(i => s"bench$i").mkString(" ")
+    val history = Seq((1L, longA), (2L, "old other content here")).toDF("doc_id", "text")
+    val bench = Seq((100L, bench13)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, longA),                                   // exact + near dup of history
+      (11L, s"fresh unique words $bench13 trailing"), // contaminated
+      (12L, "entirely novel material nobody saw"),    // clean -> keep
+      (13L, "entirely novel material nobody saw"))    // within-batch copy of 12
+      .toDF("doc_id", "text")
+    val out = IngestScreen.screen(batch, "doc_id", "text", history, bench, 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(10L) == ((1L, 1L, 0L, 0L)), out)  // seen in history
+    assert(out(11L) == ((0L, 0L, 1L, 0L)), out)  // leaked bench gram
+    assert(out(12L) == ((0L, 0L, 0L, 1L)), out)  // canonical copy keeps
+    assert(out(13L) == ((1L, 0L, 0L, 0L)), out)  // within-batch duplicate
+  }
+
   // ---- text canonicalization + leakage-safe split -------------------------
 
   test("normalizeTextCol collapses whitespace and strips control chars") {
