@@ -2491,6 +2491,19 @@ object Oracles {
        |FROM dwx LEFT JOIN segt USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  /** Mirror of SimSearch.ivfReport: the shared assignment chain aggregated
+    * to per-centroid occupancy + micro-quantized cohesion. */
+  def ivfReportSql(nList: Int, nIters: Int): String =
+    s"""${ivfAssignCtes(nList, nIters)},
+       |rj AS (
+       |  SELECT a.cj, CAST(floor(c.cos * 1000000.0) AS BIGINT) AS cm
+       |  FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj
+       |)
+       |SELECT CAST(cj AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_assigned,
+       |       CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
+       |       round(CAST(sum(cm) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) + 0.0 AS mean_cos
+       |FROM rj GROUP BY cj""".stripMargin
+
   /** Composed mirror of IngestScreen.screen: exactIncrement + LSH-between +
     * 13-gram contamination, joined to one verdict row per batch doc. */
   def ingestScreenSql(

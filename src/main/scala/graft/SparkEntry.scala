@@ -457,6 +457,11 @@ object SparkEntry {
         emb, "vec_id", "embedding", 5, nList = 16, nProbe = 4, nIters = 1,
         excludeSelf = true)
     }),
+    // quantizer-health audit: per-centroid occupancy + cohesion — the
+    // read-before-you-trust-nProbe index report
+    "ann_ivf_report" -> ((s, dir) =>
+      SimSearch.ivfReport(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        nList = 16, nIters = 1)),
     // PQ-compressed ANN: codebook-encoded corpus, ADC table-lookup scoring
     "ann_pq" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1027,6 +1032,11 @@ object SparkEntry {
     // first-order Markov transition counts over per-user (ts, id) order
     "events_transitions" -> ((s, dir) =>
       EventStats.transitions(rd(s, dir, "events"), "user_id", "event_type", "event_id")),
+    // telemetry debounce: duplicate iff the previous identical (user, type)
+    // event fired within 60s — exact integer-µs window
+    "events_debounce" -> ((s, dir) =>
+      EventStats.debounce(rd(s, dir, "events"), "user_id", "event_type", "event_id",
+        windowUs = 60L * 1000000L)),
     // hourly burst flags: |c − μ| > 2σ with all divisions multiplied through
     "events_anomaly" -> ((s, dir) =>
       EventStats.hourlyAnomalies(rd(s, dir, "events"), "event_type", sigmaK = 2)),
@@ -1575,6 +1585,7 @@ object SparkEntry {
     "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
+    "ann_ivf_report" -> Oracles.ivfReportSql(16, 1),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
     "ann_pq_rerank" -> Oracles.annPqRerankSql(5, 20, 8, 16, "vec_id < 50"),
     "ann_range" -> Oracles.rangeSearchSql(0.3, "vec_id < 50"),
@@ -2414,6 +2425,19 @@ object SparkEntry {
       """SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events,
         |  round(CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) + 0.0 AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+    "events_debounce" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |l AS (
+        |  SELECT event_id, user_id, event_type, us,
+        |    lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS pus
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, event_type,
+        |  CAST(CASE WHEN pus IS NOT NULL AND us - pus <= 60000000 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+        |FROM l""".stripMargin,
     "events_transitions" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -22,6 +22,35 @@ object EventStats {
    * is deterministic under any physical layout. Null event types are dropped
    * BEFORE pairing so both engines agree on adjacency.
    */
+  /**
+   * Telemetry DEBOUNCE — the duplicate-fire filter every event pipeline runs
+   * before counting anything (double-clicks, client retries, at-least-once
+   * delivery): an event is a duplicate iff the PREVIOUS identical
+   * (entity, type) event sits within `windowUs` microseconds. One window
+   * per (entity, type) key — a single exchange, exact integer-µs
+   * comparison, (ts, id) tie order so simultaneous events resolve
+   * deterministically. Null entity/type rows are dropped (the engine-wide
+   * null-key convention). This is the debounce-vs-previous-occurrence rule
+   * (each kept event restarts nothing); the suppress-vs-last-KEPT variant
+   * is a sequential fold — use the streaming `StreamDedup` face when that
+   * semantic is needed.
+   *
+   * @return one verdict row per event: (idCol, userCol, typeCol, is_dup 1/0)
+   */
+  def debounce(
+      ev: DataFrame, userCol: String, typeCol: String, idCol: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0L, s"windowUs must be positive, got $windowUs")
+    val w = Window.partitionBy(col(userCol), col(typeCol))
+      .orderBy(col("__us"), col(idCol))
+    ev.select(col(idCol), col(userCol), col(typeCol), EventTime.tsMicros(ev).as("__us"))
+      .where(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("__prev", lag(col("__us"), 1).over(w))
+      .select(col(idCol), col(userCol), col(typeCol),
+        when(col("__prev").isNotNull && col("__us") - col("__prev") <= windowUs, 1L)
+          .otherwise(0L).as("is_dup"))
+  }
+
   def transitions(
       events: DataFrame, userCol: String, typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col("__tsu"), col(tieCol))

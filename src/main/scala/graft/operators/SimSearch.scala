@@ -448,7 +448,58 @@ object SimSearch {
    * @param nIters Lloyd refinement iterations (0 = raw seed centroids).
    *        Empty or zero-norm clusters keep their previous centroid.
    *        Requires uniform vector dimensions when > 0 (fails fast otherwise).
+   *        (This scaladoc describes [[topKIvf]] below; [[ivfReport]] is its
+   *        health-audit companion.)
    */
+  /**
+   * IVF quantizer-health audit — the index report a production ANN stack
+   * reads before trusting probe settings: per coarse centroid, how many
+   * vectors landed there (`n_assigned` — skewed occupancy means probes scan
+   * uneven list sizes) and how tight the cluster is (`mean_cos` of each
+   * member to its centroid — low cohesion predicts recall loss at small
+   * nProbe). Same deterministic seeding + Lloyd chain as [[topKIvf]]; one
+   * corpus scan assigns and scores, one |clusters|-key exchange aggregates.
+   * Per-member cosines floor to integer micro-units so the sums are exact;
+   * the mean is the double division of those exact integers. Empty clusters
+   * are absent (nothing assigned).
+   *
+   * @return (cluster, n_assigned, sum_cos_micro, mean_cos rounded to 6)
+   */
+  def ivfReport(
+      corpus: DataFrame, cId: String, cVec: String,
+      nList: Int = 16, nIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(nList > 0, s"nList must be positive, got $nList")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
+    requireIntegralId(corpus, cId, "corpus")
+    val spark = corpus.sparkSession
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val seeds = slim.orderBy(col(cId).cast("long")).limit(nList)
+      .collect().flatMap(vecWithNorm).map { case (_, v, n) => (v.map(_.toDouble), n) }
+    require(seeds.nonEmpty, "corpus has no non-null non-zero vectors to seed centroids")
+    val cents = lloydRefine(slim, seeds, nIters)
+    val schema = StructType(Seq(
+      StructField("cluster", IntegerType), StructField("__cm", LongType)))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        vecWithNorm(r).map { case (_, v, n) =>
+          val cos = ivfCentroidCos(cents, v, n)
+          var bj = 0; var j = 1
+          while (j < cos.length) { if (cos(j) > cos(bj)) bj = j; j += 1 }
+          Row(bj, math.floor(cos(bj) * 1000000.0).toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("__cm")).as("sum_cos_micro"))
+      .select(col("cluster").cast("long").as("cluster"), col("n_assigned"),
+        col("sum_cos_micro"),
+        round(col("sum_cos_micro").cast("double") /
+          (col("n_assigned").cast("double") * lit(1000000.0)), 6).as("mean_cos"))
+  }
+
   def topKIvf(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,
