@@ -875,6 +875,13 @@ object SparkEntry {
         expr("(id % 1000003) * 8191 % 1000003 * 2654435761L % 1000003").as("w_micro"))
       CorpusStats.linearTextScore(rd(s, dir, "documents"), "doc_id", "text", w, 256)
     }),
+    // rank-blend ensemble of two quality signals (no score normalization)
+    "quality_ensemble" -> ((s, dir) =>
+      CorpusStats.ensembleRank(
+        rd(s, dir, "documents").select(col("doc_id"),
+          qualityScoreCol(col("text")).as("quality"),
+          repetitionRatioCol(col("text")).as("rep_ratio")),
+        "doc_id", Seq(("quality", true), ("rep_ratio", false)))),
     // ntile without ntile's one-task window: DenseRank-based decile buckets
     "quality_deciles" -> ((s, dir) =>
       CorpusStats.quantileBuckets(
@@ -1984,6 +1991,22 @@ object SparkEntry {
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
     "quality_classifier" -> Oracles.linearTextScoreSql(256),
+    "quality_ensemble" ->
+      s"""WITH ${Oracles.qualityScoredCtes},
+         |rp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(ls) = 0 THEN 0.0
+         |         ELSE round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE), 6)
+         |    END AS rep_ratio
+         |  FROM (SELECT doc_id, list_filter(str_split(text, chr(10)), l -> length(l) > 0) AS ls
+         |        FROM documents)
+         |),
+         |jj AS (SELECT s.doc_id, s.quality, rp.rep_ratio FROM scored s JOIN rp USING (doc_id)),
+         |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id ASC) - 1 AS r_quality FROM jj),
+         |r2 AS (SELECT doc_id, row_number() OVER (ORDER BY rep_ratio ASC, doc_id ASC) - 1 AS r_rep_ratio FROM jj)
+         |SELECT jj.doc_id, r1.r_quality, r2.r_rep_ratio,
+         |       r1.r_quality + r2.r_rep_ratio AS rank_sum
+         |FROM jj JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)""".stripMargin,
     "drift_psi" -> Oracles.psiDriftSql(0.0, 600.0, 12),
     "drift_ks" -> Oracles.ksDriftSql(0.0, 600.0, 12),
     "bpe_merges" -> Oracles.bpeTrainSql(8),

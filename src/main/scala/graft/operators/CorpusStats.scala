@@ -1010,6 +1010,39 @@ object CorpusStats {
   }
 
   /**
+   * RANK-BLEND quality ensemble — combine heterogeneous quality signals
+   * WITHOUT score normalization (the reciprocal-rank-fusion stance applied
+   * to filtering): each signal contributes its global rank under its own
+   * "better" direction, and the ensemble is the rank sum (lower = better).
+   * Rank blending is immune to the scale/outlier pathologies of z-scoring
+   * a bounded ratio against an unbounded perplexity. Ranks come from the
+   * shared [[DenseRank]] range-partition index — never a partition-less
+   * window — and the (signal, id) total order makes every rank
+   * deterministic; null signal values fail fast (a silent nulls-first rank
+   * would corrupt the blend).
+   *
+   * @param signals (columnName, higherIsBetter) per signal
+   * @return (idCol, r_<col> per signal, rank_sum)
+   */
+  def ensembleRank(
+      df: DataFrame, idCol: String, signals: Seq[(String, Boolean)]): DataFrame = {
+    require(signals.nonEmpty, "need at least one signal")
+    val slim = df.select((col(idCol) +: signals.map(s => col(s._1))): _*)
+      .localCheckpoint(true)
+    var out = slim.select(col(idCol))
+    signals.foreach { case (c, higherIsBetter) =>
+      val ord =
+        if (higherIsBetter) Seq(col(c).desc, col(idCol).asc)
+        else Seq(col(c).asc, col(idCol).asc)
+      val rk = DenseRank.appendIndex(slim.select(col(idCol), col(c)), ord, s"r_$c",
+          failOnNullCol = Some(c))
+        .select(col(idCol), col(s"r_$c"))
+      out = out.join(rk, Seq(idCol))
+    }
+    out.withColumn("rank_sum", signals.map(s => col(s"r_${s._1}")).reduce(_ + _))
+  }
+
+  /**
    * ITERATIVE BPE MERGE TRAINING — the actual tokenizer-training loop
    * (Sennrich et al. 2016), not just [[bpePairCounts]]' round-1 statistic:
    * start from character sequences of the corpus' distinct words (weighted
