@@ -1083,6 +1083,21 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_sessions"))),
     // the TPC-H Q1 shape: grouped pricing summary with every double product
     // quantized per-row BEFORE the sums (reduction-order-proof money math)
+    // TPC-H Q3 shape: top unshipped orders by quantized revenue — fact-fact
+    // join on the order key, segment-filtered customer dim broadcast
+    "orders_unshipped" -> ((s, dir) => {
+      val cut = lit("1998-06-01").cast("timestamp")
+      val c = rd(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = rd(s, dir, "orders").filter(col("o_orderdate").cast("timestamp") < cut)
+      val l = rd(s, dir, "lineitem").filter(col("l_shipdate").cast("timestamp") > cut)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0)
+          + lit(0.5)).cast("long")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
     "lineitem_pricing" -> ((s, dir) =>
       rd(s, dir, "lineitem")
         .filter(col("l_shipdate").cast("timestamp") <= lit("1998-09-02").cast("timestamp"))
@@ -2351,6 +2366,18 @@ object SparkEntry {
         |            ELSE 'd_over_30m' END AS bucket,
         |  count(*) AS n_sessions
         |FROM sess GROUP BY 1""".stripMargin,
+    "orders_unshipped" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, l.l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_micro,
