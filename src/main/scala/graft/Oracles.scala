@@ -2103,7 +2103,22 @@ object Oracles {
     * unrolled fixed-iteration chain — contribution `r DIV outdeg`, update
     * `teleport + (damping·Σ) DIV 1000` — all BIGINT, reduction-order-proof. */
   def pageRankSql(k: Int, nPlanes: Int, nTables: Int,
-      nIters: Int, dampingMilli: Int, seedPred: Option[String] = None): String = {
+      nIters: Int, dampingMilli: Int, seedPred: Option[String] = None): String =
+    s"""WITH ${pageRankCtes(k, nPlanes, nTables, nIters, dampingMilli, seedPred)}
+       |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r$nIters""".stripMargin
+
+  /** Mirror of GraphRank.pageRankDelta: L1 + max gap between the last two
+    * iterations of the same unrolled chain. */
+  def pageRankDeltaSql(k: Int, nPlanes: Int, nTables: Int,
+      nIters: Int, dampingMilli: Int): String =
+    s"""WITH ${pageRankCtes(k, nPlanes, nTables, nIters, dampingMilli, None)}
+       |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |       CAST(sum(abs(a.r - b.r)) AS BIGINT) AS delta_micro,
+       |       CAST(max(abs(a.r - b.r)) AS BIGINT) AS max_delta_micro
+       |FROM r$nIters a JOIN r${nIters - 1} b ON a.node = b.node""".stripMargin
+
+  private def pageRankCtes(k: Int, nPlanes: Int, nTables: Int,
+      nIters: Int, dampingMilli: Int, seedPred: Option[String]): String = {
     val teleport = (1000L - dampingMilli) * 1000L
     val (r0r, r0t) = seedPred match {
       case None => ("CAST(1000000 AS BIGINT)", s"CAST($teleport AS BIGINT)")
@@ -2122,13 +2137,12 @@ object Oracles {
          |  FROM nd LEFT JOIN c$i ON c$i.dst = nd.node JOIN r0 ON r0.node = nd.node
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+    s"""${knnGraphCtes(k, nPlanes, nTables)},
        |e AS (SELECT src, nbr AS dst FROM kg),
        |nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |dg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
        |r0 AS (SELECT node, $r0r AS r, $r0t AS t0 FROM nd),
-       |$iters
-       |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r$nIters""".stripMargin
+       |$iters""".stripMargin
   }
 
   /** Exact mirror of GraphRank.triangleCounts over the kNN graph: symmetrize

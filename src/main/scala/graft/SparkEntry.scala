@@ -752,6 +752,11 @@ object SparkEntry {
       GraphRank.pageRank(
         Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
         "src", "nbr", nIters = 3, dampingMilli = 850)),
+    // convergence receipt: were 3 iterations enough? one-row L1/max gap
+    "graph_pagerank_delta" -> ((s, dir) =>
+      GraphRank.pageRankDelta(
+        Dedup.knnGraph(rd(s, dir, "embeddings"), "vec_id", "embedding", 3, 8, 2),
+        "src", "nbr", nIters = 3, dampingMilli = 850)),
     // personalized PageRank: teleport only to a seed set — random-walk
     // proximity to a curated set ("find more like these")
     "graph_ppr" -> ((s, dir) =>
@@ -1980,6 +1985,7 @@ object SparkEntry {
     "profile_docs" -> Oracles.profileDocsSql(
       Seq("doc_id", "text", "lang", "source", "n_chars")),
     "graph_pagerank" -> Oracles.pageRankSql(3, 8, 2, 3, 850),
+    "graph_pagerank_delta" -> Oracles.pageRankDeltaSql(3, 8, 2, 3, 850),
     "graph_ppr" -> Oracles.pageRankSql(3, 8, 2, 3, 850, Some("node < 10")),
     "graph_triangles" -> Oracles.triangleCountsSql(3, 8, 2),
     "graph_hits" -> Oracles.hitsSql(3, 8, 2, 2),

@@ -46,6 +46,36 @@ object GraphRank {
   }
 
   /**
+   * PageRank CONVERGENCE monitor — the one-row read that answers "were
+   * nIters enough": L1 and max gap (in rank micro-units) between the last
+   * two iterations of [[pageRank]]'s integer-exact chain. A fixed-iteration
+   * relational PageRank must justify its iteration count somewhere; this
+   * relation IS that receipt, and at 100 TB it is the stopping rule a
+   * driver loop checks between rounds. Runs the shared chain to nIters−1
+   * and nIters (the edge relation is materialized once and reused; the
+   * duplicated prefix is the price of keeping both faces oracle-mirrorable
+   * as unrolled CTEs).
+   *
+   * @return ONE row: (n_nodes, delta_micro = Σ|r_N − r_{N−1}|, max_delta_micro)
+   */
+  def pageRankDelta(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      nIters: Int = 3, dampingMilli: Int = 850): DataFrame = {
+    require(nIters >= 2, s"need nIters >= 2 to measure a delta, got $nIters")
+    val (e, nodes) = edgeNodes(edges, srcCol, dstCol)
+    val teleport = (1000L - dampingMilli) * 1000L
+    val n0 = nodes.select(col("node"), lit(teleport).as("__t0"), lit(1000000L).as("__r0"))
+    val prev = iterate(e, n0, nIters - 1, dampingMilli)
+      .select(col("node"), col("rank_micro").as("__p"))
+    val last = iterate(e, n0, nIters, dampingMilli)
+      .select(col("node"), col("rank_micro").as("__l"))
+    prev.join(last, Seq("node"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(abs(col("__l") - col("__p"))).as("delta_micro"),
+        max(abs(col("__l") - col("__p"))).as("max_delta_micro"))
+  }
+
+  /**
    * PERSONALIZED PageRank: teleport mass returns only to the `seeds` set, so
    * rank measures graph PROXIMITY TO THE SEEDS — "find more documents like
    * this curated set" as random-walk relevance, the retrieval complement of
