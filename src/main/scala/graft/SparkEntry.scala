@@ -837,6 +837,17 @@ object SparkEntry {
     "layout_zorder" -> ((s, dir) =>
       Embeddings.zorderKey(rd(s, dir, "embeddings"), "vec_id", "embedding",
         dims = 4, bits = 8)),
+    // the OPTIMIZE ZORDER move end-to-end: lay the table out compacted BY
+    // the Morton key, then answer a zkey range with manifest file skipping —
+    // an embedding-neighborhood scan that opens only intersecting files
+    "layout_pruned" -> ((s, dir) => {
+      val zk = Embeddings.zorderKey(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 4, bits = 8)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_zcompact/zc_${math.abs(dir.hashCode)}"
+      graft.sources.CompactTable.writeCompacted(zk, base, "zkey", targetRowsPerFile = 64L)
+      graft.sources.CompactTable.prunedRead(s, base, "zkey", 0L, 2147483647L)
+        .select(col("vec_id"), col("zkey"))
+    }),
     // count-min-sketch heavy hitters: depth×width mergeable sketch, estimate
     // = min over the depth cells — deterministic hashes make the one-sided
     // estimate itself oracle-checkable
@@ -2009,6 +2020,9 @@ object SparkEntry {
         |  CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_chars_micro
         |FROM documents""".stripMargin,
     "layout_zorder" -> Oracles.zorderKeySql(4, 8),
+    "layout_pruned" ->
+      s"""SELECT vec_id, zkey FROM (${Oracles.zorderKeySql(4, 8)}) z
+         |WHERE zkey BETWEEN 0 AND 2147483647""".stripMargin,
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
     "quality_classifier" -> Oracles.linearTextScoreSql(256),
