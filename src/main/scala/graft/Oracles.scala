@@ -2548,6 +2548,41 @@ object Oracles {
        |FROM ex LEFT JOIN ndx USING (doc_id) LEFT JOIN ctx USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of StreamDrift.psiPerWindow's batch face over events.value:
+    * baseline = the table's own global smoothed masses, windows = calendar
+    * days, per-window PSI summed over the fixed bin spine. */
+  def streamDriftSql(lo: Double, hi: Double, nBins: Int): String = {
+    val w = (hi - lo) / nBins
+    val binOf = (x: String) =>
+      s"least(greatest(CAST(floor((CAST($x AS DOUBLE) - $lo) / $w) AS BIGINT), 0), ${nBins - 1})"
+    s"""WITH v AS (
+       |  SELECT ts, value FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+       |),
+       |tt AS (SELECT count(*) AS tn FROM v),
+       |sp AS (SELECT CAST(unnest(generate_series(0, ${nBins - 1})) AS BIGINT) AS bin),
+       |gb AS (SELECT ${binOf("value")} AS bin, count(*) AS c FROM v GROUP BY 1),
+       |base AS (
+       |  SELECT sp.bin, (coalesce(gb.c, 0) + 1) * 1000000 // (tt.tn + $nBins) AS bm
+       |  FROM sp LEFT JOIN gb USING (bin) CROSS JOIN tt
+       |),
+       |wb AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+       |              ${binOf("value")} AS bin FROM v),
+       |wt AS (SELECT win_start, count(*) AS n FROM wb GROUP BY 1),
+       |wc AS (SELECT win_start, bin, count(*) AS c FROM wb GROUP BY 1, 2),
+       |j AS (
+       |  SELECT wt.win_start, wt.n, sp.bin, coalesce(wc.c, 0) AS c, base.bm
+       |  FROM wt CROSS JOIN sp
+       |  LEFT JOIN wc ON wc.win_start = wt.win_start AND wc.bin = sp.bin
+       |  JOIN base ON base.bin = sp.bin
+       |)
+       |SELECT win_start, CAST(n AS BIGINT) AS n,
+       |  CAST(sum(((c + 1) * 1000000 // (n + $nBins) - bm)
+       |    * CAST(floor((ln(CAST((c + 1) * 1000000 // (n + $nBins) AS DOUBLE))
+       |        - ln(CAST(bm AS DOUBLE))) * 1000000.0) AS BIGINT)
+       |    // 1000000) AS BIGINT) AS psi_micro
+       |FROM j GROUP BY win_start, n""".stripMargin
+  }
+
   /** Mirror of CorpusStats.ksDrift over documents.n_chars, even/odd split. */
   def ksDriftSql(lo: Double, hi: Double, nBins: Int): String = {
     val w = (hi - lo) / nBins

@@ -257,6 +257,17 @@ object SparkEntry {
           docs.filter(col("doc_id") < 20), "doc_id", "text", n = 13)
         .filter(col("doc_id") =!= col("bench_id"))
     }),
+    // streaming drift face (batch-run): per-day PSI of event values vs the
+    // table's own global baseline — the live-ingest alerting read
+    "stream_drift_batch" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val base = CorpusStats.psiDrift(
+          ev.select(col("value").as("v")), ev.select(col("value").as("v")),
+          "v", 0.0, 400.0, 8)
+        .select(col("bin"), col("base_micro"))
+        .collect().sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+      graft.streaming.StreamDrift.psiPerWindow(ev, "value", base, 0.0, 400.0, "1 day")
+    }),
     "stream_neardup_batch" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
       graft.streaming.StreamNearDup.flagAgainst(
@@ -2044,6 +2055,7 @@ object SparkEntry {
          |FROM jj JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)""".stripMargin,
     "drift_psi" -> Oracles.psiDriftSql(0.0, 600.0, 12),
     "drift_ks" -> Oracles.ksDriftSql(0.0, 600.0, 12),
+    "stream_drift_batch" -> Oracles.streamDriftSql(0.0, 400.0, 8),
     "bpe_merges" -> Oracles.bpeTrainSql(8),
     "bpe_segments" -> Oracles.bpeSegmentSql(8),
     "bpe_encode" -> Oracles.bpeEncodeSql(8),

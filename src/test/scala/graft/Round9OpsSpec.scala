@@ -995,6 +995,40 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- streaming drift ----------------------------------------------------
+
+  test("StreamDrift per-window PSI matches its batch face through a stream") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("2024-01-01 01:00:00", 10.0), ("2024-01-01 02:00:00", 12.0),
+      ("2024-01-01 03:00:00", 30.0),
+      ("2024-01-02 01:00:00", 95.0), ("2024-01-02 02:00:00", 99.0))
+      .map { case (t, v) => (java.sql.Timestamp.valueOf(t), v) }
+    val df = rows.toDF("ts", "value")
+    val base = Seq(400000L, 300000L, 200000L, 100000L) // baseline leans low
+    val batch = graft.streaming.StreamDrift
+      .psiPerWindow(df, "value", base, 0.0, 100.0, "1 day")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(batch.length == 2)
+    val byDay = batch.map(t => t._1.toString.take(10) -> t._3).toMap
+    // day 2 concentrates in the baseline-light top bin -> clearly higher psi
+    assert(byDay("2024-01-02") > byDay("2024-01-01"), byDay)
+    // the same plan through a real stream yields identical rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdrift").toFile
+    df.write.mode("overwrite").parquet(dir + "/in")
+    val st = s.readStream.schema(df.schema).parquet(dir + "/in")
+    val q = graft.streaming.StreamDrift
+      .psiPerWindow(st, "value", base, 0.0, 100.0, "1 day")
+      .writeStream.format("memory").queryName("sdrift").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("sdrift")
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      assert(got.sorted.sameElements(batch.sorted), got.mkString(","))
+    } finally q.stop()
+  }
+
   // ---- ingest screening ---------------------------------------------------
 
   test("IngestScreen flags exact, near-dup and contaminated batch docs") {
