@@ -2548,6 +2548,30 @@ object Oracles {
        |FROM ex LEFT JOIN ndx USING (doc_id) LEFT JOIN ctx USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of Multimodal.dHash over the UTF-8 payload built from `text` —
+    * valid because the synthetic corpus is pure ASCII (byte i == ascii of
+    * char i), per-char sums into 65 integer-math segments, gradient bits. */
+  def mmDHashSql: String = {
+    val sums = (0 to 64).map(k =>
+      s"coalesce(sum(CASE WHEN seg = $k THEN v END), 0) AS s$k").mkString(",\n    ")
+    val bits = (0 until 64).map(i =>
+      s"(CASE WHEN s$i > s${i + 1} THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |bx AS (
+       |  SELECT doc_id, (CAST(i - 1 AS BIGINT) * 65) // n AS seg,
+       |         ascii(substring(text, i, 1)) AS v
+       |  FROM (SELECT doc_id, text, n, unnest(generate_series(1, n)) AS i
+       |        FROM p WHERE n > 0)
+       |),
+       |sg AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM bx GROUP BY doc_id
+       |)
+       |SELECT p.doc_id, CAST($bits AS BIGINT) AS phash
+       |FROM p LEFT JOIN sg USING (doc_id)""".stripMargin
+  }
+
   /** Mirror of StreamDrift.psiPerWindow's batch face over events.value:
     * baseline = the table's own global smoothed masses, windows = calendar
     * days, per-window PSI summed over the fixed bin spine. */

@@ -345,6 +345,12 @@ object SparkEntry {
       CuratePipeline.curate(rd(s, dir, "documents"), "doc_id", "text", "source",
         0.5, 200L)),
     // video-analogue frame sampling over the binary payload (byte-exact)
+    // perceptual near-dup identity for media payloads: 64-bit byte-gradient
+    // dHash (band like simhash for candidates at scale)
+    "mm_phash" -> ((s, dir) =>
+      Multimodal.dHash(
+        Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload"),
+        "doc_id", "payload")),
     "mm_frames" -> ((s, dir) => {
       val wp = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
       wp.select(col("doc_id"),
@@ -1839,6 +1845,7 @@ object SparkEntry {
     "gopher_flags" -> Oracles.gopherFlagsSql(10, 100000, 2000L, 10000L, 2),
     "pipeline_curate" -> Oracles.curatePipelineSql(0.5, 200L),
     "mm_frames" -> Oracles.mmFramesSql(4),
+    "mm_phash" -> Oracles.mmDHashSql,
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),
     "dsir_weights_bigram" -> Oracles.dsirWeightsSql(

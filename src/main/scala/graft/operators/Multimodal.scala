@@ -179,4 +179,51 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /**
+   * dHash-style PERCEPTUAL fingerprint over a binary payload — the
+   * near-duplicate identity for media columns (the visual analogue of
+   * MinHash for text): downsample the payload into 65 equal byte segments
+   * (integer index math `seg(j) = j·65 div n`, exact in any engine), take
+   * per-segment byte sums, and set bit i iff `sum_i > sum_{i+1}` — the
+   * 64-bit gradient hash real image dHash computes over pixel rows, here
+   * over raw bytes since codecs are stubbed (swap the segment source for
+   * decoded luma rows without touching the plumbing). Near-identical
+   * payloads (small local edits) flip few gradient bits, so banding the
+   * hash exactly like [[graft.operators.Dedup.simHashPairs]] finds
+   * candidates at scale. O(bytes) mapPartitions kernel, one pass, no
+   * shuffle; null/empty payloads hash to 0.
+   *
+   * @return (idCol, phash BIGINT)
+   */
+  def dHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("phash", LongType)))
+    val slim = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val sums = new Array[Long](65) // per-partition reusable buffer
+      rows.map { r =>
+        java.util.Arrays.fill(sums, 0L)
+        var h = 0L
+        if (!r.isNullAt(1)) {
+          val bytes = r.getAs[Array[Byte]](1)
+          val n = bytes.length
+          var j = 0
+          while (j < n) {
+            sums(((j.toLong * 65L) / n).toInt) += (bytes(j) & 0xff).toLong
+            j += 1
+          }
+          var i = 0
+          while (i < 64) {
+            if (sums(i) > sums(i + 1)) h |= (1L << i)
+            i += 1
+          }
+        }
+        Row(r.getLong(0), h)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("id").as(idCol), col("phash"))
+  }
 }

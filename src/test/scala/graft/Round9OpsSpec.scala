@@ -995,6 +995,30 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- perceptual hash ----------------------------------------------------
+
+  test("Multimodal.dHash is stable under small edits, distinct for reshuffles") {
+    val s = spark
+    import s.implicits._
+    val base = ("x" * 40) + ("m" * 40) + ("z" * 50)
+    val rows = Seq(
+      (1L, base),
+      (2L, base),                                  // identical -> same hash
+      (3L, base.updated(45, 'n')),                 // one-byte edit -> few bits flip
+      (4L, scala.util.Random.javaRandomToRandom(new java.util.Random(7))
+        .shuffle(base.toSeq).mkString),            // global reshuffle -> different gradient
+      (5L, ""))                                    // empty -> 0
+    val df = graft.operators.Multimodal.withBinaryPayload(
+      rows.toDF("doc_id", "text"), "text", "payload")
+    val out = Multimodal.dHash(df, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(5L) == 0L)
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(out(1L), out(3L)) <= 4, s"edit flipped ${hamming(out(1L), out(3L))} bits")
+    assert(hamming(out(1L), out(4L)) > hamming(out(1L), out(3L)))
+  }
+
   // ---- streaming drift ----------------------------------------------------
 
   test("StreamDrift per-window PSI matches its batch face through a stream") {
