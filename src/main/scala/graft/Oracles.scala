@@ -2548,6 +2548,34 @@ object Oracles {
        |FROM ex LEFT JOIN ndx USING (doc_id) LEFT JOIN ctx USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of Dedup.paragraphDedup: newline paragraphs, dup = line digest
+    * in >= minDocs distinct docs, survivors rejoined in original order
+    * (string_agg skips the cut lines' NULLs; all-cut docs -> md5('')). */
+  def paragraphDedupSql(minDocs: Int): String =
+    s"""WITH pw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |            FROM documents WHERE text IS NOT NULL),
+       |pch AS (
+       |  SELECT doc_id, g, array_to_string(ws[g * 10 + 1 : g * 10 + 10], ' ') AS para
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + 9) // 10 - 1)) AS g
+       |        FROM pw WHERE len(ws) > 0)
+       |),
+       |pdoc AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY g) AS text
+       |         FROM pch GROUP BY doc_id),
+       |d AS (SELECT doc_id, str_split(text, chr(10)) AS ls
+       |      FROM pdoc WHERE text IS NOT NULL),
+       |l AS (SELECT doc_id, i - 1 AS p, ls[i] AS ln
+       |      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM d)),
+       |ne AS (SELECT doc_id, p, md5(ln) AS h FROM l WHERE length(ln) > 0),
+       |dup AS (SELECT h FROM ne GROUP BY h HAVING count(DISTINCT doc_id) >= $minDocs),
+       |fl AS (SELECT ne.doc_id, ne.p, 1 AS dup FROM ne JOIN dup USING (h)),
+       |j AS (SELECT l.doc_id, l.p, l.ln, fl.dup
+       |      FROM l LEFT JOIN fl ON fl.doc_id = l.doc_id AND fl.p = l.p)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(coalesce(dup, 0)) AS BIGINT) AS n_cut,
+       |  md5(coalesce(string_agg(CASE WHEN dup IS NULL THEN ln END, chr(10) ORDER BY p), ''))
+       |    AS clean_md5
+       |FROM j GROUP BY doc_id""".stripMargin
+
   /** Mirror of Multimodal.dHash over the UTF-8 payload built from `text` —
     * valid because the synthetic corpus is pure ASCII (byte i == ascii of
     * char i), per-char sums into 65 integer-math segments, gradient bits. */

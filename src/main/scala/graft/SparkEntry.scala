@@ -214,6 +214,20 @@ object SparkEntry {
       val seen = Dedup.exactDigests(docs.filter(col("doc_id") < 250), "text")
       Dedup.exactIncrementBloom(docs.filter(col("doc_id") >= 250), "doc_id", "text", seen)
     }),
+    // CCNet paragraph dedup: newline-boundary boilerplate cut corpus-wide.
+    // The synthetic corpus is single-line, so the gate paragraph-izes it
+    // deterministically (10-word chunks joined by newlines) — near-dup docs
+    // then share real paragraphs and the cut path is exercised
+    "dedup_paragraph" -> ((s, dir) => {
+      val para = rd(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("__ws"))
+        .where(size(col("__ws")) > 0)
+        .select(col("doc_id"), expr(
+          "array_join(transform(sequence(0, CAST((size(__ws) + 9) DIV 10 AS INT) - 1), " +
+          "g -> array_join(slice(__ws, g * 10 + 1, 10), ' ')), '\n')").as("ptext"))
+      Dedup.paragraphDedup(para, "doc_id", "ptext", minDocs = 2)
+    }),
     // one-call ingest screening: exact/near/contamination verdicts for a
     // new batch vs (history, bench) — the admission checklist composed
     "pipeline_ingest" -> ((s, dir) => {
@@ -1846,6 +1860,7 @@ object SparkEntry {
     "pipeline_curate" -> Oracles.curatePipelineSql(0.5, 200L),
     "mm_frames" -> Oracles.mmFramesSql(4),
     "mm_phash" -> Oracles.mmDHashSql,
+    "dedup_paragraph" -> Oracles.paragraphDedupSql(2),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),
     "dsir_weights_bigram" -> Oracles.dsirWeightsSql(

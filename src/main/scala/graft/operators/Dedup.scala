@@ -1418,6 +1418,51 @@ object Dedup {
    * @return one row per input doc: (idCol, clean_text, n_chunks, dup_chunks);
    *         docs with no `[a-z]` word → ('', 0, 0).
    */
+  /**
+   * PARAGRAPH-level cross-doc dedup — the CCNet move on the document's OWN
+   * structure (newline-delimited paragraphs) rather than fixed word windows
+   * ([[chunkDedup]]'s grid): any non-empty line whose md5 appears in at
+   * least `minDocs` DISTINCT documents is cut from every document, and the
+   * survivors are rejoined with the original newlines in original order.
+   * Boilerplate headers/footers/nav text — which align on real paragraph
+   * boundaries, not word-window boundaries — disappear corpus-wide.
+   *
+   * Plan shape: the dup verdict is ONE aggregate on the line digest (no
+   * pair join — the [[duplicateSpans]] stance); the line relation carries
+   * (id, pos, line) once through a digest-keyed left join and one doc-key
+   * reassembly exchange. Empty lines are never dup-cut (they are document
+   * structure, kept verbatim). Null-text docs are absent; every other doc
+   * gets a verdict row — a doc whose EVERY line was cut rejoins to the
+   * empty string (clean_md5 = md5('')), mirrored identically in the oracle.
+   *
+   * @return (idCol, n_lines, n_cut, clean_md5 — md5 of the rejoined text)
+   */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
+    val keyed = lines.where(length(col("__ln")) > 0)
+      .select(col("__id"), col("__p"), md5(col("__ln")).as("__h"))
+    val dupKeys = keyed.groupBy(col("__h"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(1L).as("__dup"))
+    val flagged = keyed.join(dupKeys, Seq("__h"), "left")
+      .where(col("__dup").isNotNull)
+      .select(col("__id"), col("__p"), col("__dup"))
+    lines.join(flagged, Seq("__id", "__p"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_cut"),
+        md5(expr("array_join(transform(sort_array(collect_list(" +
+          "CASE WHEN __dup IS NULL THEN struct(__p, __ln) END)), x -> x.__ln), '\n')"))
+          .as("clean_md5"))
+      .select(col("__id").as(idCol), col("n_lines"), col("n_cut"), col("clean_md5"))
+  }
+
   def chunkDedup(
       df: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 40, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {

@@ -995,6 +995,23 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- paragraph dedup ----------------------------------------------------
+
+  test("paragraphDedup cuts corpus-shared lines, keeps structure and order") {
+    val df = docsDf(Seq(
+      (1L, "keep me\nSHARED FOOTER\nalso mine"),
+      (2L, "other text\n\nSHARED FOOTER"),   // empty line kept verbatim
+      (3L, "unique solo doc"),
+      (4L, "SHARED FOOTER")))                // every line cut -> md5('')
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(out(1L) == ((3L, 1L, m("keep me\nalso mine"))))
+    assert(out(2L) == ((3L, 1L, m("other text\n"))))       // empty line survives
+    assert(out(3L) == ((1L, 0L, m("unique solo doc"))))
+    assert(out(4L) == ((1L, 1L, m(""))))                   // all-removed doc
+  }
+
   // ---- perceptual hash ----------------------------------------------------
 
   test("Multimodal.dHash is stable under small edits, distinct for reshuffles") {
