@@ -2548,6 +2548,42 @@ object Oracles {
        |FROM ex LEFT JOIN ndx USING (doc_id) LEFT JOIN ctx USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of Embeddings.powerIteration: quantized mean co-moment matrix +
+    * nIters unrolled integer power steps (DuckDB `//` truncates toward zero
+    * exactly like Spark's `div` — verified including negatives). */
+  def powerIterationSql(dims: Int, nIters: Int): String = {
+    val steps = (1 to nIters).map { r =>
+      s"""mv$r AS (
+         |  SELECT cm.i, sum(cm.c * v${r - 1}.vj // 1000000) AS m
+         |  FROM cm JOIN v${r - 1} ON v${r - 1}.j = cm.j
+         |  GROUP BY 1
+         |),
+         |mx$r AS (SELECT greatest(max(abs(m)), 1) AS mx FROM mv$r),
+         |v$r AS (
+         |  SELECT mv$r.i AS j, mv$r.m * 1000000 // mx$r.mx AS vj
+         |  FROM mv$r CROSS JOIN mx$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS (
+       |  SELECT embedding AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims
+       |),
+       |px AS (
+       |  SELECT i.i - 1 AS i, j.j - 1 AS j,
+       |    CAST(floor(CAST(e[i.i] AS DOUBLE) * CAST(e[j.j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS p
+       |  FROM pe
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) i
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS j) j
+       |),
+       |cm AS (
+       |  SELECT i, j, CAST(sum(p) AS BIGINT) // count(*) AS c
+       |  FROM px GROUP BY 1, 2
+       |),
+       |v0 AS (SELECT unnest(generate_series(0, ${dims - 1})) AS j, CAST(1000000 AS BIGINT) AS vj),
+       |$steps
+       |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS v_micro FROM v$nIters""".stripMargin
+  }
+
   /** Mirror of Dedup.paragraphDedup: newline paragraphs, dup = line digest
     * in >= minDocs distinct docs, survivors rejoined in original order
     * (string_agg skips the cut lines' NULLs; all-cut docs -> md5('')). */

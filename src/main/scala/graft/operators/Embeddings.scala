@@ -145,6 +145,64 @@ object Embeddings {
    * @param bits bits per dimension
    * @return (idCol, zkey: BIGINT)
    */
+  /**
+   * Dominant principal DIRECTION of the embedding space by integer-exact
+   * POWER ITERATION — the one-vector PCA read a pipeline uses for drift
+   * detection ("did the embedding space rotate between snapshots"),
+   * anisotropy diagnosis, and common-direction debiasing (the
+   * all-but-the-top-component trick):
+   *
+   *  1. the co-moment matrix `C[i][j] = Σ_rows q(x_i)·q(x_j)` is ONE
+   *     distributed aggregation over the per-row dimension pairs, with each
+   *     product quantized to an exact BIGINT before the sum (`floor(x_i·x_j·
+   *     10⁶ + 0.5)`) — reduction-order-proof, d² ≤ 4096 output cells;
+   *  2. `nIters` power steps run on that d²-cell relation: `v ← C·v`,
+   *     renormalized each step to max|v| = 10⁶ by integer division — every
+   *     iterate is a BIGINT vector, so the whole chain is bit-identical in
+   *     SQL (unrolled CTEs, the Lloyd-chain stance).
+   *
+   * The all-ones start vector has positive overlap with the dominant
+   * eigenvector of the PSD co-moment matrix for the common
+   * nonnegative-mean case, and the fixed start makes the sign convention
+   * deterministic either way. Null/short vectors are skipped (the
+   * [[zorderKey]] eligibility stance). Convergence: the usual power-method
+   * ratio — at these dims more iterations cost one 4096-row join each.
+   *
+   * @return (dim 0..d-1, v_micro) — the direction scaled to max|v| = 10⁶
+   */
+  def powerIteration(
+      df: DataFrame, vecCol: String, dims: Int, nIters: Int = 3): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(nIters >= 1, s"nIters must be >= 1, got $nIters")
+    val spark = df.sparkSession
+    val base = df.where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+    val cm = base
+      .select(posexplode(expr(s"slice($vecCol, 1, $dims)")).as(Seq("__i", "__xi")),
+        col(vecCol).as("__v"))
+      .select(col("__i"), posexplode(expr(s"slice(__v, 1, $dims)")).as(Seq("__j", "__xj")),
+        col("__xi"))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(floor(col("__xi").cast("double") * col("__xj").cast("double")
+        * lit(1000000.0) + lit(0.5)).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      // normalize to the MEAN co-moment (same eigenvectors, and cell
+      // magnitudes stay ~10⁶ at ANY corpus size so the per-step products
+      // below cannot overflow a Long at 100 TB)
+      .select(col("__i"), col("__j"), expr("__s div __n").as("__c"))
+      .localCheckpoint(true) // consumed once per power step
+    var v = spark.range(dims).select(col("id").cast("int").as("__j"),
+      lit(1000000L).as("__vj"))
+    for (_ <- 1 to nIters) {
+      val mv = cm.join(v, Seq("__j"))
+        .groupBy(col("__i"))
+        .agg(sum(expr("__c * __vj div 1000000L")).as("__m"))
+      val mx = mv.agg(greatest(max(abs(col("__m"))), lit(1L)).as("__mx"))
+      v = mv.crossJoin(broadcast(mx))
+        .select(col("__i").as("__j"), expr("__m * 1000000L div __mx").as("__vj"))
+    }
+    v.select(col("__j").cast("long").as("dim"), col("__vj").as("v_micro"))
+  }
+
   def zorderKey(df: DataFrame, idCol: String, vecCol: String,
       dims: Int = 4, bits: Int = 8): DataFrame = {
     require(dims >= 1 && bits >= 1 && dims * bits <= 62,

@@ -995,6 +995,24 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.contains("shard=1")), files.mkString(","))
   }
 
+  // ---- power iteration ----------------------------------------------------
+
+  test("powerIteration finds the dominant axis of an anisotropic cloud") {
+    val s = spark
+    import s.implicits._
+    // variance concentrated on axis 1; axes 0/2/3 carry small mixed noise
+    val rows = Seq(
+      Seq(0.5f, 9.0f, 0.1f, -0.2f), Seq(-0.4f, 8.5f, -0.1f, 0.1f),
+      Seq(0.3f, 9.5f, 0.2f, 0.2f), Seq(-0.2f, 8.8f, -0.3f, -0.1f),
+      Seq(0.1f, 9.2f, 0.0f, 0.3f))
+    val df = rows.map(Tuple1(_)).toDF("embedding")
+    val v = Embeddings.powerIteration(df, "embedding", dims = 4, nIters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v(1L) == 1000000L, v)           // dominant axis at full scale
+    assert(math.abs(v(0L)) < 100000L, v)   // noise axes an order down
+    assert(math.abs(v(2L)) < 100000L && math.abs(v(3L)) < 100000L, v)
+  }
+
   // ---- paragraph dedup ----------------------------------------------------
 
   test("paragraphDedup cuts corpus-shared lines, keeps structure and order") {
