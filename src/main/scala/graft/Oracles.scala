@@ -2584,6 +2584,30 @@ object Oracles {
        |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS v_micro FROM v$nIters""".stripMargin
   }
 
+  /** Mirror of Embeddings.removeTopComponent: the powerIteration chain's
+    * direction as a double list, then the per-vector projection residuals
+    * with the same d-ascending folds. */
+  def removeTopComponentSql(dims: Int, nIters: Int): String =
+    s"""WITH pu AS (
+       |  SELECT list(CAST(v_micro AS DOUBLE) / 1000000.0 ORDER BY dim) AS uv
+       |  FROM (${powerIterationSql(dims, nIters)})
+       |),
+       |pn AS (SELECT uv, list_sum(list_transform(uv, x -> x * x)) AS nu2 FROM pu),
+       |pv AS (
+       |  SELECT vec_id, embedding AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims
+       |),
+       |pd AS (
+       |  SELECT v.vec_id, v.e, p.uv, p.nu2,
+       |    list_sum(list_transform(generate_series(1, $dims),
+       |      i -> CAST(v.e[i] AS DOUBLE) * p.uv[i])) AS dot
+       |  FROM pv v CROSS JOIN pn p
+       |)
+       |SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       |  round(CAST(e[i] AS DOUBLE) - (dot / nu2) * uv[i], 6) + 0.0 AS resid
+       |FROM (SELECT vec_id, e, uv, nu2, dot,
+       |             unnest(generate_series(1, $dims)) AS i FROM pd)""".stripMargin
+
   /** Mirror of Dedup.paragraphDedup: newline paragraphs, dup = line digest
     * in >= minDocs distinct docs, survivors rejoined in original order
     * (string_agg skips the cut lines' NULLs; all-cut docs -> md5('')). */

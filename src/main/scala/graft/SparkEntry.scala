@@ -873,6 +873,11 @@ object SparkEntry {
     "emb_power_iter" -> ((s, dir) =>
       Embeddings.powerIteration(rd(s, dir, "embeddings"), "embedding",
         dims = 16, nIters = 3)),
+    // the debias move itself: subtract each vector's projection onto that
+    // direction — pure per-row map once the d-number direction is known
+    "emb_debias" -> ((s, dir) =>
+      Embeddings.removeTopComponent(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        dims = 16, nIters = 3)),
     // the OPTIMIZE ZORDER move end-to-end: lay the table out compacted BY
     // the Morton key, then answer a zkey range with manifest file skipping —
     // an embedding-neighborhood scan that opens only intersecting files
@@ -2062,6 +2067,7 @@ object SparkEntry {
       s"""SELECT vec_id, zkey FROM (${Oracles.zorderKeySql(4, 8)}) z
          |WHERE zkey BETWEEN 0 AND 2147483647""".stripMargin,
     "emb_power_iter" -> Oracles.powerIterationSql(16, 3),
+    "emb_debias" -> Oracles.removeTopComponentSql(16, 3),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
     "quality_classifier" -> Oracles.linearTextScoreSql(256),

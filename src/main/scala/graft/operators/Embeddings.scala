@@ -203,6 +203,46 @@ object Embeddings {
     v.select(col("__j").cast("long").as("dim"), col("__vj").as("v_micro"))
   }
 
+  /**
+   * Common-direction DEBIAS — the standard all-but-the-top-component move
+   * (Mu & Viswanath 2018 / SIF postprocessing): compute the dominant
+   * principal direction with [[powerIteration]] and subtract each vector's
+   * projection onto it, `x' = x − (x·û/|û|²)·û`. Anisotropic embedding
+   * spaces concentrate mass on one direction that encodes frequency, not
+   * meaning; removing it measurably improves cosine retrieval.
+   *
+   * The direction is d numbers — collected driver-side (bounded by dim,
+   * never by corpus) and baked into the projection expression as literals,
+   * so the debias pass itself is a pure per-row map: zero shuffles over
+   * the corpus. Double arithmetic is d-ascending folds of exact micro-unit
+   * literals — the same IEEE sequence in Scala, Spark codegen, and the
+   * oracle's list folds, so residuals round-trip bit-identically.
+   *
+   * @return (idCol, dim 0..dims-1, resid rounded to 6) — exploded residual
+   *         coordinates of the first `dims` dimensions
+   */
+  def removeTopComponent(
+      df: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nIters: Int = 3): DataFrame = {
+    val u = powerIteration(df, vecCol, dims, nIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uv: Array[Double] = (0 until dims).map(d => u(d.toLong) / 1000000.0).toArray
+    var nu2 = 0.0
+    var d = 0
+    while (d < dims) { nu2 += uv(d) * uv(d); d += 1 } // ascending, engine-identical
+    require(nu2 > 0.0, "degenerate zero direction")
+    val uArr = array(uv.map(x => lit(x)): _*)
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+      .select(col(idCol), expr(s"slice($vecCol, 1, $dims)").as("__x"))
+      .withColumn("__u", uArr)
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__x, __u, (a, b) -> CAST(a AS DOUBLE) * b), 0D, (acc, v) -> acc + v)"))
+      .select(col(idCol), posexplode(expr(
+        s"zip_with(__x, __u, (a, b) -> round(CAST(a AS DOUBLE) - (__dot / ${nu2}D) * b, 6))"))
+        .as(Seq("dim", "resid")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("resid"))
+  }
+
   def zorderKey(df: DataFrame, idCol: String, vecCol: String,
       dims: Int = 4, bits: Int = 8): DataFrame = {
     require(dims >= 1 && bits >= 1 && dims * bits <= 62,

@@ -1013,6 +1013,23 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(math.abs(v(2L)) < 100000L && math.abs(v(3L)) < 100000L, v)
   }
 
+  test("removeTopComponent zeroes the projection onto the dominant axis") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Seq(0.5f, 9.0f, 0.1f, -0.2f)), (2L, Seq(-0.4f, 8.5f, -0.1f, 0.1f)),
+      (3L, Seq(0.3f, 9.5f, 0.2f, 0.2f)), (4L, Seq(-0.2f, 8.8f, -0.3f, -0.1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Embeddings.removeTopComponent(df, "vec_id", "embedding", dims = 4, nIters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 16)
+    // the dominant (axis-1-heavy) coordinate collapses; residual mass is noise-scale
+    rows.foreach { case (id, v) =>
+      assert(math.abs(out((id, 1L))) < 0.25, s"doc $id kept ${out((id, 1L))} on the top axis")
+      assert(math.abs(out((id, 1L))) < math.abs(v(1)) / 10)
+    }
+  }
+
   // ---- paragraph dedup ----------------------------------------------------
 
   test("paragraphDedup cuts corpus-shared lines, keeps structure and order") {
