@@ -2660,6 +2660,22 @@ object Oracles {
        |FROM p LEFT JOIN sg USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of Multimodal.dHashPairs: the dHash relation banded 4×16 bits,
+    * same-(band, value) candidates, exact Hamming verify. */
+  def mmDHashPairsSql(maxHamming: Int): String =
+    s"""WITH ph AS ($mmDHashSql),
+       |bd AS (
+       |  SELECT doc_id, phash, b, (phash >> (b * 16)) & 65535 AS k
+       |  FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS b FROM ph)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.phash AS pa, b.phash AS pb
+       |  FROM bd a JOIN bd b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= $maxHamming""".stripMargin
+
   /** Mirror of StreamDrift.psiPerWindow's batch face over events.value:
     * baseline = the table's own global smoothed masses, windows = calendar
     * days, per-window PSI summed over the fixed bin spine. */

@@ -50,7 +50,7 @@ object PlanAudit {
       "bpe_segments", "bpe_encode", "pipeline_ingest", "ann_ivf_report",
       "events_debounce", "quality_ensemble", "orders_unshipped",
       "graph_pagerank_delta", "layout_pruned", "stream_drift_batch", "mm_phash",
-      "dedup_paragraph", "emb_power_iter", "emb_debias",
+      "dedup_paragraph", "emb_power_iter", "emb_debias", "mm_phash_pairs",
       "text_phrase_hits", "search_and", "events_cusum", "len_outliers",
       "cooccurrence", "corpus_health", "lineitem_pricing", "events_dau_wau",
       "bench_coverage", "simjoin_plan", "orders_by_region", "sessions_duration")

@@ -365,6 +365,11 @@ object SparkEntry {
       Multimodal.dHash(
         Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload"),
         "doc_id", "payload")),
+    // media near-dup pairs: 4x16-bit banded candidates + exact Hamming
+    "mm_phash_pairs" -> ((s, dir) =>
+      Multimodal.dHashPairs(
+        Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload"),
+        "doc_id", "payload", maxHamming = 3)),
     "mm_frames" -> ((s, dir) => {
       val wp = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
       wp.select(col("doc_id"),
@@ -1870,6 +1875,7 @@ object SparkEntry {
     "pipeline_curate" -> Oracles.curatePipelineSql(0.5, 200L),
     "mm_frames" -> Oracles.mmFramesSql(4),
     "mm_phash" -> Oracles.mmDHashSql,
+    "mm_phash_pairs" -> Oracles.mmDHashPairsSql(3),
     "dedup_paragraph" -> Oracles.paragraphDedupSql(2),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),

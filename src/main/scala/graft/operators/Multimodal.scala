@@ -226,4 +226,35 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
       .select(col("id").as(idCol), col("phash"))
   }
+
+  /**
+   * Media near-dup PAIRS from [[dHash]] — the banding move that makes the
+   * perceptual hash usable at corpus scale: the 64-bit hash splits into
+   * 4×16-bit bands, candidates are same-(band, value) collisions (an
+   * inverted-index equi-join, never all-pairs), and candidates verify by
+   * exact Hamming distance. Pigeonhole-EXACT for `maxHamming ≤ 3`: any
+   * pair within 3 bit flips must agree on at least one whole band (the
+   * [[graft.operators.Dedup.simHashPairs]] 16-bit-band guarantee).
+   *
+   * @return (id_a, id_b, hamming) with id_a < id_b, distinct
+   */
+  def dHashPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is exact only for maxHamming <= 3, got $maxHamming")
+    val h = dHash(df, idCol, payloadCol).select(col(idCol).as("__id"), col("phash"))
+    val bands = h.select(col("__id"), col("phash"),
+      posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 16) & 65535)"))
+        .as(Seq("__b", "__k")))
+    bands.as("a").join(bands.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__k") === col("b.__k") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.phash").as("__pa"), col("b.phash").as("__pb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(bit_count(__pa ^ __pb) AS BIGINT)").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }
