@@ -1310,30 +1310,45 @@ object Oracles {
        |)
        |SELECT id_a, id_b, edit_milli FROM ev WHERE edit_milli <= $maxDistMilli""".stripMargin
 
+  /** Per-document character-code list: `cs[i]` = code point of the i-th
+    * character of `text` (1-based). The corpus is ASCII (measured: max code
+    * point 121 at every SF), so `string_split(text, '')` + `ascii` is exactly
+    * the code-point sequence KGramHashPairsExpr hashes. Computed ONCE per doc
+    * — every gram hash then indexes into it in O(1), which is what makes the
+    * span-oracle family run in sub-second instead of the O(k·len²)
+    * substring-rescan the driver timed out on in round 9. */
+  private val charCodesSql: String =
+    "list_transform(string_split(text, ''), ch -> ascii(ch))"
+
   /** The two weighted code-point sums of the k-gram at 1-based position
-    * `posExpr` of column `text` — mirrors KGramHashPairsExpr BY VALUE: the
-    * same splitmix64 weight table the expression uses, embedded as a SQL
-    * list literal (j 1-based ↦ table index j−1); all products < 2⁶³, so
-    * both engines sum exactly. `family` = 1 or 2. */
+    * `posExpr`, expressed over a precomputed char-code list column `cs`
+    * (see [[charCodesSql]]) — mirrors KGramHashPairsExpr BY VALUE: the same
+    * splitmix64 weight table the expression uses, embedded as per-term SQL
+    * literals (unrolled k-term sum, no lambda, O(k) per gram); all products
+    * < 2⁶³, so both engines sum exactly. `family` = 1 or 2. */
   private def gramHashSql(posExpr: String, k: Int, family: Int): String = {
     val w = (0 until k).map(p =>
       if (family == 1) graft.functions.KGramHashPairsExpr.weight1(p)
       else graft.functions.KGramHashPairsExpr.weight2(p))
-    s"CAST(list_sum(list_transform(generate_series(1, $k), j -> " +
-      s"ascii(substring(text, $posExpr + j - 1, 1)) * ([${w.mkString(",")}])[j])) AS BIGINT)"
+    "CAST(" + (0 until k).map(j => s"cs[$posExpr+$j]*${w(j)}").mkString(" + ") +
+      " AS BIGINT)"
   }
 
   /** Span CTE chain `g → dup → d → r → sp` mirroring Dedup.duplicateSpans on
     * the documents table: sp(doc_id, s, e, ng) = maximal runs of k-gram
     * positions whose (h1, h2) gram identity occurs in ≥ 2 distinct docs. */
   def dupSpanCtes(k: Int): String =
-    s"""WITH g AS (
+    s"""WITH cl AS (
+       |  SELECT doc_id, $charCodesSql AS cs,
+       |         greatest(length(text) - ${k - 1}, 0) AS ngr FROM documents
+       |),
+       |g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
        |         ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT doc_id, text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents)
+       |  FROM (SELECT doc_id, cs,
+       |          unnest(generate_series(1, ngr)) AS gp
+       |        FROM cl)
        |),
        |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
        |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
@@ -1351,13 +1366,17 @@ object Oracles {
     * Dedup.duplicateSpansAll: a gram qualifies at >= 2 occurrences anywhere,
     * within-doc repeats included) — only the HAVING clause differs. */
   def dupSpanCtesAll(k: Int): String =
-    s"""WITH g AS (
+    s"""WITH cl AS (
+       |  SELECT doc_id, $charCodesSql AS cs,
+       |         greatest(length(text) - ${k - 1}, 0) AS ngr FROM documents
+       |),
+       |g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
        |         ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT doc_id, text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents)
+       |  FROM (SELECT doc_id, cs,
+       |          unnest(generate_series(1, ngr)) AS gp
+       |        FROM cl)
        |),
        |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) >= 2),
        |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
@@ -1378,19 +1397,21 @@ object Oracles {
   /** Mirror of Decontaminate.benchCoverage: distinct bench grams vs the
     * distinct matched grams, integer micro coverage ratio. */
   def benchCoverageSql(k: Int, corpusPred: String, benchPred: String): String =
-    s"""WITH bh AS (
+    s"""WITH cl AS (
+       |  SELECT doc_id, $charCodesSql AS cs,
+       |         greatest(length(text) - ${k - 1}, 0) AS ngr FROM documents
+       |),
+       |bh AS (
        |  SELECT DISTINCT ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents WHERE $benchPred)
+       |  FROM (SELECT c.cs, unnest(generate_series(1, c.ngr)) AS gp
+       |        FROM cl c JOIN documents USING (doc_id) WHERE $benchPred)
        |),
        |cg AS (
        |  SELECT ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents WHERE $corpusPred)
+       |  FROM (SELECT c.cs, unnest(generate_series(1, c.ngr)) AS gp
+       |        FROM cl c JOIN documents USING (doc_id) WHERE $corpusPred)
        |),
        |f AS (SELECT DISTINCT cg.h1, cg.h2 FROM cg
        |      JOIN bh ON bh.h1 = cg.h1 AND bh.h2 = cg.h2)
@@ -1400,20 +1421,22 @@ object Oracles {
        |    AS coverage_micro""".stripMargin
 
   def contamSpanCtes(k: Int, corpusPred: String, benchPred: String): String =
-    s"""WITH g AS (
+    s"""WITH cl AS (
+       |  SELECT doc_id, $charCodesSql AS cs,
+       |         greatest(length(text) - ${k - 1}, 0) AS ngr FROM documents
+       |),
+       |g AS (
        |  SELECT doc_id, CAST(gp AS BIGINT) AS p,
        |         ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT doc_id, text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents WHERE $corpusPred)
+       |  FROM (SELECT c.doc_id, c.cs, unnest(generate_series(1, c.ngr)) AS gp
+       |        FROM cl c JOIN documents USING (doc_id) WHERE $corpusPred)
        |),
        |bh AS (
        |  SELECT DISTINCT ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents WHERE $benchPred)
+       |  FROM (SELECT c.cs, unnest(generate_series(1, c.ngr)) AS gp
+       |        FROM cl c JOIN documents USING (doc_id) WHERE $benchPred)
        |),
        |d AS (SELECT doc_id, p FROM g JOIN bh USING (h1, h2)),
        |r AS (
@@ -1431,19 +1454,21 @@ object Oracles {
     * rows WHERE benchPred; one row per bench doc with the integer-milli
     * leaked-gram fraction. */
   def leakReportSql(k: Int, corpusPred: String, benchPred: String): String =
-    s"""WITH cg AS (
+    s"""WITH cl AS (
+       |  SELECT doc_id, $charCodesSql AS cs,
+       |         greatest(length(text) - ${k - 1}, 0) AS ngr FROM documents
+       |),
+       |cg AS (
        |  SELECT DISTINCT ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents WHERE $corpusPred)
+       |  FROM (SELECT c.cs, unnest(generate_series(1, c.ngr)) AS gp
+       |        FROM cl c JOIN documents USING (doc_id) WHERE $corpusPred)
        |),
        |bg AS (
        |  SELECT doc_id, ${gramHashSql("gp", k, 1)} AS h1,
        |         ${gramHashSql("gp", k, 2)} AS h2
-       |  FROM (SELECT doc_id, text,
-       |          unnest(generate_series(1, greatest(length(text) - ${k - 1}, 0))) AS gp
-       |        FROM documents WHERE $benchPred)
+       |  FROM (SELECT c.doc_id, c.cs, unnest(generate_series(1, c.ngr)) AS gp
+       |        FROM cl c JOIN documents USING (doc_id) WHERE $benchPred)
        |),
        |lk AS (SELECT doc_id, count(*) AS leaked FROM bg JOIN cg USING (h1, h2) GROUP BY doc_id)
        |SELECT d.doc_id, CAST(greatest(length(d.text) - ${k - 1}, 0) AS BIGINT) AS total_grams,
@@ -1461,17 +1486,25 @@ object Oracles {
     * tables BY VALUE) present in ≥ 2 distinct docs, 1-based word positions. */
   def wordSpanCtes(n: Int): String = {
     val gram = (0 until n).map(k => s"ws[i+$k]").mkString(" || ' ' || ")
-    // the expression's weight tables by value (512 = its MaxGramChars bound;
-    // an over-long gram would index past the literal and null out loudly
-    // rather than silently diverge)
-    def h(family: Int) = {
+    // The expression's weight tables by value, hoisted into a ONE-ROW `wt`
+    // CTE (512 = MaxGramChars bound; an over-long gram would index past the
+    // list and null out loudly rather than silently diverge). The hash then
+    // splits the gram once and O(1)-indexes the weight lists via an indexed
+    // lambda — the per-gram 512-literal re-materialization this replaces is
+    // what made the driver's round-9 gate time out (258 s for this one query
+    // at sf0.01; now sub-second). Gram strings are `[a-z ]`-only, so
+    // string_split(gr, '') is exactly the code-point sequence.
+    def h(family: Int) =
+      s"CAST(list_sum(list_transform(string_split(gr, ''), (ch, j) -> " +
+        s"ascii(ch) * w${family}l[j])) AS BIGINT)"
+    def wlist(family: Int) = {
       val w = (0 until graft.functions.KGramHashPairsExpr.MaxGramChars).map(p =>
         if (family == 1) graft.functions.KGramHashPairsExpr.weight1(p)
         else graft.functions.KGramHashPairsExpr.weight2(p))
-      s"CAST(list_sum(list_transform(generate_series(1, length(gr)), j -> " +
-        s"ascii(substring(gr, j, 1)) * ([${w.mkString(",")}])[j])) AS BIGINT)"
+      s"[${w.mkString(",")}]"
     }
-    s"""WITH d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+    s"""WITH wt AS (SELECT ${wlist(1)} AS w1l, ${wlist(2)} AS w2l),
+       |d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
        |g0 AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS p, $gram AS gr
        |  FROM (SELECT doc_id, ws,
@@ -1482,7 +1515,7 @@ object Oracles {
        |g AS (
        |  SELECT doc_id, p, ${h(1)} AS h1,
        |         ${h(2)} AS h2
-       |  FROM g0
+       |  FROM g0 CROSS JOIN wt
        |),
        |dup AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(DISTINCT doc_id) >= 2),
        |d AS (SELECT doc_id, p FROM g JOIN dup USING (h1, h2)),
@@ -1518,11 +1551,15 @@ object Oracles {
        |      SELECT doc_id, p,
        |             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS isl
        |      FROM (
-       |        SELECT doc_id, CAST(cp AS BIGINT) AS p, substring(lower(text), cp, 1) AS ch
-       |        FROM (SELECT doc_id, text,
-       |                unnest(generate_series(1, greatest(length(text), 0))) AS cp
-       |              FROM documents)
-       |      ) WHERE ascii(ch) BETWEEN 97 AND 122
+       |        -- char table via ZIPPED unnest (positions × split chars, equal
+       |        -- lengths on this ASCII corpus) — O(len) per doc, not the
+       |        -- O(len²) per-position substring rescan
+       |        SELECT doc_id, CAST(cp AS BIGINT) AS p, c
+       |        FROM (SELECT doc_id,
+       |                unnest(generate_series(1, length(text))) AS cp,
+       |                unnest(list_transform(string_split(lower(text), ''), ch -> ascii(ch))) AS c
+       |              FROM documents WHERE length(text) > 0)
+       |      ) WHERE c BETWEEN 97 AND 122
        |    )
        |    GROUP BY doc_id, isl
        |  )
