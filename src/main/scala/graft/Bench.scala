@@ -75,14 +75,25 @@ object Bench {
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
 
-    // Redundant per-query chunk lines, printed in REVERSE alphabetical chunk
-    // order so the alphabetically-first queries (the ones a head-clipped tail
-    // capture has historically lost) land CLOSEST to the end of the output —
-    // the canonical one-line JSON stays very last for the driver's parser.
+    // Output layout, tuned for the driver's ~4.5 KB TAIL-limited capture (the
+    // r6-r9 BENCH artifacts all lost the head of a single long line, and r9's
+    // `parsed` was null because the line it tried to parse was head-clipped):
+    //   1. the canonical FULL one-line JSON first — intact in any unbounded
+    //      capture, and always in BENCH_LOCAL.json above;
+    //   2. per-query chunk lines in REVERSE alphabetical chunk order, so the
+    //      alphabetically-first queries land closest to the end and survive
+    //      the tail window;
+    //   3. LAST: a compact summary line (same shape, `queries` = the 40
+    //      slowest, errors complete) small enough to always survive whole —
+    //      a parser that reads the last JSON line gets valid, parseable data.
+    println(line)
     timings.toSeq.grouped(20).toSeq.reverse.foreach { chunk =>
       val c = chunk.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
       println(s"""{"bench_chunk":$c}""")
     }
-    println(line)
+    val slowest = timings.toSeq.sortBy(-_._2).take(40)
+      .map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"queries_note":"40 slowest of ${timings.size}; full map in BENCH_LOCAL.json and the bench_chunk lines above"}""")
   }
 }

@@ -2841,4 +2841,94 @@ object Oracles {
        |  CAST(sum(coalesce(w.w_micro, 0)) // count(*) AS BIGINT) AS score_micro
        |FROM db LEFT JOIN w USING (bucket)
        |GROUP BY doc_id""".stripMargin
+
+  /** The dedup_paragraph gate's deterministic paragraph-ization (10-word
+    * chunks of the single-line synthetic corpus joined by newlines), shared
+    * by every line-granularity oracle: emits `l(doc_id, p, ln)`. */
+  private val paraLinesCtes: String =
+    s"""pw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |            FROM documents WHERE text IS NOT NULL),
+       |pch AS (
+       |  SELECT doc_id, g, array_to_string(ws[g * 10 + 1 : g * 10 + 10], ' ') AS para
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + 9) // 10 - 1)) AS g
+       |        FROM pw WHERE len(ws) > 0)
+       |),
+       |pdoc AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY g) AS text
+       |         FROM pch GROUP BY doc_id),
+       |d AS (SELECT doc_id, str_split(text, chr(10)) AS ls
+       |      FROM pdoc WHERE text IS NOT NULL),
+       |l AS (SELECT doc_id, i - 1 AS p, ls[i] AS ln
+       |      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i FROM d))""".stripMargin
+
+  /** Mirror of Dedup.lineDedupWithinDoc over the paragraph-ized corpus:
+    * within each doc the first occurrence of a distinct non-empty line
+    * survives, later copies are cut; empty lines always survive. */
+  val lineDedupWithinDocSql: String =
+    s"""WITH $paraLinesCtes,
+       |k AS (SELECT doc_id, p, ln,
+       |        CASE WHEN length(ln) > 0 THEN md5(ln)
+       |             ELSE 'e:' || CAST(p AS VARCHAR) END AS h
+       |      FROM l),
+       |f AS (SELECT doc_id, p, ln,
+       |        CASE WHEN row_number() OVER (PARTITION BY doc_id, h ORDER BY p) > 1
+       |             THEN 1 ELSE 0 END AS cut
+       |      FROM k)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(cut) AS BIGINT) AS n_cut,
+       |  md5(coalesce(string_agg(CASE WHEN cut = 0 THEN ln END, chr(10) ORDER BY p), ''))
+       |    AS clean_md5
+       |FROM f GROUP BY doc_id""".stripMargin
+
+  /** Mirror of CorpusStats.lineRepetitionReport over the paragraph-ized
+    * corpus (integer-milli duplicate-line and duplicate-char fractions). */
+  val lineRepetitionSql: String =
+    s"""WITH $paraLinesCtes,
+       |ne AS (SELECT doc_id, md5(ln) AS h, CAST(length(ln) AS BIGINT) AS le
+       |       FROM l WHERE length(ln) > 0),
+       |g AS (SELECT doc_id, h, count(*) AS c, min(le) AS le FROM ne GROUP BY doc_id, h)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |  CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+       |  CAST(sum(c - 1) * 1000 // sum(c) AS BIGINT) AS dup_line_milli,
+       |  CAST(CASE WHEN sum(c * le) > 0 THEN sum((c - 1) * le) * 1000 // sum(c * le)
+       |       ELSE 0 END AS BIGINT) AS dup_char_milli
+       |FROM g GROUP BY doc_id""".stripMargin
+
+  /** Mirror of Dedup.cdcChunks: Karp–Rabin boundary detection over the
+    * per-doc char-code list (same b/p/m constants, every term < 2⁶³ so both
+    * engines compute the identical BIGINT hash), lag-window segments,
+    * md5-digest cross-doc dup verdict. */
+  def cdcChunksSql(window: Int, avgChunk: Int, minDocs: Int): String = {
+    val P = 1000000007L
+    val pow = Array.iterate(1L, window)(x => x * 257L % P)
+    val hsum = (0 until window).map(j => s"cs[i-$j]*${pow(j)}").mkString(" + ")
+    s"""WITH cl AS (
+       |  SELECT doc_id, text,
+       |         list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS cs,
+       |         CAST(length(text) AS BIGINT) AS n
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+       |),
+       |bp AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, CAST(unnest(generate_series($window, n)) AS BIGINT) AS i, cs
+       |    FROM cl WHERE n >= $window)
+       |  WHERE ($hsum) % $P % $avgChunk = ${avgChunk - 1}
+       |  UNION
+       |  SELECT doc_id, n AS i FROM cl
+       |),
+       |sg AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ci,
+       |         coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+       |         i AS e
+       |  FROM bp
+       |),
+       |ch AS (SELECT sg.doc_id, ci, s, e - s + 1 AS le,
+       |         md5(substring(cl.text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS ck
+       |       FROM sg JOIN cl USING (doc_id)),
+       |dup AS (SELECT ck FROM ch GROUP BY ck HAVING count(DISTINCT doc_id) >= $minDocs)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx, CAST(s AS BIGINT) AS chunk_start,
+       |  CAST(le AS BIGINT) AS chunk_len,
+       |  CAST(CASE WHEN dup.ck IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+       |FROM ch LEFT JOIN dup USING (ck)""".stripMargin
+  }
 }

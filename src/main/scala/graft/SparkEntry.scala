@@ -22,6 +22,19 @@ object SparkEntry {
   private def rd(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** The deterministic paragraph-ization shared by every line-granularity
+    * gate (dedup_paragraph, dedup_lines_within, text_rep_lines): the
+    * single-line synthetic corpus re-lined as 10-word chunks joined by
+    * newlines, so near-dup docs share real paragraphs and cut paths run. */
+  private def paragraphized(spark: SparkSession, dir: String): DataFrame =
+    rd(spark, dir, "documents")
+      .select(col("doc_id"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("__ws"))
+      .where(size(col("__ws")) > 0)
+      .select(col("doc_id"), expr(
+        "array_join(transform(sequence(0, CAST((size(__ws) + 9) DIV 10 AS INT) - 1), " +
+        "g -> array_join(slice(__ws, g * 10 + 1, 10), ' ')), '\n')").as("ptext"))
+
   /** Flagship query on sf=0.001: full similarity self-join of part names. */
   def entry(spark: SparkSession): DataFrame = {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
@@ -218,16 +231,21 @@ object SparkEntry {
     // The synthetic corpus is single-line, so the gate paragraph-izes it
     // deterministically (10-word chunks joined by newlines) — near-dup docs
     // then share real paragraphs and the cut path is exercised
-    "dedup_paragraph" -> ((s, dir) => {
-      val para = rd(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("__ws"))
-        .where(size(col("__ws")) > 0)
-        .select(col("doc_id"), expr(
-          "array_join(transform(sequence(0, CAST((size(__ws) + 9) DIV 10 AS INT) - 1), " +
-          "g -> array_join(slice(__ws, g * 10 + 1, 10), ' ')), '\n')").as("ptext"))
-      Dedup.paragraphDedup(para, "doc_id", "ptext", minDocs = 2)
-    }),
+    "dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(paragraphized(s, dir), "doc_id", "ptext", minDocs = 2)),
+    // within-doc repeated-line cut (C4 in-document rule), same deterministic
+    // paragraph-ization as dedup_paragraph so the cut path is exercised on
+    // the single-line synthetic corpus
+    "dedup_lines_within" -> ((s, dir) =>
+      Dedup.lineDedupWithinDoc(paragraphized(s, dir), "doc_id", "ptext")),
+    // Gopher §A1.2 line-repetition fractions (scored, not cut)
+    "text_rep_lines" -> ((s, dir) =>
+      CorpusStats.lineRepetitionReport(paragraphized(s, dir), "doc_id", "ptext")),
+    // content-defined chunking dedup: Karp-Rabin boundaries (insert/delete
+    // re-chunks only its own neighborhood), digest-keyed cross-doc verdict
+    "dedup_cdc" -> ((s, dir) =>
+      Dedup.cdcChunks(rd(s, dir, "documents"), "doc_id", "text",
+        window = 8, avgChunk = 64, minDocs = 2)),
     // one-call ingest screening: exact/near/contamination verdicts for a
     // new batch vs (history, bench) — the admission checklist composed
     "pipeline_ingest" -> ((s, dir) => {
@@ -1877,6 +1895,9 @@ object SparkEntry {
     "mm_phash" -> Oracles.mmDHashSql,
     "mm_phash_pairs" -> Oracles.mmDHashPairsSql(3),
     "dedup_paragraph" -> Oracles.paragraphDedupSql(2),
+    "dedup_lines_within" -> Oracles.lineDedupWithinDocSql,
+    "text_rep_lines" -> Oracles.lineRepetitionSql,
+    "dedup_cdc" -> Oracles.cdcChunksSql(8, 64, 2),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),
     "dsir_weights_bigram" -> Oracles.dsirWeightsSql(

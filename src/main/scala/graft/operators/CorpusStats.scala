@@ -1324,4 +1324,44 @@ object CorpusStats {
       .select(col("__id").as(idCol), col("n_tokens"), col("w_sum"),
         expr("w_sum div n_tokens").as("score_micro"))
   }
+
+  /**
+   * Per-document LINE-repetition report — the Gopher §A1.2 in-document
+   * repetition signals at line granularity (Rae et al. 2021 filter docs by
+   * "duplicate line fraction" and "duplicate line character fraction"): a
+   * line occurrence is a DUPLICATE if an identical non-empty line occurred
+   * earlier in the same document. Scored, not cut — the filtering
+   * counterpart of [[Dedup.lineDedupWithinDoc]] (cut) for threshold sweeps.
+   *
+   * Exactness: both fractions are integer-milli via BIGINT `div` — no float
+   * reduction anywhere, so the report hashes bit-identically on any engine
+   * and any partitioning.
+   *
+   * Scale shape: one aggregation keyed by (doc, line digest) — text leaves
+   * the scan as (id, digest, length) triples only — then one doc-key
+   * aggregation; both exchanges linear, nothing corpus-global.
+   *
+   * @return one row per non-null-text doc: (idCol, n_lines, dup_lines,
+   *         dup_line_milli, dup_char_milli) where n_lines counts NON-empty
+   *         lines, dup_lines = occurrences beyond each first, and the char
+   *         fraction weights each duplicate occurrence by its length over
+   *         the total non-empty-line chars.
+   */
+  def lineRepetitionReport(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\n")).as("__ln"))
+      .where(length(col("__ln")) > 0)
+      .select(col("__id"), md5(col("__ln")).as("__h"), length(col("__ln")).cast("long").as("__l"))
+      .groupBy(col("__id"), col("__h"))
+      .agg(count(lit(1)).as("__c"), first(col("__l")).as("__l"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_lines"),
+        sum(col("__c") - 1).as("dup_lines"),
+        sum((col("__c") - 1) * col("__l")).as("__dupchars"),
+        sum(col("__c") * col("__l")).as("__chars"))
+      .select(col("__id").as(idCol), col("n_lines"), col("dup_lines"),
+        expr("dup_lines * 1000 div n_lines").as("dup_line_milli"),
+        expr("CASE WHEN __chars > 0 THEN __dupchars * 1000 div __chars ELSE 0 END")
+          .as("dup_char_milli"))
 }

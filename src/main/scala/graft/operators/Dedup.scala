@@ -1720,4 +1720,111 @@ object Dedup {
     // pays ~2 shuffles per hop — runStar closes chains in O(log² n) rounds.
     ConnectedComponents.runStar(df.select(col(idCol)), idCol, edges, "id_a", "id_b")
   }
+
+  /**
+   * WITHIN-document repeated-line dedup — the C4-family in-document rule
+   * complementing [[paragraphDedup]]'s cross-doc cut: inside each document,
+   * the FIRST occurrence of every distinct non-empty line survives and every
+   * later exact copy is cut (navigation menus, repeated headers, scraper
+   * stutter). Cross-doc frequency is irrelevant here — a line unique to the
+   * corpus but repeated in one doc is still cut.
+   *
+   * Scale shape: entirely doc-local — one exchange keyed by (doc, line
+   * digest) for the occurrence rank and one doc-key reassembly exchange;
+   * no corpus-wide digest aggregation at all, so the operator composes with
+   * [[paragraphDedup]] without double-shuffling the corpus. Empty lines are
+   * document structure and always survive.
+   *
+   * @return one row per non-null-text doc:
+   *         (idCol, n_lines, n_cut, clean_md5 — md5 of the rejoined text)
+   */
+  def lineDedupWithinDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"), col("__h")).orderBy(col("__p"))
+    val lines = df
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
+    val flagged = lines
+      .withColumn("__h",
+        when(length(col("__ln")) > 0, md5(col("__ln"))).otherwise(concat(lit("e:"), col("__p"))))
+      .withColumn("__cut", when(row_number().over(w) > 1, 1L).otherwise(0L))
+    flagged.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("__cut")).as("n_cut"),
+        md5(expr("array_join(transform(sort_array(collect_list(" +
+          "CASE WHEN __cut = 0 THEN struct(__p, __ln) END)), x -> x.__ln), '\n')"))
+          .as("clean_md5"))
+      .select(col("__id").as(idCol), col("n_lines"), col("n_cut"), col("clean_md5"))
+  }
+
+  /**
+   * CONTENT-DEFINED CHUNKING (CDC) dedup relation — the rsync/LBFS move for
+   * incremental-crawl dedup: chunk boundaries are a pure function of local
+   * content (a w-char Karp–Rabin rolling hash hitting a residue class), so
+   * an insertion or deletion only re-chunks its OWN neighborhood — unlike
+   * [[chunkDedup]]'s fixed word grid, where one extra word shifts every
+   * later chunk and destroys all downstream matches. A re-crawled page with
+   * one edited sentence re-deduplicates everywhere else.
+   *
+   * Boundary rule (deterministic, integer-exact on both engines): for
+   * 1-based char position i ∈ [w, len], H(i) = (Σ_{j=0}^{w-1}
+   * code(i−j)·b^j) mod p with b=257, p=1e9+7; a chunk ends at i iff
+   * H(i) mod m == m−1 (expected chunk ≈ m chars) or i == len. Every term
+   * < 1.3e11, the w-term sum < 2⁶³ — exact BIGINT in both engines.
+   *
+   * Scale shape: boundary detection is a per-row codegen'd HOF pass (zero
+   * shuffles); the cross-doc dup verdict is ONE aggregation keyed by the
+   * chunk md5 (digests + ids ride the exchange, chunk text ships exactly
+   * once on the doc-side regroup) — the [[chunkDedup]] plan shape on
+   * content-defined units.
+   *
+   * @return one row per chunk: (idCol, chunk_idx, chunk_start 1-based,
+   *         chunk_len, is_dup — 1 iff the chunk's exact content occurs in
+   *         ≥ minDocs distinct docs). Empty-text docs emit no rows.
+   */
+  def cdcChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, avgChunk: Int = 64, minDocs: Int = 2): DataFrame = {
+    require(window >= 2 && window <= 32, s"window must be in [2,32], got $window")
+    require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val P = 1000000007L
+    val b = 257L
+    val pow = Array.iterate(1L, window)(x => x * b % P)
+    // H(i) over codes cs[i-j] (1-based list positions), unrolled w terms
+    val hsum = (0 until window).map(j => s"element_at(__cs, CAST(i - $j AS INT)) * ${pow(j)}L")
+      .mkString(" + ")
+    val chunks = df
+      .where(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("__id"), col(textCol).as("__t"),
+        expr(s"transform(split($textCol, ''), ch -> ascii(ch))").as("__cs"))
+      .select(col("__id"), col("__t"),
+        // sequence(w, len) flips DESCENDING when len < w — guard to empty
+        expr(s"""CASE WHEN length(__t) >= $window THEN
+                   filter(sequence(CAST($window AS BIGINT), length(__t)),
+                          i -> ($hsum) % $P % $avgChunk = ${avgChunk - 1})
+                 ELSE array() END""").as("__bs0"))
+      // boundary list + the forced end-of-doc boundary, deduped when the
+      // hash already fires on the last position
+      .select(col("__id"), col("__t"),
+        expr("array_distinct(concat(__bs0, array(length(__t))))").as("__bs"))
+      .select(col("__id"), col("__t"),
+        posexplode(expr(
+          """transform(__bs, (e, ix) ->
+               struct(CASE WHEN ix = 0 THEN CAST(1 AS BIGINT) ELSE __bs[ix - 1] + 1 END AS s,
+                      e AS e))""")).as(Seq("__ci", "__seg")))
+      .select(col("__id"), col("__ci").cast("long").as("__ci"),
+        col("__seg.s").as("__s"), (col("__seg.e") - col("__seg.s") + 1).as("__l"),
+        md5(expr("substring(__t, CAST(__seg.s AS INT), CAST(__seg.e - __seg.s + 1 AS INT))"))
+          .as("__ck"))
+    val dupKeys = chunks.groupBy(col("__ck"))
+      .agg(countDistinct(col("__id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__ck"), lit(1L).as("__isdup"))
+    chunks.join(dupKeys, Seq("__ck"), "left")
+      .select(col("__id").as(idCol), col("__ci").as("chunk_idx"),
+        col("__s").as("chunk_start"), col("__l").as("chunk_len"),
+        coalesce(col("__isdup"), lit(0L)).as("is_dup"))
+  }
 }
