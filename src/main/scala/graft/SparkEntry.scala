@@ -448,6 +448,13 @@ object SparkEntry {
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
     }),
+    // hard-negative mining: top-k most-similar DIFFERENT-label vectors per
+    // anchor — the contrastive-training counterpart of ann_topk
+    "ann_hard_negatives" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.hardNegatives(emb.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", emb, "vec_id", "embedding", "label", 5)
+    }),
     // MRL adaptive retrieval: 16-dim prefix shortlist + full-vector refine
     "ann_mrl_rerank" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -1709,6 +1716,26 @@ object SparkEntry {
         |p AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS ea, c.embedding AS eb
         |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cosine
+        |  FROM p
+        |),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= 5""".stripMargin,
+    "ann_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS ea, c.embedding AS eb
+        |  FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.label IS NULL OR c.label IS NULL OR q.label <> c.label
         |),
         |s AS (
         |  SELECT query_id, neighbor_id,

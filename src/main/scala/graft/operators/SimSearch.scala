@@ -136,27 +136,37 @@ object SimSearch {
       minCos: Double = Double.NegativeInfinity,
       onlyQueryLess: Boolean = false,
       excludeSelf: Boolean = false,
-      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong,
+      excludeLabelMatch: Option[(String, String)] = None): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     requireIntegralId(corpus, cId, "corpus")
     requireIntegralId(queries, qId, "queries")
     requireCollectableQueries(queries, qId, qVec, maxQueryBytes)
     val spark = corpus.sparkSession
-    val qRows = queries.select(col(qId).cast("long"), col(qVec)).collect().flatMap { r =>
+    // label exclusion (the hard-negative shape): a (query, corpus) pair is
+    // skipped when BOTH labels are non-null and equal — the label rides the
+    // broadcast/scan, so the exclusion costs nothing extra in the plan
+    val qLabelSel = excludeLabelMatch.map(lc => col(lc._1).cast("long"))
+      .getOrElse(lit(null).cast("long"))
+    val qRows = queries.select(col(qId).cast("long"), col(qVec), qLabelSel)
+      .collect().flatMap { r =>
       if (r.isNullAt(0) || r.isNullAt(1)) None
       else {
         val v = r.getSeq[Float](1).toArray
         var n = 0.0; var i = 0
         while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n)))
+        val lbl: java.lang.Long = if (r.isNullAt(2)) null else r.getLong(2)
+        if (n == 0.0) None else Some((r.getLong(0), v, math.sqrt(n), lbl))
       }
     }
     val bc = spark.sparkContext.broadcast(qRows)
     val outSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("neighbor_id", LongType),
       StructField("__cos", DoubleType)))
-    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val cLabelSel = excludeLabelMatch.map(lc => col(lc._2).cast("long"))
+      .getOrElse(lit(null).cast("long"))
+    val slim = corpus.select(col(cId).cast("long"), col(cVec), cLabelSel)
     val rdd = slim.rdd.mapPartitions { rows =>
       val qs = bc.value
       rows.flatMap { r =>
@@ -164,15 +174,17 @@ object SimSearch {
         else {
           val cid = r.getLong(0)
           val cv = r.getSeq[Float](1).toArray
+          val clbl: java.lang.Long = if (r.isNullAt(2)) null else r.getLong(2)
           var cn = 0.0; var i = 0
           while (i < cv.length) { cn += cv(i).toDouble * cv(i).toDouble; i += 1 }
           if (cn == 0.0) Iterator.empty
           else {
             val cSqrt = math.sqrt(cn)
-            qs.iterator.flatMap { case (qid, qv, qSqrt) =>
+            qs.iterator.flatMap { case (qid, qv, qSqrt, qlbl) =>
               if (qv.length != cv.length) None
               else if (excludeSelf && qid == cid) None
               else if (onlyQueryLess && qid >= cid) None
+              else if (qlbl != null && clbl != null && qlbl.longValue == clbl.longValue) None
               else {
                 var dot = 0.0; var d = 0
                 while (d < qv.length) { dot += qv(d).toDouble * cv(d).toDouble; d += 1 }
@@ -226,6 +238,36 @@ object SimSearch {
       maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
     val scored = broadcastCosine(corpus, cId, cVec, queries, qId, qVec,
       excludeSelf = excludeSelf, maxQueryBytes = maxQueryBytes)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /**
+   * Hard-negative mining — the contrastive-training data op: for each query
+   * (an anchor with a class/positive-group label), the k corpus vectors MOST
+   * similar to it whose label differs — the negatives a contrastive or
+   * reranker loss learns the most from (Karpukhin et al. 2020 DPR mines
+   * negatives exactly this way, from BM25/dense top results that are not
+   * positives). Pairs where either label is null are never excluded —
+   * unlabeled corpus rows are eligible negatives for every anchor.
+   *
+   * Plan shape: identical to [[topK]] (queries broadcast with their labels,
+   * ONE corpus scan, window top-k) — the label test runs inside the scan
+   * kernel, so exclusion adds zero exchanges; in particular the
+   * |corpus|·|queries| candidate relation is never re-joined to fetch
+   * labels.
+   *
+   * @return (query_id, neighbor_id, cosine rounded to 4)
+   */
+  def hardNegatives(
+      queries: DataFrame, qId: String, qVec: String, qLabel: String,
+      corpus: DataFrame, cId: String, cVec: String, cLabel: String,
+      k: Int, excludeSelf: Boolean = true,
+      maxQueryBytes: Long = SimJoin.MaxBroadcastBytes.toLong): DataFrame = {
+    val scored = broadcastCosine(corpus, cId, cVec, queries, qId, qVec,
+      excludeSelf = excludeSelf, maxQueryBytes = maxQueryBytes,
+      excludeLabelMatch = Some((qLabel, cLabel)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("__cos").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))

@@ -116,6 +116,26 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet == Set(2L))
   }
 
+  // ---- hardNegatives ------------------------------------------------------
+
+  test("hardNegatives excludes same-label rows; null labels stay eligible") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f), Some(1)),   // anchor, label 1
+      (1L, Array(1f, 0f), Some(1)),   // identical but same label — excluded
+      (2L, Array(0.9f, 0.1f), Some(2)), // different label — hardest negative
+      (3L, Array(0.5f, 0.5f), None),    // unlabeled — eligible
+      (4L, Array(0f, 1f), Some(2))
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimSearch.hardNegatives(
+        emb.filter($"vec_id" === 0L), "vec_id", "embedding", "label",
+        emb, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(2L, 3L))
+    assert(!out.map(_._1).contains(1L))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
