@@ -1834,9 +1834,12 @@ object Oracles {
   /** Exact mirror of CuratePipeline.curate: quality filter ([[qualityScoredCtes]])
     * → keep min doc id per md5(text) → integer floor-sqrt temperature quotas
     * → per-source rank by (tHash priority, id), rank ≤ quota. */
-  def curatePipelineSql(minQuality: Double, budget: Long): String = {
+  /** The curate chain WITHOUT the WITH keyword, ending in
+    * `csel(doc_id, source, rank)` — shared by [[curatePipelineSql]] and the
+    * composed [[pipelineShardsSql]]. */
+  private def curatePipelineCtes(minQuality: Double, budget: Long): String = {
     val pr = s"((${tHashSql("CAST(u.doc_id AS VARCHAR)")} % 1048576) + 1048576) % 1048576"
-    s"""WITH $qualityScoredCtes,
+    s"""$qualityScoredCtes,
        |qd AS (
        |  SELECT d2.doc_id, d2.source, d2.text
        |  FROM documents d2 JOIN scored s USING (doc_id)
@@ -1855,10 +1858,57 @@ object Oracles {
        |  SELECT u.doc_id, u.source,
        |    row_number() OVER (PARTITION BY u.source ORDER BY $pr, u.doc_id) AS rnk
        |  FROM u
-       |)
-       |SELECT p.doc_id, p.source, CAST(rnk AS BIGINT) AS rank
-       |FROM p JOIN qt USING (source) WHERE rnk <= qt.quota""".stripMargin
+       |),
+       |csel AS (
+       |  SELECT p.doc_id, p.source, CAST(rnk AS BIGINT) AS rank
+       |  FROM p JOIN qt USING (source) WHERE rnk <= qt.quota
+       |)""".stripMargin
   }
+
+  def curatePipelineSql(minQuality: Double, budget: Long): String =
+    s"""WITH ${curatePipelineCtes(minQuality, budget)}
+       |SELECT doc_id, source, rank FROM csel""".stripMargin
+
+  /** Mirror of the composed shard-building pipeline (curate → greedy pack →
+    * HRW bin sharding): the curate chain verbatim, token counts re-derived,
+    * the packGreedy fold unrolled as a recursive CTE over per-source
+    * row_number chains, and the rendezvous argmax over the composite bin
+    * key — every stage the same formula its standalone oracle uses. */
+  def pipelineShardsSql(
+      minQuality: Double, budget: Long, capacity: Long, nShards: Int): String =
+    s"""WITH RECURSIVE ${curatePipelineCtes(minQuality, budget)},
+       |dtok AS (
+       |  SELECT c.doc_id, c.source,
+       |    CAST(len(regexp_split_to_array(trim(d3.text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    row_number() OVER (PARTITION BY c.source ORDER BY c.doc_id) AS rn
+       |  FROM csel c JOIN documents d3 USING (doc_id)
+       |),
+       |pk AS (
+       |  SELECT source, doc_id, n_tokens, rn, n_tokens AS acc,
+       |    CAST(0 AS BIGINT) AS bin
+       |  FROM dtok WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+       |    CASE WHEN pk.acc > 0 AND pk.acc + d.n_tokens > $capacity
+       |         THEN d.n_tokens ELSE pk.acc + d.n_tokens END,
+       |    CASE WHEN pk.acc > 0 AND pk.acc + d.n_tokens > $capacity
+       |         THEN pk.bin + 1 ELSE pk.bin END
+       |  FROM dtok d JOIN pk ON d.source = pk.source AND d.rn = pk.rn + 1
+       |),
+       |bk AS (
+       |  SELECT source, doc_id, n_tokens, bin,
+       |    ((${tHashSql("source")} % 1000003) + 1000003) % 1000003 * 4096 + bin AS bkey
+       |  FROM pk
+       |),
+       |sh AS (
+       |  SELECT source, doc_id, n_tokens, bin,
+       |    list_transform(generate_series(0, ${nShards - 1}), s ->
+       |      ((bkey % 1000003) * 8191 + s) % 1000003 * 2654435761 % 1000003) AS rw
+       |  FROM bk
+       |)
+       |SELECT doc_id, source, n_tokens, bin,
+       |  CAST(list_position(rw, list_aggregate(rw, 'max')) - 1 AS BIGINT) AS shard
+       |FROM sh""".stripMargin
 
   /** Exact mirror of Dedup.chunkDedup: non-overlapping `w`-word chunks of the
     * lowercased `[a-z]+` word runs; a chunk is dup iff its exact text occurs

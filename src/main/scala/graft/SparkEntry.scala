@@ -254,6 +254,21 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 250), "doc_id", "text",
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") < 20), 0.8)
     }),
+    // end-to-end training-shard build: curate (quality+dedup+quota) → greedy
+    // per-source context packing → HRW shard assignment of the packed bins —
+    // the full make-training-shards call, every stage its standalone mirror
+    "pipeline_shards" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val curated = CuratePipeline.curate(docs, "doc_id", "text", "source", 0.5, 200L)
+      val toks = docs.select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens"))
+      val packed = Packing.packGreedy(
+        curated.select(col("doc_id"), col("source")).join(toks, Seq("doc_id")),
+        "source", "doc_id", "n_tokens", 1024L)
+      val keyed = packed.withColumn("bin_key",
+        pmod(TextFunctions.tHashUdf(col("source")), lit(1000003L)) * 4096L + col("bin"))
+      Packing.rendezvousShard(keyed, "bin_key", 10)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"), col("shard"))
+    }),
     // cross-corpus form: neither side broadcast — the crawl-vs-last-crawl shape
     "dedup_cross" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
@@ -1918,6 +1933,7 @@ object SparkEntry {
     "source_kl" -> Oracles.sourceKlSql,
     "gopher_flags" -> Oracles.gopherFlagsSql(10, 100000, 2000L, 10000L, 2),
     "pipeline_curate" -> Oracles.curatePipelineSql(0.5, 200L),
+    "pipeline_shards" -> Oracles.pipelineShardsSql(0.5, 200L, 1024L, 10),
     "mm_frames" -> Oracles.mmFramesSql(4),
     "mm_phash" -> Oracles.mmDHashSql,
     "mm_phash_pairs" -> Oracles.mmDHashPairsSql(3),

@@ -116,6 +116,27 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet == Set(2L))
   }
 
+  // ---- pipeline_shards composition ----------------------------------------
+
+  test("shard pipeline: bins respect capacity and co-shard atomically") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 40L).map(i => (i, "s" + (i % 3), 300L)).toDF("doc_id", "source", "n")
+    val packed = Packing.packGreedy(df, "source", "doc_id", "n", capacity = 1000L)
+    val keyed = packed.withColumn("bin_key",
+      pmod(graft.functions.TextFunctions.tHashUdf(col("source")), lit(1000003L)) * 4096L
+        + col("bin"))
+    val out = Packing.rendezvousShard(keyed, "bin_key", 7)
+      .select("source", "bin", "n", "shard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // capacity: 3 docs of 300 fit, a 4th would overflow — every bin has <= 3
+    val perBin = out.groupBy(r => (r._1, r._2))
+    assert(perBin.values.forall(_.length <= 3))
+    // atomicity: a bin maps to exactly one shard
+    assert(perBin.values.forall(_.map(_._4).distinct.length == 1))
+    assert(out.map(_._4).distinct.length > 1, "fixture should spread across shards")
+  }
+
   // ---- hardNegatives ------------------------------------------------------
 
   test("hardNegatives excludes same-label rows; null labels stay eligible") {
