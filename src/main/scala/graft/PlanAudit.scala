@@ -53,7 +53,9 @@ object PlanAudit {
       "dedup_paragraph", "emb_power_iter", "emb_debias", "mm_phash_pairs",
       "text_phrase_hits", "search_and", "events_cusum", "len_outliers",
       "cooccurrence", "corpus_health", "lineitem_pricing", "events_dau_wau",
-      "bench_coverage", "simjoin_plan", "orders_by_region", "sessions_duration")
+      "bench_coverage", "simjoin_plan", "orders_by_region", "sessions_duration",
+      "dedup_lines_within", "text_rep_lines", "dedup_cdc", "ann_hard_negatives",
+      "pipeline_shards", "orders_local_volume", "corpus_upsert")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -178,6 +178,16 @@ object SparkEntry {
           concat(lit("rev2 "), col("text"))).otherwise(col("text")))
       Dedup.corpusDiff(oldSnap, newSnap, "doc_id", "text")
     }),
+    // snapshot MERGE/upsert: re-crawl batch wins on key overlap, untouched
+    // base rows carry over — the next-snapshot materialization (digest-slim)
+    "corpus_upsert" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val base = d.filter(col("doc_id") < 400)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+      val batch = d.filter(col("doc_id") >= 200)
+        .select(col("doc_id"), md5(concat(lit("v2 "), col("text"))).as("digest"))
+      Dedup.upsertByKey(base, batch, "doc_id")
+    }),
     // Soft dedup: duplicates down-weighted (1/group), not dropped
     "dedup_soft_weights" -> ((s, dir) =>
       Dedup.softWeights(rd(s, dir, "documents"), "doc_id", "text")),
@@ -1173,6 +1183,35 @@ object SparkEntry {
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("n_orders"), sum(col("__cents")).as("revenue_cents"))),
+    // TPC-H Q5 shape: local-supplier volume — the canonical 6-table plan.
+    // orders⋈customer shuffles on the customer key, lineitem (the big fact)
+    // shuffles ONCE on the order key into that; supplier/nation/region are
+    // dims and ride BroadcastHashJoins; the customer-nation = supplier-nation
+    // locality predicate applies after the broadcast supplier join
+    "orders_local_volume" -> ((s, dir) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val o = rd(s, dir, "orders")
+        .filter(col("o_orderdate").cast("timestamp") >= lo &&
+          col("o_orderdate").cast("timestamp") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val l = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(100.0)
+            + lit(0.5)).cast("long").as("__cents"))
+      val sup = rd(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n = rd(s, dir, "nation")
+      val r = rd(s, dir, "region").filter(col("r_name") === "ASIA")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
+    }),
     // session-duration mix: fixed integer-µs boundaries over the session
     // relation (exact comparisons — no float log bucketing)
     "sessions_duration" -> ((s, dir) =>
@@ -1525,6 +1564,14 @@ object SparkEntry {
         |            WHEN o.old_hash IS NOT DISTINCT FROM n.new_hash THEN 'unchanged'
         |            ELSE 'changed' END AS status
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "corpus_upsert" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, md5('v2 ' || text) AS digest FROM documents WHERE doc_id >= 200)
+        |SELECT doc_id, digest, CAST(1 AS BIGINT) AS from_batch FROM batch
+        |UNION ALL
+        |SELECT b.doc_id, b.digest, CAST(0 AS BIGINT) AS from_batch
+        |FROM base b LEFT JOIN batch t ON b.doc_id = t.doc_id
+        |WHERE t.doc_id IS NULL""".stripMargin,
     "dedup_soft_weights" -> Oracles.softWeightsSql,
     "doc_novelty" -> Oracles.noveltySql,
     "doc_boilerplate" -> Oracles.boilerplateSql(2L),
@@ -2514,6 +2561,19 @@ object SparkEntry {
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_cents DESC, l.l_orderkey ASC
         |LIMIT 10""".stripMargin,
+    "orders_local_volume" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     "lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS count_order,
         |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_micro,

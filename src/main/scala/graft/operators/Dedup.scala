@@ -196,6 +196,30 @@ object Dedup {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /**
+   * Snapshot UPSERT by key — the lakehouse MERGE shape (Delta/Iceberg
+   * `MERGE INTO ... WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`)
+   * as a plain relational operator: the merged snapshot is every `batch` row
+   * (the re-crawl wins) plus every `base` row whose key the batch does not
+   * carry. The complement of [[corpusDiff]]: diff REPORTS the delta, upsert
+   * MATERIALIZES the next snapshot.
+   *
+   * Scale shape: one left-anti join keyed on `keyCol` — the batch side of
+   * the exchange is keys only, the base side ships each surviving row once;
+   * no full-outer join, no window. Schemas must match (unionByName).
+   *
+   * @return base.columns + (from_batch: 1 for batch-origin rows, 0 for
+   *         carried-over base rows)
+   */
+  def upsertByKey(base: DataFrame, batch: DataFrame, keyCol: String): DataFrame = {
+    require(base.columns.sorted.sameElements(batch.columns.sorted),
+      s"schema mismatch: base ${base.columns.mkString(",")} vs batch ${batch.columns.mkString(",")}")
+    batch.withColumn("from_batch", lit(1L))
+      .unionByName(
+        base.join(batch.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .withColumn("from_batch", lit(0L)))
+  }
+
   /** The persisted side of [[exactIncrement]]: the distinct content digests of
     * a corpus — 32 hex bytes per unique document, the only state an
     * incremental exact-dedup pipeline carries between crawls. */
