@@ -2454,6 +2454,64 @@ object Oracles {
        |SELECT word, est_count FROM est
        |ORDER BY est_count DESC, word LIMIT $topK""".stripMargin
 
+  /** Mirror of CorpusStats.dyadicCmsSketch + cmsRankEstimates over
+    * documents.n_chars: the level-block cells are recomputed exactly (same
+    * tHash + affine rows), and the probe spine — dyadic cover nodes and
+    * their per-row buckets — is generated BY THE SAME Scala function the
+    * Spark face uses and baked in as literals. true_rank rides along for
+    * the one-sided-bound audit. */
+  def cmsRankSketchSql(
+      probes: Seq[Long], levels: Int, width: Int, depth: Int): String = {
+    import graft.operators.CorpusStats
+    val maxV = (1L << levels) - 1L
+    val spine = probes.flatMap { y =>
+      CorpusStats.dyadicNodes(y, levels).flatMap { case (l, blk) =>
+        val h = Math.floorMod(
+          graft.functions.TextFunctions.tHash(s"$l:$blk"), 2147483647L)
+        (0 until depth).map(j =>
+          s"($y, $l, ${blk}, $j, ${(h * CorpusStats.CmsA(j) + CorpusStats.CmsB(j)) % width})")
+      }
+    }.mkString(",\n    ")
+    val aList = (0 until depth).map(CorpusStats.CmsA).mkString(",")
+    val bList = (0 until depth).map(CorpusStats.CmsB).mkString(",")
+    val h = tHashSql("CAST(l AS VARCHAR) || ':' || CAST(blk AS VARCHAR)")
+    s"""WITH v AS (
+       |  SELECT least(greatest(CAST(n_chars AS BIGINT), 0), $maxV) AS v
+       |  FROM documents WHERE n_chars IS NOT NULL
+       |),
+       |lv AS (
+       |  SELECT CAST(l AS BIGINT) AS l, v >> l AS blk
+       |  FROM (SELECT v, unnest(generate_series(0, ${levels - 1})) AS l FROM v)
+       |),
+       |lh AS (SELECT l, blk, (($h % 2147483647) + 2147483647) % 2147483647 AS h FROM lv),
+       |cells AS (
+       |  SELECT l, CAST(j AS BIGINT) AS j,
+       |    (h * ([$aList])[j + 1] + ([$bList])[j + 1]) % $width AS b,
+       |    count(*) AS c
+       |  FROM (SELECT l, h, unnest(generate_series(0, ${depth - 1})) AS j FROM lh)
+       |  GROUP BY 1, 2, 3
+       |),
+       |spine(probe, l, blk, j, b) AS (VALUES
+       |    $spine
+       |),
+       |node AS (
+       |  SELECT s.probe, s.l, s.blk, min(coalesce(c.c, 0)) AS est
+       |  FROM spine s LEFT JOIN cells c
+       |    ON c.l = s.l AND c.j = s.j AND c.b = s.b
+       |  GROUP BY 1, 2, 3
+       |),
+       |er AS (SELECT probe, CAST(sum(est) AS BIGINT) AS est_rank FROM node GROUP BY 1),
+       |tr AS (
+       |  SELECT p.probe, count(v.v) AS true_rank
+       |  FROM (SELECT DISTINCT probe FROM spine) p
+       |  LEFT JOIN v ON v.v < p.probe
+       |  GROUP BY 1
+       |)
+       |SELECT CAST(er.probe AS BIGINT) AS probe, er.est_rank,
+       |  CAST(coalesce(tr.true_rank, 0) AS BIGINT) AS true_rank
+       |FROM er LEFT JOIN tr ON er.probe = tr.probe""".stripMargin
+  }
+
   /** Mirror of CorpusStats.derivedStopwordRatio: the sketch-derived top-K
     * list becomes the stopword set; per-doc ratio in integer micro-units. */
   def derivedStopwordRatioSql(width: Int, depth: Int, topK: Int): String =

@@ -950,6 +950,30 @@ object SparkEntry {
     "tokens_cms_topk" -> ((s, dir) =>
       CorpusStats.cmsTopTokens(rd(s, dir, "documents"), "text",
         width = 1024, depth = 4, topK = 50)),
+    // dyadic-CMS rank sketch: mergeable "how many docs shorter than y"
+    // estimates from ≤ levels·depth·width cells, audited vs the exact rank
+    "len_rank_sketch" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val probes = Seq(128L, 512L, 1024L, 2048L, 4096L)
+      val sk = CorpusStats.dyadicCmsSketch(docs, "n_chars", levels = 16,
+        width = 512, depth = 4)
+      val est = CorpusStats.cmsRankEstimates(sk, probes, levels = 16,
+        width = 512, depth = 4)
+      val clamped = docs.where(col("n_chars").isNotNull)
+        .select(least(greatest(col("n_chars").cast("long"), lit(0L)),
+          lit((1L << 16) - 1L)).as("__v"))
+      val pdf = s.createDataFrame(s.sparkContext.parallelize(
+          probes.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("probe",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val exact = clamped.crossJoin(broadcast(pdf))
+        .filter(col("__v") < col("probe"))
+        .groupBy(col("probe")).agg(count(lit(1)).as("true_rank"))
+      est.join(exact, Seq("probe"), "left")
+        .select(col("probe"), col("est_rank"),
+          coalesce(col("true_rank"), lit(0L)).as("true_rank"))
+    }),
     // PSI drift: the snapshot-vs-snapshot distribution-shift monitor in
     // integer micro-units (even/odd id split stands in for two crawls)
     "drift_psi" -> ((s, dir) => {
@@ -2186,6 +2210,8 @@ object SparkEntry {
     "emb_power_iter" -> Oracles.powerIterationSql(16, 3),
     "emb_debias" -> Oracles.removeTopComponentSql(16, 3),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
+    "len_rank_sketch" ->
+      Oracles.cmsRankSketchSql(Seq(128L, 512L, 1024L, 2048L, 4096L), 16, 512, 4),
     "stopword_ratio" -> Oracles.derivedStopwordRatioSql(1024, 4, 50),
     "quality_classifier" -> Oracles.linearTextScoreSql(256),
     "quality_ensemble" ->

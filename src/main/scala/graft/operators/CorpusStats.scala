@@ -865,6 +865,91 @@ object CorpusStats {
   }
 
   /**
+   * Dyadic count-min sketch over an integer value column — the RANGE-query /
+   * rank / quantile member of the sketch family (Cormode & Muthukrishnan
+   * 2005 §4.2): one [[cmsSketch]] per dyadic level ℓ, keyed by the value's
+   * level-ℓ block `v >> ℓ`. Any range [0, y) then decomposes into ≤ `levels`
+   * dyadic nodes, and rank(y) is the sum of those nodes' CMS estimates —
+   * the mergeable, ≤ levels·depth·width-cell artifact that answers
+   * "how many docs are shorter than y" (and by search, any quantile) over a
+   * 100 TB corpus without a sort or a full histogram of the domain.
+   *
+   * Values are clamped to [0, 2^levels); the level-block key is hashed with
+   * the same deterministic tHash + affine-row family as [[cmsSketch]], so
+   * the sketch content — and every estimate — is bit-identical across
+   * engines. Sketches of corpus halves merge by cell-wise sum.
+   *
+   * @return (l, j, b, c) — level, hash row, bucket, count
+   */
+  def dyadicCmsSketch(
+      df: DataFrame, valueCol: String, levels: Int, width: Int, depth: Int): DataFrame = {
+    requireCms(width, depth)
+    require(levels >= 1 && levels <= 40, s"levels must be in [1,40], got $levels")
+    val maxV = (1L << levels) - 1L
+    val lv = df.where(col(valueCol).isNotNull)
+      .select(least(greatest(col(valueCol).cast("long"), lit(0L)), lit(maxV)).as("__v"))
+      .select(explode(expr(
+        s"""transform(sequence(0, ${levels - 1}), l ->
+           |  struct(CAST(l AS BIGINT) AS l,
+           |         shiftright(__v, CAST(l AS INT)) AS blk))""".stripMargin)).as("lb"))
+      .select(col("lb.l").as("l"), col("lb.blk").as("blk"))
+    val h = pmod(TextFunctions.tHashUdf(
+      concat(col("l").cast("string"), lit(":"), col("blk").cast("string"))),
+      lit(2147483647L))
+    lv.select(col("l"), cmsBucketRows(h, width, depth).as("rb"))
+      .groupBy(col("l"), col("rb.__j").as("j"), col("rb.__b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The dyadic cover of [0, y) within a `levels`-level domain: the ≤ levels
+    * (level, block) nodes whose disjoint union is exactly [0, y) — one node
+    * per set bit of y. Pure; shared BY VALUE with the oracle mirror (the
+    * node list and its per-row buckets are baked into both sides). */
+  def dyadicNodes(y: Long, levels: Int): Seq[(Int, Long)] = {
+    require(y >= 0 && y <= (1L << levels), s"probe $y outside [0, 2^$levels]")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var x = 0L
+    var l = levels - 1
+    while (l >= 0) {
+      val step = 1L << l
+      while (x + step <= y) { out += ((l, x >> l)); x += step }
+      l -= 1
+    }
+    out.toSeq
+  }
+
+  /**
+   * Rank estimates from a [[dyadicCmsSketch]] for a FIXED probe list:
+   * est_rank(y) = Σ over [[dyadicNodes]](y) of the node's CMS estimate
+   * (min over hash rows) — one-sided like every CMS read: est ≥ true rank,
+   * with equality when no node cell collides. The probe spine (probe, node,
+   * row, bucket) is computed driver-side — it is ≤ |probes|·levels·depth
+   * LITERALS, independent of corpus size — and the bounded sketch joins in;
+   * the corpus is not touched at query time.
+   *
+   * @return (probe, est_rank) — rank counts values in [0, probe)
+   */
+  def cmsRankEstimates(
+      sketch: DataFrame, probes: Seq[Long],
+      levels: Int, width: Int, depth: Int): DataFrame = {
+    requireCms(width, depth)
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val spine = probes.flatMap { y =>
+      dyadicNodes(y, levels).flatMap { case (l, blk) =>
+        val h = Math.floorMod(TextFunctions.tHash(s"$l:$blk"), 2147483647L)
+        (0 until depth).map(j => (y, l.toLong, blk, j.toLong, (h * CmsA(j) + CmsB(j)) % width))
+      }
+    }.toDF("probe", "l", "blk", "j", "b")
+    spine.join(broadcast(sketch), Seq("l", "j", "b"), "left")
+      .groupBy(col("probe"), col("l"), col("blk"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("__est"))
+      .groupBy(col("probe"))
+      .agg(sum(col("__est")).as("est_rank"))
+  }
+
+  /**
    * MEDIAN-ABSOLUTE-DEVIATION outlier flags — the robust-statistics
    * complement of the sigma rules in [[EventStats]]: mean/stddev are
    * themselves dragged by the outliers they should flag; median and MAD are

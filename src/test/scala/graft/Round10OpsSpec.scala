@@ -157,6 +157,42 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!out.map(_._1).contains(1L))
   }
 
+  // ---- dyadic CMS rank sketch ---------------------------------------------
+
+  test("dyadicNodes is a disjoint exact cover of [0, y)") {
+    for (y <- Seq(0L, 1L, 7L, 64L, 100L, 255L, 256L, 65535L)) {
+      val nodes = CorpusStats.dyadicNodes(y, 16)
+      val covered = nodes.flatMap { case (l, blk) =>
+        (blk << l) until ((blk + 1L) << l)
+      }
+      assert(covered.length == y, s"y=$y covered ${covered.length}")
+      assert(covered.toSet == (0L until y).toSet, s"y=$y wrong cover")
+      assert(nodes.size <= 16)
+    }
+  }
+
+  test("cmsRankEstimates is one-sided: est_rank >= true_rank, exact at wide width") {
+    val s = spark
+    import s.implicits._
+    // dense integer values with heavy repetition — forces cell collisions at
+    // a narrow width
+    val vals = (1L to 2000L).map(i => (i * 37L) % 300L).toDF("v")
+    val probes = Seq(10L, 100L, 250L, 300L)
+    def ranks(width: Int): Map[Long, Long] = {
+      val sk = CorpusStats.dyadicCmsSketch(vals, "v", levels = 10, width = width, depth = 2)
+      CorpusStats.cmsRankEstimates(sk, probes, levels = 10, width = width, depth = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val truth = probes.map(p =>
+      p -> vals.where($"v" < p).count()).toMap
+    val narrow = ranks(8)
+    val wide = ranks(4096)
+    probes.foreach { p =>
+      assert(narrow(p) >= truth(p), s"probe $p: narrow ${narrow(p)} < truth ${truth(p)}")
+      assert(wide(p) == truth(p), s"probe $p: wide ${wide(p)} != truth ${truth(p)}")
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
