@@ -1761,6 +1761,74 @@ object Oracles {
        |SELECT q AS query_id, d AS doc_id, score_micro, CAST(rnk AS BIGINT) AS rank
        |FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of Bm25.topKPrf: the bm25Sql chain run twice — round 1 on the
+    * raw query terms picks fbDocs feedback docs, expansion = top fbTerms by
+    * (Σ tf in feedback docs DESC, term ASC) minus the original terms, round
+    * 2 re-ranks on the union vocabulary. */
+  def bm25PrfSql(
+      k: Int, fbDocs: Int, fbTerms: Int, queryPred: String,
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    def contrib(qt: String): String =
+      s"""SELECT $qt.q, tf.d,
+         |    CAST(floor(CAST(idf.idf AS DOUBLE) *
+         |      (CAST(tf.tf AS DOUBLE) * ${k1 + 1.0} /
+         |       (CAST(tf.tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+         |        (CAST(dl.dl AS DOUBLE) / (CAST(tot.tw AS DOUBLE) / CAST(tot.nd AS DOUBLE)))))))
+         |      AS BIGINT) AS c
+         |  FROM tf JOIN $qt USING (w) JOIN idf USING (w) JOIN dl USING (d), tot""".stripMargin
+    s"""WITH tf AS (
+       |  SELECT d, w, count(*) AS tf FROM (
+       |    SELECT doc_id AS d, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+       |  ) GROUP BY d, w
+       |),
+       |dl AS (SELECT d, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY d),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tw, count(*) AS nd FROM dl),
+       |idf AS (
+       |  SELECT w, CAST(floor(ln((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |    / (CAST(df AS DOUBLE) + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf
+       |  FROM (SELECT w, count(*) AS df FROM tf GROUP BY w), tot
+       |),
+       |qt0 AS (
+       |  SELECT DISTINCT q, w FROM (
+       |    SELECT doc_id AS q, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents WHERE $queryPred
+       |  )
+       |),
+       |c0 AS (
+       |  ${contrib("qt0")}
+       |),
+       |s0 AS (SELECT q, d, CAST(sum(c) AS BIGINT) AS sc FROM c0 GROUP BY q, d),
+       |fb AS (
+       |  SELECT q, d FROM (
+       |    SELECT q, d, row_number() OVER (PARTITION BY q ORDER BY sc DESC, d) AS rnk FROM s0
+       |  ) WHERE rnk <= $fbDocs
+       |),
+       |votes AS (
+       |  SELECT fb.q, tf.w, CAST(sum(tf.tf) AS BIGINT) AS s
+       |  FROM fb JOIN tf ON tf.d = fb.d GROUP BY fb.q, tf.w
+       |),
+       |ex AS (
+       |  SELECT q, w FROM (
+       |    SELECT v.q, v.w,
+       |      row_number() OVER (PARTITION BY v.q ORDER BY v.s DESC, v.w ASC) AS rn
+       |    FROM votes v LEFT JOIN qt0 ON qt0.q = v.q AND qt0.w = v.w
+       |    WHERE qt0.w IS NULL
+       |  ) WHERE rn <= $fbTerms
+       |),
+       |qt1 AS (SELECT q, w FROM qt0 UNION SELECT q, w FROM ex),
+       |c1 AS (
+       |  ${contrib("qt1")}
+       |),
+       |s1 AS (SELECT q, d, CAST(sum(c) AS BIGINT) AS score_micro FROM c1 GROUP BY q, d),
+       |r1 AS (
+       |  SELECT q, d, score_micro,
+       |    row_number() OVER (PARTITION BY q ORDER BY score_micro DESC, d) AS rnk
+       |  FROM s1
+       |)
+       |SELECT q AS query_id, d AS doc_id, score_micro, CAST(rnk AS BIGINT) AS rank
+       |FROM r1 WHERE rnk <= $k""".stripMargin
+  }
+
   /**
    * Exact mirror of the `hybrid_rrf` gate: [[bm25Sql]]'s full ranking and a
    * brute dense top-k (rank re-derived from the ROUNDED cosine with id ties,

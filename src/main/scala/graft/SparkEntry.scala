@@ -637,6 +637,15 @@ object SparkEntry {
       val idx = Bm25.index(docs, "doc_id", "text")
       Bm25.topKIndexed(idx, docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
     }),
+    // pseudo-relevance feedback: round-1 top-3 docs vote 5 expansion terms,
+    // round 2 re-ranks on the expanded vocabulary — the short-query recall
+    // lever, two postings semi-joins total
+    "bm25_prf" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val idx = Bm25.index(docs, "doc_id", "text")
+      Bm25.topKPrf(idx, docs.filter(col("doc_id") < 5), "doc_id", "text",
+        k = 10, fbDocs = 3, fbTerms = 5)
+    }),
     // phrase search over the positional index: start-position voting, one
     // join for all phrases; the phrase set = the corpus' own top-5 bigrams
     "text_phrase_hits" -> ((s, dir) => {
@@ -1778,6 +1787,7 @@ object SparkEntry {
     },
     "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50", nTables = 2),
     "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
+    "bm25_prf" -> Oracles.bm25PrfSql(10, 3, 5, "doc_id < 5"),
     "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_ivf_report" -> Oracles.ivfReportSql(16, 1),

@@ -98,6 +98,60 @@ object Bm25 {
     // is searched repeatedly — that's the encode-once path.
     topKIndexed(index(docs, idCol, textCol), queries, qidCol, qtextCol, k, k1, b)
 
+  /** [[topKIndexed]] with a precomputed `(query_id, term)` vocabulary — the
+    * search face for computed queries (expansion, reformulation). */
+  def topKIndexedTerms(
+      idx: DataFrame, qTerms: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = idx.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+      col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    val tot = tf.select(col("__d"), col("__dl")).distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    scoreHitsTerms(tf, tot,
+      qTerms.select(col("query_id").as("__q"), col("term").as("__w")).distinct(),
+      k, k1, b)
+  }
+
+  /**
+   * BM25 with PSEUDO-RELEVANCE FEEDBACK (Rocchio/RM-style two-round
+   * retrieval): round 1 ranks with the raw query terms; the top `fbDocs`
+   * documents per query vote expansion terms — the `fbTerms` highest by
+   * summed tf inside the feedback set (ties alphabetical), minus the
+   * original terms — and round 2 re-ranks with the expanded vocabulary.
+   * The classic recall lever when queries are short and the corpus
+   * vocabulary is broad.
+   *
+   * Scale shape: the postings relation is the only corpus-sized input and
+   * every per-round pass is the [[topKIndexed]] plan (query-vocabulary
+   * semi-join first); the feedback relation is ≤ fbDocs·|queries| rows and
+   * broadcasts into the expansion join, so round 2 costs exactly one more
+   * postings semi-join. Determinism: integer micro-nat scores, (sum tf
+   * desc, term asc) expansion order, both rounds' windows id-tie-broken.
+   *
+   * @return round-2 ranking (query_id, doc_id, score_micro, rank)
+   */
+  def topKPrf(
+      idx: DataFrame, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, fbDocs: Int = 3, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0 && fbTerms > 0, s"fbDocs/fbTerms must be positive")
+    val qt0 = queries
+      .select(col(qidCol).as("query_id"), explode(wordsCol(col(qtextCol))).as("term"))
+      .distinct()
+    val fb = topKIndexedTerms(idx, qt0, fbDocs, k1, b)
+      .select(col("query_id"), col("doc_id").as("doc"))
+    val votes = broadcast(fb).join(idx, Seq("doc"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("__s"))
+      .join(qt0.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left_anti")
+    val we = Window.partitionBy(col("query_id")).orderBy(col("__s").desc, col("term").asc)
+    val exp = votes.withColumn("__rn", row_number().over(we))
+      .filter(col("__rn") <= fbTerms)
+      .select(col("query_id"), col("term"))
+    topKIndexedTerms(idx, qt0.unionByName(exp), k, k1, b)
+  }
+
   /** Shared scoring tail of [[topK]] / [[topKIndexed]]: query-vocabulary
     * semi-join, integer micro-nat idf, exact integer per-(query, doc) sums,
     * rank-limited top-k window. `tf` = (__d, __dl, __w, __tf); `tot` = one
@@ -109,6 +163,15 @@ object Bm25 {
     val qt = queries
       .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
       .distinct()
+    scoreHitsTerms(tf, tot, qt, k, k1, b)
+  }
+
+  /** [[scoreHits]] with the query vocabulary supplied as a RELATION
+    * `qt(__q, __w)` — the entry point for searches whose terms are computed
+    * (expansion, reformulation) rather than tokenized from text. */
+  private def scoreHitsTerms(
+      tf: DataFrame, tot: DataFrame, qt: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     // Restrict to QUERY terms before any per-term work: df over the full
     // vocabulary would aggregate (and then shuffle-join) millions of terms to
     // use a handful — the semi-join bounds both to the query vocabulary, and

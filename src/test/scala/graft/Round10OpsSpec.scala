@@ -157,6 +157,25 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(!out.map(_._1).contains(1L))
   }
 
+  // ---- BM25 pseudo-relevance feedback -------------------------------------
+
+  test("topKPrf expands with feedback-doc terms and re-ranks") {
+    val df = docsDf(Seq(
+      (1L, "apple banana"),                     // query doc
+      (2L, "apple banana cherry cherry"),       // top feedback doc -> cherry votes
+      (3L, "cherry cherry cherry date"),        // reachable only via expansion
+      (4L, "elderberry fig")))                  // unrelated
+    val idx = Bm25.index(df, "doc_id", "text")
+    val q = df.filter(col("doc_id") === 1L)
+    val plain = Bm25.topK(df, "doc_id", "text", q, "doc_id", "text", 10)
+      .collect().map(_.getLong(1)).toSet
+    val prf = Bm25.topKPrf(idx, q, "doc_id", "text", k = 10, fbDocs = 2, fbTerms = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!plain.contains(3L), "doc 3 shares no raw query term")
+    assert(prf.contains(3L), "expansion via 'cherry' should reach doc 3")
+    assert(!prf.contains(4L))
+  }
+
   // ---- dyadic CMS rank sketch ---------------------------------------------
 
   test("dyadicNodes is a disjoint exact cover of [0, y)") {
