@@ -890,6 +890,16 @@ object SparkEntry {
       graft.sources.JsonlTable.read(s, base, docs.schema)
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"), col("source"))
     }),
+    // CSV round trip (RFC 4180 quoting both ways, FAILFAST explicit-schema
+    // read): text must hash bit-exactly after the disk round trip
+    "source_csv" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_csv/cv_${math.abs(dir.hashCode)}"
+      graft.sources.CsvTable.write(docs, base)
+      graft.sources.CsvTable.read(s, base, docs.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"), col("source"))
+    }),
     // compaction sink + manifest-pruned scan: write ceil(n/64) range-
     // partitioned files + a min/max manifest, then answer a range query
     // opening only intersecting files — result must equal scan+filter
@@ -2198,6 +2208,9 @@ object SparkEntry {
     "shard_rendezvous" -> Oracles.rendezvousShardSql(10),
     "sink_sharded" -> Oracles.rendezvousShardSql(8),
     "source_jsonl" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source
+        |FROM documents""".stripMargin,
+    "source_csv" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source
         |FROM documents""".stripMargin,
     // pruning is an IO move only: the result must equal plain scan+filter

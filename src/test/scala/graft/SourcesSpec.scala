@@ -38,6 +38,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(pairs(fromJson) == base)
   }
 
+  test("CsvTable round-trips hostile text bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val nasty = Seq(
+      (1L, "plain text"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" phrase"),
+      (4L, "embedded\nnewline"),
+      (5L, "tab\tand trailing space "),
+      (6L, "ünïcode ✓ 中文"),
+      (7L, ""))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    graft.sources.CsvTable.write(nasty, dir)
+    val back = graft.sources.CsvTable.read(spark, dir, nasty.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = nasty.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // empty string vs null is the one CSV ambiguity: quoted "" reads back
+    // null under Spark's csv reader — assert the documented behavior rather
+    // than pretend it round-trips
+    for (id <- 1L to 6L) assert(back(id) == want(id), s"id $id mismatched")
+    assert(back.contains(7L))
+  }
+
   test("schema evolution: mergeSchema unions batches with differing columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
     val s = spark
