@@ -2718,6 +2718,29 @@ object Oracles {
        |FROM dwx LEFT JOIN segt USING (w)
        |GROUP BY doc_id""".stripMargin
 
+  /** Mirror of CorpusStats.bpeFertilityBySource: the encode chain's
+    * segmentation lengths rolled up per source with char sums and
+    * integer-milli ratios. */
+  def bpeFertilitySql(nMerges: Int): String =
+    s"""WITH ${bpeRoundsCtes(nMerges)},
+       |segt AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS t
+       |  FROM sq${nMerges + 1} GROUP BY w
+       |),
+       |dwx AS (
+       |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents
+       |)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(coalesce(segt.t, length(dwx.w))) AS BIGINT) AS n_subwords,
+       |  CAST(sum(length(dwx.w)) AS BIGINT) AS n_chars,
+       |  CAST(sum(coalesce(segt.t, length(dwx.w))) * 1000 // count(*) AS BIGINT)
+       |    AS fertility_milli,
+       |  CAST(sum(length(dwx.w)) * 1000 // sum(coalesce(segt.t, length(dwx.w))) AS BIGINT)
+       |    AS chars_per_token_milli
+       |FROM dwx LEFT JOIN segt USING (w)
+       |GROUP BY source""".stripMargin
+
   /** Mirror of SimSearch.ivfReport: the shared assignment chain aggregated
     * to per-centroid occupancy + micro-quantized cohesion. */
   def ivfReportSql(nList: Int, nIters: Int): String =

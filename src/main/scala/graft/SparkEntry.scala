@@ -1011,6 +1011,10 @@ object SparkEntry {
     // the ENCODE face: corpus scanned once, segmentation rides a broadcast
     "bpe_encode" -> ((s, dir) =>
       CorpusStats.bpeEncodeStats(rd(s, dir, "documents"), "doc_id", "text", 8)),
+    // tokenizer fertility by source: subwords/word and chars/subword under
+    // the learned merges — the which-domain-fragments diagnostic
+    "bpe_fertility" -> ((s, dir) =>
+      CorpusStats.bpeFertilityBySource(rd(s, dir, "documents"), "source", "text", 8)),
     // KS drift: the worst single CDF gap (catches localized shifts PSI smears)
     "drift_ks" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -2259,6 +2263,7 @@ object SparkEntry {
     "bpe_merges" -> Oracles.bpeTrainSql(8),
     "bpe_segments" -> Oracles.bpeSegmentSql(8),
     "bpe_encode" -> Oracles.bpeEncodeSql(8),
+    "bpe_fertility" -> Oracles.bpeFertilitySql(8),
     "drift_psi_by_source" -> Oracles.psiDriftByGroupSql(0.0, 600.0, 12),
     "bpe_pairs" ->
       """WITH w AS (

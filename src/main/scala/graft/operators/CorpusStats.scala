@@ -865,6 +865,37 @@ object CorpusStats {
   }
 
   /**
+   * Tokenizer FERTILITY by source — the tokenizer-fit diagnostic (how many
+   * subwords per word, how many chars per subword) under the learned BPE
+   * merges, rolled up per source: a domain whose fertility is far above the
+   * corpus norm is one the tokenizer fragments (code in a prose tokenizer,
+   * an unseen language, transcription noise) and will over-spend context
+   * budget at training time. Unseen words fall back to char-length
+   * segmentation, exactly like [[bpeEncodeStats]].
+   *
+   * Integer-milli ratios via BIGINT div — reduction-order-proof. One corpus
+   * explode + one broadcast segmentation join + one ≤|sources| aggregation.
+   *
+   * @return (sourceCol, n_words, n_subwords, n_chars, fertility_milli —
+   *         subwords per word ×1000, chars_per_token_milli)
+   */
+  def bpeFertilityBySource(
+      docs: DataFrame, sourceCol: String, textCol: String, nMerges: Int,
+      minCount: Long = 1L, maxVocab: Int = 2000000): DataFrame = {
+    val seg = bpeSegmentWords(docs, textCol, nMerges, minCount, maxVocab)
+      .select(col("word").as("__w"), col("n_tokens").as("__t"))
+    docs.select(col(sourceCol).as("__src"), explode(wordsCol(col(textCol))).as("__w"))
+      .join(broadcast(seg), Seq("__w"), "left")
+      .groupBy(col("__src"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__t"), length(col("__w")).cast("long"))).as("n_subwords"),
+        sum(length(col("__w")).cast("long")).as("n_chars"))
+      .select(col("__src").as(sourceCol), col("n_words"), col("n_subwords"), col("n_chars"),
+        expr("n_subwords * 1000 div n_words").as("fertility_milli"),
+        expr("n_chars * 1000 div n_subwords").as("chars_per_token_milli"))
+  }
+
+  /**
    * Dyadic count-min sketch over an integer value column — the RANGE-query /
    * rank / quantile member of the sketch family (Cormode & Muthukrishnan
    * 2005 §4.2): one [[cmsSketch]] per dyadic level ℓ, keyed by the value's
