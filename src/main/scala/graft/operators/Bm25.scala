@@ -136,12 +136,18 @@ object Bm25 {
       k: Int, fbDocs: Int = 3, fbTerms: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fbDocs > 0 && fbTerms > 0, s"fbDocs/fbTerms must be positive")
+    // Persisted: five consumers (two rounds' totals + semi-joins, the vote
+    // join) would otherwise re-run the postings lineage five times —
+    // measured 5.8 → ~2 s at sf0.1. Same never-unpersist contract as
+    // SimDedup's keyIds (callers/Bench clear the SQL cache between queries);
+    // at scale this IS the encode-once persisted-postings doctrine.
+    val idxP = idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qt0 = queries
       .select(col(qidCol).as("query_id"), explode(wordsCol(col(qtextCol))).as("term"))
       .distinct()
-    val fb = topKIndexedTerms(idx, qt0, fbDocs, k1, b)
+    val fb = topKIndexedTerms(idxP, qt0, fbDocs, k1, b)
       .select(col("query_id"), col("doc_id").as("doc"))
-    val votes = broadcast(fb).join(idx, Seq("doc"))
+    val votes = broadcast(fb).join(idxP, Seq("doc"))
       .groupBy(col("query_id"), col("term"))
       .agg(sum(col("tf")).as("__s"))
       .join(qt0.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left_anti")
@@ -149,7 +155,7 @@ object Bm25 {
     val exp = votes.withColumn("__rn", row_number().over(we))
       .filter(col("__rn") <= fbTerms)
       .select(col("query_id"), col("term"))
-    topKIndexedTerms(idx, qt0.unionByName(exp), k, k1, b)
+    topKIndexedTerms(idxP, qt0.unionByName(exp), k, k1, b)
   }
 
   /** Shared scoring tail of [[topK]] / [[topKIndexed]]: query-vocabulary
