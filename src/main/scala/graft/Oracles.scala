@@ -135,7 +135,7 @@ object Oracles {
     s"""WITH $shingleCtes,
        |fo AS (SELECT sh, min(doc_id) AS fd FROM dsh GROUP BY sh)
        |SELECT d.doc_id, count(*) AS n_shingles,
-       |       sum(CASE WHEN d.doc_id = f.fd THEN 1 ELSE 0 END) AS n_novel,
+       |       CAST(sum(CASE WHEN d.doc_id = f.fd THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        |       round(CAST(sum(CASE WHEN d.doc_id = f.fd THEN 1 ELSE 0 END) AS DOUBLE)
        |             / count(*), 6) + 0.0 AS novelty
        |FROM dsh d JOIN fo f ON d.sh = f.sh
@@ -148,7 +148,7 @@ object Oracles {
     s"""WITH $shingleCtes,
        |fr AS (SELECT sh, count(*) AS df FROM dsh GROUP BY sh)
        |SELECT d.doc_id, count(*) AS n_shingles,
-       |       sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS n_common,
+       |       CAST(sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
        |       round(CAST(sum(CASE WHEN f.df >= $minDocs THEN 1 ELSE 0 END) AS DOUBLE)
        |             / count(*), 6) + 0.0 AS boilerplate
        |FROM dsh d JOIN fr f ON d.sh = f.sh
@@ -504,7 +504,7 @@ object Oracles {
        |),
        |lt AS (SELECT query_id, neighbor_id, 1 AS hit FROM lr WHERE rn <= $k)
        |SELECT b.query_id, count(*) AS k_eval,
-       |       sum(coalesce(l.hit, 0)) AS n_hits,
+       |       CAST(sum(coalesce(l.hit, 0)) AS BIGINT) AS n_hits,
        |       round(CAST(sum(coalesce(l.hit, 0)) AS DOUBLE) / count(*), 6) + 0.0 AS recall
        |FROM bt b
        |LEFT JOIN lt l ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
@@ -1599,10 +1599,10 @@ object Oracles {
        |rem AS (SELECT doc_id, sum(e - s + 1) AS removed FROM mg GROUP BY doc_id),
        |doc AS ($docSel)
        |SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS total_chars,
-       |       coalesce(r.removed, 0) AS dup_chars,
-       |       CASE WHEN length(dd.text) > 0
+       |       CAST(coalesce(r.removed, 0) AS BIGINT) AS dup_chars,
+       |       CAST(CASE WHEN length(dd.text) > 0
        |            THEN (coalesce(r.removed, 0) * 1000) // length(dd.text)
-       |            ELSE 0 END AS dup_milli
+       |            ELSE 0 END AS BIGINT) AS dup_milli
        |FROM doc dd
        |LEFT JOIN rem r USING (doc_id)""".stripMargin
 
@@ -1659,7 +1659,7 @@ object Oracles {
        |SELECT dd.doc_id,
        |       CASE WHEN r.removed IS NOT NULL THEN coalesce(c.ct, '')
        |            ELSE dd.text END AS clean_text,
-       |       coalesce(r.removed, 0) AS removed_chars
+       |       CAST(coalesce(r.removed, 0) AS BIGINT) AS removed_chars
        |FROM doc dd
        |LEFT JOIN clean0 c USING (doc_id)
        |LEFT JOIN rem r USING (doc_id)""".stripMargin
@@ -2147,8 +2147,8 @@ object Oracles {
        |wt AS (SELECT source, available, $wExpr AS w FROM counts),
        |tot AS (SELECT sum(w) AS tw FROM wt)
        |SELECT source, available, w,
-       |       (w * 1000000) // tw AS share_micro,
-       |       (w * $budget) // tw AS quota
+       |       CAST((w * 1000000) // tw AS BIGINT) AS share_micro,
+       |       CAST((w * $budget) // tw AS BIGINT) AS quota
        |FROM wt, tot""".stripMargin
   }
 

@@ -647,15 +647,24 @@ object SparkEntry {
         k = 10, fbDocs = 3, fbTerms = 5)
     }),
     // phrase search over the positional index: start-position voting, one
-    // join for all phrases; the phrase set = the corpus' own top-5 bigrams
+    // join for all phrases; the phrase set = the corpus' own top-5 bigrams.
+    // Bigram counting is a map-side adjacent-pair explode over the words
+    // array — NOT a positional-index self-join, which shuffles every token
+    // occurrence twice for rows an array zip produces in the scan (16.3 →
+    // ~2 s at sf0.1); the 5-row `top` is localCheckpoint'd because union
+    // consumes it twice.
     "text_phrase_hits" -> ((s, dir) => {
       val pidx = Bm25.positionalIndex(rd(s, dir, "documents"), "doc_id", "text")
-        .localCheckpoint()
-      val big = pidx.as("x").join(pidx.as("y"),
-          col("x.doc") === col("y.doc") && col("y.pos") === col("x.pos") + 1)
-        .select(col("x.term").as("w1"), col("y.term").as("w2"))
+      val big = rd(s, dir, "documents")
+        .select(wordsCol(col("text")).as("__ws"))
+        .filter(size(col("__ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__ws) - 2), i -> struct(__ws[i] AS w1, __ws[i+1] AS w2))"))
+          .as("__p"))
+        .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
       val top = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("w1"), col("w2")).limit(5)
+        .localCheckpoint()
       val phrases = top.select(concat_ws(" ", col("w1"), col("w2")).as("phrase_id"),
           col("w1").as("term"), lit(0L).as("offset"))
         .union(top.select(concat_ws(" ", col("w1"), col("w2")).as("phrase_id"),

@@ -130,6 +130,13 @@ object Bm25 {
    * desc, term asc) expansion order, both rounds' windows id-tie-broken.
    *
    * @return round-2 ranking (query_id, doc_id, score_micro, rank)
+   * @note caching contract: the postings `idx` is persisted
+   *       (MEMORY_AND_DISK) for the five internal consumers and NOT
+   *       unpersisted here — the result is lazy, so eager cleanup would
+   *       evict before the caller materializes. Callers invoking this
+   *       repeatedly in one session should `spark.sharedState.cacheManager
+   *       .clearCache()` (as Bench/Verify do) or persist+unpersist `idx`
+   *       themselves around the call.
    */
   def topKPrf(
       idx: DataFrame, queries: DataFrame, qidCol: String, qtextCol: String,

@@ -1457,7 +1457,8 @@ object CorpusStats {
    * the scan as (id, digest, length) triples only — then one doc-key
    * aggregation; both exchanges linear, nothing corpus-global.
    *
-   * @return one row per non-null-text doc: (idCol, n_lines, dup_lines,
+   * @return one row per doc with ≥ 1 NON-empty line — a doc whose text is
+   *         all-empty lines (e.g. "\n\n") emits no row: (idCol, n_lines, dup_lines,
    *         dup_line_milli, dup_char_milli) where n_lines counts NON-empty
    *         lines, dup_lines = occurrences beyond each first, and the char
    *         fraction weights each duplicate occurrence by its length over

@@ -1806,6 +1806,13 @@ object Dedup {
    * @return one row per chunk: (idCol, chunk_idx, chunk_start 1-based,
    *         chunk_len, is_dup — 1 iff the chunk's exact content occurs in
    *         ≥ minDocs distinct docs). Empty-text docs emit no rows.
+   * @note BMP-only positions: char codes come from `split(text, '')` +
+   *       `ascii`, which Spark evaluates per UTF-16 code unit while the SQL
+   *       oracle's mirror works per code POINT — for text with supplementary
+   *       -plane characters (emoji etc.) the boundary sets and offsets
+   *       silently diverge (same caveat as `Oracles.charCodesSql`).
+   *       Normalize such text first (TextFunctions.normalizeTextCol) or
+   *       treat chunk offsets as code-unit indices.
    */
   def cdcChunks(
       df: DataFrame, idCol: String, textCol: String,

@@ -11,7 +11,10 @@ import org.apache.spark.sql.types.StructType
  *
  * - READ WITH AN EXPLICIT SCHEMA and `FAILFAST` — inference is a full extra
  *   pass and per-slice type guessing; corrupt rows must error, not null.
- * - Text columns survive bit-exactly only when quoting/escaping handle
+ * - Text columns survive bit-exactly (ONE documented exception: an
+ *   empty-string cell reads back as NULL — Spark's CSV reader cannot tell
+ *   `""` from an absent value, asserted in SourcesSpec; coalesce on read if
+ *   '' must be preserved) only when quoting/escaping handle
  *   embedded delimiters, quotes, and NEWLINES — writes quote everything and
  *   escape quotes with quotes (RFC 4180), reads enable `multiLine` so a
  *   quoted embedded newline is one record, not two corrupt ones. The

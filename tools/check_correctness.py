@@ -67,9 +67,23 @@ def check_one(con, name, qdir, sql):
     try:
         orel = con.sql(sql)
         ocols = orel.columns
+        otypes = [str(t) for t in orel.types]
         orows = orel.fetchall()
     except Exception as e:
         return {"status": "oracle_error", "err": str(e)[:300]}
+    # Result-TYPE lint: DuckDB's sum() widens to HUGEINT, which the local
+    # fetchall() compare reads as a Python int (indistinguishable from
+    # BIGINT) but the driver's comparer normalizes through a float/decimal
+    # path -> hash mismatch ONLY in the driver. Round 10 proved the
+    # correspondence exactly: the 8 driver-red rows were precisely the 8
+    # oracles with a HUGEINT/DECIMAL column. Fail them here so local
+    # iteration catches the next one: wrap the offending expression in
+    # CAST(... AS BIGINT) in the oracle SQL.
+    badtypes = [f"{c}:{t}" for c, t in zip(ocols, otypes)
+                if t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT"))]
+    if badtypes:
+        return {"status": "ORACLE_TYPE_LINT", "hash_match": False,
+                "err": "driver-unsafe oracle result types: " + ", ".join(badtypes)}
     schema_match = sorted(scols) == sorted(ocols)
     sh, sn = table_digest(srows, scols)
     oh, on = table_digest(orows, ocols)
