@@ -3130,4 +3130,114 @@ object Oracles {
        |  CAST(CASE WHEN dup.ck IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup
        |FROM ch LEFT JOIN dup USING (ck)""".stripMargin
   }
+
+  /** Mirror of Dedup.groupSignatureSim over documents.source: group
+    * signature component j = min of the MinHash permutation over the
+    * group's UNION of shingles (≡ the elementwise min of member doc
+    * signatures the Scala side folds — min of mins), pairwise estimate =
+    * matching minima / 32. Permutation formula copied verbatim from
+    * [[minHashBandCtes]]. */
+  def groupSigSimSql: String =
+    s"""WITH $shingleCtes,
+       |gsh AS (SELECT DISTINCT d.source, s.sh
+       |        FROM dsh s JOIN documents d USING (doc_id)
+       |        WHERE d.source IS NOT NULL),
+       |gth AS (SELECT source, ${tHashSql("sh")} % 1000003 AS thc FROM gsh),
+       |gmh AS (
+       |  SELECT source, j,
+       |    min((((j*2654435761 + 1) % 1000000007) * thc + ((j*2654446111 + 12345) % 1000000007)) % 1000000007) AS mh
+       |  FROM gth, (SELECT unnest(generate_series(0, 31)) AS j)
+       |  GROUP BY source, j
+       |),
+       |sz AS (SELECT source, count(*) AS n FROM documents
+       |       WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY source),
+       |pm AS (
+       |  SELECT a.source AS group_a, b.source AS group_b,
+       |         CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS matching
+       |  FROM gmh a JOIN gmh b ON a.j = b.j AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT pm.group_a, pm.group_b,
+       |       CAST(za.n AS BIGINT) AS n_docs_a, CAST(zb.n AS BIGINT) AS n_docs_b,
+       |       pm.matching, round(CAST(pm.matching AS DOUBLE) / 32.0, 6) + 0.0 AS est_jaccard
+       |FROM pm
+       |JOIN sz za ON pm.group_a = za.source
+       |JOIN sz zb ON pm.group_b = zb.source""".stripMargin
+
+  /** Mirror of Dedup.stitchPairs over `docRel` (a `(doc_id, text)` SQL
+    * relation): directional pairs on the md5 of the k-word boundary gram
+    * (tail of a == head of b). */
+  def stitchPairsSql(k: Int,
+      docRel: String = "SELECT doc_id, text FROM documents"): String =
+    s"""WITH sdoc AS ($docRel),
+       |w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM sdoc),
+       |e AS (SELECT doc_id, ws FROM w WHERE len(ws) >= $k),
+       |hd AS (SELECT doc_id AS id_b, md5(array_to_string(ws[1:$k], ' ')) AS boundary_md5 FROM e),
+       |tl AS (SELECT doc_id AS id_a,
+       |         md5(array_to_string(ws[len(ws)-${k - 1}:len(ws)], ' ')) AS boundary_md5 FROM e)
+       |SELECT id_a, id_b, boundary_md5
+       |FROM tl JOIN hd USING (boundary_md5)
+       |WHERE id_a <> id_b""".stripMargin
+
+  /** The overlapping-halves fragment relation the doc_stitch_pairs gate
+    * feeds [[stitchPairsSql]]: frag 2d = words[1..ceil(n/2)], frag 2d+1 =
+    * words[ceil(n/2)-7..n] of every doc with ≥ 16 words. */
+  def stitchFragmentsRel: String =
+    s"""SELECT doc_id * 2 AS doc_id,
+       |       array_to_string(ws[1:(len(ws)+1)//2], ' ') AS text
+       |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |      FROM documents) WHERE len(ws) >= 16
+       |UNION ALL
+       |SELECT doc_id * 2 + 1,
+       |       array_to_string(ws[(len(ws)+1)//2-7:len(ws)], ' ')
+       |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |      FROM documents) WHERE len(ws) >= 16""".stripMargin
+
+  /** Mirror of Sampling.bootstrapCounts: Poisson(1) multiplicity per
+    * (doc, replicate) from the pinned 2³²-scaled CDF thresholds. */
+  def bootstrapCountsSql(nReplicates: Int): String = {
+    val t = graft.operators.Sampling.PoissonCdf32
+    val key = "CAST(doc_id AS VARCHAR) || ':' || CAST(replicate AS VARCHAR)"
+    s"""WITH r AS (SELECT unnest(generate_series(0, ${nReplicates - 1})) AS replicate),
+       |d AS (SELECT doc_id FROM documents WHERE doc_id IS NOT NULL),
+       |u AS (SELECT replicate,
+       |        (((((${tHashSql(key)} % 65521) + 65521) % 65521) * 2654435761) % 4294967296) AS u
+       |      FROM d, r),
+       |c AS (SELECT replicate,
+       |        CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+       |             WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+       |             WHEN u < ${t(4)} THEN 4 WHEN u < ${t(5)} THEN 5
+       |             ELSE 6 END AS c
+       |      FROM u)
+       |SELECT CAST(replicate AS BIGINT) AS replicate,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(c) AS BIGINT) AS n_drawn,
+       |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+       |FROM c GROUP BY replicate""".stripMargin
+  }
+
+  /** Mirror of SimSearch.kmeansAssign: the [[ivfAssignCtes]] seed + Lloyd +
+    * assignment chain, projected per vector instead of per list. */
+  def kmeansAssignSql(k: Int, nIters: Int): String =
+    s"""${ivfAssignCtes(k, nIters)}
+       |SELECT a.vec_id, CAST(a.cj AS BIGINT) AS cluster,
+       |       CAST(floor(c.cos * 1000000.0) AS BIGINT) AS cos_micro
+       |FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj""".stripMargin
+
+  /** Mirror of Dedup.lineRuleClean over the paragraph-ized corpus: a line
+    * survives iff ≥ minWords words AND corpus distinct-doc frequency
+    * < maxLineDf; clean_md5 digests the kept lines re-joined in order. */
+  def lineRuleCleanSql(minWords: Int, maxLineDf: Long): String =
+    s"""WITH $paraLinesCtes,
+       |ne AS (SELECT doc_id, p, ln, md5(ln) AS h FROM l WHERE length(ln) > 0),
+       |fr AS (SELECT h, count(DISTINCT doc_id) AS df FROM ne GROUP BY h),
+       |f AS (SELECT ne.doc_id, ne.p, ne.ln,
+       |        CASE WHEN len(regexp_extract_all(lower(ne.ln), '[a-z]+')) >= $minWords
+       |                  AND fr.df < $maxLineDf THEN 1 ELSE 0 END AS keep
+       |      FROM ne JOIN fr USING (h))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       |  CAST(sum(keep) AS BIGINT) AS kept_lines,
+       |  md5(coalesce(string_agg(CASE WHEN keep = 1 THEN ln END, chr(10) ORDER BY p), ''))
+       |    AS clean_md5
+       |FROM f GROUP BY doc_id""".stripMargin
 }

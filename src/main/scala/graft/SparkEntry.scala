@@ -256,6 +256,40 @@ object SparkEntry {
     "dedup_cdc" -> ((s, dir) =>
       Dedup.cdcChunks(rd(s, dir, "documents"), "doc_id", "text",
         window = 8, avgChunk = 64, minDocs = 2)),
+    // C4-style line rules over the paragraph-ized corpus: >= 3 words AND
+    // corpus-frequent lines (>= 2 docs) dropped, doc rebuilt + digested
+    "c4_line_filter" -> ((s, dir) =>
+      Dedup.lineRuleClean(paragraphized(s, dir), "doc_id", "ptext",
+        minWords = 3, maxLineDf = 2L)),
+    // which sources duplicate each other: mergeable MinHash — group sig =
+    // elementwise min of doc sigs, similarity from signatures alone
+    "source_minhash_sim" -> ((s, dir) =>
+      Dedup.groupSignatureSim(rd(s, dir, "documents"), "source", "text")),
+    // crawl-fragment stitching: tail-8-words of a == head-8-words of b.
+    // Exercised over constructed overlapping halves of each doc (frag 2d =
+    // first ceil(n/2) words, frag 2d+1 = from ceil(n/2)-7 to the end, so
+    // the halves share exactly the 8-word boundary the operator keys on) —
+    // the raw corpus has no truncation pairs, the fragment relation does.
+    "doc_stitch_pairs" -> ((s, dir) => {
+      val ws = rd(s, dir, "documents")
+        .select(col("doc_id"), wordsCol(col("text")).as("__ws"))
+        .filter(size(col("__ws")) >= 16)
+      val a = ws.select((col("doc_id") * 2).as("frag_id"),
+        expr("array_join(slice(__ws, 1, CAST((size(__ws) + 1) DIV 2 AS INT)), ' ')")
+          .as("ftext"))
+      val b = ws.select((col("doc_id") * 2 + 1).as("frag_id"),
+        expr("array_join(slice(__ws, CAST((size(__ws) + 1) DIV 2 - 7 AS INT), " +
+          "size(__ws)), ' ')").as("ftext"))
+      Dedup.stitchPairs(a.unionByName(b), "frag_id", "ftext", k = 8)
+    }),
+    // deterministic Poisson(1) bootstrap replicate summary (error bars for
+    // corpus metrics without materializing resamples)
+    "bootstrap_counts" -> ((s, dir) =>
+      Sampling.bootstrapCounts(rd(s, dir, "documents"), "doc_id", nReplicates = 8)),
+    // the clustering primitive exposed: 2 integer-exact Lloyd passes, k=8
+    "emb_kmeans" -> ((s, dir) =>
+      SimSearch.kmeansAssign(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, nIters = 2)),
     // one-call ingest screening: exact/near/contamination verdicts for a
     // new batch vs (history, bench) — the admission checklist composed
     "pipeline_ingest" -> ((s, dir) => {
@@ -2045,6 +2079,11 @@ object SparkEntry {
     "dedup_lines_within" -> Oracles.lineDedupWithinDocSql,
     "text_rep_lines" -> Oracles.lineRepetitionSql,
     "dedup_cdc" -> Oracles.cdcChunksSql(8, 64, 2),
+    "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),
+    "source_minhash_sim" -> Oracles.groupSigSimSql,
+    "doc_stitch_pairs" -> Oracles.stitchPairsSql(8, Oracles.stitchFragmentsRel),
+    "bootstrap_counts" -> Oracles.bootstrapCountsSql(8),
+    "emb_kmeans" -> Oracles.kmeansAssignSql(8, 2),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),
     "dsir_weights_bigram" -> Oracles.dsirWeightsSql(

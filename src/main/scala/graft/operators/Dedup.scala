@@ -1858,4 +1858,110 @@ object Dedup {
         col("__s").as("chunk_start"), col("__l").as("chunk_len"),
         coalesce(col("__isdup"), lit(0L)).as("is_dup"))
   }
+
+  /**
+   * C4-STYLE LINE-RULE CLEANING (Raffel et al. 2020 §2.2, the line filters
+   * every web-corpus recipe starts from, parameterized for a generic
+   * corpus): a line survives iff it has ≥ `minWords` words AND its exact
+   * content appears in fewer than `maxLineDf` distinct documents (the
+   * "three-sentence dedup" generalized — corpus-frequent lines are
+   * navigation/boilerplate). Kept lines are re-joined in original order;
+   * the gate carries the rebuilt doc as an md5 so no rewritten text rides
+   * the compare.
+   *
+   * Scale shape: one line explode (ids + line digests shuffle, text ships
+   * once into the digest), one digest-keyed distinct-doc count, one
+   * doc-keyed regroup — [[lineDedupWithinDoc]]'s plan with a corpus-level
+   * frequency join instead of a within-doc window.
+   *
+   * @return one row per doc with ≥ 1 non-empty line:
+   *         (idCol, n_lines non-empty, kept_lines, clean_md5)
+   */
+  def lineRuleClean(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, maxLineDf: Long = 2L): DataFrame = {
+    require(minWords >= 0, s"minWords must be >= 0, got $minWords")
+    require(maxLineDf >= 1, s"maxLineDf must be >= 1, got $maxLineDf")
+    val lines = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
+      .where(length(col("__ln")) > 0)
+      .withColumn("__h", md5(col("__ln")))
+    val freq = lines.groupBy(col("__h")).agg(countDistinct(col("__id")).as("__df"))
+    lines.join(freq, "__h")
+      .withColumn("__keep",
+        when(size(wordsCol(col("__ln"))) >= minWords && col("__df") < maxLineDf, 1L)
+          .otherwise(0L))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("__keep")).as("kept_lines"),
+        md5(expr("array_join(transform(sort_array(collect_list(" +
+          "CASE WHEN __keep = 1 THEN struct(__p, __ln) END)), x -> x.__ln), '\n')"))
+          .as("clean_md5"))
+      .select(col("__id").as(idCol), col("n_lines"), col("kept_lines"), col("clean_md5"))
+  }
+
+  /**
+   * GROUP-LEVEL MinHash similarity matrix — which corpus slices (sources,
+   * crawls, shards) duplicate each other, from signatures alone. The MinHash
+   * sketch is MERGEABLE: a group's signature component j is the elementwise
+   * MIN of its members' components (min over doc-mins = min over the union
+   * of shingle sets), so group signatures come from ONE per-doc signature
+   * pass + one tiny (group, j) aggregation — the text is read exactly once
+   * no matter how many grouping levels are derived, and at 100 TB the
+   * per-doc signature frame is the already-persisted [[minHashSignatures]]
+   * output. Pairwise similarity is the standard signature estimate
+   * (matching minima / K) over |groups|² ≤ tiny pairs.
+   *
+   * @return (group_a, group_b, n_docs_a, n_docs_b, matching, est_jaccard)
+   *         for group_a < group_b — est_jaccard estimates the Jaccard of
+   *         the two groups' UNIONED shingle sets (1.0 = same content mix).
+   */
+  def groupSignatureSim(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val docSigs = df
+      .select(col(groupCol).as("__g"), shinglesUdf(col(textCol)).as("__shs"))
+      .filter(col("__g").isNotNull && size(col("__shs")) > 0)
+      .select(col("__g"),
+        posexplode(graft.functions.TextFunctions.minHashSigUdf(col("__shs")))
+          .as(Seq("__j", "__v")))
+    val gsig = docSigs.groupBy(col("__g"), col("__j"))
+      .agg(min(col("__v")).as("__mh"))
+    val sizes = df.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__n"))
+    val k = graft.functions.TextFunctions.MinHashK
+    gsig.as("a").join(gsig.as("b"),
+        col("a.__j") === col("b.__j") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(sum(when(col("a.__mh") === col("b.__mh"), 1L).otherwise(0L)).as("matching"))
+      .join(sizes.select(col("__g").as("group_a"), col("__n").as("n_docs_a")), "group_a")
+      .join(sizes.select(col("__g").as("group_b"), col("__n").as("n_docs_b")), "group_b")
+      .select(col("group_a"), col("group_b"), col("n_docs_a"), col("n_docs_b"),
+        col("matching"),
+        round(col("matching").cast("double") / lit(k.toDouble), 6).as("est_jaccard"))
+  }
+
+  /**
+   * DOCUMENT-STITCH pairs — crawl-fragment reassembly: directional pairs
+   * (a → b) where the LAST `k` words of doc a equal the FIRST `k` words of
+   * doc b, i.e. b plausibly continues a (truncated page + its continuation,
+   * or re-crawled overlap). Join is on the md5 of the k-word boundary gram —
+   * one token pass per side, one equi-join on 32-hex digests; no text pairs
+   * ever shuffle. Self-pairs are excluded; a doc with fewer than k words has
+   * no boundary gram and is absent.
+   *
+   * @return (id_a, id_b, boundary_md5) — id_a's tail gram == id_b's head gram
+   */
+  def stitchPairs(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ws = df.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= k)
+    val heads = ws.select(col("__id").as("id_b"),
+      md5(array_join(slice(col("__ws"), 1, k), " ")).as("boundary_md5"))
+    val tails = ws.select(col("__id").as("id_a"),
+      md5(array_join(slice(col("__ws"), -k, k), " ")).as("boundary_md5"))
+    tails.join(heads, "boundary_md5")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("boundary_md5"))
+  }
 }

@@ -356,4 +356,48 @@ object Sampling {
     df.select(keep ++ Seq(u.as("__u"), guarded.as("__wg")): _*)
       .select(keep :+ expr("(__wg * 1048576) DIV __u").as("priority"): _*)
   }
+
+  /** Poisson(λ=1) CDF thresholds scaled to 2³² — PINNED integer constants
+    * (floor(cdf(k)·2³²) for k = 0..5), shared verbatim with the SQL oracle so
+    * the draw is pure integer comparison on both engines. */
+  val PoissonCdf32: Seq[Long] =
+    Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L, 4292415291L)
+
+  /**
+   * DETERMINISTIC POISSON BOOTSTRAP replicate summary — the standard
+   * error-bar machinery for corpus metrics at scale (Chamandy et al.,
+   * "Estimating Uncertainty for Massive Data Streams", the map-reduce
+   * bootstrap): each document appears in replicate r a Poisson(1)-distributed
+   * number of times, with the draw a PURE FUNCTION of (key, replicate) —
+   * `tHash(key:r) mod 2³²` against pinned CDF thresholds (capped at 6) — so
+   * replicates are reproducible across runs, shards, and engines, and a
+   * metric's spread across replicates estimates its sampling variance
+   * without ever materializing resampled corpora.
+   *
+   * Scale shape: one narrow pass emits nReplicates rows per doc (counts
+   * only), one groupBy(replicate) reduces — no shuffle carries text.
+   *
+   * @return one row per replicate: (replicate, n_docs source rows,
+   *         n_drawn Σ multiplicity, n_unique docs with multiplicity ≥ 1)
+   */
+  def bootstrapCounts(
+      df: DataFrame, keyCol: String, nReplicates: Int = 8): DataFrame = {
+    require(nReplicates > 0, s"nReplicates must be positive, got $nReplicates")
+    val t = PoissonCdf32
+    // tHash is parity-focused (short keys yield small sums that would never
+    // cross the first CDF threshold) — re-mix through the SimHash spreader
+    // (2654435761 · (h mod 65521)) mod 2³², intermediates < 2⁶³ on any engine
+    val u = pmod(pmod(tHashUdf(concat(col(keyCol).cast("string"), lit(":"),
+      col("replicate").cast("string"))), lit(65521L)) * lit(2654435761L),
+      lit(4294967296L))
+    val draw = when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
+      .when(u < t(3), 3L).when(u < t(4), 4L).when(u < t(5), 5L).otherwise(6L)
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol),
+        explode(sequence(lit(0L), lit(nReplicates - 1L))).as("replicate"))
+      .select(col("replicate"), draw.as("__c"))
+      .groupBy(col("replicate"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_drawn"),
+        sum(when(col("__c") > 0L, 1L).otherwise(0L)).as("n_unique"))
+  }
 }

@@ -542,6 +542,55 @@ object SimSearch {
           (col("n_assigned").cast("double") * lit(1000000.0)), 6).as("mean_cos"))
   }
 
+  /**
+   * K-MEANS ASSIGNMENT relation — the clustering primitive itself, exposed
+   * (the [[topKIvf]] coarse quantizer and [[ivfReport]] audit both consume
+   * it internally): deterministic id-ranked seeds, `nIters` integer-quantized
+   * Lloyd passes (see [[topKIvf]] — exact commutative Long sums, so the
+   * refined centroids are partition-invariant and SQL-mirrorable), then one
+   * corpus scan assigning every vector to its (cosine desc, index asc)
+   * nearest centroid. This is the label column semantic-curation pipelines
+   * join everything else against (SemDeDup clusters, per-cluster sampling
+   * quotas, cluster-balanced mixtures).
+   *
+   * Plan shape: centroids broadcast inside a mapPartitions kernel — the
+   * corpus never shuffles; output is (id, cluster, cos_micro) longs.
+   *
+   * @return (cId, cluster, cos_micro) — cos_micro = floor(cos·10⁶) of the
+   *         vector against its winning centroid. Null/zero-norm rows absent.
+   */
+  def kmeansAssign(
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int = 16, nIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(k > 0, s"k must be positive, got $k")
+    require(nIters >= 0, s"nIters must be >= 0, got $nIters")
+    requireIntegralId(corpus, cId, "corpus")
+    val spark = corpus.sparkSession
+    val slim = corpus.select(col(cId).cast("long"), col(cVec))
+    val seeds = slim.orderBy(col(cId).cast("long")).limit(k)
+      .collect().flatMap(vecWithNorm).map { case (_, v, n) => (v.map(_.toDouble), n) }
+    require(seeds.nonEmpty, "corpus has no non-null non-zero vectors to seed centroids")
+    val cents = lloydRefine(slim, seeds, nIters)
+    val schema = StructType(Seq(
+      StructField("__cid", LongType), StructField("cluster", IntegerType),
+      StructField("cos_micro", LongType)))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        vecWithNorm(r).map { case (id, v, n) =>
+          val cos = ivfCentroidCos(cents, v, n)
+          var bj = 0; var j = 1
+          while (j < cos.length) { if (cos(j) > cos(bj)) bj = j; j += 1 }
+          Row(id, bj, math.floor(cos(bj) * 1000000.0).toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .select(col("__cid").as(cId), col("cluster").cast("long").as("cluster"),
+        col("cos_micro"))
+  }
+
   def topKIvf(
       queries: DataFrame, qId: String, qVec: String,
       corpus: DataFrame, cId: String, cVec: String,

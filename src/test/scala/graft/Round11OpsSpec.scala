@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Specs for the round-11 additions: C4 line-rule cleaning, group-level
+  * MinHash similarity, stitch pairs, Poisson bootstrap replicates, and the
+  * exposed k-means assignment. */
+class Round11OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("round11-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- lineRuleClean ------------------------------------------------------
+
+  test("lineRuleClean drops short and corpus-frequent lines, keeps order") {
+    val boiler = "about us contact terms"
+    val df = docsDf(Seq(
+      (1L, s"alpha beta gamma delta\nshort one\n$boiler\nepsilon zeta eta"),
+      (2L, s"$boiler\nunique brand new line content")))
+    val out = Dedup.lineRuleClean(df, "doc_id", "text", minWords = 3, maxLineDf = 2L)
+      .orderBy("doc_id").collect()
+    // doc 1: 4 non-empty lines; "short one" (<3 words) and boiler (df=2) cut
+    assert(out(0).getAs[Long]("n_lines") == 4L)
+    assert(out(0).getAs[Long]("kept_lines") == 2L)
+    // doc 2: boiler cut, the unique 5-word line kept
+    assert(out(1).getAs[Long]("n_lines") == 2L)
+    assert(out(1).getAs[Long]("kept_lines") == 1L)
+    // digest = md5 of the kept lines joined in original order
+    val expected1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta gamma delta\nepsilon zeta eta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("clean_md5") == expected1)
+  }
+
+  test("lineRuleClean: doc with all lines cut digests the empty string") {
+    val df = docsDf(Seq((1L, "a b\nc d")))
+    val out = Dedup.lineRuleClean(df, "doc_id", "text", minWords = 3, maxLineDf = 2L)
+      .collect()
+    assert(out.head.getAs[Long]("kept_lines") == 0L)
+    assert(out.head.getAs[String]("clean_md5") == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  // ---- groupSignatureSim --------------------------------------------------
+
+  test("groupSignatureSim: identical content mixes estimate 1.0") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "an entirely different second document about spark aggregation plans"
+    val df = docsDf(Seq((1L, t1), (2L, t2), (3L, t1), (4L, t2)))
+      .withColumn("grp", when(col("doc_id") <= 2, "a").otherwise("b"))
+    val out = Dedup.groupSignatureSim(df, "grp", "text").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("group_a") == "a" && r.getAs[String]("group_b") == "b")
+    assert(r.getAs[Long]("matching") == 32L)
+    assert(r.getAs[Double]("est_jaccard") == 1.0)
+    assert(r.getAs[Long]("n_docs_a") == 2L && r.getAs[Long]("n_docs_b") == 2L)
+  }
+
+  test("groupSignatureSim: disjoint groups estimate near 0; sketch merges") {
+    val df = docsDf(Seq(
+      (1L, "apple banana cherry date elderberry fig grape"),
+      (2L, "spark shuffle exchange partition broadcast join aggregate"))
+    ).withColumn("grp", concat(lit("g"), col("doc_id")))
+    val out = Dedup.groupSignatureSim(df, "grp", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("matching") <= 4L) // collisions only
+    // merge property: a group of both docs vs itself is not emitted (a < b
+    // only), but its signature equals the elementwise min — check via the
+    // pairwise estimate of {doc1} vs {doc1, doc2}: every minimum of the
+    // union is <= the singleton's, so matches = positions where doc1 holds
+    // the union min; recompute directly
+    val both = docsDf(Seq(
+      (1L, "apple banana cherry date elderberry fig grape"),
+      (2L, "spark shuffle exchange partition broadcast join aggregate"),
+      (3L, "apple banana cherry date elderberry fig grape")))
+      .withColumn("grp", when(col("doc_id") <= 2, "u").otherwise("s"))
+    val est = Dedup.groupSignatureSim(both, "grp", "text").collect().head
+    assert(est.getAs[Long]("matching") >= 10L) // singleton shares ~half the union minima
+  }
+
+  // ---- stitchPairs --------------------------------------------------------
+
+  test("stitchPairs finds tail-head overlaps, excludes self and short docs") {
+    val df = docsDf(Seq(
+      (1L, "one two three four alpha beta"),          // tail-2: alpha beta
+      (2L, "alpha beta five six seven eight"),        // head-2: alpha beta
+      (3L, "alpha beta"),                             // both gram = alpha beta
+      (4L, "nine")))                                  // < 2 words: absent
+    val out = Dedup.stitchPairs(df, "doc_id", "text", k = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc3 tail == docs 2,3 head but self excluded; doc1 tail == docs 2,3 head
+    assert(out == Set((1L, 2L), (1L, 3L), (3L, 2L)))
+  }
+
+  // ---- bootstrapCounts ----------------------------------------------------
+
+  test("bootstrapCounts: deterministic, Poisson-shaped, key-stable") {
+    val df = docsDf((1L to 400L).map(i => (i, "t")))
+    val out1 = Sampling.bootstrapCounts(df, "doc_id", nReplicates = 4)
+      .orderBy("replicate").collect()
+    val out2 = Sampling.bootstrapCounts(df, "doc_id", nReplicates = 4)
+      .orderBy("replicate").collect()
+    assert(out1.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+    assert(out1.length == 4)
+    out1.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 400L)
+      // mean 1 draw/doc, sd ~ sqrt(400)=20: generous 5-sigma band
+      val drawn = r.getAs[Long]("n_drawn")
+      assert(drawn > 300L && drawn < 500L, s"n_drawn $drawn outside Poisson band")
+      // presence fraction ~ 1 - e^-1 = 0.632
+      val uniq = r.getAs[Long]("n_unique")
+      assert(uniq > 200L && uniq < 320L, s"n_unique $uniq outside band")
+    }
+  }
+
+  // ---- kmeansAssign -------------------------------------------------------
+
+  test("kmeansAssign assigns every eligible vector to an in-range cluster") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 40L).map { i =>
+      val base = (i % 4).toInt
+      (i, Array.tabulate(8)(d => if (d == base * 2) 1.0f + (i % 3) * 0.01f else 0.05f))
+    }.toDF("vec_id", "embedding")
+    val out = SimSearch.kmeansAssign(vecs, "vec_id", "embedding", k = 4, nIters = 2)
+      .collect()
+    assert(out.length == 40)
+    assert(out.forall(r => r.getAs[Long]("cluster") >= 0L && r.getAs[Long]("cluster") < 4L))
+    // vectors sharing a dominant axis must co-cluster after refinement
+    val byAxis = out.groupBy(r => r.getAs[Long]("vec_id") % 4)
+      .map { case (_, rs) => rs.map(_.getAs[Long]("cluster")).distinct.length }
+    assert(byAxis.forall(_ == 1), "same-axis vectors split across clusters")
+    // null and zero vectors are absent, never failing
+    val withBad = vecs.unionByName(Seq(
+      (100L, null.asInstanceOf[Array[Float]]),
+      (101L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val out2 = SimSearch.kmeansAssign(withBad, "vec_id", "embedding", k = 4, nIters = 1)
+    assert(out2.filter(col("vec_id") >= 100L).count() == 0L)
+    assert(out2.count() == 40L)
+  }
+}
