@@ -3224,6 +3224,71 @@ object Oracles {
        |       CAST(floor(c.cos * 1000000.0) AS BIGINT) AS cos_micro
        |FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj""".stripMargin
 
+  /** Mirror of CorpusStats.stupidBackoffLogLoss: bigram LM from the
+    * `trainPred` slice, cost −ln(c(v,w)/c(v)) when seen else
+    * −ln(α·(c(w)+1)/(N+V)), micro-nat floored per distinct bigram before
+    * the per-doc sum (same quantization as the xent family). */
+  def stupidBackoffSql(trainPred: String, alphaMilli: Int): String = {
+    val a = alphaMilli.toDouble / 1000.0
+    s"""WITH aw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |pr AS (SELECT doc_id, ws[i] AS v, ws[i+1] AS w
+       |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+       |             FROM aw WHERE len(ws) >= 2)),
+       |tu AS (SELECT unnest(ws) AS w FROM aw WHERE doc_id IN
+       |         (SELECT doc_id FROM documents WHERE $trainPred)),
+       |uni AS (SELECT w, count(*) AS cw FROM tu GROUP BY w),
+       |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM uni),
+       |tb AS (SELECT ws[i] AS v, ws[i+1] AS w
+       |       FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i
+       |             FROM aw WHERE len(ws) >= 2 AND doc_id IN
+       |               (SELECT doc_id FROM documents WHERE $trainPred))),
+       |big AS (SELECT v, w, count(*) AS cvw FROM tb GROUP BY v, w),
+       |seen AS (SELECT b.v, b.w,
+       |           CAST(floor(-ln(CAST(b.cvw AS DOUBLE) / CAST(u.cw AS DOUBLE))
+       |                * 1000000.0) AS BIGINT) AS q
+       |         FROM big b JOIN uni u ON b.v = u.w),
+       |fb AS (SELECT w, CAST(floor(-ln($a * CAST(cw + 1 AS DOUBLE)
+       |              / CAST(n + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS qf
+       |       FROM uni, tot),
+       |oov AS (SELECT CAST(floor(-ln($a / CAST(n + v AS DOUBLE)) * 1000000.0) AS BIGINT) AS qo
+       |        FROM tot),
+       |cc AS (SELECT p.doc_id, coalesce(s.q, f.qf, o.qo) AS c
+       |       FROM pr p
+       |       LEFT JOIN seen s ON p.v = s.v AND p.w = s.w
+       |       LEFT JOIN fb f ON p.w = f.w
+       |       CROSS JOIN oov o)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |       round(CAST(sum(c) AS DOUBLE) / (count(*) * 1000000.0), 4) + 0.0 AS sbo_xent
+       |FROM cc GROUP BY doc_id""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.groupQuantileNorm on documents(n_chars, source). */
+  def groupQuantileNormSql: String =
+    s"""SELECT doc_id, source, n_chars,
+       |  CAST(CASE WHEN cnt > 1 THEN (r - 1) * 1000 // (cnt - 1) ELSE 0 END AS BIGINT)
+       |    AS qnorm_milli
+       |FROM (SELECT doc_id, source, n_chars,
+       |        rank() OVER (PARTITION BY source ORDER BY n_chars ASC) AS r,
+       |        count(*) OVER (PARTITION BY source) AS cnt
+       |      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL)""".stripMargin
+
+  /** Mirror of Sampling.cappedQuota on documents.source weighted by n_chars:
+    * proportional quota, per-source cap, ONE overflow redistribution round. */
+  def cappedQuotaSql(budget: Long, cap: Long): String =
+    s"""WITH counts AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents
+       |                WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY source),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM counts),
+       |raw AS (SELECT source, w, w * $budget // t AS raw_quota FROM counts, tot),
+       |sp AS (SELECT
+       |    CAST(sum(CASE WHEN raw_quota > $cap THEN raw_quota - $cap ELSE 0 END) AS BIGINT) AS l,
+       |    CAST(sum(CASE WHEN raw_quota <= $cap THEN raw_quota ELSE 0 END) AS BIGINT) AS sr
+       |  FROM raw)
+       |SELECT source, w, CAST(raw_quota AS BIGINT) AS raw_quota,
+       |  CAST(least($cap, CASE WHEN raw_quota > $cap THEN $cap
+       |       ELSE raw_quota + CASE WHEN sr > 0 THEN (l * raw_quota) // sr ELSE 0 END END)
+       |    AS BIGINT) AS quota
+       |FROM raw, sp""".stripMargin
+
   /** Mirror of Dedup.lineRuleClean over the paragraph-ized corpus: a line
     * survives iff ≥ minWords words AND corpus distinct-doc frequency
     * < maxLineDf; clean_md5 digests the kept lines re-joined in order. */

@@ -256,6 +256,21 @@ object SparkEntry {
     "dedup_cdc" -> ((s, dir) =>
       Dedup.cdcChunks(rd(s, dir, "documents"), "doc_id", "text",
         window = 8, avgChunk = 64, minDocs = 2)),
+    // ...and the within-corpus ANY-second-occurrence removal (self-repeats
+    // cut too — the full Lee et al. criterion)
+    "dedup_substring_self_clean" -> ((s, dir) =>
+      Dedup.removeDuplicateSpansAll(rd(s, dir, "documents"), "doc_id", "text", k = 20)),
+    // Stupid Backoff bigram LM (Brants 2007) trained on the doc_id<5 slice
+    "text_sbo" -> ((s, dir) =>
+      CorpusStats.stupidBackoffLogLoss(rd(s, dir, "documents"), "doc_id", "text",
+        col("doc_id") < 5, alphaMilli = 400)),
+    // per-source quantile normalization of length (fair filtering input)
+    "quality_qnorm" -> ((s, dir) =>
+      CorpusStats.groupQuantileNorm(rd(s, dir, "documents"), "doc_id", "n_chars", "source")),
+    // char-weighted mixture quota with a per-source cap + one redistribution
+    "mixture_capped" -> ((s, dir) =>
+      Sampling.cappedQuota(rd(s, dir, "documents"), "source", "n_chars",
+        budget = 10000L, cap = 500L)),
     // C4-style line rules over the paragraph-ized corpus: >= 3 words AND
     // corpus-frequent lines (>= 2 docs) dropped, doc rebuilt + digested
     "c4_line_filter" -> ((s, dir) =>
@@ -2079,6 +2094,11 @@ object SparkEntry {
     "dedup_lines_within" -> Oracles.lineDedupWithinDocSql,
     "text_rep_lines" -> Oracles.lineRepetitionSql,
     "dedup_cdc" -> Oracles.cdcChunksSql(8, 64, 2),
+    "dedup_substring_self_clean" ->
+      Oracles.spanCleanSql(Oracles.dupSpanCtesAll(20), "SELECT doc_id, text FROM documents"),
+    "text_sbo" -> Oracles.stupidBackoffSql("doc_id < 5", 400),
+    "quality_qnorm" -> Oracles.groupQuantileNormSql,
+    "mixture_capped" -> Oracles.cappedQuotaSql(10000L, 500L),
     "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),
     "source_minhash_sim" -> Oracles.groupSigSimSql,
     "doc_stitch_pairs" -> Oracles.stitchPairsSql(8, Oracles.stitchFragmentsRel),

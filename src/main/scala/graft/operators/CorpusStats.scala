@@ -1481,4 +1481,103 @@ object CorpusStats {
         expr("dup_lines * 1000 div n_lines").as("dup_line_milli"),
         expr("CASE WHEN __chars > 0 THEN __dupchars * 1000 div __chars ELSE 0 END")
           .as("dup_char_milli"))
+
+  /**
+   * STUPID BACKOFF bigram LM scoring (Brants et al. 2007 — the smoothing
+   * web-scale LMs actually shipped: no discounting, a fixed backoff factor
+   * α, chosen because it needs only raw counts and therefore distributes):
+   * the model trains on the `trainFilter` slice, every doc is scored as the
+   * mean per-bigram cost
+   *
+   *   cost(w | v) = −ln( c(v,w) / c(v) )                 if c(v,w) > 0
+   *               = −ln( α · (c(w)+1) / (N+V) )          otherwise
+   *
+   * (the backoff path takes the add-one unigram so out-of-vocabulary words
+   * stay finite). Costs are floored to integer micro-nats per DISTINCT
+   * bigram BEFORE the per-doc sum — [[unigramLogLoss]]'s quantization, so
+   * reduction order cannot perturb the result and the SQL oracle mirrors
+   * bit-exactly.
+   *
+   * Scale shape: the model is vocabulary²-bounded (bigram cost relation
+   * shuffles once on the bigram key, unigram fallback broadcasts with the
+   * totals); the corpus streams through one adjacent-pair explode + two
+   * joins + one doc-keyed agg — no per-doc state, no windows.
+   *
+   * @return (idCol, n_bigrams, sbo_xent mean micro-nat cost / 1e6 rounded
+   *         to 4) — docs with < 2 words are absent.
+   */
+  def stupidBackoffLogLoss(
+      docs: DataFrame, idCol: String, textCol: String,
+      trainFilter: org.apache.spark.sql.Column,
+      alphaMilli: Int = 400): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli <= 1000,
+      s"alphaMilli must be in (0, 1000], got $alphaMilli")
+    val pairs = docs.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("__id"), explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS v, __ws[i] AS w))"))
+        .as("__p"))
+      .select(col("__id"), col("__p.v").as("__v"), col("__p.w").as("__w"))
+    val train = docs.filter(trainFilter)
+    val uni = train.select(explode(wordsCol(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+    val tot = uni.agg(sum(col("__cw")).as("__N"), count(lit(1)).as("__V"))
+    val big = train.select(wordsCol(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(__ws) - 1), i -> struct(__ws[i-1] AS v, __ws[i] AS w))"))
+        .as("__p"))
+      .select(col("__p.v").as("__v"), col("__p.w").as("__w"))
+      .groupBy(col("__v"), col("__w")).agg(count(lit(1)).as("__cvw"))
+    val seen = big.join(uni.select(col("__w").as("__v"), col("__cw").as("__cv")), "__v")
+      .select(col("__v"), col("__w"),
+        floor(-log(col("__cvw").cast("double") / col("__cv").cast("double"))
+          * lit(1000000.0)).cast("long").as("__q"))
+    val alpha = alphaMilli.toDouble / 1000.0
+    val fallback = uni.crossJoin(broadcast(tot))
+      .select(col("__w"),
+        floor(-log(lit(alpha) * (col("__cw") + 1).cast("double") /
+          (col("__N") + col("__V")).cast("double")) * lit(1000000.0))
+          .cast("long").as("__qf"))
+    val oov = tot.select(
+      floor(-log(lit(alpha) / (col("__N") + col("__V")).cast("double"))
+        * lit(1000000.0)).cast("long").as("__qo"))
+    pairs.join(seen, Seq("__v", "__w"), "left")
+      .join(fallback, Seq("__w"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("__id"), coalesce(col("__q"), col("__qf"), col("__qo")).as("__c"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__c")).as("__s"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        round(col("__s").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0)), 4).as("sbo_xent"))
+  }
+
+  /**
+   * PER-GROUP QUANTILE NORMALIZATION of a metric — the fair-filtering move
+   * when a raw threshold would empty some sources (length/quality
+   * distributions differ per source; normalizing to within-source quantile
+   * rank makes "drop the bottom decile" mean the bottom decile OF EACH
+   * source): qnorm_milli = (rank − 1) · 1000 DIV (n_group − 1), rank =
+   * RANK() over the group by (value asc, ties share a rank), 0 for
+   * single-row groups. Integer-exact; null metric rows are dropped.
+   *
+   * Scale shape: one group-partitioned window (WindowGroupLimit-free full
+   * window, but the partition key is the group — the natural parallelism)
+   * plus the group-size join, both on the same exchange.
+   *
+   * @return (idCol, groupCol, valCol, qnorm_milli)
+   */
+  def groupQuantileNorm(
+      df: DataFrame, idCol: String, valCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol).asc)
+    df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valCol))
+      .withColumn("__r", rank().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .select(col(idCol), col(groupCol), col(valCol),
+        when(col("__n") > 1L, expr("(__r - 1) * 1000 DIV (__n - 1)"))
+          .otherwise(lit(0L)).as("qnorm_milli"))
+  }
 }

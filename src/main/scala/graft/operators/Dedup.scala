@@ -867,6 +867,21 @@ object Dedup {
   }
 
   /**
+   * The REMOVAL form of [[duplicateSpansAll]] — within-corpus ANY-second-
+   * occurrence spans (including within-doc self-repeats) spliced out, the
+   * full Lee et al. criterion's cut: [[removeDuplicateSpans]] only cuts
+   * text duplicated ACROSS documents; this also cuts the looped/boilerplate
+   * self-repetition inside a single page. Same [[cutSpans]] interval-merge
+   * splice, same scale shape.
+   * @return (idCol, clean_text, removed_chars)
+   */
+  def removeDuplicateSpansAll(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, minOccurrences: Long = 2L): DataFrame =
+    cutSpans(df, idCol, textCol,
+      duplicateSpansAll(df, idCol, textCol, k, minOccurrences))
+
+  /**
    * WORD-unit form of [[duplicateSpans]] — the literal Lee et al. 2021
    * granularity (their suffix-array dedup removes duplicated ≥50-TOKEN
    * spans): a maximal run of n-word grams each occurring in ≥ minDocs

@@ -400,4 +400,46 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("__c")).as("n_drawn"),
         sum(when(col("__c") > 0L, 1L).otherwise(0L)).as("n_unique"))
   }
+
+  /**
+   * CAPPED MIXTURE QUOTA with one redistribution round — proportional
+   * allocation with a per-source ceiling, the knob that stops one giant
+   * crawl from eating the whole token budget: raw_i = w_i·budget DIV Σw
+   * (w = the per-source `weightCol` sum, e.g. chars); sources over `cap`
+   * are clamped and their overflow is re-shared among the UNCAPPED sources
+   * in proportion to their raw quota, then clamped once more. ONE
+   * redistribution round by design (exact waterfilling needs a loop whose
+   * depth is data-dependent; one round is deterministic, SQL-mirrorable,
+   * and in practice within one cap of the fixpoint) — totals can undershoot
+   * `budget` by flooring plus any second-round overflow; they never exceed
+   * it. All arithmetic BIGINT.
+   *
+   * Scale shape: one groupBy(source) sum, two 1-row broadcast totals,
+   * arithmetic on the per-source relation. Nothing corpus-sized moves.
+   *
+   * @return (sourceCol, w weight sum, raw_quota, quota)
+   */
+  def cappedQuota(
+      df: DataFrame, sourceCol: String, weightCol: String,
+      budget: Long, cap: Long): DataFrame = {
+    require(budget > 0L, s"budget must be positive, got $budget")
+    require(cap > 0L, s"cap must be positive, got $cap")
+    val counts = df.filter(col(sourceCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val tot = counts.agg(sum(col("w")).as("__T"))
+    val raw = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("w"),
+        expr(s"w * ${budget}L DIV __T").as("raw_quota"))
+    val spill = raw.agg(
+      sum(expr(s"CASE WHEN raw_quota > ${cap}L THEN raw_quota - ${cap}L ELSE 0L END"))
+        .as("__L"),
+      sum(expr(s"CASE WHEN raw_quota <= ${cap}L THEN raw_quota ELSE 0L END"))
+        .as("__SR"))
+    raw.crossJoin(broadcast(spill))
+      .select(col(sourceCol), col("w"), col("raw_quota"),
+        expr(s"""least(${cap}L, CASE WHEN raw_quota > ${cap}L THEN ${cap}L
+                 ELSE raw_quota + CASE WHEN __SR > 0L THEN (__L * raw_quota) DIV __SR
+                      ELSE 0L END END)""").as("quota"))
+  }
 }

@@ -128,6 +128,72 @@ class Round11OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- stupidBackoffLogLoss -----------------------------------------------
+
+  test("stupidBackoffLogLoss: seen bigrams cheap, backoff fires on unseen") {
+    val df = docsDf(Seq(
+      (1L, "the cat sat on the mat"),    // train
+      (2L, "the cat sat on the mat"),    // identical: all bigrams seen
+      (3L, "mat the zebra jumps")))      // "mat the" unseen order, zebra OOV
+    val out = CorpusStats.stupidBackoffLogLoss(df, "doc_id", "text",
+      col("doc_id") === 1L, alphaMilli = 400)
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val seenCost = out(1).getAs[Double]("sbo_xent")
+    val backoffCost = out(2).getAs[Double]("sbo_xent")
+    assert(out(1).getAs[Long]("n_bigrams") == 5L)
+    assert(backoffCost > seenCost, s"backoff $backoffCost !> seen $seenCost")
+    // deterministic: identical docs score identically
+    assert(out(0).getAs[Double]("sbo_xent") == seenCost)
+  }
+
+  // ---- groupQuantileNorm --------------------------------------------------
+
+  test("groupQuantileNorm: within-group milli ranks, ties share, singleton 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 40L),
+      (5L, "b", 99L)).toDF("doc_id", "grp", "v")
+    val out = CorpusStats.groupQuantileNorm(df, "doc_id", "v", "grp")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("qnorm_milli"))
+    // group a (n=4): ranks 1,2,2,4 -> (r-1)*1000 DIV 3 = 0, 333, 333, 1000
+    assert(out.toSeq == Seq(0L, 333L, 333L, 1000L, 0L))
+  }
+
+  // ---- cappedQuota --------------------------------------------------------
+
+  test("cappedQuota clamps, redistributes once, never exceeds budget") {
+    val s = spark
+    import s.implicits._
+    // weights 700/200/100 of budget 1000, cap 400: raw 700/200/100 ->
+    // a clamps to 400, spill 300 shared 200:100 -> b=200+200=400, c=100+100=200
+    val df = Seq.tabulate(10)(i => (i.toLong, "a", 70L)) ++
+      Seq.tabulate(10)(i => (100L + i, "b", 20L)) ++
+      Seq.tabulate(10)(i => (200L + i, "c", 10L))
+    val out = Sampling.cappedQuota(df.toDF("id", "src", "w"), "src", "w",
+      budget = 1000L, cap = 400L)
+      .orderBy("src").collect()
+    val quotas = out.map(r => r.getAs[String]("src") -> r.getAs[Long]("quota")).toMap
+    assert(quotas == Map("a" -> 400L, "b" -> 400L, "c" -> 200L))
+    assert(out.map(_.getAs[Long]("quota")).sum <= 1000L)
+    assert(out.map(_.getAs[Long]("raw_quota")).toSeq == Seq(700L, 200L, 100L))
+  }
+
+  // ---- removeDuplicateSpansAll --------------------------------------------
+
+  test("removeDuplicateSpansAll cuts within-doc self-repeats") {
+    val rep = "abcdefghijklmnopqrstuvwxyz0123456789" // 36 chars, k=20 grams repeat
+    val df = docsDf(Seq((1L, rep + rep), (2L, "entirely fresh unrepeated content")))
+    val out = Dedup.removeDuplicateSpansAll(df, "doc_id", "text", k = 20)
+      .orderBy("doc_id").collect()
+    // doc 1: the doubled block self-repeats -> spans cover (most of) it
+    assert(out(0).getAs[Long]("removed_chars") > 0L)
+    // doc 2: nothing repeated, passes through verbatim
+    assert(out(1).getAs[Long]("removed_chars") == 0L)
+    assert(out(1).getAs[String]("clean_text") == "entirely fresh unrepeated content")
+  }
+
   // ---- kmeansAssign -------------------------------------------------------
 
   test("kmeansAssign assigns every eligible vector to an in-range cluster") {
