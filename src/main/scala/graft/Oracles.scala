@@ -3272,22 +3272,101 @@ object Oracles {
        |        count(*) OVER (PARTITION BY source) AS cnt
        |      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL)""".stripMargin
 
-  /** Mirror of Sampling.cappedQuota on documents.source weighted by n_chars:
-    * proportional quota, per-source cap, ONE overflow redistribution round. */
-  def cappedQuotaSql(budget: Long, cap: Long): String =
-    s"""WITH counts AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents
-       |                WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY source),
+  /** Shared CTE chain of [[cappedQuotaSql]] / [[quotaFillSql]] — emits
+    * `fq(source, w, raw_quota, quota)`. */
+  private def cappedQuotaCtes(budget: Long, cap: Long): String =
+    s"""counts AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents
+       |           WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY source),
        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM counts),
        |raw AS (SELECT source, w, w * $budget // t AS raw_quota FROM counts, tot),
        |sp AS (SELECT
        |    CAST(sum(CASE WHEN raw_quota > $cap THEN raw_quota - $cap ELSE 0 END) AS BIGINT) AS l,
        |    CAST(sum(CASE WHEN raw_quota <= $cap THEN raw_quota ELSE 0 END) AS BIGINT) AS sr
-       |  FROM raw)
-       |SELECT source, w, CAST(raw_quota AS BIGINT) AS raw_quota,
+       |  FROM raw),
+       |fq AS (SELECT source, w, CAST(raw_quota AS BIGINT) AS raw_quota,
        |  CAST(least($cap, CASE WHEN raw_quota > $cap THEN $cap
        |       ELSE raw_quota + CASE WHEN sr > 0 THEN (l * raw_quota) // sr ELSE 0 END END)
        |    AS BIGINT) AS quota
-       |FROM raw, sp""".stripMargin
+       |  FROM raw, sp)""".stripMargin
+
+  /** Mirror of Sampling.cappedQuota on documents.source weighted by n_chars:
+    * proportional quota, per-source cap, ONE overflow redistribution round. */
+  def cappedQuotaSql(budget: Long, cap: Long): String =
+    s"""WITH ${cappedQuotaCtes(budget, cap)}
+       |SELECT source, w, raw_quota, quota FROM fq""".stripMargin
+
+  /** Mirror of Sampling.quotaFill: per-source greedy (weight desc, id asc)
+    * running-sum fill against the [[cappedQuotaCtes]] quotas. */
+  def quotaFillSql(budget: Long, cap: Long): String =
+    s"""WITH ${cappedQuotaCtes(budget, cap)},
+       |cm AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       |         CAST(sum(n_chars) OVER (PARTITION BY source
+       |           ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS cum_w
+       |       FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+       |SELECT cm.doc_id, cm.source, cm.n_chars, cm.cum_w, fq.quota
+       |FROM cm JOIN fq USING (source) WHERE cm.cum_w <= fq.quota""".stripMargin
+
+  /** Mirror of Bm25.topKQl: Dirichlet query likelihood, present-term
+    * decomposition, micro-nat floored components (queries = `queryPred`
+    * docs' distinct words). */
+  def qlTopKSql(k: Int, mu: Double, queryPred: String): String =
+    s"""WITH dw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |idx AS (
+       |  SELECT doc_id AS d, CAST(len(ws) AS BIGINT) AS dl, w, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, ws, unnest(ws) AS w FROM dw WHERE len(ws) > 0)
+       |  GROUP BY doc_id, len(ws), w
+       |),
+       |cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM idx GROUP BY w),
+       |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM idx),
+       |qt AS (SELECT DISTINCT doc_id AS q, unnest(ws) AS w FROM dw WHERE $queryPred),
+       |qn AS (SELECT q, CAST(count(*) AS BIGINT) AS nq FROM qt GROUP BY q),
+       |pres AS (
+       |  SELECT qt.q, idx.d, idx.dl,
+       |    CAST(floor(ln(1.0 + CAST(idx.tf * tot.t AS DOUBLE) /
+       |      ($mu * CAST(cf.cf AS DOUBLE))) * 1000000.0) AS BIGINT) AS pc
+       |  FROM idx JOIN qt USING (w) JOIN cf USING (w) CROSS JOIN tot
+       |),
+       |sc AS (SELECT p.q, p.d,
+       |         CAST(sum(p.pc) + qn.nq *
+       |           CAST(floor(ln($mu / (CAST(min(p.dl) AS DOUBLE) + $mu)) * 1000000.0) AS BIGINT)
+       |           AS BIGINT) AS score_micro
+       |       FROM pres p JOIN qn ON p.q = qn.q GROUP BY p.q, p.d, qn.nq),
+       |rk AS (SELECT q, d, score_micro,
+       |         row_number() OVER (PARTITION BY q ORDER BY score_micro DESC, d ASC) AS rn
+       |       FROM sc)
+       |SELECT q AS query_id, d AS doc_id, score_micro, CAST(rn AS BIGINT) AS rank
+       |FROM rk WHERE rn <= $k""".stripMargin
+
+  /** Mirror of the emb_outliers composition: [[ivfAssignCtes]] k-means
+    * assignment + per-cluster cos_micro quantile rank, bottom `milliMax`. */
+  def kmeansOutliersSql(k: Int, nIters: Int, milliMax: Long): String =
+    s"""${ivfAssignCtes(k, nIters)},
+       |kasgn AS (
+       |  SELECT a.vec_id, CAST(a.cj AS BIGINT) AS cluster,
+       |         CAST(floor(c.cos * 1000000.0) AS BIGINT) AS cos_micro
+       |  FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj),
+       |rk AS (SELECT vec_id, cluster, cos_micro,
+       |         rank() OVER (PARTITION BY cluster ORDER BY cos_micro ASC) AS r,
+       |         count(*) OVER (PARTITION BY cluster) AS cnt
+       |       FROM kasgn)
+       |SELECT vec_id, cluster, cos_micro,
+       |  CAST(CASE WHEN cnt > 1 THEN (r - 1) * 1000 // (cnt - 1) ELSE 0 END AS BIGINT)
+       |    AS qnorm_milli
+       |FROM rk
+       |WHERE CASE WHEN cnt > 1 THEN (r - 1) * 1000 // (cnt - 1) ELSE 0 END <= $milliMax""".stripMargin
+
+  /** TPC-H Q10-shape returned-item report: exact integer cents, top 20 by
+    * (revenue desc, custkey asc). */
+  def ordersReturnsSql: String =
+    s"""SELECT c.c_custkey, c.c_name, CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+       |    AS BIGINT)) AS BIGINT) AS revenue_cents
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE l.l_returnflag = 'R'
+       |GROUP BY c.c_custkey, c.c_name
+       |ORDER BY revenue_cents DESC, c.c_custkey ASC LIMIT 20""".stripMargin
 
   /** Mirror of Dedup.lineRuleClean over the paragraph-ized corpus: a line
     * survives iff ≥ minWords words AND corpus distinct-doc frequency

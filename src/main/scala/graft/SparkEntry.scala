@@ -271,6 +271,40 @@ object SparkEntry {
     "mixture_capped" -> ((s, dir) =>
       Sampling.cappedQuota(rd(s, dir, "documents"), "source", "n_chars",
         budget = 10000L, cap = 500L)),
+    // ...and the enforcement half: greedy per-source fill within the quota
+    "mixture_fill" -> ((s, dir) =>
+      Sampling.quotaFill(rd(s, dir, "documents"), "doc_id", "source", "n_chars",
+        budget = 50000L, cap = 2500L)),
+    // Dirichlet query-likelihood ranking (Zhai-Lafferty), the LM ranker
+    // beside BM25 — same query set, micro-nat integer scores
+    "ql_topk" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Bm25.topKQl(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "doc_id", "text", k = 10, mu = 300.0)
+    }),
+    // farthest-from-centroid vectors per k-means cluster (bottom decile of
+    // within-cluster cosine) — the SemDeDup-complement prototypicality audit
+    "emb_outliers" -> ((s, dir) =>
+      CorpusStats.groupQuantileNorm(
+        SimSearch.kmeansAssign(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, nIters = 2),
+        "vec_id", "cos_micro", "cluster")
+        .filter(col("qnorm_milli") <= 100L)),
+    // TPC-H Q10 shape: returned-item revenue per customer, exact cents
+    "orders_returns" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)")
+            .as("__cents"))
+      val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
     // C4-style line rules over the paragraph-ized corpus: >= 3 words AND
     // corpus-frequent lines (>= 2 docs) dropped, doc rebuilt + digested
     "c4_line_filter" -> ((s, dir) =>
@@ -2099,6 +2133,10 @@ object SparkEntry {
     "text_sbo" -> Oracles.stupidBackoffSql("doc_id < 5", 400),
     "quality_qnorm" -> Oracles.groupQuantileNormSql,
     "mixture_capped" -> Oracles.cappedQuotaSql(10000L, 500L),
+    "mixture_fill" -> Oracles.quotaFillSql(50000L, 2500L),
+    "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
+    "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
+    "orders_returns" -> Oracles.ordersReturnsSql,
     "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),
     "source_minhash_sim" -> Oracles.groupSigSimSql,
     "doc_stitch_pairs" -> Oracles.stitchPairsSql(8, Oracles.stitchFragmentsRel),

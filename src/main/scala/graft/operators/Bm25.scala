@@ -272,4 +272,59 @@ object Bm25 {
       .filter(col("__m") === col("__k"))
       .select(col("query_id"), col("doc"))
   }
+
+  /**
+   * DIRICHLET QUERY-LIKELIHOOD ranking (Zhai & Lafferty 2004) — the other
+   * classic lexical ranker beside [[topK]]'s BM25, language-model-based:
+   *
+   *   score(q,d) = Σ_{t ∈ q ∩ d} ln(1 + tf·|C| / (μ·cf(t)))  +  |q|·ln(μ / (dl + μ))
+   *
+   * (the standard present-term decomposition of Σ_{t∈q} ln((tf + μ·P(t|C)) /
+   * (dl + μ)) — absent terms fold into the per-doc length part, so only
+   * postings matching query terms are ever touched). Candidates = docs
+   * sharing ≥ 1 query term. Determinism: BOTH components floored to integer
+   * micro-nats per (doc, term) / per doc BEFORE summation (the library's
+   * xent convention), ties broken (score desc, doc asc).
+   *
+   * Scale shape: the [[topKIndexed]] plan — query vocabulary semi-join
+   * prunes the postings first, collection stats are one aggregate, the
+   * per-query k-cut is a WindowGroupLimit.
+   *
+   * @return (query_id, doc_id, score_micro, rank)
+   */
+  def topKQl(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, mu: Double = 300.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(mu > 0.0, s"mu must be positive, got $mu")
+    val tf = index(docs, idCol, textCol)
+      .select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+        col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    val cf = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__cf"))
+    val tot = tf.agg(sum(col("__tf")).as("__T"))
+    val qt = queries
+      .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
+      .distinct()
+    val qn = qt.groupBy(col("__q")).agg(count(lit(1)).as("__nq"))
+    val present = tf.join(broadcast(qt), "__w").join(cf, "__w")
+      .crossJoin(broadcast(tot))
+      .select(col("__q"), col("__d"), col("__dl"),
+        floor(log(lit(1.0) + (col("__tf") * col("__T")).cast("double") /
+            (lit(mu) * col("__cf").cast("double"))) * lit(1000000.0))
+          .cast("long").as("__pc"))
+    val scores = present
+      .groupBy(col("__q"), col("__d"))
+      .agg(sum(col("__pc")).as("__ps"), first(col("__dl")).as("__dl"))
+      .join(broadcast(qn), "__q")
+      .select(col("__q"), col("__d"),
+        (col("__ps") + col("__nq") *
+          floor(log(lit(mu) / (col("__dl").cast("double") + lit(mu))) * lit(1000000.0))
+            .cast("long")).as("score_micro"))
+    val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
 }

@@ -442,4 +442,30 @@ object Sampling {
                  ELSE raw_quota + CASE WHEN __SR > 0L THEN (__L * raw_quota) DIV __SR
                       ELSE 0L END END)""").as("quota"))
   }
+
+  /**
+   * QUOTA FILL — the enforcement half of [[cappedQuota]]: per source, docs
+   * are taken in (weight desc, id asc) order while the RUNNING weight sum
+   * stays within the source's quota — greedy budget filling, the step that
+   * turns a mixture plan into an actual document selection. Deterministic
+   * (the order is total), one doc-windowed cumulative sum per source + the
+   * tiny quota join; nothing corpus-global.
+   *
+   * @return selected docs only: (idCol, sourceCol, weightCol, cum_w, quota)
+   */
+  def quotaFill(
+      df: DataFrame, idCol: String, sourceCol: String, weightCol: String,
+      budget: Long, cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = cappedQuota(df, sourceCol, weightCol, budget, cap)
+      .select(col(sourceCol), col("quota"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    df.filter(col(sourceCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(idCol), col(sourceCol), col(weightCol).cast("long").as(weightCol))
+      .withColumn("cum_w", sum(col(weightCol)).over(w))
+      .join(quotas, sourceCol)
+      .filter(col("cum_w") <= col("quota"))
+      .select(col(idCol), col(sourceCol), col(weightCol), col("cum_w"), col("quota"))
+  }
 }

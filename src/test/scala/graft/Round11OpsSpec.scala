@@ -180,6 +180,41 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("raw_quota")).toSeq == Seq(700L, 200L, 100L))
   }
 
+  // ---- topKQl -------------------------------------------------------------
+
+  test("topKQl ranks by Dirichlet QL: more matches beat fewer, candidates only") {
+    val df = docsDf(Seq(
+      (1L, "spark spark spark filler filler"),
+      (2L, "spark filler filler filler filler"),
+      (3L, "nothing relevant here at all"),
+      (10L, "spark")))            // the query doc
+    val out = Bm25.topKQl(df, "doc_id", "text",
+      df.filter(col("doc_id") === 10L), "doc_id", "text", k = 10)
+      .orderBy("rank").collect()
+    // doc 3 shares no term: absent; 10 (tf=1, dl=1) then 1 then 2 by score
+    val ranked = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ranked.contains(3L))
+    assert(ranked.indexOf(1L) < ranked.indexOf(2L), s"order was $ranked")
+    // scores strictly ordered with deterministic ties
+    val scores = out.map(_.getAs[Long]("score_micro")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  // ---- quotaFill ----------------------------------------------------------
+
+  test("quotaFill takes docs greedily within the per-source quota") {
+    val s = spark
+    import s.implicits._
+    // one source, weights 50,30,20,10; budget==total -> quota=cap=100 caps at 60
+    val df = Seq((1L, "a", 50L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 10L))
+      .toDF("id", "src", "w")
+    val out = Sampling.quotaFill(df, "id", "src", "w", budget = 110L, cap = 85L)
+      .orderBy("id").collect()
+    // raw = 110 (uncapped would be all); cap 85 -> quota 85: cum 50,80,100 -> keep ids 1,2
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+    assert(out.map(_.getAs[Long]("cum_w")).toSeq == Seq(50L, 80L))
+  }
+
   // ---- removeDuplicateSpansAll --------------------------------------------
 
   test("removeDuplicateSpansAll cuts within-doc self-repeats") {
