@@ -3355,6 +3355,60 @@ object Oracles {
        |FROM rk
        |WHERE CASE WHEN cnt > 1 THEN (r - 1) * 1000 // (cnt - 1) ELSE 0 END <= $milliMax""".stripMargin
 
+  /** Mirror of SimSearch.topKBinary: 64-bit sign words (bit d−1 set iff
+    * e[d] > 0), brute Hamming top-k, ties (hamming asc, neighbor asc). */
+  def annBinarySql(k: Int, queryPred: String): String =
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings
+       |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+       |sg AS (SELECT vec_id,
+       |         bit_or(CASE WHEN e[d] <= 0 THEN 0::BIGINT
+       |                     WHEN d = 64 THEN (-9223372036854775807 - 1)
+       |                     ELSE (1::BIGINT << (d-1)) END) AS sig
+       |       FROM v, (SELECT unnest(generate_series(1, 64)) AS d)
+       |       WHERE d <= len(e)
+       |       GROUP BY vec_id),
+       |hp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) AS hamming
+       |       FROM sg q JOIN sg c ON q.vec_id <> c.vec_id
+       |       WHERE ${queryPred.replace("vec_id", "q.vec_id")}),
+       |brk AS (SELECT query_id, neighbor_id, hamming,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY hamming ASC, neighbor_id ASC) AS rn
+       |       FROM hp)
+       |SELECT query_id, neighbor_id, hamming FROM brk WHERE rn <= $k""".stripMargin
+
+  /** Mirror of the graph_kcore composition: [[knnGraphCtes]] mutual edges +
+    * `rounds` unrolled synchronous peel iterations at threshold `kcore`. */
+  def kCorePeelSql(k: Int, nPlanes: Int, nTables: Int,
+      kcore: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { r =>
+      s"""kd$r AS (SELECT e.a AS node, count(*) AS dg FROM medges e
+         |  JOIN ks${r - 1} x ON e.a = x.node JOIN ks${r - 1} y ON e.b = y.node
+         |  GROUP BY e.a),
+         |ks$r AS (SELECT s.node FROM ks${r - 1} s JOIN kd$r d USING (node)
+         |  WHERE d.dg >= $kcore),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+       |mut AS (
+       |  SELECT a.src AS id_a, a.nbr AS id_b
+       |  FROM kg a JOIN kg b ON a.src = b.nbr AND a.nbr = b.src
+       |  WHERE a.src < a.nbr
+       |),
+       |medges AS (SELECT id_a AS a, id_b AS b FROM mut
+       |           UNION SELECT id_b AS a, id_a AS b FROM mut),
+       |ks0 AS (SELECT DISTINCT vec_id AS node FROM embeddings),
+       |$peel
+       |kfd AS (SELECT e.a AS node, count(*) AS dg FROM medges e
+       |  JOIN ks$rounds x ON e.a = x.node JOIN ks$rounds y ON e.b = y.node
+       |  GROUP BY e.a)
+       |SELECT n.node AS vec_id,
+       |  CAST(CASE WHEN f.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS in_core,
+       |  CAST(CASE WHEN f.node IS NOT NULL THEN coalesce(d.dg, 0) ELSE 0 END AS BIGINT) AS deg
+       |FROM ks0 n
+       |LEFT JOIN ks$rounds f ON n.node = f.node
+       |LEFT JOIN kfd d ON n.node = d.node""".stripMargin
+  }
+
   /** TPC-H Q10-shape returned-item report: exact integer cents, top 20 by
     * (revenue desc, custkey asc). */
   def ordersReturnsSql: String =

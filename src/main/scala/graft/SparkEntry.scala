@@ -290,6 +290,32 @@ object SparkEntry {
           k = 8, nIters = 2),
         "vec_id", "cos_micro", "cluster")
         .filter(col("qnorm_milli") <= 100L)),
+    // binary-sketch ANN: 1 bit/dim sign words, brute Hamming top-k — the
+    // 32x-compression screening tier under the float/PQ rerankers
+    "ann_binary" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKBinary(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, excludeSelf = true)
+    }),
+    // bounded k-core peel over the mutual-kNN graph: 3 synchronous rounds
+    // at threshold 2 — the dense-semantic-region selector
+    "graph_kcore" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      GraphRank.kCorePeel(emb.select(col("vec_id")), "vec_id",
+        Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3), "id_a", "id_b",
+        kcore = 2, rounds = 3)
+    }),
+    // ORC round trip: typed columnar interchange — every column bit-exact
+    // including empty strings (the CSV caveat does not apply)
+    "source_orc" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_orc/ov_${math.abs(dir.hashCode)}"
+      graft.sources.OrcTable.write(docs, base)
+      graft.sources.OrcTable.read(s, base, docs.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+    }),
     // TPC-H Q10 shape: returned-item revenue per customer, exact cents
     "orders_returns" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -2137,6 +2163,11 @@ object SparkEntry {
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
+    "ann_binary" -> Oracles.annBinarySql(5, "vec_id < 50"),
+    "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
+    "source_orc" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents""".stripMargin,
     "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),
     "source_minhash_sim" -> Oracles.groupSigSimSql,
     "doc_stitch_pairs" -> Oracles.stitchPairsSql(8, Oracles.stitchFragmentsRel),

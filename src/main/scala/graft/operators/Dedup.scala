@@ -1737,22 +1737,32 @@ object Dedup {
         round(col("__s._2"), 4).as("score"), col("__s._3").cast("long").as("rank"))
   }
 
-  def mutualKnnClusters(
+  /** UNDIRECTED mutual-kNN edge relation — `(id_a, id_b)` with id_a < id_b
+    * iff BOTH directed [[knnGraph]] edges exist. The density-filtered
+    * semantic graph [[mutualKnnClusters]] and the k-core peel run on. The
+    * kNN list is persisted for the mutuality self-join's two orientations
+    * (same never-unpersist contract as SimDedup's keyIds — callers/Bench
+    * clear the SQL cache between queries). */
+  def mutualKnnEdges(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
-    // Persisted: the mutuality self-join consumes the kNN edge list TWICE
-    // (both orientations), and CC's edge materialization would otherwise pull
-    // the full bucket-join + window lineage through both branches — measured
-    // 7.6 → ~4 s warm at sf0.1. Same never-unpersist contract as SimDedup's
-    // keyIds (callers/Bench clear the SQL cache between queries).
     val g = knnGraph(df, idCol, vecCol, k, nPlanes, nTables)
       .select(col("src"), col("nbr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = g.as("a")
+    g.as("a")
       .join(g.as("b"),
         col("a.src") === col("b.nbr") && col("a.nbr") === col("b.src"))
       .filter(col("a.src") < col("a.nbr"))
       .select(col("a.src").as("id_a"), col("a.nbr").as("id_b"))
+  }
+
+  def mutualKnnClusters(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+    // mutualKnnEdges persists the kNN list (its two orientations + CC's
+    // edge materialization would otherwise re-run the bucket-join lineage
+    // per branch — measured 7.6 → ~4 s warm at sf0.1)
+    val edges = mutualKnnEdges(df, idCol, vecCol, k, nPlanes, nTables)
     // Star contraction, NOT plain label propagation: near-dup clique graphs
     // converge in 2-3 propagation rounds, but mutual-kNN graphs contain long
     // nearest-neighbor CHAINS (diameter ~10+), where O(diameter) propagation

@@ -237,4 +237,50 @@ object GraphRank {
     }
     r.select(col("node"), col("__r").as("rank_micro"))
   }
+
+  /**
+   * BOUNDED K-CORE PEEL — `rounds` synchronous peeling iterations toward the
+   * k-core (Seidman 1983; Matula–Beck peel, batched): each round removes
+   * every node whose degree WITHIN the surviving subgraph is < `kcore`.
+   * With rounds → ∞ this is exactly the k-core; a FIXED round count keeps
+   * the operator oracle-checkable and is how distributed peeling actually
+   * runs (each round = one degree aggregation + one semi-join — at 100 TB
+   * you bound rounds and read the convergence gap, exactly the
+   * [[pageRank]]/[[pageRankDelta]] stance). Deterministic: synchronous
+   * removal, no ordering dependence.
+   *
+   * @param edges undirected edge relation (one row per edge, either
+   *              orientation; both orientations are derived internally)
+   * @return one row per node: (idCol, in_core 1/0 after `rounds`, deg —
+   *         the node's surviving-subgraph degree, 0 when peeled)
+   */
+  def kCorePeel(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String, kcore: Int, rounds: Int): DataFrame = {
+    require(kcore >= 1, s"kcore must be >= 1, got $kcore")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct()
+    def degreesIn(surv: DataFrame): DataFrame =
+      und.join(surv.select(col("node").as("a")), "a")
+        .join(surv.select(col("node").as("b")), "b")
+        .groupBy(col("a")).agg(count(lit(1)).as("__deg"))
+        .select(col("a").as("node"), col("__deg"))
+    var surv = nodes.select(col(idCol).as("node")).distinct()
+    (1 to rounds).foreach { _ =>
+      surv = surv.join(degreesIn(surv), Seq("node"), "left")
+        .filter(coalesce(col("__deg"), lit(0L)) >= kcore.toLong)
+        .select(col("node"))
+        // cut the doubling join lineage between rounds (the CC stance)
+        .localCheckpoint()
+    }
+    nodes.select(col(idCol).as("node")).distinct()
+      .join(surv.withColumn("__in", lit(1L)), Seq("node"), "left")
+      .join(degreesIn(surv), Seq("node"), "left")
+      .select(col("node").as(idCol),
+        coalesce(col("__in"), lit(0L)).as("in_core"),
+        when(col("__in").isNotNull, coalesce(col("__deg"), lit(0L)))
+          .otherwise(lit(0L)).as("deg"))
+  }
 }

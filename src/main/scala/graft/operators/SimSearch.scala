@@ -244,6 +244,55 @@ object SimSearch {
   }
 
   /**
+   * 64-BIT SIGN FINGERPRINTS — the most aggressive embedding compression
+   * (1 bit per dimension: bit d set iff component d > 0): a 64-dim float32
+   * vector becomes ONE Long, 32× smaller than the floats and cheaper to
+   * compare than any code book — Hamming distance between sign words tracks
+   * angular distance (Charikar 2002 SRP with the identity basis). The
+   * binary-sketch tier under [[topKSq]]/PQ: screen with Hamming, rerank the
+   * shortlist with floats.
+   * @return (idCol, sig BIGINT) — null/empty vectors absent; dims ≤ 64
+   *         enforced at runtime.
+   */
+  def signFingerprints(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col(idCol),
+        when(col("__d") > 63, raise_error(lit(
+          "signFingerprints: vector has more than 64 dimensions")))
+          .otherwise(col("__d")).as("__d"), col("__x"))
+      .groupBy(col(idCol))
+      .agg(expr("bit_or(CASE WHEN __x > 0 THEN shiftleft(CAST(1 AS BIGINT), __d) " +
+        "ELSE CAST(0 AS BIGINT) END)").as("sig"))
+
+  /**
+   * Brute-force HAMMING top-k over [[signFingerprints]] — ANN on the binary
+   * sketch alone: the corpus side is one Long per vector, so the scan is
+   * pure register arithmetic (`bit_count(xor)`) over 32× less data than the
+   * float pass; queries broadcast as in [[topK]]. Deterministic ties
+   * (hamming asc, neighbor asc).
+   * @return (query_id, neighbor_id, hamming)
+   */
+  def topKBinary(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qf = signFingerprints(queries, qId, qVec)
+      .select(col(qId).as("query_id"), col("sig").as("__qs"))
+    val cfp = signFingerprints(corpus, cId, cVec)
+      .select(col(cId).as("neighbor_id"), col("sig").as("__cs"))
+    val pairs = cfp.crossJoin(broadcast(qf))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("CAST(bit_count(__qs ^ __cs) AS BIGINT)").as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    pairs.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("hamming"))
+  }
+
+  /**
    * Hard-negative mining — the contrastive-training data op: for each query
    * (an anchor with a class/positive-group label), the k corpus vectors MOST
    * similar to it whose label differs — the negatives a contrastive or

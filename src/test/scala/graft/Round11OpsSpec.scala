@@ -229,6 +229,45 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("clean_text") == "entirely fresh unrepeated content")
   }
 
+  // ---- signFingerprints / topKBinary --------------------------------------
+
+  test("signFingerprints packs sign bits; Hamming top-k ranks by bit diff") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, -1.0f, 0.0f)),   // bits 0,1 -> 3
+      (2L, Array(1.0f, 1.0f, 1.0f, -1.0f)),   // bits 0,1,2 -> 7 (ham 1 vs v1)
+      (3L, Array(-1.0f, -1.0f, 1.0f, 1.0f)),  // bits 2,3 -> 12 (ham 4 vs v1)
+      (4L, Array(1.0f, -1.0f, -1.0f, -1.0f))  // bit 0 -> 1 (ham 1 vs v1)
+    ).toDF("vec_id", "embedding")
+    val sig = SimSearch.signFingerprints(vecs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("sig")).toMap
+    assert(sig == Map(1L -> 3L, 2L -> 7L, 3L -> 12L, 4L -> 1L))
+    val out = SimSearch.topKBinary(vecs.filter(col("vec_id") === 1L), "vec_id",
+      "embedding", vecs, "vec_id", "embedding", k = 3, excludeSelf = true)
+      .orderBy("hamming", "neighbor_id").collect()
+    assert(out.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("hamming"))).toSeq ==
+      Seq((2L, 1L), (4L, 1L), (3L, 4L)))
+  }
+
+  // ---- kCorePeel ----------------------------------------------------------
+
+  test("kCorePeel removes a tail chain, keeps the triangle core") {
+    val s = spark
+    import s.implicits._
+    // triangle 1-2-3 + pendant path 3-4-5: 2-core = the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val nodes = (1L to 6L).toDF("id") // 6 isolated
+    val out = GraphRank.kCorePeel(nodes, "id", edges, "a", "b",
+      kcore = 2, rounds = 3)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[Long]("in_core"))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L), (5L, 0L), (6L, 0L)))
+    // surviving degrees are within-core: each triangle node has 2
+    assert(out.take(3).forall(_.getAs[Long]("deg") == 2L))
+  }
+
   // ---- kmeansAssign -------------------------------------------------------
 
   test("kmeansAssign assigns every eligible vector to an in-range cluster") {
