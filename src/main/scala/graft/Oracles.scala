@@ -3355,11 +3355,13 @@ object Oracles {
        |FROM rk
        |WHERE CASE WHEN cnt > 1 THEN (r - 1) * 1000 // (cnt - 1) ELSE 0 END <= $milliMax""".stripMargin
 
-  /** Mirror of SimSearch.topKBinary: 64-bit sign words (bit d−1 set iff
-    * e[d] > 0), brute Hamming top-k, ties (hamming asc, neighbor asc). */
-  def annBinarySql(k: Int, queryPred: String): String =
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings
-       |           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+  /** Shared sign-sketch CTE chain of [[annBinarySql]] /
+    * [[annBinaryRerankSql]] — emits `brk(query_id, neighbor_id, hamming,
+    * rn)`; bit 64 is the BIGINT sign bit, special-cased as a literal
+    * because DuckDB errors on `1 << 63` where Spark's shiftleft wraps. */
+  private def binarySketchCtes(queryPred: String): String =
+    s"""v AS (SELECT vec_id, embedding AS e FROM embeddings
+       |      WHERE embedding IS NOT NULL AND len(embedding) > 0),
        |sg AS (SELECT vec_id,
        |         bit_or(CASE WHEN e[d] <= 0 THEN 0::BIGINT
        |                     WHEN d = 64 THEN (-9223372036854775807 - 1)
@@ -3374,8 +3376,62 @@ object Oracles {
        |brk AS (SELECT query_id, neighbor_id, hamming,
        |         row_number() OVER (PARTITION BY query_id
        |           ORDER BY hamming ASC, neighbor_id ASC) AS rn
-       |       FROM hp)
+       |       FROM hp)""".stripMargin
+
+  /** Mirror of SimSearch.topKBinary: 64-bit sign words (bit d−1 set iff
+    * e[d] > 0), brute Hamming top-k, ties (hamming asc, neighbor asc). */
+  def annBinarySql(k: Int, queryPred: String): String =
+    s"""WITH ${binarySketchCtes(queryPred)}
        |SELECT query_id, neighbor_id, hamming FROM brk WHERE rn <= $k""".stripMargin
+
+  /** Mirror of SimSearch.topKBinaryRerank: Hamming shortlist → exact cosine
+    * rerank, ties (cosine desc, neighbor asc). */
+  def annBinaryRerankSql(k: Int, shortlist: Int, queryPred: String): String =
+    s"""WITH ${binarySketchCtes(queryPred)},
+       |bsl AS (SELECT query_id, neighbor_id FROM brk WHERE rn <= $shortlist),
+       |brr AS (SELECT b.query_id, b.neighbor_id,
+       |          ${listCos("qv.e", "cv.e")} AS cosine
+       |        FROM bsl b
+       |        JOIN v qv ON b.query_id = qv.vec_id
+       |        JOIN v cv ON b.neighbor_id = cv.vec_id),
+       |brk2 AS (SELECT query_id, neighbor_id, cosine,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |        FROM brr)
+       |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
+       |FROM brk2 WHERE rn <= $k""".stripMargin
+
+  /** Mirror of EventStats.decayedEngagement: integer-cents value halved
+    * every `halfLifeDays` by BIGINT shift, anchored to the corpus max day. */
+  def eventsDecayedSql(halfLifeDays: Int): String =
+    s"""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+       |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |           FROM events WHERE value IS NOT NULL),
+       |mx AS (SELECT max(day) AS maxd FROM d),
+       |c AS (SELECT user_id,
+       |        cents // (1::BIGINT << CAST(least(
+       |          date_diff('day', day, maxd) // $halfLifeDays, 40) AS INT)) AS c
+       |      FROM d, mx)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(sum(c) AS BIGINT) AS decayed_cents
+       |FROM c GROUP BY user_id""".stripMargin
+
+  /** Mirror of Packing.lengthBucketBatches on documents.n_chars. */
+  def packBucketsSql(nBuckets: Int, budget: Long): String =
+    s"""WITH pbase AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+       |              FROM documents WHERE n_chars IS NOT NULL),
+       |pr AS (SELECT doc_id, n_chars,
+       |         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS pos,
+       |         count(*) OVER () AS n
+       |       FROM pbase),
+       |pb AS (SELECT doc_id, n_chars, pos * $nBuckets // n AS bucket FROM pr),
+       |pc AS (SELECT doc_id, n_chars, bucket,
+       |         sum(n_chars) OVER (PARTITION BY bucket
+       |           ORDER BY n_chars ASC, doc_id ASC) AS cum
+       |       FROM pb)
+       |SELECT doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST((cum - n_chars) // $budget AS BIGINT) AS batch_idx
+       |FROM pc""".stripMargin
 
   /** Mirror of the graph_kcore composition: [[knnGraphCtes]] mutual edges +
     * `rounds` unrolled synchronous peel iterations at threshold `kcore`. */

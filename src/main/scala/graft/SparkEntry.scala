@@ -297,6 +297,21 @@ object SparkEntry {
       SimSearch.topKBinary(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5, excludeSelf = true)
     }),
+    // ...and the two-tier form: Hamming shortlist of 20, exact cosine rerank
+    "ann_binary_rerank" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKBinaryRerank(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, shortlist = 20, excludeSelf = true)
+    }),
+    // recency-weighted per-user value: integer-cents halved every 7 days
+    "events_decayed" -> ((s, dir) =>
+      EventStats.decayedEngagement(rd(s, dir, "events"), "user_id", "value",
+        halfLifeDays = 7)),
+    // length-bucketed dynamic batching: global length deciles, then
+    // running-budget batch ids within each bucket (padding-waste killer)
+    "pack_buckets" -> ((s, dir) =>
+      Packing.lengthBucketBatches(rd(s, dir, "documents"), "doc_id", "n_chars",
+        nBuckets = 10, batchBudget = 4096L)),
     // bounded k-core peel over the mutual-kNN graph: 3 synchronous rounds
     // at threshold 2 — the dense-semantic-region selector
     "graph_kcore" -> ((s, dir) => {
@@ -2164,6 +2179,9 @@ object SparkEntry {
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
     "ann_binary" -> Oracles.annBinarySql(5, "vec_id < 50"),
+    "ann_binary_rerank" -> Oracles.annBinaryRerankSql(5, 20, "vec_id < 50"),
+    "events_decayed" -> Oracles.eventsDecayedSql(7),
+    "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
     "source_orc" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars

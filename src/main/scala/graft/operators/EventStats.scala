@@ -193,4 +193,38 @@ object EventStats {
     m.select(col(userCol), col("n_gaps"),
       (lit(cvDenom.toLong * cvDenom) * (nD * col("__s2") - sD * sD) < sD * sD).as("bot"))
   }
+
+  /**
+   * TIME-DECAYED ENGAGEMENT SCORE — recency-weighted per-user value with an
+   * INTEGER-EXACT half-life: each event contributes
+   * `cents DIV 2^(days_ago DIV halfLifeDays)` (cents = value in exact
+   * integer cents, days_ago anchored to the corpus max day so the score is
+   * a pure function of the data — reproducible across runs, no wall-clock).
+   * Power-of-two decay by integer shift instead of exp(−λt): the halving
+   * staircase IS the half-life semantics, and staying in BIGINT keeps the
+   * score reduction-order-proof and oracle-checkable (the [[GraphRank]]
+   * quantization stance). Shift capped at 40 (decay below 2⁻⁴⁰ is 0 cents
+   * for any realistic value).
+   *
+   * Scale shape: one 1-row anchor broadcast, one map pass, one user-keyed
+   * aggregation — nothing else moves.
+   *
+   * @return (userCol, n_events, decayed_cents)
+   */
+  def decayedEngagement(
+      events: DataFrame, userCol: String, valueCol: String,
+      halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val d = events.filter(col(valueCol).isNotNull)
+      .select(col(userCol), to_date(EventTime.tsCol(events)).as("__day"),
+        expr(s"CAST(floor($valueCol * 100.0 + 0.5) AS BIGINT)").as("__cents"))
+    val anchor = d.agg(max(col("__day")).as("__maxd"))
+    d.crossJoin(broadcast(anchor))
+      .select(col(userCol),
+        expr(s"__cents DIV shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(least(datediff(__maxd, __day) DIV $halfLifeDays, 40) AS INT))")
+          .as("__c"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__c")).as("decayed_cents"))
+  }
 }

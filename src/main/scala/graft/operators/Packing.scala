@@ -175,4 +175,38 @@ object Packing {
     }
     spark.createDataFrame(outRdd, outSchema)
   }
+
+  /**
+   * LENGTH-BUCKETED DYNAMIC BATCHING — the inference/training batching move
+   * that cuts padding waste: docs are first split into `nBuckets` global
+   * LENGTH deciles (so a batch never mixes a 10-token doc with a 2000-token
+   * one), then batched WITHIN each bucket by a running length budget —
+   * batch_idx = (running sum BEFORE this doc) DIV batchBudget, so a doc
+   * lands in the batch where it starts and an oversized doc still gets a
+   * batch of its own. Global rank via [[DenseRank]] (range-partitioned sort
+   * + zipWithIndex, no single-task window); the within-bucket cumsum
+   * windows on the bucket key — the natural parallelism.
+   *
+   * @return (idCol, lenCol, bucket 0..nBuckets-1, batch_idx)
+   */
+  def lengthBucketBatches(
+      df: DataFrame, idCol: String, lenCol: String,
+      nBuckets: Int = 10, batchBudget: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(batchBudget >= 1L, s"batchBudget must be >= 1, got $batchBudget")
+    val base = df.filter(col(lenCol).isNotNull)
+      .select(col(idCol), col(lenCol).cast("long").as(lenCol))
+    val ranked = DenseRank.appendIndex(base,
+      Seq(col(lenCol).asc, col(idCol).asc), "__pos",
+      failOnNullCol = Some(idCol))
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(lenCol).asc, col(idCol).asc)
+    ranked.crossJoin(broadcast(n))
+      .select(col(idCol), col(lenCol),
+        expr(s"__pos * $nBuckets DIV __n").as("bucket"))
+      .withColumn("__cum", sum(col(lenCol)).over(w))
+      .select(col(idCol), col(lenCol), col("bucket"),
+        expr(s"(__cum - $lenCol) DIV ${batchBudget}L").as("batch_idx"))
+  }
 }

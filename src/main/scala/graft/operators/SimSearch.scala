@@ -293,6 +293,34 @@ object SimSearch {
   }
 
   /**
+   * Two-tier retrieval over the binary sketch: [[topKBinary]] Hamming
+   * shortlist (register arithmetic over 1 bit/dim), then EXACT cosine
+   * rerank of the ≤ shortlist·|queries| surviving pairs — the screening
+   * architecture every production ANN stack runs (cheap filter over the
+   * full corpus, expensive scorer over a shortlist). Recall is bounded by
+   * the shortlist (approximate by design); the rerank itself is the exact
+   * [[cosineSim]] fold, ties (cosine desc, neighbor asc).
+   * @return (query_id, neighbor_id, cosine rounded to 4)
+   */
+  def topKBinaryRerank(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      k: Int, shortlist: Int, excludeSelf: Boolean = false): DataFrame = {
+    require(shortlist >= k, s"shortlist must be >= k, got $shortlist < $k")
+    val short = topKBinary(queries, qId, qVec, corpus, cId, cVec,
+        shortlist, excludeSelf)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+    val cv = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("neighbor_id").asc)
+    short.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .withColumn("__cos", cosineSim(col("__qv"), col("__cv")))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("__cos"), 4).as("cosine"))
+  }
+
+  /**
    * Hard-negative mining — the contrastive-training data op: for each query
    * (an anchor with a class/positive-group label), the k corpus vectors MOST
    * similar to it whose label differs — the negatives a contrastive or

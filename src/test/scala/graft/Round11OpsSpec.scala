@@ -250,6 +250,58 @@ class Round11OpsSpec extends AnyFunSuite {
       Seq((2L, 1L), (4L, 1L), (3L, 4L)))
   }
 
+  // ---- topKBinaryRerank ---------------------------------------------------
+
+  test("topKBinaryRerank: exact cosine reorders the Hamming shortlist") {
+    val s = spark
+    import s.implicits._
+    // v2 and v3 tie on Hamming vs the query, but v3 has the better cosine
+    val vecs = Seq(
+      (1L, Array(1.0f, 1.0f, 0.5f, -1.0f)),
+      (2L, Array(1.0f, 1.0f, 0.01f, 1.0f)),
+      (3L, Array(1.0f, 1.0f, 0.5f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimSearch.topKBinaryRerank(vecs.filter(col("vec_id") === 1L),
+      "vec_id", "embedding", vecs, "vec_id", "embedding",
+      k = 2, shortlist = 2, excludeSelf = true).orderBy(desc("cosine")).collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 2L))
+  }
+
+  // ---- decayedEngagement --------------------------------------------------
+
+  test("decayedEngagement halves cents per half-life, anchored to max day") {
+    val s = spark
+    import s.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2026-01-${d}%02d 12:00:00")
+    val ev = Seq(
+      (1L, ts(21), 8.00),  // anchor day: full 800
+      (1L, ts(14), 8.00),  // 7 days ago: 400
+      (1L, ts(1), 8.00),   // 20 days ago: shift 2 -> 200
+      (2L, ts(21), 1.00)
+    ).toDF("user_id", "ts", "value")
+    val out = EventStats.decayedEngagement(ev, "user_id", "value", halfLifeDays = 7)
+      .orderBy("user_id").collect()
+    assert(out(0).getAs[Long]("decayed_cents") == 800L + 400L + 200L)
+    assert(out(1).getAs[Long]("decayed_cents") == 100L)
+  }
+
+  // ---- lengthBucketBatches ------------------------------------------------
+
+  test("lengthBucketBatches: deciles by length, batches by running budget") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20L).map(i => (i, i * 10L)).toDF("id", "len")
+    val out = Packing.lengthBucketBatches(df, "id", "len",
+      nBuckets = 2, batchBudget = 100L).collect()
+    // bottom half (len 10..100) in bucket 0, top half in bucket 1
+    val b0 = out.filter(_.getAs[Long]("bucket") == 0L).map(_.getAs[Long]("id")).sorted
+    assert(b0.toSeq == (1L to 10L))
+    // bucket 0 cum: 10,30,60,100,150... -> batch 0 holds start<100: ids 1..4
+    val batch0 = out.filter(r => r.getAs[Long]("bucket") == 0L &&
+      r.getAs[Long]("batch_idx") == 0L).map(_.getAs[Long]("id")).sorted
+    assert(batch0.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   // ---- kCorePeel ----------------------------------------------------------
 
   test("kCorePeel removes a tail chain, keeps the triangle core") {
