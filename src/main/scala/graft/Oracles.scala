@@ -3401,6 +3401,37 @@ object Oracles {
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
        |FROM brk2 WHERE rn <= $k""".stripMargin
 
+  /** Mirror of the ann_binary_recall audit: per-query recall@k of the
+    * binary-sketch rerank chain against exact brute force, integer-milli. */
+  def annBinaryRecallSql(k: Int, shortlist: Int, queryPred: String): String =
+    s"""WITH ${binarySketchCtes(queryPred)},
+       |bsl AS (SELECT query_id, neighbor_id FROM brk WHERE rn <= $shortlist),
+       |brr AS (SELECT b.query_id, b.neighbor_id,
+       |          ${listCos("qv.e", "cv.e")} AS cosine
+       |        FROM bsl b
+       |        JOIN v qv ON b.query_id = qv.vec_id
+       |        JOIN v cv ON b.neighbor_id = cv.vec_id),
+       |brk2 AS (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |        FROM brr),
+       |bt2 AS (SELECT query_id, neighbor_id, 1 AS hit FROM brk2 WHERE rn <= $k),
+       |xp AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         ${listCos("q.e", "c.e")} AS cosine
+       |       FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |       WHERE ${queryPred.replace("vec_id", "q.vec_id")}),
+       |xr AS (SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY cosine DESC, neighbor_id ASC) AS rn
+       |       FROM xp),
+       |xt AS (SELECT query_id, neighbor_id FROM xr WHERE rn <= $k)
+       |SELECT x.query_id, CAST(count(*) AS BIGINT) AS k_eval,
+       |       CAST(sum(coalesce(b.hit, 0)) AS BIGINT) AS n_hits,
+       |       CAST(sum(coalesce(b.hit, 0)) * 1000 // count(*) AS BIGINT) AS recall_milli
+       |FROM xt x
+       |LEFT JOIN bt2 b ON x.query_id = b.query_id AND x.neighbor_id = b.neighbor_id
+       |GROUP BY x.query_id""".stripMargin
+
   /** Mirror of EventStats.decayedEngagement: integer-cents value halved
     * every `halfLifeDays` by BIGINT shift, anchored to the corpus max day. */
   def eventsDecayedSql(halfLifeDays: Int): String =

@@ -303,6 +303,24 @@ object SparkEntry {
       SimSearch.topKBinaryRerank(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", k = 5, shortlist = 20, excludeSelf = true)
     }),
+    // in-engine audit of the binary tier: per-query recall@5 of the
+    // Hamming-shortlist+rerank chain vs exact brute force, integer-milli
+    "ann_binary_recall" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val brute = SimSearch.topK(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", 5, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"))
+      val bin = SimSearch.topKBinaryRerank(q, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5, shortlist = 20, excludeSelf = true)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      brute.join(bin, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k_eval"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("k_eval"), col("n_hits"),
+          expr("n_hits * 1000 DIV k_eval").as("recall_milli"))
+    }),
     // recency-weighted per-user value: integer-cents halved every 7 days
     "events_decayed" -> ((s, dir) =>
       EventStats.decayedEngagement(rd(s, dir, "events"), "user_id", "value",
@@ -2180,6 +2198,7 @@ object SparkEntry {
     "orders_returns" -> Oracles.ordersReturnsSql,
     "ann_binary" -> Oracles.annBinarySql(5, "vec_id < 50"),
     "ann_binary_rerank" -> Oracles.annBinaryRerankSql(5, 20, "vec_id < 50"),
+    "ann_binary_recall" -> Oracles.annBinaryRecallSql(5, 20, "vec_id < 50"),
     "events_decayed" -> Oracles.eventsDecayedSql(7),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),

@@ -466,4 +466,30 @@ class PlanSpec extends AnyFunSuite {
     // the null row must yield the UDF's empty array, not null
     assert(got(1).getSeq[Int](1) == Seq.empty)
   }
+
+  test("ql_topk per-query k-cut plans as WindowGroupLimit") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "spark shuffle join"), (2L, "spark filter scan"),
+      (3L, "window sort limit")).toDF("doc_id", "text")
+    val plan = graft.operators.Bm25.topKQl(docs, "doc_id", "text",
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L),
+        "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("topKBinary broadcasts the query sketch — no shuffle of the corpus side") {
+    val s = spark
+    import s.implicits._
+    val vecs = (1L to 50L).map(i =>
+      (i, Array.tabulate(8)(d => ((i + d) % 5 - 2).toFloat))).toDF("vec_id", "embedding")
+    val plan = graft.operators.SimSearch.topKBinary(
+        vecs.filter(org.apache.spark.sql.functions.col("vec_id") <= 3L),
+        "vec_id", "embedding", vecs, "vec_id", "embedding", k = 2,
+        excludeSelf = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan)
+  }
 }
