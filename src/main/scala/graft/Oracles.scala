@@ -3262,6 +3262,35 @@ object Oracles {
        |FROM cc GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirror of CorpusStats.rakeTopPhrase: corpus-top-N stopwords, maximal
+    * non-stopword runs, deg·1000 DIV freq word scores, top phrase per doc. */
+  def rakeTopPhraseSql(nStopwords: Int): String =
+    s"""WITH rw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+       |roc AS (SELECT doc_id, CAST(i AS BIGINT) AS p, ws[i] AS w
+       |        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+       |              FROM rw WHERE len(ws) > 0)),
+       |rcnt AS (SELECT w, count(*) AS c FROM roc GROUP BY w),
+       |rstp AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rn
+       |                        FROM rcnt) WHERE rn <= $nStopwords),
+       |rns AS (SELECT doc_id, p, w FROM roc WHERE w NOT IN (SELECT w FROM rstp)),
+       |risl AS (SELECT doc_id, p, w,
+       |           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |         FROM rns),
+       |rpl AS (SELECT doc_id, g, count(*) AS plen FROM risl GROUP BY doc_id, g),
+       |rocc AS (SELECT i.doc_id, i.g, i.p, i.w, rpl.plen
+       |         FROM risl i JOIN rpl USING (doc_id, g)),
+       |rwsc AS (SELECT doc_id, w, CAST(sum(plen) * 1000 // count(*) AS BIGINT) AS wsc
+       |         FROM rocc GROUP BY doc_id, w),
+       |rpsc AS (SELECT o.doc_id, o.g, CAST(sum(s.wsc) AS BIGINT) AS score_milli,
+       |           string_agg(o.w, ' ' ORDER BY o.p) AS phrase
+       |         FROM rocc o JOIN rwsc s ON o.doc_id = s.doc_id AND o.w = s.w
+       |         GROUP BY o.doc_id, o.g),
+       |rrk AS (SELECT doc_id, phrase, score_milli,
+       |          row_number() OVER (PARTITION BY doc_id
+       |            ORDER BY score_milli DESC, phrase ASC) AS rn
+       |        FROM rpsc)
+       |SELECT doc_id, phrase, score_milli FROM rrk WHERE rn = 1""".stripMargin
+
   /** Mirror of CorpusStats.groupQuantileNorm on documents(n_chars, source). */
   def groupQuantileNormSql: String =
     s"""SELECT doc_id, source, n_chars,

@@ -264,6 +264,10 @@ object SparkEntry {
     "text_sbo" -> ((s, dir) =>
       CorpusStats.stupidBackoffLogLoss(rd(s, dir, "documents"), "doc_id", "text",
         col("doc_id") < 5, alphaMilli = 400)),
+    // RAKE keyword extraction: top phrase per doc, corpus-derived stopwords
+    "text_rake" -> ((s, dir) =>
+      CorpusStats.rakeTopPhrase(rd(s, dir, "documents"), "doc_id", "text",
+        nStopwords = 8)),
     // per-source quantile normalization of length (fair filtering input)
     "quality_qnorm" -> ((s, dir) =>
       CorpusStats.groupQuantileNorm(rd(s, dir, "documents"), "doc_id", "n_chars", "source")),
@@ -2190,6 +2194,7 @@ object SparkEntry {
     "dedup_substring_self_clean" ->
       Oracles.spanCleanSql(Oracles.dupSpanCtesAll(20), "SELECT doc_id, text FROM documents"),
     "text_sbo" -> Oracles.stupidBackoffSql("doc_id < 5", 400),
+    "text_rake" -> Oracles.rakeTopPhraseSql(8),
     "quality_qnorm" -> Oracles.groupQuantileNormSql,
     "mixture_capped" -> Oracles.cappedQuotaSql(10000L, 500L),
     "mixture_fill" -> Oracles.quotaFillSql(50000L, 2500L),

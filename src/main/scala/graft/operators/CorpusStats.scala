@@ -1554,6 +1554,52 @@ object CorpusStats {
   }
 
   /**
+   * RAKE TOP PHRASE per document (Rose et al. 2010 — the classic unsupervised
+   * keyword extractor): candidate phrases are maximal runs of non-stopwords
+   * (stopwords = the corpus' own top-`nStopwords` tokens, count desc / word
+   * asc — the CMS-derived-stopword stance with an exact count); word score =
+   * degree/frequency where degree sums the lengths of the phrases each
+   * occurrence sits in; phrase score = Σ member-occurrence word scores.
+   * Integer-milli word scores (deg·1000 DIV freq) keep the ranking
+   * engine-exact. One phrase per doc, ties (score desc, phrase asc).
+   *
+   * Scale shape: the stopword list is a broadcast top-N; everything else is
+   * doc-partitioned windows + doc-keyed aggregations over the word explode —
+   * no corpus-global state beyond the N-row list.
+   *
+   * @return (idCol, phrase, score_milli) — docs whose words are all
+   *         stopwords (or empty) are absent.
+   */
+  def rakeTopPhrase(
+      df: DataFrame, idCol: String, textCol: String,
+      nStopwords: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nStopwords >= 0, s"nStopwords must be >= 0, got $nStopwords")
+    val w = df.select(col(idCol).as("__id"),
+      posexplode(wordsCol(col(textCol))).as(Seq("__p", "__w")))
+    val stop = w.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc).limit(nStopwords)
+      .select(col("__w"), lit(1).as("__stop"))
+    val win = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val isl = w.join(broadcast(stop), Seq("__w"), "left")
+      .filter(col("__stop").isNull)
+      .withColumn("__isl", col("__p") - row_number().over(win))
+    val plen = isl.groupBy(col("__id"), col("__isl")).agg(count(lit(1)).as("__plen"))
+    val occ = isl.join(plen, Seq("__id", "__isl"))
+    val wsc = occ.groupBy(col("__id"), col("__w"))
+      .agg(expr("sum(__plen) * 1000 DIV count(1)").as("__wsc"))
+    val top = Window.partitionBy(col("__id"))
+      .orderBy(col("score_milli").desc, col("phrase").asc)
+    occ.join(wsc, Seq("__id", "__w"))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(sum(col("__wsc")).as("score_milli"),
+        expr("array_join(transform(sort_array(collect_list(struct(__p, __w))), " +
+          "x -> x.__w), ' ')").as("phrase"))
+      .withColumn("__rn", row_number().over(top)).filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("phrase"), col("score_milli"))
+  }
+
+  /**
    * PER-GROUP QUANTILE NORMALIZATION of a metric — the fair-filtering move
    * when a raw threshold would empty some sources (length/quality
    * distributions differ per source; normalizing to within-source quantile

@@ -250,6 +250,23 @@ class Round11OpsSpec extends AnyFunSuite {
       Seq((2L, 1L), (4L, 1L), (3L, 4L)))
   }
 
+  // ---- rakeTopPhrase ------------------------------------------------------
+
+  test("rakeTopPhrase: degree/frequency scoring picks the long run") {
+    // 'the' dominates counts -> the single stopword; phrases split on it
+    val df = docsDf(Seq(
+      (1L, "the red car the red car wash the zz"),
+      (2L, "the the the the the zz yy")))
+    val out = CorpusStats.rakeTopPhrase(df, "doc_id", "text", nStopwords = 1)
+      .orderBy("doc_id").collect()
+    // doc1 phrases: [red car], [red car wash], [zz]; red/car: deg 2+3=5,
+    // freq 2 -> 2500 each; wash: deg 3 freq 1 -> 3000;
+    // phrase 'red car wash' = 2500+2500+3000 = 8000 beats 'red car' 5000
+    assert(out(0).getAs[String]("phrase") == "red car wash")
+    assert(out(0).getAs[Long]("score_milli") == 8000L)
+    assert(out(1).getAs[String]("phrase") == "zz yy")
+  }
+
   // ---- topKBinaryRerank ---------------------------------------------------
 
   test("topKBinaryRerank: exact cosine reorders the Hamming shortlist") {
