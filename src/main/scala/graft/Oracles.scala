@@ -3476,6 +3476,30 @@ object Oracles {
        |       CAST(sum(c) AS BIGINT) AS decayed_cents
        |FROM c GROUP BY user_id""".stripMargin
 
+  /** Mirror of EventStats.linearAttribution: per-conversion linear credit
+    * with the remainder to the last touch, channel rollup. */
+  def linearAttributionSql(convType: String, lookbackDays: Int): String = {
+    val lookUs = lookbackDays.toLong * 86400L * 1000000L
+    s"""WITH ae AS (SELECT user_id AS u, event_type AS t, event_id AS e, epoch_us(ts) AS us
+       |            FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |ac AS (SELECT u, e AS cid, us AS cus FROM ae WHERE t = '$convType'),
+       |at2 AS (SELECT * FROM ae WHERE t <> '$convType'),
+       |aj AS (SELECT t.t, t.e, t.us, c.cid
+       |       FROM at2 t JOIN ac c ON t.u = c.u
+       |       WHERE t.us < c.cus AND t.us >= c.cus - $lookUs),
+       |aw AS (SELECT t, e, cid,
+       |         count(*) OVER (PARTITION BY cid) AS n,
+       |         row_number() OVER (PARTITION BY cid ORDER BY us DESC, e DESC) AS rl,
+       |         row_number() OVER (PARTITION BY cid ORDER BY us ASC, e ASC) AS rf
+       |       FROM aj)
+       |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       |  CAST(sum(1000 // n + CASE WHEN rl = 1 THEN 1000 - n * (1000 // n) ELSE 0 END)
+       |    AS BIGINT) AS credit_milli,
+       |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+       |FROM aw GROUP BY t""".stripMargin
+  }
+
   /** Mirror of Packing.lengthBucketBatches on documents.n_chars. */
   def packBucketsSql(nBuckets: Int, budget: Long): String =
     s"""WITH pbase AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars

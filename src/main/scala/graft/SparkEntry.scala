@@ -329,6 +329,11 @@ object SparkEntry {
     "events_decayed" -> ((s, dir) =>
       EventStats.decayedEngagement(rd(s, dir, "events"), "user_id", "value",
         halfLifeDays = 7)),
+    // linear multi-touch attribution: each purchase's 7-day touch window
+    // splits exactly 1000 milli-credits (remainder to the last touch)
+    "events_attribution" -> ((s, dir) =>
+      EventStats.linearAttribution(rd(s, dir, "events"), "user_id", "event_type",
+        convType = "purchase", lookbackDays = 7)),
     // length-bucketed dynamic batching: global length deciles, then
     // running-budget batch ids within each bucket (padding-waste killer)
     "pack_buckets" -> ((s, dir) =>
@@ -2205,6 +2210,7 @@ object SparkEntry {
     "ann_binary_rerank" -> Oracles.annBinaryRerankSql(5, 20, "vec_id < 50"),
     "ann_binary_recall" -> Oracles.annBinaryRecallSql(5, 20, "vec_id < 50"),
     "events_decayed" -> Oracles.eventsDecayedSql(7),
+    "events_attribution" -> Oracles.linearAttributionSql("purchase", 7),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
     "source_orc" ->

@@ -195,6 +195,59 @@ object EventStats {
   }
 
   /**
+   * LINEAR MULTI-TOUCH ATTRIBUTION — the marketing-analytics staple as one
+   * relational pass: every `convType` event is a conversion; its touches
+   * are the same user's non-conversion events in the `lookbackDays` window
+   * strictly before it; each touch of an n-touch conversion gets
+   * `1000 DIV n` milli-credits and the LAST touch (latest ts, event_id
+   * desc tie-break) absorbs the integer remainder, so every conversion
+   * with ≥ 1 touch distributes EXACTLY 1000 — integer-conservation the
+   * oracle can hash. Also reports per-channel first-touch / last-touch
+   * counts (the other two classic models come free from the same windows).
+   * Touchless conversions attribute nothing (documented).
+   *
+   * Scale shape: one user-keyed join (touch × conversion, both sides
+   * pre-filtered and slim), two windows over the SAME conversion-id
+   * partition (one exchange), one channel-keyed rollup.
+   *
+   * @return one row per touch channel: (typeCol, n_touches, credit_milli,
+   *         n_first, n_last)
+   */
+  def linearAttribution(
+      events: DataFrame, userCol: String, typeCol: String,
+      convType: String, lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    val lookUs = lookbackDays.toLong * 86400L * 1000000L
+    val ev = events.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        col("event_id").as("__e"), EventTime.tsMicros(events).as("__us"))
+    val conv = ev.filter(col("__t") === convType)
+      .select(col("__u"), col("__e").as("__cid"), col("__us").as("__cus"))
+    val touch = ev.filter(col("__t") =!= convType)
+    val joined = touch.join(conv,
+      touch("__u") === conv("__u") &&
+        col("__us") < col("__cus") && col("__us") >= col("__cus") - lit(lookUs))
+      .select(touch("__u"), col("__t"), col("__e"), col("__us"),
+        col("__cid"), col("__cus"))
+    val wn = Window.partitionBy(col("__cid"))
+    val wLast = wn.orderBy(col("__us").desc, col("__e").desc)
+    val wFirst = wn.orderBy(col("__us").asc, col("__e").asc)
+    joined
+      .withColumn("__n", count(lit(1)).over(wn))
+      .withColumn("__rl", row_number().over(wLast))
+      .withColumn("__rf", row_number().over(wFirst))
+      .select(col("__t"),
+        (expr("1000 DIV __n") +
+          when(col("__rl") === 1, expr("1000 - __n * (1000 DIV __n)"))
+            .otherwise(lit(0L))).as("__credit"),
+        col("__rl"), col("__rf"))
+      .groupBy(col("__t").as(typeCol))
+      .agg(count(lit(1)).as("n_touches"), sum(col("__credit")).as("credit_milli"),
+        sum(when(col("__rf") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("__rl") === 1, 1L).otherwise(0L)).as("n_last"))
+  }
+
+  /**
    * TIME-DECAYED ENGAGEMENT SCORE — recency-weighted per-user value with an
    * INTEGER-EXACT half-life: each event contributes
    * `cents DIV 2^(days_ago DIV halfLifeDays)` (cents = value in exact

@@ -284,6 +284,36 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 2L))
   }
 
+  // ---- linearAttribution --------------------------------------------------
+
+  test("linearAttribution conserves 1000 milli per touched conversion") {
+    val s = spark
+    import s.implicits._
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.valueOf(f"2026-02-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, 1L, "view", ts(1, 9)),     // touch 1 (first)
+      (2L, 1L, "click", ts(1, 10)),   // touch 2
+      (3L, 1L, "view", ts(1, 11)),    // touch 3 (last: 333+1 remainder)
+      (4L, 1L, "purchase", ts(1, 12)),
+      (5L, 2L, "purchase", ts(1, 12)), // touchless conversion: no credit
+      (6L, 3L, "click", ts(1, 9)),     // single-touch conversion: 1000
+      (7L, 3L, "purchase", ts(1, 10)),
+      (8L, 4L, "view", ts(20, 9)),     // outside any lookback window
+      (9L, 4L, "purchase", ts(28, 9))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStats.linearAttribution(ev, "user_id", "event_type",
+      convType = "purchase", lookbackDays = 7)
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_touches"), r.getAs[Long]("credit_milli"),
+          r.getAs[Long]("n_first"), r.getAs[Long]("n_last"))).toMap
+    // conv u1: 3 touches -> view 333(first)+334(last)=667, click 333
+    // conv u3: click 1000 (first and last)
+    assert(out("view") == (2L, 667L, 1L, 1L))
+    assert(out("click") == (2L, 1333L, 1L, 1L))
+    // total credit = 1000 per touched conversion (2 of them)
+    assert(out.values.map(_._2).sum == 2000L)
+  }
+
   // ---- decayedEngagement --------------------------------------------------
 
   test("decayedEngagement halves cents per half-life, anchored to max day") {
