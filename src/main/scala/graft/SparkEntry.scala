@@ -358,6 +358,16 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
           col("source"), col("n_chars"))
     }),
+    // TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
+    // scan (PushedFilters), one exact-cents aggregate, zero joins
+    "lineitem_q6" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT)"))
+            .as("revenue_cents"))),
     // TPC-H Q10 shape: returned-item revenue per customer, exact cents
     "orders_returns" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -2206,6 +2216,14 @@ object SparkEntry {
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
+    "lineitem_q6" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "ann_binary" -> Oracles.annBinarySql(5, "vec_id < 50"),
     "ann_binary_rerank" -> Oracles.annBinaryRerankSql(5, 20, "vec_id < 50"),
     "ann_binary_recall" -> Oracles.annBinaryRecallSql(5, 20, "vec_id < 50"),
