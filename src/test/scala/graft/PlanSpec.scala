@@ -467,6 +467,17 @@ class PlanSpec extends AnyFunSuite {
     assert(got(1).getSeq[Int](1) == Seq.empty)
   }
 
+  test("lineitem_q6 predicates reach the parquet scan as PushedFilters") {
+    val plan = SparkEntry.queries("lineitem_q6")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // the toString elides the filter list tail — assert the pushdown is
+    // non-trivial (beyond IsNotNull) and the scan is column-pruned
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual(l_shipda"), plan)
+    assert(plan.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp"), plan)
+  }
+
   test("ql_topk per-query k-cut plans as WindowGroupLimit") {
     val s = spark
     import s.implicits._
