@@ -3476,6 +3476,31 @@ object Oracles {
        |       CAST(sum(c) AS BIGINT) AS decayed_cents
        |FROM c GROUP BY user_id""".stripMargin
 
+  /** Mirror of StreamQuota.admit on the batch frame: skip-and-continue
+    * admission in id order against [[cappedQuotaCtes]] quotas — rejected
+    * docs do NOT consume budget, so the fold is sequential per source
+    * (recursive CTE; depth = rows per source). */
+  def streamQuotaSql(budget: Long, cap: Long): String =
+    s"""WITH RECURSIVE ${cappedQuotaCtes(budget, cap)},
+       |qb AS (SELECT source, doc_id AS id, CAST(n_chars AS BIGINT) AS w,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+       |       FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+       |qst(source, rn, used, id, w, admitted) AS (
+       |  SELECT b.source, b.rn,
+       |         CASE WHEN b.w <= q.quota THEN b.w ELSE 0 END, b.id, b.w,
+       |         CASE WHEN b.w <= q.quota THEN 1 ELSE 0 END
+       |  FROM qb b JOIN fq q USING (source) WHERE b.rn = 1
+       |  UNION ALL
+       |  SELECT b.source, b.rn,
+       |         CASE WHEN s.used + b.w <= q.quota THEN s.used + b.w ELSE s.used END,
+       |         b.id, b.w,
+       |         CASE WHEN s.used + b.w <= q.quota THEN 1 ELSE 0 END
+       |  FROM qst s
+       |  JOIN qb b ON b.source = s.source AND b.rn = s.rn + 1
+       |  JOIN fq q ON q.source = b.source
+       |)
+       |SELECT id, source, w, CAST(admitted AS BIGINT) AS admitted FROM qst""".stripMargin
+
   /** Mirror of EventStats.linearAttribution: per-conversion linear credit
     * with the remainder to the last touch, channel rollup. */
   def linearAttributionSql(convType: String, lookbackDays: Int): String = {

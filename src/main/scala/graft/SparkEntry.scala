@@ -275,6 +275,17 @@ object SparkEntry {
     "mixture_capped" -> ((s, dir) =>
       Sampling.cappedQuota(rd(s, dir, "documents"), "source", "n_chars",
         budget = 10000L, cap = 500L)),
+    // streaming admission control on the batch frame: skip-and-continue
+    // per-source budget gate (rejected docs don't consume budget) — the
+    // quota map is an O(|sources|) collect, the documented small side
+    "stream_quota_batch" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val quotas = Sampling.cappedQuota(docs, "source", "n_chars", 50000L, 2500L)
+        .select(col("source"), col("quota")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.streaming.StreamQuota.admit(docs, "doc_id", "source", "n_chars", quotas)
+        .toDF()
+    }),
     // ...and the enforcement half: greedy per-source fill within the quota
     "mixture_fill" -> ((s, dir) =>
       Sampling.quotaFill(rd(s, dir, "documents"), "doc_id", "source", "n_chars",
@@ -2213,6 +2224,7 @@ object SparkEntry {
     "quality_qnorm" -> Oracles.groupQuantileNormSql,
     "mixture_capped" -> Oracles.cappedQuotaSql(10000L, 500L),
     "mixture_fill" -> Oracles.quotaFillSql(50000L, 2500L),
+    "stream_quota_batch" -> Oracles.streamQuotaSql(50000L, 2500L),
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,

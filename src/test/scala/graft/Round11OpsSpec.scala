@@ -250,6 +250,42 @@ class Round11OpsSpec extends AnyFunSuite {
       Seq((2L, 1L), (4L, 1L), (3L, 4L)))
   }
 
+  // ---- StreamQuota --------------------------------------------------------
+
+  test("StreamQuota: skip-and-continue admission; stream equals batch") {
+    val s = spark
+    import s.implicits._
+    // quota 45: 10+20+10 admitted (40), 30 rejected (70>45), 5 admitted (45)
+    val rows = Seq((1L, "s", 10L), (2L, "s", 20L), (3L, "s", 10L),
+      (4L, "s", 30L), (5L, "s", 5L), (6L, "s", 1L))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val quotas = Map("s" -> 45L)
+    val batch = graft.streaming.StreamQuota
+      .admit(df, "doc_id", "source", "n_chars", quotas)
+      .collect().map(a => a.id -> a.admitted).toMap
+    assert(batch == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L, 6L -> 0L))
+    // true streaming: ids arrive in order across TWO micro-batches; the
+    // per-source Long state must carry the admitted weight between them
+    val dir = java.nio.file.Files.createTempDirectory("graft-squota").toString
+    rows.take(3).toDF("doc_id", "source", "n_chars")
+      .coalesce(1).write.parquet(dir + "/in/b1")
+    val src = spark.readStream.schema(df.schema).parquet(dir + "/in/*")
+    val out = graft.streaming.StreamQuota
+      .admit(src, "doc_id", "source", "n_chars", quotas)
+    val q = out.writeStream.format("memory").queryName("squota")
+      .option("checkpointLocation", dir + "/ckpt")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      rows.drop(3).toDF("doc_id", "source", "n_chars")
+        .coalesce(1).write.parquet(dir + "/in/b2")
+      q.processAllAvailable()
+      val streamed = spark.table("squota")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("admitted")).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   // ---- rakeTopPhrase ------------------------------------------------------
 
   test("rakeTopPhrase: degree/frequency scoring picks the long run") {
