@@ -55,7 +55,15 @@ object PlanAudit {
       "cooccurrence", "corpus_health", "lineitem_pricing", "events_dau_wau",
       "bench_coverage", "simjoin_plan", "orders_by_region", "sessions_duration",
       "dedup_lines_within", "text_rep_lines", "dedup_cdc", "ann_hard_negatives",
-      "pipeline_shards", "orders_local_volume", "corpus_upsert")
+      "pipeline_shards", "orders_local_volume", "corpus_upsert",
+      // round 11
+      "c4_line_filter", "source_minhash_sim", "doc_stitch_pairs",
+      "bootstrap_counts", "emb_kmeans", "dedup_substring_self_clean",
+      "text_sbo", "quality_qnorm", "mixture_capped", "mixture_fill",
+      "ql_topk", "emb_outliers", "orders_returns", "ann_binary",
+      "ann_binary_rerank", "ann_binary_recall", "graph_kcore", "source_orc",
+      "events_decayed", "events_attribution", "pack_buckets", "text_rake",
+      "lineitem_q6", "stream_quota_batch")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
