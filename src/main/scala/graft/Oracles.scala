@@ -3164,6 +3164,30 @@ object Oracles {
        |JOIN sz za ON pm.group_a = za.source
        |JOIN sz zb ON pm.group_b = zb.source""".stripMargin
 
+  /** Mirror of Dedup.groupGramOverlap over documents.source: distinct
+    * (source, n-gram md5), gram-keyed pair counts, containment vs the
+    * smaller side. */
+  def groupGramOverlapSql(n: Int): String =
+    s"""WITH gow AS (SELECT source, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |             FROM documents WHERE source IS NOT NULL),
+       |gog AS (SELECT DISTINCT source,
+       |          md5(array_to_string(ws[i:i+${n - 1}], ' ')) AS h
+       |        FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - ${n - 1})) AS i
+       |              FROM gow WHERE len(ws) >= $n)),
+       |goc AS (SELECT source, count(*) AS ng FROM gog GROUP BY source),
+       |gop AS (SELECT a.source AS source_a, b.source AS source_b,
+       |          CAST(count(*) AS BIGINT) AS shared_grams
+       |        FROM gog a JOIN gog b ON a.h = b.h AND a.source < b.source
+       |        GROUP BY 1, 2)
+       |SELECT p.source_a, p.source_b,
+       |       CAST(ca.ng AS BIGINT) AS n_grams_a, CAST(cb.ng AS BIGINT) AS n_grams_b,
+       |       p.shared_grams,
+       |       CAST(p.shared_grams * 1000 // least(ca.ng, cb.ng) AS BIGINT)
+       |         AS containment_milli
+       |FROM gop p
+       |JOIN goc ca ON p.source_a = ca.source
+       |JOIN goc cb ON p.source_b = cb.source""".stripMargin
+
   /** Mirror of Dedup.stitchPairs over `docRel` (a `(doc_id, text)` SQL
     * relation): directional pairs on the md5 of the k-word boundary gram
     * (tail of a == head of b). */

@@ -379,6 +379,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           sum(expr("CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT)"))
             .as("revenue_cents"))),
+    // TPC-H Q4 shape: the EXISTS semi-join — orders with >= 1 late-shipped
+    // item (90-day lag standing in for commit/receipt dates), by priority
+    "orders_q4" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+    }),
     // TPC-H Q10 shape: returned-item revenue per customer, exact cents
     "orders_returns" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -403,6 +416,10 @@ object SparkEntry {
     // elementwise min of doc sigs, similarity from signatures alone
     "source_minhash_sim" -> ((s, dir) =>
       Dedup.groupSignatureSim(rd(s, dir, "documents"), "source", "text")),
+    // ...and the sketch-free exact audit: shared distinct 13-grams per
+    // source pair, containment vs the smaller side
+    "source_overlap" -> ((s, dir) =>
+      Dedup.groupGramOverlap(rd(s, dir, "documents"), "source", "text", n = 13)),
     // crawl-fragment stitching: tail-8-words of a == head-8-words of b.
     // Exercised over constructed overlapping halves of each doc (frag 2d =
     // first ceil(n/2) words, frag 2d+1 = from ceil(n/2)-7 to the end, so
@@ -2228,6 +2245,13 @@ object SparkEntry {
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
+    "orders_q4" ->
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
     "lineitem_q6" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT))
@@ -2248,6 +2272,7 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),
     "source_minhash_sim" -> Oracles.groupSigSimSql,
+    "source_overlap" -> Oracles.groupGramOverlapSql(13),
     "doc_stitch_pairs" -> Oracles.stitchPairsSql(8, Oracles.stitchFragmentsRel),
     "bootstrap_counts" -> Oracles.bootstrapCountsSql(8),
     "emb_kmeans" -> Oracles.kmeansAssignSql(8, 2),

@@ -1966,6 +1966,43 @@ object Dedup {
   }
 
   /**
+   * EXACT GROUP-LEVEL n-gram overlap matrix — the sketch-free companion of
+   * [[groupSignatureSim]]: for every pair of sources, the EXACT count of
+   * shared distinct n-word grams and the containment fraction
+   * `shared · 1000 DIV min(|A|, |B|)` (containment, not Jaccard — a small
+   * source fully copied into a big one must score 1000). Gram-keyed
+   * inverted join — a gram shared by k sources yields k·(k−1)/2 pair hits,
+   * never an all-pairs product; distinct (source, gram-digest) rows are the
+   * only shuffle. Use the sketch for routine monitoring and THIS for the
+   * exact audit of flagged pairs.
+   *
+   * @return (source_a, source_b, n_grams_a, n_grams_b, shared_grams,
+   *         containment_milli) for source_a < source_b, shared ≥ 1
+   */
+  def groupGramOverlap(
+      df: DataFrame, groupCol: String, textCol: String, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val g = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), wordsCol(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= n)
+      .select(col("__g"), explode(expr(
+        s"transform(sequence(0, size(__ws) - $n), i -> array_join(slice(__ws, i + 1, $n), ' '))"))
+        .as("__gram"))
+      .select(col("__g"), md5(col("__gram")).as("__h")).distinct()
+    val counts = g.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    g.as("a").join(g.as("b"),
+        col("a.__h") === col("b.__h") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("source_a"), col("b.__g").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(counts.select(col("__g").as("source_a"), col("__n").as("n_grams_a")), "source_a")
+      .join(counts.select(col("__g").as("source_b"), col("__n").as("n_grams_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_grams_a"), col("n_grams_b"),
+        col("shared_grams"),
+        expr("shared_grams * 1000 DIV least(n_grams_a, n_grams_b)")
+          .as("containment_milli"))
+  }
+
+  /**
    * DOCUMENT-STITCH pairs — crawl-fragment reassembly: directional pairs
    * (a → b) where the LAST `k` words of doc a equal the FIRST `k` words of
    * doc b, i.e. b plausibly continues a (truncated page + its continuation,
