@@ -3611,6 +3611,21 @@ object Oracles {
        |GROUP BY c.c_custkey, c.c_name
        |ORDER BY revenue_cents DESC, c.c_custkey ASC LIMIT 20""".stripMargin
 
+  /** Mirror of the emb_kmeans_centroids export: [[ivfAssignCtes]]
+    * assignment + per-(cluster, dim) integer-quantized mean. */
+  def kmeansCentroidsSql(k: Int, nIters: Int): String =
+    s"""${ivfAssignCtes(k, nIters)},
+       |kcx AS (SELECT a.cj, d.d, x.e
+       |        FROM casgn a JOIN vl x ON a.vec_id = x.vec_id
+       |        CROSS JOIN (SELECT unnest(generate_series(1,
+       |          (SELECT CAST(max(len(e)) AS BIGINT) FROM vl))) AS d) d
+       |        WHERE d.d <= len(x.e))
+       |SELECT CAST(cj AS BIGINT) AS cluster, CAST(d - 1 AS BIGINT) AS dim,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(CAST(floor(CAST(e[d] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+       |         // count(*) AS BIGINT) AS c_micro
+       |FROM kcx GROUP BY cj, d""".stripMargin
+
   /** Mirror of Dedup.lineRuleClean over the paragraph-ized corpus: a line
     * survives iff ≥ minWords words AND corpus distinct-doc frequency
     * < maxLineDf; clean_md5 digests the kept lines re-joined in order. */

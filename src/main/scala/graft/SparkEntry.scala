@@ -445,6 +445,19 @@ object SparkEntry {
     "emb_kmeans" -> ((s, dir) =>
       SimSearch.kmeansAssign(rd(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, nIters = 2)),
+    // ...and the trained codebook exported: per-cluster integer-quantized
+    // mean vector (the artifact a serving stack ships)
+    "emb_kmeans_centroids" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val asg = SimSearch.kmeansAssign(emb, "vec_id", "embedding", k = 8, nIters = 2)
+        .select(col("vec_id"), col("cluster"))
+      asg.join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "__x")))
+        .groupBy(col("cluster"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          expr("sum(CAST(floor(CAST(__x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) DIV count(1)")
+            .as("c_micro"))
+    }),
     // one-call ingest screening: exact/near/contamination verdicts for a
     // new batch vs (history, bench) — the admission checklist composed
     "pipeline_ingest" -> ((s, dir) => {
@@ -2276,6 +2289,7 @@ object SparkEntry {
     "doc_stitch_pairs" -> Oracles.stitchPairsSql(8, Oracles.stitchFragmentsRel),
     "bootstrap_counts" -> Oracles.bootstrapCountsSql(8),
     "emb_kmeans" -> Oracles.kmeansAssignSql(8, 2),
+    "emb_kmeans_centroids" -> Oracles.kmeansCentroidsSql(8, 2),
     "dsir_weights" -> Oracles.dsirWeightsSql(
       "source IN ('src0','src1','src2','src3','src4')"),
     "dsir_weights_bigram" -> Oracles.dsirWeightsSql(
