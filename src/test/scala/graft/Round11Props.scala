@@ -74,20 +74,23 @@ object Round11Props extends Properties("Round11") {
       for { a <- Gen.choose(1L, 12L); b <- Gen.choose(1L, 12L) if a != b }
         yield (math.min(a, b), math.max(a, b))))
 
-  property("kCorePeel: survivors shrink with rounds; cores have deg >= k") =
+  property("kCorePeel: survivors shrink with rounds; converged peel is a core") =
     forAll(edgeGen, Gen.choose(1, 3)) { (edges, kcore) =>
       val s = spark; import s.implicits._
       val nodes = (1L to 12L).toDF("id")
       val e = if (edges.isEmpty) List((1L, 2L)) else edges
       val edf = e.toDF("a", "b")
-      def surv(rounds: Int): Set[Long] =
+      def run(rounds: Int): Array[org.apache.spark.sql.Row] =
         GraphRank.kCorePeel(nodes, "id", edf, "a", "b", kcore, rounds)
-          .filter(col("in_core") === 1L).collect().map(_.getLong(0)).toSet
-      val s2 = surv(2); val s3 = surv(3)
-      val degOk = GraphRank.kCorePeel(nodes, "id", edf, "a", "b", kcore, 3)
-        .filter(col("in_core") === 1L)
-        .collect().forall(_.getAs[Long]("deg") >= kcore.toLong)
-      s3.subsetOf(s2) && degOk
+          .filter(col("in_core") === 1L).collect()
+      def ids(rs: Array[org.apache.spark.sql.Row]) = rs.map(_.getLong(0)).toSet
+      val s2 = run(2); val s3 = run(3)
+      // monotone peel; bounded rounds may leave under-degree nodes (that is
+      // WHY peeling iterates) — but once a round removes nothing (surv(3)
+      // == surv(2) means round 3 was a no-op), the fixpoint IS a k-core
+      ids(s3).subsetOf(ids(s2)) &&
+        (ids(s3) != ids(s2) ||
+          s3.forall(_.getAs[Long]("deg") >= kcore.toLong))
     }
 
   private val textGen: Gen[String] = Gen.choose(0, 10).flatMap(n =>
@@ -118,6 +121,18 @@ object Round11Props extends Properties("Round11") {
         sig.keys.forall(a => sig.keys.forall(b =>
           java.lang.Long.bitCount(sig(a) ^ sig(b)) ==
             java.lang.Long.bitCount(sig(b) ^ sig(a))))
+    }
+
+  property("rakeTopPhrase: partitioning-invariant, scores positive") =
+    forAll(Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, textGen))) { docs =>
+      val s = spark; import s.implicits._
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val a = graft.operators.CorpusStats.rakeTopPhrase(df, "doc_id", "text", 2)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = graft.operators.CorpusStats.rakeTopPhrase(df.repartition(5), "doc_id", "text", 2)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      a == b && a.forall(r => r(2).asInstanceOf[Long] >= 1000L)
     }
 
   property("lengthBucketBatches: batches are order-contiguous within bucket") =
