@@ -3315,6 +3315,14 @@ object Oracles {
        |        FROM rpsc)
        |SELECT doc_id, phrase, score_milli FROM rrk WHERE rn = 1""".stripMargin
 
+  /** Top-k face of [[rakeTopPhraseSql]] (mirrors CorpusStats.rakePhrases). */
+  def rakePhrasesSql(nStopwords: Int, k: Int): String = {
+    val base = rakeTopPhraseSql(nStopwords)
+    base.substring(0, base.lastIndexOf("SELECT doc_id")) +
+      s"""SELECT doc_id, CAST(rn AS BIGINT) AS rank, phrase, score_milli
+         |FROM rrk WHERE rn <= $k""".stripMargin
+  }
+
   /** Mirror of CorpusStats.groupQuantileNorm on documents(n_chars, source). */
   def groupQuantileNormSql: String =
     s"""SELECT doc_id, source, n_chars,
@@ -3525,12 +3533,12 @@ object Oracles {
        |)
        |SELECT id, source, w, CAST(admitted AS BIGINT) AS admitted FROM qst""".stripMargin
 
-  /** Mirror of EventStats.linearAttribution: per-conversion linear credit
-    * with the remainder to the last touch, channel rollup. */
-  def linearAttributionSql(convType: String, lookbackDays: Int): String = {
+  /** Shared conversion-window CTE chain of the attribution oracles — emits
+    * `aw(t, e, cid, n, rl, rf)`. */
+  private def attributionCtes(convType: String, lookbackDays: Int): String = {
     val lookUs = lookbackDays.toLong * 86400L * 1000000L
-    s"""WITH ae AS (SELECT user_id AS u, event_type AS t, event_id AS e, epoch_us(ts) AS us
-       |            FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    s"""ae AS (SELECT user_id AS u, event_type AS t, event_id AS e, epoch_us(ts) AS us
+       |       FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
        |ac AS (SELECT u, e AS cid, us AS cus FROM ae WHERE t = '$convType'),
        |at2 AS (SELECT * FROM ae WHERE t <> '$convType'),
        |aj AS (SELECT t.t, t.e, t.us, c.cid
@@ -3540,13 +3548,50 @@ object Oracles {
        |         count(*) OVER (PARTITION BY cid) AS n,
        |         row_number() OVER (PARTITION BY cid ORDER BY us DESC, e DESC) AS rl,
        |         row_number() OVER (PARTITION BY cid ORDER BY us ASC, e ASC) AS rf
-       |       FROM aj)
+       |       FROM aj)""".stripMargin
+  }
+
+  private def attributionRollupSql(ctes: String, creditExpr: String): String =
+    s"""WITH $ctes
        |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
-       |  CAST(sum(1000 // n + CASE WHEN rl = 1 THEN 1000 - n * (1000 // n) ELSE 0 END)
-       |    AS BIGINT) AS credit_milli,
+       |  CAST(sum($creditExpr) AS BIGINT) AS credit_milli,
        |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
        |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last
        |FROM aw GROUP BY t""".stripMargin
+
+  /** Mirror of EventStats.linearAttribution: per-conversion linear credit
+    * with the remainder to the last touch, channel rollup. */
+  def linearAttributionSql(convType: String, lookbackDays: Int): String =
+    attributionRollupSql(attributionCtes(convType, lookbackDays),
+      "1000 // n + CASE WHEN rl = 1 THEN 1000 - n * (1000 // n) ELSE 0 END")
+
+  /** Mirror of EventStats.positionAttribution (U-shape, remainder to the
+    * last touch; n=1 takes 1000, n=2 splits 500/500). */
+  def positionAttributionSql(convType: String, lookbackDays: Int,
+      firstMilli: Long, lastMilli: Long): String = {
+    val mid = s"(1000 - $firstMilli - $lastMilli)"
+    attributionRollupSql(attributionCtes(convType, lookbackDays),
+      s"""CASE WHEN n = 1 THEN 1000
+         WHEN n = 2 THEN 500
+         WHEN rf = 1 THEN $firstMilli
+         WHEN rl = 1 THEN $lastMilli + ($mid - (n - 2) * ($mid // (n - 2)))
+         ELSE $mid // (n - 2) END""")
+  }
+
+  /** Mirror of Sampling.bootstrapDraws: one replicate's manifest. */
+  def bootstrapDrawsSql(replicate: Int): String = {
+    val t = graft.operators.Sampling.PoissonCdf32
+    val key = s"CAST(doc_id AS VARCHAR) || ':' || CAST($replicate AS VARCHAR)"
+    s"""WITH u AS (SELECT doc_id,
+       |        (((((${tHashSql(key)} % 65521) + 65521) % 65521) * 2654435761) % 4294967296) AS u
+       |      FROM documents WHERE doc_id IS NOT NULL),
+       |c AS (SELECT doc_id,
+       |        CASE WHEN u < ${t(0)} THEN 0 WHEN u < ${t(1)} THEN 1
+       |             WHEN u < ${t(2)} THEN 2 WHEN u < ${t(3)} THEN 3
+       |             WHEN u < ${t(4)} THEN 4 WHEN u < ${t(5)} THEN 5
+       |             ELSE 6 END AS m
+       |      FROM u)
+       |SELECT doc_id, CAST(m AS BIGINT) AS multiplicity FROM c WHERE m > 0""".stripMargin
   }
 
   /** Mirror of Packing.lengthBucketBatches on documents.n_chars. */

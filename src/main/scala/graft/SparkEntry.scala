@@ -268,6 +268,13 @@ object SparkEntry {
     "text_rake" -> ((s, dir) =>
       CorpusStats.rakeTopPhrase(rd(s, dir, "documents"), "doc_id", "text",
         nStopwords = 8)),
+    // ...and the ranked keyphrase LIST (top-3) a tagging pipeline stores
+    "text_keyphrases" -> ((s, dir) =>
+      CorpusStats.rakePhrases(rd(s, dir, "documents"), "doc_id", "text",
+        nStopwords = 8, k = 3)),
+    // row-level bootstrap manifest: replicate 0's draws with multiplicity
+    "bootstrap_draws" -> ((s, dir) =>
+      Sampling.bootstrapDraws(rd(s, dir, "documents"), "doc_id", replicate = 0)),
     // per-source quantile normalization of length (fair filtering input)
     "quality_qnorm" -> ((s, dir) =>
       CorpusStats.groupQuantileNorm(rd(s, dir, "documents"), "doc_id", "n_chars", "source")),
@@ -345,6 +352,11 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) =>
       EventStats.linearAttribution(rd(s, dir, "events"), "user_id", "event_type",
         convType = "purchase", lookbackDays = 7)),
+    // ...and the U-shape model: 40/20/40 ends-weighted position credit
+    "events_attribution_u" -> ((s, dir) =>
+      EventStats.positionAttribution(rd(s, dir, "events"), "user_id", "event_type",
+        convType = "purchase", lookbackDays = 7,
+        firstMilli = 400L, lastMilli = 400L)),
     // length-bucketed dynamic batching: global length deciles, then
     // running-budget batch ids within each bucket (padding-waste killer)
     "pack_buckets" -> ((s, dir) =>
@@ -2278,6 +2290,9 @@ object SparkEntry {
     "ann_binary_recall" -> Oracles.annBinaryRecallSql(5, 20, "vec_id < 50"),
     "events_decayed" -> Oracles.eventsDecayedSql(7),
     "events_attribution" -> Oracles.linearAttributionSql("purchase", 7),
+    "events_attribution_u" -> Oracles.positionAttributionSql("purchase", 7, 400L, 400L),
+    "text_keyphrases" -> Oracles.rakePhrasesSql(8, 3),
+    "bootstrap_draws" -> Oracles.bootstrapDrawsSql(0),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
     "source_orc" ->

@@ -1572,9 +1572,19 @@ object CorpusStats {
    */
   def rakeTopPhrase(
       df: DataFrame, idCol: String, textCol: String,
-      nStopwords: Int = 8): DataFrame = {
+      nStopwords: Int = 8): DataFrame =
+    rakePhrases(df, idCol, textCol, nStopwords, 1)
+      .select(col(idCol), col("phrase"), col("score_milli"))
+
+  /** Top-`k` face of [[rakeTopPhrase]]: the per-doc KEYPHRASE LIST, ranked
+    * (score desc, phrase asc) — what a tagging/indexing pipeline stores.
+    * @return (idCol, rank 1..k, phrase, score_milli) */
+  def rakePhrases(
+      df: DataFrame, idCol: String, textCol: String,
+      nStopwords: Int = 8, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nStopwords >= 0, s"nStopwords must be >= 0, got $nStopwords")
+    require(k >= 1, s"k must be >= 1, got $k")
     val w = df.select(col(idCol).as("__id"),
       posexplode(wordsCol(col(textCol))).as(Seq("__p", "__w")))
     val stop = w.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
@@ -1595,8 +1605,9 @@ object CorpusStats {
       .agg(sum(col("__wsc")).as("score_milli"),
         expr("array_join(transform(sort_array(collect_list(struct(__p, __w))), " +
           "x -> x.__w), ' ')").as("phrase"))
-      .withColumn("__rn", row_number().over(top)).filter(col("__rn") === 1)
-      .select(col("__id").as(idCol), col("phrase"), col("score_milli"))
+      .withColumn("rank", row_number().over(top)).filter(col("rank") <= k)
+      .select(col("__id").as(idCol), col("rank").cast("long").as("rank"),
+        col("phrase"), col("score_milli"))
   }
 
   /**

@@ -215,7 +215,45 @@ object EventStats {
    */
   def linearAttribution(
       events: DataFrame, userCol: String, typeCol: String,
-      convType: String, lookbackDays: Int = 7): DataFrame = {
+      convType: String, lookbackDays: Int = 7): DataFrame =
+    attributionRollup(events, userCol, typeCol, convType, lookbackDays,
+      expr("1000 DIV __n") +
+        when(col("__rl") === 1, expr("1000 - __n * (1000 DIV __n)"))
+          .otherwise(lit(0L)))
+
+  /**
+   * U-SHAPE (position-based) ATTRIBUTION — the other standard model beside
+   * [[linearAttribution]], same join/window machinery: the FIRST touch gets
+   * `firstMilli`, the LAST gets `lastMilli`, the middles share the rest
+   * (`(1000−f−l) DIV (n−2)` each, integer remainder to the last touch).
+   * Pinned edge conventions: a single touch takes all 1000; with exactly
+   * two, each end takes 500. Conservation: every touched conversion
+   * distributes exactly 1000 milli.
+   * @return (typeCol, n_touches, credit_milli, n_first, n_last)
+   */
+  def positionAttribution(
+      events: DataFrame, userCol: String, typeCol: String,
+      convType: String, lookbackDays: Int = 7,
+      firstMilli: Long = 400L, lastMilli: Long = 400L): DataFrame = {
+    require(firstMilli >= 0L && lastMilli >= 0L && firstMilli + lastMilli <= 1000L,
+      s"need firstMilli + lastMilli <= 1000, got $firstMilli + $lastMilli")
+    val mid = s"(1000 - $firstMilli - $lastMilli)"
+    attributionRollup(events, userCol, typeCol, convType, lookbackDays,
+      expr(s"""CASE WHEN __n = 1 THEN 1000
+               WHEN __n = 2 THEN 500
+               WHEN __rf = 1 THEN $firstMilli
+               WHEN __rl = 1 THEN CAST($lastMilli AS BIGINT) +
+                 ($mid - (__n - 2) * ($mid DIV (__n - 2)))
+               ELSE $mid DIV (__n - 2) END"""))
+  }
+
+  /** Shared conversion-window core of the attribution models: touches in the
+    * lookback window before each conversion, with per-conversion count and
+    * first/last ranks exposed as `__n`/`__rf`/`__rl` to `creditExpr`. */
+  private def attributionRollup(
+      events: DataFrame, userCol: String, typeCol: String,
+      convType: String, lookbackDays: Int,
+      creditExpr: org.apache.spark.sql.Column): DataFrame = {
     require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
     val lookUs = lookbackDays.toLong * 86400L * 1000000L
     val ev = events.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
@@ -236,11 +274,7 @@ object EventStats {
       .withColumn("__n", count(lit(1)).over(wn))
       .withColumn("__rl", row_number().over(wLast))
       .withColumn("__rf", row_number().over(wFirst))
-      .select(col("__t"),
-        (expr("1000 DIV __n") +
-          when(col("__rl") === 1, expr("1000 - __n * (1000 DIV __n)"))
-            .otherwise(lit(0L))).as("__credit"),
-        col("__rl"), col("__rf"))
+      .select(col("__t"), creditExpr.as("__credit"), col("__rl"), col("__rf"))
       .groupBy(col("__t").as(typeCol))
       .agg(count(lit(1)).as("n_touches"), sum(col("__credit")).as("credit_milli"),
         sum(when(col("__rf") === 1, 1L).otherwise(0L)).as("n_first"),

@@ -380,18 +380,36 @@ object Sampling {
    * @return one row per replicate: (replicate, n_docs source rows,
    *         n_drawn Σ multiplicity, n_unique docs with multiplicity ≥ 1)
    */
-  def bootstrapCounts(
-      df: DataFrame, keyCol: String, nReplicates: Int = 8): DataFrame = {
-    require(nReplicates > 0, s"nReplicates must be positive, got $nReplicates")
+  /** The Poisson(1) multiplicity of (key, replicate) — tHash is
+    * parity-focused (short keys yield small sums that would never cross the
+    * first CDF threshold), so the hash is re-mixed through the SimHash
+    * spreader (2654435761 · (h mod 65521)) mod 2³², intermediates < 2⁶³ on
+    * any engine — then compared against [[PoissonCdf32]]. */
+  private def poissonDraw(keyCol: String): org.apache.spark.sql.Column = {
     val t = PoissonCdf32
-    // tHash is parity-focused (short keys yield small sums that would never
-    // cross the first CDF threshold) — re-mix through the SimHash spreader
-    // (2654435761 · (h mod 65521)) mod 2³², intermediates < 2⁶³ on any engine
     val u = pmod(pmod(tHashUdf(concat(col(keyCol).cast("string"), lit(":"),
       col("replicate").cast("string"))), lit(65521L)) * lit(2654435761L),
       lit(4294967296L))
-    val draw = when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
+    when(u < t(0), 0L).when(u < t(1), 1L).when(u < t(2), 2L)
       .when(u < t(3), 3L).when(u < t(4), 4L).when(u < t(5), 5L).otherwise(6L)
+  }
+
+  /** Row-level face of [[bootstrapCounts]]: the actual resample MANIFEST of
+    * one replicate — every doc drawn at least once, with its multiplicity
+    * (feed to a generator that repeats rows m times). Same pinned draw.
+    * @return (keyCol, multiplicity ≥ 1) */
+  def bootstrapDraws(df: DataFrame, keyCol: String, replicate: Int): DataFrame = {
+    require(replicate >= 0, s"replicate must be >= 0, got $replicate")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), lit(replicate.toLong).as("replicate"))
+      .select(col(keyCol), poissonDraw(keyCol).as("multiplicity"))
+      .filter(col("multiplicity") > 0L)
+  }
+
+  def bootstrapCounts(
+      df: DataFrame, keyCol: String, nReplicates: Int = 8): DataFrame = {
+    require(nReplicates > 0, s"nReplicates must be positive, got $nReplicates")
+    val draw = poissonDraw(keyCol)
     df.filter(col(keyCol).isNotNull)
       .select(col(keyCol),
         explode(sequence(lit(0L), lit(nReplicates - 1L))).as("replicate"))
