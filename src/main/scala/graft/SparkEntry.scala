@@ -264,6 +264,15 @@ object SparkEntry {
     "text_sbo" -> ((s, dir) =>
       CorpusStats.stupidBackoffLogLoss(rd(s, dir, "documents"), "doc_id", "text",
         col("doc_id") < 5, alphaMilli = 400)),
+    // lexical diversity: type-token ratio per doc (integer milli) — the
+    // low-TTR tail is keyword-stuffing/boilerplate
+    "text_ttr" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), wordsCol(col("text")).as("__ws"))
+        .filter(size(col("__ws")) > 0)
+        .select(col("doc_id"), size(col("__ws")).cast("long").as("n_words"),
+          size(array_distinct(col("__ws"))).cast("long").as("n_types"))
+        .withColumn("ttr_milli", expr("n_types * 1000 DIV n_words"))),
     // RAKE keyword extraction: top phrase per doc, corpus-derived stopwords
     "text_rake" -> ((s, dir) =>
       CorpusStats.rakeTopPhrase(rd(s, dir, "documents"), "doc_id", "text",
@@ -2262,6 +2271,13 @@ object SparkEntry {
     "dedup_substring_self_clean" ->
       Oracles.spanCleanSql(Oracles.dupSpanCtesAll(20), "SELECT doc_id, text FROM documents"),
     "text_sbo" -> Oracles.stupidBackoffSql("doc_id < 5", 400),
+    "text_ttr" ->
+      """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+        |  CAST(len(list_distinct(ws)) * 1000 // len(ws) AS BIGINT) AS ttr_milli
+        |FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        |      FROM documents)
+        |WHERE len(ws) > 0""".stripMargin,
     "text_rake" -> Oracles.rakeTopPhraseSql(8),
     "quality_qnorm" -> Oracles.groupQuantileNormSql,
     "mixture_capped" -> Oracles.cappedQuotaSql(10000L, 500L),
