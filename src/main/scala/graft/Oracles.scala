@@ -3533,6 +3533,24 @@ object Oracles {
        |)
        |SELECT id, source, w, CAST(admitted AS BIGINT) AS admitted FROM qst""".stripMargin
 
+  /** Mirror of EventStats.associationRules on (user, day) baskets. */
+  def associationRulesSql: String =
+    s"""WITH ab AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day,
+       |              event_type AS t
+       |            FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |an AS (SELECT count(*) AS nb FROM (SELECT DISTINCT u, day FROM ab)),
+       |ap AS (SELECT t, count(*) AS n FROM ab GROUP BY t),
+       |apr AS (SELECT x.t AS type_a, y.t AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+       |        FROM ab x JOIN ab y ON x.u = y.u AND x.day = y.day AND x.t <> y.t
+       |        GROUP BY 1, 2)
+       |SELECT p.type_a, p.type_b, CAST(ca.n AS BIGINT) AS n_a, p.n_ab,
+       |  CAST(p.n_ab * 1000 // ca.n AS BIGINT) AS confidence_milli,
+       |  CAST(p.n_ab * an.nb * 1000000 // (ca.n * cb.n) AS BIGINT) AS lift_micro
+       |FROM apr p
+       |JOIN ap ca ON p.type_a = ca.t
+       |JOIN ap cb ON p.type_b = cb.t
+       |CROSS JOIN an""".stripMargin
+
   /** Shared conversion-window CTE chain of the attribution oracles — emits
     * `aw(t, e, cid, n, rl, rf)`. */
   private def attributionCtes(convType: String, lookbackDays: Int): String = {

@@ -361,6 +361,10 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) =>
       EventStats.linearAttribution(rd(s, dir, "events"), "user_id", "event_type",
         convType = "purchase", lookbackDays = 7)),
+    // market-basket rules on (user, day) baskets: confidence + lift per
+    // ordered event-type pair, counts-only integer arithmetic
+    "events_assoc_rules" -> ((s, dir) =>
+      EventStats.associationRules(rd(s, dir, "events"), "user_id", "event_type")),
     // ...and the U-shape model: 40/20/40 ends-weighted position credit
     "events_attribution_u" -> ((s, dir) =>
       EventStats.positionAttribution(rd(s, dir, "events"), "user_id", "event_type",
@@ -2307,6 +2311,7 @@ object SparkEntry {
     "events_decayed" -> Oracles.eventsDecayedSql(7),
     "events_attribution" -> Oracles.linearAttributionSql("purchase", 7),
     "events_attribution_u" -> Oracles.positionAttributionSql("purchase", 7, 400L, 400L),
+    "events_assoc_rules" -> Oracles.associationRulesSql,
     "text_keyphrases" -> Oracles.rakePhrasesSql(8, 3),
     "bootstrap_draws" -> Oracles.bootstrapDrawsSql(0),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),

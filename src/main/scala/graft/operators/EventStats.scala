@@ -195,6 +195,45 @@ object EventStats {
   }
 
   /**
+   * ASSOCIATION RULES over event baskets — market-basket co-occurrence on
+   * (user, day) baskets: for every ordered pair of event types (a → b),
+   * support counts, confidence = P(b | a) and lift = conf / P(b), all in
+   * exact integer milli/micro (counts-only arithmetic — the Agrawal-style
+   * rule miner reduced to the pair level, which is what event taxonomies
+   * actually need; |types|² pairs is tiny however big the corpus).
+   *
+   * Scale shape: one distinct (basket, type) pass, one basket-keyed
+   * self-join (bounded by types-per-basket, never users²), one pair rollup
+   * against broadcast per-type totals.
+   *
+   * @return (type_a, type_b, n_a baskets with a, n_ab baskets with both,
+   *         confidence_milli = n_ab·1000 DIV n_a,
+   *         lift_micro = n_ab·N·10⁶ DIV (n_a·n_b)) for a ≠ b
+   */
+  def associationRules(
+      events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val b = events.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(EventTime.tsCol(events)).as("__day"),
+        col(typeCol).as("__t"))
+      .distinct()
+    val n = b.select(col("__u"), col("__day")).distinct()
+      .agg(count(lit(1)).as("__N"))
+    val per = b.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.__u") === col("y.__u") && col("x.__day") === col("y.__day") &&
+          col("x.__t") =!= col("y.__t"))
+      .groupBy(col("x.__t").as("type_a"), col("y.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(per.select(col("__t").as("type_a"), col("__n").as("n_a")), "type_a")
+      .join(per.select(col("__t").as("type_b"), col("__n").as("n_b")), "type_b")
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_ab"),
+        expr("n_ab * 1000 DIV n_a").as("confidence_milli"),
+        expr("n_ab * __N * 1000000 DIV (n_a * n_b)").as("lift_micro"))
+  }
+
+  /**
    * LINEAR MULTI-TOUCH ATTRIBUTION — the marketing-analytics staple as one
    * relational pass: every `convType` event is a conversion; its touches
    * are the same user's non-conversion events in the `lookbackDays` window
