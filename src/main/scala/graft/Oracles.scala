@@ -3533,6 +3533,25 @@ object Oracles {
        |)
        |SELECT id, source, w, CAST(admitted AS BIGINT) AS admitted FROM qst""".stripMargin
 
+  /** Mirror of EventStats.weeklyChurn: Monday-start weeks, set arithmetic
+    * on distinct (week, user). */
+  def weeklyChurnSql: String =
+    s"""WITH wact AS (SELECT DISTINCT date_trunc('week', ts) AS w, user_id AS u
+       |              FROM events WHERE user_id IS NOT NULL),
+       |wwk AS (SELECT w, count(*) AS n_active FROM wact GROUP BY w),
+       |wret AS (SELECT a.w, count(*) AS ret
+       |         FROM wact a JOIN wact b ON a.u = b.u AND b.w = a.w - INTERVAL 7 DAY
+       |         GROUP BY a.w),
+       |wprev AS (SELECT w + INTERVAL 7 DAY AS w, n_active AS prev FROM wwk)
+       |SELECT strftime(wwk.w, '%Y-%m-%d') AS week,
+       |  CAST(wwk.n_active AS BIGINT) AS n_active,
+       |  CAST(coalesce(wret.ret, 0) AS BIGINT) AS n_retained,
+       |  CAST(wwk.n_active - coalesce(wret.ret, 0) AS BIGINT) AS n_incoming,
+       |  CAST(coalesce(wprev.prev, 0) - coalesce(wret.ret, 0) AS BIGINT) AS n_churned
+       |FROM wwk
+       |LEFT JOIN wret ON wwk.w = wret.w
+       |LEFT JOIN wprev ON wwk.w = wprev.w""".stripMargin
+
   /** Mirror of EventStats.associationRules on (user, day) baskets. */
   def associationRulesSql: String =
     s"""WITH ab AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day,

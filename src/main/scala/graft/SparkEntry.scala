@@ -361,6 +361,9 @@ object SparkEntry {
     "events_attribution" -> ((s, dir) =>
       EventStats.linearAttribution(rd(s, dir, "events"), "user_id", "event_type",
         convType = "purchase", lookbackDays = 7)),
+    // weekly churn accounting: active/retained/incoming/churned per week
+    "events_churn" -> ((s, dir) =>
+      EventStats.weeklyChurn(rd(s, dir, "events"), "user_id")),
     // market-basket rules on (user, day) baskets: confidence + lift per
     // ordered event-type pair, counts-only integer arithmetic
     "events_assoc_rules" -> ((s, dir) =>
@@ -2312,6 +2315,7 @@ object SparkEntry {
     "events_attribution" -> Oracles.linearAttributionSql("purchase", 7),
     "events_attribution_u" -> Oracles.positionAttributionSql("purchase", 7, 400L, 400L),
     "events_assoc_rules" -> Oracles.associationRulesSql,
+    "events_churn" -> Oracles.weeklyChurnSql,
     "text_keyphrases" -> Oracles.rakePhrasesSql(8, 3),
     "bootstrap_draws" -> Oracles.bootstrapDrawsSql(0),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),

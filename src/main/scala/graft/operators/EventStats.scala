@@ -195,6 +195,37 @@ object EventStats {
   }
 
   /**
+   * WEEKLY CHURN ACCOUNTING — the ops dashboard complement of cohort
+   * retention: per Monday-start week, how many users were active, how many
+   * were retained from the previous week, how many are incoming (not
+   * active last week), and how many of last week's actives churned.
+   * Pure set arithmetic on distinct (week, user) — one distinct pass, one
+   * user-keyed week-over-week self-join, integer-exact.
+   *
+   * @return (week yyyy-MM-dd, n_active, n_retained, n_incoming, n_churned)
+   */
+  def weeklyChurn(events: DataFrame, userCol: String): DataFrame = {
+    val act = events.filter(col(userCol).isNotNull)
+      .select(date_trunc("week", EventTime.tsCol(events)).as("__w"),
+        col(userCol).as("__u"))
+      .distinct()
+    val wk = act.groupBy(col("__w")).agg(count(lit(1)).as("n_active"))
+    val ret = act.as("a").join(act.as("b"),
+        col("a.__u") === col("b.__u") &&
+          col("b.__w") === col("a.__w") - expr("INTERVAL 7 DAYS"))
+      .groupBy(col("a.__w").as("__w")).agg(count(lit(1)).as("__ret"))
+    val prev = wk.select((col("__w") + expr("INTERVAL 7 DAYS")).as("__w"),
+      col("n_active").as("__prev"))
+    wk.join(ret, Seq("__w"), "left").join(prev, Seq("__w"), "left")
+      .select(date_format(col("__w"), "yyyy-MM-dd").as("week"),
+        col("n_active"),
+        coalesce(col("__ret"), lit(0L)).as("n_retained"),
+        (col("n_active") - coalesce(col("__ret"), lit(0L))).as("n_incoming"),
+        (coalesce(col("__prev"), lit(0L)) - coalesce(col("__ret"), lit(0L)))
+          .as("n_churned"))
+  }
+
+  /**
    * ASSOCIATION RULES over event baskets — market-basket co-occurrence on
    * (user, day) baskets: for every ordered pair of event types (a → b),
    * support counts, confidence = P(b | a) and lift = conf / P(b), all in
