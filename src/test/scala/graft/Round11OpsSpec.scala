@@ -320,6 +320,50 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 2L))
   }
 
+  // ---- weeklyChurn / associationRules -------------------------------------
+
+  test("weeklyChurn: active = retained + incoming; churned closes the books") {
+    val s = spark
+    import s.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2026-03-$d%02d 10:00:00")
+    // week of Mar 2 (Mon): users 1,2,3; week of Mar 9: users 2,3,4
+    val ev = Seq((1L, ts(3)), (2L, ts(4)), (3L, ts(5)),
+      (2L, ts(10)), (3L, ts(11)), (4L, ts(12)))
+      .toDF("user_id", "ts")
+    val out = EventStats.weeklyChurn(ev, "user_id").orderBy("week").collect()
+    assert(out.length == 2)
+    val w2 = out(1)
+    assert(w2.getAs[Long]("n_active") == 3L)
+    assert(w2.getAs[Long]("n_retained") == 2L)   // users 2,3
+    assert(w2.getAs[Long]("n_incoming") == 1L)   // user 4
+    assert(w2.getAs[Long]("n_churned") == 1L)    // user 1
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_retained") + r.getAs[Long]("n_incoming"))
+    }
+  }
+
+  test("associationRules: lift is symmetric, confidence bounded") {
+    val s = spark
+    import s.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2026-03-$d%02d 10:00:00")
+    val ev = Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(1)),       // basket u1/d1: view+click
+      (2L, "view", ts(1)),                              // view alone
+      (3L, "view", ts(2)), (3L, "click", ts(2)),       // view+click
+      (3L, "error", ts(2)))
+      .toDF("user_id", "event_type", "ts")
+    val out = EventStats.associationRules(ev, "user_id", "event_type")
+      .collect().map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r).toMap
+    // lift numerator/denominator identical both directions -> equal micro
+    assert(out(("view", "click")).getAs[Long]("lift_micro") ==
+      out(("click", "view")).getAs[Long]("lift_micro"))
+    // P(click | view) = 2/3
+    assert(out(("view", "click")).getAs[Long]("confidence_milli") == 666L)
+    assert(out(("click", "view")).getAs[Long]("confidence_milli") == 1000L)
+    assert(out.values.forall(_.getAs[Long]("confidence_milli") <= 1000L))
+  }
+
   // ---- linearAttribution --------------------------------------------------
 
   test("linearAttribution conserves 1000 milli per touched conversion") {
