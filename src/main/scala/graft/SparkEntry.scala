@@ -364,6 +364,27 @@ object SparkEntry {
     // weekly churn accounting: active/retained/incoming/churned per week
     "events_churn" -> ((s, dir) =>
       EventStats.weeklyChurn(rd(s, dir, "events"), "user_id")),
+    // hour-of-week activity heatmap (0=Monday; the load-shaping input)
+    "events_heatmap" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      ev.select(weekday(graft.streaming.EventTime.tsCol(ev)).cast("long").as("dow"),
+          hour(graft.streaming.EventTime.tsCol(ev)).cast("long").as("hour"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+    // posting-length skew diagnostic of the trigram index: pow2 df buckets
+    // — the measurable behind the simJoin family's posting-cap knob
+    "simjoin_blockstats" -> ((s, dir) => {
+      val toks = rd(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          explode(array_distinct(graft.functions.Trigrams.trigramTokens(col("p_name"))))
+            .as("tok"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+        .select(expr(pow2BucketCase("__df")).cast("long").as("df_bucket"),
+          col("__df"))
+        .groupBy(col("df_bucket"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("__df")).as("n_postings"))
+    }),
     // market-basket rules on (user, day) baskets: confidence + lift per
     // ordered event-type pair, counts-only integer arithmetic
     "events_assoc_rules" -> ((s, dir) =>
@@ -1706,6 +1727,13 @@ object SparkEntry {
   private val partSel = "SELECT p_partkey AS id, p_name AS s FROM part"
   private val part300Sel = partSel + " WHERE p_partkey < 300"
 
+  /** Power-of-two bucket CASE over a BIGINT df column — ONE Scala builder
+    * emits both engines' text so the boundaries cannot diverge (bucket k ⇔
+    * df ∈ [2^k, 2^(k+1)), capped at 16). */
+  private def pow2BucketCase(c: String): String =
+    (0 until 16).map(k => s"WHEN $c < ${1L << (k + 1)} THEN $k")
+      .mkString("CASE ", " ", " ELSE 16 END")
+
   /** DuckDB-equivalent SQL per query. The "approximate" operators (ann_lsh,
     * dedup_minhash_lsh) use deterministic integer hash formulas, so their
     * bucketing/banding is mirrored EXACTLY in SQL — nothing is left on a
@@ -2316,6 +2344,18 @@ object SparkEntry {
     "events_attribution_u" -> Oracles.positionAttributionSql("purchase", 7, 400L, 400L),
     "events_assoc_rules" -> Oracles.associationRulesSql,
     "events_churn" -> Oracles.weeklyChurnSql,
+    "events_heatmap" ->
+      """SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+        |  CAST(hour(ts) AS BIGINT) AS hour,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "simjoin_blockstats" ->
+      s"""WITH ${Oracles.trigramCtes("b", partSel)},
+         |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btok GROUP BY tok)
+         |SELECT CAST(${pow2BucketCase("df")} AS BIGINT) AS df_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(df) AS BIGINT) AS n_postings
+         |FROM bdf GROUP BY 1""".stripMargin,
     "text_keyphrases" -> Oracles.rakePhrasesSql(8, 3),
     "bootstrap_draws" -> Oracles.bootstrapDrawsSql(0),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
