@@ -3339,14 +3339,18 @@ object Oracles {
     s"""counts AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents
        |           WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY source),
        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM counts),
-       |raw AS (SELECT source, w, w * $budget // t AS raw_quota FROM counts, tot),
+       |raw AS (SELECT source, w,
+       |          CAST(CAST(w AS HUGEINT) * $budget // t AS BIGINT) AS raw_quota
+       |        FROM counts, tot),
        |sp AS (SELECT
        |    CAST(sum(CASE WHEN raw_quota > $cap THEN raw_quota - $cap ELSE 0 END) AS BIGINT) AS l,
        |    CAST(sum(CASE WHEN raw_quota <= $cap THEN raw_quota ELSE 0 END) AS BIGINT) AS sr
        |  FROM raw),
-       |fq AS (SELECT source, w, CAST(raw_quota AS BIGINT) AS raw_quota,
+       |fq AS (SELECT source, w, raw_quota,
        |  CAST(least($cap, CASE WHEN raw_quota > $cap THEN $cap
-       |       ELSE raw_quota + CASE WHEN sr > 0 THEN (l * raw_quota) // sr ELSE 0 END END)
+       |       ELSE raw_quota + CASE WHEN sr > 0
+       |         THEN CAST(CAST(l AS HUGEINT) * raw_quota // sr AS BIGINT)
+       |         ELSE 0 END END)
        |    AS BIGINT) AS quota
        |  FROM raw, sp)""".stripMargin
 
@@ -3424,9 +3428,9 @@ object Oracles {
     s"""v AS (SELECT vec_id, embedding AS e FROM embeddings
        |      WHERE embedding IS NOT NULL AND len(embedding) > 0),
        |sg AS (SELECT vec_id,
-       |         bit_or(CASE WHEN e[d] <= 0 THEN 0::BIGINT
-       |                     WHEN d = 64 THEN (-9223372036854775807 - 1)
-       |                     ELSE (1::BIGINT << (d-1)) END) AS sig
+       |         bit_or(CASE WHEN e[d] > 0 AND d = 64 THEN (-9223372036854775807 - 1)
+       |                     WHEN e[d] > 0 THEN (1::BIGINT << (d-1))
+       |                     ELSE 0::BIGINT END) AS sig
        |       FROM v, (SELECT unnest(generate_series(1, 64)) AS d)
        |       WHERE d <= len(e)
        |       GROUP BY vec_id),
@@ -3534,23 +3538,27 @@ object Oracles {
        |SELECT id, source, w, CAST(admitted AS BIGINT) AS admitted FROM qst""".stripMargin
 
   /** Mirror of EventStats.weeklyChurn: Monday-start weeks, set arithmetic
-    * on distinct (week, user). */
+    * on distinct (week, user), over a DENSE week spine (min..max week) so a
+    * fully-churned week still gets a row carrying its churn count. */
   def weeklyChurnSql: String =
     s"""WITH wact AS (SELECT DISTINCT date_trunc('week', ts) AS w, user_id AS u
        |              FROM events WHERE user_id IS NOT NULL),
+       |wsp AS (SELECT unnest(generate_series(min(w), max(w), INTERVAL 7 DAY)) AS w
+       |        FROM wact),
        |wwk AS (SELECT w, count(*) AS n_active FROM wact GROUP BY w),
        |wret AS (SELECT a.w, count(*) AS ret
        |         FROM wact a JOIN wact b ON a.u = b.u AND b.w = a.w - INTERVAL 7 DAY
        |         GROUP BY a.w),
        |wprev AS (SELECT w + INTERVAL 7 DAY AS w, n_active AS prev FROM wwk)
-       |SELECT strftime(wwk.w, '%Y-%m-%d') AS week,
-       |  CAST(wwk.n_active AS BIGINT) AS n_active,
+       |SELECT strftime(wsp.w, '%Y-%m-%d') AS week,
+       |  CAST(coalesce(wwk.n_active, 0) AS BIGINT) AS n_active,
        |  CAST(coalesce(wret.ret, 0) AS BIGINT) AS n_retained,
-       |  CAST(wwk.n_active - coalesce(wret.ret, 0) AS BIGINT) AS n_incoming,
+       |  CAST(coalesce(wwk.n_active, 0) - coalesce(wret.ret, 0) AS BIGINT) AS n_incoming,
        |  CAST(coalesce(wprev.prev, 0) - coalesce(wret.ret, 0) AS BIGINT) AS n_churned
-       |FROM wwk
-       |LEFT JOIN wret ON wwk.w = wret.w
-       |LEFT JOIN wprev ON wwk.w = wprev.w""".stripMargin
+       |FROM wsp
+       |LEFT JOIN wwk ON wsp.w = wwk.w
+       |LEFT JOIN wret ON wsp.w = wret.w
+       |LEFT JOIN wprev ON wsp.w = wprev.w""".stripMargin
 
   /** Mirror of EventStats.associationRules on (user, day) baskets. */
   def associationRulesSql: String =
@@ -3564,7 +3572,8 @@ object Oracles {
        |        GROUP BY 1, 2)
        |SELECT p.type_a, p.type_b, CAST(ca.n AS BIGINT) AS n_a, p.n_ab,
        |  CAST(p.n_ab * 1000 // ca.n AS BIGINT) AS confidence_milli,
-       |  CAST(p.n_ab * an.nb * 1000000 // (ca.n * cb.n) AS BIGINT) AS lift_micro
+       |  CAST(CAST(p.n_ab AS HUGEINT) * an.nb * 1000000
+       |       // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT) AS lift_micro
        |FROM apr p
        |JOIN ap ca ON p.type_a = ca.t
        |JOIN ap cb ON p.type_b = cb.t

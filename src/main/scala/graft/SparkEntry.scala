@@ -19,6 +19,9 @@ import graft.streaming.EventWindows
  */
 object SparkEntry {
 
+  /** Monotonic per-JVM nonce for scratch-dir names (see `source_orc`). */
+  private val orcRunNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def rd(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
@@ -412,7 +415,11 @@ object SparkEntry {
     "source_orc" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-      val base = s"${sys.props("java.io.tmpdir")}/graft_orc/ov_${math.abs(dir.hashCode)}"
+      // Per-invocation unique path (pid + counter): concurrent bench/verify
+      // runs on the same SF dir must not race writer-vs-reader, and a
+      // hashCode-keyed shared path can alias different datasets.
+      val base = s"${sys.props("java.io.tmpdir")}/graft_orc/" +
+        s"ov_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
       graft.sources.OrcTable.write(docs, base)
       graft.sources.OrcTable.read(s, base, docs.schema)
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),

@@ -210,17 +210,24 @@ object EventStats {
         col(userCol).as("__u"))
       .distinct()
     val wk = act.groupBy(col("__w")).agg(count(lit(1)).as("n_active"))
+    // Dense week spine min..max: a week where the WHOLE base churned still
+    // gets a row (n_active=0, n_churned=prev) instead of vanishing, and a
+    // multi-week gap charges the churn to the first silent week only.
+    val spine = act.agg(min(col("__w")).as("__lo"), max(col("__w")).as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi, INTERVAL 7 DAYS)")).as("__w"))
     val ret = act.as("a").join(act.as("b"),
         col("a.__u") === col("b.__u") &&
           col("b.__w") === col("a.__w") - expr("INTERVAL 7 DAYS"))
       .groupBy(col("a.__w").as("__w")).agg(count(lit(1)).as("__ret"))
     val prev = wk.select((col("__w") + expr("INTERVAL 7 DAYS")).as("__w"),
       col("n_active").as("__prev"))
-    wk.join(ret, Seq("__w"), "left").join(prev, Seq("__w"), "left")
+    spine.join(wk, Seq("__w"), "left").join(ret, Seq("__w"), "left")
+      .join(prev, Seq("__w"), "left")
       .select(date_format(col("__w"), "yyyy-MM-dd").as("week"),
-        col("n_active"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
         coalesce(col("__ret"), lit(0L)).as("n_retained"),
-        (col("n_active") - coalesce(col("__ret"), lit(0L))).as("n_incoming"),
+        (coalesce(col("n_active"), lit(0L)) - coalesce(col("__ret"), lit(0L)))
+          .as("n_incoming"),
         (coalesce(col("__prev"), lit(0L)) - coalesce(col("__ret"), lit(0L)))
           .as("n_churned"))
   }
@@ -261,7 +268,11 @@ object EventStats {
       .crossJoin(broadcast(n))
       .select(col("type_a"), col("type_b"), col("n_a"), col("n_ab"),
         expr("n_ab * 1000 DIV n_a").as("confidence_milli"),
-        expr("n_ab * __N * 1000000 DIV (n_a * n_b)").as("lift_micro"))
+        // DECIMAL(38,0) intermediates: n_ab·N·1e6 overflows BIGINT once
+        // basket count N passes ~3M; IntegralDivide on decimals still
+        // returns BIGINT, so the output column type is unchanged.
+        expr("""CAST(n_ab AS DECIMAL(38,0)) * __N * 1000000
+                DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)""").as("lift_micro"))
   }
 
   /**

@@ -448,7 +448,10 @@ object Sampling {
     val tot = counts.agg(sum(col("w")).as("__T"))
     val raw = counts.crossJoin(broadcast(tot))
       .select(col(sourceCol), col("w"),
-        expr(s"w * ${budget}L DIV __T").as("raw_quota"))
+        // DECIMAL(38,0) intermediate: w is a corpus-wide char sum, so
+        // w·budget overflows BIGINT at large scale; IntegralDivide on
+        // decimals still returns BIGINT.
+        expr(s"CAST(w AS DECIMAL(38,0)) * ${budget}L DIV __T").as("raw_quota"))
     val spill = raw.agg(
       sum(expr(s"CASE WHEN raw_quota > ${cap}L THEN raw_quota - ${cap}L ELSE 0L END"))
         .as("__L"),
@@ -457,7 +460,8 @@ object Sampling {
     raw.crossJoin(broadcast(spill))
       .select(col(sourceCol), col("w"), col("raw_quota"),
         expr(s"""least(${cap}L, CASE WHEN raw_quota > ${cap}L THEN ${cap}L
-                 ELSE raw_quota + CASE WHEN __SR > 0L THEN (__L * raw_quota) DIV __SR
+                 ELSE raw_quota + CASE WHEN __SR > 0L
+                      THEN CAST(__L AS DECIMAL(38,0)) * raw_quota DIV __SR
                       ELSE 0L END END)""").as("quota"))
   }
 
