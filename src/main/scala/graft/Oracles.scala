@@ -3587,10 +3587,10 @@ object Oracles {
        |       FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
        |ac AS (SELECT u, e AS cid, us AS cus FROM ae WHERE t = '$convType'),
        |at2 AS (SELECT * FROM ae WHERE t <> '$convType'),
-       |aj AS (SELECT t.t, t.e, t.us, c.cid
+       |aj AS (SELECT t.t, t.e, t.us, c.cid, c.cus
        |       FROM at2 t JOIN ac c ON t.u = c.u
        |       WHERE t.us < c.cus AND t.us >= c.cus - $lookUs),
-       |aw AS (SELECT t, e, cid,
+       |aw AS (SELECT t, e, cid, us, cus,
        |         count(*) OVER (PARTITION BY cid) AS n,
        |         row_number() OVER (PARTITION BY cid ORDER BY us DESC, e DESC) AS rl,
        |         row_number() OVER (PARTITION BY cid ORDER BY us ASC, e ASC) AS rf
@@ -3622,6 +3622,30 @@ object Oracles {
          WHEN rf = 1 THEN $firstMilli
          WHEN rl = 1 THEN $lastMilli + ($mid - (n - 2) * ($mid // (n - 2)))
          ELSE $mid // (n - 2) END""")
+  }
+
+  /** Mirror of EventStats.decayAttribution: power-of-two recency weights
+    * (2^30 >> days_before DIV halfLife, capped at 30), weight-proportional
+    * integer 1000-milli split, remainder to the last touch. */
+  def decayAttributionSql(convType: String, lookbackDays: Int,
+      halfLifeDays: Int): String = {
+    val stepUs = 86400L * 1000000L * halfLifeDays
+    s"""WITH ${attributionCtes(convType, lookbackDays)},
+       |adw AS (SELECT t, cid, rl, rf,
+       |          (1073741824::BIGINT >> CAST(least((cus - us) // $stepUs, 30) AS INT)) AS w
+       |        FROM aw),
+       |adb AS (SELECT t, cid, rl, rf,
+       |          (1000 * w) // sum(w) OVER (PARTITION BY cid) AS base
+       |        FROM adw),
+       |ads AS (SELECT t, rl, rf, base,
+       |          sum(base) OVER (PARTITION BY cid) AS bsum
+       |        FROM adb)
+       |SELECT t AS event_type, CAST(count(*) AS BIGINT) AS n_touches,
+       |  CAST(sum(base + CASE WHEN rl = 1 THEN 1000 - bsum ELSE 0 END) AS BIGINT)
+       |    AS credit_milli,
+       |  CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+       |  CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+       |FROM ads GROUP BY t""".stripMargin
   }
 
   /** Mirror of Sampling.bootstrapDraws: one replicate's manifest. */

@@ -397,6 +397,11 @@ object SparkEntry {
       EventStats.positionAttribution(rd(s, dir, "events"), "user_id", "event_type",
         convType = "purchase", lookbackDays = 7,
         firstMilli = 400L, lastMilli = 400L)),
+    // ...and the time-decay model completing the classic trio: power-of-two
+    // recency weights, weight-proportional integer split, remainder-to-last
+    "events_attribution_decay" -> ((s, dir) =>
+      EventStats.decayAttribution(rd(s, dir, "events"), "user_id", "event_type",
+        convType = "purchase", lookbackDays = 7, halfLifeDays = 2)),
     // length-bucketed dynamic batching: global length deciles, then
     // running-budget batch ids within each bucket (padding-waste killer)
     "pack_buckets" -> ((s, dir) =>
@@ -462,6 +467,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
         .limit(20)
+    }),
+    // TPC-H Q14 shape: monthly promo revenue share — broadcast dim join,
+    // exact cents, DECIMAL(38,0) intermediate for the milli ratio
+    "promo_share" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)")
+          .as("__cents"))
+      val p = rd(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("month"))
+        .agg(sum(when(col("p_type") === "PROMO", col("__cents")).otherwise(0L))
+            .as("promo_cents"),
+          sum(col("__cents")).as("total_cents"))
+        .select(col("month"), col("promo_cents"), col("total_cents"),
+          expr("CAST(CAST(promo_cents AS DECIMAL(38,0)) * 1000 DIV total_cents AS BIGINT)")
+            .as("promo_milli"))
+    }),
+    // TPC-H Q18 shape: big-volume orders — the selective HAVING survivors
+    // broadcast into the orders/customer joins (never the other way)
+    "orders_top_volume" -> ((s, dir) => {
+      val big = rd(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_quantity") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("sum_qty_micro"))
+        .filter(col("sum_qty_micro") > lit(200L * 1000000L))
+      val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+      val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      broadcast(big).join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_date"),
+          col("sum_qty_micro"))
     }),
     // C4-style line rules over the paragraph-ized corpus: >= 3 words AND
     // corpus-frequent lines (>= 2 docs) dropped, doc rebuilt + digested
@@ -693,6 +730,15 @@ object SparkEntry {
           docs.filter(col("doc_id") < 20), "doc_id", "text", n = 13)
         .filter(col("doc_id") =!= col("bench_id"))
     }),
+    // per-SOURCE contamination rates — which mixture component is leaking
+    // benchmark data (the drop/down-weight decision input)
+    "decontaminate_rollup" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val pairs = Decontaminate.flagged(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 20), "doc_id", "text", n = 13)
+        .filter(col("doc_id") =!= col("bench_id"))
+      Decontaminate.sourceRollup(docs, "doc_id", "source", pairs)
+    }),
     // near-match decontamination — catches paraphrased/partial benchmark
     // leaks the exact 13-gram rule misses
     "decontaminate_fuzzy" -> ((s, dir) => {
@@ -894,6 +940,14 @@ object SparkEntry {
       val docs = rd(s, dir, "documents")
       val idx = Bm25.index(docs, "doc_id", "text")
       Bm25.topKIndexed(idx, docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
+    }),
+    // MaxScore/WAND-pruned BM25 over the impact-ordered index: θ from the
+    // per-term top-k impact prefixes, non-essential terms skipped, ONLY
+    // candidate docs aggregated — hash parity with bm25_topk (same oracle)
+    "bm25_wand" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      Bm25.topKMaxScore(Bm25.index(docs, "doc_id", "text"),
+        docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
     }),
     // pseudo-relevance feedback: round-1 top-3 docs vote 5 expansion terms,
     // round 2 re-ranks on the expanded vocabulary — the short-query recall
@@ -1770,19 +1824,32 @@ object SparkEntry {
 
   /** Shared by the `decontaminate` gate and the streaming face's batch gate
     * (`stream_decon_batch`) — both emit the same distinct collision pairs. */
-  private lazy val decontaminateSql: String = {
+  private lazy val decontamCtes: String = {
     val gram13 = (0 until 13).map(k => s"ws[g+$k]").mkString(" || ' ' || ")
-    s"""WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+    s"""d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
        |cg AS (
        |  SELECT doc_id, $gram13 AS gram
        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 12, 0))) AS g FROM d)
        |),
        |ch AS (SELECT DISTINCT doc_id, ${Oracles.tHashSql("gram")} AS gh FROM cg),
-       |bh AS (SELECT doc_id AS bench_id, gh FROM ch WHERE doc_id < 20)
+       |bh AS (SELECT doc_id AS bench_id, gh FROM ch WHERE doc_id < 20)""".stripMargin
+  }
+
+  private lazy val decontaminateSql: String =
+    s"""WITH $decontamCtes
        |SELECT DISTINCT c.doc_id, b.bench_id
        |FROM ch c JOIN bh b ON c.gh = b.gh
        |WHERE c.doc_id <> b.bench_id""".stripMargin
-  }
+
+  private lazy val decontaminateRollupSql: String =
+    s"""WITH $decontamCtes,
+       |sel AS (SELECT DISTINCT c.doc_id FROM ch c JOIN bh b ON c.gh = b.gh
+       |        WHERE c.doc_id <> b.bench_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(s.doc_id) AS BIGINT) AS n_flagged,
+       |  CAST((count(s.doc_id) * 1000) // count(*) AS BIGINT) AS flag_milli
+       |FROM documents d LEFT JOIN sel s ON d.doc_id = s.doc_id
+       |GROUP BY d.source""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "simjoin_words" ->
@@ -1981,6 +2048,7 @@ object SparkEntry {
          |)
          |SELECT lid, rid, round(sim, 6) AS sim FROM ranked WHERE rn <= 3""".stripMargin,
     "decontaminate" -> decontaminateSql,
+    "decontaminate_rollup" -> decontaminateRollupSql,
     // same collision-pair semantics through the streaming face's batch path
     "stream_chunk_batch" -> Oracles.streamChunkBatchSql(20),
     "stream_decon_batch" -> decontaminateSql,
@@ -2075,6 +2143,8 @@ object SparkEntry {
     },
     "ann_lsh" -> Oracles.annLshSql(5, 8, "q.vec_id < 50", nTables = 2),
     "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
+    // result-identity contract of MaxScore pruning: SAME oracle as bm25_topk
+    "bm25_wand" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "bm25_prf" -> Oracles.bm25PrfSql(10, 3, 5, "doc_id < 5"),
     "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
@@ -2328,6 +2398,27 @@ object SparkEntry {
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
+    "promo_share" ->
+      """WITH lc AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
+        |  CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |m AS (SELECT month,
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN c ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(c) AS BIGINT) AS total_cents
+        |  FROM lc JOIN part p ON lc.l_partkey = p.p_partkey GROUP BY month)
+        |SELECT month, promo_cents, total_cents,
+        |  CAST(CAST(promo_cents AS HUGEINT) * 1000 // total_cents AS BIGINT) AS promo_milli
+        |FROM m""".stripMargin,
+    "orders_top_volume" ->
+      """WITH lq AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_micro
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT)) > 200000000)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date, lq.sum_qty_micro
+        |FROM lq JOIN orders o ON lq.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
     "orders_q4" ->
       """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o
@@ -2349,6 +2440,7 @@ object SparkEntry {
     "events_decayed" -> Oracles.eventsDecayedSql(7),
     "events_attribution" -> Oracles.linearAttributionSql("purchase", 7),
     "events_attribution_u" -> Oracles.positionAttributionSql("purchase", 7, 400L, 400L),
+    "events_attribution_decay" -> Oracles.decayAttributionSql("purchase", 7, 2),
     "events_assoc_rules" -> Oracles.associationRulesSql,
     "events_churn" -> Oracles.weeklyChurnSql,
     "events_heatmap" ->

@@ -165,6 +165,105 @@ object Bm25 {
     topKIndexedTerms(idxP, qt0.unionByName(exp), k, k1, b)
   }
 
+  /** The exact per-posting BM25 contribution in integer micro-units, over
+    * columns (__idf, __tf, __dl, __tw, __nd). Query-INDEPENDENT once k1/b
+    * are fixed — which is what makes an impact-ordered index possible:
+    * [[scoreHitsTerms]] and [[topKMaxScore]] share this expression, so the
+    * pruned ranking is bit-identical to the exhaustive one. */
+  private def impactExpr(k1: Double, b: Double) =
+    floor(col("__idf").cast("double") *
+        (col("__tf").cast("double") * lit(k1 + 1.0) /
+          (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            (col("__dl").cast("double") /
+              (col("__tw").cast("double") / col("__nd").cast("double")))))))
+      .cast("long")
+
+  /**
+   * BM25 top-k with MAXSCORE pruning over an IMPACT-ORDERED posting view
+   * (Turtle & Flood 1995; the WAND/MaxScore family) — RESULT-IDENTICAL to
+   * [[topKIndexed]] (the gate shares its oracle), but the expensive
+   * per-(query, doc) aggregation only sees documents that can still enter
+   * the top k:
+   *
+   *  1. Per-posting IMPACT = the exact integer contribution (see
+   *     [[impactExpr]] — BM25 contributions are query-independent), and a
+   *     per-term upper bound `U(t) = max impact`.
+   *  2. A cheap THRESHOLD pass over each term's top-k-by-impact posting
+   *     PREFIX (exactly the prefix an impact-ordered index serves first):
+   *     θ(q) = k-th best per-doc single-posting impact seen there. Any
+   *     full score ≥ its best single impact, so θ is a LOWER bound on the
+   *     true k-th best score; fewer than k docs → no θ → no pruning.
+   *  3. MaxScore term partition: per query, terms sorted by U ascending;
+   *     the prefix whose running ΣU stays < θ is NON-ESSENTIAL — a doc
+   *     matching only those terms scores ≤ ΣU < θ ≤ (k-th best) and can
+   *     never rank, even via the id tie-break (strictly below θ).
+   *     Candidates = docs with ≥ 1 essential-term posting; candidates are
+   *     then scored over ALL their query-term postings.
+   *
+   * Scale shape: the impact relation is built once per (k1, b) — at scale
+   * it IS the persisted impact-ordered index, and steps 1–2 read only its
+   * per-term prefixes (k·|query vocab| rows). The candidate semi-join
+   * shrinks the dominant hit-relation exchange to candidate docs before
+   * any aggregation — the more selective the threshold, the less moves.
+   * Persisted here for its three consumers; same never-unpersist contract
+   * as [[topKPrf]] (callers/Bench clear the SQL cache between queries).
+   *
+   * @return (query_id, doc_id, score_micro, rank) — identical to
+   *         [[topKIndexed]] on the same inputs.
+   */
+  def topKMaxScore(
+      idx: DataFrame, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = idx.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+      col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    val tot = tf.select(col("__d"), col("__dl")).distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    val qt = queries
+      .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
+      .distinct()
+    val qterms = qt.select(col("__w")).distinct()
+    val tfq = tf.join(broadcast(qterms), "__w")
+    val idf = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(tot))
+      .select(col("__w"),
+        floor(log((col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+            (col("__df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+          .cast("long").as("__idf"),
+        col("__tw"), col("__nd"))
+    val imp = tfq.join(broadcast(idf), "__w")
+      .select(col("__w"), col("__d"), impactExpr(k1, b).as("__imp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ub = imp.groupBy(col("__w")).agg(max(col("__imp")).as("__ub"))
+    val wPre = Window.partitionBy(col("__w")).orderBy(col("__imp").desc, col("__d").asc)
+    val cheap = imp.withColumn("__pr", row_number().over(wPre))
+      .filter(col("__pr") <= k)
+      .join(broadcast(qt), "__w")
+      .groupBy(col("__q"), col("__d")).agg(max(col("__imp")).as("__m"))
+    val theta = cheap.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__q")).orderBy(col("__m").desc, col("__d").asc)))
+      .filter(col("__rn") === k)
+      .select(col("__q"), col("__m").as("__theta"))
+    val wCs = Window.partitionBy(col("__q")).orderBy(col("__ub").asc, col("__w").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ess = qt.join(broadcast(ub), "__w")
+      .join(broadcast(theta), Seq("__q"), "left")
+      .withColumn("__cs", sum(col("__ub")).over(wCs))
+      .filter(col("__cs") >= coalesce(col("__theta"), lit(Long.MinValue)))
+      .select(col("__q"), col("__w"))
+    val cand = imp.join(broadcast(ess), "__w")
+      .select(col("__q"), col("__d")).distinct()
+    val scores = imp.join(broadcast(qt), "__w")
+      .join(cand, Seq("__q", "__d"), "left_semi")
+      .groupBy(col("__q"), col("__d"))
+      .agg(sum(col("__imp")).as("score_micro"))
+    val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
+
   /** Shared scoring tail of [[topK]] / [[topKIndexed]]: query-vocabulary
     * semi-join, integer micro-nat idf, exact integer per-(query, doc) sums,
     * rank-limited top-k window. `tf` = (__d, __dl, __w, __tf); `tot` = one
@@ -201,13 +300,7 @@ object Bm25 {
           .cast("long").as("__idf"),
         col("__tw"), col("__nd"))
     val contrib = tfq.join(broadcast(qt), "__w").join(broadcast(idf), "__w")
-      .select(col("__q"), col("__d"),
-        floor(col("__idf").cast("double") *
-            (col("__tf").cast("double") * lit(k1 + 1.0) /
-              (col("__tf").cast("double") + lit(k1) * (lit(1.0 - b) + lit(b) *
-                (col("__dl").cast("double") /
-                  (col("__tw").cast("double") / col("__nd").cast("double")))))))
-          .cast("long").as("__c"))
+      .select(col("__q"), col("__d"), impactExpr(k1, b).as("__c"))
     val scores = contrib.groupBy(col("__q"), col("__d"))
       .agg(sum(col("__c")).as("score_micro"))
     val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)

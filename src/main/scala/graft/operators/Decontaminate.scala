@@ -260,6 +260,36 @@ object Decontaminate {
    *         per bench doc; leak_milli = (leaked*1000) div total (0 when the
    *         doc is shorter than k).
    */
+  /**
+   * PER-SOURCE CONTAMINATION ROLLUP — the ops dashboard over [[flagged]] /
+   * [[fuzzyFlagged]]: for every corpus source, how many docs it
+   * contributed, how many are contaminated, and the rate in integer milli.
+   * The per-source rate is what drives mixture decisions (drop or
+   * down-weight a leaking source) — doc-level flags alone don't localize
+   * the leak. Takes the flagged PAIRS as a relation so callers compose it
+   * with either flagger (and can drop self-pairs first when the bench set
+   * is drawn from the corpus).
+   *
+   * Plan shape: flags distinct to doc ids (bench-bounded small), one left
+   * join against the slim (id, source) projection, one source-keyed
+   * rollup — no text is touched here at all.
+   *
+   * @param flaggedDocs any frame with an `idCol` column of flagged doc ids
+   * @return (sourceCol, n_docs, n_flagged, flag_milli)
+   */
+  def sourceRollup(
+      corpus: DataFrame, idCol: String, sourceCol: String,
+      flaggedDocs: DataFrame): DataFrame = {
+    val bad = flaggedDocs.select(col(idCol)).distinct()
+      .withColumn("__f", lit(1L))
+    corpus.select(col(idCol), col(sourceCol))
+      .join(bad, Seq(idCol), "left")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), count(col("__f")).as("n_flagged"))
+      .select(col(sourceCol), col("n_docs"), col("n_flagged"),
+        expr("(n_flagged * 1000) DIV n_docs").as("flag_milli"))
+  }
+
   def leakReport(
       corpus: DataFrame, textCol: String,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,

@@ -328,13 +328,42 @@ object EventStats {
                ELSE $mid DIV (__n - 2) END"""))
   }
 
+  /**
+   * TIME-DECAY ATTRIBUTION — the third classic model beside
+   * [[linearAttribution]] and [[positionAttribution]], same join/window
+   * machinery: each touch is weighted by a power-of-two recency decay
+   * `w = 2^30 >> min(days_before_conversion DIV halfLifeDays, 30)` (the
+   * [[decayedEngagement]] halving-staircase stance: integer shifts instead
+   * of exp(−λt) keep every intermediate BIGINT-exact and oracle-hashable),
+   * and credit is the weight-proportional integer split
+   * `1000·w DIV Σw` with the remainder absorbed by the LAST touch — every
+   * touched conversion distributes EXACTLY 1000 milli, like the other two
+   * models (the conservation law the gates hash).
+   * @return (typeCol, n_touches, credit_milli, n_first, n_last)
+   */
+  def decayAttribution(
+      events: DataFrame, userCol: String, typeCol: String,
+      convType: String, lookbackDays: Int = 7, halfLifeDays: Int = 2): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    attributionRollup(events, userCol, typeCol, convType, lookbackDays,
+      col("__base") +
+        when(col("__rl") === 1, lit(1000L) - col("__bsum")).otherwise(lit(0L)),
+      weightExpr = Some(expr(
+        s"shiftright(CAST(1073741824 AS BIGINT), " +
+          s"CAST(least((__cus - __us) DIV ${86400L * 1000000L * halfLifeDays}, 30) AS INT))")))
+  }
+
   /** Shared conversion-window core of the attribution models: touches in the
     * lookback window before each conversion, with per-conversion count and
-    * first/last ranks exposed as `__n`/`__rf`/`__rl` to `creditExpr`. */
+    * first/last ranks exposed as `__n`/`__rf`/`__rl` to `creditExpr`. With
+    * `weightExpr` (over `__us`/`__cus`) the weighted-split columns are also
+    * exposed: `__base = 1000·w DIV Σw` and its per-conversion sum `__bsum`
+    * (so the caller can hand the integer remainder to one touch). */
   private def attributionRollup(
       events: DataFrame, userCol: String, typeCol: String,
       convType: String, lookbackDays: Int,
-      creditExpr: org.apache.spark.sql.Column): DataFrame = {
+      creditExpr: org.apache.spark.sql.Column,
+      weightExpr: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
     val lookUs = lookbackDays.toLong * 86400L * 1000000L
     val ev = events.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
@@ -351,10 +380,19 @@ object EventStats {
     val wn = Window.partitionBy(col("__cid"))
     val wLast = wn.orderBy(col("__us").desc, col("__e").desc)
     val wFirst = wn.orderBy(col("__us").asc, col("__e").asc)
-    joined
+    val ranked = joined
       .withColumn("__n", count(lit(1)).over(wn))
       .withColumn("__rl", row_number().over(wLast))
       .withColumn("__rf", row_number().over(wFirst))
+    // NOTE __wt/__wsum, not __w/__W: Spark's resolver is case-insensitive,
+    // so a __W withColumn would silently REPLACE __w.
+    val weighted = weightExpr.fold(ranked) { we =>
+      ranked.withColumn("__wt", we)
+        .withColumn("__wsum", sum(col("__wt")).over(wn))
+        .withColumn("__base", expr("(1000 * __wt) DIV __wsum"))
+        .withColumn("__bsum", sum(col("__base")).over(wn))
+    }
+    weighted
       .select(col("__t"), creditExpr.as("__credit"), col("__rl"), col("__rf"))
       .groupBy(col("__t").as(typeCol))
       .agg(count(lit(1)).as("n_touches"), sum(col("__credit")).as("credit_milli"),

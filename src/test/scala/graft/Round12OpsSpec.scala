@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Specs for the round-12 additions: MaxScore-pruned BM25, time-decay
+  * attribution, the per-source decontamination rollup, and the TPC-H
+  * Q14/Q18 shapes' building blocks. */
+class Round12OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("round12-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---- topKMaxScore -------------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "apple banana cherry apple"),
+    (2L, "banana cherry date elderberry"),
+    (3L, "apple apple apple fig"),
+    (4L, "grape honeydew kiwi lemon"),
+    (5L, "apple banana grape grape grape"),
+    (6L, "cherry cherry cherry banana"),
+    (7L, "date fig grape apple banana cherry"),
+    (8L, "mango nectarine orange papaya"))
+
+  test("topKMaxScore is result-identical to topKIndexed") {
+    val docs = docsDf(corpus)
+    val queries = docsDf(Seq((100L, "apple banana"), (200L, "grape"),
+      (300L, "cherry date fig")))
+    val idx = Bm25.index(docs, "doc_id", "text")
+    for (k <- Seq(1, 2, 3, 8)) {
+      val full = Bm25.topKIndexed(idx, queries, "doc_id", "text", k)
+        .orderBy("query_id", "rank").collect().toSeq
+      val pruned = Bm25.topKMaxScore(idx, queries, "doc_id", "text", k)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(pruned == full, s"k=$k")
+    }
+  }
+
+  test("topKMaxScore: query with fewer matches than k returns all, unpruned") {
+    val docs = docsDf(corpus)
+    val queries = docsDf(Seq((1L, "mango")))
+    val idx = Bm25.index(docs, "doc_id", "text")
+    val out = Bm25.topKMaxScore(idx, queries, "doc_id", "text", 5).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("doc_id") == 8L)
+  }
+
+  test("topKMaxScore: query with no matching terms returns nothing") {
+    val docs = docsDf(corpus)
+    val queries = docsDf(Seq((1L, "zzz qqq")))
+    val idx = Bm25.index(docs, "doc_id", "text")
+    assert(Bm25.topKMaxScore(idx, queries, "doc_id", "text", 3).count() == 0L)
+  }
+
+  // ---- decayAttribution ---------------------------------------------------
+
+  def eventsDf(rows: Seq[(Long, Long, String, java.sql.Timestamp)]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+  }
+
+  private def ts(day: Int, hour: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("decayAttribution conserves exactly 1000 milli per touched conversion") {
+    val ev = eventsDf(Seq(
+      (1L, 1L, "click", ts(1)), (2L, 1L, "view", ts(3)), (3L, 1L, "click", ts(5)),
+      (4L, 1L, "purchase", ts(6)),
+      (5L, 2L, "view", ts(2)), (6L, 2L, "purchase", ts(4)),
+      (7L, 3L, "purchase", ts(8)))) // touchless conversion: attributes nothing
+    val out = EventStats.decayAttribution(ev, "user_id", "event_type",
+      "purchase", lookbackDays = 7, halfLifeDays = 2).collect()
+    assert(out.map(_.getAs[Long]("credit_milli")).sum == 2000L)
+    assert(out.map(_.getAs[Long]("n_touches")).sum == 4L)
+  }
+
+  test("decayAttribution weights recent touches above stale ones") {
+    // two touches, same channel names so we separate via distinct types:
+    // "old" 6 days out (3 half-lives -> w = 2^27), "new" same-day (w = 2^30)
+    val ev = eventsDf(Seq(
+      (1L, 1L, "old", ts(1)), (2L, 1L, "new", ts(7, 12)),
+      (3L, 1L, "purchase", ts(7, 18))))
+    val out = EventStats.decayAttribution(ev, "user_id", "event_type",
+      "purchase", lookbackDays = 7, halfLifeDays = 2)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("credit_milli")).toMap
+    // w_old = 2^27, w_new = 2^30: base_old = 1000*1/9 = 111, base_new = 888,
+    // remainder (1) to the last touch ("new")
+    assert(out("old") == 111L)
+    assert(out("new") == 889L)
+  }
+
+  // ---- sourceRollup -------------------------------------------------------
+
+  test("sourceRollup counts flagged docs per source with milli rate") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "web"), (2L, "web"), (3L, "web"), (4L, "books"))
+      .toDF("doc_id", "source")
+    val flagged = Seq(Tuple1(1L), Tuple1(1L), Tuple1(3L)).toDF("doc_id")
+    val out = Decontaminate.sourceRollup(corpus, "doc_id", "source", flagged)
+      .orderBy("source").collect()
+    assert(out(0).getAs[String]("source") == "books")
+    assert(out(0).getAs[Long]("n_flagged") == 0L && out(0).getAs[Long]("flag_milli") == 0L)
+    assert(out(1).getAs[Long]("n_docs") == 3L)
+    assert(out(1).getAs[Long]("n_flagged") == 2L)
+    assert(out(1).getAs[Long]("flag_milli") == 666L)
+  }
+}
