@@ -359,6 +359,15 @@ object SparkEntry {
     "events_decayed" -> ((s, dir) =>
       EventStats.decayedEngagement(rd(s, dir, "events"), "user_id", "value",
         halfLifeDays = 7)),
+    // streaming face of decayed engagement: fixed-anchor O(1)-per-event
+    // state fold, batch-frame run ≡ the batch op (same oracle)
+    "stream_decayed_batch" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+      val anchor = ev.filter(col("value").isNotNull)
+        .agg(max(to_date(graft.streaming.EventTime.tsCol(ev))).as("d"))
+        .collect()(0).getDate(0) // 1-row anchor collect, the documented O(1) side
+      graft.streaming.StreamDecay.scores(ev, "user_id", "value", anchor, 7).toDF()
+    }),
     // linear multi-touch attribution: each purchase's 7-day touch window
     // splits exactly 1000 milli-credits (remainder to the last touch)
     "events_attribution" -> ((s, dir) =>
@@ -776,6 +785,13 @@ object SparkEntry {
       val emb = rd(s, dir, "embeddings")
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
+    }),
+    // filtered vector search: top-k among label=3 vectors only — the
+    // pre-filter strategy (exact k among survivors, predicate pushed to scan)
+    "ann_filtered" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.topKFiltered(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        emb, "vec_id", "embedding", col("label") === 3, 5, excludeSelf = true)
     }),
     // hard-negative mining: top-k most-similar DIFFERENT-label vectors per
     // anchor — the contrastive-training counterpart of ann_topk
@@ -2184,6 +2200,26 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= 5""".stripMargin,
+    "ann_filtered" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |f AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS ea, c.embedding AS eb
+        |  FROM q JOIN f c ON q.vec_id <> c.vec_id
+        |),
+        |s AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cosine
+        |  FROM p
+        |),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= 5""".stripMargin,
     "ann_hard_negatives" ->
       """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
         |p AS (
@@ -2438,6 +2474,8 @@ object SparkEntry {
     "ann_binary_rerank" -> Oracles.annBinaryRerankSql(5, 20, "vec_id < 50"),
     "ann_binary_recall" -> Oracles.annBinaryRecallSql(5, 20, "vec_id < 50"),
     "events_decayed" -> Oracles.eventsDecayedSql(7),
+    // the streaming fold with anchor = max day IS the batch op — same oracle
+    "stream_decayed_batch" -> Oracles.eventsDecayedSql(7),
     "events_attribution" -> Oracles.linearAttributionSql("purchase", 7),
     "events_attribution_u" -> Oracles.positionAttributionSql("purchase", 7, 400L, 400L),
     "events_attribution_decay" -> Oracles.decayAttributionSql("purchase", 7, 2),

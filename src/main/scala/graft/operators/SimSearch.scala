@@ -244,6 +244,31 @@ object SimSearch {
   }
 
   /**
+   * FILTERED vector search — top-k among corpus vectors satisfying a
+   * metadata predicate (the production retrieval shape: "nearest docs in
+   * language X / under license Y / from source Z"). This is the
+   * PRE-FILTER strategy: the predicate restricts the corpus BEFORE any
+   * scoring, so each query gets exactly k qualifying neighbors — unlike
+   * post-filtering an unfiltered k-shortlist, which under-fills whenever
+   * fewer than k of the nearest k pass the predicate. Relationally the
+   * predicate is just a filter ahead of the scan, so Catalyst pushes it
+   * into the parquet source (with the corpus partitioned/bucketed by the
+   * filter column it prunes whole files); the scoring plan is [[topK]]'s
+   * broadcast-query pass over the survivors.
+   *
+   * @param predicate filter over the corpus frame's columns
+   * @return (query_id, neighbor_id, cosine) — exactly min(k, survivors)
+   *         rows per query
+   */
+  def topKFiltered(
+      queries: DataFrame, qId: String, qVec: String,
+      corpus: DataFrame, cId: String, cVec: String,
+      predicate: org.apache.spark.sql.Column,
+      k: Int, excludeSelf: Boolean = false): DataFrame =
+    topK(queries, qId, qVec, corpus.filter(predicate), cId, cVec, k,
+      excludeSelf = excludeSelf)
+
+  /**
    * 64-BIT SIGN FINGERPRINTS — the most aggressive embedding compression
    * (1 bit per dimension: bit d set iff component d > 0): a 64-dim float32
    * vector becomes ONE Long, 32× smaller than the floats and cheaper to

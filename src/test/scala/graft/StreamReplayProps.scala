@@ -148,4 +148,50 @@ class StreamReplayProps extends AnyFunSuite {
       }
     }
   }
+
+  test("StreamDecay.scores: shuffled arrival replays to identical final scores") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // 3 users x 8 events over 9 days; per-event contributions commute, so
+    // the FINAL per-user (n, cents) must be arrival-order-invariant.
+    val events = (for {
+      u <- 1L to 3L
+      i <- 0 until 8
+    } yield (u * 100 + i, u,
+      new Timestamp((1704067200L + (i.toLong * 86400L + u * 3600L)) * 1000L),
+      1.0 + u * 0.5 + i)).toVector
+    val anchor = java.sql.Date.valueOf("2024-01-08") // = max event day (UTC)
+
+    def run(order: Vector[(Long, Long, Timestamp, Double)], tag: String): Map[Long, (Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-decay-$tag").toFile
+      val schema = order.take(1).toDF("event_id", "user_id", "ts", "value").schema
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+      val out = graft.streaming.StreamDecay.scores(
+        stream.toDF(), "user_id", "value", anchor, halfLifeDays = 2)
+      val q = out.toDF().writeStream.format("memory").queryName(s"decay_$tag")
+        .outputMode("append").start()
+      try {
+        order.grouped((order.size + 3) / 4).zipWithIndex.foreach { case (chunk, bi) =>
+          chunk.toDF("event_id", "user_id", "ts", "value").write.parquet(dir + s"/in/b$bi")
+          q.processAllAvailable()
+        }
+        // final totals = the emission with the highest running n per user
+        spark.table(s"decay_$tag").collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+          .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).maxBy(_._1) }
+      } finally q.stop()
+    }
+
+    val a = run(events, "a")
+    val b = run(shuffled(events, seed = 31337L), "b")
+    assert(a.keySet == Set(1L, 2L, 3L) && a.values.forall(_._1 == 8L))
+    assert(b == a, "shuffled replay diverged from in-order run")
+    // ...and the stream's final state equals the batch op at the same anchor
+    val batch = graft.operators.EventStats.decayedEngagement(
+        events.toDF("event_id", "user_id", "ts", "value"), "user_id", "value",
+        halfLifeDays = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch == a, "stream final state diverged from the batch op")
+  }
 }
