@@ -2820,6 +2820,58 @@ object Oracles {
        |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS v_micro FROM v$nIters""".stripMargin
   }
 
+  /** Mirror of Embeddings.secondComponent: the powerIteration chain, then
+    * Hotelling deflation (λ = uᵀCu/uᵀu in the same per-term-div-10⁶
+    * canonical order) and a second unrolled power loop over the deflated
+    * matrix. */
+  def secondComponentSql(dims: Int, nIters: Int): String = {
+    def steps(cmN: String, p: String) = (1 to nIters).map { r =>
+      s"""${p}mv$r AS (
+         |  SELECT $cmN.i, sum($cmN.c * ${p}v${r - 1}.vj // 1000000) AS m
+         |  FROM $cmN JOIN ${p}v${r - 1} ON ${p}v${r - 1}.j = $cmN.j
+         |  GROUP BY 1
+         |),
+         |${p}mx$r AS (SELECT greatest(max(abs(m)), 1) AS mx FROM ${p}mv$r),
+         |${p}v$r AS (
+         |  SELECT ${p}mv$r.i AS j, ${p}mv$r.m * 1000000 // ${p}mx$r.mx AS vj
+         |  FROM ${p}mv$r CROSS JOIN ${p}mx$r
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pe AS (
+       |  SELECT embedding AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims
+       |),
+       |px AS (
+       |  SELECT i.i - 1 AS i, j.j - 1 AS j,
+       |    CAST(floor(CAST(e[i.i] AS DOUBLE) * CAST(e[j.j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS p
+       |  FROM pe
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) i
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS j) j
+       |),
+       |cm AS (
+       |  SELECT i, j, CAST(sum(p) AS BIGINT) // count(*) AS c
+       |  FROM px GROUP BY 1, 2
+       |),
+       |v0 AS (SELECT unnest(generate_series(0, ${dims - 1})) AS j, CAST(1000000 AS BIGINT) AS vj),
+       |${steps("cm", "")},
+       |uD AS (SELECT CAST(sum(vj * vj // 1000000) AS BIGINT) AS d FROM v$nIters),
+       |ucu AS (SELECT cm.i, CAST(sum(cm.c * u.vj // 1000000) AS BIGINT) AS cu
+       |        FROM cm JOIN v$nIters u ON u.j = cm.j GROUP BY 1),
+       |uN AS (SELECT CAST(sum(u.vj * c.cu // 1000000) AS BIGINT) AS n
+       |       FROM v$nIters u JOIN ucu c ON c.i = u.j),
+       |ul AS (SELECT (uN.n * 1000000) // uD.d AS lam, uD.d AS d FROM uN CROSS JOIN uD),
+       |cm2 AS (
+       |  SELECT cm.i, cm.j,
+       |    cm.c - (((ul.lam * ui.vj) // 1000000) * uj.vj) // ul.d AS c
+       |  FROM cm JOIN v$nIters ui ON ui.j = cm.i
+       |  JOIN v$nIters uj ON uj.j = cm.j
+       |  CROSS JOIN ul
+       |),
+       |wv0 AS (SELECT unnest(generate_series(0, ${dims - 1})) AS j, CAST(1000000 AS BIGINT) AS vj),
+       |${steps("cm2", "w")}
+       |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS v2_micro FROM wv$nIters""".stripMargin
+  }
+
   /** Mirror of Embeddings.removeTopComponent: the powerIteration chain's
     * direction as a double list, then the per-vector projection residuals
     * with the same d-ascending folds. */

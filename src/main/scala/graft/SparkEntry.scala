@@ -1284,6 +1284,11 @@ object SparkEntry {
     "emb_power_iter" -> ((s, dir) =>
       Embeddings.powerIteration(rd(s, dir, "embeddings"), "embedding",
         dims = 16, nIters = 3)),
+    // PC2 by Hotelling deflation: λ·uuᵀ/uᵀu removed from the co-moment
+    // matrix, same integer power loop on the deflated cells
+    "emb_pca2" -> ((s, dir) =>
+      Embeddings.secondComponent(rd(s, dir, "embeddings"), "embedding",
+        dims = 16, nIters = 3)),
     // the debias move itself: subtract each vector's projection onto that
     // direction — pure per-row map once the d-number direction is known
     "emb_debias" -> ((s, dir) =>
@@ -2706,6 +2711,7 @@ object SparkEntry {
       s"""SELECT vec_id, zkey FROM (${Oracles.zorderKeySql(4, 8)}) z
          |WHERE zkey BETWEEN 0 AND 2147483647""".stripMargin,
     "emb_power_iter" -> Oracles.powerIterationSql(16, 3),
+    "emb_pca2" -> Oracles.secondComponentSql(16, 3),
     "emb_debias" -> Oracles.removeTopComponentSql(16, 3),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "len_rank_sketch" ->

@@ -174,9 +174,15 @@ object Embeddings {
       df: DataFrame, vecCol: String, dims: Int, nIters: Int = 3): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     require(nIters >= 1, s"nIters must be >= 1, got $nIters")
-    val spark = df.sparkSession
-    val base = df.where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
-    val cm = base
+    powerLoop(df.sparkSession, coMoment(df, vecCol, dims), dims, nIters)
+      .select(col("__j").cast("long").as("dim"), col("__vj").as("v_micro"))
+  }
+
+  /** The quantized mean co-moment relation (__i, __j, __c) of
+    * [[powerIteration]] step 1, localCheckpointed (consumed once per power
+    * step, and twice more by [[secondComponent]]'s deflation). */
+  private def coMoment(df: DataFrame, vecCol: String, dims: Int): DataFrame =
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
       .select(posexplode(expr(s"slice($vecCol, 1, $dims)")).as(Seq("__i", "__xi")),
         col(vecCol).as("__v"))
       .select(col("__i"), posexplode(expr(s"slice(__v, 1, $dims)")).as(Seq("__j", "__xj")),
@@ -189,7 +195,13 @@ object Embeddings {
       // magnitudes stay ~10⁶ at ANY corpus size so the per-step products
       // below cannot overflow a Long at 100 TB)
       .select(col("__i"), col("__j"), expr("__s div __n").as("__c"))
-      .localCheckpoint(true) // consumed once per power step
+      .localCheckpoint(true)
+
+  /** The unrolled integer power loop of [[powerIteration]] step 2 over any
+    * (__i, __j, __c) matrix relation; returns (__j, __vj) at max|v| = 10⁶. */
+  private def powerLoop(
+      spark: org.apache.spark.sql.SparkSession, cm: DataFrame,
+      dims: Int, nIters: Int): DataFrame = {
     var v = spark.range(dims).select(col("id").cast("int").as("__j"),
       lit(1000000L).as("__vj"))
     for (_ <- 1 to nIters) {
@@ -200,7 +212,50 @@ object Embeddings {
       v = mv.crossJoin(broadcast(mx))
         .select(col("__i").as("__j"), expr("__m * 1000000L div __mx").as("__vj"))
     }
-    v.select(col("__j").cast("long").as("dim"), col("__vj").as("v_micro"))
+    v
+  }
+
+  /**
+   * SECOND PRINCIPAL DIRECTION by HOTELLING DEFLATION — the next PCA read
+   * after [[powerIteration]]'s top component (2-D drift maps, the second
+   * debias direction of all-but-the-top variants): with the dominant
+   * direction `u` and its Rayleigh quotient `λ = uᵀCu/uᵀu`, the deflated
+   * matrix `C' = C − λ·uuᵀ/(uᵀu)` has u's eigenvalue removed, and the same
+   * integer power loop on C' converges to the runner-up direction.
+   *
+   * Every deflation quantity stays in the micro-unit BIGINT discipline
+   * (per-term `div 10⁶` before each sum, one canonical operation order), so
+   * the whole chain — co-moment, first loop, deflation, second loop — is
+   * bit-identical in the unrolled-CTE oracle, like every other iterative
+   * receipt in the library. Magnitude audit at d ≤ 64: cells ~10⁶, u ~10⁶,
+   * `Cu` ~ d·10⁶, λ_micro ~ 10⁷ — every product ≤ ~10¹⁴, far under Long.
+   *
+   * @return (dim 0..d-1, v2_micro) — second direction, max|v| = 10⁶ scale
+   */
+  def secondComponent(
+      df: DataFrame, vecCol: String, dims: Int, nIters: Int = 3): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    require(nIters >= 1, s"nIters must be >= 1, got $nIters")
+    val spark = df.sparkSession
+    val cm = coMoment(df, vecCol, dims)
+    val u = powerLoop(spark, cm, dims, nIters)
+    val uD = u.agg(sum(expr("__vj * __vj div 1000000L")).as("__D"))
+    val cu = cm.join(u, Seq("__j"))
+      .groupBy(col("__i"))
+      .agg(sum(expr("__c * __vj div 1000000L")).as("__cu"))
+    val uN = cu.join(u.select(col("__j").as("__i"), col("__vj").as("__ui")), Seq("__i"))
+      .agg(sum(expr("__ui * __cu div 1000000L")).as("__N"))
+    val lam = uN.crossJoin(uD)
+      .select(expr("__N * 1000000L div __D").as("__lam"), col("__D"))
+    val cm2 = cm
+      .join(u.select(col("__j").as("__i"), col("__vj").as("__ui")), Seq("__i"))
+      .join(u.select(col("__j"), col("__vj").as("__uj")), Seq("__j"))
+      .crossJoin(broadcast(lam))
+      .select(col("__i"), col("__j"),
+        expr("__c - ((__lam * __ui div 1000000L) * __uj div __D)").as("__c"))
+      .localCheckpoint(true) // consumed once per second-loop step
+    powerLoop(spark, cm2, dims, nIters)
+      .select(col("__j").cast("long").as("dim"), col("__vj").as("v2_micro"))
   }
 
   /**

@@ -104,6 +104,28 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("new") == 889L)
   }
 
+  // ---- secondComponent ----------------------------------------------------
+
+  test("secondComponent recovers the runner-up axis after deflation") {
+    val s = spark
+    import s.implicits._
+    // x = (3·s1, s2, 0, 0) with s1, s2 independent sign patterns:
+    // E[xxT] = diag(9, 1, 0, 0) -> top direction e0, second e1
+    val vecs = (0 until 64).map { k =>
+      val s1 = if (k % 2 == 0) 1.0f else -1.0f
+      val s2 = if ((k / 2) % 2 == 0) 1.0f else -1.0f
+      (k.toLong, Seq(3.0f * s1, s2, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val v1 = Embeddings.powerIteration(vecs, "embedding", dims = 4, nIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v2 = Embeddings.secondComponent(vecs, "embedding", dims = 4, nIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // top component concentrates on dim 0, second on dim 1
+    assert(math.abs(v1(0L)) == 1000000L && math.abs(v1(1L)) < 100000L)
+    assert(math.abs(v2(1L)) == 1000000L, s"v2=$v2")
+    assert(math.abs(v2(0L)) < 100000L, s"v2=$v2")
+  }
+
   // ---- sourceRollup -------------------------------------------------------
 
   test("sourceRollup counts flagged docs per source with milli rate") {
