@@ -3765,6 +3765,33 @@ object Oracles {
        |LEFT JOIN kfd d ON n.node = d.node""".stripMargin
   }
 
+  /** Mirror of the graph_labelprop composition: [[knnGraphCtes]] mutual
+    * edges + `rounds` unrolled synchronous majority-vote label rounds
+    * (neighbor labels + one self-vote, ties to the smallest label). */
+  def labelPropagationSql(k: Int, nPlanes: Int, nTables: Int,
+      rounds: Int): String = {
+    val prop = (1 to rounds).map { r =>
+      s"""lv$r AS (SELECT e.a AS n, x.l FROM medges e JOIN lp${r - 1} x ON e.b = x.n
+         |  UNION ALL SELECT n, l FROM lp${r - 1}),
+         |lc$r AS (SELECT n, l, count(*) AS c FROM lv$r GROUP BY 1, 2),
+         |lp$r AS (SELECT n, l FROM (
+         |  SELECT n, l, row_number() OVER (PARTITION BY n ORDER BY c DESC, l ASC) AS rn
+         |  FROM lc$r) WHERE rn = 1),""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+       |mut AS (
+       |  SELECT a.src AS id_a, a.nbr AS id_b
+       |  FROM kg a JOIN kg b ON a.src = b.nbr AND a.nbr = b.src
+       |  WHERE a.src < a.nbr
+       |),
+       |medges AS (SELECT id_a AS a, id_b AS b FROM mut
+       |           UNION SELECT id_b AS a, id_a AS b FROM mut),
+       |lp0 AS (SELECT DISTINCT vec_id AS n, vec_id AS l FROM embeddings),
+       |$prop
+       |lpz AS (SELECT 1)
+       |SELECT n AS vec_id, CAST(l AS BIGINT) AS label FROM lp$rounds""".stripMargin
+  }
+
   /** TPC-H Q10-shape returned-item report: exact integer cents, top 20 by
     * (revenue desc, custkey asc). */
   def ordersReturnsSql: String =

@@ -424,6 +424,14 @@ object SparkEntry {
         Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3), "id_a", "id_b",
         kcore = 2, rounds = 3)
     }),
+    // majority-vote label propagation over the same mutual-kNN graph:
+    // 3 synchronous rounds, self-vote + smallest-label ties (deterministic)
+    "graph_labelprop" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      GraphRank.labelPropagation(emb.select(col("vec_id")), "vec_id",
+        Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3), "id_a", "id_b",
+        rounds = 3)
+    }),
     // ORC round trip: typed columnar interchange — every column bit-exact
     // including empty strings (the CSV caveat does not apply)
     "source_orc" -> ((s, dir) => {
@@ -2502,6 +2510,7 @@ object SparkEntry {
     "bootstrap_draws" -> Oracles.bootstrapDrawsSql(0),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
+    "graph_labelprop" -> Oracles.labelPropagationSql(3, 8, 2, 3),
     "source_orc" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,

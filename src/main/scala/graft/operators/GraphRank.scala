@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -282,5 +283,48 @@ object GraphRank {
         coalesce(col("__in"), lit(0L)).as("in_core"),
         when(col("__in").isNotNull, coalesce(col("__deg"), lit(0L)))
           .otherwise(lit(0L)).as("deg"))
+  }
+
+  /**
+   * BOUNDED-ROUND LABEL PROPAGATION (Raghavan et al. 2007) — community
+   * detection by majority vote, the cheap alternative to modularity
+   * methods: every node starts as its own label; each synchronous round a
+   * node adopts the most frequent label among its neighbors PLUS one
+   * self-vote, ties broken by smallest label (the pinned-determinism
+   * variant — vanilla LPA breaks ties randomly, which no oracle can hash).
+   * Fixed `rounds` like [[kCorePeel]] (the bounded-rounds receipt stance);
+   * each round is one edge-keyed join, one (node, label) count, one argmax
+   * window — three exchanges, no quadratic anything, label frames stay one
+   * Long pair per node.
+   *
+   * @param nodes (idCol) — isolated nodes keep their own label
+   * @param edges undirected pairs (aCol, bCol)
+   * @return (idCol, label)
+   */
+  def labelPropagation(
+      nodes: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .union(edges.select(col(bCol).as("__a"), col(aCol).as("__b")))
+      .distinct()
+      .localCheckpoint() // consumed once per round
+    var lab = nodes.select(col(idCol).as("__n")).distinct()
+      .withColumn("__l", col("__n"))
+    (1 to rounds).foreach { _ =>
+      val votes = und
+        .join(lab.select(col("__n").as("__b"), col("__l")), Seq("__b"))
+        .select(col("__a").as("__n"), col("__l"))
+        .unionByName(lab)
+        .groupBy(col("__n"), col("__l")).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("__n"))
+        .orderBy(col("__c").desc, col("__l").asc)
+      lab = votes.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("__n"), col("__l"))
+        // cut the doubling join lineage between rounds (the CC stance)
+        .localCheckpoint()
+    }
+    lab.select(col("__n").as(idCol), col("__l").as("label"))
   }
 }

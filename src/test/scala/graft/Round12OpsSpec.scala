@@ -104,6 +104,23 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out("new") == 889L)
   }
 
+  // ---- labelPropagation ---------------------------------------------------
+
+  test("labelPropagation converges two cliques to their min labels") {
+    val s = spark
+    import s.implicits._
+    // cliques {1,2,3,4} and {10,11,12}, one isolated node 99
+    val cl1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cl2 = for (a <- 10L to 12L; b <- (a + 1) to 12L) yield (a, b)
+    val edges = (cl1 ++ cl2).toDF("id_a", "id_b")
+    val nodes = (Seq(99L) ++ (1L to 4L) ++ (10L to 12L)).toDF("vec_id")
+    val out = GraphRank.labelPropagation(nodes, "vec_id", edges, "id_a", "id_b",
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(out(_) == 1L), s"clique1: $out")
+    assert((10L to 12L).forall(out(_) == 10L), s"clique2: $out")
+    assert(out(99L) == 99L, "isolated node must keep its own label")
+  }
+
   // ---- secondComponent ----------------------------------------------------
 
   test("secondComponent recovers the runner-up axis after deflation") {
