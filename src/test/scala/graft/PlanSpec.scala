@@ -503,4 +503,43 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       plan)
   }
+
+  test("promo_share joins lineitem to the part dim via BroadcastHashJoin") {
+    val plan = SparkEntry.queries("promo_share")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the fact table must never be the build side: exactly the dim broadcasts
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("orders_top_volume broadcasts the HAVING survivors into both joins") {
+    val plan = SparkEntry.queries("orders_top_volume")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("ann_filtered is a PRE-filter: full k among survivors, all matching") {
+    // (the scoring pass crosses an RDD boundary, so the predicate pushdown
+    // itself isn't visible in this plan — pin the pre-filter SEMANTICS:
+    // post-filtering a k-shortlist would under-fill; pre-filtering cannot)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = SparkEntry.queries("ann_filtered")(spark, "/root/testdata/sf0.001")
+    val perQuery = out.groupBy(col("query_id")).count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == 5L),
+      "every query must get exactly k qualifying neighbors")
+    val badLabel = out.join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .filter(col("label") =!= 3).count()
+    assert(badLabel == 0L, "a neighbor escaped the predicate")
+  }
+
+  test("bm25_wand candidate pruning keeps the final aggregation under a semi-join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.operators.Bm25.topKMaxScore(
+        graft.operators.Bm25.index(docs, "doc_id", "text"),
+        docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
+      .queryExecution.executedPlan.toString
+    // the full scorer is gated by the candidate semi-join (MaxScore's point)
+    assert(plan.contains("LeftSemi"), plan)
+  }
 }
