@@ -485,6 +485,32 @@ object SparkEntry {
         .orderBy(col("revenue_cents").desc, col("c_custkey").asc)
         .limit(20)
     }),
+    // TPC-H Q7 shape: cross-nation trade flows — lineitem shuffles once per
+    // key join, both nation dims broadcast with their predicates pushed down
+    "orders_nation_trade" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)")
+          .as("__cents"))
+      val n = rd(s, dir, "nation")
+      val sup = rd(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n.filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = rd(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n.filter(col("n_name").isin("NATION_1", "NATION_2"))
+          .select(col("n_nationkey").as("__nk2"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("__nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
+    }),
     // TPC-H Q14 shape: monthly promo revenue share — broadcast dim join,
     // exact cents, DECIMAL(38,0) intermediate for the milli ratio
     "promo_share" -> ((s, dir) => {
@@ -793,6 +819,13 @@ object SparkEntry {
       val emb = rd(s, dir, "embeddings")
       SimSearch.topK(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
         emb, "vec_id", "embedding", 5, excludeSelf = true)
+    }),
+    // leave-one-out k-NN label accuracy: majority-vote confusion counts —
+    // the "are these embeddings any good" receipt
+    "knn_accuracy" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      SimSearch.knnLabelReport(emb.filter(col("vec_id") < 200), "vec_id", "embedding",
+        "label", emb, "vec_id", "embedding", "label", 5)
     }),
     // filtered vector search: top-k among label=3 vectors only — the
     // pre-filter strategy (exact k among survivors, predicate pushed to scan)
@@ -2213,6 +2246,37 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine FROM r WHERE rn <= 5""".stripMargin,
+    "knn_accuracy" ->
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 200),
+        |c AS (SELECT vec_id, embedding, label FROM embeddings WHERE label IS NOT NULL),
+        |p AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS ea,
+        |         c.embedding AS eb, c.label AS nl
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id
+        |),
+        |s AS (
+        |  SELECT query_id, neighbor_id, nl,
+        |    list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, len(ea)), i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(generate_series(1, len(eb)), i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))) AS cosine
+        |  FROM p
+        |),
+        |r AS (
+        |  SELECT query_id, nl,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        |  FROM s
+        |),
+        |v AS (SELECT query_id, nl, count(*) AS c FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT query_id, nl FROM (
+        |    SELECT query_id, nl, row_number() OVER (PARTITION BY query_id ORDER BY c DESC, nl ASC) AS vr
+        |    FROM v) WHERE vr = 1
+        |)
+        |SELECT CAST(q.label AS BIGINT) AS label_true, CAST(pr.nl AS BIGINT) AS label_pred,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM pr JOIN q ON pr.query_id = q.vec_id
+        |WHERE q.label IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "ann_filtered" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
         |f AS (SELECT vec_id, embedding FROM embeddings WHERE label = 3),
@@ -2447,6 +2511,24 @@ object SparkEntry {
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
+    "orders_nation_trade" ->
+      """WITH sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_name IN ('NATION_1', 'NATION_2')),
+        |cust AS (SELECT c_custkey, n_name AS cust_nation FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_name IN ('NATION_1', 'NATION_2'))
+        |SELECT sup.supp_nation, cust.cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN sup ON l.l_suppkey = sup.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN cust ON o.o_custkey = cust.c_custkey
+        |WHERE sup.supp_nation <> cust.cust_nation
+        |GROUP BY 1, 2, 3""".stripMargin,
     "promo_share" ->
       """WITH lc AS (SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS month,
         |  CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS c

@@ -269,6 +269,43 @@ object SimSearch {
       excludeSelf = excludeSelf)
 
   /**
+   * k-NN LABEL EVALUATION — the embedding-quality receipt: predict each
+   * query's label by majority vote of its k nearest LABELED neighbors
+   * (cosine; self excluded, so corpus-drawn queries get leave-one-out
+   * semantics) and roll up (true, predicted) confusion counts. The standard
+   * "are these embeddings any good" probe before a space is trusted for
+   * dedup/retrieval/clustering. Vote determinism: (count desc, label asc);
+   * the k-cut itself is already (cosine desc, id asc)-pinned in [[topK]].
+   *
+   * Scale shape: [[topK]]'s broadcast-query scoring pass (queries bounded,
+   * corpus never shuffled), one label join on the k·|queries| neighbor
+   * relation, one windowed argmax, one confusion rollup.
+   *
+   * @return (label_true, label_pred, n) — BIGINT labels, one row per
+   *         confusion cell with ≥ 1 query
+   */
+  def knnLabelReport(
+      queries: DataFrame, qId: String, qVec: String, qLabel: String,
+      corpus: DataFrame, cId: String, cVec: String, cLabel: String,
+      k: Int): DataFrame = {
+    val nn = topK(queries, qId, qVec,
+      corpus.filter(col(cLabel).isNotNull), cId, cVec, k, excludeSelf = true)
+    val votes = nn.join(
+        corpus.select(col(cId).as("neighbor_id"), col(cLabel).cast("long").as("__nl")),
+        Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__nl")).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__c").desc, col("__nl").asc)
+    val pred = votes.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("__nl").as("label_pred"))
+    queries.filter(col(qLabel).isNotNull)
+      .select(col(qId).as("query_id"), col(qLabel).cast("long").as("label_true"))
+      .join(pred, Seq("query_id"))
+      .groupBy(col("label_true"), col("label_pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
    * 64-BIT SIGN FINGERPRINTS — the most aggressive embedding compression
    * (1 bit per dimension: bit d set iff component d > 0): a 64-dim float32
    * vector becomes ONE Long, 32× smaller than the floats and cheaper to
