@@ -3769,6 +3769,14 @@ object Oracles {
     * edges + `rounds` unrolled synchronous majority-vote label rounds
     * (neighbor labels + one self-vote, ties to the smallest label). */
   def labelPropagationSql(k: Int, nPlanes: Int, nTables: Int,
+      rounds: Int): String =
+    s"""WITH ${labelPropCtes(k, nPlanes, nTables, rounds)}
+       |SELECT n AS vec_id, CAST(l AS BIGINT) AS label FROM lp$rounds""".stripMargin
+
+  /** Shared CTE body of [[labelPropagationSql]] / [[modularitySql]]: mutual
+    * kNN edges (`mut`/`medges`) + the unrolled vote rounds ending at
+    * `lp<rounds>`. */
+  private def labelPropCtes(k: Int, nPlanes: Int, nTables: Int,
       rounds: Int): String = {
     val prop = (1 to rounds).map { r =>
       s"""lv$r AS (SELECT e.a AS n, x.l FROM medges e JOIN lp${r - 1} x ON e.b = x.n
@@ -3778,7 +3786,7 @@ object Oracles {
          |  SELECT n, l, row_number() OVER (PARTITION BY n ORDER BY c DESC, l ASC) AS rn
          |  FROM lc$r) WHERE rn = 1),""".stripMargin
     }.mkString("\n")
-    s"""WITH ${knnGraphCtes(k, nPlanes, nTables)},
+    s"""${knnGraphCtes(k, nPlanes, nTables)},
        |mut AS (
        |  SELECT a.src AS id_a, a.nbr AS id_b
        |  FROM kg a JOIN kg b ON a.src = b.nbr AND a.nbr = b.src
@@ -3788,9 +3796,30 @@ object Oracles {
        |           UNION SELECT id_b AS a, id_a AS b FROM mut),
        |lp0 AS (SELECT DISTINCT vec_id AS n, vec_id AS l FROM embeddings),
        |$prop
-       |lpz AS (SELECT 1)
-       |SELECT n AS vec_id, CAST(l AS BIGINT) AS label FROM lp$rounds""".stripMargin
+       |lpz AS (SELECT 1)""".stripMargin
   }
+
+  /** Mirror of GraphRank.modularity over the graph_labelprop composition:
+    * Q·10⁶ with both rational terms integer-divided in the same canonical
+    * order (HUGEINT intermediates for the volume-squared sum). */
+  def modularitySql(k: Int, nPlanes: Int, nTables: Int, rounds: Int): String =
+    s"""WITH ${labelPropCtes(k, nPlanes, nTables, rounds)},
+       |el AS (SELECT m.id_a, m.id_b, la.l AS la, lb.l AS lb
+       |       FROM mut m JOIN lp$rounds la ON la.n = m.id_a
+       |       JOIN lp$rounds lb ON lb.n = m.id_b),
+       |mw AS (SELECT count(*) AS m,
+       |         sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS w FROM el),
+       |dg AS (SELECT v, count(*) AS d FROM (
+       |         SELECT id_a AS v FROM mut UNION ALL SELECT id_b AS v FROM mut)
+       |       GROUP BY 1),
+       |vl AS (SELECT lp.l, CAST(sum(dg.d) AS BIGINT) AS vol
+       |       FROM dg JOIN lp$rounds lp ON lp.n = dg.v GROUP BY 1),
+       |s2 AS (SELECT sum(CAST(vol AS HUGEINT) * vol) AS s2 FROM vl)
+       |SELECT CAST(mw.m AS BIGINT) AS m, CAST(mw.w AS BIGINT) AS n_within,
+       |  CAST(CAST((CAST(mw.w AS HUGEINT) * 1000000) // mw.m AS BIGINT)
+       |    - CAST((s2.s2 * 1000000) // (4::HUGEINT * mw.m * mw.m) AS BIGINT)
+       |    AS BIGINT) AS q_micro
+       |FROM mw CROSS JOIN s2""".stripMargin
 
   /** TPC-H Q10-shape returned-item report: exact integer cents, top 20 by
     * (revenue desc, custkey asc). */

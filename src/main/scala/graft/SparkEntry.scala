@@ -432,6 +432,14 @@ object SparkEntry {
         Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3), "id_a", "id_b",
         rounds = 3)
     }),
+    // ...and its quality receipt: Newman modularity of those communities
+    "graph_modularity" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val edges = Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3)
+      val labels = GraphRank.labelPropagation(emb.select(col("vec_id")), "vec_id",
+        edges, "id_a", "id_b", rounds = 3)
+      GraphRank.modularity(edges, "id_a", "id_b", labels, "vec_id", "label")
+    }),
     // ORC round trip: typed columnar interchange — every column bit-exact
     // including empty strings (the CSV caveat does not apply)
     "source_orc" -> ((s, dir) => {
@@ -2593,6 +2601,7 @@ object SparkEntry {
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
     "graph_labelprop" -> Oracles.labelPropagationSql(3, 8, 2, 3),
+    "graph_modularity" -> Oracles.modularitySql(3, 8, 2, 3),
     "source_orc" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,

@@ -327,4 +327,44 @@ object GraphRank {
     }
     lab.select(col("__n").as(idCol), col("__l").as("label"))
   }
+
+  /**
+   * NEWMAN MODULARITY of a community assignment — the one-number receipt
+   * for [[labelPropagation]] (and any other clustering over the same
+   * graph): `Q = within/m − Σ_c vol_c²/(4m²)`, reported as `q_micro =
+   * ⌊Q·10⁶⌋` with both rational terms integer-divided separately in one
+   * canonical order, so the value is reduction-order-proof and
+   * oracle-hashable. DECIMAL(38,0) carries the volume-squared sum (vol_c²
+   * would pass BIGINT near ~10¹² edges — the overflow-discipline stance).
+   *
+   * Scale shape: two label joins on the edge relation, one degree count,
+   * one per-community volume rollup — every frame is edges- or
+   * communities-sized, nothing quadratic.
+   *
+   * @param edges distinct undirected pairs (aCol, bCol)
+   * @param labels (nodeCol, labelCol) covering every endpoint
+   * @return single row (m, n_within, q_micro)
+   */
+  def modularity(
+      edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val el = e
+      .join(lab.select(col("__n").as("__a"), col("__l").as("__la")), Seq("__a"))
+      .join(lab.select(col("__n").as("__b"), col("__l").as("__lb")), Seq("__b"))
+    val mw = el.agg(count(lit(1)).as("m"),
+      sum(when(col("__la") === col("__lb"), 1L).otherwise(0L)).as("n_within"))
+    val deg = e.select(col("__a").as("__v"))
+      .union(e.select(col("__b").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+    val vol = deg.join(lab.select(col("__n").as("__v"), col("__l")), Seq("__v"))
+      .groupBy(col("__l")).agg(sum(col("__d")).as("__vol"))
+    val s2 = vol.agg(sum(expr("CAST(__vol AS DECIMAL(38,0)) * __vol")).as("__s2"))
+    mw.crossJoin(broadcast(s2))
+      .select(col("m"), col("n_within"),
+        (expr("CAST(CAST(n_within AS DECIMAL(38,0)) * 1000000 DIV m AS BIGINT)") -
+          expr("CAST(__s2 * 1000000 DIV (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"))
+          .as("q_micro"))
+  }
 }

@@ -121,6 +121,27 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out(99L) == 99L, "isolated node must keep its own label")
   }
 
+  // ---- modularity ---------------------------------------------------------
+
+  test("modularity: clique communities score high, one-blob labels score zero") {
+    val s = spark
+    import s.implicits._
+    val cl1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val cl2 = for (a <- 10L to 12L; b <- (a + 1) to 12L) yield (a, b)
+    val edges = (cl1 ++ cl2 :+ (4L, 10L)).toDF("id_a", "id_b") // one bridge
+    val nodes = ((1L to 4L) ++ (10L to 12L)).toSeq
+    val goodLabels = nodes.map(n => (n, if (n < 10L) 1L else 10L)).toDF("vec_id", "label")
+    val blobLabels = nodes.map(n => (n, 7L)).toDF("vec_id", "label")
+    val good = GraphRank.modularity(edges, "id_a", "id_b", goodLabels, "vec_id", "label")
+      .collect().head
+    val blob = GraphRank.modularity(edges, "id_a", "id_b", blobLabels, "vec_id", "label")
+      .collect().head
+    assert(good.getAs[Long]("m") == 10L && good.getAs[Long]("n_within") == 9L)
+    // all edges within one community: Q = m/m - (2m)^2/(4m^2) = 0 exactly
+    assert(blob.getAs[Long]("q_micro") == 0L)
+    assert(good.getAs[Long]("q_micro") > 300000L, s"good=$good") // Q ≈ 0.4
+  }
+
   // ---- secondComponent ----------------------------------------------------
 
   test("secondComponent recovers the runner-up axis after deflation") {
