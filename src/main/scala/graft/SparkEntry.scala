@@ -738,6 +738,9 @@ object SparkEntry {
     // per-source unigram KL vs the corpus mixture — domain-shift monitor
     "source_kl" -> ((s, dir) =>
       CorpusStats.sourceKlDivergence(rd(s, dir, "documents"), "text", "source")),
+    // one-row mixture-balance receipt: source entropy + dominant share
+    "source_entropy" -> ((s, dir) =>
+      CorpusStats.mixtureEntropy(rd(s, dir, "documents"), "source", "n_chars")),
     // Gopher rule-based quality flags (integer-exact rule evaluation)
     "gopher_flags" -> ((s, dir) =>
       CorpusStats.gopherFlags(rd(s, dir, "documents"), "doc_id", "text")),
@@ -2491,6 +2494,16 @@ object SparkEntry {
     "chunk_dedup_keep_first" -> Oracles.chunkDedupSql(20, 2, keepFirst = true),
     "dedup_rate_by_source" -> Oracles.dedupRateBySourceSql,
     "source_kl" -> Oracles.sourceKlSql,
+    "source_entropy" ->
+      """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w FROM documents
+        |           WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(max(t.t) AS BIGINT) AS total_w,
+        |  CAST(sum(CAST(floor(ln(CAST(t.t AS DOUBLE) / w.w) * 1000000.0 * w.w / t.t)
+        |    AS BIGINT)) AS BIGINT) AS entropy_micro,
+        |  CAST(max((w.w * 1000) // t.t) AS BIGINT) AS max_share_milli
+        |FROM w CROSS JOIN t""".stripMargin,
     "gopher_flags" -> Oracles.gopherFlagsSql(10, 100000, 2000L, 10000L, 2),
     "pipeline_curate" -> Oracles.curatePipelineSql(0.5, 200L),
     "pipeline_shards" -> Oracles.pipelineShardsSql(0.5, 200L, 1024L, 10),

@@ -553,6 +553,34 @@ object CorpusStats {
 
   /**
    * PER-SOURCE UNIGRAM KL DIVERGENCE vs the whole corpus — the domain-shift
+   * MIXTURE-BALANCE RECEIPT — Shannon entropy of the char-weighted source
+   * mixture plus its dominant share, the one-row dashboard for "is one
+   * source eating the corpus": `H = Σ_s (w_s/T)·ln(T/w_s)` in integer
+   * micro-nats (each source's term floored on a single canonical double
+   * path, then summed exactly — the [[unigramLogLoss]] idiom), and
+   * `max_share_milli = max_s ⌊1000·w_s/T⌋`. H near ln(n_sources) means
+   * balanced; H near 0 or a large max share means collapse.
+   *
+   * Scale shape: one source-keyed rollup + a broadcast 1-row total —
+   * nothing else moves.
+   *
+   * @return single row (n_sources, total_w, entropy_micro, max_share_milli)
+   */
+  def mixtureEntropy(
+      docs: DataFrame, sourceCol: String, weightCol: String): DataFrame = {
+    val w = docs.filter(col(sourceCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(sum(col(weightCol).cast("long")).as("__w"))
+    val t = w.agg(sum(col("__w")).as("__t"))
+    w.crossJoin(broadcast(t))
+      .select(col("__w"), col("__t"),
+        expr("CAST(floor(ln(CAST(__t AS DOUBLE) / __w) * 1000000.0 * __w / __t) AS BIGINT)")
+          .as("__e"))
+      .agg(count(lit(1)).as("n_sources"), max(col("__t")).as("total_w"),
+        sum(col("__e")).as("entropy_micro"),
+        max(expr("(__w * 1000) DIV __t")).as("max_share_milli"))
+  }
+
+  /**
    * monitor for multi-source crawls: KL(p_source ‖ p_corpus) =
    * Σ_w p_s(w)·ln(p_s(w)/p(w)) over the source's observed words (p_s(w) > 0
    * always, p(w) > 0 because the corpus contains the source — no smoothing
