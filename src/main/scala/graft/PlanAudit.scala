@@ -63,7 +63,12 @@ object PlanAudit {
       "ql_topk", "emb_outliers", "orders_returns", "ann_binary",
       "ann_binary_rerank", "ann_binary_recall", "graph_kcore", "source_orc",
       "events_decayed", "events_attribution", "pack_buckets", "text_rake",
-      "lineitem_q6", "stream_quota_batch")
+      "lineitem_q6", "stream_quota_batch",
+      // round 12
+      "bm25_wand", "events_attribution_decay", "decontaminate_rollup",
+      "promo_share", "orders_top_volume", "orders_nation_trade",
+      "stream_decayed_batch", "ann_filtered", "knn_accuracy", "emb_pca2",
+      "graph_labelprop", "graph_modularity", "source_entropy")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
