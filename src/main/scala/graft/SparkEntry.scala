@@ -519,6 +519,22 @@ object SparkEntry {
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
     }),
+    // TPC-H Q19 shape: disjunctive brand/size/quantity revenue — the
+    // OR-predicate pushdown showcase (part dim broadcast, cents exact)
+    "orders_brand_revenue" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)")
+          .as("__cents"))
+      val p = rd(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter((col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
+    }),
     // TPC-H Q14 shape: monthly promo revenue share — broadcast dim join,
     // exact cents, DECIMAL(38,0) intermediate for the milli ratio
     "promo_share" -> ((s, dir) => {
@@ -1016,6 +1032,14 @@ object SparkEntry {
       val docs = rd(s, dir, "documents")
       Bm25.topKMaxScore(Bm25.index(docs, "doc_id", "text"),
         docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
+    }),
+    // ...and its encode-once face: the persisted impact-ordered index
+    // (term, doc, imp) — searches never touch tf/dl/idf again
+    "bm25_wand_indexed" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val impIdx = Bm25.impactIndex(Bm25.index(docs, "doc_id", "text"))
+      Bm25.topKMaxScoreIndexed(impIdx, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", 10)
     }),
     // pseudo-relevance feedback: round-1 top-3 docs vote 5 expansion terms,
     // round 2 re-ranks on the expanded vocabulary — the short-query recall
@@ -2218,6 +2242,7 @@ object SparkEntry {
     "bm25_topk" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     // result-identity contract of MaxScore pruning: SAME oracle as bm25_topk
     "bm25_wand" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
+    "bm25_wand_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "bm25_prf" -> Oracles.bm25PrfSql(10, 3, 5, "doc_id < 5"),
     "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
@@ -2532,6 +2557,17 @@ object SparkEntry {
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
+    "orders_brand_revenue" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+        |       AND l.l_quantity BETWEEN 10 AND 40)
+        |   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
+        |       AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "orders_nation_trade" ->
       """WITH sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier s
         |  JOIN nation n ON s.s_nationkey = n.n_nationkey

@@ -233,7 +233,61 @@ object Bm25 {
         col("__tw"), col("__nd"))
     val imp = tfq.join(broadcast(idf), "__w")
       .select(col("__w"), col("__d"), impactExpr(k1, b).as("__imp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    maxScoreSearch(imp, qt, k)
+  }
+
+  /**
+   * The PERSISTED form of [[topKMaxScore]]'s impact relation — the
+   * impact-ordered index proper: per-posting integer impacts for EVERY
+   * corpus term, computed once (BM25 impacts are query-independent given
+   * k1/b — idf's df is a corpus property). Building it pays the one
+   * corpus-vocabulary aggregation an index build owns by design; searches
+   * then never touch tf/dl/idf again — [[topKMaxScoreIndexed]] reads only
+   * (term, doc, imp). At 100 TB this relation, range-ordered by
+   * (term, imp desc), IS the on-disk index layout WAND engines serve from.
+   * @return (term, doc, imp)
+   */
+  def impactIndex(idx: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = idx.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+      col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    val tot = tf.select(col("__d"), col("__dl")).distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    val idf = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(tot))
+      .select(col("__w"),
+        floor(log((col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+            (col("__df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+          .cast("long").as("__idf"),
+        col("__tw"), col("__nd"))
+    tf.join(idf, "__w") // vocab-sized right side: shuffle join, NOT broadcast
+      .select(col("__w").as("term"), col("__d").as("doc"),
+        impactExpr(k1, b).as("imp"))
+  }
+
+  /** [[topKMaxScore]] over a pre-built [[impactIndex]] — bit-identical to
+    * [[topKIndexed]]/[[topKMaxScore]] on the same corpus (gate
+    * `bm25_wand_indexed` shares their oracle). */
+  def topKMaxScoreIndexed(
+      impIdx: DataFrame, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queries
+      .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
+      .distinct()
+    val qterms = qt.select(col("__w")).distinct()
+    val imp = impIdx.select(col("term").as("__w"), col("doc").as("__d"),
+        col("imp").cast("long").as("__imp"))
+      .join(broadcast(qterms), "__w")
+    maxScoreSearch(imp, qt, k)
+  }
+
+  /** Shared MaxScore tail of [[topKMaxScore]]/[[topKMaxScoreIndexed]]: the
+    * θ pass over per-term top-k impact prefixes, the essential-term
+    * partition, and candidates-only full scoring, over a query-term
+    * impact relation `imp(__w, __d, __imp)`. Persisted here for its three
+    * consumers; same never-unpersist contract as [[topKPrf]]. */
+  private def maxScoreSearch(imp0: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+    val imp = imp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ub = imp.groupBy(col("__w")).agg(max(col("__imp")).as("__ub"))
     val wPre = Window.partitionBy(col("__w")).orderBy(col("__imp").desc, col("__d").asc)
     val cheap = imp.withColumn("__pr", row_number().over(wPre))
