@@ -2787,38 +2787,60 @@ object Oracles {
   /** Mirror of Embeddings.powerIteration: quantized mean co-moment matrix +
     * nIters unrolled integer power steps (DuckDB `//` truncates toward zero
     * exactly like Spark's `div` — verified including negatives). */
-  def powerIterationSql(dims: Int, nIters: Int): String = {
+  def powerIterationSql(dims: Int, nIters: Int): String =
+    s"""WITH ${powerIterCtes(dims, nIters, "TRUE", "")}
+       |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS v_micro FROM v$nIters""".stripMargin
+
+  /** CTE chain of [[powerIterationSql]] with a row predicate and a CTE-name
+    * prefix, so two chains (e.g. [[directionDriftSql]]'s slice pair) can
+    * coexist in one query. Final direction lands in `<pfx>v<nIters>`. */
+  private def powerIterCtes(dims: Int, nIters: Int, pred: String,
+      pfx: String): String = {
     val steps = (1 to nIters).map { r =>
-      s"""mv$r AS (
-         |  SELECT cm.i, sum(cm.c * v${r - 1}.vj // 1000000) AS m
-         |  FROM cm JOIN v${r - 1} ON v${r - 1}.j = cm.j
+      s"""${pfx}mv$r AS (
+         |  SELECT ${pfx}cm.i, sum(${pfx}cm.c * ${pfx}v${r - 1}.vj // 1000000) AS m
+         |  FROM ${pfx}cm JOIN ${pfx}v${r - 1} ON ${pfx}v${r - 1}.j = ${pfx}cm.j
          |  GROUP BY 1
          |),
-         |mx$r AS (SELECT greatest(max(abs(m)), 1) AS mx FROM mv$r),
-         |v$r AS (
-         |  SELECT mv$r.i AS j, mv$r.m * 1000000 // mx$r.mx AS vj
-         |  FROM mv$r CROSS JOIN mx$r
+         |${pfx}mx$r AS (SELECT greatest(max(abs(m)), 1) AS mx FROM ${pfx}mv$r),
+         |${pfx}v$r AS (
+         |  SELECT ${pfx}mv$r.i AS j, ${pfx}mv$r.m * 1000000 // ${pfx}mx$r.mx AS vj
+         |  FROM ${pfx}mv$r CROSS JOIN ${pfx}mx$r
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pe AS (
+    s"""${pfx}pe AS (
        |  SELECT embedding AS e FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims AND ($pred)
        |),
-       |px AS (
+       |${pfx}px AS (
        |  SELECT i.i - 1 AS i, j.j - 1 AS j,
        |    CAST(floor(CAST(e[i.i] AS DOUBLE) * CAST(e[j.j] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS p
-       |  FROM pe
+       |  FROM ${pfx}pe
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS i) i
        |  CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS j) j
        |),
-       |cm AS (
+       |${pfx}cm AS (
        |  SELECT i, j, CAST(sum(p) AS BIGINT) // count(*) AS c
-       |  FROM px GROUP BY 1, 2
+       |  FROM ${pfx}px GROUP BY 1, 2
        |),
-       |v0 AS (SELECT unnest(generate_series(0, ${dims - 1})) AS j, CAST(1000000 AS BIGINT) AS vj),
-       |$steps
-       |SELECT CAST(j AS BIGINT) AS dim, CAST(vj AS BIGINT) AS v_micro FROM v$nIters""".stripMargin
+       |${pfx}v0 AS (SELECT unnest(generate_series(0, ${dims - 1})) AS j, CAST(1000000 AS BIGINT) AS vj),
+       |$steps""".stripMargin
   }
+
+  /** Mirror of Embeddings.directionDrift on the even/odd vec_id slices:
+    * two prefixed power chains + one canonical-double cosine. */
+  def directionDriftSql(dims: Int, nIters: Int): String =
+    s"""WITH ${powerIterCtes(dims, nIters, "vec_id % 2 = 0", "da")},
+       |${powerIterCtes(dims, nIters, "vec_id % 2 = 1", "db")},
+       |dj AS (SELECT a.vj AS av, b.vj AS bv
+       |       FROM dav$nIters a JOIN dbv$nIters b ON a.j = b.j),
+       |ds AS (SELECT CAST(sum(av * bv // 1000000) AS BIGINT) AS dot,
+       |         CAST(sum(av * av // 1000000) AS BIGINT) AS na,
+       |         CAST(sum(bv * bv // 1000000) AS BIGINT) AS nb FROM dj)
+       |SELECT CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * nb) * 1000000.0)
+       |    AS BIGINT) AS cos_micro,
+       |  dot AS dot_micro, na AS na_micro, nb AS nb_micro
+       |FROM ds""".stripMargin
 
   /** Mirror of Embeddings.secondComponent: the powerIteration chain, then
     * Hotelling deflation (λ = uᵀCu/uᵀu in the same per-term-div-10⁶

@@ -1360,6 +1360,13 @@ object SparkEntry {
     "emb_power_iter" -> ((s, dir) =>
       Embeddings.powerIteration(rd(s, dir, "embeddings"), "embedding",
         dims = 16, nIters = 3)),
+    // geometry drift receipt: cosine between the even/odd slices' dominant
+    // directions — "did the embedding space rotate", one row
+    "emb_drift" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      Embeddings.directionDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1), "embedding", dims = 16, nIters = 3)
+    }),
     // PC2 by Hotelling deflation: λ·uuᵀ/uᵀu removed from the co-moment
     // matrix, same integer power loop on the deflated cells
     "emb_pca2" -> ((s, dir) =>
@@ -2861,6 +2868,7 @@ object SparkEntry {
          |WHERE zkey BETWEEN 0 AND 2147483647""".stripMargin,
     "emb_power_iter" -> Oracles.powerIterationSql(16, 3),
     "emb_pca2" -> Oracles.secondComponentSql(16, 3),
+    "emb_drift" -> Oracles.directionDriftSql(16, 3),
     "emb_debias" -> Oracles.removeTopComponentSql(16, 3),
     "tokens_cms_topk" -> Oracles.cmsTopTokensSql(1024, 4, 50),
     "len_rank_sketch" ->

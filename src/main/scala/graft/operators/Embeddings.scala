@@ -259,6 +259,38 @@ object Embeddings {
   }
 
   /**
+   * EMBEDDING-SPACE DRIFT RECEIPT — cosine between the dominant directions
+   * of two corpus slices (crawl snapshots, sources, halves): one
+   * [[powerIteration]] per side, then a single canonical-double cosine of
+   * the two micro vectors. "Did the space rotate between snapshots" as one
+   * number — cos near ±10⁶ means the principal axis held (sign is a
+   * start-vector convention, so |cos| is the signal); a drop means the
+   * encoder or the content changed and every downstream ANN/SemDeDup
+   * centroid is stale. Complements the scalar [[graft.operators
+   * .CorpusStats]] drift family (PSI/KS) with a geometry read.
+   *
+   * @return single row (cos_micro, dot_micro, na_micro, nb_micro) — all
+   *         integer; cos_micro = ⌊cos·10⁶⌋ on one canonical double path
+   */
+  def directionDrift(
+      a: DataFrame, b: DataFrame, vecCol: String,
+      dims: Int, nIters: Int = 3): DataFrame = {
+    val ua = powerIteration(a, vecCol, dims, nIters)
+      .select(col("dim"), col("v_micro").as("__a"))
+    val ub = powerIteration(b, vecCol, dims, nIters)
+      .select(col("dim"), col("v_micro").as("__b"))
+    ua.join(ub, "dim")
+      .agg(sum(expr("__a * __b div 1000000L")).as("__dot"),
+        sum(expr("__a * __a div 1000000L")).as("__na"),
+        sum(expr("__b * __b div 1000000L")).as("__nb"))
+      .select(
+        expr("CAST(floor(CAST(__dot AS DOUBLE) / sqrt(CAST(__na AS DOUBLE) * __nb) " +
+          "* 1000000.0) AS BIGINT)").as("cos_micro"),
+        col("__dot").as("dot_micro"), col("__na").as("na_micro"),
+        col("__nb").as("nb_micro"))
+  }
+
+  /**
    * Common-direction DEBIAS — the standard all-but-the-top-component move
    * (Mu & Viswanath 2018 / SIF postprocessing): compute the dominant
    * principal direction with [[powerIteration]] and subtract each vector's
