@@ -3698,6 +3698,27 @@ object Oracles {
          ELSE $mid // (n - 2) END""")
   }
 
+  /** Mirror of EventStats.seasonalBaseline: dense day spine, weekday
+    * (isodow−1 ≡ Spark weekday) baselines via HUGEINT, residuals. */
+  def seasonalBaselineSql: String =
+    s"""WITH ec AS (SELECT event_type AS t, CAST(ts AS DATE) AS d, count(*) AS n
+       |            FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+       |sp AS (SELECT CAST(unnest(generate_series(CAST(min(d) AS TIMESTAMP),
+       |         CAST(max(d) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM ec),
+       |ty AS (SELECT DISTINCT t FROM ec),
+       |dn AS (SELECT ty.t, sp.d, coalesce(ec.n, 0) AS n,
+       |         (isodow(sp.d) - 1) AS dw
+       |       FROM sp CROSS JOIN ty
+       |       LEFT JOIN ec ON ec.t = ty.t AND ec.d = sp.d),
+       |bl AS (SELECT t, dw,
+       |         CAST(CAST(sum(n) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+       |           AS baseline_micro
+       |       FROM dn GROUP BY 1, 2)
+       |SELECT dn.t AS event_type, strftime(dn.d, '%Y-%m-%d') AS day,
+       |  CAST(dn.n AS BIGINT) AS n_events, bl.baseline_micro,
+       |  CAST(dn.n * 1000000 - bl.baseline_micro AS BIGINT) AS resid_micro
+       |FROM dn JOIN bl ON bl.t = dn.t AND bl.dw = dn.dw""".stripMargin
+
   /** Mirror of EventStats.decayAttribution: power-of-two recency weights
     * (2^30 >> days_before DIV halfLife, capped at 30), weight-proportional
     * integer 1000-milli split, remainder to the last touch. */

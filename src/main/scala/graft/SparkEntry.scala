@@ -359,6 +359,10 @@ object SparkEntry {
     "events_decayed" -> ((s, dir) =>
       EventStats.decayedEngagement(rd(s, dir, "events"), "user_id", "value",
         halfLifeDays = 7)),
+    // day-of-week seasonal baseline + residuals over a dense day spine —
+    // "is today unusual for a Tuesday"
+    "events_seasonal" -> ((s, dir) =>
+      EventStats.seasonalBaseline(rd(s, dir, "events"), "event_type")),
     // streaming face of decayed engagement: fixed-anchor O(1)-per-event
     // state fold, batch-frame run ≡ the batch op (same oracle)
     "stream_decayed_batch" -> ((s, dir) => {
@@ -518,6 +522,17 @@ object SparkEntry {
         .filter(col("supp_nation") =!= col("cust_nation"))
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
+    }),
+    // TPC-H Q13 shape: customer order-count distribution INCLUDING
+    // zero-order customers (the left-join-then-histogram classic)
+    "orders_count_dist" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").select(col("c_custkey"))
+      val o = rd(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("__n")) // count skips nulls: 0 for orderless
+        .groupBy(col("__n").as("n_orders"))
+        .agg(count(lit(1)).as("n_customers"))
     }),
     // TPC-H Q19 shape: disjunctive brand/size/quantity revenue — the
     // OR-predicate pushdown showcase (part dim broadcast, cents exact)
@@ -1496,6 +1511,12 @@ object SparkEntry {
       Packing.packByBudget(
         rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", 10000L)),
+    // fixed-length token-stream chunk spans: which training sequences each
+    // doc lands in + boundary-straddle count (the attention-mask read)
+    "pack_chunk_spans" -> ((s, dir) =>
+      Packing.chunkSpans(
+        rd(s, dir, "documents").select(col("doc_id"), wsTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 1024L)),
     // greedy per-source context-window packing (no doc straddles a bin); the
     // oracle unrolls the same fold as a recursive CTE over row_number chains
     "pack_greedy" -> ((s, dir) =>
@@ -2564,6 +2585,12 @@ object SparkEntry {
     "ql_topk" -> Oracles.qlTopKSql(10, 300.0, "doc_id < 5"),
     "emb_outliers" -> Oracles.kmeansOutliersSql(8, 2, 100L),
     "orders_returns" -> Oracles.ordersReturnsSql,
+    "orders_count_dist" ->
+      """WITH cc AS (SELECT c.c_custkey, count(o.o_custkey) AS n
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT CAST(n AS BIGINT) AS n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM cc GROUP BY n""".stripMargin,
     "orders_brand_revenue" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
@@ -2638,6 +2665,7 @@ object SparkEntry {
     "events_attribution" -> Oracles.linearAttributionSql("purchase", 7),
     "events_attribution_u" -> Oracles.positionAttributionSql("purchase", 7, 400L, 400L),
     "events_attribution_decay" -> Oracles.decayAttributionSql("purchase", 7, 2),
+    "events_seasonal" -> Oracles.seasonalBaselineSql,
     "events_assoc_rules" -> Oracles.associationRulesSql,
     "events_churn" -> Oracles.weeklyChurnSql,
     "events_heatmap" ->
@@ -2997,6 +3025,24 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - n_tokens) // 10000 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+    "pack_chunk_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS first_chunk,
+        |  CAST((cum_tokens - 1) // 1024 AS BIGINT) AS last_chunk,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (cum_tokens - 1) // 1024 - (cum_tokens - n_tokens) // 1024 + 1
+        |    ELSE 0 END AS BIGINT) AS n_chunks
         |FROM c""".stripMargin,
     "shuffle_order" ->
       s"""WITH h AS (

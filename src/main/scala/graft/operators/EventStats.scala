@@ -401,6 +401,42 @@ object EventStats {
   }
 
   /**
+   * DAY-OF-WEEK SEASONAL BASELINE + RESIDUALS — the "is today unusual FOR A
+   * TUESDAY" read that a raw daily count can't give: per event type, the
+   * mean daily count for each weekday over a DENSE day spine (min..max —
+   * zero-event days count toward the mean, the [[weeklyChurn]] lesson), and
+   * each day's residual against its weekday baseline. Complements
+   * [[cusum]]-style change detection with an explicitly seasonal model.
+   * Integer-exact: baseline = ⌊Σn·10⁶ / days⌋ via DECIMAL(38,0) (daily
+   * counts at corpus scale push the ×10⁶ product past BIGINT), residual =
+   * n·10⁶ − baseline. Weekday convention: Spark `weekday()` ≡ DuckDB
+   * `isodow − 1`, 0 = Monday (the [[activityHeatmap]] convention).
+   *
+   * Scale shape: one (type, day) count, a days×types spine join (tiny), one
+   * (type, weekday) rollup broadcast back — the event table is touched once.
+   *
+   * @return (typeCol, day, n_events, baseline_micro, resid_micro)
+   */
+  def seasonalBaseline(events: DataFrame, typeCol: String): DataFrame = {
+    val ec = events.filter(col(typeCol).isNotNull)
+      .groupBy(col(typeCol).as("__t"), to_date(EventTime.tsCol(events)).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+    val spine = ec.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
+      .select(explode(expr("sequence(__lo, __hi, INTERVAL 1 DAY)")).as("__d"))
+    val dense = spine.crossJoin(ec.select(col("__t")).distinct())
+      .join(ec, Seq("__t", "__d"), "left")
+      .select(col("__t"), col("__d"), coalesce(col("__n"), lit(0L)).as("__n"))
+      .withColumn("__dw", expr("weekday(__d)"))
+    val bl = dense.groupBy(col("__t"), col("__dw"))
+      .agg(expr("CAST(CAST(sum(__n) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)")
+        .as("baseline_micro"))
+    dense.join(bl, Seq("__t", "__dw"))
+      .select(col("__t").as(typeCol), date_format(col("__d"), "yyyy-MM-dd").as("day"),
+        col("__n").as("n_events"), col("baseline_micro"),
+        (col("__n") * lit(1000000L) - col("baseline_micro")).as("resid_micro"))
+  }
+
+  /**
    * TIME-DECAYED ENGAGEMENT SCORE — recency-weighted per-user value with an
    * INTEGER-EXACT half-life: each event contributes
    * `cents DIV 2^(days_ago DIV halfLifeDays)` (cents = value in exact

@@ -94,6 +94,29 @@ object Packing {
   }
 
   /**
+   * FIXED-LENGTH TOKEN-STREAM CHUNK SPANS — the GPT-style packing read: the
+   * corpus is one id-ordered token stream cut into fixed `chunkLen`
+   * training sequences, and each document reports which sequences it lands
+   * in (`first_chunk = (cum−n) div L`, `last_chunk = (cum−1) div L`) and
+   * how many it spans — what a loader needs for document-boundary
+   * attention masks, and what bounds cross-document bleed in a curriculum.
+   * Zero-token docs span nothing (n_chunks = 0). Same driver-safe two-pass
+   * prefix sum as [[packByBudget]]; exactly SQL-mirrorable.
+   * @return (idCol, nCol, cum_tokens, first_chunk, last_chunk, n_chunks)
+   */
+  def chunkSpans(
+      df: DataFrame, idCol: String, nCol: String, chunkLen: Long): DataFrame = {
+    require(chunkLen > 0L, s"chunkLen must be positive, got $chunkLen")
+    withPrefixSum(df, idCol, nCol, "cum_tokens")
+      .select(col(idCol), col(nCol), col("cum_tokens"),
+        expr(s"(cum_tokens - `$nCol`) div ${chunkLen}L").as("first_chunk"),
+        expr(s"(cum_tokens - 1) div ${chunkLen}L").as("last_chunk"),
+        when(col(nCol) > 0L,
+          expr(s"(cum_tokens - 1) div ${chunkLen}L - (cum_tokens - `$nCol`) div ${chunkLen}L + 1"))
+          .otherwise(lit(0L)).as("n_chunks"))
+  }
+
+  /**
    * RENDEZVOUS (highest-random-weight) shard assignment — the stable
    * re-sharding rule for an incrementally-growing corpus: each row's shard is
    * `argmax_s w(id, s)` over a per-(row, shard) deterministic weight, so
