@@ -68,7 +68,9 @@ object PlanAudit {
       "bm25_wand", "events_attribution_decay", "decontaminate_rollup",
       "promo_share", "orders_top_volume", "orders_nation_trade",
       "stream_decayed_batch", "ann_filtered", "knn_accuracy", "emb_pca2",
-      "graph_labelprop", "graph_modularity", "source_entropy")
+      "graph_labelprop", "graph_modularity", "source_entropy",
+      "orders_count_dist", "orders_brand_revenue", "events_seasonal",
+      "pack_chunk_spans", "emb_drift")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -164,6 +164,42 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(math.abs(v2(0L)) < 100000L, s"v2=$v2")
   }
 
+  // ---- chunkSpans ---------------------------------------------------------
+
+  test("chunkSpans reports boundary straddles off the prefix sum") {
+    val s = spark
+    import s.implicits._
+    // cum = 5, 15, 18 at L=8: doc2 spans chunks 0-1, doc3 spans 1-2
+    val df = Seq((1L, 5L), (2L, 10L), (3L, 3L)).toDF("doc_id", "n_tokens")
+    val out = Packing.chunkSpans(df, "doc_id", "n_tokens", 8L)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("first_chunk") == 0L && out(0).getAs[Long]("n_chunks") == 1L)
+    assert(out(1).getAs[Long]("first_chunk") == 0L && out(1).getAs[Long]("last_chunk") == 1L
+      && out(1).getAs[Long]("n_chunks") == 2L)
+    assert(out(2).getAs[Long]("first_chunk") == 1L && out(2).getAs[Long]("last_chunk") == 2L
+      && out(2).getAs[Long]("n_chunks") == 2L)
+  }
+
+  // ---- seasonalBaseline ---------------------------------------------------
+
+  test("seasonalBaseline: dense spine, weekday means, exact residuals") {
+    val s = spark
+    import s.implicits._
+    // 2 clicks on Mon Jan 1, 4 clicks on Mon Jan 8 -> Monday baseline 3e6;
+    // the Tue..Sun spine days exist with n=0 and baseline 0
+    def t(day: Int, i: Int) =
+      (day * 10L + i, 1L, "click", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:0$i:00"))
+    val ev = (Seq(t(1, 1), t(1, 2)) ++ (1 to 4).map(i => t(8, i)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventStats.seasonalBaseline(ev, "event_type")
+      .collect().map(r => r.getString(1) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("baseline_micro"), r.getAs[Long]("resid_micro"))).toMap
+    assert(out.size == 8, s"dense spine Jan 1..8 expected, got ${out.keys}")
+    assert(out("2024-01-01") == ((2L, 3000000L, -1000000L)))
+    assert(out("2024-01-08") == ((4L, 3000000L, 1000000L)))
+    assert(out("2024-01-03") == ((0L, 0L, 0L))) // zero Wednesday
+  }
+
   // ---- sourceRollup -------------------------------------------------------
 
   test("sourceRollup counts flagged docs per source with milli rate") {
