@@ -7,11 +7,23 @@ import org.apache.spark.sql.SparkSession
  * ONE JSON line {"metric","value","unit","queries",...}. Per-query failures are
  * reported explicitly in an "errors" object (never silently folded into the
  * total); a warmup query amortizes JVM/codegen startup out of the first timing.
+ *
+ * Receipt controls (builder-side; the driver sets neither):
+ *  - SPARK_GRAFT_BENCH_REPS=2 — run each query twice and record BOTH timings:
+ *    `queries` stays the first (cold) pass so the driver-shape is unchanged,
+ *    and a `queries_warm`/`total_warm` pair is added. The warm column is the
+ *    position-independent number (codegen + page cache amortized) that kills
+ *    the every-round cold-vs-warm re-adjudication.
+ *  - SPARK_GRAFT_BENCH_OUT=<path> — ALSO write the JSON line to a round-pinned
+ *    file (e.g. BENCH_BUILDER_r13.json). BENCH_LOCAL.json remains the driver's
+ *    contract file and is overwritten by every run, including the driver's —
+ *    the round-pinned path is the receipt of record that survives.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,7 +39,23 @@ object Bench {
     catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val warmT = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Session hygiene between runs (outside the timed window): cached
+    // blocks left registered by one query would degrade every later one —
+    // the r3 driver bench ran 2-9× slower than isolated reruns from exactly
+    // this (CC/CleanCorpus stage caches compounding across 50 queries).
+    // ...and the RDD-level residue clearCache() cannot see: DenseRank/CC
+    // localCheckpoints and operator persists pin executor blocks until the
+    // ContextCleaner GCs them, which a large idle heap may never trigger —
+    // by query ~80 of 124 the accumulated blocks inflated tail queries
+    // 3-5× over their isolated warm receipts (r9 measurement: full-run
+    // dedup_canonical 14.4 s vs 3.0 s isolated). The finished query's RDDs
+    // are never recomputed, so dropping truncated-lineage blocks is safe.
+    def hygiene(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -37,19 +65,21 @@ object Bench {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      // Session hygiene between queries (outside the timed window): cached
-      // blocks left registered by one query would degrade every later one —
-      // the r3 driver bench ran 2-9× slower than isolated reruns from exactly
-      // this (CC/CleanCorpus stage caches compounding across 50 queries).
-      spark.sharedState.cacheManager.clearCache()
-      // ...and the RDD-level residue clearCache() cannot see: DenseRank/CC
-      // localCheckpoints and operator persists pin executor blocks until the
-      // ContextCleaner GCs them, which a large idle heap may never trigger —
-      // by query ~80 of 124 the accumulated blocks inflated tail queries
-      // 3-5× over their isolated warm receipts (r9 measurement: full-run
-      // dedup_canonical 14.4 s vs 3.0 s isolated). The finished query's RDDs
-      // are never recomputed, so dropping truncated-lineage blocks is safe.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      hygiene()
+      // Optional warm passes: best (min) of reps 2..N, each from a clean
+      // session — measures the plan, not the page-cache lottery.
+      if (reps >= 2 && timings.contains(name)) {
+        var best = Double.MaxValue
+        (2 to reps).foreach { _ =>
+          val t1 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            best = math.min(best, (System.nanoTime() - t1) / 1e9)
+          } catch { case _: Throwable => () }
+          hygiene()
+        }
+        if (best < Double.MaxValue) warmT(name) = best
+      }
     }
     // Stop Spark BEFORE printing: shutdown-hook log lines emitted after the
     // JSON would consume the driver's tail-limited output capture and clip
@@ -65,8 +95,14 @@ object Bench {
     val qs = timings.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = timings.values.sum
+    val warmPart =
+      if (warmT.isEmpty) ""
+      else {
+        val wq = warmT.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
+        s""","total_warm":${"%.3f".format(warmT.values.sum)},"queries_warm":$wq"""
+      }
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}$warmPart}"""
 
     // Durable copy the driver ships whole (cwd = repo root under the driver's
     // sbt invocation): survives any stdout truncation.
@@ -74,6 +110,14 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
+    // Round-pinned builder receipt (driver never sets this env var, so it can
+    // never clobber it — the r12 process defect).
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try {
+        val w = new java.io.PrintWriter(p, "UTF-8")
+        try w.println(line) finally w.close()
+      } catch { case _: Throwable => () }
+    }
 
     // Output layout, tuned for the driver's ~4.5 KB TAIL-limited capture (the
     // r6-r9 BENCH artifacts all lost the head of a single long line, and r9's

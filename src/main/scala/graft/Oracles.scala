@@ -3572,11 +3572,13 @@ object Oracles {
        |GROUP BY x.query_id""".stripMargin
 
   /** Mirror of EventStats.decayedEngagement: integer-cents value halved
-    * every `halfLifeDays` by BIGINT shift, anchored to the corpus max day. */
+    * every `halfLifeDays` by BIGINT shift, anchored to the corpus max day.
+    * Null users excluded on all three faces (batch, stream, oracle) — the
+    * stream op's typed Long key cannot hold null. */
   def eventsDecayedSql(halfLifeDays: Int): String =
     s"""WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day,
        |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
-       |           FROM events WHERE value IS NOT NULL),
+       |           FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
        |mx AS (SELECT max(day) AS maxd FROM d),
        |c AS (SELECT user_id,
        |        cents // (1::BIGINT << CAST(least(

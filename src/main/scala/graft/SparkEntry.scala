@@ -568,7 +568,11 @@ object SparkEntry {
             .as("promo_milli"))
     }),
     // TPC-H Q18 shape: big-volume orders — the selective HAVING survivors
-    // broadcast into the orders/customer joins (never the other way)
+    // broadcast into the orders/customer joins (never the other way), but
+    // SIZE-GUARDED: survivor cardinality is data-dependent (the quantity cut
+    // may stop being selective at 100×), so the explicit hint only applies
+    // when Catalyst's own estimate fits the broadcast budget; otherwise the
+    // hint is dropped and AQE picks the strategy at runtime.
     "orders_top_volume" -> ((s, dir) => {
       val big = rd(s, dir, "lineitem").groupBy(col("l_orderkey"))
         .agg(sum(floor(col("l_quantity") * lit(1000000.0) + lit(0.5)).cast("long"))
@@ -577,7 +581,11 @@ object SparkEntry {
       val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
       val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_name"))
-      broadcast(big).join(o, col("l_orderkey") === col("o_orderkey"))
+      val bigHinted =
+        if (big.queryExecution.optimizedPlan.stats.sizeInBytes <=
+            graft.operators.SimJoin.MaxBroadcastBytes) broadcast(big)
+        else big
+      bigHinted.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_date"),
           col("sum_qty_micro"))
@@ -1560,6 +1568,20 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_before"),
         length(normalizeTextCol(col("text"))).cast("long").as("n_after"),
         md5(normalizeTextCol(col("text"))).as("norm_md5"))),
+    // Unicode NFC canonicalization (UnicodeNormExpr / java.text.Normalizer vs
+    // DuckDB nfc_normalize). The synthetic corpus is ASCII — where NFC is the
+    // identity and would only exercise the fast path — so each doc is probed
+    // with a decomposed accent (e + U+0301 -> é) and the ﬁ ligature (U+FB01,
+    // which NFC must PRESERVE — composition without compatibility folding):
+    // n_before counts 4 probe code points, n_after 3, and the hash pins the
+    // composed byte sequence.
+    "text_normalize_nfc" -> ((s, dir) => {
+      val probed = concat(lit("e\u0301\uFB01 "), col("text"))
+      rd(s, dir, "documents").select(col("doc_id"),
+        length(probed).cast("long").as("n_before"),
+        length(TextFunctions.nfcCol(probed)).cast("long").as("n_after"),
+        md5(TextFunctions.nfcCol(probed)).as("norm_md5"))
+    }),
     "text_repetition" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         repetitionRatioCol(col("text")).as("rep_ratio"))
@@ -2452,6 +2474,17 @@ object SparkEntry {
          |  md5(trim(regexp_replace(regexp_replace(text,
          |    '${TextFunctions.ControlPattern}', ' ', 'g'), '\\s+', ' ', 'g'))) AS norm_md5
          |FROM documents""".stripMargin,
+    // probe = 'e' + combining acute (U+0301) + ﬁ ligature (U+FB01) + space;
+    // NFC composes the accent (4 -> 3 code points) and must keep the ligature
+    "text_normalize_nfc" ->
+      """WITH p AS (
+        |  SELECT doc_id, 'e' || chr(769) || chr(64257) || ' ' || text AS ptext
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(length(ptext) AS BIGINT) AS n_before,
+        |  CAST(length(nfc_normalize(ptext)) AS BIGINT) AS n_after,
+        |  md5(nfc_normalize(ptext)) AS norm_md5
+        |FROM p""".stripMargin,
     "dedup_winnow" ->
       s"""WITH pos AS (
          |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS gp
@@ -3038,8 +3071,10 @@ object SparkEntry {
         |  FROM t
         |)
         |SELECT doc_id, n_tokens, cum_tokens,
-        |  CAST((cum_tokens - n_tokens) // 1024 AS BIGINT) AS first_chunk,
-        |  CAST((cum_tokens - 1) // 1024 AS BIGINT) AS last_chunk,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (cum_tokens - n_tokens) // 1024 END AS BIGINT) AS first_chunk,
+        |  CAST(CASE WHEN n_tokens > 0
+        |    THEN (cum_tokens - 1) // 1024 END AS BIGINT) AS last_chunk,
         |  CAST(CASE WHEN n_tokens > 0
         |    THEN (cum_tokens - 1) // 1024 - (cum_tokens - n_tokens) // 1024 + 1
         |    ELSE 0 END AS BIGINT) AS n_chunks

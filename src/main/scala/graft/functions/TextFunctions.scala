@@ -561,6 +561,22 @@ object TextFunctions {
   def normalizeTextCol(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, ControlPattern, " "), "\\s+", " "))
 
+  /** Unicode NFC canonicalization ([[UnicodeNormExpr]]): composed/decomposed
+    * equivalents (`é` vs `e`+U+0301) become one byte sequence, so the
+    * hash-based dedup family sees them as one document. Run BEFORE
+    * [[normalizeTextCol]]/md5/MinHash on non-ASCII corpora. */
+  def nfcCol(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      UnicodeNormExpr(org.apache.spark.sql.GraftBridge.expression(text), "NFC"))
+
+  /** Unicode NFKC: NFC plus compatibility folding (ligature `ﬁ` → `fi`,
+    * full-width `Ａ` → `A`, `①` → `1`) — the aggressive normalize-before-hash
+    * form CCNet-style pipelines use. No DuckDB mirror exists; pinned by the
+    * unit fixture map (see [[UnicodeNormExpr]] oracle strategy). */
+  def nfkcCol(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      UnicodeNormExpr(org.apache.spark.sql.GraftBridge.expression(text), "NFKC"))
+
   /**
    * Line-repetition ratio in [0,1]: 1 − distinctNonEmptyLines/nonEmptyLines
    * (0.0 for docs with no non-empty line) — the standard boilerplate/spam

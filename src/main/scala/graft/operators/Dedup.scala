@@ -496,16 +496,19 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Shared banding core of [[minHashLshPairs]] / [[lshAuditReport]]:
-    * (distinct candidate pairs `(__a, __b)`, exact-Jaccard-verified pairs
-    * `(__a, __b, jaccard)` — unthresholded). */
-  private def lshCandVerified(
+  /** Shared banding front-end of the LSH family: checkpointed per-doc
+    * shingle arrays `(__id, __shs)` (ONE tokenizer pass over text — every
+    * downstream consumer reads the materialized compact arrays, never
+    * re-runs the shingle UDF) plus the distinct banded candidate pairs
+    * `(__a, __b)`. The band-key UDF runs over the checkpointed arrays
+    * (8 strings per doc), so the self-join's two band subtrees cost two
+    * cheap array passes, not two corpus tokenizations. */
+  private def lshBandCandidates(
       df: DataFrame, idCol: String, textCol: String,
       bandRows: Int): (DataFrame, DataFrame) = {
     val shs = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
       .filter(size(col("__shs")) > 0)
       .localCheckpoint(true)
-    val t = shs.select(col("__id"), explode(col("__shs")).as("__sh"))
     // Band keys computed inside the signature UDF pass (8 strings per doc) —
     // no 32-rows-per-doc explode + groupBy shuffle just to reassemble bands.
     val bands = shs
@@ -516,6 +519,17 @@ object Dedup {
         Seq("__band", "__bkey"))
       .filter(col("__a") < col("__b"))
       .select(col("__a"), col("__b")).distinct()
+    (shs, cand)
+  }
+
+  /** Shared banding core of [[minHashLshPairs]] / [[lshAuditReport]]:
+    * (distinct candidate pairs `(__a, __b)`, exact-Jaccard-verified pairs
+    * `(__a, __b, jaccard)` — unthresholded). */
+  private def lshCandVerified(
+      df: DataFrame, idCol: String, textCol: String,
+      bandRows: Int): (DataFrame, DataFrame) = {
+    val (shs, cand) = lshBandCandidates(df, idCol, textCol, bandRows)
+    val t = shs.select(col("__id"), explode(col("__shs")).as("__sh"))
     val cnt = shs.select(col("__id"), size(col("__shs")).cast("long").as("__n"))
     (cand, verifyJaccard(t, cnt, cand))
   }
@@ -549,15 +563,9 @@ object Dedup {
       s"maxDistMilli must be in [0, 1000], got $maxDistMilli")
     require(bandRows > 0 && graft.functions.TextFunctions.MinHashK % bandRows == 0,
       s"bandRows must divide MinHashK=${graft.functions.TextFunctions.MinHashK}, got $bandRows")
-    val shs = df.select(col(idCol).as("__id"), shinglesUdf(col(textCol)).as("__shs"))
-      .filter(size(col("__shs")) > 0)
-    val bands = shs.select(col("__id"),
-      posexplode(minHashBandKeysUdfFor(bandRows)(col("__shs"))).as(Seq("__band", "__bkey")))
-    val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
-      .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
-        Seq("__band", "__bkey"))
-      .filter(col("__a") < col("__b"))
-      .select(col("__a"), col("__b")).distinct()
+    // Candidates come from the checkpointed banding core — the shingle UDF
+    // pass runs ONCE (materialized), not once per side of the band self-join.
+    val (_, cand) = lshBandCandidates(df, idCol, textCol, bandRows)
     val txt = df.select(col(idCol).as("__tid"), col(textCol).as("__txt"))
     cand
       .join(txt.select(col("__tid").as("__a"), col("__txt").as("__ta")), "__a")
@@ -737,8 +745,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       minShared: Long, k: Int = 8, w: Int = 4,
       maxDocFrequency: Long = 0L): DataFrame = {
-    val fpAll = df.select(col(idCol).as("__id"),
-      explode(winnowUdf(k, w)(col(textCol))).as("__fp"))
+    // ONE fingerprint pass, materialized as compact per-doc arrays: the
+    // relation feeds both sides of the pair self-join, and with the cap on
+    // also the doc-frequency aggregate + semi-join — unmaterialized, that
+    // lineage re-runs the tokenize + rolling-hash + window-min UDF up to 4×
+    // over all text (3 wasted corpus scans at 100 TB).
+    val fpDocs = df.select(col(idCol).as("__id"),
+      winnowUdf(k, w)(col(textCol)).as("__fps")).localCheckpoint(true)
+    val fpAll = fpDocs.select(col("__id"), explode(col("__fps")).as("__fp"))
     val fp =
       if (maxDocFrequency <= 0L) fpAll
       else {
@@ -768,8 +782,12 @@ object Dedup {
   def winnowSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, maxDocFrequency: Long = 0L): DataFrame = {
-    val fpAll = df.select(col(idCol).as("__id"),
-        explode(winnowPosUdf(k, w)(col(textCol))).as("__fpp"))
+    // Same materialize-once stance as [[winnowPairs]]: the positioned
+    // fingerprint UDF runs ONCE; self-join sides + cap consumers read the
+    // checkpointed arrays.
+    val fpDocs = df.select(col(idCol).as("__id"),
+      winnowPosUdf(k, w)(col(textCol)).as("__fpps")).localCheckpoint(true)
+    val fpAll = fpDocs.select(col("__id"), explode(col("__fpps")).as("__fpp"))
       .select(col("__id"), col("__fpp._1").as("__fp"), col("__fpp._2").as("__p"))
     val fp =
       if (maxDocFrequency <= 0L) fpAll

@@ -457,7 +457,10 @@ object EventStats {
       events: DataFrame, userCol: String, valueCol: String,
       halfLifeDays: Int = 7): DataFrame = {
     require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
-    val d = events.filter(col(valueCol).isNotNull)
+    // null users dropped to match StreamDecay.scores (whose typed Long key
+    // cannot hold null) — the stream ≡ batch identity holds by construction,
+    // not by the data happening to contain no null users
+    val d = events.filter(col(valueCol).isNotNull && col(userCol).isNotNull)
       .select(col(userCol), to_date(EventTime.tsCol(events)).as("__day"),
         expr(s"CAST(floor($valueCol * 100.0 + 0.5) AS BIGINT)").as("__cents"))
     val anchor = d.agg(max(col("__day")).as("__maxd"))

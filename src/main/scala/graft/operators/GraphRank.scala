@@ -305,12 +305,18 @@ object GraphRank {
       nodes: DataFrame, idCol: String, edges: DataFrame,
       aCol: String, bCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val nodeSet = nodes.select(col(idCol).as("__n")).distinct()
+    // Restrict the vote-RECEIVING endpoint to the nodes frame: an edge
+    // endpoint absent from `nodes` must not enter the label frame through a
+    // neighbor vote (it would appear in the output with no self-vote that
+    // round) — the contract is one row per INPUT node, for arbitrary inputs.
+    // The vote-CASTING side needs no filter (labels exist only for nodes).
     val und = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
       .union(edges.select(col(bCol).as("__a"), col(aCol).as("__b")))
       .distinct()
+      .join(nodeSet.select(col("__n").as("__a")), Seq("__a"), "leftsemi")
       .localCheckpoint() // consumed once per round
-    var lab = nodes.select(col(idCol).as("__n")).distinct()
-      .withColumn("__l", col("__n"))
+    var lab = nodeSet.withColumn("__l", col("__n"))
     (1 to rounds).foreach { _ =>
       val votes = und
         .join(lab.select(col("__n").as("__b"), col("__l")), Seq("__b"))

@@ -100,8 +100,12 @@ object Packing {
    * in (`first_chunk = (cum−n) div L`, `last_chunk = (cum−1) div L`) and
    * how many it spans — what a loader needs for document-boundary
    * attention masks, and what bounds cross-document bleed in a curriculum.
-   * Zero-token docs span nothing (n_chunks = 0). Same driver-safe two-pass
-   * prefix sum as [[packByBudget]]; exactly SQL-mirrorable.
+   * Zero-token docs span nothing (n_chunks = 0, first/last_chunk NULL —
+   * clamped on BOTH engine and oracle sides so the columns are
+   * meaningless-by-construction for n=0 instead of hinging on truncate-vs-
+   * floor div parity of `(−1) div L` for a leading zero-token doc). Same
+   * driver-safe two-pass prefix sum as [[packByBudget]]; exactly
+   * SQL-mirrorable.
    * @return (idCol, nCol, cum_tokens, first_chunk, last_chunk, n_chunks)
    */
   def chunkSpans(
@@ -109,8 +113,10 @@ object Packing {
     require(chunkLen > 0L, s"chunkLen must be positive, got $chunkLen")
     withPrefixSum(df, idCol, nCol, "cum_tokens")
       .select(col(idCol), col(nCol), col("cum_tokens"),
-        expr(s"(cum_tokens - `$nCol`) div ${chunkLen}L").as("first_chunk"),
-        expr(s"(cum_tokens - 1) div ${chunkLen}L").as("last_chunk"),
+        when(col(nCol) > 0L,
+          expr(s"(cum_tokens - `$nCol`) div ${chunkLen}L")).as("first_chunk"),
+        when(col(nCol) > 0L,
+          expr(s"(cum_tokens - 1) div ${chunkLen}L")).as("last_chunk"),
         when(col(nCol) > 0L,
           expr(s"(cum_tokens - 1) div ${chunkLen}L - (cum_tokens - `$nCol`) div ${chunkLen}L + 1"))
           .otherwise(lit(0L)).as("n_chunks"))

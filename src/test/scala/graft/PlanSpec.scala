@@ -513,6 +513,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("orders_top_volume broadcasts the HAVING survivors into both joins") {
+    // the hint is SIZE-GUARDED (SimJoin.MaxBroadcastBytes): at test scale the
+    // survivor aggregate fits, so the broadcast must fire; at a scale where
+    // the estimate blows the budget the hint is dropped for AQE instead of
+    // force-broadcasting an unbounded frame
     val plan = SparkEntry.queries("orders_top_volume")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)

@@ -121,6 +121,20 @@ class Round12OpsSpec extends AnyFunSuite {
     assert(out(99L) == 99L, "isolated node must keep its own label")
   }
 
+  test("labelPropagation output is exactly one row per input node for arbitrary edges") {
+    val s = spark
+    import s.implicits._
+    // edges reference 50 and 51, which are NOT in the nodes frame: they must
+    // not appear in the output, and 5's round-1 vote set must not be skewed
+    // by a label-less foreign endpoint
+    val edges = Seq((5L, 50L), (50L, 51L), (5L, 6L)).toDF("id_a", "id_b")
+    val nodes = Seq(5L, 6L, 7L).toDF("vec_id")
+    val out = GraphRank.labelPropagation(nodes, "vec_id", edges, "id_a", "id_b",
+      rounds = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(5L, 6L, 7L), s"foreign endpoints leaked: $out")
+    assert(out(5L) == 5L && out(6L) == 5L && out(7L) == 7L, s"$out")
+  }
+
   // ---- modularity ---------------------------------------------------------
 
   test("modularity: clique communities score high, one-blob labels score zero") {
@@ -178,6 +192,25 @@ class Round12OpsSpec extends AnyFunSuite {
       && out(1).getAs[Long]("n_chunks") == 2L)
     assert(out(2).getAs[Long]("first_chunk") == 1L && out(2).getAs[Long]("last_chunk") == 2L
       && out(2).getAs[Long]("n_chunks") == 2L)
+  }
+
+  test("chunkSpans clamps first/last to NULL for zero-token docs (leading included)") {
+    val s = spark
+    import s.implicits._
+    // a LEADING zero-token doc would otherwise compute (−1) div L, whose
+    // value hinges on truncate-vs-floor parity across engines
+    val df = Seq((0L, 0L), (1L, 5L), (2L, 0L), (3L, 10L)).toDF("doc_id", "n_tokens")
+    val out = Packing.chunkSpans(df, "doc_id", "n_tokens", 8L)
+      .orderBy("doc_id").collect()
+    Seq(0, 2).foreach { i =>
+      assert(out(i).isNullAt(out(i).fieldIndex("first_chunk")), s"row $i first_chunk")
+      assert(out(i).isNullAt(out(i).fieldIndex("last_chunk")), s"row $i last_chunk")
+      assert(out(i).getAs[Long]("n_chunks") == 0L, s"row $i n_chunks")
+    }
+    // nonzero docs unaffected: cum = 0, 5, 5, 15
+    assert(out(1).getAs[Long]("first_chunk") == 0L && out(1).getAs[Long]("n_chunks") == 1L)
+    assert(out(3).getAs[Long]("first_chunk") == 0L && out(3).getAs[Long]("last_chunk") == 1L
+      && out(3).getAs[Long]("n_chunks") == 2L)
   }
 
   // ---- seasonalBaseline ---------------------------------------------------

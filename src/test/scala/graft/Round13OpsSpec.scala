@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** Specs for the round-13 additions: Unicode NFC/NFKC canonicalization
+  * (UnicodeNormExpr) and its compose-with-exact-dedup contract. */
+class Round13OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("round13-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // ---- UnicodeNormExpr ----------------------------------------------------
+
+  private def normOne(form: String, s: String): String = {
+    val sp = spark
+    import sp.implicits._
+    val c = if (form == "NFC") TextFunctions.nfcCol(col("t")) else TextFunctions.nfkcCol(col("t"))
+    Seq(s).toDF("t").select(c.as("n")).collect().head.getString(0)
+  }
+
+  test("NFC composes decomposed accents and preserves compatibility forms") {
+    // e + combining acute -> é (composition)
+    assert(normOne("NFC", "é") == "é")
+    // already-composed stays
+    assert(normOne("NFC", "é") == "é")
+    // NFC must NOT fold compatibility characters: ligature and full-width survive
+    assert(normOne("NFC", "ﬁ") == "ﬁ")
+    assert(normOne("NFC", "Ａ") == "Ａ")
+    // ASCII fast path is the identity
+    assert(normOne("NFC", "plain ascii 123") == "plain ascii 123")
+  }
+
+  test("NFKC folds the compatibility fixture map (DuckDB has no NFKC oracle — this IS the pin)") {
+    // fixture map per UnicodeNormExpr's documented oracle strategy: each pair
+    // is a published NFKC equivalence (UAX #15), spanning ligatures,
+    // full-width forms, enclosed digits, and the composition NFC also does
+    val fixtures = Seq(
+      "ﬁ" -> "fi",       // LATIN SMALL LIGATURE FI
+      "ﬀ" -> "ff",       // LATIN SMALL LIGATURE FF
+      "Ａ" -> "A",        // FULLWIDTH LATIN CAPITAL LETTER A
+      "ａｂ" -> "ab", // fullwidth a, b
+      "①" -> "1",        // CIRCLED DIGIT ONE
+      "½" -> "1⁄2", // VULGAR FRACTION ONE HALF -> 1⁄2 (fraction slash)
+      "é" -> "é",  // NFKC includes canonical composition
+      "Å" -> "Å")   // ANGSTROM SIGN -> Å
+    fixtures.foreach { case (in, want) =>
+      assert(normOne("NFKC", in) == want, s"NFKC(${in.map(_.toInt.toHexString)})")
+    }
+  }
+
+  test("NFC-canonicalized exact dedup co-assigns composed and decomposed variants") {
+    val s = spark
+    import s.implicits._
+    // same visible text, three byte-level spellings NFC can reconcile (docs 1,
+    // 2 compose identically; doc 3's ligature is NFC-invariant so it stays
+    // distinct — exactly the NFC contract), plus an unrelated doc
+    val df = Seq(
+      (1L, "café fi nance"),       // composed é
+      (2L, "café fi nance"),      // decomposed e + U+0301
+      (3L, "café ﬁ nance"),   // ﬁ ligature — NFC keeps it
+      (4L, "other doc")).toDF("doc_id", "text")
+    val canon = Dedup.exact(
+        df.select(col("doc_id"), TextFunctions.nfcCol(col("text")).as("text")),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(canon(1L) == 1L && canon(2L) == 1L, s"NFC variants must co-assign: $canon")
+    assert(canon(3L) == 3L && canon(4L) == 4L, s"$canon")
+    // under NFKC the ligature doc folds in too
+    val canonK = Dedup.exact(
+        df.select(col("doc_id"), TextFunctions.nfkcCol(col("text")).as("text")),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(1L, 2L, 3L).forall(canonK(_) == 1L), s"NFKC must fold the ligature: $canonK")
+    assert(canonK(4L) == 4L)
+  }
+
+  test("unicode_norm rejects non-string input and unknown forms at plan time") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L).toDF("x")
+    val e1 = intercept[Exception] {
+      df.select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.UnicodeNormExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("x")), "NFC"))).collect()
+    }
+    assert(e1.getMessage.contains("string"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      df.select(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.UnicodeNormExpr(
+          org.apache.spark.sql.GraftBridge.expression(lit("a")), "NFD"))).collect()
+    }
+    assert(e2.getMessage.contains("NFC"), e2.getMessage)
+  }
+}
