@@ -2741,6 +2741,101 @@ object Oracles {
        |FROM dwx LEFT JOIN segt USING (w)
        |GROUP BY source""".stripMargin
 
+  /** Mirror of CorpusStats.ulmPieces: the full unigram-LM EM-pruning round
+    * chain, read out as the final vocabulary with usage counts. */
+  def ulmPiecesSql(maxPieceLen: Int, seedK: Int, pruneKs: Seq[Int]): String = {
+    val f = pruneKs.size + 1
+    s"""WITH RECURSIVE ${ulmRoundsCtes(maxPieceLen, seedK, pruneKs)}
+       |SELECT piece, CAST(length(piece) AS BIGINT) AS plen, CAST(c AS BIGINT) AS cnt
+       |FROM use$f""".stripMargin
+  }
+
+  /** Mirror of CorpusStats.ulmSegmentWords: the same chain, read out as the
+    * final greedy longest-match segmentation of every vocabulary word. */
+  def ulmSegmentSql(maxPieceLen: Int, seedK: Int, pruneKs: Seq[Int]): String = {
+    val f = pruneKs.size + 1
+    s"""WITH RECURSIVE ${ulmRoundsCtes(maxPieceLen, seedK, pruneKs)}
+       |SELECT w AS word, n, CAST(max(tix) AS BIGINT) AS n_tokens,
+       |       string_agg(piece, ' ' ORDER BY tix) AS seg
+       |FROM sg$f WHERE piece IS NOT NULL GROUP BY w, n""".stripMargin
+  }
+
+  /** Shared round chain of the unigram-LM trainer mirror: seed by windowed
+    * (freq desc, piece asc) rank over every substring span, then per EM
+    * round (1) `nx` = longest vocabulary piece at every word position —
+    * plain windows, computed OUTSIDE the recursion, (2) `sg` = the greedy
+    * segmentation as a recursive pointer-chase over `nx` (one row per
+    * emitted token, no aggregates/windows in the recursive term —
+    * DuckDB-legal), (3) `use`/`vocab` = usage-ranked prune keeping every
+    * single char (coverage). Multiply-referenced CTEs are MATERIALIZED for
+    * the same fd-exhaustion reason as [[bpeRoundsCtes]]. */
+  private def ulmRoundsCtes(maxPieceLen: Int, seedK: Int, pruneKs: Seq[Int]): String = {
+    // round r segments with vocab{r}; vocab{r+1} = top pruneKs(r-1) by usage
+    val rounds = (1 to (pruneKs.size + 1)).map { r =>
+      val prune =
+        if (r <= pruneKs.size)
+          s""",
+             |vocab${r + 1} AS MATERIALIZED (
+             |  SELECT piece FROM (
+             |    SELECT piece, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk
+             |    FROM use$r WHERE length(piece) > 1
+             |  ) WHERE rk <= ${pruneKs(r - 1)}
+             |  UNION
+             |  SELECT piece FROM chars
+             |)""".stripMargin
+        else ""
+      s"""nx$r AS MATERIALIZED (
+         |  SELECT w, pos, piece, plen FROM (
+         |    SELECT p.w, p.pos, v.piece, length(v.piece) AS plen,
+         |           row_number() OVER (PARTITION BY p.w, p.pos
+         |                              ORDER BY length(v.piece) DESC) AS rn
+         |    FROM wpos p JOIN vocab$r v
+         |      ON substring(p.w, p.pos + 1, length(v.piece)) = v.piece
+         |  ) WHERE rn = 1
+         |),
+         |sg$r(w, n, pos, piece, tix) AS (
+         |  SELECT w, n, 0, CAST(NULL AS VARCHAR), CAST(0 AS BIGINT) FROM w0
+         |  UNION ALL
+         |  SELECT s.w, s.n, s.pos + x.plen, x.piece, s.tix + 1
+         |  FROM sg$r s JOIN nx$r x ON x.w = s.w AND x.pos = s.pos
+         |),
+         |use$r AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(u.c, 0) AS c
+         |  FROM vocab$r v LEFT JOIN (
+         |    SELECT piece, sum(n) AS c FROM sg$r WHERE piece IS NOT NULL GROUP BY 1
+         |  ) u USING (piece)
+         |)$prune""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+       |  GROUP BY 1
+       |),
+       |wpos AS MATERIALIZED (
+       |  SELECT w, n, i - 1 AS pos
+       |  FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM w0)
+       |),
+       |chars AS MATERIALIZED (
+       |  SELECT DISTINCT substring(w, pos + 1, 1) AS piece FROM wpos
+       |),
+       |seedc AS (
+       |  SELECT substring(w, i, l) AS piece, sum(n) AS c
+       |  FROM (
+       |    SELECT w, n, i, unnest(generate_series(2, least($maxPieceLen, length(w) - i + 1))) AS l
+       |    FROM (SELECT w, n, unnest(generate_series(1, length(w))) AS i FROM w0)
+       |  )
+       |  GROUP BY 1
+       |),
+       |vocab1 AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (ORDER BY c DESC, piece ASC) AS rk FROM seedc
+       |  ) WHERE rk <= $seedK
+       |  UNION
+       |  SELECT piece FROM chars
+       |),
+       |$rounds""".stripMargin
+  }
+
   /** Mirror of SimSearch.ivfReport: the shared assignment chain aggregated
     * to per-centroid occupancy + micro-quantized cohesion. */
   def ivfReportSql(nList: Int, nIters: Int): String =

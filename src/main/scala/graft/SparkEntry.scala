@@ -1463,6 +1463,15 @@ object SparkEntry {
     // the learned merges — the which-domain-fragments diagnostic
     "bpe_fertility" -> ((s, dir) =>
       CorpusStats.bpeFertilityBySource(rd(s, dir, "documents"), "source", "text", 8)),
+    // unigram-LM (SentencePiece-style) trainer: substring seeding, then EM
+    // rounds of greedy-segment + usage-ranked prune (64 -> 48 -> 32 shrink
+    // schedule); pieces = the shipped vocabulary artifact with usage counts
+    "ulm_pieces" -> ((s, dir) =>
+      CorpusStats.ulmPieces(rd(s, dir, "documents"), "text")),
+    // the APPLY face: greedy longest-match segmentation of every vocabulary
+    // word under the learned pieces (broadcast-join encode shape downstream)
+    "ulm_segments" -> ((s, dir) =>
+      CorpusStats.ulmSegmentWords(rd(s, dir, "documents"), "text")),
     // KS drift: the worst single CDF gap (catches localized shifts PSI smears)
     "drift_ks" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -2959,6 +2968,8 @@ object SparkEntry {
     "bpe_segments" -> Oracles.bpeSegmentSql(8),
     "bpe_encode" -> Oracles.bpeEncodeSql(8),
     "bpe_fertility" -> Oracles.bpeFertilitySql(8),
+    "ulm_pieces" -> Oracles.ulmPiecesSql(4, 64, Seq(48, 32)),
+    "ulm_segments" -> Oracles.ulmSegmentSql(4, 64, Seq(48, 32)),
     "drift_psi_by_source" -> Oracles.psiDriftByGroupSql(0.0, 600.0, 12),
     "bpe_pairs" ->
       """WITH w AS (

@@ -1332,6 +1332,135 @@ object CorpusStats {
   }
 
   /**
+   * UNIGRAM-LM (SentencePiece-style) TOKENIZER TRAINING — the EM-pruning
+   * complement of [[bpeTrainMerges]] (Kudo 2018, "Subword Regularization"):
+   * seed a large candidate-piece vocabulary from frequent substrings, then
+   * alternate (E) segment the corpus under the current vocabulary and count
+   * piece usage with (M/prune) keep the top pieces by expected count,
+   * shrinking the vocabulary each round (`pruneKs` is the shrink schedule).
+   *
+   * Deterministic variant, documented deviation from the paper: the E-step
+   * decoder is GREEDY LONGEST-MATCH-FIRST (the WordPiece decoding rule)
+   * rather than max-likelihood Viterbi, and piece scores are exact BIGINT
+   * usage counts rather than float log-probabilities — hard-EM with a
+   * deterministic decoder. Chosen because soft-EM's log-likelihoods cannot
+   * be hash-gated across engines, while this variant is integer-exact and
+   * SQL-mirrorable end to end (the oracle re-runs every round: seeding by
+   * windowed rank, segmentation as a recursive longest-match pointer-chase,
+   * pruning by the same (count desc, piece asc) rank). Single characters
+   * are always kept (the coverage guarantee), so every word segments.
+   *
+   * Scale shape: identical to [[bpeTrainCore]] — the corpus-sized pass is
+   * ONE distributed word-count aggregation; seeding, the EM rounds, and
+   * segmentation run on the DISTINCT vocabulary behind the same `maxVocab`
+   * collect guard (the documented driver-side codebook-training stance).
+   *
+   * @param maxPieceLen longest candidate piece (chars)
+   * @param seedK       multi-char pieces kept at seeding (count desc, piece asc)
+   * @param pruneKs     per-round keep sizes, e.g. Seq(48, 32) = two EM rounds
+   *                    shrinking 64 → 48 → 32 multi-char pieces
+   */
+  private def ulmTrainCore(
+      docs: DataFrame, textCol: String, maxPieceLen: Int, seedK: Int,
+      pruneKs: Seq[Int], minCount: Long, maxVocab: Int)
+      : (Array[(String, Long)], Seq[(String, Long)], Array[Array[String]]) = {
+    require(maxPieceLen >= 2, s"maxPieceLen must be >= 2, got $maxPieceLen")
+    require(seedK >= 1, s"seedK must be >= 1, got $seedK")
+    require(pruneKs.forall(_ >= 1), s"pruneKs must be positive, got $pruneKs")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val words = docs.select(explode(wordsCol(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount)
+    val wcCount = words.count()
+    require(wcCount <= maxVocab,
+      s"distinct vocabulary $wcCount exceeds maxVocab $maxVocab — raise minCount")
+    val wc = words.collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars: Set[String] = wc.iterator.flatMap(_._1.map(_.toString)).toSet
+    // seed: every substring occurrence of length 2..maxPieceLen, weighted by
+    // word frequency (overlaps count — the frequency of the SPAN, the same
+    // statistic the oracle's generate_series cross computes)
+    val seedFreq = scala.collection.mutable.HashMap.empty[String, Long]
+    wc.foreach { case (w, n) =>
+      var l = 2
+      while (l <= math.min(maxPieceLen, w.length)) {
+        var i = 0
+        while (i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          seedFreq(p) = seedFreq.getOrElse(p, 0L) + n
+          i += 1
+        }
+        l += 1
+      }
+    }
+    def topK(m: Iterable[(String, Long)], k: Int): Seq[String] =
+      m.toSeq.sortBy { case (p, c) => (-c, p) }.take(k).map(_._1)
+    var multi: Seq[String] = topK(seedFreq, seedK)
+    def segment(vocab: Set[String]): Array[Array[String]] = wc.map { case (w, _) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < w.length) {
+        var l = math.min(maxPieceLen, w.length - pos)
+        while (l > 1 && !vocab.contains(w.substring(pos, pos + l))) l -= 1
+        out += w.substring(pos, pos + l) // l = 1 always matches (chars ⊆ vocab)
+        pos += l
+      }
+      out.toArray
+    }
+    def usage(segs: Array[Array[String]]): Map[String, Long] = {
+      val u = scala.collection.mutable.HashMap.empty[String, Long]
+      var i = 0
+      while (i < segs.length) {
+        val n = wc(i)._2
+        segs(i).foreach(p => u(p) = u.getOrElse(p, 0L) + n)
+        i += 1
+      }
+      u.toMap
+    }
+    pruneKs.foreach { k =>
+      val segs = segment(chars ++ multi)
+      val u = usage(segs)
+      // rank EVERY current multi-char piece, unused ones at 0 — mirror of the
+      // oracle's vocab LEFT JOIN usage COALESCE 0
+      multi = topK(multi.map(p => (p, u.getOrElse(p, 0L))), k)
+    }
+    val finalSegs = segment(chars ++ multi)
+    val finalUse = usage(finalSegs)
+    val pieces = (chars.toSeq ++ multi).distinct.sorted
+      .map(p => (p, finalUse.getOrElse(p, 0L)))
+    (wc, pieces, finalSegs)
+  }
+
+  /** Learned unigram-LM vocabulary with final-segmentation usage counts —
+    * the artifact face of [[ulmTrainCore]] (the [[bpeTrainMerges]]
+    * analogue). @return (piece, plen, cnt); cnt = 0 for coverage chars the
+    * final segmentation never uses. */
+  def ulmPieces(
+      docs: DataFrame, textCol: String, maxPieceLen: Int = 4, seedK: Int = 64,
+      pruneKs: Seq[Int] = Seq(48, 32), minCount: Long = 1L,
+      maxVocab: Int = 2000000): DataFrame = {
+    val (_, pieces, _) = ulmTrainCore(docs, textCol, maxPieceLen, seedK, pruneKs,
+      minCount, maxVocab)
+    import docs.sparkSession.implicits._
+    pieces.map { case (p, c) => (p, p.length.toLong, c) }.toDF("piece", "plen", "cnt")
+  }
+
+  /** The APPLY face of [[ulmTrainCore]] — final greedy longest-match
+    * segmentation of every vocabulary word under the learned pieces (the
+    * [[bpeSegmentWords]] analogue; same broadcast-join encode shape
+    * downstream). @return (word, n, n_tokens, seg) */
+  def ulmSegmentWords(
+      docs: DataFrame, textCol: String, maxPieceLen: Int = 4, seedK: Int = 64,
+      pruneKs: Seq[Int] = Seq(48, 32), minCount: Long = 1L,
+      maxVocab: Int = 2000000): DataFrame = {
+    val (wc, _, segs) = ulmTrainCore(docs, textCol, maxPieceLen, seedK, pruneKs,
+      minCount, maxVocab)
+    import docs.sparkSession.implicits._
+    wc.indices.map { i =>
+      (wc(i)._1, wc(i)._2, segs(i).length.toLong, segs(i).mkString(" "))
+    }.toDF("word", "n", "n_tokens", "seg")
+  }
+
+  /**
    * KOLMOGOROV–SMIRNOV-style drift check over the same clamped bins as
    * [[psiDrift]] — the complementary read: PSI weights every bin's shift,
    * KS reports the single worst CDF gap, catching a localized shift PSI

@@ -84,6 +84,63 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(canonK(4L) == 4L)
   }
 
+  // ---- unigram-LM trainer -------------------------------------------------
+
+  test("ulm: segments reconstruct words, respect greedy longest-match, pieces account usage") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "banana bandana ban"),
+      (2L, "banana banana cabana"),
+      (3L, "nab nab den")).toDF("doc_id", "text")
+    val segs = CorpusStats.ulmSegmentWords(docs, "text",
+      maxPieceLen = 3, seedK = 6, pruneKs = Seq(4, 3)).collect()
+    val pieces = CorpusStats.ulmPieces(docs, "text",
+      maxPieceLen = 3, seedK = 6, pruneKs = Seq(4, 3))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val vocab = pieces.keySet
+    // shrink schedule: at most 3 multi-char pieces survive
+    assert(vocab.count(_.length > 1) <= 3, s"vocab=$vocab")
+    // coverage: every single char of the corpus is in the vocabulary
+    assert(Set("b", "a", "n", "d", "c", "e").subsetOf(vocab), s"vocab=$vocab")
+    segs.foreach { r =>
+      val (word, seg) = (r.getString(0), r.getString(3))
+      val parts = seg.split(" ")
+      assert(parts.mkString("") == word, s"seg must reconstruct: $word vs $seg")
+      assert(r.getLong(2) == parts.length.toLong)
+      assert(parts.forall(vocab.contains), s"seg uses non-vocab piece: $seg")
+      // greedy longest-match: at each boundary the chosen piece is the
+      // longest vocab piece starting there
+      var pos = 0
+      parts.foreach { p =>
+        ((p.length + 1) to math.min(3, word.length - pos)).foreach { l =>
+          assert(!vocab.contains(word.substring(pos, pos + l)),
+            s"$word@$pos took $p but ${word.substring(pos, pos + l)} is in vocab")
+        }
+        pos += p.length
+      }
+    }
+    // usage accounting: cnt(piece) = sum over words of n * uses-in-seg
+    val wc = Map("banana" -> 3L, "bandana" -> 1L, "ban" -> 1L, "cabana" -> 1L,
+      "nab" -> 2L, "den" -> 1L)
+    val recount = segs.flatMap { r =>
+      r.getString(3).split(" ").map(_ -> wc(r.getString(0)))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    pieces.foreach { case (p, c) =>
+      assert(recount.getOrElse(p, 0L) == c, s"usage of $p: got $c want ${recount.get(p)}")
+    }
+  }
+
+  test("ulm rejects a vocabulary larger than maxVocab") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "one two three four")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.ulmPieces(docs, "text", maxVocab = 2).collect()
+    }
+    assert(e.getMessage.contains("maxVocab"))
+  }
+
   test("unicode_norm rejects non-string input and unknown forms at plan time") {
     val s = spark
     import s.implicits._
