@@ -3065,6 +3065,65 @@ object Oracles {
        |FROM p LEFT JOIN sg USING (doc_id)""".stripMargin
   }
 
+  /** Shared CTE chain of the DECODED-image dHash mirror: the fixture's pixel
+    * formula (Multimodal.fixtureImageBytes) evaluated analytically — valid
+    * because the fixture encodes through LOSSLESS codecs (PNG/BMP), so the
+    * engine's decode returns exactly these pixels — then per-pixel integer
+    * luma, 2×2 block means, gradient bits, and the 64-bit assembly (bit 63
+    * as the Long.MinValue literal — DuckDB errors on `1::BIGINT << 63`). */
+  private def mmImageDHashCtes: String =
+    s"""ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+       |px AS (
+       |  SELECT doc_id, x, y, doc_id // 2 AS base,
+       |    CASE WHEN doc_id % 2 = 1 AND x < 2 AND y < 2 THEN 60 ELSE 0 END AS p
+       |  FROM ids,
+       |       (SELECT unnest(generate_series(0, 17)) AS x) xs,
+       |       (SELECT unnest(generate_series(0, 15)) AS y) ys
+       |),
+       |lm AS (
+       |  SELECT doc_id, x // 2 AS gx, y // 2 AS gy,
+       |    (299 * ((base * 31 + x * 7 + y * 13 + p) % 256)
+       |     + 587 * ((base * 17 + x * 11 + y * 3 + p) % 256)
+       |     + 114 * ((base * 23 + x * 5 + y * 19 + p) % 256)) // 1000 AS l
+       |  FROM px
+       |),
+       |grid AS (
+       |  SELECT doc_id, gy, gx, sum(l) // 4 AS v FROM lm GROUP BY 1, 2, 3
+       |),
+       |bits AS (
+       |  SELECT a.doc_id, CAST(a.gy * 8 + a.gx AS BIGINT) AS bit
+       |  FROM grid a JOIN grid b ON a.doc_id = b.doc_id AND a.gy = b.gy
+       |    AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8 AND a.v > b.v
+       |),
+       |iph AS (
+       |  SELECT ids.doc_id,
+       |    CAST(coalesce(sum(CASE WHEN bit = 63 THEN -9223372036854775808
+       |      ELSE (1::BIGINT << CAST(bit AS INT)) END), 0) AS BIGINT) AS phash
+       |  FROM ids LEFT JOIN bits USING (doc_id) GROUP BY ids.doc_id
+       |)""".stripMargin
+
+  /** Mirror of Multimodal.imageDHash over the lossless image fixtures. */
+  def mmImageDHashSql: String =
+    s"""WITH $mmImageDHashCtes
+       |SELECT doc_id, phash FROM iph""".stripMargin
+
+  /** Mirror of Multimodal.imageDHashPairs: the decoded hashes banded 4×16,
+    * same-(band, value) candidates, exact Hamming verify. */
+  def mmImageDHashPairsSql(maxHamming: Int): String =
+    s"""WITH $mmImageDHashCtes,
+       |bd AS (
+       |  SELECT doc_id, phash, b, (phash >> (b * 16)) & 65535 AS k
+       |  FROM (SELECT doc_id, phash, unnest(generate_series(0, 3)) AS b FROM iph)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.phash AS pa, b.phash AS pb
+       |  FROM bd a JOIN bd b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= $maxHamming""".stripMargin
+
   /** Mirror of Multimodal.dHashPairs: the dHash relation banded 4×16 bits,
     * same-(band, value) candidates, exact Hamming verify. */
   def mmDHashPairsSql(maxHamming: Int): String =

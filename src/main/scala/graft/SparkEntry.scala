@@ -801,6 +801,22 @@ object SparkEntry {
       Multimodal.dHashPairs(
         Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload"),
         "doc_id", "payload", maxHamming = 3)),
+    // REAL codec path: deterministic 18x16 PNG (even ids) / BMP (odd ids)
+    // fixtures decoded via javax.imageio, hashed over block-averaged true
+    // luma; both formats are lossless so the oracle computes the identical
+    // hash analytically from the pixel formula — no byte parsing needed
+    "mm_phash_decoded" -> ((s, dir) =>
+      Multimodal.imageDHash(
+        rd(s, dir, "documents").where(col("doc_id") < 60)
+          .select(col("doc_id"), Multimodal.fixtureImageUdf(col("doc_id")).as("payload")),
+        "doc_id", "payload")),
+    // ids 2k/2k+1 share a base pattern and differ in one grid cell, so each
+    // even/odd pair lands within Hamming <= 1 — banding must find them all
+    "mm_phash_decoded_pairs" -> ((s, dir) =>
+      Multimodal.imageDHashPairs(
+        rd(s, dir, "documents").where(col("doc_id") < 60)
+          .select(col("doc_id"), Multimodal.fixtureImageUdf(col("doc_id")).as("payload")),
+        "doc_id", "payload", maxHamming = 3)),
     "mm_frames" -> ((s, dir) => {
       val wp = Multimodal.withBinaryPayload(rd(s, dir, "documents"), "text", "payload")
       wp.select(col("doc_id"),
@@ -2605,6 +2621,8 @@ object SparkEntry {
     "mm_frames" -> Oracles.mmFramesSql(4),
     "mm_phash" -> Oracles.mmDHashSql,
     "mm_phash_pairs" -> Oracles.mmDHashPairsSql(3),
+    "mm_phash_decoded" -> Oracles.mmImageDHashSql,
+    "mm_phash_decoded_pairs" -> Oracles.mmImageDHashPairsSql(3),
     "dedup_paragraph" -> Oracles.paragraphDedupSql(2),
     "dedup_lines_within" -> Oracles.lineDedupWithinDocSql,
     "text_rep_lines" -> Oracles.lineRepetitionSql,

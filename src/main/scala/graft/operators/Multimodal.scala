@@ -180,6 +180,178 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** The byte-segment gradient rule shared by [[dHash]] (raw payloads) and
+    * [[imageDHash]]'s non-image fallback. `sums` is the caller's reusable
+    * 65-slot buffer (batch shape). */
+  private def byteDHash(bytes: Array[Byte], sums: Array[Long]): Long = {
+    java.util.Arrays.fill(sums, 0L)
+    var h = 0L
+    val n = bytes.length
+    var j = 0
+    while (j < n) {
+      sums(((j.toLong * 65L) / n).toInt) += (bytes(j) & 0xff).toLong
+      j += 1
+    }
+    var i = 0
+    while (i < 64) {
+      if (sums(i) > sums(i + 1)) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** True-pixel dHash over a DECODED image: integer luma
+    * `(299R + 587G + 114B) div 1000` per pixel, block-averaged onto the
+    * standard 9×8 dHash grid with exact `div` boundaries
+    * (`x0 = X·W div 9`), bit `y·8+x` set iff `grid(y,x) > grid(y,x+1)` —
+    * the published dHash rule on real luma rather than raw bytes. All
+    * arithmetic is integer, so the hash is formula-mirrorable for lossless
+    * (PNG/BMP) payloads whose pixels are known analytically. Degenerate
+    * blocks (W < 9 or H < 8) contribute 0. */
+  private def lumaDHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = new Array[Long](72) // 8 rows × 9 cols
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        var sum = 0L; var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            val l = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            sum += l; cnt += 1L
+            x += 1
+          }
+          y += 1
+        }
+        grid(gy * 9 + gx) = if (cnt == 0L) 0L else sum / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    var out = 0L
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        if (grid(yy * 9 + xx) > grid(yy * 9 + xx + 1)) out |= (1L << (yy * 8 + xx))
+        xx += 1
+      }
+      yy += 1
+    }
+    out
+  }
+
+  /** Attempt a REAL codec decode via the JDK's `javax.imageio` — strong magic
+    * bytes first (PNG / JPEG / GIF as in [[decodeMeta]], plus BMP's "BM"
+    * hardened by requiring the header's little-endian file size to equal the
+    * payload length) so corpus-scale text payloads never pay an ImageIO
+    * attempt. Returns null when not an image or the codec fails. */
+  private def tryDecodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val n = payload.length
+    if (n <= 8) return null
+    def isGif = payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == '8' && (payload(4) == '7' || payload(4) == '9') && payload(5) == 'a'
+    def isBmp = payload(0) == 'B' && payload(1) == 'M' && n >= 14 && {
+      val sz = (payload(2) & 0xffL) | ((payload(3) & 0xffL) << 8) |
+        ((payload(4) & 0xffL) << 16) | ((payload(5) & 0xffL) << 24)
+      sz == n.toLong
+    }
+    val isImage =
+      ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') ||
+      ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) ||
+      isGif || isBmp
+    if (!isImage) null
+    else
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /**
+   * dHash with a REAL image decode in front — the swap-in the [[dHash]]
+   * scaladoc promises: payloads the JDK codecs recognize (PNG/JPEG/GIF/BMP)
+   * are decoded and hashed over true block-averaged luma ([[lumaDHash]]);
+   * everything else falls back to the byte-segment rule, keeping the
+   * operator total over mixed-media columns. Same mapPartitions batch shape
+   * and output contract as [[dHash]]; banding/verify downstream is shared
+   * ([[dHashPairsFromHashes]]), so the pigeonhole-exactness at
+   * Hamming ≤ 3 is unchanged.
+   *
+   * @return (idCol, phash BIGINT)
+   */
+  def imageDHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("phash", LongType)))
+    val slim = df.select(col(idCol).cast("long"), col(payloadCol))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val sums = new Array[Long](65) // per-partition reusable fallback buffer
+      rows.map { r =>
+        val h =
+          if (r.isNullAt(1)) 0L
+          else {
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes.isEmpty) 0L
+            else {
+              val img = tryDecodeImage(bytes)
+              if (img == null) byteDHash(bytes, sums) else lumaDHash(img)
+            }
+          }
+        Row(r.getLong(0), h)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("id").as(idCol), col("phash"))
+  }
+
+  /** Fixture dimensions of [[fixtureImageBytes]] — divisible by the 9×8 dHash
+    * grid so block averages are whole 2×2 sums. */
+  val FixtureW = 18
+  val FixtureH = 16
+
+  /**
+   * Deterministic synthetic image fixture for the decoded-dHash gates:
+   * 18×16 RGB pixels from the integer formula (`base = id div 2`)
+   * `r = (base·31 + x·7 + y·13 + p) % 256`,
+   * `g = (base·17 + x·11 + y·3 + p) % 256`,
+   * `b = (base·23 + x·5 + y·19 + p) % 256`, where `p = 60` on the top-left
+   * 2×2 pixel block for odd ids (else 0) — so ids `2k`/`2k+1` are
+   * near-duplicates differing in exactly one dHash grid cell (Hamming ≤ 1).
+   * Encoded through a REAL JDK codec: PNG for even ids, BMP for odd — both
+   * lossless, so decode(encode(pixels)) returns the formula's exact pixels
+   * and the oracle can compute the hash analytically without parsing bytes.
+   */
+  def fixtureImageBytes(id: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      FixtureW, FixtureH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val base = id / 2
+    var y = 0
+    while (y < FixtureH) {
+      var x = 0
+      while (x < FixtureW) {
+        val p = if (id % 2 == 1 && x < 2 && y < 2) 60L else 0L
+        val r = ((base * 31L + x * 7L + y * 13L + p) % 256L).toInt
+        val g = ((base * 17L + x * 11L + y * 3L + p) % 256L).toInt
+        val b = ((base * 23L + x * 5L + y * 19L + p) % 256L).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "bmp", baos)
+    baos.toByteArray
+  }
+
+  val fixtureImageUdf = udf((id: Long) => fixtureImageBytes(id))
+
   /**
    * dHash-style PERCEPTUAL fingerprint over a binary payload — the
    * near-duplicate identity for media columns (the visual analogue of
@@ -204,22 +376,12 @@ object Multimodal {
     val rdd = slim.rdd.mapPartitions { rows =>
       val sums = new Array[Long](65) // per-partition reusable buffer
       rows.map { r =>
-        java.util.Arrays.fill(sums, 0L)
-        var h = 0L
-        if (!r.isNullAt(1)) {
-          val bytes = r.getAs[Array[Byte]](1)
-          val n = bytes.length
-          var j = 0
-          while (j < n) {
-            sums(((j.toLong * 65L) / n).toInt) += (bytes(j) & 0xff).toLong
-            j += 1
+        val h =
+          if (r.isNullAt(1)) 0L
+          else {
+            val bytes = r.getAs[Array[Byte]](1)
+            if (bytes.isEmpty) 0L else byteDHash(bytes, sums)
           }
-          var i = 0
-          while (i < 64) {
-            if (sums(i) > sums(i + 1)) h |= (1L << i)
-            i += 1
-          }
-        }
         Row(r.getLong(0), h)
       }
     }
@@ -240,10 +402,21 @@ object Multimodal {
    */
   def dHashPairs(
       df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame =
+    dHashPairsFromHashes(dHash(df, idCol, payloadCol), idCol, "phash", maxHamming)
+
+  /** The banding/verify core of [[dHashPairs]], reusable over ANY 64-bit
+    * perceptual-hash frame ([[dHash]], [[imageDHash]], or a persisted hash
+    * table — the signature-frame stance of
+    * [[graft.operators.Dedup.nearDupFromSignatures]]): 4×16-bit bands,
+    * same-(band, value) inverted-index candidates, exact Hamming verify —
+    * pigeonhole-exact for `maxHamming ≤ 3`. */
+  def dHashPairsFromHashes(
+      hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding is exact only for maxHamming <= 3, got $maxHamming")
-    val h = dHash(df, idCol, payloadCol).select(col(idCol).as("__id"), col("phash"))
+    val h = hashes.select(col(idCol).as("__id"), col(hashCol).as("phash"))
     val bands = h.select(col("__id"), col("phash"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 16) & 65535)"))
         .as(Seq("__b", "__k")))
@@ -257,4 +430,11 @@ object Multimodal {
         expr("CAST(bit_count(__pa ^ __pb) AS BIGINT)").as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /** [[dHashPairs]] over the DECODED hash ([[imageDHash]]) — true-luma
+    * near-dup pairs for image columns. */
+  def imageDHashPairs(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3): DataFrame =
+    dHashPairsFromHashes(imageDHash(df, idCol, payloadCol), idCol, "phash", maxHamming)
 }

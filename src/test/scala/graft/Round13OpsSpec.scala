@@ -141,6 +141,50 @@ class Round13OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxVocab"))
   }
 
+  // ---- imageDHash ---------------------------------------------------------
+
+  test("imageDHash decodes real PNG/BMP through javax.imageio, near-dup fixture pairs land at Hamming <= 1") {
+    val s = spark
+    import s.implicits._
+    // the fixtures ARE real codec files: ImageIO must recognize both formats
+    val png = Multimodal.fixtureImageBytes(0L)
+    val bmp = Multimodal.fixtureImageBytes(1L)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P', "even id must encode PNG")
+    assert(bmp(0) == 'B' && bmp(1) == 'M', "odd id must encode BMP")
+    val pimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bimg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(pimg.getWidth == Multimodal.FixtureW && pimg.getHeight == Multimodal.FixtureH)
+    assert(bimg.getWidth == Multimodal.FixtureW && bimg.getHeight == Multimodal.FixtureH)
+    // lossless round-trip: decoded pixel equals the generating formula
+    val rgb = pimg.getRGB(3, 5)
+    assert(((rgb >> 16) & 0xff) == ((0L * 31 + 3 * 7 + 5 * 13) % 256).toInt, "PNG pixel")
+    val rgbB = bimg.getRGB(3, 5)
+    assert(((rgbB >> 16) & 0xff) == ((0L * 31 + 3 * 7 + 5 * 13) % 256).toInt, "BMP pixel")
+    val df = (0L until 8L).toDF("id")
+      .select(col("id"), Multimodal.fixtureImageUdf(col("id")).as("payload"))
+    val hashes = Multimodal.imageDHash(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 8L by 2L).foreach { e =>
+      val d = java.lang.Long.bitCount(hashes(e) ^ hashes(e + 1))
+      assert(d <= 1, s"fixture pair ($e, ${e + 1}) Hamming $d")
+    }
+    // distinct bases should produce distinct hashes (sanity, not a contract)
+    assert(hashes.values.toSet.size >= 4, s"$hashes")
+  }
+
+  test("imageDHash falls back to the byte-segment rule for non-image payloads") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "just some text payload"), (2L, "another document body"))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("payload"))
+    val img = Multimodal.imageDHash(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = Multimodal.dHash(df, "id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(img == raw, s"fallback must equal the raw byte rule: $img vs $raw")
+  }
+
   test("unicode_norm rejects non-string input and unknown forms at plan time") {
     val s = spark
     import s.implicits._
