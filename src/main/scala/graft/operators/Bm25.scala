@@ -307,8 +307,16 @@ object Bm25 {
       .select(col("__q"), col("__w"))
     val cand = imp.join(broadcast(ess), "__w")
       .select(col("__q"), col("__d")).distinct()
-    val scores = imp.join(broadcast(qt), "__w")
-      .join(cand, Seq("__q", "__d"), "left_semi")
+    // Score candidates by joining them to the PER-TERM posting relation on
+    // doc id, then keeping each doc's postings whose term is in that query's
+    // vocabulary. The exchange is posting-sized + candidate-sized — NOT the
+    // query-expanded |queries|×|postings| relation the exhaustive engine
+    // aggregates (expanding imp×qt first and semi-joining after, the
+    // original formulation, rebuilt and shuffled exactly the relation
+    // MaxScore exists to avoid — measured 0.36-0.47× even on the Zipf
+    // fixture; this shape is where the pruning actually pays).
+    val scores = cand.join(imp, Seq("__d"))
+      .join(broadcast(qt), Seq("__q", "__w"), "left_semi")
       .groupBy(col("__q"), col("__d"))
       .agg(sum(col("__imp")).as("score_micro"))
     val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
