@@ -33,7 +33,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: hygiene() unpersists locally-checkpointed RDDs, and each
+    // emits a harmless "WARN MapPartitionsRDD ... cannot be recomputed" line —
+    // hundreds per run, enough to clip the driver's tail-limited log capture.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warmup: JVM + codegen + parquet footer reads out of the measured path.
     try spark.read.parquet(s"$sfDir/part.parquet").count()
     catch { case _: Throwable => () }
@@ -75,7 +78,12 @@ object Bench {
           try {
             fn(spark, sfDir).count()
             best = math.min(best, (System.nanoTime() - t1) / 1e9)
-          } catch { case _: Throwable => () }
+          } catch {
+            // A query that succeeds cold but fails warm (OOM, lost blocks) must
+            // leave a trace, or warm/cold receipt comparisons silently mislead.
+            case scala.util.control.NonFatal(e) =>
+              errors(name + "_warm") = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          }
           hygiene()
         }
         if (best < Double.MaxValue) warmT(name) = best

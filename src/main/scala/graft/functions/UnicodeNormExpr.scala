@@ -14,9 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * rows that can actually change pay the JDK normalizer. */
 object UnicodeNorm {
   private def allAscii(s: UTF8String): Boolean = {
-    val b = s.getBytes
+    // getByte over numBytes, NOT getBytes: getBytes copies whenever the string
+    // is a slice of a larger buffer (the normal case for parquet-backed rows),
+    // which would put a per-row allocation on the fast path.
+    val n = s.numBytes()
     var i = 0
-    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    while (i < n) { if (s.getByte(i) < 0) return false; i += 1 }
     true
   }
   private def norm(s: UTF8String, f: java.text.Normalizer.Form): UTF8String =

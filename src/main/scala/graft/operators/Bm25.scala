@@ -122,16 +122,18 @@ object Bm25 {
    * The classic recall lever when queries are short and the corpus
    * vocabulary is broad.
    *
-   * Scale shape: the postings relation is the only corpus-sized input and
-   * every per-round pass is the [[topKIndexed]] plan (query-vocabulary
-   * semi-join first); the feedback relation is ≤ fbDocs·|queries| rows and
-   * broadcasts into the expansion join, so round 2 costs exactly one more
-   * postings semi-join. Determinism: integer micro-nat scores, (sum tf
-   * desc, term asc) expansion order, both rounds' windows id-tie-broken.
+   * Scale shape: the postings relation is the only corpus-sized input; the
+   * corpus totals and the round-1 query-term postings slice are each computed
+   * ONCE and shared by both rounds (round 2 unions in only the postings of
+   * expansion terms round 1 discovered — not a second whole-vocabulary
+   * semi-join). The feedback relation is ≤ fbDocs·|queries| rows and
+   * broadcasts into the expansion join. Determinism: integer micro-nat
+   * scores, (sum tf desc, term asc) expansion order, both rounds' windows
+   * id-tie-broken.
    *
    * @return round-2 ranking (query_id, doc_id, score_micro, rank)
    * @note caching contract: the postings `idx` is persisted
-   *       (MEMORY_AND_DISK) for the five internal consumers and NOT
+   *       (MEMORY_AND_DISK) for its internal consumers and NOT
    *       unpersisted here — the result is lazy, so eager cleanup would
    *       evict before the caller materializes. Callers invoking this
    *       repeatedly in one session should `spark.sharedState.cacheManager
@@ -143,16 +145,31 @@ object Bm25 {
       k: Int, fbDocs: Int = 3, fbTerms: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fbDocs > 0 && fbTerms > 0, s"fbDocs/fbTerms must be positive")
-    // Persisted: five consumers (two rounds' totals + semi-joins, the vote
-    // join) would otherwise re-run the postings lineage five times —
-    // measured 5.8 → ~2 s at sf0.1. Same never-unpersist contract as
-    // SimDedup's keyIds (callers/Bench clear the SQL cache between queries);
-    // at scale this IS the encode-once persisted-postings doctrine.
-    val idxP = idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted: the vote join and the two slice cuts would otherwise re-run
+    // the postings lineage each time — measured 5.8 → ~2 s at sf0.1. Same
+    // never-unpersist contract as SimDedup's keyIds (callers/Bench clear the
+    // SQL cache between queries); at scale this IS the encode-once
+    // persisted-postings doctrine.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val idxP = idx.persist(lvl)
+    val tf = idxP.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+      col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    // Corpus totals computed ONCE and shared by both rounds (they are corpus
+    // properties — the expanded vocabulary doesn't change N or Σdl).
+    val tot = tf.select(col("__d"), col("__dl")).distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+      .persist(lvl)
     val qt0 = queries
       .select(col(qidCol).as("query_id"), explode(wordsCol(col(qtextCol))).as("term"))
       .distinct()
-    val fb = topKIndexedTerms(idxP, qt0, fbDocs, k1, b)
+    val vocab0 = qt0.select(col("term").as("__w")).distinct()
+    // The round-1 query-term postings slice, cut ONCE and persisted: round 1
+    // scores from it directly, and round 2 REUSES it — the full postings
+    // relation is re-touched only for the (few) expansion terms round 1
+    // discovered, not re-semi-joined for the whole expanded vocabulary.
+    val slice0 = tf.join(broadcast(vocab0), "__w").persist(lvl)
+    val qt0w = qt0.select(col("query_id").as("__q"), col("term").as("__w"))
+    val fb = scoreHitsTerms(slice0, tot, qt0w, fbDocs, k1, b)
       .select(col("query_id"), col("doc_id").as("doc"))
     val votes = broadcast(fb).join(idxP, Seq("doc"))
       .groupBy(col("query_id"), col("term"))
@@ -162,7 +179,14 @@ object Bm25 {
     val exp = votes.withColumn("__rn", row_number().over(we))
       .filter(col("__rn") <= fbTerms)
       .select(col("query_id"), col("term"))
-    topKIndexedTerms(idxP, qt0.unionByName(exp), k, k1, b)
+    // Expansion terms not already covered by slice0 (a term can be another
+    // query's original — union of overlapping posting lists would double tf).
+    val vocabNew = exp.select(col("term").as("__w")).distinct()
+      .join(vocab0, Seq("__w"), "left_anti")
+    val sliceNew = tf.join(broadcast(vocabNew), "__w")
+    val qt2 = qt0.unionByName(exp)
+      .select(col("query_id").as("__q"), col("term").as("__w"))
+    scoreHitsTerms(slice0.unionByName(sliceNew), tot, qt2, k, k1, b)
   }
 
   /** The exact per-posting BM25 contribution in integer micro-units, over

@@ -253,7 +253,14 @@ object Multimodal {
     * bytes first (PNG / JPEG / GIF as in [[decodeMeta]], plus BMP's "BM"
     * hardened by requiring the header's little-endian file size to equal the
     * payload length) so corpus-scale text payloads never pay an ImageIO
-    * attempt. Returns null when not an image or the codec fails. */
+    * attempt. Returns null when not an image or the codec fails.
+    *
+    * Reproducibility note: JPEG decoding is lossy and decoder/JDK-version
+    * dependent, so hashes over real JPEG payloads are stable within one JVM
+    * but NOT guaranteed bit-identical across environments; only the lossless
+    * paths (PNG/BMP/GIF) are mirror-exact and oracle-gated. For Hamming-band
+    * near-dup detection this is immaterial (a decoder's ±1 luma wobble moves
+    * ≪ 1 grid-average), but treat JPEG hashes as environment-scoped keys. */
   private def tryDecodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
     val n = payload.length
     if (n <= 8) return null
@@ -262,7 +269,11 @@ object Multimodal {
     def isBmp = payload(0) == 'B' && payload(1) == 'M' && n >= 14 && {
       val sz = (payload(2) & 0xffL) | ((payload(3) & 0xffL) << 8) |
         ((payload(4) & 0xffL) << 16) | ((payload(5) & 0xffL) << 24)
-      sz == n.toLong
+      // sz == 0 is spec-legal (many writers leave the file-size field blank);
+      // accept it so real-world BMPs reach the true-luma path, while still
+      // screening "BM..."-prefixed text payloads whose bytes 2-5 are printable
+      // ASCII (a nonzero, wrong size) off the ImageIO attempt.
+      sz == n.toLong || sz == 0L
     }
     val isImage =
       ((payload(0) & 0xff) == 0x89 && payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') ||
@@ -416,7 +427,13 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4x16-bit banding is exact only for maxHamming <= 3, got $maxHamming")
+    // One hash per id: a persisted hash table with duplicate ids would emit
+    // duplicate (id_a, id_b) rows with possibly different hamming values
+    // (only candidates are distinct'd, not the hash frame). max() is the
+    // deterministic pick; partial-aggregated map-side, so on the normal
+    // already-unique frame this costs a no-op combine, not a second scan.
     val h = hashes.select(col(idCol).as("__id"), col(hashCol).as("phash"))
+      .groupBy("__id").agg(max("phash").as("phash"))
     val bands = h.select(col("__id"), col("phash"),
       posexplode(expr("transform(sequence(0, 3), b -> shiftright(phash, b * 16) & 65535)"))
         .as(Seq("__b", "__k")))
