@@ -169,8 +169,30 @@ object Bm25 {
     // discovered, not re-semi-joined for the whole expanded vocabulary.
     val slice0 = tf.join(broadcast(vocab0), "__w").persist(lvl)
     val qt0w = qt0.select(col("query_id").as("__q"), col("term").as("__w"))
-    val fb = scoreHitsTerms(slice0, tot, qt0w, fbDocs, k1, b)
-      .select(col("query_id"), col("doc_id").as("doc"))
+    def idfFor(tfq: DataFrame): DataFrame =
+      tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+        .crossJoin(broadcast(tot))
+        .select(col("__w"),
+          floor(log((col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+              (col("__df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+            .cast("long").as("__idf"),
+          col("__tw"), col("__nd"))
+    def contribFor(tfq: DataFrame, qtw: DataFrame): DataFrame =
+      tfq.join(broadcast(qtw), "__w").join(broadcast(idfFor(tfq)), "__w")
+        .select(col("__q"), col("__d"), impactExpr(k1, b).as("__c"))
+    // Round-1 per-(query, doc) sums persisted BEFORE the top-fbDocs window:
+    // round 2's score = round-1 score + expansion-term contributions (integer
+    // sums are associative and exp excludes each query's original terms, so
+    // the split is exact) — the dominant hit-relation aggregation runs ONCE,
+    // not once per round.
+    val scores0 = contribFor(slice0, qt0w)
+      .groupBy(col("__q"), col("__d")).agg(sum(col("__c")).as("score_micro"))
+      .persist(lvl)
+    val wfb = Window.partitionBy(col("__q"))
+      .orderBy(col("score_micro").desc, col("__d").asc)
+    val fb = scores0.withColumn("__rn", row_number().over(wfb))
+      .filter(col("__rn") <= fbDocs)
+      .select(col("__q").as("query_id"), col("__d").as("doc"))
     val votes = broadcast(fb).join(idxP, Seq("doc"))
       .groupBy(col("query_id"), col("term"))
       .agg(sum(col("tf")).as("__s"))
@@ -179,14 +201,22 @@ object Bm25 {
     val exp = votes.withColumn("__rn", row_number().over(we))
       .filter(col("__rn") <= fbTerms)
       .select(col("query_id"), col("term"))
-    // Expansion terms not already covered by slice0 (a term can be another
-    // query's original — union of overlapping posting lists would double tf).
-    val vocabNew = exp.select(col("term").as("__w")).distinct()
-      .join(vocab0, Seq("__w"), "left_anti")
-    val sliceNew = tf.join(broadcast(vocabNew), "__w")
-    val qt2 = qt0.unionByName(exp)
-      .select(col("query_id").as("__q"), col("term").as("__w"))
-    scoreHitsTerms(slice0.unionByName(sliceNew), tot, qt2, k, k1, b)
+    // Round 2 touches postings only for the expansion vocabulary (complete
+    // posting lists per term, so df/idf are the same corpus properties the
+    // whole-vocabulary pass would compute).
+    val expVocab = exp.select(col("term").as("__w")).distinct()
+    val tfExp = tf.join(broadcast(expVocab), "__w").persist(lvl)
+    val expw = exp.select(col("query_id").as("__q"), col("term").as("__w"))
+    val contribExp = contribFor(tfExp, expw)
+    val scores2 = scores0.select(col("__q"), col("__d"), col("score_micro").as("__c"))
+      .unionByName(contribExp)
+      .groupBy(col("__q"), col("__d")).agg(sum(col("__c")).as("score_micro"))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("score_micro").desc, col("__d").asc)
+    scores2.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
   }
 
   /** The exact per-posting BM25 contribution in integer micro-units, over
