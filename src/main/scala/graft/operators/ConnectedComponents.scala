@@ -188,6 +188,9 @@ object ConnectedComponents {
       .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
     val minN = sym.union(sym.select(col("__u"), col("__u").as("__v")))
       .groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+    // distinct matters even though smallStar's min is duplicate-insensitive:
+    // without it the moved-edge fanout multiplies duplicates through the next
+    // round's joins (measured 2× slower without at sf0.1).
     sym.filter(col("__v") > col("__u"))
       .join(minN, "__u")
       .select(col("__v").as("__u"), col("__m").as("__v"))

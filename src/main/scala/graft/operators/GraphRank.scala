@@ -323,11 +323,14 @@ object GraphRank {
         .select(col("__a").as("__n"), col("__l"))
         .unionByName(lab)
         .groupBy(col("__n"), col("__l")).agg(count(lit(1)).as("__c"))
-      val w = Window.partitionBy(col("__n"))
-        .orderBy(col("__c").desc, col("__l").asc)
-      lab = votes.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("__n"), col("__l"))
+      // Argmax by (count desc, label asc) as ONE hash aggregation — min over
+      // the lexicographic (−count, label) pair — instead of a window sort:
+      // same winner, one less per-round sort, and partial aggregation runs
+      // map-side (a window's rank never does).
+      lab = votes
+        .groupBy(col("__n"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("__l").as("__l"))).as("__m"))
+        .select(col("__n"), col("__m").getField("__l").as("__l"))
         // cut the doubling join lineage between rounds (the CC stance)
         .localCheckpoint()
     }
