@@ -1011,8 +1011,15 @@ object Oracles {
   /** Shared centroid-quantizer + assignment CTE chain (see [[annIvfSql]]'s
     * scaladoc for the contract): emits `v` (raw vectors), `vl` (eligible),
     * `cent$nIters` (final centroids), `ccos` (vector×centroid cosines) and
-    * `casgn` (each eligible vector's nearest centroid). */
-  private def ivfAssignCtes(nList: Int, nIters: Int): String = {
+    * `casgn` (each eligible vector's nearest centroid).
+    *
+    * `trainPred` restricts the TRAIN slice (seeds + Lloyd refinement);
+    * `assignPred` restricts the final assignment slice — the incremental
+    * assign-to-existing-codebook mirror (both default to the whole table,
+    * reproducing the fused train-and-assign chain verbatim). */
+  private def ivfAssignCtes(
+      nList: Int, nIters: Int,
+      trainPred: String = "", assignPred: String = ""): String = {
     val lloyd = (1 to nIters).map { i =>
       val prev = s"cent${i - 1}"
       s"""ccos${i - 1} AS (
@@ -1051,7 +1058,15 @@ object Oracles {
     // Scala seed collect (a null among the nList smallest ids shrinks the
     // seed set, it does not pull in the next id). Both engines require
     // uniform vector dimensions when nIters > 0.
-    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+    val trainWhere = if (trainPred.isEmpty) "" else s" WHERE $trainPred"
+    val assignSrc =
+      if (assignPred.isEmpty) "vl"
+      else
+        s"""(SELECT vec_id, embedding AS e FROM embeddings
+           |   WHERE ($assignPred) AND embedding IS NOT NULL
+           |     AND list_sum(list_transform(embedding,
+           |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings$trainWhere),
        |vl AS (
        |  SELECT vec_id, e FROM v
        |  WHERE e IS NOT NULL
@@ -1069,7 +1084,7 @@ object Oracles {
        |ccos AS (
        |  SELECT x.vec_id, c.cj,
        |    ${listCos("x.e", "c.ce")} AS cos
-       |  FROM vl x CROSS JOIN cent$nIters c
+       |  FROM $assignSrc x CROSS JOIN cent$nIters c
        |),
        |casgn AS (
        |  SELECT vec_id, cj FROM (
@@ -1078,6 +1093,17 @@ object Oracles {
        |    FROM ccos) WHERE rn = 1
        |)""".stripMargin
   }
+
+  /** Mirror of SimSearch.ivfAssign over a train/batch split: the
+    * [[ivfAssignCtes]] quantizer trained ONLY on `trainPred` rows, the final
+    * assignment pass run ONLY over `batchPred` rows — the incremental
+    * assign-to-existing-codebook gate. */
+  def ivfAssignIncrSql(
+      nList: Int, nIters: Int, trainPred: String, batchPred: String): String =
+    s"""${ivfAssignCtes(nList, nIters, trainPred, batchPred)}
+       |SELECT a.vec_id, CAST(a.cj AS BIGINT) AS list,
+       |       CAST(floor(c.cos * 1000000.0) AS BIGINT) AS cos_micro
+       |FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj""".stripMargin
 
   /**
    * Exact mirror of Dedup.clusterExemplars: the [[ivfAssignCtes]] quantizer

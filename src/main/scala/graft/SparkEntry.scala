@@ -975,6 +975,16 @@ object SparkEntry {
     "ann_ivf_report" -> ((s, dir) =>
       SimSearch.ivfReport(rd(s, dir, "embeddings"), "vec_id", "embedding",
         nList = 16, nIters = 1)),
+    // incremental IVF: train the coarse quantizer on the 80% "yesterday"
+    // slice, assign the 20% "new crawl" batch to the persisted codebook
+    // without retraining — encode once, assign forever
+    "ann_ivf_incr" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val ivf = SimSearch.ivfTrainModel(emb.filter(col("vec_id") % 10 < 8),
+        "vec_id", "embedding", nList = 16, nIters = 1)
+      SimSearch.ivfAssign(emb.filter(col("vec_id") % 10 >= 8),
+        "vec_id", "embedding", ivf)
+    }),
     // PQ-compressed ANN: codebook-encoded corpus, ADC table-lookup scoring
     "ann_pq" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -2322,6 +2332,8 @@ object SparkEntry {
     "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_ivf_report" -> Oracles.ivfReportSql(16, 1),
+    "ann_ivf_incr" ->
+      Oracles.ivfAssignIncrSql(16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
     "ann_pq_rerank" -> Oracles.annPqRerankSql(5, 20, 8, 16, "vec_id < 50"),
     "ann_range" -> Oracles.rangeSearchSql(0.3, "vec_id < 50"),

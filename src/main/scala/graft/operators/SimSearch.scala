@@ -1654,6 +1654,51 @@ object SimSearch {
   }
 
   /**
+   * INCREMENTAL IVF assignment — route a NEW batch of vectors onto an
+   * already-trained coarse quantizer WITHOUT retraining: the production
+   * posture for a growing corpus (train the codebook once on yesterday's
+   * data, assign every new crawl increment forever after; retrain only when
+   * [[ivfReport]] cohesion degrades). Same deterministic rule as
+   * [[kmeansAssign]]'s final pass — (cosine desc, index asc) nearest
+   * centroid — so assigning the training slice itself reproduces the fused
+   * path bit-for-bit.
+   *
+   * Scale shape: the model broadcasts (nList·dim doubles) into one
+   * mapPartitions scan of the batch — the batch never shuffles, the trained
+   * corpus is never touched. Null / zero-norm rows are dropped (the shared
+   * eligibility contract).
+   *
+   * @return (bId, list, cos_micro) — cos_micro = floor(cos·10⁶) of the
+   *         vector against its winning centroid.
+   */
+  def ivfAssign(
+      batch: DataFrame, bId: String, bVec: String, ivf: IvfModel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    requireIntegralId(batch, bId, "batch")
+    val spark = batch.sparkSession
+    val slim = batch.select(col(bId).cast("long"), col(bVec))
+    val bc = spark.sparkContext.broadcast(ivf.cents)
+    val schema = StructType(Seq(
+      StructField("__bid", LongType), StructField("list", IntegerType),
+      StructField("cos_micro", LongType)))
+    val rdd = slim.rdd.mapPartitions { rows =>
+      val cents = bc.value
+      rows.flatMap { r =>
+        vecWithNorm(r).map { case (id, v, n) =>
+          val cos = ivfCentroidCos(cents, v, n)
+          var bj = 0; var j = 1
+          while (j < cos.length) { if (cos(j) > cos(bj)) bj = j; j += 1 }
+          Row(id, bj, math.floor(cos(bj) * 1000000.0).toLong)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+      .select(col("__bid").as(bId), col("list").cast("long").as("list"),
+        col("cos_micro"))
+  }
+
+  /**
    * Encode `corpus` once against a trained coarse + product quantizer →
    * `(id: long, list: int, codes: binary)` — the PERSISTED IVFADC layout:
    * nSub bytes of codes plus one small int per row replace the full vector,
