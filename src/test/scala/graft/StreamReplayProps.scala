@@ -194,4 +194,69 @@ class StreamReplayProps extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(batch == a, "stream final state diverged from the batch op")
   }
+
+  test("StreamChunkDedup.firstPerChunk: every replay emits each chunk hash exactly once") {
+    val s = spark
+    import s.implicits._
+    // 8 docs over a small word pool with chunkWords=2: repeated two-word
+    // chunks collide across docs and across batches; some docs contribute
+    // several chunks. The EMITTED (doc, index) per hash is arrival-dependent
+    // (first-seen wins); the LEDGER — one emission per distinct chunk hash,
+    // same hash set — must be arrival-order-invariant.
+    val docs = Vector(
+      (1L, "red fox red fox"),            // chunks: "red fox" x2 -> 1 distinct
+      (2L, "blue owl red fox"),           // "blue owl", "red fox"
+      (3L, "red fox blue owl"),           // "red fox", "blue owl"
+      (4L, "green ant blue owl green ant"), // "green ant", "blue owl", "green" (tail)
+      (5L, "blue owl"),
+      (6L, "green ant"),
+      (7L, "red fox green ant"),
+      (8L, "owl blue"))                   // order matters: new chunk "owl blue"
+
+    def run(order: Vector[(Long, String)], tag: String): Seq[(Long, Long, String)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-creplay-$tag").toFile
+      val schema = order.take(1).toDF("doc_id", "text").schema
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+      val out = graft.streaming.StreamChunkDedup.firstPerChunk(
+        stream.toDF(), "doc_id", "text", chunkWords = 2)
+      val q = out.writeStream.format("memory").queryName(s"creplay_$tag")
+        .outputMode("append").start()
+      try {
+        order.grouped(2).zipWithIndex.foreach { case (chunk, bi) =>
+          chunk.toDF("doc_id", "text").write.parquet(dir + s"/in/b$bi")
+          q.processAllAvailable()
+        }
+        spark.table(s"creplay_$tag").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      } finally q.stop()
+    }
+
+    // ground truth: the distinct chunk strings of the whole corpus, and per
+    // chunk the set of (doc, index) sites it occurs at
+    def chunksOf(t: String): Seq[(Long, String)] = {
+      val ws = "[a-z]+".r.findAllIn(t.toLowerCase).toVector
+      ws.grouped(2).zipWithIndex.map { case (g, i) => (i.toLong, g.mkString(" ")) }
+        .toSeq.map { case (i, c) => (i, c) }
+    }
+    val sites: Map[String, Set[(Long, Long)]] = docs
+      .flatMap { case (id, t) => chunksOf(t).map { case (i, c) => (c, (id, i)) } }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val md5Of = sites.keySet
+      .map(c => c -> java.security.MessageDigest.getInstance("MD5")
+        .digest(c.getBytes("UTF-8")).map("%02x".format(_)).mkString).toMap
+
+    Seq(0L, 4242L, 777777L).foreach { seed =>
+      val order = if (seed == 0L) docs else shuffled(docs, seed)
+      val got = run(order, s"s$seed")
+      assert(got.size == sites.size,
+        s"seed=$seed: ${got.size} emissions for ${sites.size} distinct chunks")
+      assert(got.map(_._3).toSet == md5Of.values.toSet, s"seed=$seed: hash set diverged")
+      // every emitted occurrence is a genuine site of that chunk
+      val hashToChunk = md5Of.map(_.swap)
+      got.foreach { case (id, i, h) =>
+        assert(sites(hashToChunk(h)).contains((id, i)),
+          s"seed=$seed: ($id,$i) is not a site of chunk '${hashToChunk(h)}'")
+      }
+    }
+  }
 }
