@@ -54,7 +54,8 @@ object WandBench {
       a.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty &&
         b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty
     }
-    def run(fixture: String, docs: DataFrame, queries: DataFrame): (Double, Double, Boolean) = {
+    def run(fixture: String, docs: DataFrame, queries: DataFrame)
+        : (Double, Double, Boolean, Long, Long) = {
       val idx = graft.operators.Bm25.index(docs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       idx.count() // the persisted index is the shared starting point
@@ -62,18 +63,29 @@ object WandBench {
         graft.operators.Bm25.topKIndexed(idx, queries, "doc_id", "text", k),
         graft.operators.Bm25.topKMaxScore(idx, queries, "doc_id", "text", k))
       println(s"""{"bench":"wand-batch","fixture":"$fixture","identical":$same}""")
+      // The architecture's own justification, measured: how many (query, doc)
+      // pairs each engine's dominant aggregation exchanges. Exhaustive moves
+      // every query-term hit; MaxScore moves only candidate docs (>= 1
+      // essential-term posting). The ratio is the pruning selectivity the
+      // timing receipts should track.
+      import org.apache.spark.sql.functions.{col => c, explode, countDistinct}
+      val qt = queries.select(c("doc_id").as("__q"),
+        explode(graft.functions.TextFunctions.wordsCol(c("text"))).as("term")).distinct()
+      val exPairs = idx.join(qt, Seq("term")).select(c("__q"), c("doc")).distinct().count()
+      val candPairs = graft.operators.Bm25.maxScoreCandidateCount(idx, queries, "doc_id", "text", k)
+      println(s"""{"bench":"wand-batch","fixture":"$fixture","exhaustive_pairs":$exPairs,"candidate_pairs":$candPairs}""")
       val tFull = time(fixture, "exhaustive")(
         graft.operators.Bm25.topKIndexed(idx, queries, "doc_id", "text", k))
       val tWand = time(fixture, "maxscore")(
         graft.operators.Bm25.topKMaxScore(idx, queries, "doc_id", "text", k))
       idx.unpersist(blocking = false)
       println(f"""{"bench":"wand-batch","fixture":"$fixture","nQ":$nQ,"k":$k,"best_exhaustive":$tFull%.3f,"best_maxscore":$tWand%.3f,"speedup":${tFull / tWand}%.2f}""")
-      (tFull, tWand, same)
+      (tFull, tWand, same, exPairs, candPairs)
     }
 
     // fixture 1: the sf corpus (uniform-idf word salad — the honest loss)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val (uFull, uWand, uSame) = run("uniform", docs, docs.filter(col("doc_id") < nQ))
+    val (uFull, uWand, uSame, uEx, uCand) = run("uniform", docs, docs.filter(col("doc_id") < nQ))
 
     // fixture 2: Zipf(−1) vocabulary, deterministic (hash-u inverse CDF —
     // no Random, reproducible across runs/JVMs)
@@ -85,6 +97,14 @@ object WandBench {
     val V = 2000
     val nDocs = 150000
     val docLen = 50
+    // Term names must be PURE LETTERS: the shared tokenizer is lowercase
+    // [a-z]+ runs, so "t123" collapses to the single token "t" — the r12/r13
+    // fixture made the whole corpus a ONE-TERM vocabulary and both engines
+    // degenerate (candidate_pairs == exhaustive_pairs == nQ·nDocs, caught by
+    // this round's pair-count receipt). Ranks are spelled with digit→letter
+    // substitution ("t123" → "tbcd") on BOTH sides.
+    def alphaRank(r: Int): String =
+      "t" + r.toString.map(c => ('a' + (c - '0')).toChar)
     val mkZipfDoc = udf { d: Long =>
       val sb = new StringBuilder
       var j = 0
@@ -92,7 +112,7 @@ object WandBench {
         val h = java.lang.Long.remainderUnsigned((d * 1000003L + j) * 2654435761L, 1048576L)
         val r = math.min(V, math.max(1, math.pow(V.toDouble, h.toDouble / 1048576.0).toInt))
         if (j > 0) sb.append(' ')
-        sb.append('t').append(r)
+        sb.append(alphaRank(r))
         j += 1
       }
       sb.toString
@@ -103,17 +123,19 @@ object WandBench {
     zdocs.count()
     // queries: one head term (huge posting list, low idf — must become
     // non-essential), one mid, two tail terms (rare, high idf — they set θ)
+    def alphaCol(c: org.apache.spark.sql.Column) =
+      concat(lit("t"), translate(c.cast("string"), "0123456789", "abcdefghij"))
     val zqueries = spark.range(nQ).select(col("id").as("doc_id"),
       concat_ws(" ",
-        concat(lit("t"), (col("id") % 10 + 1).cast("string")),
-        concat(lit("t"), (col("id") * 7 % 200 + 100).cast("string")),
-        concat(lit("t"), (lit(V / 2) + col("id") % 400).cast("string")),
-        concat(lit("t"), (lit(V) - col("id") % 400).cast("string"))).as("text"))
-    val (zFull, zWand, zSame) = run("zipf", zdocs, zqueries)
+        alphaCol(col("id") % 10 + 1),
+        alphaCol(col("id") * 7 % 200 + 100),
+        alphaCol(lit(V / 2) + col("id") % 400),
+        alphaCol(lit(V) - col("id") % 400)).as("text"))
+    val (zFull, zWand, zSame, zEx, zCand) = run("zipf", zdocs, zqueries)
     zdocs.unpersist(blocking = false)
 
     val line =
-      f"""{"bench":"wand-batch","nQ":$nQ,"k":$k,"uniform":{"best_exhaustive":$uFull%.3f,"best_maxscore":$uWand%.3f,"speedup":${uFull / uWand}%.2f,"identical":$uSame},"zipf":{"vocab":$V,"n_docs":$nDocs,"doc_len":$docLen,"best_exhaustive":$zFull%.3f,"best_maxscore":$zWand%.3f,"speedup":${zFull / zWand}%.2f,"identical":$zSame}}"""
+      f"""{"bench":"wand-batch","nQ":$nQ,"k":$k,"uniform":{"best_exhaustive":$uFull%.3f,"best_maxscore":$uWand%.3f,"speedup":${uFull / uWand}%.2f,"identical":$uSame,"exhaustive_pairs":$uEx,"candidate_pairs":$uCand},"zipf":{"vocab":$V,"n_docs":$nDocs,"doc_len":$docLen,"best_exhaustive":$zFull%.3f,"best_maxscore":$zWand%.3f,"speedup":${zFull / zWand}%.2f,"identical":$zSame,"exhaustive_pairs":$zEx,"candidate_pairs":$zCand}}"""
     println(line)
     try {
       val w = new java.io.PrintWriter("WAND_BENCH.json", "UTF-8")

@@ -342,6 +342,54 @@ object Bm25 {
     * consumers; same never-unpersist contract as [[topKPrf]]. */
   private def maxScoreSearch(imp0: DataFrame, qt: DataFrame, k: Int): DataFrame = {
     val imp = imp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ess = essentialTerms(imp, qt, k)
+    // ONE pass over the essential-term hit relation: the (q, d) aggregation's
+    // keys ARE the candidate set (docs with ≥ 1 essential posting), and its
+    // sums are the essential half of every candidate's score — the hit-sized
+    // relation is exchanged exactly once, like the exhaustive engine's single
+    // aggregation. Persisted: candidate-sized, two consumers.
+    val essAgg = imp.join(broadcast(ess), "__w")
+      .groupBy(col("__q"), col("__d")).agg(sum(col("__imp")).as("__se"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = essAgg.select(col("__q"), col("__d"))
+    // NON-essential contributions: candidates join postings restricted to the
+    // globally-non-essential vocabulary, then keep per-query non-essential
+    // (q, w) pairs. This is the decisive shape: MaxScore's whole point is
+    // that the high-df low-idf terms are the non-essential ones, so joining
+    // candidates against ONLY their postings replaces both the exhaustive
+    // |queries|-expanded hit relation (the original formulation, measured
+    // 0.36-0.47×) and the candidates × ALL-doc-terms join (the r13 shape,
+    // measured 0.72× on the Zipf fixture — each candidate doc dragged its
+    // every query-vocab posting through the exchange before the per-query
+    // filter).
+    val noness = qt.join(broadcast(ess), Seq("__q", "__w"), "left_anti")
+    val nonessTerms = noness.select(col("__w")).distinct()
+    val nonessHits = cand
+      .join(imp.join(broadcast(nonessTerms), "__w"), Seq("__d"))
+      .join(broadcast(noness), Seq("__q", "__w"), "left_semi")
+      .select(col("__q"), col("__d"), col("__imp"))
+    // Final scores: candidate-sized essential sums ∪ non-essential lookups,
+    // regrouped — exact by integer associativity.
+    val scores = essAgg.select(col("__q"), col("__d"), col("__se").as("__imp"))
+      .unionByName(nonessHits)
+      .groupBy(col("__q"), col("__d"))
+      .agg(sum(col("__imp")).as("score_micro"))
+    val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The MaxScore θ pass + essential-term partition over a (persisted)
+    * query-term impact relation `imp(__w, __d, __imp)` → the per-query
+    * essential (q, w) pairs. Checkpointed: `ess` is tiny (⊆ query
+    * vocabulary) but its lineage holds the θ pass — a top-k window over the
+    * whole impact relation — and it has three consumers downstream
+    * (essential hits, the non-essential anti-join, diagnostics); uncut, each
+    * would re-sort the postings (measured 0.65× → 1.1× on the uniform
+    * fixture from this one cut). */
+  private def essentialTerms(imp: DataFrame, qt: DataFrame, k: Int): DataFrame = {
     val ub = imp.groupBy(col("__w")).agg(max(col("__imp")).as("__ub"))
     val wPre = Window.partitionBy(col("__w")).orderBy(col("__imp").desc, col("__d").asc)
     val cheap = imp.withColumn("__pr", row_number().over(wPre))
@@ -354,30 +402,47 @@ object Bm25 {
       .select(col("__q"), col("__m").as("__theta"))
     val wCs = Window.partitionBy(col("__q")).orderBy(col("__ub").asc, col("__w").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ess = qt.join(broadcast(ub), "__w")
+    qt.join(broadcast(ub), "__w")
       .join(broadcast(theta), Seq("__q"), "left")
       .withColumn("__cs", sum(col("__ub")).over(wCs))
       .filter(col("__cs") >= coalesce(col("__theta"), lit(Long.MinValue)))
       .select(col("__q"), col("__w"))
-    val cand = imp.join(broadcast(ess), "__w")
-      .select(col("__q"), col("__d")).distinct()
-    // Score candidates by joining them to the PER-TERM posting relation on
-    // doc id, then keeping each doc's postings whose term is in that query's
-    // vocabulary. The exchange is posting-sized + candidate-sized — NOT the
-    // query-expanded |queries|×|postings| relation the exhaustive engine
-    // aggregates (expanding imp×qt first and semi-joining after, the
-    // original formulation, rebuilt and shuffled exactly the relation
-    // MaxScore exists to avoid — measured 0.36-0.47× even on the Zipf
-    // fixture; this shape is where the pruning actually pays).
-    val scores = cand.join(imp, Seq("__d"))
-      .join(broadcast(qt), Seq("__q", "__w"), "left_semi")
-      .groupBy(col("__q"), col("__d"))
-      .agg(sum(col("__imp")).as("score_micro"))
-    val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
-    scores.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("__q").as("query_id"), col("__d").as("doc_id"),
-        col("score_micro"), col("rank").cast("long").as("rank"))
+      .localCheckpoint()
+  }
+
+  /** Diagnostic: the number of candidate (query, doc) pairs [[topKMaxScore]]'s
+    * pruned aggregation exchanges for this corpus/query batch — the
+    * selectivity receipt WandBench records beside the timings (exhaustive
+    * moves every distinct query-term hit pair; MaxScore moves only docs with
+    * ≥ 1 essential-term posting). Shares [[essentialTerms]] exactly. */
+  def maxScoreCandidateCount(
+      idx: DataFrame, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): Long = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = idx.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+      col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    val tot = tf.select(col("__d"), col("__dl")).distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    val qt = queries
+      .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
+      .distinct()
+    val qterms = qt.select(col("__w")).distinct()
+    val tfq = tf.join(broadcast(qterms), "__w")
+    val idf = tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(tot))
+      .select(col("__w"),
+        floor(log((col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+            (col("__df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
+          .cast("long").as("__idf"),
+        col("__tw"), col("__nd"))
+    val imp = tfq.join(broadcast(idf), "__w")
+      .select(col("__w"), col("__d"), impactExpr(k1, b).as("__imp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ess = essentialTerms(imp, qt, k)
+    val n = imp.join(broadcast(ess), "__w")
+      .select(col("__q"), col("__d")).distinct().count()
+    imp.unpersist(blocking = false)
+    n
   }
 
   /** Shared scoring tail of [[topK]] / [[topKIndexed]]: query-vocabulary
