@@ -26,6 +26,13 @@ object WandBench {
   def main(args: Array[String]): Unit = {
     val nQ = args.headOption.map(_.toInt).getOrElse(200)
     val k = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    // Scaling knobs (defaults reproduce the receipt of record): args(2) =
+    // zipf corpus size, args(3) = output path, args(4) = "zipf" to skip the
+    // uniform fixture — `WandBench 800 10 600000 WAND_SCALE.json zipf` is the
+    // does-the-win-grow-with-corpus-size receipt.
+    val zipfDocs = args.drop(2).headOption.map(_.toInt).getOrElse(150000)
+    val outPath = args.drop(3).headOption.getOrElse("WAND_BENCH.json")
+    val zipfOnly = args.drop(4).headOption.contains("zipf")
     val reps = 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -84,8 +91,12 @@ object WandBench {
     }
 
     // fixture 1: the sf corpus (uniform-idf word salad — the honest loss)
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val (uFull, uWand, uSame, uEx, uCand) = run("uniform", docs, docs.filter(col("doc_id") < nQ))
+    val (uFull, uWand, uSame, uEx, uCand) =
+      if (zipfOnly) (0.0, 0.0, true, 0L, 0L)
+      else {
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        run("uniform", docs, docs.filter(col("doc_id") < nQ))
+      }
 
     // fixture 2: Zipf(−1) vocabulary, deterministic (hash-u inverse CDF —
     // no Random, reproducible across runs/JVMs)
@@ -95,7 +106,7 @@ object WandBench {
     // pruning saves the EXCHANGE, not the scan, so the fixture must make
     // the exchange hurt — exactly what a 100 TB corpus does.
     val V = 2000
-    val nDocs = 150000
+    val nDocs = zipfDocs
     val docLen = 50
     // Term names must be PURE LETTERS: the shared tokenizer is lowercase
     // [a-z]+ runs, so "t123" collapses to the single token "t" — the r12/r13
@@ -134,11 +145,14 @@ object WandBench {
     val (zFull, zWand, zSame, zEx, zCand) = run("zipf", zdocs, zqueries)
     zdocs.unpersist(blocking = false)
 
+    val uniformPart =
+      if (zipfOnly) ""
+      else f""""uniform":{"best_exhaustive":$uFull%.3f,"best_maxscore":$uWand%.3f,"speedup":${uFull / uWand}%.2f,"identical":$uSame,"exhaustive_pairs":$uEx,"candidate_pairs":$uCand},"""
     val line =
-      f"""{"bench":"wand-batch","nQ":$nQ,"k":$k,"uniform":{"best_exhaustive":$uFull%.3f,"best_maxscore":$uWand%.3f,"speedup":${uFull / uWand}%.2f,"identical":$uSame,"exhaustive_pairs":$uEx,"candidate_pairs":$uCand},"zipf":{"vocab":$V,"n_docs":$nDocs,"doc_len":$docLen,"best_exhaustive":$zFull%.3f,"best_maxscore":$zWand%.3f,"speedup":${zFull / zWand}%.2f,"identical":$zSame,"exhaustive_pairs":$zEx,"candidate_pairs":$zCand}}"""
+      f"""{"bench":"wand-batch","nQ":$nQ,"k":$k,$uniformPart"zipf":{"vocab":$V,"n_docs":$nDocs,"doc_len":$docLen,"best_exhaustive":$zFull%.3f,"best_maxscore":$zWand%.3f,"speedup":${zFull / zWand}%.2f,"identical":$zSame,"exhaustive_pairs":$zEx,"candidate_pairs":$zCand}}"""
     println(line)
     try {
-      val w = new java.io.PrintWriter("WAND_BENCH.json", "UTF-8")
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
     spark.stop()

@@ -357,8 +357,17 @@ object GraphRank {
   def modularity(
       edges: DataFrame, aCol: String, bCol: String,
       labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    // Checkpointed: the edge relation has two consumers here (the two-sided
+    // label join and the degree count) — uncut, both would re-run the edge
+    // lineage (e.g. a mutual-kNN build) end to end; the same edges-sized
+    // materialization stance as labelPropagation's `und`.
     val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .localCheckpoint()
+    // Same cut for labels, which has THREE consumers (both sides of the
+    // within-community join + the volume rollup) — uncut, each re-runs the
+    // caller's full labeling lineage (e.g. every LPA round) per consumer.
     val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+      .localCheckpoint()
     val el = e
       .join(lab.select(col("__n").as("__a"), col("__l").as("__la")), Seq("__a"))
       .join(lab.select(col("__n").as("__b"), col("__l").as("__lb")), Seq("__b"))
