@@ -253,6 +253,12 @@ object ConnectedComponents {
     var prev: (Long, Long, Long) = (-1L, 0L, 0L)
     var round = 0
     var converged = e.isEmpty
+    // NOTE (r14, measured): sizing the per-round frames to the edge count
+    // (run()'s repartition stance, tried as coalesce-at-checkpoint) does NOT
+    // move the small-graph round floor here — warm receipts were flat-to-
+    // worse (the extra count action costs more than 32-vs-1 blocks save).
+    // The per-round cost is the ~5 exchanges + checksum action themselves,
+    // which amortize at real scale.
     while (round < maxRounds && !converged) {
       val (next, nextHandle) = checkpointWithHandle(smallStar(largeStar(e)), reliable)
       // leading literal 42 = an independent seed for the second hash: both
