@@ -45,8 +45,11 @@ object WandBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time(fixture: String, tag: String)(mk: => DataFrame): Double = {
-      val secs = (1 to reps).map { _ =>
+    // Per-rep times kept whole in the receipt (min AND median AND the raw
+    // list): r14's single best-of-3 pinned 1.72× where the judge's rerun
+    // landed 1.49× — the spread belongs in the artifact (r14 verdict #3).
+    def time(fixture: String, tag: String)(mk: => DataFrame): Seq[Double] = {
+      (1 to reps).map { _ =>
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         val n = mk.count()
@@ -54,15 +57,20 @@ object WandBench {
         println(f"""{"bench":"wand-batch","fixture":"$fixture","engine":"$tag","nQ":$nQ,"k":$k,"rows":$n,"sec":$s%.3f}""")
         s
       }
-      secs.min
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    def repsJson(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     def identical(a: DataFrame, b: DataFrame): Boolean = {
       val cols = Seq("query_id", "doc_id", "score_micro", "rank").map(col)
       a.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty &&
         b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty
     }
     def run(fixture: String, docs: DataFrame, queries: DataFrame)
-        : (Double, Double, Boolean, Long, Long) = {
+        : (Seq[Double], Seq[Double], Boolean, Long, Long) = {
       val idx = graft.operators.Bm25.index(docs, "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       idx.count() // the persisted index is the shared starting point
@@ -86,13 +94,13 @@ object WandBench {
       val tWand = time(fixture, "maxscore")(
         graft.operators.Bm25.topKMaxScore(idx, queries, "doc_id", "text", k))
       idx.unpersist(blocking = false)
-      println(f"""{"bench":"wand-batch","fixture":"$fixture","nQ":$nQ,"k":$k,"best_exhaustive":$tFull%.3f,"best_maxscore":$tWand%.3f,"speedup":${tFull / tWand}%.2f}""")
+      println(f"""{"bench":"wand-batch","fixture":"$fixture","nQ":$nQ,"k":$k,"best_exhaustive":${tFull.min}%.3f,"best_maxscore":${tWand.min}%.3f,"speedup_best":${tFull.min / tWand.min}%.2f,"speedup_median":${median(tFull) / median(tWand)}%.2f}""")
       (tFull, tWand, same, exPairs, candPairs)
     }
 
     // fixture 1: the sf corpus (uniform-idf word salad — the honest loss)
     val (uFull, uWand, uSame, uEx, uCand) =
-      if (zipfOnly) (0.0, 0.0, true, 0L, 0L)
+      if (zipfOnly) (Seq(0.0), Seq(0.0), true, 0L, 0L)
       else {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         run("uniform", docs, docs.filter(col("doc_id") < nQ))
@@ -145,11 +153,16 @@ object WandBench {
     val (zFull, zWand, zSame, zEx, zCand) = run("zipf", zdocs, zqueries)
     zdocs.unpersist(blocking = false)
 
+    def engineJson(full: Seq[Double], wand: Seq[Double]): String =
+      f""""best_exhaustive":${full.min}%.3f,"best_maxscore":${wand.min}%.3f,""" +
+        f""""median_exhaustive":${median(full)}%.3f,"median_maxscore":${median(wand)}%.3f,""" +
+        f""""reps_exhaustive":${repsJson(full)},"reps_maxscore":${repsJson(wand)},""" +
+        f""""speedup":${full.min / wand.min}%.2f,"speedup_median":${median(full) / median(wand)}%.2f"""
     val uniformPart =
       if (zipfOnly) ""
-      else f""""uniform":{"best_exhaustive":$uFull%.3f,"best_maxscore":$uWand%.3f,"speedup":${uFull / uWand}%.2f,"identical":$uSame,"exhaustive_pairs":$uEx,"candidate_pairs":$uCand},"""
+      else s""""uniform":{${engineJson(uFull, uWand)},"identical":$uSame,"exhaustive_pairs":$uEx,"candidate_pairs":$uCand},"""
     val line =
-      f"""{"bench":"wand-batch","nQ":$nQ,"k":$k,$uniformPart"zipf":{"vocab":$V,"n_docs":$nDocs,"doc_len":$docLen,"best_exhaustive":$zFull%.3f,"best_maxscore":$zWand%.3f,"speedup":${zFull / zWand}%.2f,"identical":$zSame,"exhaustive_pairs":$zEx,"candidate_pairs":$zCand}}"""
+      s"""{"bench":"wand-batch","nQ":$nQ,"k":$k,$uniformPart"zipf":{"vocab":$V,"n_docs":$nDocs,"doc_len":$docLen,${engineJson(zFull, zWand)},"identical":$zSame,"exhaustive_pairs":$zEx,"candidate_pairs":$zCand}}"""
     println(line)
     try {
       val w = new java.io.PrintWriter(outPath, "UTF-8")

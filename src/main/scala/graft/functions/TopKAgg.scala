@@ -49,6 +49,21 @@ object TopKAgg {
       ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
+  /** [[TopK]] variant that also DEDUPLICATES by id: an id already in the
+    * buffer is skipped on insert/merge. EXACT only when every copy of an id
+    * carries the SAME score (then the global top-k over distinct ids equals
+    * the merge of per-partition distinct top-k buffers) — the situation of
+    * [[graft.operators.Dedup.knnGraph]], where a candidate pair colliding in
+    * several LSH tables scores identically (deterministic cosine, rounded)
+    * and the former `dropDuplicates` exchange can instead fold into this
+    * aggregation's map-side partials. */
+  class TopKDistinct(k: Int) extends TopK(k) {
+    override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
+      if (buf.exists(_._1 == x._1)) buf else super.reduce(buf, x)
+    override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
+      b.foldLeft(a)(reduce)
+  }
+
   /**
    * Per-key top-k of `(idCol, scoreCol)` rows via the typed aggregation path.
    * Output: (keyCol, idCol, scoreCol, rank) with rank 1..k in
@@ -56,7 +71,40 @@ object TopKAgg {
    * Key/id must be integral (cast to Long), score numeric (cast to Double).
    */
   def perKey(
+      df: DataFrame, keyCol: String, idCol: String, scoreCol: String, k: Int): DataFrame =
+    perKeyWith(df, keyCol, idCol, scoreCol, new TopK(k))
+
+  /** [[perKey]] over the [[TopKDistinct]] aggregator — per-key top-k of
+    * DISTINCT ids, exact under the equal-score-per-id precondition documented
+    * on the aggregator. Fuses a `dropDuplicates(key, id)` + rank window into
+    * ONE aggregation: one exchange carrying ≤ k rows per (key, partition)
+    * instead of a candidate-sized dedup shuffle followed by a sort. */
+  def perKeyDistinct(
+      df: DataFrame, keyCol: String, idCol: String, scoreCol: String, k: Int): DataFrame =
+    perKeyWith(df, keyCol, idCol, scoreCol, new TopKDistinct(k))
+
+  /** [[perKey]] for a STRING key (e.g. a term column) — same contract,
+    * same bounded map-side partials; key stays a string through the
+    * aggregation. */
+  def perKeyStr(
       df: DataFrame, keyCol: String, idCol: String, scoreCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(String, Long, Double)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopK(k).toColumn.name("topk"))
+      .flatMap { case (key, top) =>
+        top.iterator.zipWithIndex.map { case ((id, score), i) => (key, id, score, (i + 1).toLong) }
+      }
+      .toDF(keyCol, idCol, scoreCol, "rank")
+  }
+
+  private def perKeyWith(
+      df: DataFrame, keyCol: String, idCol: String, scoreCol: String,
+      agg: TopK): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(keyCol).cast("long"), col(idCol).cast("long"),
@@ -64,7 +112,7 @@ object TopKAgg {
       .as[(Long, Long, Double)]
     ds.groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
-      .agg(new TopK(k).toColumn.name("topk"))
+      .agg(agg.toColumn.name("topk"))
       .flatMap { case (key, top) =>
         top.iterator.zipWithIndex.map { case ((id, score), i) => (key, id, score, (i + 1).toLong) }
       }

@@ -149,7 +149,12 @@ object Bm25 {
     // the postings lineage each time — measured 5.8 → ~2 s at sf0.1. Same
     // never-unpersist contract as SimDedup's keyIds (callers/Bench clear the
     // SQL cache between queries); at scale this IS the encode-once
-    // persisted-postings doctrine.
+    // persisted-postings doctrine. NOTE (r14→): this operator now leaves
+    // FIVE persisted frames per invocation (idxP, tot, slice0, scores0,
+    // tfExp) — repeated calls in one session accumulate cached frames
+    // faster than the original single-persist shape; long-lived sessions
+    // should `spark.sharedState.cacheManager.clearCache()` between calls
+    // (ADVICE r14).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val idxP = idx.persist(lvl)
     val tf = idxP.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
@@ -343,6 +348,27 @@ object Bm25 {
   private def maxScoreSearch(imp0: DataFrame, qt: DataFrame, k: Int): DataFrame = {
     val imp = imp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ess = essentialTerms(imp, qt, k)
+    // ADAPTIVE FALLBACK (r15): when the essential set covers ~the whole query
+    // vocabulary — the uniform-idf corpus, where θ can exclude (almost)
+    // nothing — the pruned shape degenerates to the exhaustive aggregation
+    // PLUS a persisted candidate frame and a non-essential join that feed it
+    // nothing. Detect it from the θ-pass outputs (both tiny and already
+    // materialized: `ess` is checkpointed, `qt` is the query-vocab relation
+    // the collectable-queries contract bounds) and run the exhaustive
+    // single-aggregation shape instead — bit-identical scores, so MaxScore
+    // never loses to the engine it generalizes. Pruning must skip ≥ 10% of
+    // (q, w) pairs to be worth the candidate bookkeeping (measured: uniform
+    // fixture 0.89× before, where ess/qt = 1.0).
+    val nQt = qt.count()
+    if (nQt > 0 && ess.count() >= 0.9 * nQt) {
+      val scores = imp.join(broadcast(qt), Seq("__w"))
+        .groupBy(col("__q"), col("__d")).agg(sum(col("__imp")).as("score_micro"))
+      val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
+      return scores.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("__q").as("query_id"), col("__d").as("doc_id"),
+          col("score_micro"), col("rank").cast("long").as("rank"))
+    }
     // ONE pass over the essential-term hit relation: the (q, d) aggregation's
     // keys ARE the candidate set (docs with ≥ 1 essential posting), and its
     // sums are the essential half of every candidate's score — the hit-sized
@@ -391,9 +417,19 @@ object Bm25 {
     * fixture from this one cut). */
   private def essentialTerms(imp: DataFrame, qt: DataFrame, k: Int): DataFrame = {
     val ub = imp.groupBy(col("__w")).agg(max(col("__imp")).as("__ub"))
-    val wPre = Window.partitionBy(col("__w")).orderBy(col("__imp").desc, col("__d").asc)
-    val cheap = imp.withColumn("__pr", row_number().over(wPre))
-      .filter(col("__pr") <= k)
+    // Per-term top-k-by-impact prefix as a BOUNDED aggregation
+    // ([[graft.functions.TopKAgg.perKeyStr]]), not a row_number window: the
+    // window form sorted the ENTIRE posting relation per term before
+    // truncating (the dominant θ-pass cost on corpora where pruning can't
+    // pay); the aggregation collapses every partition to ≤ k postings per
+    // term map-side, so only the bounded prefix crosses the wire — at scale
+    // this IS the per-term prefix read an impact-ordered index serves.
+    // Exact: same (impact desc, doc asc) order and tie-break (integer
+    // impacts round-trip the Double buffer losslessly, ≪ 2^53).
+    val prefix = graft.functions.TopKAgg
+      .perKeyStr(imp.select(col("__w"), col("__d"), col("__imp")), "__w", "__d", "__imp", k)
+      .select(col("__w"), col("__d"), col("__imp").cast("long").as("__imp"))
+    val cheap = prefix
       .join(broadcast(qt), "__w")
       .groupBy(col("__q"), col("__d")).agg(max(col("__imp")).as("__m"))
     val theta = cheap.withColumn("__rn", row_number().over(

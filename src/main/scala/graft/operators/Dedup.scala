@@ -1297,11 +1297,19 @@ object Dedup {
    * (approximate-kNN semantics — raise `nTables`/lower `nPlanes` for
    * recall, exactly the [[embeddingPairsLsh]] operating point).
    *
-   * Scale shape: per-table bucket join (never all-pairs), score before the
-   * cross-table dedup so the exchange carries (src, nbr, double) not two
-   * vectors, and the top-k is a `row_number` rank-limit — Spark plans
-   * `WindowGroupLimit`, truncating every input partition to k candidates
-   * per src BEFORE the window exchange.
+   * Scale shape: per-table bucket join (never all-pairs), score inside the
+   * join stage so nothing downstream carries two vectors, then ONE bounded
+   * aggregation ([[graft.functions.TopKAgg.perKeyDistinct]]) fuses the
+   * cross-table duplicate-drop AND the rank-k cut: partial buffers collapse
+   * every partition to ≤ k candidates per src map-side, so the only
+   * post-join exchange carries ≤ k·|src|·partitions rows — the former
+   * shape's candidate-sized `dropDuplicates` shuffle plus a second window
+   * exchange is gone (r15: isolated build 0.73 → 0.61 s, gate median
+   * 1.24 → 0.93 s warm at sf0.1 — modest here because 2 000 vectors are
+   * stage-floor-bound, but at 100 TB the quadratic candidate relation now
+   * never crosses the wire). Exact because a pair colliding in several
+   * tables scores identically (deterministic cosine, rounded before
+   * aggregation).
    *
    * @return (src, nbr, cosine, rank) — rank 1..k, ≤ k rows per src.
    */
@@ -1309,7 +1317,6 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
     val b = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       posexplode(SimSearch.lshBucketsUdf(nPlanes, nTables)(col(vecCol))).as(Seq("__t", "__b")))
     val scored = b.select(col("__id").as("src"), col("__v").as("__va"), col("__t"), col("__b"))
@@ -1318,12 +1325,8 @@ object Dedup {
       .filter(col("src") =!= col("nbr"))
       .withColumn("__cos", round(SimSearch.cosineSim(col("__va"), col("__vb")), 4))
       .select(col("src"), col("nbr"), col("__cos"))
-      .dropDuplicates("src", "nbr")
-    val w = Window.partitionBy(col("src")).orderBy(col("__cos").desc, col("nbr"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("src"), col("nbr"), col("__cos").as("cosine"),
-        col("__rn").cast("long").as("rank"))
+    graft.functions.TopKAgg.perKeyDistinct(scored, "src", "nbr", "__cos", k)
+      .select(col("src"), col("nbr"), col("__cos").as("cosine"), col("rank"))
   }
 
   /**
@@ -1757,29 +1760,35 @@ object Dedup {
 
   /** UNDIRECTED mutual-kNN edge relation — `(id_a, id_b)` with id_a < id_b
     * iff BOTH directed [[knnGraph]] edges exist. The density-filtered
-    * semantic graph [[mutualKnnClusters]] and the k-core peel run on. The
-    * kNN list is persisted for the mutuality self-join's two orientations
-    * (same never-unpersist contract as SimDedup's keyIds — callers/Bench
-    * clear the SQL cache between queries). */
+    * semantic graph [[mutualKnnClusters]] and the k-core peel run on.
+    *
+    * Mutuality as ONE orientation-count aggregation, not a self-join (r15):
+    * each directed edge maps to its canonical (least, greatest) pair; the
+    * kNN list has distinct nbr per src, so a canonical pair counts 2 iff
+    * both orientations exist. That consumes the kNN list exactly ONCE —
+    * map-side partials, no persisted intermediate, no broadcast — and the
+    * persist moves to the final edge frame (edges ≤ directed edges / 2),
+    * which multi-consumer callers (LPA + modularity in one query; k-core's
+    * per-round degree joins) re-read from cache under the established
+    * never-unpersist contract (callers/Bench clear the SQL cache between
+    * queries). */
   def mutualKnnEdges(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
-    val g = knnGraph(df, idCol, vecCol, k, nPlanes, nTables)
-      .select(col("src"), col("nbr"))
+      nPlanes: Int = 8, nTables: Int = 2): DataFrame =
+    knnGraph(df, idCol, vecCol, k, nPlanes, nTables)
+      .select(least(col("src"), col("nbr")).as("id_a"),
+        greatest(col("src"), col("nbr")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__o"))
+      .filter(col("__o") === 2L)
+      .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    g.as("a")
-      .join(g.as("b"),
-        col("a.src") === col("b.nbr") && col("a.nbr") === col("b.src"))
-      .filter(col("a.src") < col("a.nbr"))
-      .select(col("a.src").as("id_a"), col("a.nbr").as("id_b"))
-  }
 
   def mutualKnnClusters(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
       nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
-    // mutualKnnEdges persists the kNN list (its two orientations + CC's
-    // edge materialization would otherwise re-run the bucket-join lineage
-    // per branch — measured 7.6 → ~4 s warm at sf0.1)
+    // mutualKnnEdges persists the final edge frame — CC's edge
+    // materialization would otherwise re-run the bucket-join lineage
+    // per branch (measured 7.6 → ~4 s warm at sf0.1, r10)
     val edges = mutualKnnEdges(df, idCol, vecCol, k, nPlanes, nTables)
     // Star contraction, NOT plain label propagation: near-dup clique graphs
     // converge in 2-3 propagation rounds, but mutual-kNN graphs contain long

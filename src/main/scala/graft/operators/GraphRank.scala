@@ -263,6 +263,11 @@ object GraphRank {
     val und = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(edges.select(col(bCol).as("a"), col(aCol).as("b")))
       .distinct()
+      // consumed rounds+1 times (one degree join per round + the final deg
+      // column) — without the cut each consumption re-runs the full edge
+      // lineage plus this union+distinct (the labelPropagation/modularity
+      // stance, applied here in r15)
+      .localCheckpoint()
     def degreesIn(surv: DataFrame): DataFrame =
       und.join(surv.select(col("node").as("a")), "a")
         .join(surv.select(col("node").as("b")), "b")
@@ -360,7 +365,12 @@ object GraphRank {
     // Checkpointed: the edge relation has two consumers here (the two-sided
     // label join and the degree count) — uncut, both would re-run the edge
     // lineage (e.g. a mutual-kNN build) end to end; the same edges-sized
-    // materialization stance as labelPropagation's `und`.
+    // materialization stance as labelPropagation's `und`. NOTE this makes
+    // modularity() EAGER at call time (localCheckpoint materializes both
+    // inputs immediately, and the blocks are unrecoverable on executor
+    // loss) — callers that build but never consume the result pay the full
+    // upstream lineage; pass through lazily-built inputs only when the
+    // result is actually read (ADVICE r14, documented stance).
     val e = edges.select(col(aCol).as("__a"), col(bCol).as("__b"))
       .localCheckpoint()
     // Same cut for labels, which has THREE consumers (both sides of the

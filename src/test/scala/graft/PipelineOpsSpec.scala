@@ -380,6 +380,32 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(repart == viaWindow)
   }
 
+  test("TopKAgg.perKeyDistinct equals dropDuplicates + window under equal-score duplicates") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    // each (key, id) carries ONE deterministic score; rows are then
+    // replicated 1-3x — the precondition (duplicate copies score equally)
+    // of the aggregator, exactly knnGraph's multi-table collision shape
+    val base = (1 to 400).map(_ => (rng.nextInt(5).toLong, rng.nextInt(60).toLong))
+      .distinct.map { case (k, i) => (k, i, ((k * 7 + i) % 9) * 0.125) }
+    val rows = base.flatMap(r => Seq.fill(1 + rng.nextInt(3))(r))
+    val df = rows.toDF("key", "id", "score")
+    val viaAgg = graft.functions.TopKAgg.perKeyDistinct(df, "key", "id", "score", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("key")).orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.dropDuplicates("key", "id")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaAgg == viaWindow)
+    val repart = graft.functions.TopKAgg
+      .perKeyDistinct(df.repartition(13), "key", "id", "score", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(repart == viaWindow)
+  }
+
   test("bigramLogLoss: improbable transitions score higher; short docs absent") {
     val docs = docsDf(Seq(
       (1L, "a b a b"), // common transitions: (a,b)x2, (b,a)
@@ -1813,9 +1839,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val g2 = Dedup.knnGraph(vecs.repartition(5), "vec_id", "embedding", 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(g.toSet == g2.toSet, "kNN graph must be partitioning-invariant")
+    // r15 shape: dedup + rank fused into ONE bounded typed aggregation —
+    // no candidate-sized dropDuplicates exchange, no rank window
     val plan = Dedup.knnGraph(vecs, "vec_id", "embedding", 3)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window("), plan)
+    assert(plan.contains("Aggregate"), plan)
   }
 
   test("Sampling.mixtureEpochs: integer repeat factors; weight-sum guard") {

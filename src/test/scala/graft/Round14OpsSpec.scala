@@ -52,8 +52,10 @@ class Round14OpsSpec extends AnyFunSuite {
       100L -> Seq(0f, 0f, 0.99f, 0.01f),
       101L -> Seq(0.99f, 0.01f, 0f, 0f),
       102L -> Seq(0f, 0f, 0f, 0f))
-      .union(emb().select(lit(103L).as("vec_id"),
-        lit(null).cast("array<float>").as("embedding")).limit(0))
+      // a REAL null-embedding row (r14 ADVICE: the old `.limit(0)` union
+      // contributed zero rows, so the null path was never exercised)
+      .union(spark.range(1).select(lit(103L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
     val out = SimSearch.ivfAssign(batch, "vec_id", "embedding", ivf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out.keySet == Set(100L, 101L)) // zero-norm row dropped

@@ -43,8 +43,10 @@ object Round14Props extends Properties("Round14") {
     forAll(setGen, Gen.choose(1, 4), Gen.choose(0, 2)) { (vs, k, iters) =>
       val d = df(vs)
       // guard: training needs >= 1 eligible (non-zero) seed among the k
-      // smallest ids — mirror the operator's own precondition
-      val eligible = vs.exists(_.exists(_ != 0f))
+      // smallest ids — mirror the operator's own precondition (the seed
+      // window is ids 0..k-1, so guard exactly that window: an all-zero
+      // FIRST vector with k = 1 would otherwise still crash — ADVICE r14)
+      val eligible = vs.take(k).exists(_.exists(_ != 0f))
       !eligible || {
         val ivf = SimSearch.ivfTrainModel(d, "vec_id", "embedding", nList = k, nIters = iters)
         val incr = SimSearch.ivfAssign(d, "vec_id", "embedding", ivf)
@@ -60,7 +62,8 @@ object Round14Props extends Properties("Round14") {
       val eligibleIds = vs.zipWithIndex.collect {
         case (v, i) if v.exists(_ != 0f) => i.toLong
       }.toSet
-      eligibleIds.isEmpty || {
+      // seed window = the nList smallest ids (nList = 3 below) — see above
+      eligibleIds.isEmpty || !vs.take(3).exists(_.exists(_ != 0f)) || {
         val d = df(vs)
         val ivf = SimSearch.ivfTrainModel(d, "vec_id", "embedding", nList = 3, nIters = 1)
         val out = SimSearch.ivfAssign(d, "vec_id", "embedding", ivf)
