@@ -1019,7 +1019,8 @@ object Oracles {
     * reproducing the fused train-and-assign chain verbatim). */
   private def ivfAssignCtes(
       nList: Int, nIters: Int,
-      trainPred: String = "", assignPred: String = ""): String = {
+      trainPred: String = "", assignPred: String = "",
+      emitTrainAssign: Boolean = false): String = {
     val lloyd = (1 to nIters).map { i =>
       val prev = s"cent${i - 1}"
       s"""ccos${i - 1} AS (
@@ -1058,6 +1059,24 @@ object Oracles {
     // Scala seed collect (a null among the nList smallest ids shrinks the
     // seed set, it does not pull in the next id). Both engines require
     // uniform vector dimensions when nIters > 0.
+    // Optional final-model assignment of the TRAIN slice itself (`vl`), for
+    // oracles that read both sides of a train/batch split (ivfDriftSql) —
+    // appended behind a flag so every existing caller's SQL stays
+    // byte-identical.
+    val trainAssign =
+      if (!emitTrainAssign) ""
+      else
+        s""",
+           |tccos AS (
+           |  SELECT x.vec_id, c.cj, ${listCos("x.e", "c.ce")} AS cos
+           |  FROM vl x CROSS JOIN cent$nIters c
+           |),
+           |tcasgn AS (
+           |  SELECT vec_id, cj FROM (
+           |    SELECT vec_id, cj,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
+           |    FROM tccos) WHERE rn = 1
+           |)""".stripMargin
     val trainWhere = if (trainPred.isEmpty) "" else s" WHERE $trainPred"
     val assignSrc =
       if (assignPred.isEmpty) "vl"
@@ -1091,7 +1110,7 @@ object Oracles {
        |    SELECT vec_id, cj,
        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cj ASC) AS rn
        |    FROM ccos) WHERE rn = 1
-       |)""".stripMargin
+       |)$trainAssign""".stripMargin
   }
 
   /** Mirror of SimSearch.ivfAssign over a train/batch split: the
@@ -1104,6 +1123,34 @@ object Oracles {
        |SELECT a.vec_id, CAST(a.cj AS BIGINT) AS list,
        |       CAST(floor(c.cos * 1000000.0) AS BIGINT) AS cos_micro
        |FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj""".stripMargin
+
+  /** Mirror of SimSearch.ivfDrift: the [[ivfAssignCtes]] quantizer trained on
+    * `trainPred` rows, BOTH sides assigned on the final model (train via the
+    * `emitTrainAssign` CTEs, batch via the standard tail), per-list exact
+    * integer micro-unit means (`//` truncates toward zero like Spark `div`),
+    * full-outer joined so one-sided lists report count 0 and a null mean. */
+  def ivfDriftSql(
+      nList: Int, nIters: Int, trainPred: String, batchPred: String): String =
+    s"""${ivfAssignCtes(nList, nIters, trainPred, batchPred, emitTrainAssign = true)},
+       |tstats AS (
+       |  SELECT a.cj AS list, COUNT(*) AS n_train,
+       |         CAST(SUM(CAST(floor(c.cos * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM tcasgn a JOIN tccos c ON a.vec_id = c.vec_id AND a.cj = c.cj
+       |  GROUP BY a.cj
+       |),
+       |bstats AS (
+       |  SELECT a.cj AS list, COUNT(*) AS n_batch,
+       |         CAST(SUM(CAST(floor(c.cos * 1000000.0) AS BIGINT)) AS BIGINT) AS s
+       |  FROM casgn a JOIN ccos c ON a.vec_id = c.vec_id AND a.cj = c.cj
+       |  GROUP BY a.cj
+       |)
+       |SELECT CAST(COALESCE(t.list, b.list) AS BIGINT) AS list,
+       |       COALESCE(t.n_train, 0) AS n_train,
+       |       CAST(t.s // t.n_train AS BIGINT) AS train_mean_micro,
+       |       COALESCE(b.n_batch, 0) AS n_batch,
+       |       CAST(b.s // b.n_batch AS BIGINT) AS batch_mean_micro,
+       |       CAST(b.s // b.n_batch - t.s // t.n_train AS BIGINT) AS delta_micro
+       |FROM tstats t FULL OUTER JOIN bstats b ON t.list = b.list""".stripMargin
 
   /**
    * Exact mirror of Dedup.clusterExemplars: the [[ivfAssignCtes]] quantizer

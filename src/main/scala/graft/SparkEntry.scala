@@ -985,6 +985,26 @@ object SparkEntry {
       SimSearch.ivfAssign(emb.filter(col("vec_id") % 10 >= 8),
         "vec_id", "embedding", ivf)
     }),
+    // retrain trigger: per-list assignment-cosine distribution of the new
+    // batch vs the train slice on the SAME model — delta_micro << 0 or
+    // occupancy shifts are the "schedule a retrain" drift signal
+    "ann_ivf_drift" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val ivf = SimSearch.ivfTrainModel(emb.filter(col("vec_id") % 10 < 8),
+        "vec_id", "embedding", nList = 16, nIters = 1)
+      SimSearch.ivfDrift(emb.filter(col("vec_id") % 10 < 8),
+        emb.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding", ivf)
+    }),
+    // streaming face of incremental IVF (batch-run): the stateless
+    // stream-static assignment — StreamingIvfSpec replays the same rows
+    // through a MemoryStream and pins bit-identity to this batch face
+    "stream_ivf_assign" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val ivf = SimSearch.ivfTrainModel(emb.filter(col("vec_id") % 10 < 7),
+        "vec_id", "embedding", nList = 16, nIters = 1)
+      graft.streaming.StreamIvfAssign.assign(emb.filter(col("vec_id") % 10 >= 7),
+        "vec_id", "embedding", ivf)
+    }),
     // PQ-compressed ANN: codebook-encoded corpus, ADC table-lookup scoring
     "ann_pq" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -2334,6 +2354,10 @@ object SparkEntry {
     "ann_ivf_report" -> Oracles.ivfReportSql(16, 1),
     "ann_ivf_incr" ->
       Oracles.ivfAssignIncrSql(16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
+    "ann_ivf_drift" ->
+      Oracles.ivfDriftSql(16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
+    "stream_ivf_assign" ->
+      Oracles.ivfAssignIncrSql(16, 1, "vec_id % 10 < 7", "vec_id % 10 >= 7"),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
     "ann_pq_rerank" -> Oracles.annPqRerankSql(5, 20, 8, 16, "vec_id < 50"),
     "ann_range" -> Oracles.rangeSearchSql(0.3, "vec_id < 50"),

@@ -1664,38 +1664,74 @@ object SimSearch {
    * path bit-for-bit.
    *
    * Scale shape: the model broadcasts (nList·dim doubles) into one
-   * mapPartitions scan of the batch — the batch never shuffles, the trained
-   * corpus is never touched. Null / zero-norm rows are dropped (the shared
-   * eligibility contract).
+   * STATELESS PROJECTION over the batch — the probe is a Catalyst
+   * expression ([[graft.functions.IvfAssignExpr]], the AsOfProbeExpr
+   * treatment, r15), so the scan never exits Tungsten through an RDD and
+   * the batch never shuffles; the trained corpus is never touched. Being a
+   * plain select/filter, the SAME operator runs unchanged on a STREAMING
+   * frame — [[graft.streaming.StreamIvfAssign]] is this method applied per
+   * micro-batch. Null / zero-norm rows are dropped (the shared eligibility
+   * contract).
    *
    * @return (bId, list, cos_micro) — cos_micro = floor(cos·10⁶) of the
    *         vector against its winning centroid.
    */
   def ivfAssign(
       batch: DataFrame, bId: String, bVec: String, ivf: IvfModel): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     requireIntegralId(batch, bId, "batch")
     val spark = batch.sparkSession
-    val slim = batch.select(col(bId).cast("long"), col(bVec))
     val bc = spark.sparkContext.broadcast(ivf.cents)
-    val schema = StructType(Seq(
-      StructField("__bid", LongType), StructField("list", IntegerType),
-      StructField("cos_micro", LongType)))
-    val rdd = slim.rdd.mapPartitions { rows =>
-      val cents = bc.value
-      rows.flatMap { r =>
-        vecWithNorm(r).map { case (id, v, n) =>
-          val cos = ivfCentroidCos(cents, v, n)
-          var bj = 0; var j = 1
-          while (j < cos.length) { if (cos(j) > cos(bj)) bj = j; j += 1 }
-          Row(id, bj, math.floor(cos(bj) * 1000000.0).toLong)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, schema)
-      .select(col("__bid").as(bId), col("list").cast("long").as("list"),
-        col("cos_micro"))
+    val probe = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.IvfAssignExpr(
+        org.apache.spark.sql.GraftBridge.expression(col(bVec)), bc))
+    // explode(array(probe)) pins the probe in a Generate node — a projection
+    // barrier CollapseProject cannot cross — so the CodegenFallback kernel
+    // evaluates ONCE per row even though two fields are extracted (the
+    // AsOfJoin single-explode shape).
+    batch.select(col(bId).cast("long").as(bId), explode(array(probe)).as("__a"))
+      .filter(col("__a").isNotNull)
+      .select(col(bId), col("__a.list").cast("long").as("list"),
+        col("__a.cos_micro").as("cos_micro"))
+  }
+
+  /**
+   * IVF RETRAIN-TRIGGER monitor — the "when to retrain" read the
+   * [[ivfAssign]] scaladoc promises: per coarse list, the assignment-cosine
+   * distribution of a NEW batch against the TRAIN slice, both routed onto
+   * the SAME trained model. A healthy incremental corpus assigns new data
+   * about as cohesively as the data the codebook was trained on; a list
+   * whose batch mean drops well below its train mean (`delta_micro` ≪ 0) or
+   * that inflates/empties (`n_batch` vs `n_train`) is the drift signal that
+   * schedules retraining.
+   *
+   * Exact integer contract: per-member cosines are the floor(cos·10⁶) Longs
+   * [[ivfAssign]] already emits; per-list means are integer `div` of exact
+   * sums (micro-units), so every column is engine-bit-stable. Scale shape:
+   * two stateless assignment projections (model broadcast, nothing
+   * shuffles) and ONE |lists|-key aggregation per side joined full-outer on
+   * the ≤ nList keys. Lists absent from a side report count 0 and a null
+   * mean (delta null) rather than dropping the row.
+   *
+   * @return (list, n_train, train_mean_micro, n_batch, batch_mean_micro,
+   *         delta_micro = batch_mean_micro − train_mean_micro)
+   */
+  def ivfDrift(
+      train: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, ivf: IvfModel): DataFrame = {
+    def stats(df: DataFrame, nCol: String, mCol: String): DataFrame =
+      ivfAssign(df, idCol, vecCol, ivf)
+        .groupBy(col("list"))
+        .agg(count(lit(1)).as(nCol), sum(col("cos_micro")).as("__s"))
+        .select(col("list"), col(nCol),
+          expr(s"__s div $nCol").as(mCol))
+    stats(train, "n_train", "train_mean_micro")
+      .join(stats(batch, "n_batch", "batch_mean_micro"), Seq("list"), "full_outer")
+      .select(col("list"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        col("train_mean_micro"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        col("batch_mean_micro"),
+        (col("batch_mean_micro") - col("train_mean_micro")).as("delta_micro"))
   }
 
   /**

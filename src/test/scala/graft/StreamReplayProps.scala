@@ -259,4 +259,51 @@ class StreamReplayProps extends AnyFunSuite {
       }
     }
   }
+
+  test("StreamIvfAssign: any micro-batch split replays to the batch-face output") {
+    val s = spark
+    import s.implicits._
+    // train slice (ids 0-7) fixes the quantizer; the "crawl stream" (ids
+    // 100+) includes an ineligible zero-norm row that must vanish silently
+    val train = (0L until 8L).map { i =>
+      val d = (i % 4).toInt
+      (i, Seq.tabulate(4)(j => if (j == d) 1f else 0.1f * ((i + j) % 3)))
+    }.toDF("vec_id", "embedding")
+    val ivf = graft.operators.SimSearch.ivfTrainModel(
+      train, "vec_id", "embedding", nList = 3, nIters = 1)
+    val crawl = (100L until 124L).map { i =>
+      val d = (i % 4).toInt
+      (i, Seq.tabulate(4)(j => if (j == d) 0.9f else 0.05f * ((i + j) % 4)))
+    }.toVector :+ (999L, Seq(0f, 0f, 0f, 0f))
+    val batchFace = graft.streaming.StreamIvfAssign.assign(
+        crawl.toDF("vec_id", "embedding"), "vec_id", "embedding", ivf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchFace.nonEmpty && !batchFace.exists(_._1 == 999L))
+
+    def run(order: Vector[(Long, Seq[Float])], tag: String, nBatches: Int)
+        : Set[(Long, Long, Long)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ivf-$tag").toFile
+      val schema = order.take(1).toDF("vec_id", "embedding").schema
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+      val out = graft.streaming.StreamIvfAssign.assign(
+        stream.toDF(), "vec_id", "embedding", ivf)
+      val q = out.writeStream.format("memory").queryName(s"ivf_$tag")
+        .outputMode("append").start()
+      try {
+        order.grouped((order.size + nBatches - 1) / nBatches).zipWithIndex.foreach {
+          case (chunk, bi) =>
+            chunk.toDF("vec_id", "embedding").write.parquet(dir + s"/in/b$bi")
+            q.processAllAvailable()
+        }
+        spark.table(s"ivf_$tag").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    }
+
+    // stateless stream-static assignment: one batch, many batches, shuffled
+    // arrival — every split replays to exactly the batch-face rows
+    assert(run(crawl, "one", 1) == batchFace)
+    assert(run(crawl, "five", 5) == batchFace)
+    assert(run(shuffled(crawl, 31337L), "shuf", 4) == batchFace)
+  }
 }
