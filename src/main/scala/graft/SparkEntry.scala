@@ -459,6 +459,20 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
           col("source"), col("n_chars"))
     }),
+    // Avro round trip: row-oriented interchange via the hand-rolled
+    // container-file source (no spark-avro connector in the sandbox —
+    // avro-core DataFileWriter/DataFileStream, one file per partition),
+    // bit-exact including empty strings and nulls
+    "source_avro" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_avro/" +
+        s"av_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
+      graft.sources.AvroTable.write(docs, base)
+      graft.sources.AvroTable.read(s, base, docs.schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+    }),
     // TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
     // scan (PushedFilters), one exact-cents aggregate, zero joins
     "lineitem_q6" -> ((s, dir) =>
@@ -2783,6 +2797,9 @@ object SparkEntry {
     "graph_labelprop" -> Oracles.labelPropagationSql(3, 8, 2, 3),
     "graph_modularity" -> Oracles.modularitySql(3, 8, 2, 3),
     "source_orc" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents""".stripMargin,
+    "source_avro" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
     "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),

@@ -142,4 +142,42 @@ class SourcesSpec extends AnyFunSuite {
     assert(meta.getLong(0) == 18L)
     assert(meta.getString(1).length == 64)
   }
+
+  test("AvroTable round-trips nulls, empty strings, binary, all supported types") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "plain", Some(2.5), Some(1.5f), Some(7), Some(true), Some(Array[Byte](1, 2, 3))),
+      (2L, "", Some(-0.0), Some(0f), Some(-1), Some(false), Some(Array.empty[Byte])),
+      (3L, null.asInstanceOf[String], None, None, None, None, None),
+      (4L, "unicode é中文 \"quoted\"\nline2", Some(1e-300), Some(Float.MinValue),
+        Some(Int.MaxValue), Some(true), Some(Array[Byte](-128, 127))))
+    val df = rows.toDF("id", "t", "d", "f", "i", "b", "bin").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString + "/t"
+    graft.sources.AvroTable.write(df, dir)
+    val back = graft.sources.AvroTable.read(s, dir, df.schema)
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map { r =>
+        (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getFloat(3)),
+          if (r.isNullAt(4)) None else Some(r.getInt(4)),
+          if (r.isNullAt(5)) None else Some(r.getBoolean(5)),
+          if (r.isNullAt(6)) None else Some(r.getAs[Array[Byte]](6).toSeq))
+      }.toSet
+    assert(canon(back) == canon(df))
+    assert(back.schema == df.schema)
+    // explicit-schema drift fails loudly
+    intercept[Exception] {
+      graft.sources.AvroTable.read(s, dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("missing_col",
+            org.apache.spark.sql.types.LongType)))).collect()
+    }
+    // unsupported type fails fast at write
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroTable.write(
+        Seq((1L, Seq(1f))).toDF("id", "vec"), dir + "_bad")
+    }
+  }
 }
