@@ -347,6 +347,20 @@ object Bm25 {
     * consumers; same never-unpersist contract as [[topKPrf]]. */
   private def maxScoreSearch(imp0: DataFrame, qt: DataFrame, k: Int): DataFrame = {
     val imp = imp0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EARLY EXIT before any θ work (r15): MaxScore tiers terms by their
+    // upper-bound IMPACT SPREAD — with near-uniform per-term bounds no prefix
+    // of a query's U-ascending terms can stay under θ (θ is itself at least
+    // one full impact), so the θ pass would only confirm ess ≈ qt at the
+    // price of a full prefix aggregation over the postings. One cheap
+    // two-level aggregation (|vocab| keys, no sort) reads the spread; under
+    // 2× → exhaustive shape directly. The uniform-idf word-salad corpus
+    // lands here (ub spread ~1.3×); any real Zipf vocabulary is orders of
+    // magnitude wider. Both paths are bit-identical, so the heuristic can
+    // only cost speed, never results.
+    val ubSpread = imp.groupBy(col("__w")).agg(max(col("__imp")).as("__ub"))
+      .agg(min(col("__ub")).as("__lo"), max(col("__ub")).as("__hi")).head()
+    if (!ubSpread.isNullAt(0) && ubSpread.getLong(1) < 2L * math.max(1L, ubSpread.getLong(0)))
+      return exhaustiveShape(imp, qt, k)
     val ess = essentialTerms(imp, qt, k)
     // ADAPTIVE FALLBACK (r15): when the essential set covers ~the whole query
     // vocabulary — the uniform-idf corpus, where θ can exclude (almost)
@@ -360,15 +374,7 @@ object Bm25 {
     // (q, w) pairs to be worth the candidate bookkeeping (measured: uniform
     // fixture 0.89× before, where ess/qt = 1.0).
     val nQt = qt.count()
-    if (nQt > 0 && ess.count() >= 0.9 * nQt) {
-      val scores = imp.join(broadcast(qt), Seq("__w"))
-        .groupBy(col("__q"), col("__d")).agg(sum(col("__imp")).as("score_micro"))
-      val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
-      return scores.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select(col("__q").as("query_id"), col("__d").as("doc_id"),
-          col("score_micro"), col("rank").cast("long").as("rank"))
-    }
+    if (nQt > 0 && ess.count() >= 0.9 * nQt) return exhaustiveShape(imp, qt, k)
     // ONE pass over the essential-term hit relation: the (q, d) aggregation's
     // keys ARE the candidate set (docs with ≥ 1 essential posting), and its
     // sums are the essential half of every candidate's score — the hit-sized
@@ -400,6 +406,20 @@ object Bm25 {
       .unionByName(nonessHits)
       .groupBy(col("__q"), col("__d"))
       .agg(sum(col("__imp")).as("score_micro"))
+    val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
+    scores.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__q").as("query_id"), col("__d").as("doc_id"),
+        col("score_micro"), col("rank").cast("long").as("rank"))
+  }
+
+  /** The exhaustive single-aggregation shape over an already query-term-
+    * restricted impact relation — [[maxScoreSearch]]'s two fallback exits
+    * (upper-bound spread, essential-coverage) both land here; scores are
+    * bit-identical to the pruned path by construction. */
+  private def exhaustiveShape(imp: DataFrame, qt: DataFrame, k: Int): DataFrame = {
+    val scores = imp.join(broadcast(qt), Seq("__w"))
+      .groupBy(col("__q"), col("__d")).agg(sum(col("__imp")).as("score_micro"))
     val w = Window.partitionBy(col("__q")).orderBy(col("score_micro").desc, col("__d").asc)
     scores.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
