@@ -538,12 +538,33 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bm25_wand candidate pruning keeps the final aggregation under a semi-join") {
+    val s = spark
+    import s.implicits._
+    // A corpus with WIDE impact spread (one rare term among stuffing terms),
+    // so the r15 flat-spread early exit does NOT fire and the pruned shape
+    // plans. The sf word-salad table now deliberately takes the exhaustive
+    // exit — pinned separately below.
+    val docs = (0L until 40L).map { i =>
+      val rare = if (i % 17 == 0) " uniquerareterm" else ""
+      (i, s"alpha beta gamma delta epsilon zeta$rare")
+    }.toDF("doc_id", "text")
+    val plan = graft.operators.Bm25.topKMaxScore(
+        graft.operators.Bm25.index(docs, "doc_id", "text"),
+        docs.filter(col("doc_id") < 5), "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    // the full scorer is gated by the candidate semi-join (MaxScore's point)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("bm25_wand flat-spread early exit plans the exhaustive shape (no semi-join)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = graft.operators.Bm25.topKMaxScore(
         graft.operators.Bm25.index(docs, "doc_id", "text"),
         docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
       .queryExecution.executedPlan.toString
-    // the full scorer is gated by the candidate semi-join (MaxScore's point)
-    assert(plan.contains("LeftSemi"), plan)
+    // the word-salad corpus has ~flat per-term impact bounds: MaxScore's
+    // early exit must take the single-aggregation exhaustive shape
+    assert(!plan.contains("LeftSemi"), plan)
+    assert(plan.contains("WindowGroupLimit"), plan)
   }
 }
