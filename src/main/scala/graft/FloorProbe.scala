@@ -60,6 +60,19 @@ object FloorProbe {
     val eFixed = Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3).localCheckpoint()
     time("runStarOnly")(graft.operators.ConnectedComponents.runStar(
       emb.select(col("vec_id")), "vec_id", eFixed, "id_a", "id_b").count())
+    // round-count receipt: time runStar at increasing maxRounds — the time
+    // (and the labels' stability) plateaus at the convergence round
+    var prevLabels: Set[(Long, Long)] = null
+    (1 to 8).foreach { mr =>
+      val t0 = System.nanoTime()
+      val labs = graft.operators.ConnectedComponents.runStar(
+          emb.select(col("vec_id")), "vec_id", eFixed, "id_a", "id_b", maxRounds = mr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val stable = prevLabels != null && labs == prevLabels
+      println(f"[floor] runStar maxRounds=$mr: ${(System.nanoTime() - t0) / 1e9}%.3f s stable=$stable")
+      prevLabels = labs
+      spark.sharedState.cacheManager.clearCache()
+    }
     println("========== knnGraph plan ==========")
     Dedup.knnGraph(emb, "vec_id", "embedding", 3).explain("formatted")
     spark.stop()
