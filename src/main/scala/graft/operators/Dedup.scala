@@ -856,8 +856,7 @@ object Dedup {
         posexplode(charGrams(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
     val g = if (materializeGrams) g0.localCheckpoint(true) else g0
-    val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
-      .filter(col("__df") >= minDocs).select(col("__h"))
+    val dup = dupHashes(g, minDocs)
     val d = g.join(dup, "__h").select(col("__id"), col("__p"))
     spansFromMarked(d, k).select(col("__id").as(idCol),
       col("span_start"), col("span_end"), col("n_grams"))
@@ -921,8 +920,7 @@ object Dedup {
     val g = df.select(col(idCol).as("__id"),
         posexplode(wordGrams(wordsCol(col(textCol)), n)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
-    val dup = g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
-      .filter(col("__df") >= minDocs).select(col("__h"))
+    val dup = dupHashes(g, minDocs)
     val d = g.join(dup, "__h").select(col("__id"), col("__p"))
     spansFromMarked(d, n).select(col("__id").as(idCol),
       col("span_start").as("word_start"), col("span_end").as("word_end"),
@@ -948,6 +946,21 @@ object Dedup {
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.WordGramHashPairsExpr(
         org.apache.spark.sql.GraftBridge.expression(ws), n))
+
+  /** Gram hashes present in ≥ `minDocs` DISTINCT docs, from the gram
+    * relation `g(__id, __p, __h)`. For the common minDocs = 2 (any
+    * cross-doc repeat — the gate default), `count_distinct(__id) ≥ 2` is
+    * exactly `min(__id) ≠ max(__id)`: ONE plain hash aggregation with
+    * map-side partials instead of the distinct-expansion two-phase plan
+    * (r15; the (__h, __id)-keyed dedup exchange drops out entirely —
+    * at 100 TB that was a second gram-relation-sized shuffle). */
+  private def dupHashes(g: DataFrame, minDocs: Long): DataFrame =
+    if (minDocs == 2L)
+      g.groupBy(col("__h")).agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
+        .filter(col("__lo") =!= col("__hi")).select(col("__h"))
+    else
+      g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
+        .filter(col("__df") >= minDocs).select(col("__h"))
 
   /** Gaps-and-islands merge of marked gram positions `(__id, __p)` into
     * maximal spans — shared by [[duplicateSpans]] and
