@@ -58,6 +58,27 @@ object Round15Props extends Properties("Round15") {
       got == ref
     }
 
+  private val cellGen: Gen[Option[String]] = Gen.frequency(
+    1 -> Gen.const(None),
+    1 -> Gen.const(Some("")),
+    4 -> Gen.asciiPrintableStr.map(Some(_)),
+    2 -> Gen.listOf(Gen.oneOf('é', '中', '\n', '\t', '"', '\\', 'a')).map(cs => Some(cs.mkString)))
+
+  property("AvroTable round-trips arbitrary nullable string/long rows exactly") =
+    forAll(Gen.choose(1, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.choose(-1000L, 1000L), cellGen))),
+      Gen.choose(1, 5)) { (rows, nPart) =>
+      val s = spark
+      import s.implicits._
+      val withIds = rows.zipWithIndex.map { case ((v, t), i) => (i.toLong, v, t.orNull) }
+      val df = withIds.toDF("id", "v", "t").repartition(nPart)
+      val dir = java.nio.file.Files.createTempDirectory("graft-avro-prop").toString + "/t"
+      graft.sources.AvroTable.write(df, dir)
+      val back = graft.sources.AvroTable.read(s, dir, df.schema)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+      back == withIds.map { case (i, v, t) => (i, v, Option(t)) }.toSet
+    }
+
   private val compGen: Gen[Float] = Gen.choose(-4, 4).map(_.toFloat)
   private val vecGen: Gen[Seq[Float]] = Gen.listOfN(4, compGen).map(_.toSeq)
   private val setGen: Gen[List[Seq[Float]]] =
