@@ -869,6 +869,24 @@ object Oracles {
        |SELECT query_id, neighbor_id, round(cosine, 4) + 0.0 AS cosine
        |FROM rr WHERE rn <= $k""".stripMargin
 
+  /** Mirror of SimSearch.ivfPqEncode over a train/batch split — the
+    * INCREMENTAL face of the persisted IVFADC layout: both quantizers
+    * trained ONLY on `trainPred` rows ([[ivfAssignCtes]] coarse +
+    * [[pqCodebookCtes]] product, the fused chains verbatim), then the
+    * `batchPred` rows routed to their coarse list AND PQ-encoded against
+    * the persisted codebooks — encode once, grow the index forever. Codes
+    * compare as the uppercase hex string of the nSub code bytes (Spark
+    * `hex(codes)`). */
+  def annIvfPqEncodeIncrSql(
+      nList: Int, nIters: Int, nSub: Int, ksub: Int, pqIters: Int,
+      trainPred: String, batchPred: String): String =
+    s"""${ivfAssignCtes(nList, nIters, trainPred, batchPred)},
+       |${pqCodebookCtes(nSub, ksub, pqIters, encodePred = batchPred)}
+       |SELECT c.vec_id, CAST(c.cj AS BIGINT) AS list,
+       |       string_agg(upper(lpad(to_hex(e.j), 2, '0')), '' ORDER BY e.m) AS code_hex
+       |FROM casgn c JOIN enc e ON e.vec_id = c.vec_id
+       |GROUP BY c.vec_id, c.cj""".stripMargin
+
   /** The [[annIvfPqSql]] scoring chain, shared with [[annIvfPqRerankSql]]:
     * `WITH` prefix through `r` (per-query ADC-cosine ranking over the probed
     * coarse lists, unrounded). Callers append the final `SELECT` (or further
@@ -936,7 +954,8 @@ object Oracles {
     * (uniform-dim eligible vectors), `cw` (final codebooks), `cn2` (codeword
     * squared norms), `enc` (corpus encodings) and `rn2` (reconstruction
     * squared norms). */
-  private def pqCodebookCtes(nSub: Int, ksub: Int, nIters: Int): String = {
+  private def pqCodebookCtes(
+      nSub: Int, ksub: Int, nIters: Int, encodePred: String = ""): String = {
     val train = (1 to nIters).map { i =>
       val prev = s"cw${i - 1}"
       s"""tdist${i - 1} AS (
@@ -993,7 +1012,13 @@ object Oracles {
        |    list_sum(list_transform(generate_series(1, dm.sdim),
        |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
        |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
-       |  FROM xe x CROSS JOIN cw c CROSS JOIN dm
+       |  FROM ${if (encodePred.isEmpty) "xe"
+              else
+                s"""(SELECT vec_id, embedding AS e FROM embeddings CROSS JOIN dm
+                   |   WHERE ($encodePred) AND embedding IS NOT NULL
+                   |     AND list_sum(list_transform(embedding,
+                   |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+                   |     AND len(embedding) = dm.dim)""".stripMargin} x CROSS JOIN cw c CROSS JOIN dm
        |),
        |enc AS (
        |  SELECT vec_id, m, j FROM (

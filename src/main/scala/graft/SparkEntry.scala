@@ -1009,6 +1009,20 @@ object SparkEntry {
       SimSearch.ivfDrift(emb.filter(col("vec_id") % 10 < 8),
         emb.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding", ivf)
     }),
+    // incremental IVFADC encode: both quantizers trained on the 80% slice,
+    // the 20% "new crawl" batch routed + PQ-encoded against the persisted
+    // codebooks — the compressed-index face of encode-once-assign-forever
+    "ann_ivfpq_incr" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val train = emb.filter(col("vec_id") % 10 < 8)
+      val ivf = SimSearch.ivfTrainModel(train, "vec_id", "embedding", nList = 16, nIters = 1)
+      val pq = SimSearch.pqTrainModel(train, "vec_id", "embedding",
+        nSub = 8, ksub = 16, nIters = 1)
+      SimSearch.ivfPqEncode(emb.filter(col("vec_id") % 10 >= 8),
+          "vec_id", "embedding", ivf, pq)
+        .select(col("id").as("vec_id"), col("list").cast("long").as("list"),
+          hex(col("codes")).as("code_hex"))
+    }),
     // streaming face of incremental IVF (batch-run): the stateless
     // stream-static assignment — StreamingIvfSpec replays the same rows
     // through a MemoryStream and pins bit-identity to this batch face
@@ -2370,6 +2384,9 @@ object SparkEntry {
       Oracles.ivfAssignIncrSql(16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
     "ann_ivf_drift" ->
       Oracles.ivfDriftSql(16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
+    "ann_ivfpq_incr" ->
+      Oracles.annIvfPqEncodeIncrSql(16, 1, 8, 16, 1,
+        "vec_id % 10 < 8", "vec_id % 10 >= 8"),
     "stream_ivf_assign" ->
       Oracles.ivfAssignIncrSql(16, 1, "vec_id % 10 < 7", "vec_id % 10 >= 7"),
     "ann_pq" -> Oracles.annPqSql(5, 8, 16, "vec_id < 50"),
