@@ -71,6 +71,33 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(out(1L)._3 == 0L && out(1L)._4.isEmpty && out(1L)._5.isEmpty)
   }
 
+  test("incremental IVFADC: union of train+batch encodings == whole-corpus encoding, searches equal") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    val all = (0L until 60L).map(i => (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val train = all.filter(col("vec_id") % 10 < 8)
+    val batch = all.filter(col("vec_id") % 10 >= 8)
+    val ivf = SimSearch.ivfTrainModel(train, "vec_id", "embedding", nList = 4, nIters = 1)
+    val pq = SimSearch.pqTrainModel(train, "vec_id", "embedding", nSub = 4, ksub = 8, nIters = 1)
+    def canonEnc(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("list"), hex(col("codes")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val unioned = SimSearch.ivfPqEncode(train, "vec_id", "embedding", ivf, pq)
+      .union(SimSearch.ivfPqEncode(batch, "vec_id", "embedding", ivf, pq))
+    val whole = SimSearch.ivfPqEncode(all, "vec_id", "embedding", ivf, pq)
+    // per-row deterministic encoding => growing the index incrementally IS
+    // the whole-corpus index
+    assert(canonEnc(unioned) == canonEnc(whole))
+    def search(enc: org.apache.spark.sql.DataFrame) =
+      SimSearch.ivfPqSearchEncoded(enc, "id", "list", "codes",
+          all.filter(col("vec_id") < 5), "vec_id", "embedding",
+          ivf, pq, 3, nProbe = 2, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(search(unioned) == search(whole))
+  }
+
   test("ivfAssign handles null / zero-norm / null-element vectors by dropping") {
     val sp = spark
     import sp.implicits._
