@@ -108,6 +108,28 @@ object Smoke {
       "error: " + Option(e.getMessage).getOrElse("").take(60) }
     println("PROBE maxQueryBytes=1 -> " + guardMsg)
 
+    // round-15 surfaces: incremental IVF faces + Avro round trip
+    val ivfModel = graft.operators.SimSearch.ivfTrainModel(
+      emb.filter(col("vec_id") % 10 < 8), "vec_id", "embedding", nList = 8, nIters = 1)
+    val assigned = graft.streaming.StreamIvfAssign.assign(
+      emb.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding", ivfModel)
+    println("streamIvfAssign(batch face) rows=" + assigned.count())
+    val drift = graft.operators.SimSearch.ivfDrift(
+      emb.filter(col("vec_id") % 10 < 8), emb.filter(col("vec_id") % 10 >= 8),
+      "vec_id", "embedding", ivfModel)
+    println("ivfDrift lists=" + drift.count())
+    val avroDir = s"${sys.props("java.io.tmpdir")}/graft_smoke_avro_" +
+      ProcessHandle.current().pid()
+    val avroIn = docs.select(col("doc_id"), col("text"), col("lang"))
+    graft.sources.AvroTable.write(avroIn, avroDir)
+    println("avro roundtrip rows=" +
+      graft.sources.AvroTable.read(spark, avroDir, avroIn.schema).count())
+    val avroBad = try {
+      graft.sources.AvroTable.write(emb.select(col("embedding")), avroDir + "_bad"); "no error"
+    } catch { case e: IllegalArgumentException =>
+      "error: " + Option(e.getMessage).getOrElse("").take(60) }
+    println("PROBE avro unsupported type -> " + avroBad)
+
     // error-surface probes
     try SimJoinOptions(topN = 0)
     catch { case e: IllegalArgumentException => println("PROBE topN=0 -> " + e.getMessage) }
