@@ -753,13 +753,18 @@ object SparkEntry {
     // mined; must equal the full recompute (same oracle as dedup_clusters)
     "dedup_clusters_incr" -> ((s, dir) => {
       val docs = rd(s, dir, "documents")
-      val old = docs.filter(col("doc_id") < 250)
-      val oldLabels = ConnectedComponents.run(old, "doc_id",
-        Dedup.minHashLshPairs(old, "doc_id", "text", 0.8), "id_a", "id_b")
-      val newEdges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
-        .filter(col("id_b") >= 250)
+      // ONE banded build serves both slices (r15): MinHash signatures and
+      // band buckets are per-doc content functions, so the old-corpus edge
+      // set IS the full edge set filtered to both-old endpoints — the former
+      // second minHashLshPairs(old) build (a full tokenize+band+verify pass)
+      // recomputed exactly that subset. Persisted: two consumers (same
+      // never-unpersist contract as mutualKnnEdges).
+      val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val oldLabels = ConnectedComponents.run(docs.filter(col("doc_id") < 250), "doc_id",
+        edges.filter(col("id_a") < 250 && col("id_b") < 250), "id_a", "id_b")
       ConnectedComponents.incrementalRun(oldLabels, docs, "doc_id",
-        newEdges, "id_a", "id_b")
+        edges.filter(col("id_b") >= 250), "id_a", "id_b")
     }),
     // cluster-size distribution — the audit read before acting on a dedup run
     "dedup_cluster_sizes" -> ((s, dir) => {
