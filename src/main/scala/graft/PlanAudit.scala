@@ -70,7 +70,10 @@ object PlanAudit {
       "stream_decayed_batch", "ann_filtered", "knn_accuracy", "emb_pca2",
       "graph_labelprop", "graph_modularity", "source_entropy",
       "orders_count_dist", "orders_brand_revenue", "events_seasonal",
-      "pack_chunk_spans", "emb_drift")
+      "pack_chunk_spans", "emb_drift",
+      // round 15
+      "knn_graph", "ann_ivf_incr", "ann_ivf_drift", "stream_ivf_assign",
+      "ann_ivfpq_incr", "source_avro", "dedup_clusters_incr")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
