@@ -99,6 +99,14 @@ object AvroTable {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(_.dataType)
+    // an all-empty write leaves a directory with no part files; binaryFiles
+    // throws on a zero-match glob, so an empty TABLE must short-circuit to
+    // an empty frame (the write side skips empty partitions by design)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val any = fs.globStatus(new Path(dir, "*.avro"))
+    if (any == null || any.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val rdd = spark.sparkContext.binaryFiles(s"$path/*.avro").flatMap { case (file, pds) =>
       val in = pds.open()
       val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())

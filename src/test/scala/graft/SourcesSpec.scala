@@ -179,5 +179,10 @@ class SourcesSpec extends AnyFunSuite {
       graft.sources.AvroTable.write(
         Seq((1L, Seq(1f))).toDF("id", "vec"), dir + "_bad")
     }
+    // an all-empty write round-trips to an empty frame, not a crash
+    val emptyDir = dir + "_empty"
+    graft.sources.AvroTable.write(df.filter(col("id") < 0L), emptyDir)
+    val emptyBack = graft.sources.AvroTable.read(s, emptyDir, df.schema)
+    assert(emptyBack.count() == 0L && emptyBack.schema == df.schema)
   }
 }
