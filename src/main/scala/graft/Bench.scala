@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
  *    `queries` stays the first (cold) pass so the driver-shape is unchanged,
  *    and a `queries_warm`/`total_warm` pair is added. The warm column is the
  *    position-independent number (codegen + page cache amortized) that kills
- *    the every-round cold-vs-warm re-adjudication.
+ *    the every-round cold-vs-warm re-adjudication. Warm passes run as FULL
+ *    SUITE SWEEPS in seeded-SHUFFLED order (r16, judge directive #5) — not
+ *    back-to-back with their cold run — so a warm number's suite position is
+ *    decorrelated from its cold one, and `run_index`/`warm_run_index` maps
+ *    record both positions in the artifact: a query whose warm time is
+ *    inflated by what ran before it is now diagnosable from the receipt
+ *    itself instead of needing an isolated rerun to adjudicate.
  *  - SPARK_GRAFT_BENCH_OUT=<path> — ALSO write the JSON line to a round-pinned
  *    file (e.g. BENCH_BUILDER_r13.json). BENCH_LOCAL.json remains the driver's
  *    contract file and is overwritten by every run, including the driver's —
@@ -59,7 +65,11 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val coldIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val warmIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      coldIdx(name) = i
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -69,15 +79,22 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
       hygiene()
-      // Optional warm passes: best (min) of reps 2..N, each from a clean
-      // session — measures the plan, not the page-cache lottery.
-      if (reps >= 2 && timings.contains(name)) {
-        var best = Double.MaxValue
-        (2 to reps).foreach { _ =>
+    }
+    // Optional warm passes: best (min) over full-suite sweeps 2..N, each
+    // sweep in a DIFFERENT seeded-shuffled order (deterministic across
+    // rounds for comparability) and each query from a clean session —
+    // measures the plan, not the page-cache lottery, and decorrelates a
+    // query's warm position from its cold one so suite-position inflation
+    // shows up as a cold/warm disagreement the run_index maps explain.
+    (2 to reps).foreach { rep =>
+      val order = new scala.util.Random(16L * rep).shuffle(ordered)
+      order.zipWithIndex.foreach { case ((name, fn), i) =>
+        if (timings.contains(name)) {
+          if (rep == 2) warmIdx(name) = i
           val t1 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
-            best = math.min(best, (System.nanoTime() - t1) / 1e9)
+            val t = { fn(spark, sfDir).count(); (System.nanoTime() - t1) / 1e9 }
+            warmT(name) = math.min(warmT.getOrElse(name, Double.MaxValue), t)
           } catch {
             // A query that succeeds cold but fails warm (OOM, lost blocks) must
             // leave a trace, or warm/cold receipt comparisons silently mislead.
@@ -86,7 +103,6 @@ object Bench {
           }
           hygiene()
         }
-        if (best < Double.MaxValue) warmT(name) = best
       }
     }
     // Stop Spark BEFORE printing: shutdown-hook log lines emitted after the
@@ -107,10 +123,15 @@ object Bench {
       if (warmT.isEmpty) ""
       else {
         val wq = warmT.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
-        s""","total_warm":${"%.3f".format(warmT.values.sum)},"queries_warm":$wq"""
+        val wi = warmIdx.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+        s""","total_warm":${"%.3f".format(warmT.values.sum)},"queries_warm":$wq,"warm_run_index":$wi"""
       }
+    val idxPart = {
+      val ci = coldIdx.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+      s""","run_index":$ci"""
+    }
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}$warmPart}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}$warmPart$idxPart}"""
 
     // Durable copy the driver ships whole (cwd = repo root under the driver's
     // sbt invocation): survives any stdout truncation.

@@ -1177,6 +1177,80 @@ object Oracles {
        |       CAST(b.s // b.n_batch - t.s // t.n_train AS BIGINT) AS delta_micro
        |FROM tstats t FULL OUTER JOIN bstats b ON t.list = b.list""".stripMargin
 
+  /** Mirror of SimSearch.pqDrift: the [[pqCodebookCtes]] codebooks trained
+    * ONLY on `trainPred` rows (its `encodePred` tail encodes the batch),
+    * a second encode pass over the train slice itself, then per
+    * (subspace, codeword) INTEGER-MILLI quantization errors
+    * `Σ_d (round(x·10³) − round(c·10³))²` — sums of integer products, so
+    * engine-bit-stable with no fold-order caveat — aggregated to exact
+    * integer means (`//` truncates like Spark `div`), full-outer joined so
+    * one-sided codewords report count 0 and a null mean. */
+  def pqDriftSql(
+      nSub: Int, ksub: Int, nIters: Int,
+      trainPred: String, batchPred: String): String = {
+    def errList(src: String) =
+      s"""CAST(list_sum(list_transform(generate_series(1, dm.sdim),
+         |      d -> (CAST(floor(CAST($src.e[e.m * dm.sdim + d] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+         |          - CAST(floor(c.c[d] * 1000.0 + 0.5) AS BIGINT))
+         |         * (CAST(floor(CAST($src.e[e.m * dm.sdim + d] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)
+         |          - CAST(floor(c.c[d] * 1000.0 + 0.5) AS BIGINT)))) AS BIGINT) AS errq""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding AS e FROM embeddings WHERE $trainPred),
+       |vl AS (
+       |  SELECT vec_id, e FROM v
+       |  WHERE e IS NOT NULL
+       |    AND list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |),
+       |${pqCodebookCtes(nSub, ksub, nIters, encodePred = batchPred)},
+       |bsrc AS (
+       |  SELECT vec_id, embedding AS e FROM embeddings CROSS JOIN dm
+       |  WHERE ($batchPred) AND embedding IS NOT NULL
+       |    AND list_sum(list_transform(embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+       |    AND len(embedding) = dm.dim
+       |),
+       |tpdist AS (
+       |  SELECT x.vec_id, c.m, c.j,
+       |    list_sum(list_transform(generate_series(1, dm.sdim),
+       |      d -> (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d])
+       |         * (CAST(x.e[c.m * dm.sdim + d] AS DOUBLE) - c.c[d]))) AS dist
+       |  FROM xe x CROSS JOIN cw c CROSS JOIN dm
+       |),
+       |tpenc AS (
+       |  SELECT vec_id, m, j FROM (
+       |    SELECT vec_id, m, j,
+       |           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, j ASC) AS rn
+       |    FROM tpdist) WHERE rn = 1
+       |),
+       |terr AS (
+       |  SELECT e.m, e.j,
+       |    ${errList("x")}
+       |  FROM tpenc e JOIN xe x ON e.vec_id = x.vec_id
+       |  JOIN cw c ON e.m = c.m AND e.j = c.j CROSS JOIN dm
+       |),
+       |berr AS (
+       |  SELECT e.m, e.j,
+       |    ${errList("x")}
+       |  FROM enc e JOIN bsrc x ON e.vec_id = x.vec_id
+       |  JOIN cw c ON e.m = c.m AND e.j = c.j CROSS JOIN dm
+       |),
+       |tstats AS (
+       |  SELECT m, j, COUNT(*) AS n_train, CAST(SUM(errq) AS BIGINT) AS s
+       |  FROM terr GROUP BY m, j
+       |),
+       |bstats AS (
+       |  SELECT m, j, COUNT(*) AS n_batch, CAST(SUM(errq) AS BIGINT) AS s
+       |  FROM berr GROUP BY m, j
+       |)
+       |SELECT CAST(COALESCE(t.m, b.m) AS BIGINT) AS sub,
+       |       CAST(COALESCE(t.j, b.j) AS BIGINT) AS code,
+       |       COALESCE(t.n_train, 0) AS n_train,
+       |       CAST(t.s // t.n_train AS BIGINT) AS train_mean_errq,
+       |       COALESCE(b.n_batch, 0) AS n_batch,
+       |       CAST(b.s // b.n_batch AS BIGINT) AS batch_mean_errq,
+       |       CAST(b.s // b.n_batch - t.s // t.n_train AS BIGINT) AS delta_errq
+       |FROM tstats t FULL OUTER JOIN bstats b ON t.m = b.m AND t.j = b.j""".stripMargin
+  }
+
   /**
    * Exact mirror of Dedup.clusterExemplars: the [[ivfAssignCtes]] quantizer
    * (relevance = the assignment cosine, read back from `ccos`), pairwise

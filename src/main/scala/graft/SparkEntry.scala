@@ -1014,6 +1014,19 @@ object SparkEntry {
       SimSearch.ivfDrift(emb.filter(col("vec_id") % 10 < 8),
         emb.filter(col("vec_id") % 10 >= 8), "vec_id", "embedding", ivf)
     }),
+    // PQ retrain trigger (the codebook face of ann_ivf_drift): per
+    // (subspace, codeword) integer-milli quantization error of the new
+    // batch vs the train slice on the SAME PqModel — delta_errq >> 0 or
+    // codeword occupancy shifts schedule a PQ retrain before ADC recall
+    // quietly degrades
+    "ann_pq_drift" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val train = emb.filter(col("vec_id") % 10 < 8)
+      val pq = SimSearch.pqTrainModel(train, "vec_id", "embedding",
+        nSub = 8, ksub = 16, nIters = 1)
+      SimSearch.pqDrift(train, emb.filter(col("vec_id") % 10 >= 8),
+        "vec_id", "embedding", pq)
+    }),
     // incremental IVFADC encode: both quantizers trained on the 80% slice,
     // the 20% "new crawl" batch routed + PQ-encoded against the persisted
     // codebooks — the compressed-index face of encode-once-assign-forever
@@ -2389,6 +2402,8 @@ object SparkEntry {
       Oracles.ivfAssignIncrSql(16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
     "ann_ivf_drift" ->
       Oracles.ivfDriftSql(16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
+    "ann_pq_drift" ->
+      Oracles.pqDriftSql(8, 16, 1, "vec_id % 10 < 8", "vec_id % 10 >= 8"),
     "ann_ivfpq_incr" ->
       Oracles.annIvfPqEncodeIncrSql(16, 1, 8, 16, 1,
         "vec_id % 10 < 8", "vec_id % 10 >= 8"),

@@ -50,16 +50,39 @@ object TopKAgg {
   }
 
   /** [[TopK]] variant that also DEDUPLICATES by id: an id already in the
-    * buffer is skipped on insert/merge. EXACT only when every copy of an id
-    * carries the SAME score (then the global top-k over distinct ids equals
-    * the merge of per-partition distinct top-k buffers) — the situation of
+    * buffer is skipped on insert/merge.
+    *
+    * ==WARNING: exactness precondition==
+    * EXACT only when every copy of an id carries the SAME score (then the
+    * global top-k over distinct ids equals the merge of per-partition
+    * distinct top-k buffers) — the situation of
     * [[graft.operators.Dedup.knnGraph]], where a candidate pair colliding in
     * several LSH tables scores identically (deterministic cosine, rounded)
     * and the former `dropDuplicates` exchange can instead fold into this
-    * aggregation's map-side partials. */
+    * aggregation's map-side partials. Feeding copies with DIFFERING scores
+    * (non-deterministic scoring, unrounded floats recomputed per collision)
+    * makes the result order-dependent and silently approximate — which copy
+    * survives depends on partitioning. The aggregator therefore VERIFIES the
+    * precondition on every insert whose id is still in the buffer and throws
+    * [[IllegalStateException]] on a score mismatch. The check is free (the
+    * dedup scan already visits the entry) but BEST-EFFORT: a mismatching
+    * copy arriving after its id was evicted from a ≤ k partial buffer
+    * escapes it — it catches the systematic non-determinism a wrong caller
+    * would produce, not every instance. */
   class TopKDistinct(k: Int) extends TopK(k) {
     override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
-      if (buf.exists(_._1 == x._1)) buf else super.reduce(buf, x)
+      buf.find(_._1 == x._1) match {
+        case Some(e) =>
+          // compare-by-bits (not ==) so equal NaNs don't throw spuriously
+          if (java.lang.Double.compare(e._2, x._2) != 0)
+            throw new IllegalStateException(
+              s"TopKDistinct precondition violated: id ${x._1} seen with " +
+                s"scores ${e._2} and ${x._2} — distinct-in-buffer top-k is " +
+                "exact only when every copy of an id carries the same score " +
+                "(use dropDuplicates + TopK, or make the score deterministic)")
+          buf
+        case None => super.reduce(buf, x)
+      }
     override def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] =
       b.foldLeft(a)(reduce)
   }

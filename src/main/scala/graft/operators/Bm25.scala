@@ -145,54 +145,57 @@ object Bm25 {
       k: Int, fbDocs: Int = 3, fbTerms: Int = 5,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(fbDocs > 0 && fbTerms > 0, s"fbDocs/fbTerms must be positive")
-    // Persisted: the vote join and the two slice cuts would otherwise re-run
-    // the postings lineage each time — measured 5.8 → ~2 s at sf0.1. Same
-    // never-unpersist contract as SimDedup's keyIds (callers/Bench clear the
-    // SQL cache between queries); at scale this IS the encode-once
-    // persisted-postings doctrine. NOTE (r14→): this operator now leaves
-    // FIVE persisted frames per invocation (idxP, tot, slice0, scores0,
-    // tfExp) — repeated calls in one session accumulate cached frames
-    // faster than the original single-persist shape; long-lived sessions
-    // should `spark.sharedState.cacheManager.clearCache()` between calls
-    // (ADVICE r14).
+    // ONE persisted frame per call (r16, ADVICE r14 two rounds running): the
+    // postings `idx` is the only corpus-sized input and the only frame under
+    // the never-unpersist contract. The r14 shape persisted four more
+    // intermediates (tot, slice0, scores0, tfExp) — each has exactly two
+    // consumers, but BOTH consumers sit inside the one lazy result plan, so
+    // Spark's ReuseExchange/ReuseSubquery dedups their shuffles within the
+    // single final action; the extra persists bought nothing the plan didn't
+    // already share and leaked four cache entries per invocation in
+    // long-lived sessions (measured r16: warm flat after the change —
+    // 3.53 s on a box running the untouched bm25 controls 1.32-1.34× over
+    // their r15 receipts, i.e. ~2.65 s receipt-equivalent vs 2.77 before).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val idxP = idx.persist(lvl)
     val tf = idxP.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
       col("term").as("__w"), col("tf").cast("long").as("__tf"))
-    // Corpus totals computed ONCE and shared by both rounds (they are corpus
-    // properties — the expanded vocabulary doesn't change N or Σdl).
-    val tot = tf.select(col("__d"), col("__dl")).distinct()
-      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
-      .persist(lvl)
+    // Corpus totals (N, Σdl) computed ONCE and shared by both rounds — they
+    // are corpus properties; the expanded vocabulary doesn't change them.
+    // Collected to the driver (a BOUNDED collect: one aggregate row) and
+    // embedded as literals: both rounds' idf expressions read them for free,
+    // where the r14 shape paid a persisted frame + a broadcast crossJoin.
+    val totRow = tf.select(col("__d"), col("__dl")).distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd")).head()
+    val totTw = totRow.getLong(0)
+    val totNd = totRow.getLong(1)
     val qt0 = queries
       .select(col(qidCol).as("query_id"), explode(wordsCol(col(qtextCol))).as("term"))
       .distinct()
     val vocab0 = qt0.select(col("term").as("__w")).distinct()
-    // The round-1 query-term postings slice, cut ONCE and persisted: round 1
-    // scores from it directly, and round 2 REUSES it — the full postings
-    // relation is re-touched only for the (few) expansion terms round 1
-    // discovered, not re-semi-joined for the whole expanded vocabulary.
-    val slice0 = tf.join(broadcast(vocab0), "__w").persist(lvl)
+    // The round-1 query-term postings slice, cut ONCE: round 1 scores from it
+    // directly, and round 2 REUSES it — the full postings relation is
+    // re-touched only for the (few) expansion terms round 1 discovered, not
+    // re-semi-joined for the whole expanded vocabulary.
+    val slice0 = tf.join(broadcast(vocab0), "__w")
     val qt0w = qt0.select(col("query_id").as("__q"), col("term").as("__w"))
     def idfFor(tfq: DataFrame): DataFrame =
       tfq.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
-        .crossJoin(broadcast(tot))
         .select(col("__w"),
-          floor(log((col("__nd").cast("double") - col("__df").cast("double") + lit(0.5)) /
+          floor(log((lit(totNd).cast("double") - col("__df").cast("double") + lit(0.5)) /
               (col("__df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1000000.0))
             .cast("long").as("__idf"),
-          col("__tw"), col("__nd"))
+          lit(totTw).as("__tw"), lit(totNd).as("__nd"))
     def contribFor(tfq: DataFrame, qtw: DataFrame): DataFrame =
       tfq.join(broadcast(qtw), "__w").join(broadcast(idfFor(tfq)), "__w")
         .select(col("__q"), col("__d"), impactExpr(k1, b).as("__c"))
-    // Round-1 per-(query, doc) sums persisted BEFORE the top-fbDocs window:
+    // Round-1 per-(query, doc) sums shared BEFORE the top-fbDocs window:
     // round 2's score = round-1 score + expansion-term contributions (integer
     // sums are associative and exp excludes each query's original terms, so
-    // the split is exact) — the dominant hit-relation aggregation runs ONCE,
-    // not once per round.
+    // the split is exact) — the dominant hit-relation aggregation is ONE
+    // exchange subtree, reused by the feedback window and the round-2 union.
     val scores0 = contribFor(slice0, qt0w)
       .groupBy(col("__q"), col("__d")).agg(sum(col("__c")).as("score_micro"))
-      .persist(lvl)
     val wfb = Window.partitionBy(col("__q"))
       .orderBy(col("score_micro").desc, col("__d").asc)
     val fb = scores0.withColumn("__rn", row_number().over(wfb))
@@ -210,7 +213,7 @@ object Bm25 {
     // posting lists per term, so df/idf are the same corpus properties the
     // whole-vocabulary pass would compute).
     val expVocab = exp.select(col("term").as("__w")).distinct()
-    val tfExp = tf.join(broadcast(expVocab), "__w").persist(lvl)
+    val tfExp = tf.join(broadcast(expVocab), "__w")
     val expw = exp.select(col("query_id").as("__q"), col("term").as("__w"))
     val contribExp = contribFor(tfExp, expw)
     val scores2 = scores0.select(col("__q"), col("__d"), col("score_micro").as("__c"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -182,33 +183,52 @@ object ConnectedComponents {
   /** Large-star: every strictly-larger neighbor of u is rewired to
     * min(Γ(u) ∪ {u}). Input edges in any orientation; output edges all point
     * strictly downward (larger id → smaller id). Preserves connectivity
-    * (Kiveris et al. Lemma 1) while collapsing high branches. */
+    * (Kiveris et al. Lemma 1) while collapsing high branches.
+    *
+    * ONE exchange (r16): the per-neighborhood minimum is a window aggregate
+    * over the symmetrized edges — the previous groupBy-min + shuffle-join +
+    * distinct formulation paid THREE exchanges per star, and on small graphs
+    * the per-round stage scheduling (not data) was the measured floor
+    * (FloorProbe, r15). Dropping the distinct is safe because the star
+    * transforms are per-row maps whose minimum is duplicate-insensitive:
+    * each input row produces at most one output row, so the row count is
+    * NON-increasing round over round (duplicates never multiply — that only
+    * happened through the old join fanout), the SET trajectory — and hence
+    * the labels — is identical to the distinct'd version, and at a star-forest
+    * fixed point the transforms preserve multiplicities EXACTLY, so the
+    * multiset convergence checksum still stops on the same round. Skew note:
+    * a component root's window partition holds its whole component's edges;
+    * WindowExec buffers it in a spillable external array (no OOM), but unlike
+    * a shuffle join AQE cannot split a window partition — the single-task
+    * sort of a giant component's partition is the price of the fused round,
+    * and large-star itself is the skew-buster for every non-root node. */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("__u"), col("__v"))
       .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
-    val minN = sym.union(sym.select(col("__u"), col("__u").as("__v")))
-      .groupBy(col("__u")).agg(min(col("__v")).as("__m"))
-    // distinct matters even though smallStar's min is duplicate-insensitive:
-    // without it the moved-edge fanout multiplies duplicates through the next
-    // round's joins (measured 2× slower without at sf0.1).
-    sym.filter(col("__v") > col("__u"))
-      .join(minN, "__u")
+    val w = Window.partitionBy(col("__u"))
+    // min over Γ(u) ∪ {u}; only rows with a strictly-larger neighbor emit,
+    // and m ≤ u < v makes an emitted self-edge impossible — no filter needed
+    sym.select(col("__u"), col("__v"),
+        least(col("__u"), min(col("__v")).over(w)).as("__m"))
+      .filter(col("__v") > col("__u"))
       .select(col("__v").as("__u"), col("__m").as("__v"))
-      .filter(col("__u") =!= col("__v"))
-      .distinct()
   }
 
   /** Small-star: on downward-pointing edges, every smaller neighbor of u is
     * rewired to m = min(Γ(u)), and u keeps its own edge to m. Output edges
-    * still point strictly downward. */
+    * still point strictly downward.
+    *
+    * ONE exchange, same argument as [[largeStar]]: per input row, either the
+    * row IS a minimum witness (v == m → emit u's own edge (u, m), at least
+    * one per group) or it rewires (v, m); both branches stay strictly
+    * downward, so no self-edge filter is needed and every group's output
+    * covers exactly the old moved ∪ minN set. */
   private def smallStar(e: DataFrame): DataFrame = {
-    val minN = e.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
-    val moved = e.join(minN, "__u")
-      .filter(col("__v") =!= col("__m"))
-      .select(col("__v").as("__u"), col("__m").as("__v"))
-    moved.union(minN.select(col("__u"), col("__m").as("__v")))
-      .filter(col("__u") =!= col("__v"))
-      .distinct()
+    val w = Window.partitionBy(col("__u"))
+    e.select(col("__u"), col("__v"), min(col("__v")).over(w).as("__m"))
+      .select(
+        when(col("__v") === col("__m"), col("__u")).otherwise(col("__v")).as("__u"),
+        col("__m").as("__v"))
   }
 
   /**
@@ -217,39 +237,62 @@ object ConnectedComponents {
    * shape, where [[run]] needs O(diameter) rounds. Same output contract as
    * [[run]]: (idCol, component), component = min node id reachable.
    *
-   * Per round: large-star + small-star (2 aggregations + 2 joins, all sized to
-   * the edge frame), then one checksum action for convergence: (count,
-   * order-independent XOR of xxhash64(u, v), XOR of independently-seeded
-   * xxhash64(42, u, v)) — XOR, not SUM, so it cannot overflow under ANSI mode.
-   * The triple matches across rounds only when the edge SET is unchanged,
-   * which for this monotone contraction means a fixed point, i.e. a forest of
-   * stars. The stop is PROBABILISTIC: two different edge sets colliding on
-   * both 64-bit XOR-multiset hashes AND the count would end the loop early
-   * with non-minimal labels — probability ~2^-128 per round, far below
-   * hardware fault rates. No collect(), no driver-side graph state.
+   * Per round: large-star + small-star — ONE window exchange each (r16; was
+   * ~5 exchanges of groupBy + join + distinct per round), then a checksum
+   * action for convergence: (count, order-independent XOR of xxhash64(u, v),
+   * XOR of independently-seeded xxhash64(42, u, v)) — XOR, not SUM, so it
+   * cannot overflow under ANSI mode. The triple matches across rounds only
+   * when the edge MULTISET is unchanged; multiset equality implies set
+   * equality, which for this monotone contraction means a fixed point, i.e. a
+   * forest of stars — and at a fixed point the (distinct-free) star maps
+   * preserve multiplicities exactly, so the checksum stabilizes on the same
+   * round the set does. The stop is PROBABILISTIC: two different edge sets
+   * colliding on both 64-bit XOR-multiset hashes AND the count would end the
+   * loop early with non-minimal labels — probability ~2^-128 per check, far
+   * below hardware fault rates. No collect(), no driver-side graph state.
+   *
+   * The checksum runs every `checkEvery` rounds (default 2), not every round:
+   * on small graphs the per-action job submission is the measured floor
+   * (FloorProbe, r15 — ~0.4 s/round of pure scheduling), and a lazy
+   * checkpoint chain of `checkEvery` rounds materializes in the ONE checksum
+   * job. The trade is up to `checkEvery - 1` extra (cheap, already-fixed-
+   * point) rounds after convergence in exchange for half the driver
+   * round-trips — at real scale rounds dominate and `checkEvery = 1`
+   * recovers the per-round check. Superseded checkpoint generations are
+   * released at each checksum, once the chain ahead of them is materialized
+   * (releasing a local checkpoint's blocks before a dependent is
+   * materialized would make the chain unrecomputable).
    *
    * @param checkpointDir reliable checkpoint directory — see [[run]].
+   * @param checkEvery    convergence-check cadence in rounds (≥ 1).
    */
   def runStar(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 30, checkpointDir: Option[String] = None): DataFrame = {
+      maxRounds: Int = 30, checkpointDir: Option[String] = None,
+      checkEvery: Int = 2): DataFrame = {
     checkpointDir.foreach(ensureCheckpointDir(nodes, _))
     val reliable = checkpointDir.isDefined
     // maxRounds = 0 would label nodes from RAW input-orientation edges (a
     // node's component could exceed its own id) — reject rather than violate
     // the min-reachable-id contract
     require(maxRounds > 0, s"maxRounds must be positive, got $maxRounds")
+    require(checkEvery > 0, s"checkEvery must be positive, got $checkEvery")
     // Each round's plan references the previous round's frame ~9 times (both
     // stars read their input severally), so carrying lineage would grow the
     // logical plan 9^round — the per-round checkpoint cuts it, keeping every
     // round's plan flat. Lazy checkpoints piggyback on the round's checksum
     // action (no extra job); superseded generations are released
     // deterministically via their RDD handles.
+    // No initial distinct (r16): the fused stars are duplicate-tolerant (see
+    // largeStar — per-row maps, row count non-increasing, identical SET
+    // trajectory), so the exchange it cost is pure waste for the common
+    // already-distinct edge relations (e.g. a groupBy output). Callers
+    // feeding HEAVILY duplicated edge lists should pre-distinct themselves:
+    // duplicate volume carries (without growing) through the rounds.
     var (e, eHandle) = checkpointWithHandle(
       edges.select(col(aCol).as("__u"), col(bCol).as("__v"))
-        .filter(col("__u") =!= col("__v"))
-        .distinct(), reliable)
+        .filter(col("__u") =!= col("__v")), reliable)
     var prev: (Long, Long, Long) = (-1L, 0L, 0L)
     var round = 0
     var converged = e.isEmpty
@@ -257,24 +300,37 @@ object ConnectedComponents {
     // (run()'s repartition stance, tried as coalesce-at-checkpoint) does NOT
     // move the small-graph round floor here — warm receipts were flat-to-
     // worse (the extra count action costs more than 32-vs-1 blocks save).
-    // The per-round cost is the ~5 exchanges + checksum action themselves,
-    // which amortize at real scale.
+    // r16 attacks the remaining floor directly: 2 window exchanges per round
+    // (was ~5) and one checksum job per `checkEvery` rounds (was one per
+    // round), which amortize at real scale anyway.
+    // Generations superseded since the last materializing action — their
+    // blocks must stay until the chain ahead of them is materialized.
+    var pendingRelease = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     while (round < maxRounds && !converged) {
       val (next, nextHandle) = checkpointWithHandle(smallStar(largeStar(e)), reliable)
-      // leading literal 42 = an independent seed for the second hash: both
-      // 64-bit XOR multisets must collide (with equal counts) for a false stop
-      val chkRow = next
-        .agg(count(lit(1)),
-          coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L)),
-          coalesce(bit_xor(xxhash64(lit(42), col("__u"), col("__v"))), lit(0L))).head()
-      val chk = (chkRow.getLong(0), chkRow.getLong(1), chkRow.getLong(2))
-      releaseGeneration(eHandle) // next is materialized — free the old generation
+      pendingRelease ::= eHandle
       e = next
       eHandle = nextHandle
-      converged = chk == prev
-      prev = chk
       round += 1
+      if (round % checkEvery == 0 || round == maxRounds) {
+        // leading literal 42 = an independent seed for the second hash: both
+        // 64-bit XOR multisets must collide (with equal counts) for a false stop
+        val chkRow = e
+          .agg(count(lit(1)),
+            coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L)),
+            coalesce(bit_xor(xxhash64(lit(42), col("__u"), col("__v"))), lit(0L))).head()
+        val chk = (chkRow.getLong(0), chkRow.getLong(1), chkRow.getLong(2))
+        // the checksum materialized every pending generation's successor —
+        // the superseded blocks are now safe to free
+        pendingRelease.foreach(releaseGeneration)
+        pendingRelease = Nil
+        converged = chk == prev
+        prev = chk
+      }
     }
+    // pendingRelease is provably empty here: converged is only set at a
+    // check, and `round == maxRounds` forces the final check — every loop
+    // exit path has just drained it.
     // stars point every non-root node at its component minimum; roots and
     // isolated nodes label themselves via the left join. The min-aggregate is
     // the identity on a converged star forest (one edge per non-root node) but

@@ -1679,6 +1679,17 @@ object SimSearch {
   def ivfAssign(
       batch: DataFrame, bId: String, bVec: String, ivf: IvfModel): DataFrame = {
     requireIntegralId(batch, bId, "batch")
+    // The probe expression reads elements as raw floats (ArrayData.getFloat)
+    // for speed — on an array<double> column that would silently produce
+    // garbage assignments (the old RDD path at least threw). Enforce the
+    // repo-wide array<float> embedding contract at PLAN time instead
+    // (ADVICE r15).
+    batch.schema(bVec).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case dt => throw new IllegalArgumentException(
+        s"ivfAssign: batch column $bVec must be array<float>, got ${dt.simpleString}")
+    }
     val spark = batch.sparkSession
     val bc = spark.sparkContext.broadcast(ivf.cents)
     val probe = org.apache.spark.sql.GraftBridge.column(
@@ -1732,6 +1743,78 @@ object SimSearch {
         coalesce(col("n_batch"), lit(0L)).as("n_batch"),
         col("batch_mean_micro"),
         (col("batch_mean_micro") - col("train_mean_micro")).as("delta_micro"))
+  }
+
+  /**
+   * PQ CODEBOOK drift monitor — [[ivfDrift]]'s retrain-trigger read applied
+   * to the product quantizer (r16, completing the retrain story for the
+   * compressed index): per (subspace, codeword), the mean quantization error
+   * of a NEW batch encoded on the SAME trained [[PqModel]] vs the slice the
+   * codebooks were trained on. A healthy incremental corpus quantizes about
+   * as tightly as its training data; a codeword whose batch mean error
+   * inflates well above its train mean (`delta_errq` ≫ 0), or a subspace
+   * whose codewords empty/flood (`n_batch` vs `n_train`), is the signal that
+   * schedules PQ retraining — BEFORE ADC recall quietly degrades.
+   *
+   * Exact integer contract: codeword ASSIGNMENT is the encode path's own
+   * rule (raw-double squared L2, (dist asc, j asc) ties — bit-identical to
+   * [[ivfPqEncode]]); the REPORTED error is computed in integer MILLI-space,
+   * `errq = Σ_d (round(x_d·10³) − round(c_d·10³))²` — sums of integer
+   * products are engine-bit-stable regardless of fold order, and milli
+   * granularity keeps corpus-scale Long sums far from overflow (micro²
+   * would not). Per-key means are integer `div` of exact sums. Scale shape:
+   * one scan per side fanning out nSub rows per vector, ONE ≤ nSub·ksub-key
+   * aggregation per side (map-side partials), full-outer joined on the tiny
+   * key set — nothing corpus-sized ever shuffles. Eligibility matches
+   * [[ivfPqEncode]]: null / zero-norm / wrong-dimension rows are dropped.
+   *
+   * @return (sub, code, n_train, train_mean_errq, n_batch, batch_mean_errq,
+   *         delta_errq = batch_mean_errq − train_mean_errq); error units are
+   *         squared milli-deltas.
+   */
+  def pqDrift(
+      train: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, pq: PqModel): DataFrame = {
+    val spark = train.sparkSession
+    val bc = spark.sparkContext.broadcast(pq)
+    val dim = pq.dim
+    def stats(df: DataFrame, nCol: String, mCol: String): DataFrame = {
+      requireIntegralId(df, idCol, "pqDrift")
+      import spark.implicits._
+      val perSub = df.select(col(idCol).cast("long"), col(vecCol)).rdd.mapPartitions { rows =>
+        val m0 = bc.value
+        rows.flatMap { r =>
+          vecWithNorm(r) match {
+            case Some((_, v, _)) if v.length == dim =>
+              Iterator.tabulate(m0.nSub) { m =>
+                val j = pqNearestSub(v, m, m0.subDim, m0.cw(m))
+                var err = 0L
+                var d = 0
+                while (d < m0.subDim) {
+                  val diff = math.floor(v(m * m0.subDim + d).toDouble * 1000.0 + 0.5).toLong -
+                    math.floor(m0.cw(m)(j)(d) * 1000.0 + 0.5).toLong
+                  err += diff * diff
+                  d += 1
+                }
+                (m, j, err)
+              }
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("sub", "code", "__e")
+      perSub.groupBy(col("sub"), col("code"))
+        .agg(count(lit(1)).as(nCol), sum(col("__e")).as("__s"))
+        .select(col("sub").cast("long").as("sub"), col("code").cast("long").as("code"),
+          col(nCol), expr(s"__s div $nCol").as(mCol))
+    }
+    stats(train, "n_train", "train_mean_errq")
+      .join(stats(batch, "n_batch", "batch_mean_errq"), Seq("sub", "code"), "full_outer")
+      .select(col("sub"), col("code"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        col("train_mean_errq"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"),
+        col("batch_mean_errq"),
+        (col("batch_mean_errq") - col("train_mean_errq")).as("delta_errq"))
   }
 
   /**

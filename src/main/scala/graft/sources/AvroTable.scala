@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.{Schema, SchemaBuilder}
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
@@ -27,10 +29,12 @@ import org.apache.spark.sql.types._
  * parallelism, exactly how sharded corpus interchange is operated anyway
  * (repartition before write to size the shards).
  *
- * Reads take an EXPLICIT caller schema (the [[OrcTable]] stance): the field
- * set is validated against each file's embedded writer schema and drift
- * fails loudly. Supported types: long/int/double/float/boolean/string/
- * binary — anything else fails fast at write/read planning.
+ * Reads take an EXPLICIT caller schema (the [[OrcTable]] stance): each
+ * file's embedded writer schema is validated at FILE OPEN — field presence
+ * AND types (r16) — so drift fails loudly before any row decodes, with the
+ * column, file, and both types in the message. Supported types:
+ * long/int/double/float/boolean/string/binary — anything else fails fast at
+ * write/read planning.
  */
 object AvroTable {
 
@@ -54,7 +58,15 @@ object AvroTable {
   }
 
   /** Write `df` under `path` as Avro container files (overwrite) — one file
-    * per non-empty input partition. */
+    * per non-empty input partition.
+    *
+    * Commit protocol (r16): each task attempt streams to an ATTEMPT-UNIQUE
+    * temp name (`part-NNNNN.avro.tmp-<taskAttemptId>`) and renames it into
+    * place only after a successful close — so a speculative or retried
+    * attempt of the same partition can never interleave bytes with the
+    * winner (two attempts writing one final name directly would corrupt the
+    * container). Rename-refused (the other attempt already committed) just
+    * drops the loser's temp file; failures best-effort delete their temp. */
   def write(df: DataFrame, path: String): Unit = {
     val schema = df.schema
     val avroJson = avroSchemaFor(schema).toString // Schema is not serializable pre-1.9 style; ship JSON
@@ -69,26 +81,40 @@ object AvroTable {
       if (!rows.hasNext) Iterator.empty
       else {
         val avroSchema = new Schema.Parser().parse(avroJson)
-        val out = new Path(path, f"part-$pi%05d.avro")
-          .getFileSystem(conf.value).create(new Path(path, f"part-$pi%05d.avro"), true)
-        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
-        w.create(avroSchema, out)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val finalPath = new Path(path, f"part-$pi%05d.avro")
+        val tmpPath = new Path(path, f"part-$pi%05d.avro.tmp-$attempt")
+        val pfs = finalPath.getFileSystem(conf.value)
         var written = 0L
-        rows.foreach { r =>
-          val rec = new GenericData.Record(avroSchema)
-          var i = 0
-          while (i < n) {
-            val v = if (r.isNullAt(i)) null else r.get(i) match {
-              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
-              case x => x
+        try {
+          val out = pfs.create(tmpPath, true)
+          val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](avroSchema))
+          w.create(avroSchema, out)
+          rows.foreach { r =>
+            val rec = new GenericData.Record(avroSchema)
+            var i = 0
+            while (i < n) {
+              val v = if (r.isNullAt(i)) null else r.get(i) match {
+                case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+                case x => x
+              }
+              rec.put(i, v)
+              i += 1
             }
-            rec.put(i, v)
-            i += 1
+            w.append(rec)
+            written += 1
           }
-          w.append(rec)
-          written += 1
+          w.close()
+          // commit: lose the rename race gracefully — another attempt of this
+          // partition already published an identical file
+          if (!pfs.rename(tmpPath, finalPath)) pfs.delete(tmpPath, false)
+        } catch {
+          case t: Throwable =>
+            try pfs.delete(tmpPath, false)
+            catch { case scala.util.control.NonFatal(_) => () }
+            throw t
         }
-        w.close()
         Iterator.single(written)
       }
     }.count() // materialize the write
@@ -110,11 +136,31 @@ object AvroTable {
     val rdd = spark.sparkContext.binaryFiles(s"$path/*.avro").flatMap { case (file, pds) =>
       val in = pds.open()
       val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
+      // a limit/take or a downstream exception can abandon the iterator
+      // mid-file — close unconditionally at task end (idempotent with the
+      // eager drain-close below, which still matters for many-files tasks)
+      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+        try { reader.close(); in.close() }
+        catch { case scala.util.control.NonFatal(_) => () }
+      })
       val ws = reader.getSchema
-      names.foreach { nm =>
-        if (ws.getField(nm) == null)
+      names.indices.foreach { i =>
+        val nm = names(i)
+        val f = ws.getField(nm)
+        if (f == null)
           throw new IllegalArgumentException(
             s"AvroTable: column $nm absent from writer schema of $file")
+        // fail at file-open, not mid-decode: the writer's non-null branch
+        // must BE the Avro type the caller's Spark type maps to (same table
+        // as the write side — no implicit widening, an int-written column
+        // read as LongType is drift, not a cast)
+        val written = nonNullBranch(f.schema())
+        val expected = expectedAvroType(types(i))
+        if (written.getType != expected)
+          throw new IllegalArgumentException(
+            s"AvroTable: column $nm of $file was written as Avro " +
+              s"${written.getType.getName} but the caller schema declares " +
+              s"${types(i).simpleString} (expects Avro ${expected.getName})")
       }
       new Iterator[Row] {
         def hasNext: Boolean = { val h = reader.hasNext; if (!h) { reader.close(); in.close() }; h }
@@ -135,5 +181,32 @@ object AvroTable {
       }
     }
     spark.createDataFrame(rdd, schema)
+  }
+
+  /** The non-null branch of a writer field schema — our own writes emit
+    * `["null", T]` unions, but a plain `T` from an external writer is
+    * equally valid. A union with several non-null branches has no single
+    * Spark type and fails loudly. */
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType != Schema.Type.UNION) s
+    else {
+      val nn = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+      if (nn.size != 1) throw new IllegalArgumentException(
+        s"AvroTable: unsupported union $s (need exactly one non-null branch)")
+      nn.head
+    }
+
+  /** The Avro type each supported Spark type reads from — the exact inverse
+    * of [[avroSchemaFor]]'s write mapping. */
+  private def expectedAvroType(dt: DataType): Schema.Type = dt match {
+    case LongType => Schema.Type.LONG
+    case IntegerType => Schema.Type.INT
+    case DoubleType => Schema.Type.DOUBLE
+    case FloatType => Schema.Type.FLOAT
+    case BooleanType => Schema.Type.BOOLEAN
+    case StringType => Schema.Type.STRING
+    case BinaryType => Schema.Type.BYTES
+    case _ => throw new IllegalArgumentException(
+      s"AvroTable: unsupported type $dt")
   }
 }

@@ -406,6 +406,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(repart == viaWindow)
   }
 
+  test("TopKAgg.perKeyDistinct fails loudly when duplicate copies score differently") {
+    val s = spark
+    import s.implicits._
+    // same (key, id) with two DIFFERENT scores in one partition — the
+    // precondition violation the aggregator's in-buffer memo must catch
+    // instead of silently keeping whichever copy arrived first
+    val df = Seq((1L, 7L, 0.5), (1L, 7L, 0.25), (1L, 3L, 0.125))
+      .toDF("key", "id", "score").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.functions.TopKAgg.perKeyDistinct(df, "key", "id", "score", 5).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("TopKDistinct precondition violated")))
+  }
+
   test("bigramLogLoss: improbable transitions score higher; short docs absent") {
     val docs = docsDf(Seq(
       (1L, "a b a b"), // common transitions: (a,b)x2, (b,a)

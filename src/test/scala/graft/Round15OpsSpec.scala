@@ -40,6 +40,21 @@ class Round15OpsSpec extends AnyFunSuite {
     assert(plan.contains("Generate"), plan) // explode(array(probe)) single-eval barrier
   }
 
+  test("ivfAssign rejects a non-array<float> vector column at plan time") {
+    val sp = spark
+    import sp.implicits._
+    val df = fixture
+    val ivf = SimSearch.ivfTrainModel(df, "vec_id", "embedding", nList = 2, nIters = 1)
+    // array<double> would read as garbage through the raw-float probe — must
+    // fail loudly before any task runs (ADVICE r15)
+    val dbl = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      SimSearch.ivfAssign(dbl, "vec_id", "embedding", ivf)
+    }
+    assert(ex.getMessage.contains("array<float>") &&
+      ex.getMessage.contains("array<double>"))
+  }
+
   test("ivfDrift: exact per-list integer means; one-sided lists keep a row") {
     // train defines two opposite-direction seeds; batch hits only cluster 0's
     // direction, so cluster 1 is train-only (batch side count 0, null means)

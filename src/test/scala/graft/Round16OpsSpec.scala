@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Specs for the round-16 additions: the PQ codebook drift monitor and the
+  * persisted-edge-table graph entry point. */
+class Round16OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("round16-ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def emb(rows: (Long, Seq[Float])*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("pqDrift: batch == train slice reports zero delta everywhere") {
+    val df = emb(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.9f, 0.1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0.1f, 0.9f, 0f))
+    val pq = SimSearch.pqTrainModel(df, "vec_id", "embedding", nSub = 2, ksub = 2, nIters = 1)
+    val out = SimSearch.pqDrift(df, df, "vec_id", "embedding", pq).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_train")) == r.getLong(r.fieldIndex("n_batch")))
+      assert(r.getLong(r.fieldIndex("train_mean_errq")) ==
+        r.getLong(r.fieldIndex("batch_mean_errq")))
+      assert(r.getLong(r.fieldIndex("delta_errq")) == 0L)
+    }
+  }
+
+  test("pqDrift: off-manifold batch inflates error; one-sided codewords keep a row") {
+    // train clusters on axes 1 and 3; batch points midway between them
+    // quantize strictly worse on at least one codeword
+    val train = emb(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.95f, 0.05f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0.05f, 0.95f, 0f))
+    val batch = emb(10L -> Seq(0.5f, 0.5f, 0.5f, 0.5f), 11L -> Seq(0.4f, 0.6f, 0.4f, 0.6f))
+    val pq = SimSearch.pqTrainModel(train, "vec_id", "embedding", nSub = 2, ksub = 2, nIters = 1)
+    val out = SimSearch.pqDrift(train, batch, "vec_id", "embedding", pq).collect()
+    // every train row quantizes; batch occupancy sums to nSub * |batch|
+    assert(out.map(_.getLong(2)).sum == 4L * pq.nSub)
+    assert(out.map(_.getLong(4)).sum == 2L * pq.nSub)
+    assert(out.exists(r => !r.isNullAt(6) && r.getLong(6) > 0L))
+    // one-sided rows (train-only or batch-only codewords) report count 0 and
+    // a null mean on the absent side rather than dropping
+    out.filter(_.getLong(4) == 0L).foreach(r => assert(r.isNullAt(5) && r.isNullAt(6)))
+    out.filter(_.getLong(2) == 0L).foreach(r => assert(r.isNullAt(3) && r.isNullAt(6)))
+    // null / zero-norm / wrong-dim batch rows are dropped, not scored
+    val sp = spark
+    import sp.implicits._
+    val weird = Seq(
+      (20L, Some(Seq(0f, 0f, 0f, 0f))), (21L, None),
+      (22L, Some(Seq(1f, 0f)))).toDF("vec_id", "embedding")
+    val w = SimSearch.pqDrift(train, weird, "vec_id", "embedding", pq).collect()
+    assert(w.map(_.getLong(4)).sum == 0L)
+  }
+}

@@ -185,4 +185,35 @@ class SourcesSpec extends AnyFunSuite {
     val emptyBack = graft.sources.AvroTable.read(s, emptyDir, df.schema)
     assert(emptyBack.count() == 0L && emptyBack.schema == df.schema)
   }
+
+  test("AvroTable read fails early, with both types named, on writer-type drift") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-drift").toString + "/t"
+    // column written as Avro int; caller declaring LongType is drift, not a
+    // widening cast — must fail at file open naming column + both types
+    graft.sources.AvroTable.write(Seq((1, "a"), (2, "b")).toDF("n", "t"), dir)
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.sources.AvroTable.read(s, dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType)))).collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    val msg = causes(ex).collectFirst {
+      case c: IllegalArgumentException => c.getMessage
+    }.getOrElse(fail("no IllegalArgumentException cause: " + ex))
+    assert(msg.contains("column n") && msg.contains("written as Avro int") &&
+      msg.contains("bigint"))
+    // the matching schema still reads fine from the same files
+    val ok = graft.sources.AvroTable.read(s, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("t",
+          org.apache.spark.sql.types.StringType))))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(ok == Set((1, "a"), (2, "b")))
+  }
 }
