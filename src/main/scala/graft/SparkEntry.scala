@@ -436,6 +436,22 @@ object SparkEntry {
         Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3), "id_a", "id_b",
         rounds = 3)
     }),
+    // persisted-edge-table doctrine (the trigramIndex/impactIndex move
+    // applied to the graph family): the mutual-kNN edge relation is written
+    // ONCE to parquet and label propagation reads the table instead of
+    // rebuilding the LSH bucket join — the operational posture at 100 TB,
+    // where the graph is built nightly and queried many times. Shares
+    // graph_labelprop's oracle: bit-identical to the fused path is the
+    // contract.
+    "graph_from_table" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_graph/" +
+        s"ge_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
+      Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3)
+        .write.mode("overwrite").parquet(base)
+      GraphRank.labelPropagation(emb.select(col("vec_id")), "vec_id",
+        s.read.parquet(base), "id_a", "id_b", rounds = 3)
+    }),
     // ...and its quality receipt: Newman modularity of those communities
     "graph_modularity" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -2832,6 +2848,9 @@ object SparkEntry {
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
     "graph_labelprop" -> Oracles.labelPropagationSql(3, 8, 2, 3),
+    // the persisted-edge-table entry point must be bit-identical to the
+    // fused build — same oracle IS the contract
+    "graph_from_table" -> Oracles.labelPropagationSql(3, 8, 2, 3),
     "graph_modularity" -> Oracles.modularitySql(3, 8, 2, 3),
     "source_orc" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars

@@ -65,4 +65,23 @@ class Round16OpsSpec extends AnyFunSuite {
     val w = SimSearch.pqDrift(train, weird, "vec_id", "embedding", pq).collect()
     assert(w.map(_.getLong(4)).sum == 0L)
   }
+
+  test("label propagation from a persisted edge table is bit-identical to the fused build") {
+    val df = emb(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.95f, 0.05f, 0f, 0f),
+      2L -> Seq(0.9f, 0.1f, 0f, 0f), 3L -> Seq(0f, 0f, 1f, 0f),
+      4L -> Seq(0f, 0.05f, 0.95f, 0f), 5L -> Seq(0f, 0.1f, 0.9f, 0f),
+      6L -> Seq(0.7f, 0.7f, 0f, 0f))
+    val nodes = df.select(col("vec_id"))
+    val edges = Dedup.mutualKnnEdges(df, "vec_id", "embedding", 2)
+    val fused = GraphRank.labelPropagation(nodes, "vec_id", edges, "id_a", "id_b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-edges").toString + "/e"
+    edges.write.mode("overwrite").parquet(dir)
+    val fromTable = GraphRank.labelPropagation(nodes, "vec_id",
+        spark.read.parquet(dir), "id_a", "id_b", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromTable == fused)
+    assert(fused.nonEmpty)
+  }
 }
