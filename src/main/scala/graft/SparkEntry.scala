@@ -489,6 +489,20 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
           col("source"), col("n_chars"))
     }),
+    // the splittable-read face: the SAME corpus written as ONE container
+    // file (the giant externally-produced shard), read back through
+    // 1 MB sync-marker splits — parallelism from the format's own block
+    // structure, not from producer file count; same oracle as source_avro
+    "source_avro_split" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val base = s"${sys.props("java.io.tmpdir")}/graft_avro/" +
+        s"avs_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
+      graft.sources.AvroTable.write(docs.coalesce(1), base)
+      graft.sources.AvroTable.read(s, base, docs.schema, maxSplitBytes = 1L << 20)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
+          col("source"), col("n_chars"))
+    }),
     // TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
     // scan (PushedFilters), one exact-cents aggregate, zero joins
     "lineitem_q6" -> ((s, dir) =>
@@ -2856,6 +2870,10 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
     "source_avro" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+        |FROM documents""".stripMargin,
+    // one-file write + sync-marker split read must reproduce the same table
+    "source_avro_split" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
     "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),

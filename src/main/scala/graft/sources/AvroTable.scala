@@ -3,7 +3,7 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -22,12 +22,13 @@ import org.apache.spark.sql.types._
  *
  * Scale shape: the write is one container file PER INPUT PARTITION (each
  * executor streams its rows through a `DataFileWriter` straight to the
- * filesystem — nothing collects); the read is one task per file
- * (`binaryFiles` + `DataFileStream`). Avro blocks are splittable in
- * principle, but without the connector's FileFormat integration this reader
- * is deliberately FILE-granular: the write side controls file count =
- * parallelism, exactly how sharded corpus interchange is operated anyway
- * (repartition before write to size the shards).
+ * filesystem — nothing collects, commits are attempt-unique temp + rename);
+ * the read is SPLITTABLE (r16): each file is carved into byte-range splits
+ * and tasks navigate to their blocks by the format's own sync markers
+ * (`DataFileReader.sync`/`pastSync` over a seekable `FsInput`), so read
+ * parallelism is governed by `maxSplitBytes`, not by how many files the
+ * producer happened to emit — one giant externally-written container no
+ * longer becomes one task.
  *
  * Reads take an EXPLICIT caller schema (the [[OrcTable]] stance): each
  * file's embedded writer schema is validated at FILE OPEN — field presence
@@ -121,65 +122,104 @@ object AvroTable {
     ()
   }
 
-  /** Read an Avro table with the caller's explicit schema. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  /** Read an Avro table with the caller's explicit schema.
+    *
+    * SPLITTABLE (r16, closing the r15 file-granular note): Avro blocks end
+    * with a 16-byte sync marker, so each file is carved into
+    * `ceil(len / maxSplitBytes)` byte-range splits and every task reads the
+    * blocks whose first sync falls inside its range — `DataFileReader
+    * .sync(start)` / `pastSync(end)`, the contract the format was designed
+    * for — over a seekable [[org.apache.avro.mapred.FsInput]]. One giant
+    * externally-produced container no longer serializes onto one task; a
+    * block belongs to exactly one split, so the union of splits is the file,
+    * bit-exact. (Split placement carries no HDFS locality hints — that would
+    * need the FileFormat integration this sandbox lacks; on the object
+    * stores sharded corpora actually live on, locality is moot.)
+    */
+  def read(
+      spark: SparkSession, path: String, schema: StructType,
+      maxSplitBytes: Long = 64L << 20): DataFrame = {
+    require(maxSplitBytes > 0, s"maxSplitBytes must be positive, got $maxSplitBytes")
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(_.dataType)
-    // an all-empty write leaves a directory with no part files; binaryFiles
-    // throws on a zero-match glob, so an empty TABLE must short-circuit to
-    // an empty frame (the write side skips empty partitions by design)
+    // an all-empty write leaves a directory with no part files — an empty
+    // TABLE short-circuits to an empty frame (the write side skips empty
+    // partitions by design)
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val any = fs.globStatus(new Path(dir, "*.avro"))
     if (any == null || any.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    val rdd = spark.sparkContext.binaryFiles(s"$path/*.avro").flatMap { case (file, pds) =>
-      val in = pds.open()
-      val reader = new DataFileStream[GenericRecord](in, new GenericDatumReader[GenericRecord]())
-      // a limit/take or a downstream exception can abandon the iterator
-      // mid-file — close unconditionally at task end (idempotent with the
-      // eager drain-close below, which still matters for many-files tasks)
-      Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
-        try { reader.close(); in.close() }
-        catch { case scala.util.control.NonFatal(_) => () }
-      })
-      val ws = reader.getSchema
-      names.indices.foreach { i =>
-        val nm = names(i)
-        val f = ws.getField(nm)
-        if (f == null)
-          throw new IllegalArgumentException(
-            s"AvroTable: column $nm absent from writer schema of $file")
-        // fail at file-open, not mid-decode: the writer's non-null branch
-        // must BE the Avro type the caller's Spark type maps to (same table
-        // as the write side — no implicit widening, an int-written column
-        // read as LongType is drift, not a cast)
-        val written = nonNullBranch(f.schema())
-        val expected = expectedAvroType(types(i))
-        if (written.getType != expected)
-          throw new IllegalArgumentException(
-            s"AvroTable: column $nm of $file was written as Avro " +
-              s"${written.getType.getName} but the caller schema declares " +
-              s"${types(i).simpleString} (expects Avro ${expected.getName})")
-      }
-      new Iterator[Row] {
-        def hasNext: Boolean = { val h = reader.hasNext; if (!h) { reader.close(); in.close() }; h }
-        def next(): Row = {
-          val rec = reader.next()
-          Row.fromSeq(names.indices.map { i =>
-            val v = rec.get(names(i))
-            if (v == null) null
-            else types(i) match {
-              case StringType => v.toString // Avro Utf8 -> String
-              case BinaryType =>
-                val bb = v.asInstanceOf[java.nio.ByteBuffer]
-                val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-              case _ => v
-            }
-          })
-        }
+    val splits = any.toSeq.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+      (0L until n).map { i =>
+        (st.getPath.toString, i * maxSplitBytes, math.min((i + 1) * maxSplitBytes, len))
       }
     }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rdd = spark.sparkContext.parallelize(splits, splits.size)
+      .flatMap { case (file, start, end) =>
+        val in = new org.apache.avro.mapred.FsInput(new Path(file), conf.value)
+        val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        // a limit/take or a downstream exception can abandon the iterator
+        // mid-split — close unconditionally at task end (idempotent with the
+        // eager drain-close below, which still matters for many-splits tasks)
+        Option(org.apache.spark.TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          try { reader.close(); in.close() }
+          catch { case scala.util.control.NonFatal(_) => () }
+        })
+        val ws = reader.getSchema
+        names.indices.foreach { i =>
+          val nm = names(i)
+          val f = ws.getField(nm)
+          if (f == null)
+            throw new IllegalArgumentException(
+              s"AvroTable: column $nm absent from writer schema of $file")
+          // fail at file-open, not mid-decode: the writer's non-null branch
+          // must BE the Avro type the caller's Spark type maps to (same table
+          // as the write side — no implicit widening, an int-written column
+          // read as LongType is drift, not a cast)
+          val written = nonNullBranch(f.schema())
+          val expected = expectedAvroType(types(i))
+          if (written.getType != expected)
+            throw new IllegalArgumentException(
+              s"AvroTable: column $nm of $file was written as Avro " +
+                s"${written.getType.getName} but the caller schema declares " +
+                s"${types(i).simpleString} (expects Avro ${expected.getName})")
+        }
+        // position at the first sync at-or-after `start` (the header itself
+        // ends with the marker, so sync(0) lands on the first block), then
+        // consume blocks until one starts past `end` — each block is read by
+        // exactly one split
+        reader.sync(start)
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext && !reader.pastSync(end)
+            if (!h) {
+              try { reader.close(); in.close() }
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            h
+          }
+          def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(names.indices.map { i =>
+              val v = rec.get(names(i))
+              if (v == null) null
+              else types(i) match {
+                case StringType => v.toString // Avro Utf8 -> String
+                case BinaryType =>
+                  val bb = v.asInstanceOf[java.nio.ByteBuffer]
+                  val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+                case _ => v
+              }
+            })
+          }
+        }
+      }
     spark.createDataFrame(rdd, schema)
   }
 

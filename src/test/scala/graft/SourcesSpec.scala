@@ -186,6 +186,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(emptyBack.count() == 0L && emptyBack.schema == df.schema)
   }
 
+  test("AvroTable splittable read: one big file, tiny splits, bit-exact union") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-split").toString + "/t"
+    // ONE container file (~hundreds of KB), read with 4 KB splits — dozens
+    // of byte ranges must each pick up exactly the blocks whose first sync
+    // falls inside them, and the union must be the whole file
+    val df = (0L until 20000L).map(i => (i, s"row-$i-" + ("x" * (i % 37).toInt)))
+      .toDF("id", "t").coalesce(1)
+    graft.sources.AvroTable.write(df, dir)
+    val back = graft.sources.AvroTable.read(s, dir, df.schema, maxSplitBytes = 4096L)
+    assert(back.rdd.getNumPartitions > 10, s"expected many splits, got ${back.rdd.getNumPartitions}")
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // a limit stops early without draining every split (the completion
+    // listener owns the close) — and still returns rows
+    assert(graft.sources.AvroTable.read(s, dir, df.schema, maxSplitBytes = 4096L)
+      .limit(5).collect().length == 5)
+  }
+
   test("AvroTable read fails early, with both types named, on writer-type drift") {
     val s = spark
     import s.implicits._
