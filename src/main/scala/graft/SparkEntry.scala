@@ -1170,6 +1170,19 @@ object SparkEntry {
       val idx = Bm25.index(docs, "doc_id", "text")
       Bm25.topKIndexed(idx, docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
     }),
+    // incremental postings maintenance (the retrieval lane's
+    // encode-once-assign-forever face): postings rows are DOC-LOCAL
+    // (dl, tf carry no corpus state), so index(old ∪ new) ≡ index(old) ∪
+    // index(new) exactly — a crawl increment appends its own postings to the
+    // persisted index without touching old rows, and query-time df/idf read
+    // the union. Hash parity with bm25_topk (same oracle) IS the contract.
+    "bm25_topk_incr" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val idxOld = Bm25.index(docs.filter(col("doc_id") % 10 < 8), "doc_id", "text")
+      val idxNew = Bm25.index(docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text")
+      Bm25.topKIndexed(idxOld.unionByName(idxNew),
+        docs.filter(col("doc_id") < 5), "doc_id", "text", 10)
+    }),
     // MaxScore/WAND-pruned BM25 over the impact-ordered index: θ from the
     // per-term top-k impact prefixes, non-essential terms skipped, ONLY
     // candidate docs aggregated — hash parity with bm25_topk (same oracle)
@@ -2426,6 +2439,8 @@ object SparkEntry {
     "bm25_wand_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "bm25_prf" -> Oracles.bm25PrfSql(10, 3, 5, "doc_id < 5"),
     "bm25_topk_indexed" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
+    // index(old) ∪ index(new) must reproduce the whole-corpus ranking
+    "bm25_topk_incr" -> Oracles.bm25Sql(10, 1.2, 0.75, "doc_id < 5"),
     "ann_ivf" -> Oracles.annIvfSql(5, 16, 4, "vec_id < 50", nIters = 1),
     "ann_ivf_report" -> Oracles.ivfReportSql(16, 1),
     "ann_ivf_incr" ->

@@ -61,4 +61,22 @@ object CCProps extends Properties("ConnectedComponents") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       viaProp == expected && viaStar == expected
     }
+
+  // r16 guards on the fused (distinct-free, window-star) runStar: a heavily
+  // DUPLICATED edge list — the initial distinct is gone, so dup multisets now
+  // flow through every round — and the per-round convergence cadence must
+  // both be label-invariant.
+  property("runStar: duplicated edges and checkEvery=1 leave labels unchanged") =
+    forAll(graphGen) { case (n, edgeList) =>
+      val s = spark; import s.implicits._
+      val nodes = (0L until n.toLong).toDF("id")
+      val expected = unionFind(n, edgeList)
+      val dupEdges = edgeList.flatMap(e => List(e, e, e.swap)).toDF("a", "b")
+      val viaDup = ConnectedComponents.runStar(nodes, "id", dupEdges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val everyRound = ConnectedComponents.runStar(nodes, "id",
+          edgeList.toDF("a", "b"), "a", "b", checkEvery = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaDup == expected && everyRound == expected
+    }
 }

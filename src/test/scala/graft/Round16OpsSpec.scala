@@ -66,6 +66,42 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(w.map(_.getLong(4)).sum == 0L)
   }
 
+  test("topKPrf leaves exactly ONE persisted frame (the postings) per call") {
+    val sp = spark
+    import sp.implicits._
+    sp.sharedState.cacheManager.clearCache()
+    val df = Seq(
+      (1L, "apple banana"), (2L, "apple banana cherry cherry"),
+      (3L, "cherry cherry cherry date"), (4L, "elderberry fig"))
+      .toDF("doc_id", "text")
+    val idx = Bm25.index(df, "doc_id", "text")
+    val q = df.filter(col("doc_id") === 1L)
+    val out = Bm25.topKPrf(idx, q, "doc_id", "text", k = 10, fbDocs = 2, fbTerms = 2)
+    assert(out.count() > 0)
+    // r14's shape leaked FIVE cache entries per invocation (idxP, tot,
+    // slice0, scores0, tfExp); the never-unpersist contract covers only the
+    // corpus-sized postings now
+    assert(!sp.sharedState.cacheManager.isEmpty)
+    val entries = sp.sparkContext.getPersistentRDDs.size
+    assert(entries <= 2, s"expected only the persisted postings, got $entries RDD cache entries")
+    sp.sharedState.cacheManager.clearCache()
+  }
+
+  test("BM25 postings are doc-local: index(old) ∪ index(new) == index(old ∪ new)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry cherry date"), (4L, "apple elderberry fig"))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.get(3).toString)).toSet
+    val whole = canon(Bm25.index(docs, "doc_id", "text"))
+    val union = canon(Bm25.index(docs.filter(col("doc_id") <= 2L), "doc_id", "text")
+      .unionByName(Bm25.index(docs.filter(col("doc_id") > 2L), "doc_id", "text")))
+    assert(union == whole && whole.nonEmpty)
+  }
+
   test("label propagation from a persisted edge table is bit-identical to the fused build") {
     val df = emb(
       0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.95f, 0.05f, 0f, 0f),
