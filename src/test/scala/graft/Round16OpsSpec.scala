@@ -70,6 +70,9 @@ class Round16OpsSpec extends AnyFunSuite {
     val sp = spark
     import sp.implicits._
     sp.sharedState.cacheManager.clearCache()
+    // DELTA-based: suites sharing this JVM leave their own never-unpersist
+    // frames registered, so the absolute count is not ours to assert on
+    val before = sp.sparkContext.getPersistentRDDs.size
     val df = Seq(
       (1L, "apple banana"), (2L, "apple banana cherry cherry"),
       (3L, "cherry cherry cherry date"), (4L, "elderberry fig"))
@@ -82,8 +85,8 @@ class Round16OpsSpec extends AnyFunSuite {
     // slice0, scores0, tfExp); the never-unpersist contract covers only the
     // corpus-sized postings now
     assert(!sp.sharedState.cacheManager.isEmpty)
-    val entries = sp.sparkContext.getPersistentRDDs.size
-    assert(entries <= 2, s"expected only the persisted postings, got $entries RDD cache entries")
+    val delta = sp.sparkContext.getPersistentRDDs.size - before
+    assert(delta <= 2, s"expected only the persisted postings, got $delta new RDD cache entries")
     sp.sharedState.cacheManager.clearCache()
   }
 
