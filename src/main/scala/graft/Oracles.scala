@@ -4236,4 +4236,54 @@ object Oracles {
        |  md5(coalesce(string_agg(CASE WHEN keep = 1 THEN ln END, chr(10) ORDER BY p), ''))
        |    AS clean_md5
        |FROM f GROUP BY doc_id""".stripMargin
+
+  /** Shared CTE chain of [[urlNormalizeSql]] / [[urlDomainsSql]]: the gate's
+    * deterministic messy-URL synthesis (the word-salad corpus carries no
+    * URLs), extraction, and the fixed normalize chain — byte-identical
+    * pattern strings to `TextFunctions.urlNormalizeCol` (Java regex / RE2
+    * shared syntax, no backreferences, anchored replaces so first-match and
+    * replace-all semantics coincide). */
+  private val urlNormCtes: String =
+    """synth AS (
+      |  SELECT doc_id,
+      |    'see HtTpS://WwW.' || source || '.ExAmPle.COM:443/Data/' || lang || '/' ||
+      |    CAST(doc_id % 7 AS VARCHAR) ||
+      |    '/?utm_source=x&ref=y#frag and http://MiRrOr-' || source || '.OrG:80/). done' AS text
+      |  FROM documents
+      |),
+      |ex AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '(?i)https?://[^\s]+')) AS u
+      |  FROM synth
+      |),
+      |st AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(u,
+      |      '[).,;!?\]]+$', ''), '#.*$', ''), '\?.*$', '') AS nq
+      |  FROM ex
+      |),
+      |norm AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(nq, '(?i)^(https?)://', 1)) || '://' ||
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(nq, '(?i)^https?://([^/]*)', 1)),
+      |      '^www\.', ''), ':(80|443)$', '') ||
+      |    regexp_replace(regexp_extract(nq, '(?i)^https?://[^/]*(.*)$', 1), '/+$', '')
+      |      AS url
+      |  FROM st
+      |)""".stripMargin
+
+  /** Mirror of the `url_normalize` gate: extract + canonicalize the
+    * synthesized URLs — (doc_id, url), two rows per document. */
+  def urlNormalizeSql(): String =
+    s"""WITH $urlNormCtes
+       |SELECT doc_id, url FROM norm""".stripMargin
+
+  /** Mirror of the `url_domains` gate: per-host rollup of the canonical
+    * keys — the domain-quota / blocklist read. */
+  def urlDomainsSql(): String =
+    s"""WITH $urlNormCtes
+       |SELECT regexp_extract(url, '^https?://([^/]*)', 1) AS domain,
+       |       CAST(count(*) AS BIGINT) AS n_urls,
+       |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM norm GROUP BY 1""".stripMargin
 }

@@ -503,6 +503,44 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"),
           col("source"), col("n_chars"))
     }),
+    // URL canonicalization (crawl-frontier dedup / domain-mixing key): the
+    // word-salad corpus carries no URLs, so the gate SYNTHESIZES messy ones
+    // deterministically from doc fields (mixed-case scheme+host, www, :443
+    // and :80 default ports, tracking query, fragment, trailing slash,
+    // prose punctuation) — the oracle builds the identical strings — then
+    // extracts and normalizes: two spellings of one resource must collapse
+    // to one key BEFORE any URL-keyed groupBy, or quotas/seen-lists fragment
+    "url_normalize" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      import graft.functions.TextFunctions
+      val synth = docs.select(col("doc_id"),
+        concat(lit("see HtTpS://WwW."), col("source"), lit(".ExAmPle.COM:443/Data/"),
+          col("lang"), lit("/"), (col("doc_id") % 7).cast("string"),
+          lit("/?utm_source=x&ref=y#frag and http://MiRrOr-"), col("source"),
+          lit(".OrG:80/). done")).as("text"))
+      synth.select(col("doc_id"),
+          explode(TextFunctions.extractUrlsCol(col("text"))).as("__u"))
+        .select(col("doc_id"), TextFunctions.urlNormalizeCol(col("__u")).as("url"))
+    }),
+    // ...and the per-domain rollup those canonical keys exist for: the
+    // domain-quota / blocklist read (n_urls, n_docs per registrable host)
+    "url_domains" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      import graft.functions.TextFunctions
+      val synth = docs.select(col("doc_id"),
+        concat(lit("see HtTpS://WwW."), col("source"), lit(".ExAmPle.COM:443/Data/"),
+          col("lang"), lit("/"), (col("doc_id") % 7).cast("string"),
+          lit("/?utm_source=x&ref=y#frag and http://MiRrOr-"), col("source"),
+          lit(".OrG:80/). done")).as("text"))
+      synth.select(col("doc_id"),
+          explode(TextFunctions.extractUrlsCol(col("text"))).as("__u"))
+        .select(col("doc_id"), TextFunctions.urlNormalizeCol(col("__u")).as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "^https?://([^/]*)", 1).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
     // TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
     // scan (PushedFilters), one exact-cents aggregate, zero joins
     "lineitem_q6" -> ((s, dir) =>
@@ -2891,6 +2929,10 @@ object SparkEntry {
     "source_avro_split" ->
       """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
         |FROM documents""".stripMargin,
+    // identical synthesized messy URLs; the normalize chain is the SAME
+    // pattern strings (Java regex / RE2 shared syntax, no backrefs)
+    "url_normalize" -> Oracles.urlNormalizeSql(),
+    "url_domains" -> Oracles.urlDomainsSql(),
     "c4_line_filter" -> Oracles.lineRuleCleanSql(3, 2L),
     "source_minhash_sim" -> Oracles.groupSigSimSql,
     "source_overlap" -> Oracles.groupGramOverlapSql(13),

@@ -545,6 +545,52 @@ object TextFunctions {
         EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Case-insensitive [[UrlPattern]] for extraction (schemes arrive in any
+    * case in crawled text). */
+  val UrlExtractPattern = "(?i)https?://[^\\s]+"
+
+  /** All URL occurrences in `text`, document order — pair with
+    * [[urlNormalizeCol]] for the dedup-by-URL / domain-mixing reads. Same
+    * pattern string on both engines (`regexp_extract_all`). */
+  def extractUrlsCol(text: Column): Column =
+    regexp_extract_all(text, lit(UrlExtractPattern), lit(0))
+
+  /**
+   * URL CANONICALIZATION — the normalize-before-dedup rule for crawl
+   * frontiers and per-domain mixing: two spellings of the same resource
+   * must collapse to one key BEFORE any URL-keyed groupBy/dedup, or domain
+   * quotas and seen-lists silently fragment. Fixed rule order (each step a
+   * plain regexp/string op whose syntax Java regex and RE2 share, so the
+   * SQL oracle chains the SAME pattern strings):
+   *
+   *  1. trailing prose punctuation stripped (`).,;!?]` — extraction from
+   *     running text drags it along);
+   *  2. `#fragment` dropped (client-side only);
+   *  3. `?query` dropped (canonical-resource stance: tracking params
+   *     dominate crawl URLs; documented trade — pages genuinely keyed by
+   *     query string collapse together);
+   *  4. scheme + host lowercased (RFC 3986: both case-insensitive; the
+   *     PATH keeps its case — it is case-sensitive);
+   *  5. leading `www.` and explicit default ports (`:80`/`:443`) dropped
+   *     from the host;
+   *  6. trailing `/` runs dropped.
+   *
+   * Pure per-row codegen'd scalar — composes with [[extractUrlsCol]] +
+   * `explode` into the (doc, url) relation without any shuffle.
+   */
+  def urlNormalizeCol(u: Column): Column = {
+    val noPunct = regexp_replace(u, "[).,;!?\\]]+$", "")
+    val noFrag = regexp_replace(noPunct, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    val scheme = lower(regexp_extract(noQuery, "(?i)^(https?)://", 1))
+    val host = lower(regexp_extract(noQuery, "(?i)^https?://([^/]*)", 1))
+    val hostNoWww = regexp_replace(host, "^www\\.", "")
+    val hostNoPort = regexp_replace(hostNoWww, ":(80|443)$", "")
+    val path = regexp_extract(noQuery, "(?i)^https?://[^/]*(.*)$", 1)
+    val pathNoSlash = regexp_replace(path, "/+$", "")
+    concat(scheme, lit("://"), hostNoPort, pathNoSlash)
+  }
+
   /** C0/C1-ish control characters (tab/newline excluded — those are
     * whitespace and handled by the collapse step). */
   val ControlPattern = "[\\x00-\\x08\\x0e-\\x1f\\x7f]"

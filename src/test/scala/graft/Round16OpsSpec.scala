@@ -90,6 +90,29 @@ class Round16OpsSpec extends AnyFunSuite {
     sp.sharedState.cacheManager.clearCache()
   }
 
+  test("urlNormalizeCol: canonical form across case/port/www/query/fragment/punct") {
+    val sp = spark
+    import sp.implicits._
+    import graft.functions.TextFunctions
+    val cases = Seq(
+      ("HTTPS://WWW.Example.COM:443/A/b/?q=1#f", "https://example.com/A/b"),
+      ("http://Example.org:80/", "http://example.org"),
+      ("http://example.org", "http://example.org"),
+      ("https://example.com/path).", "https://example.com/path"),
+      ("http://sub.WWW.example.com/x", "http://sub.www.example.com/x"), // www stripped only as PREFIX
+      ("https://example.com:8443/x/", "https://example.com:8443/x"),    // non-default port kept
+      ("HtTp://A.B/C?utm=1", "http://a.b/C"))                           // path case preserved
+    val got = cases.map(_._1).toDF("u")
+      .select(TextFunctions.urlNormalizeCol(col("u")).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2))
+    // extraction pulls every URL out of running text, in order
+    val ex = Seq("see http://a.b/x and HTTPS://c.d. done").toDF("t")
+      .select(TextFunctions.extractUrlsCol(col("t")).as("us"))
+      .collect().head.getSeq[String](0)
+    assert(ex == Seq("http://a.b/x", "HTTPS://c.d."))
+  }
+
   test("BM25 postings are doc-local: index(old) ∪ index(new) == index(old ∪ new)") {
     val sp = spark
     import sp.implicits._
