@@ -73,7 +73,10 @@ object PlanAudit {
       "pack_chunk_spans", "emb_drift",
       // round 15
       "knn_graph", "ann_ivf_incr", "ann_ivf_drift", "stream_ivf_assign",
-      "ann_ivfpq_incr", "source_avro", "dedup_clusters_incr")
+      "ann_ivfpq_incr", "source_avro", "dedup_clusters_incr",
+      // round 16
+      "ann_pq_drift", "graph_from_table", "source_avro_split",
+      "bm25_topk_incr", "url_normalize", "url_domains")
     for (name <- interesting) {
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

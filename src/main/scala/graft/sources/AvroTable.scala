@@ -152,7 +152,8 @@ object AvroTable {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val splits = any.toSeq.flatMap { st =>
       val len = st.getLen
-      val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+      // (len-1)/m + 1, not (len+m-1)/m: the latter overflows for huge m
+      val n = math.max(1L, (len - 1) / maxSplitBytes + 1)
       (0L until n).map { i =>
         (st.getPath.toString, i * maxSplitBytes, math.min((i + 1) * maxSplitBytes, len))
       }
