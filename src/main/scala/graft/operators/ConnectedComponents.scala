@@ -265,12 +265,16 @@ object ConnectedComponents {
    *
    * @param checkpointDir reliable checkpoint directory — see [[run]].
    * @param checkEvery    convergence-check cadence in rounds (≥ 1).
+   * @param onRound       instrumentation hook, called once per completed
+   *                      round with the 1-based round number (benchmarks
+   *                      read convergence-round counts through it; no-op by
+   *                      default and free on the hot path).
    */
   def runStar(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 30, checkpointDir: Option[String] = None,
-      checkEvery: Int = 2): DataFrame = {
+      checkEvery: Int = 2, onRound: Int => Unit = _ => ()): DataFrame = {
     checkpointDir.foreach(ensureCheckpointDir(nodes, _))
     val reliable = checkpointDir.isDefined
     // maxRounds = 0 would label nodes from RAW input-orientation edges (a
@@ -312,6 +316,7 @@ object ConnectedComponents {
       e = next
       eHandle = nextHandle
       round += 1
+      onRound(round)
       if (round % checkEvery == 0 || round == maxRounds) {
         // leading literal 42 = an independent seed for the second hash: both
         // 64-bit XOR multisets must collide (with equal counts) for a false stop
