@@ -452,6 +452,17 @@ object SparkEntry {
       GraphRank.labelPropagation(emb.select(col("vec_id")), "vec_id",
         s.read.parquet(base), "id_a", "id_b", rounds = 3)
     }),
+    // the k-core face of the same persisted-edge-table doctrine: the peel
+    // reads the parquet edge table; shares graph_kcore's oracle
+    "graph_kcore_from_table" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_graph/" +
+        s"gk_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
+      Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3)
+        .write.mode("overwrite").parquet(base)
+      GraphRank.kCorePeel(emb.select(col("vec_id")), "vec_id",
+        s.read.parquet(base), "id_a", "id_b", kcore = 2, rounds = 3)
+    }),
     // ...and its quality receipt: Newman modularity of those communities
     "graph_modularity" -> ((s, dir) => {
       val emb = rd(s, dir, "embeddings")
@@ -2914,6 +2925,8 @@ object SparkEntry {
     "bootstrap_draws" -> Oracles.bootstrapDrawsSql(0),
     "pack_buckets" -> Oracles.packBucketsSql(10, 4096L),
     "graph_kcore" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
+    // persisted-edge-table peel must be bit-identical to the fused build
+    "graph_kcore_from_table" -> Oracles.kCorePeelSql(3, 8, 2, 2, 3),
     "graph_labelprop" -> Oracles.labelPropagationSql(3, 8, 2, 3),
     // the persisted-edge-table entry point must be bit-identical to the
     // fused build — same oracle IS the contract
