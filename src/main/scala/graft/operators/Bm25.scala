@@ -167,8 +167,13 @@ object Bm25 {
     // where the r14 shape paid a persisted frame + a broadcast crossJoin.
     val totRow = tf.select(col("__d"), col("__dl")).distinct()
       .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd")).head()
-    val totTw = totRow.getLong(0)
-    val totNd = totRow.getLong(1)
+    // Empty postings sum to NULL and count to 0 — substitute (1, 1): with
+    // zero posting rows NOTHING flows through the expressions that read the
+    // totals, but as LITERALS they constant-fold at plan time and 0/0 would
+    // throw under ANSI before the (empty) result ever materializes. The
+    // placeholder keeps the pre-collect shape's lazy-empty behavior.
+    val totTw = if (totRow.isNullAt(0) || totRow.getLong(1) == 0L) 1L else totRow.getLong(0)
+    val totNd = if (totRow.getLong(1) == 0L) 1L else totRow.getLong(1)
     val qt0 = queries
       .select(col(qidCol).as("query_id"), explode(wordsCol(col(qtextCol))).as("term"))
       .distinct()

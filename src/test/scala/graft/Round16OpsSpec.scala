@@ -113,6 +113,16 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(ex == Seq("http://a.b/x", "HTTPS://c.d."))
   }
 
+  test("topKPrf on an empty postings frame returns empty, not an NPE") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "apple banana")).toDF("doc_id", "text")
+    val emptyIdx = Bm25.index(docs.filter(col("doc_id") < 0L), "doc_id", "text")
+    // the collected corpus totals row is (NULL, 0) here — the zero-guard must
+    // keep the old lazy-empty behavior
+    assert(Bm25.topKPrf(emptyIdx, docs, "doc_id", "text", k = 5).count() == 0L)
+  }
+
   test("BM25 postings are doc-local: index(old) ∪ index(new) == index(old ∪ new)") {
     val sp = spark
     import sp.implicits._
