@@ -1327,6 +1327,16 @@ object SparkEntry {
     "sample_split_grouped" -> ((s, dir) =>
       Sampling.splitByDuplicateGroup(rd(s, dir, "documents"), "doc_id", "text", 80, 10)
         .select(col("doc_id"), col("canonical_id"), col("bucket"), col("split"))),
+    // ...and the NEAR-dup upgrade: split key = the MinHash-LSH cluster label,
+    // so fuzzy variants the exact hash misses also co-assign — the
+    // leakage-control bar dedup evals actually require
+    "sample_split_clusters" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val labels = ConnectedComponents.run(docs,
+        "doc_id", Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8), "id_a", "id_b")
+      Sampling.splitByCluster(labels, "doc_id", "component", 80, 10)
+        .select(col("doc_id"), col("component"), col("bucket"), col("split"))
+    }),
     "dedup_winnow" -> ((s, dir) =>
       Dedup.winnowPairs(rd(s, dir, "documents"), "doc_id", "text", minShared = 5L,
         maxDocFrequency = 100L)),
@@ -2356,6 +2366,21 @@ object SparkEntry {
          |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
          |SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size""".stripMargin,
     "dedup_edit_verify" -> Oracles.editVerifiedPairsSql(350L),
+    // cluster-safe split: the dedup_clusters labeling + the sample_split
+    // bucket rule keyed on the component label
+    "sample_split_clusters" ->
+      s"""WITH RECURSIVE ${Oracles.shingleCtes},
+         |${Oracles.minHashComponentCtes(0.8)},
+         |b AS (
+         |  SELECT doc_id, component,
+         |    ((${Oracles.tHashSql("CAST(component AS VARCHAR)")} % 100) + 100) % 100 AS bucket
+         |  FROM comp
+         |)
+         |SELECT doc_id, component, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b""".stripMargin,
     "knn_graph" -> Oracles.knnGraphSql(3, 8, 2),
     "simjoin_tfidf" ->
       s"""WITH ${Oracles.trigramCtes("l", partSel + " WHERE p_partkey < 500")},

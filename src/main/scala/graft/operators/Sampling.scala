@@ -74,6 +74,33 @@ object Sampling {
   }
 
   /**
+   * NEAR-DUP-cluster-safe train/val/test split — [[splitByDuplicateGroup]]
+   * upgraded from exact copies to fuzzy ones (r16): the split key is the
+   * document's NEAR-DUP CLUSTER label (min reachable id from
+   * [[graft.operators.ConnectedComponents]] over a MinHash-LSH edge
+   * relation), so paraphrased/boilerplate-shifted variants of one document
+   * co-assign and can never straddle train and eval. This is the
+   * leakage-control bar dedup papers actually require — exact-group
+   * splitting still leaks every near-identical pair the exact hash misses.
+   *
+   * Plan shape: the labeling is whatever clustering the caller already ran
+   * (pass its output in — at 100 TB the cluster labels are a persisted
+   * table, not recomputed per split); the split itself is the same pure
+   * per-row hash bucket as [[withSplit]] on the label column — no extra
+   * shuffle beyond the labeling.
+   *
+   * @param labels `(idCol, componentCol)` rows — e.g.
+   *               `ConnectedComponents.run` over
+   *               [[graft.operators.Dedup.minHashLshPairs]] edges
+   * @return (idCol, componentCol, bucket 0-99, split)
+   */
+  def splitByCluster(
+      labels: DataFrame, idCol: String, componentCol: String,
+      trainPct: Int, valPct: Int): DataFrame =
+    withSplit(labels.select(col(idCol), col(componentCol)),
+      componentCol, trainPct, valPct)
+
+  /**
    * Deterministic STRATIFIED sample: per-stratum keep percentages (e.g.
    * downsample an over-represented language while keeping all of a rare one)
    * with the same key-stable bucket rule as [[deterministicSample]] — a row

@@ -138,6 +138,28 @@ class Round16OpsSpec extends AnyFunSuite {
     assert(union == whole && whole.nonEmpty)
   }
 
+  test("splitByCluster: every near-dup cluster lands whole in one split") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1/2 are fuzzy copies (exact md5 differs!), 3 is unrelated —
+    // exact-group splitting could straddle 1 and 2; cluster-safe must not
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different content about spark window aggregation plans"))
+      .toDF("doc_id", "text")
+    val labels = ConnectedComponents.run(docs,
+      "doc_id", Dedup.minHashLshPairs(docs, "doc_id", "text", 0.5), "id_a", "id_b")
+    val out = Sampling.splitByCluster(labels, "doc_id", "component", 60, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // the fuzzy pair clusters together and therefore co-assigns
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L)._1 == m(2L)._1, "near-dups must share a cluster")
+    assert(m(1L)._2 == m(2L)._2, "near-dups must share a split")
+    // invariant over the whole output: one split per component
+    assert(out.groupBy(_._2).forall(_._2.map(_._3).distinct.length == 1))
+  }
+
   test("label propagation from a persisted edge table is bit-identical to the fused build") {
     val df = emb(
       0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0.95f, 0.05f, 0f, 0f),
