@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
  *    record both positions in the artifact: a query whose warm time is
  *    inflated by what ran before it is now diagnosable from the receipt
  *    itself instead of needing an isolated rerun to adjudicate.
+ *    `warm_run_index`/`warm_run_rep` (r17) describe the sweep that PRODUCED
+ *    the reported min — each sweep shuffles differently, so attributing the
+ *    min to a fixed sweep's positions would mislabel it.
  *  - SPARK_GRAFT_BENCH_OUT=<path> — ALSO write the JSON line to a round-pinned
  *    file (e.g. BENCH_BUILDER_r13.json). BENCH_LOCAL.json remains the driver's
  *    contract file and is overwritten by every run, including the driver's —
@@ -68,6 +71,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val coldIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
     val warmIdx = scala.collection.mutable.LinkedHashMap[String, Int]()
+    val warmRep = scala.collection.mutable.LinkedHashMap[String, Int]()
     ordered.zipWithIndex.foreach { case ((name, fn), i) =>
       coldIdx(name) = i
       val t0 = System.nanoTime()
@@ -90,11 +94,17 @@ object Bench {
       val order = new scala.util.Random(16L * rep).shuffle(ordered)
       order.zipWithIndex.foreach { case ((name, fn), i) =>
         if (timings.contains(name)) {
-          if (rep == 2) warmIdx(name) = i
           val t1 = System.nanoTime()
           try {
             val t = { fn(spark, sfDir).count(); (System.nanoTime() - t1) / 1e9 }
-            warmT(name) = math.min(warmT.getOrElse(name, Double.MaxValue), t)
+            // warm_run_index must describe the sweep that PRODUCED the min
+            // (each sweep shuffles differently) — record index + rep only
+            // when this measurement becomes the reported one.
+            if (t < warmT.getOrElse(name, Double.MaxValue)) {
+              warmT(name) = t
+              warmIdx(name) = i
+              warmRep(name) = rep
+            }
           } catch {
             // A query that succeeds cold but fails warm (OOM, lost blocks) must
             // leave a trace, or warm/cold receipt comparisons silently mislead.
@@ -124,7 +134,8 @@ object Bench {
       else {
         val wq = warmT.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
         val wi = warmIdx.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-        s""","total_warm":${"%.3f".format(warmT.values.sum)},"queries_warm":$wq,"warm_run_index":$wi"""
+        val wr = warmRep.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+        s""","total_warm":${"%.3f".format(warmT.values.sum)},"queries_warm":$wq,"warm_run_index":$wi,"warm_run_rep":$wr"""
       }
     val idxPart = {
       val ci = coldIdx.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")

@@ -73,8 +73,10 @@ object TopKAgg {
     override def reduce(buf: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] =
       buf.find(_._1 == x._1) match {
         case Some(e) =>
-          // compare-by-bits (not ==) so equal NaNs don't throw spuriously
-          if (java.lang.Double.compare(e._2, x._2) != 0)
+          // numeric == admits -0.0 vs 0.0 (bitwise-distinct but numerically
+          // equal — a legal pair of copies); Double.compare admits equal NaNs
+          // (numerically incomparable but the same value). Either suffices.
+          if (!(e._2 == x._2 || java.lang.Double.compare(e._2, x._2) == 0))
             throw new IllegalStateException(
               s"TopKDistinct precondition violated: id ${x._1} seen with " +
                 s"scores ${e._2} and ${x._2} — distinct-in-buffer top-k is " +

@@ -231,6 +231,38 @@ object ConnectedComponents {
         col("__m").as("__v"))
   }
 
+  /** [[largeStar]] re-expressed as groupBy-min + shuffle join — the SKEW-SAFE
+    * physical shape for megacomponent graphs (r16 ADVICE): the fused window
+    * puts a component root's ENTIRE neighborhood into one window partition,
+    * which spills but cannot be split by AQE, serializing a giant component's
+    * sort into a single task. Here the per-u minimum is a partial-aggregating
+    * groupBy (each map task emits at most one row per u regardless of skew)
+    * and the join back on `__u` is an exchange AQE's skew-join CAN split —
+    * the hot key's big-side partition shards across tasks while the one
+    * matching min row duplicates. Two exchanges on the edge relation instead
+    * of the window's one; result-identical per row (the window min over a
+    * partition IS the groupBy min), property-pinned in CCProps. */
+  private def largeStarJoin(e: DataFrame): DataFrame = {
+    val sym = e.select(col("__u"), col("__v"))
+      .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
+    val mins = sym.groupBy(col("__u"))
+      .agg(min(col("__v")).as("__minv"))
+      .select(col("__u"), least(col("__u"), col("__minv")).as("__m"))
+    sym.join(mins, Seq("__u"))
+      .filter(col("__v") > col("__u"))
+      .select(col("__v").as("__u"), col("__m").as("__v"))
+  }
+
+  /** [[smallStar]] in the skew-safe groupBy-min + join shape — see
+    * [[largeStarJoin]]. */
+  private def smallStarJoin(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
+    e.join(mins, Seq("__u"))
+      .select(
+        when(col("__v") === col("__m"), col("__u")).otherwise(col("__v")).as("__u"),
+        col("__m").as("__v"))
+  }
+
   /**
    * Alternating large-star/small-star components (Kiveris et al., SoCC'14) —
    * the adversarial-diameter path: O(log² n) rounds regardless of component
@@ -269,12 +301,24 @@ object ConnectedComponents {
    *                      round with the 1-based round number (benchmarks
    *                      read convergence-round counts through it; no-op by
    *                      default and free on the hot path).
+   * @param skewSafe      physical-shape knob, result-identical either way
+   *                      (property-pinned). Default `false` = fused window
+   *                      stars (ONE exchange per star — the local/shallow-
+   *                      graph floor-breaker, r16); `true` = groupBy-min +
+   *                      join stars ([[largeStarJoin]]) whose exchanges AQE
+   *                      skew-join can split. Set it when one component may
+   *                      hold a large share of ALL edges (star contraction
+   *                      funnels a component's whole edge set into its root's
+   *                      key by the final rounds — a megacomponent then
+   *                      serializes the fused window's per-key sort into one
+   *                      task, while the join shape shards it).
    */
   def runStar(
       nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 30, checkpointDir: Option[String] = None,
-      checkEvery: Int = 2, onRound: Int => Unit = _ => ()): DataFrame = {
+      checkEvery: Int = 2, onRound: Int => Unit = _ => (),
+      skewSafe: Boolean = false): DataFrame = {
     checkpointDir.foreach(ensureCheckpointDir(nodes, _))
     val reliable = checkpointDir.isDefined
     // maxRounds = 0 would label nodes from RAW input-orientation edges (a
@@ -311,7 +355,9 @@ object ConnectedComponents {
     // blocks must stay until the chain ahead of them is materialized.
     var pendingRelease = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     while (round < maxRounds && !converged) {
-      val (next, nextHandle) = checkpointWithHandle(smallStar(largeStar(e)), reliable)
+      val stepped =
+        if (skewSafe) smallStarJoin(largeStarJoin(e)) else smallStar(largeStar(e))
+      val (next, nextHandle) = checkpointWithHandle(stepped, reliable)
       pendingRelease ::= eHandle
       e = next
       eHandle = nextHandle

@@ -79,4 +79,20 @@ object CCProps extends Properties("ConnectedComponents") {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       viaDup == expected && everyRound == expected
     }
+
+  // r17 (ADVICE): the skew-safe groupBy-min + join star shape must be
+  // result-identical to the fused window shape on ANY graph — the knob
+  // trades physical plan (AQE-splittable exchanges vs one window exchange),
+  // never labels.
+  property("runStar: skewSafe join shape matches the union-find oracle") =
+    forAll(graphGen) { case (n, edgeList) =>
+      val s = spark; import s.implicits._
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = edgeList.toDF("a", "b")
+      val expected = unionFind(n, edgeList)
+      val viaJoin = ConnectedComponents.runStar(nodes, "id", edges, "a", "b",
+          skewSafe = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaJoin == expected
+    }
 }

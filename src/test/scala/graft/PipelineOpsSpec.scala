@@ -423,6 +423,19 @@ class PipelineOpsSpec extends AnyFunSuite {
       c.getMessage.contains("TopKDistinct precondition violated")))
   }
 
+  test("TopKAgg.perKeyDistinct treats -0.0 and 0.0 copies as equal (r16 ADVICE)") {
+    val s = spark
+    import s.implicits._
+    // -0.0 vs 0.0 are bitwise-distinct but numerically equal — a legal pair
+    // of duplicate copies (e.g. a sign-flipped zero dot product); the
+    // precondition check must not throw, and the pair still dedups to one row
+    val df = Seq((1L, 7L, -0.0), (1L, 7L, 0.0), (1L, 3L, 1.0))
+      .toDF("key", "id", "score").coalesce(1)
+    val got = graft.functions.TopKAgg.perKeyDistinct(df, "key", "id", "score", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 7L), (1L, 3L)))
+  }
+
   test("bigramLogLoss: improbable transitions score higher; short docs absent") {
     val docs = docsDf(Seq(
       (1L, "a b a b"), // common transitions: (a,b)x2, (b,a)
