@@ -616,6 +616,54 @@ object SparkEntry {
         .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
         .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
     }),
+    // TPC-H Q5 shape: local-supplier volume — the two-big-two-dim star with
+    // a CORRELATION predicate (supplier and customer must share a nation)
+    // that no single join key carries: dims (nation⋈region, supplier)
+    // broadcast, lineitem⋈orders is the one big-big shuffle, and the
+    // local-supplier test lands as a post-broadcast-join filter
+    "orders_q5" -> ((s, dir) => {
+      val nr = rd(s, dir, "nation")
+        .join(broadcast(rd(s, dir, "region").filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = rd(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)")
+          .as("__cents"))
+      val sup = rd(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
+    }),
+    // TPC-H Q22 shape: the ANTI-join classic — above-average-balance
+    // customers who never ordered, by country code. The average threshold is
+    // compared in RATIONAL integer form (cents·n > sum_cents) so the
+    // boundary is engine-exact — a float avg would make boundary rows
+    // fold-order-dependent
+    "customer_q22" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_nationkey") % 10).cast("long").as("cntrycode"),
+          expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").as("__cents"))
+        .filter(col("cntrycode").isin(1L, 3L, 5L, 7L))
+      val tot = c.filter(col("__cents") > 0L)
+        .agg(sum(col("__cents")).as("__s"), count(lit(1)).as("__n"))
+      val never = c.join(rd(s, dir, "orders").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      never.crossJoin(broadcast(tot))
+        .filter(col("__cents") * col("__n") > col("__s"))
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("__cents")).as("acctbal_cents"))
+    }),
     // TPC-H Q13 shape: customer order-count distribution INCLUDING
     // zero-order customers (the left-join-then-histogram classic)
     "orders_count_dist" -> ((s, dir) => {
@@ -827,6 +875,22 @@ object SparkEntry {
       val edges = Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
       ConnectedComponents.run(docs, "doc_id", edges, "id_a", "id_b")
     }),
+    // persisted-edge-table doctrine on the DEDUP family (r17 — the
+    // graph_from_table move): the near-dup edge relation is mined ONCE and
+    // written to parquet; clustering reads the table instead of re-running
+    // tokenize+band+verify — the nightly-dedup posture at 100 TB, where the
+    // edge mine is the expensive pass and relabeling (new thresholds,
+    // incremental batches, audits) happens many times per mine. Shares
+    // dedup_clusters' oracle: bit-identical labels from the table IS the
+    // contract.
+    "dedup_clusters_from_table" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_dedup/" +
+        s"de_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
+      Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+        .write.mode("overwrite").parquet(base)
+      ConnectedComponents.run(docs, "doc_id", s.read.parquet(base), "id_a", "id_b")
+    }),
     // incremental relabel: old labels are a star forest that preserves old
     // connectivity — only edges touching the new batch (doc_id >= 250) are
     // mined; must equal the full recompute (same oracle as dedup_clusters)
@@ -862,6 +926,15 @@ object SparkEntry {
     // mutual-kNN density filter + connected components — semantic dup groups
     "knn_mutual_clusters" -> ((s, dir) =>
       Dedup.mutualKnnClusters(rd(s, dir, "embeddings"), "vec_id", "embedding", 3)),
+    // the skew-safe physical face of the same clustering (r17): star rounds
+    // as groupBy-min + join — exchanges AQE skew-join CAN split, for graphs
+    // where one megacomponent funnels most edges into its root's key (the
+    // fused window shape would serialize that key's sort into one task).
+    // Shares knn_mutual_clusters' oracle: bit-identical labels either way
+    // IS the contract.
+    "knn_mutual_clusters_skewsafe" -> ((s, dir) =>
+      Dedup.mutualKnnClusters(rd(s, dir, "embeddings"), "vec_id", "embedding", 3,
+        skewSafe = true)),
     // CCNet-style chunk-level cross-doc dedup (20-word chunks, ≥2 docs)
     "chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(rd(s, dir, "documents"), "doc_id", "text", 20, 2)),
@@ -1305,6 +1378,26 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         langIdCol(wordsCol(col("text"))).as("langid"))
+    }),
+    // MIXED-language detection (r17): language-ID per document HALF — a doc
+    // whose head and tail disagree is code-switched/stitched content that a
+    // single whole-doc language label silently mislabels (the standard
+    // filter before per-language mixing). The ASCII corpus is monolingual,
+    // so every 5th doc gets a synthesized German tail (3× a 6-stopword
+    // phrase = 18 German hits; the max English stopword count in any tail
+    // half is 9 at sf0.1, so the verdict is deterministic, not data-luck).
+    // Pure per-row scalars — zero exchanges.
+    "text_langid_mixed" -> ((s, dir) => {
+      val half = expr("substring(text, 1, CAST(length(text)/2 AS INT))")
+      val tail0 = expr("substring(text, CAST(length(text)/2 AS INT) + 1)")
+      val tail = concat(tail0,
+        when(col("doc_id") % 5 === 0,
+          repeat(lit(" und der die das ist nicht"), 3)).otherwise(lit("")))
+      rd(s, dir, "documents").select(col("doc_id"),
+        langIdCol(wordsCol(half)).as("lang_head"),
+        langIdCol(wordsCol(tail)).as("lang_tail"))
+        .withColumn("is_mixed",
+          when(col("lang_head") =!= col("lang_tail"), 1L).otherwise(0L))
     }),
     "text_fingerprint" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
@@ -1763,6 +1856,55 @@ object SparkEntry {
     "text_redact" -> ((s, dir) => {
       rd(s, dir, "documents").select(col("doc_id"),
         redactPiiCol(col("text")).as("redacted"))
+    }),
+    // PII detection audit, per-doc (r17): occurrence counts per PII class —
+    // the count-before-scrub read that decides whether a source ships at
+    // all. The word-salad corpus carries no PII, so the gate SYNTHESIZES
+    // emails/phones/URLs deterministically from doc fields (the url_*
+    // stance); the oracle builds the identical strings. Pure per-row
+    // codegen'd scalars — zero exchanges.
+    "pii_scan" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+            col("source"), lit(".example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://"), col("source"), lit(".example.org/d/"),
+            col("doc_id").cast("string"))).otherwise(lit("")))
+      rd(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.matchCount(synth, TextFunctions.EmailPattern).as("n_emails"),
+        TextFunctions.matchCount(synth, TextFunctions.PhonePattern).as("n_phones"),
+        TextFunctions.matchCount(synth, TextFunctions.UrlPattern).as("n_urls"))
+    }),
+    // ...and the per-source rollup a release review reads: how many docs in
+    // each source carry each PII class, and how many occurrences total
+    "pii_report" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+            col("source"), lit(".example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://"), col("source"), lit(".example.org/d/"),
+            col("doc_id").cast("string"))).otherwise(lit("")))
+      rd(s, dir, "documents")
+        .select(col("source"),
+          TextFunctions.matchCount(synth, TextFunctions.EmailPattern).as("__e"),
+          TextFunctions.matchCount(synth, TextFunctions.PhonePattern).as("__p"),
+          TextFunctions.matchCount(synth, TextFunctions.UrlPattern).as("__u"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__e") > 0, 1L).otherwise(0L)).as("docs_email"),
+          sum(when(col("__p") > 0, 1L).otherwise(0L)).as("docs_phone"),
+          sum(when(col("__u") > 0, 1L).otherwise(0L)).as("docs_url"),
+          sum(col("__e")).as("n_emails"),
+          sum(col("__p")).as("n_phones"),
+          sum(col("__u")).as("n_urls"))
     }),
     // canonicalize-before-hash: control chars -> space, whitespace collapse,
     // trim — formatting-only variants dedup identically afterwards
@@ -2356,6 +2498,11 @@ object SparkEntry {
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashComponentCtes(0.8)}
          |SELECT doc_id, component FROM comp""".stripMargin,
+    // identical labels from the persisted parquet edge table — same oracle
+    "dedup_clusters_from_table" ->
+      s"""WITH RECURSIVE ${Oracles.shingleCtes},
+         |${Oracles.minHashComponentCtes(0.8)}
+         |SELECT doc_id, component FROM comp""".stripMargin,
     "dedup_clusters_incr" ->
       s"""WITH RECURSIVE ${Oracles.shingleCtes},
          |${Oracles.minHashComponentCtes(0.8)}
@@ -2662,6 +2809,41 @@ object SparkEntry {
          |    ELSE '${langs.last}' END AS langid
          |FROM m""".stripMargin
     },
+    "text_langid_mixed" -> {
+      val langs = TextFunctions.StopwordLists.map(_._1)
+      def countsFor(ws: String, pfx: String): String =
+        TextFunctions.StopwordLists.map { case (lang, list) =>
+          s"CAST(len(list_filter($ws, w -> w IN ${Oracles.stopIn(list)})) AS BIGINT) AS ${pfx}_$lang"
+        }.mkString(",\n    ")
+      def caseFor(pfx: String): String = {
+        val cases = langs.zipWithIndex.init.map { case (lang, i) =>
+          val conds = langs.drop(i + 1).map(l2 => s"${pfx}_$lang >= ${pfx}_$l2").mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }.mkString("\n    ")
+        s"CASE $cases\n    ELSE '${langs.last}' END"
+      }
+      s"""WITH d AS (SELECT doc_id,
+         |  regexp_extract_all(lower(substring(text, 1, len(text) // 2)), '[a-z]+') AS hws,
+         |  regexp_extract_all(lower(substring(text, len(text) // 2 + 1) ||
+         |    CASE WHEN doc_id % 5 = 0 THEN repeat(' und der die das ist nicht', 3)
+         |         ELSE '' END), '[a-z]+') AS tws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    ${countsFor("hws", "h")},
+         |    ${countsFor("tws", "t")}
+         |  FROM d
+         |),
+         |l AS (
+         |  SELECT doc_id,
+         |    ${caseFor("h")} AS lang_head,
+         |    ${caseFor("t")} AS lang_tail
+         |  FROM m
+         |)
+         |SELECT doc_id, lang_head, lang_tail,
+         |  CAST(CASE WHEN lang_head <> lang_tail THEN 1 ELSE 0 END AS BIGINT) AS is_mixed
+         |FROM l""".stripMargin
+    },
     "text_fingerprint" ->
       s"SELECT doc_id, ${Oracles.tHashSql("text")} AS fingerprint FROM documents",
     "text_topterms" ->
@@ -2807,6 +2989,8 @@ object SparkEntry {
     "emb_project" -> Oracles.projectSrpSql(8),
     "bucketed_join" -> Oracles.bucketedJoinSql,
     "knn_mutual_clusters" -> Oracles.mutualKnnClustersSql(3, 8, 2),
+    // skew-safe join-shaped star rounds — label-identical, same oracle
+    "knn_mutual_clusters_skewsafe" -> Oracles.mutualKnnClustersSql(3, 8, 2),
     "chunk_dedup" -> Oracles.chunkDedupSql(20, 2),
     "chunk_dedup_keep_first" -> Oracles.chunkDedupSql(20, 2, keepFirst = true),
     "dedup_rate_by_source" -> Oracles.dedupRateBySourceSql,
@@ -2868,6 +3052,32 @@ object SparkEntry {
         |       AND l.l_quantity BETWEEN 10 AND 40)
         |   OR (p.p_brand = 'Brand#33' AND p.p_size BETWEEN 20 AND 50
         |       AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "orders_q5" ->
+      """SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "customer_q22" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+        |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM customer WHERE (c_nationkey % 10) IN (1, 3, 5, 7)),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        |  FROM c WHERE cents > 0)
+        |SELECT c.cntrycode, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(c.cents) AS BIGINT) AS acctbal_cents
+        |FROM c, t
+        |WHERE c.cents * t.n > t.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1""".stripMargin,
     "orders_nation_trade" ->
       """WITH sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier s
         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -3397,6 +3607,44 @@ object SparkEntry {
          |      '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
          |    '${TextFunctions.PhonePattern}', '<PHONE>', 'g') AS redacted
          |FROM documents""".stripMargin,
+    "pii_scan" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |  text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@' || source || '.example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-010-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' see https://' || source
+         |    || '.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.PhonePattern}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.UrlPattern}')) AS BIGINT) AS n_urls
+         |FROM s""".stripMargin,
+    "pii_report" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |  text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@' || source || '.example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-010-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' see https://' || source
+         |    || '.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.EmailPattern}')) AS BIGINT) AS e,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.PhonePattern}')) AS BIGINT) AS p,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.UrlPattern}')) AS BIGINT) AS u
+         |  FROM s)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+         |  CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+         |  CAST(sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_url,
+         |  CAST(sum(e) AS BIGINT) AS n_emails,
+         |  CAST(sum(p) AS BIGINT) AS n_phones,
+         |  CAST(sum(u) AS BIGINT) AS n_urls
+         |FROM c GROUP BY 1""".stripMargin,
     "text_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, list_filter(str_split(text, chr(10)), l -> length(l) > 0) AS ls

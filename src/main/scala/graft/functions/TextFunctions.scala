@@ -536,6 +536,13 @@ object TextFunctions {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}"
 
+  /** Occurrence count of `pattern` in `text` — the detection/audit face of
+    * [[redactPiiCol]] (count-before-scrub: a release audit needs HOW MUCH
+    * PII each source carries, not just the scrubbed text). Same pattern
+    * strings on both engines (`regexp_extract_all` + length). */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Redact URLs, then emails, then phone-shaped numbers (fixed order — the
     * SQL mirror chains the same three regexp_replace calls). */
   def redactPiiCol(text: Column): Column =

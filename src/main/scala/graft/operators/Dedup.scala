@@ -1800,9 +1800,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+  /** @param skewSafe passed through to
+    *        [[graft.operators.ConnectedComponents.runStar]] — result-identical
+    *        join-shaped star rounds whose exchanges AQE skew-join can split;
+    *        set it when one semantic cluster may hold a large share of all
+    *        mutual-kNN edges (boilerplate megaclusters). */
   def mutualKnnClusters(
       df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nPlanes: Int = 8, nTables: Int = 2): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 2, skewSafe: Boolean = false): DataFrame = {
     // mutualKnnEdges persists the final edge frame — CC's edge
     // materialization would otherwise re-run the bucket-join lineage
     // per branch (measured 7.6 → ~4 s warm at sf0.1, r10)
@@ -1811,7 +1816,8 @@ object Dedup {
     // converge in 2-3 propagation rounds, but mutual-kNN graphs contain long
     // nearest-neighbor CHAINS (diameter ~10+), where O(diameter) propagation
     // pays ~2 shuffles per hop — runStar closes chains in O(log² n) rounds.
-    ConnectedComponents.runStar(df.select(col(idCol)), idCol, edges, "id_a", "id_b")
+    ConnectedComponents.runStar(df.select(col(idCol)), idCol, edges, "id_a", "id_b",
+      skewSafe = skewSafe)
   }
 
   /**
