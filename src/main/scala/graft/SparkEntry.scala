@@ -575,6 +575,29 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
     }),
+    // TPC-H Q12 shape: late-shipment priority split by ship mode (shipmode
+    // synthesized from l_partkey — the schema carries none — and the 60-day
+    // lag standing in for commit/receipt dates, the orders_q4 stance): did
+    // cheap ship modes delay high-priority orders?
+    "lineitem_q12" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"),
+          when(col("l_partkey") % 3 === 0, "MAIL")
+            .when(col("l_partkey") % 3 === 1, "SHIP").otherwise("RAIL").as("shipmode"))
+        .filter(col("shipmode").isin("MAIL", "SHIP"))
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("shipmode"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
     // TPC-H Q10 shape: returned-item revenue per customer, exact cents
     "orders_returns" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -3117,6 +3140,23 @@ object SparkEntry {
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date, lq.sum_qty_micro
         |FROM lq JOIN orders o ON lq.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "lineitem_q12" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_shipdate,
+        |    CASE l_partkey % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+        |      ELSE 'RAIL' END AS shipmode
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01')
+        |SELECT li.shipmode,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |WHERE li.shipmode IN ('MAIL', 'SHIP')
+        |  AND li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
     "orders_q4" ->
       """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o

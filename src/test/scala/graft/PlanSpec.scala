@@ -522,6 +522,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("orders_q5 broadcasts every dim and never falls to a cartesian product") {
+    val plan = SparkEntry.queries("orders_q5")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // region→nation, nation→customer, supplier→lineitem all ride broadcasts;
+    // the only shuffle joins are the big-big lineitem⋈orders(⋈customer) legs
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("customer_q22 plans the never-ordered test as a real anti-join") {
+    val plan = SparkEntry.queries("customer_q22")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // NOT EXISTS must be LeftAnti (orders is scanned once, no fanout); the
+    // one BroadcastNestedLoopJoin allowed is the 1-row average broadcast
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("ann_filtered is a PRE-filter: full k among survivors, all matching") {
     // (the scoring pass crosses an RDD boundary, so the predicate pushdown
     // itself isn't visible in this plan — pin the pre-filter SEMANTICS:
