@@ -218,6 +218,17 @@ object SparkEntry {
       val sigs = Dedup.minHashSignatures(rd(s, dir, "documents"), "doc_id", "text")
       Dedup.nearDupFromSignatures(sigs, "doc_id", "sig", 0.5)
     }),
+    // incremental signature maintenance (r17 — the bm25_topk_incr /
+    // ann_ivfpq_incr posture for MinHash): signatures are per-doc pure
+    // functions, so sig(old) ∪ sig(new) ≡ sig(old ∪ new) EXACTLY — a crawl
+    // increment encodes only its own docs and appends; search reads the
+    // union. Shares dedup_minhash_sig's oracle: identity IS the contract.
+    "dedup_sig_incr" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents")
+      val old = Dedup.minHashSignatures(docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val nw = Dedup.minHashSignatures(docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      Dedup.nearDupFromSignatures(old.unionByName(nw), "doc_id", "sig", 0.5)
+    }),
     // crawl-vs-crawl from persisted signatures: both corpora as (id, 32
     // minima) frames, no text read on either side
     "dedup_sig_cross" -> ((s, dir) => {
@@ -668,24 +679,65 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"), sum(col("__cents")).as("revenue_cents"))
     }),
     // TPC-H Q22 shape: the ANTI-join classic — above-average-balance
-    // customers who never ordered, by country code. The average threshold is
-    // compared in RATIONAL integer form (cents·n > sum_cents) so the
-    // boundary is engine-exact — a float avg would make boundary rows
-    // fold-order-dependent
+    // customers with no RECENT order (none since 1999; the synthetic corpus
+    // has zero fully-orderless customers at small SFs, so pure "never
+    // ordered" would gate an empty relation), by country code. The average
+    // threshold is compared in RATIONAL integer form (cents·n > sum_cents)
+    // so the boundary is engine-exact — a float avg would make boundary
+    // rows fold-order-dependent
     "customer_q22" -> ((s, dir) => {
       val c = rd(s, dir, "customer")
         .select(col("c_custkey"),
-          (col("c_nationkey") % 10).cast("long").as("cntrycode"),
+          (col("c_nationkey") % 5).cast("long").as("cntrycode"),
           expr("CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)").as("__cents"))
-        .filter(col("cntrycode").isin(1L, 3L, 5L, 7L))
+        .filter(col("cntrycode").isin(0L, 1L, 2L, 3L))
       val tot = c.filter(col("__cents") > 0L)
         .agg(sum(col("__cents")).as("__s"), count(lit(1)).as("__n"))
-      val never = c.join(rd(s, dir, "orders").select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
-      never.crossJoin(broadcast(tot))
+      val recent = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey"))
+      val inactive = c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      inactive.crossJoin(broadcast(tot))
         .filter(col("__cents") * col("__n") > col("__s"))
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("n_cust"), sum(col("__cents")).as("acctbal_cents"))
+    }),
+    // TPC-H Q8 shape: national market share — what fraction of a region's
+    // PROMO-part revenue did NATION_1 suppliers take, per year. Market
+    // membership is a LEFT SEMI join (customer columns never flow), part and
+    // supplier dims broadcast; the share is exact integer cents divided once
+    // at the end (values < 2^53, so the double is engine-identical)
+    "orders_q8" -> ((s, dir) => {
+      val market = rd(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(rd(s, dir, "nation")
+          .join(broadcast(rd(s, dir, "region").filter(col("r_name") === "AMERICA")
+            .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = rd(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(market, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = rd(s, dir, "lineitem")
+        .join(broadcast(rd(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)")
+            .as("__cents"))
+      val supN = rd(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(rd(s, dir, "nation")
+          .select(col("n_nationkey").as("__snk"), col("n_name").as("s_nname"))),
+          col("s_nationkey") === col("__snk"))
+        .select(col("s_suppkey"), col("s_nname"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(col("__cents")).as("total_cents"),
+          sum(when(col("s_nname") === "NATION_1", col("__cents")).otherwise(0L))
+            .as("nation_cents"))
+        .withColumn("share_micro",
+          floor(col("nation_cents") * lit(1000000.0) / col("total_cents")).cast("long"))
     }),
     // TPC-H Q13 shape: customer order-count distribution INCLUDING
     // zero-order customers (the left-join-then-histogram classic)
@@ -2483,6 +2535,8 @@ object SparkEntry {
     "dedup_jaccard_capped" -> Oracles.jaccardPairsCapped(0.8, 20L),
     "dedup_minhash_lsh" -> Oracles.minHashLshPairsSql(0.8),
     "dedup_minhash_sig" -> Oracles.minHashSigPairsSql(0.5),
+    // union of per-slice signature frames ≡ whole-corpus encode — same oracle
+    "dedup_sig_incr" -> Oracles.minHashSigPairsSql(0.5),
     "dedup_sig_cross" -> Oracles.minHashSigBetweenSql(0.5, "doc_id < 250", "doc_id >= 250"),
     "dedup_exact_incr" -> Oracles.exactIncrementSql("doc_id < 250", "doc_id >= 250"),
     "dedup_exact_incr_bloom" -> Oracles.exactIncrementSql("doc_id < 250", "doc_id >= 250"),
@@ -3090,16 +3144,17 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1""".stripMargin,
     "customer_q22" ->
-      """WITH c AS (SELECT c_custkey, CAST(c_nationkey % 10 AS BIGINT) AS cntrycode,
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
-        |  FROM customer WHERE (c_nationkey % 10) IN (1, 3, 5, 7)),
+        |  FROM customer WHERE (c_nationkey % 5) IN (0, 1, 2, 3)),
         |t AS (SELECT CAST(sum(cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
         |  FROM c WHERE cents > 0)
         |SELECT c.cntrycode, CAST(count(*) AS BIGINT) AS n_cust,
         |  CAST(sum(c.cents) AS BIGINT) AS acctbal_cents
         |FROM c, t
         |WHERE c.cents * t.n > t.s
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY 1""".stripMargin,
     "orders_nation_trade" ->
       """WITH sup AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier s
@@ -3140,6 +3195,30 @@ object SparkEntry {
         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_date, lq.sum_qty_micro
         |FROM lq JOIN orders o ON lq.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+    "orders_q8" ->
+      """WITH m AS (SELECT c.c_custkey FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'AMERICA'),
+        |li AS (SELECT l.l_orderkey, l.l_suppkey,
+        |    CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0 + 0.5)
+        |      AS BIGINT) AS c
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'PROMO')
+        |SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(li.c) AS BIGINT) AS total_cents,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_1' THEN li.c ELSE 0 END)
+        |    AS BIGINT) AS nation_cents,
+        |  CAST(floor(sum(CASE WHEN sn.n_name = 'NATION_1' THEN li.c ELSE 0 END)
+        |    * 1000000.0 / sum(li.c)) AS BIGINT) AS share_micro
+        |FROM li
+        |JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE o.o_custkey IN (SELECT c_custkey FROM m)
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "lineitem_q12" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_shipdate,
