@@ -1954,6 +1954,25 @@ object SparkEntry {
         TextFunctions.matchCount(synth, TextFunctions.PhonePattern).as("n_phones"),
         TextFunctions.matchCount(synth, TextFunctions.UrlPattern).as("n_urls"))
     }),
+    // streaming scrub-at-the-door face (r17): PII redaction + whitespace
+    // canonicalization as a stateless per-row map — the SAME transform runs
+    // on a readStream frame (StreamReplayProps pins split-invariance); this
+    // gate runs the batch face on the synthesized-PII corpus
+    "stream_scrub_batch" -> ((s, dir) => {
+      val synth = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+            col("source"), lit(".example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" see https://"), col("source"), lit(".example.org/d/"),
+            col("doc_id").cast("string"))).otherwise(lit("")))
+      graft.streaming.StreamScrub.scrub(
+        rd(s, dir, "documents").select(col("doc_id"), synth.as("text")),
+        "doc_id", "text")
+    }),
     // ...and the per-source rollup a release review reads: how many docs in
     // each source carry each PII class, and how many occurrences total
     "pii_report" -> ((s, dir) => {
@@ -3740,6 +3759,28 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(t, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(t, '${TextFunctions.PhonePattern}')) AS BIGINT) AS n_phones,
          |  CAST(len(regexp_extract_all(t, '${TextFunctions.UrlPattern}')) AS BIGINT) AS n_urls
+         |FROM s""".stripMargin,
+    "stream_scrub_batch" ->
+      s"""WITH s AS (SELECT doc_id, source,
+         |  text ||
+         |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@' || source || '.example.com' ELSE '' END ||
+         |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-010-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 5 = 0 THEN ' see https://' || source
+         |    || '.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextFunctions.UrlPattern}'))
+         |    + len(regexp_extract_all(t, '${TextFunctions.EmailPattern}'))
+         |    + len(regexp_extract_all(t, '${TextFunctions.PhonePattern}')) AS BIGINT) AS n_pii,
+         |  md5(trim(regexp_replace(regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(t, '${TextFunctions.UrlPattern}', '<URL>', 'g'),
+         |        '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |      '${TextFunctions.PhonePattern}', '<PHONE>', 'g'),
+         |    '${TextFunctions.ControlPattern}', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_md5
          |FROM s""".stripMargin,
     "pii_report" ->
       s"""WITH s AS (SELECT doc_id, source,

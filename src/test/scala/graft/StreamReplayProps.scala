@@ -306,4 +306,43 @@ class StreamReplayProps extends AnyFunSuite {
     assert(run(crawl, "five", 5) == batchFace)
     assert(run(shuffled(crawl, 31337L), "shuf", 4) == batchFace)
   }
+
+  test("StreamScrub: any micro-batch split replays to the batch-face output") {
+    val s = spark
+    import s.implicits._
+    val docs = Vector(
+      (1L, "plain text no pii at all"),
+      (2L, "mail a@b.com then  see https://x.org/y?q=1 now"),
+      (3L, "call 555-010-0042\tand\nagain 555-010-0042"),
+      (4L, "  leading and trailing   spaces  "),
+      (5L, "url http://e.com/p and mail u.v@w.io and 555-123-4567"))
+    val batchFace = graft.streaming.StreamScrub.scrub(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(batchFace.map(_._1) == docs.map(_._1).toSet)
+    assert(batchFace.find(_._1 == 2L).get._2 == 2L) // one email + one url
+
+    def run(order: Vector[(Long, String)], tag: String, nBatches: Int)
+        : Set[(Long, Long, String)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-scrub-$tag").toFile
+      val schema = order.take(1).toDF("doc_id", "text").schema
+      val stream = spark.readStream.schema(schema).parquet(dir + "/in/*")
+      val out = graft.streaming.StreamScrub.scrub(stream.toDF(), "doc_id", "text")
+      val q = out.writeStream.format("memory").queryName(s"scrub_$tag")
+        .outputMode("append").start()
+      try {
+        order.grouped((order.size + nBatches - 1) / nBatches).zipWithIndex.foreach {
+          case (chunk, bi) =>
+            chunk.toDF("doc_id", "text").write.parquet(dir + s"/in/b$bi")
+            q.processAllAvailable()
+        }
+        spark.table(s"scrub_$tag").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      } finally q.stop()
+    }
+
+    assert(run(docs, "one", 1) == batchFace)
+    assert(run(docs, "three", 3) == batchFace)
+    assert(run(shuffled(docs, 4242L), "shuf", 2) == batchFace)
+  }
 }
