@@ -3768,20 +3768,21 @@ object SparkEntry {
          |  CASE WHEN doc_id % 4 = 0 THEN ' call 555-010-'
          |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
          |  CASE WHEN doc_id % 5 = 0 THEN ' see https://' || source
-         |    || '.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t
-         |  FROM documents)
+         |    || '.example.org/d/' || CAST(doc_id AS VARCHAR) ELSE '' END AS t0
+         |  FROM documents),
+         |n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(t0,
+         |    '${TextFunctions.ControlPattern}', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+         |  FROM s)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(t, '${TextFunctions.UrlPattern}'))
          |    + len(regexp_extract_all(t, '${TextFunctions.EmailPattern}'))
          |    + len(regexp_extract_all(t, '${TextFunctions.PhonePattern}')) AS BIGINT) AS n_pii,
-         |  md5(trim(regexp_replace(regexp_replace(
+         |  md5(regexp_replace(
          |    regexp_replace(
-         |      regexp_replace(
-         |        regexp_replace(t, '${TextFunctions.UrlPattern}', '<URL>', 'g'),
-         |        '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
-         |      '${TextFunctions.PhonePattern}', '<PHONE>', 'g'),
-         |    '${TextFunctions.ControlPattern}', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_md5
-         |FROM s""".stripMargin,
+         |      regexp_replace(t, '${TextFunctions.UrlPattern}', '<URL>', 'g'),
+         |      '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.PhonePattern}', '<PHONE>', 'g')) AS clean_md5
+         |FROM n""".stripMargin,
     "pii_report" ->
       s"""WITH s AS (SELECT doc_id, source,
          |  text ||

@@ -13,11 +13,15 @@ import graft.functions.TextFunctions
  * already leaked into page cache, shuffle files and operator logs.
  *
  * Like [[StreamIvfAssign]], there is no state and no watermark: the scrub is
- * a pure per-row function ([[TextFunctions.redactPiiCol]] then
- * [[TextFunctions.normalizeTextCol]] — fixed order: redact FIRST, so PII
- * split across a control character still matches after the tags land), so
- * the same transform runs unchanged on a static frame or a `readStream`
- * source. Consequences, pinned the established way:
+ * a pure per-row function ([[TextFunctions.normalizeTextCol]] FIRST, then
+ * [[TextFunctions.redactPiiCol]] — canonicalize-then-detect: a phone number
+ * split across a newline or control character ("555\n010 0042") does not
+ * match the phone pattern until whitespace collapses, so redact-first would
+ * MISS it and a second pass would then catch what the first pass's
+ * normalize exposed — i.e. redact-first is not even idempotent; this order
+ * is, property-pinned in Round17Props), so the same transform runs
+ * unchanged on a static frame or a `readStream` source. Consequences,
+ * pinned the established way:
  *
  *  - BATCH ≡ STREAM: the `stream_scrub_batch` gate runs the batch face
  *    against an exact SQL oracle;
@@ -29,22 +33,23 @@ import graft.functions.TextFunctions
  */
 object StreamScrub {
 
-  /** The scrubbed text column: redact (URL → `<URL>`, email → `<EMAIL>`,
-    * phone → `<PHONE>`), then canonicalize whitespace. */
+  /** The scrubbed text column: canonicalize whitespace, then redact
+    * (URL → `<URL>`, email → `<EMAIL>`, phone → `<PHONE>`). */
   def scrubbedCol(text: Column): Column =
-    TextFunctions.normalizeTextCol(TextFunctions.redactPiiCol(text))
+    TextFunctions.redactPiiCol(TextFunctions.normalizeTextCol(text))
 
   /** Scrub each (streaming or static) row.
     * @return (idCol, n_pii — total redacted occurrences across the three
     *         classes, clean_md5 — md5 of the scrubbed text). The count is
-    *         taken BEFORE redaction on the same row (the per-doc audit trail
-    *         a scrub-at-the-door pipeline logs beside the clean text). */
+    *         taken on the NORMALIZED text, i.e. exactly what redaction sees
+    *         (the per-doc audit trail a scrub-at-the-door pipeline logs
+    *         beside the clean text). */
   def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+    val t = TextFunctions.normalizeTextCol(col(textCol))
     df.select(col(idCol),
       (TextFunctions.matchCount(t, TextFunctions.UrlPattern) +
         TextFunctions.matchCount(t, TextFunctions.EmailPattern) +
         TextFunctions.matchCount(t, TextFunctions.PhonePattern)).as("n_pii"),
-      md5(scrubbedCol(t)).as("clean_md5"))
+      md5(TextFunctions.redactPiiCol(t)).as("clean_md5"))
   }
 }

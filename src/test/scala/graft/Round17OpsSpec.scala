@@ -53,6 +53,19 @@ class Round17OpsSpec extends AnyFunSuite {
     assert(row.getString(1) == "de")
   }
 
+  test("StreamScrub normalizes BEFORE redacting: a newline-split phone is caught") {
+    val s = spark; import s.implicits._
+    // "555\n010 0042" matches the phone pattern only after whitespace
+    // collapses — redact-first would miss it (and a second pass would then
+    // catch it, breaking idempotence; the order regression r17 fixed)
+    val df = Seq((1L, "call 555\n010 0042 now")).toDF("doc_id", "text")
+    val row = graft.streaming.StreamScrub.scrub(df, "doc_id", "text").head()
+    assert(row.getLong(1) == 1L)
+    val clean = df.select(
+      graft.streaming.StreamScrub.scrubbedCol(col("text")).as("c")).head().getString(0)
+    assert(clean == "call <PHONE> now")
+  }
+
   test("mutualKnnClusters: skewSafe=true labels are identical to the fused path") {
     val s = spark; import s.implicits._
     // deterministic fixture: 24 vectors in 3 tight direction groups, so the
