@@ -702,11 +702,13 @@ object SparkEntry {
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("n_cust"), sum(col("__cents")).as("acctbal_cents"))
     }),
-    // TPC-H Q8 shape: national market share — what fraction of a region's
-    // PROMO-part revenue did NATION_1 suppliers take, per year. Market
-    // membership is a LEFT SEMI join (customer columns never flow), part and
-    // supplier dims broadcast; the share is exact integer cents divided once
-    // at the end (values < 2^53, so the double is engine-identical)
+    // TPC-H Q8 shape: competitor market share — what fraction of AMERICA's
+    // PROMO-part revenue did ASIA-region suppliers take, per year (a single
+    // nation's share is ZERO at sf0.001 — degenerate — so the share subject
+    // is a supplier REGION, non-degenerate at every SF). Market membership
+    // is a LEFT SEMI join (customer columns never flow), part and supplier
+    // dims broadcast; the share is exact integer cents divided once at the
+    // end (values < 2^53, so the double is engine-identical)
     "orders_q8" -> ((s, dir) => {
       val market = rd(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
         .join(broadcast(rd(s, dir, "nation")
@@ -727,17 +729,20 @@ object SparkEntry {
             .as("__cents"))
       val supN = rd(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
         .join(broadcast(rd(s, dir, "nation")
-          .select(col("n_nationkey").as("__snk"), col("n_name").as("s_nname"))),
+          .select(col("n_nationkey").as("__snk"), col("n_regionkey").as("__srk"))),
           col("s_nationkey") === col("__snk"))
-        .select(col("s_suppkey"), col("s_nname"))
+        .join(broadcast(rd(s, dir, "region")
+          .select(col("r_regionkey").as("__srk2"), col("r_name").as("s_rname"))),
+          col("__srk") === col("__srk2"))
+        .select(col("s_suppkey"), col("s_rname"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("o_year"))
         .agg(sum(col("__cents")).as("total_cents"),
-          sum(when(col("s_nname") === "NATION_1", col("__cents")).otherwise(0L))
-            .as("nation_cents"))
+          sum(when(col("s_rname") === "ASIA", col("__cents")).otherwise(0L))
+            .as("competitor_cents"))
         .withColumn("share_micro",
-          floor(col("nation_cents") * lit(1000000.0) / col("total_cents")).cast("long"))
+          floor(col("competitor_cents") * lit(1000000.0) / col("total_cents")).cast("long"))
     }),
     // TPC-H Q13 shape: customer order-count distribution INCLUDING
     // zero-order customers (the left-join-then-histogram classic)
@@ -3226,14 +3231,15 @@ object SparkEntry {
         |  WHERE p.p_type = 'PROMO')
         |SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
         |  CAST(sum(li.c) AS BIGINT) AS total_cents,
-        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_1' THEN li.c ELSE 0 END)
-        |    AS BIGINT) AS nation_cents,
-        |  CAST(floor(sum(CASE WHEN sn.n_name = 'NATION_1' THEN li.c ELSE 0 END)
+        |  CAST(sum(CASE WHEN sr.r_name = 'ASIA' THEN li.c ELSE 0 END)
+        |    AS BIGINT) AS competitor_cents,
+        |  CAST(floor(sum(CASE WHEN sr.r_name = 'ASIA' THEN li.c ELSE 0 END)
         |    * 1000000.0 / sum(li.c)) AS BIGINT) AS share_micro
         |FROM li
         |JOIN orders o ON li.l_orderkey = o.o_orderkey
         |JOIN supplier s ON li.l_suppkey = s.s_suppkey
         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN region sr ON sn.n_regionkey = sr.r_regionkey
         |WHERE o.o_custkey IN (SELECT c_custkey FROM m)
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
