@@ -522,6 +522,16 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("pii_scan / stream_scrub_batch / text_langid_mixed plan with ZERO exchanges") {
+    // pure per-row scalars over one scan: any Exchange here would mean the
+    // scrub/audit path shuffles the corpus it only needs to map
+    Seq("pii_scan", "stream_scrub_batch", "text_langid_mixed").foreach { g =>
+      val plan = SparkEntry.queries(g)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$g:\n$plan")
+    }
+  }
+
   test("orders_q5 broadcasts every dim and never falls to a cartesian product") {
     val plan = SparkEntry.queries("orders_q5")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
