@@ -31,16 +31,22 @@ import org.apache.spark.sql.functions._
  * Writes per-rep JSON lines + a summary to `CC_SKEW.json`.
  * Run: `tools/run_main.sh CCSkewBench [maxN]` (maxN defaults to 4M edges).
  *
- * MEASURED VERDICT (r17, local[32], receipt of record in CC_SKEW.json): the
- * fused WINDOW shape wins every local fixture — broom 4M 54.2 vs 78.9 s,
- * pure star 16M (one key carrying ALL 16M edges) 57.2 vs 84.3 s — because a
- * single-task in-memory sort of 16M longs is cheap on one box while the join
- * shape pays a second full exchange plus sort-merge sorts of both sides per
- * round. So `skewSafe=false` stays the default everywhere; the join shape is
- * CLUSTER insurance: its local worst-case cost is bounded (~1.5×), and it is
- * the only shape whose megacomponent work can use more than one core — on
- * 1000 executors the window shape's giant-key round cost is O(n) serial
- * regardless of cluster size, the join shape's is O(n/cores).
+ * MEASURED VERDICT (r17, local[32], receipt of record in CC_SKEW.json,
+ * taken AFTER the mins lineage-cut that makes the join shape actually
+ * skew-eligible — see SkewSplitProbe): the fused WINDOW shape wins every
+ * local fixture — broom 4M 55.8 vs 146.9 s, pure star 8M (one key carrying
+ * ALL edges) 25.8 vs 68.8 s — because a single-task in-memory sort of a few
+ * million longs is cheap on one box while the eligible join shape pays a
+ * second full exchange, SMJ sorts of both sides AND the per-round
+ * materialization of the ~one-row-per-node mins frames (the price of being
+ * a shape OptimizeSkewedJoin can match at all; left lazy it never fires —
+ * probed). So `skewSafe=false` stays the default everywhere; the join shape
+ * is CLUSTER insurance at a measured ~2.1-2.7× local cost: it is the only
+ * shape whose megacomponent work can use more than one core — on 1000
+ * executors the window shape's giant-key round cost is O(n) serial
+ * regardless of cluster size, the join shape's is O(n/cores) — and its
+ * memory is distributed too (the 16M-key star OOM'd ONE JVM on the mins
+ * blocks, while the same frames spread across a cluster's executors).
  */
 object CCSkewBench {
   def main(args: Array[String]): Unit = {
@@ -63,8 +69,13 @@ object CCSkewBench {
     // exchange per round); "star" = hub with n leaves, the INVERTED worst
     // case (2-3 rounds, one giant key — isolates the single-task sort the
     // window shape cannot shard from the round-count trade)
+    // star capped at 2×maxN: the join shape's per-round mins materialization
+    // is ~one row per node, and at 16M keys the deserialized checkpoint
+    // blocks exceeded this box's single-JVM heap (measured OOM) — at cluster
+    // scale that memory is distributed across executors, which is the very
+    // asymmetry the receipt exists to document
     val fixtures: Seq[(String, Long)] =
-      Seq(("broom", 1000000L), ("broom", maxN), ("star", maxN), ("star", 4 * maxN))
+      Seq(("broom", 1000000L), ("broom", maxN), ("star", maxN), ("star", 2 * maxN))
     fixtures.foreach { case (graph, n) =>
       val nodes = spark.range(n + 1).select(col("id"))
       Seq(false, true).foreach { skewSafe =>

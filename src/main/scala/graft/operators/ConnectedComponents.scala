@@ -237,30 +237,45 @@ object ConnectedComponents {
     * which spills but cannot be split by AQE, serializing a giant component's
     * sort into a single task. Here the per-u minimum is a partial-aggregating
     * groupBy (each map task emits at most one row per u regardless of skew)
-    * and the join back on `__u` is an exchange AQE's skew-join CAN split —
-    * the hot key's big-side partition shards across tasks while the one
-    * matching min row duplicates. Two exchanges on the edge relation instead
-    * of the window's one; result-identical per row (the window min over a
+    * and the join back on `__u` is an exchange AQE's skew-join splits — the
+    * hot key's big-side partition shards across tasks while the one matching
+    * min row duplicates.
+    *
+    * The per-key mins frame is LINEAGE-CUT (lazy checkpoint) before the
+    * join, and that is load-bearing, not an optimization (probed,
+    * `SkewSplitProbe`): OptimizeSkewedJoin only matches a sort-merge join
+    * whose children are DIRECT shuffle stages; left as a lazy aggregate,
+    * the final min sits between its exchange and the join inside one stage
+    * and the rule never fires (an explicit same-key repartition collapses
+    * away — also probed). The checkpoint handle is returned so [[runStar]]
+    * can release the blocks once the round's chain has materialized.
+    * Result-identical per row to [[largeStar]] (the window min over a
     * partition IS the groupBy min), property-pinned in CCProps. */
-  private def largeStarJoin(e: DataFrame): DataFrame = {
+  private def largeStarJoin(e: DataFrame, reliable: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     val sym = e.select(col("__u"), col("__v"))
       .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
-    val mins = sym.groupBy(col("__u"))
+    val mins0 = sym.groupBy(col("__u"))
       .agg(min(col("__v")).as("__minv"))
       .select(col("__u"), least(col("__u"), col("__minv")).as("__m"))
-    sym.join(mins, Seq("__u"))
+    val (mins, handle) = checkpointWithHandle(mins0, reliable)
+    val out = sym.join(mins, Seq("__u"))
       .filter(col("__v") > col("__u"))
       .select(col("__v").as("__u"), col("__m").as("__v"))
+    (out, handle)
   }
 
   /** [[smallStar]] in the skew-safe groupBy-min + join shape — see
-    * [[largeStarJoin]]. */
-  private def smallStarJoin(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("__u")).agg(min(col("__v")).as("__m"))
-    e.join(mins, Seq("__u"))
+    * [[largeStarJoin]] (including the load-bearing lineage cut on mins). */
+  private def smallStarJoin(e: DataFrame, reliable: Boolean)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val (mins, handle) = checkpointWithHandle(
+      e.groupBy(col("__u")).agg(min(col("__v")).as("__m")), reliable)
+    val out = e.join(mins, Seq("__u"))
       .select(
         when(col("__v") === col("__m"), col("__u")).otherwise(col("__v")).as("__u"),
         col("__m").as("__v"))
+    (out, handle)
   }
 
   /**
@@ -305,13 +320,18 @@ object ConnectedComponents {
    *                      (property-pinned). Default `false` = fused window
    *                      stars (ONE exchange per star — the local/shallow-
    *                      graph floor-breaker, r16); `true` = groupBy-min +
-   *                      join stars ([[largeStarJoin]]) whose exchanges AQE
-   *                      skew-join can split. Set it when one component may
-   *                      hold a large share of ALL edges (star contraction
-   *                      funnels a component's whole edge set into its root's
-   *                      key by the final rounds — a megacomponent then
-   *                      serializes the fused window's per-key sort into one
-   *                      task, while the join shape shards it).
+   *                      join stars ([[largeStarJoin]]) whose join IS
+   *                      AQE-skew-splittable — verified by `SkewSplitProbe`
+   *                      (`skew=true` in the final adaptive plan), which
+   *                      requires the per-round lineage cut on the mins
+   *                      frames that largeStarJoin/smallStarJoin perform
+   *                      (blocks released at the next checksum). Set it when
+   *                      one component may hold a large share of ALL edges
+   *                      (star contraction funnels a component's whole edge
+   *                      set into its root's key by the final rounds — a
+   *                      megacomponent then serializes the fused window's
+   *                      per-key sort into one task, while the join shape
+   *                      shards it across the cluster).
    */
   def runStar(
       nodes: DataFrame, idCol: String,
@@ -356,7 +376,15 @@ object ConnectedComponents {
     var pendingRelease = List.empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
     while (round < maxRounds && !converged) {
       val stepped =
-        if (skewSafe) smallStarJoin(largeStarJoin(e)) else smallStar(largeStar(e))
+        if (skewSafe) {
+          // each star lineage-cuts its per-key mins (see largeStarJoin) —
+          // those blocks must live until the round's chain materializes at
+          // the next checksum, exactly the pendingRelease contract
+          val (ls, h1) = largeStarJoin(e, reliable)
+          val (ss, h2) = smallStarJoin(ls, reliable)
+          pendingRelease = h1 :: h2 :: pendingRelease
+          ss
+        } else smallStar(largeStar(e))
       val (next, nextHandle) = checkpointWithHandle(stepped, reliable)
       pendingRelease ::= eHandle
       e = next
