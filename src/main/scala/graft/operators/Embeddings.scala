@@ -174,14 +174,22 @@ object Embeddings {
       df: DataFrame, vecCol: String, dims: Int, nIters: Int = 3): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     require(nIters >= 1, s"nIters must be >= 1, got $nIters")
-    powerLoop(df.sparkSession, coMoment(df, vecCol, dims), dims, nIters)
-      .select(col("__j").cast("long").as("dim"), col("__vj").as("v_micro"))
+    toDimFrame(df.sparkSession,
+      powerLoopLocal(coMomentCells(df, vecCol, dims), dims, nIters), "v_micro")
   }
 
-  /** The quantized mean co-moment relation (__i, __j, __c) of
-    * [[powerIteration]] step 1, localCheckpointed (consumed once per power
-    * step, and twice more by [[secondComponent]]'s deflation). */
-  private def coMoment(df: DataFrame, vecCol: String, dims: Int): DataFrame =
+  /** The quantized mean co-moment matrix (__i, __j, __c) of
+    * [[powerIteration]] step 1, COLLECTED to the driver: ONE distributed
+    * aggregation over the corpus reduces it to ≤ dims² ≤ 4096 BIGINT cells —
+    * a collect bounded by `dims`, never by corpus size (the
+    * [[removeTopComponent]] direction-collect posture). The r16 shape
+    * localCheckpointed this relation and ran the power loop as `nIters`
+    * distributed join+agg rounds over 256 rows — ~84 Exchange nodes and
+    * ~0.4 s of pure stage scheduling per round for arithmetic a driver does
+    * in microseconds (guide §1.2: fix the distributed algorithm first; §5:
+    * the driver should do no DATA work — d² cells is not data work). */
+  private def coMomentCells(
+      df: DataFrame, vecCol: String, dims: Int): Array[(Int, Int, Long)] =
     df.where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
       .select(posexplode(expr(s"slice($vecCol, 1, $dims)")).as(Seq("__i", "__xi")),
         col(vecCol).as("__v"))
@@ -195,24 +203,40 @@ object Embeddings {
       // magnitudes stay ~10⁶ at ANY corpus size so the per-step products
       // below cannot overflow a Long at 100 TB)
       .select(col("__i"), col("__j"), expr("__s div __n").as("__c"))
-      .localCheckpoint(true)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
 
-  /** The unrolled integer power loop of [[powerIteration]] step 2 over any
-    * (__i, __j, __c) matrix relation; returns (__j, __vj) at max|v| = 10⁶. */
-  private def powerLoop(
-      spark: org.apache.spark.sql.SparkSession, cm: DataFrame,
-      dims: Int, nIters: Int): DataFrame = {
-    var v = spark.range(dims).select(col("id").cast("int").as("__j"),
-      lit(1000000L).as("__vj"))
+  /** The integer power loop of [[powerIteration]] step 2, driver-side over
+    * the collected (i, j, c) cells; returns j -> v_j at max|v| = 10⁶.
+    * BIT-IDENTICAL to the former distributed loop: `c * v_j / 1e6` and
+    * `m * 1e6 / mx` are Long ops truncating toward zero exactly like SQL
+    * `div`, and the per-row sums are exact integers, so reduction order
+    * cannot matter. Key-set semantics mirror the former inner joins: after
+    * one step the live keys are the distinct __i of cm (empty corpus →
+    * empty result, as before). */
+  private def powerLoopLocal(
+      cm: Array[(Int, Int, Long)], dims: Int, nIters: Int): Map[Int, Long] = {
+    var v: Map[Int, Long] = (0 until dims).map(j => j -> 1000000L).toMap
     for (_ <- 1 to nIters) {
-      val mv = cm.join(v, Seq("__j"))
-        .groupBy(col("__i"))
-        .agg(sum(expr("__c * __vj div 1000000L")).as("__m"))
-      val mx = mv.agg(greatest(max(abs(col("__m"))), lit(1L)).as("__mx"))
-      v = mv.crossJoin(broadcast(mx))
-        .select(col("__i").as("__j"), expr("__m * 1000000L div __mx").as("__vj"))
+      val mv = scala.collection.mutable.LinkedHashMap[Int, Long]()
+      cm.foreach { case (i, j, c) =>
+        v.get(j).foreach { vj => mv(i) = mv.getOrElse(i, 0L) + c * vj / 1000000L }
+      }
+      var mx = 1L
+      mv.valuesIterator.foreach { m => val a = math.abs(m); if (a > mx) mx = a }
+      val next = mv.map { case (i, m) => i -> m * 1000000L / mx }
+      v = next.toMap
     }
     v
+  }
+
+  /** Materialize a driver-computed direction as the (dim, <valueCol>)
+    * result frame — dims² is bounded, so the frame is a handful of rows. */
+  private def toDimFrame(
+      spark: org.apache.spark.sql.SparkSession, v: Map[Int, Long],
+      valueCol: String): DataFrame = {
+    import spark.implicits._
+    v.toSeq.sortBy(_._1).map { case (j, vj) => (j.toLong, vj) }
+      .toDF("dim", valueCol)
   }
 
   /**
@@ -236,26 +260,28 @@ object Embeddings {
       df: DataFrame, vecCol: String, dims: Int, nIters: Int = 3): DataFrame = {
     require(dims >= 1, s"dims must be >= 1, got $dims")
     require(nIters >= 1, s"nIters must be >= 1, got $nIters")
-    val spark = df.sparkSession
-    val cm = coMoment(df, vecCol, dims)
-    val u = powerLoop(spark, cm, dims, nIters)
-    val uD = u.agg(sum(expr("__vj * __vj div 1000000L")).as("__D"))
-    val cu = cm.join(u, Seq("__j"))
-      .groupBy(col("__i"))
-      .agg(sum(expr("__c * __vj div 1000000L")).as("__cu"))
-    val uN = cu.join(u.select(col("__j").as("__i"), col("__vj").as("__ui")), Seq("__i"))
-      .agg(sum(expr("__ui * __cu div 1000000L")).as("__N"))
-    val lam = uN.crossJoin(uD)
-      .select(expr("__N * 1000000L div __D").as("__lam"), col("__D"))
-    val cm2 = cm
-      .join(u.select(col("__j").as("__i"), col("__vj").as("__ui")), Seq("__i"))
-      .join(u.select(col("__j"), col("__vj").as("__uj")), Seq("__j"))
-      .crossJoin(broadcast(lam))
-      .select(col("__i"), col("__j"),
-        expr("__c - ((__lam * __ui div 1000000L) * __uj div __D)").as("__c"))
-      .localCheckpoint(true) // consumed once per second-loop step
-    powerLoop(spark, cm2, dims, nIters)
-      .select(col("__j").cast("long").as("dim"), col("__vj").as("v2_micro"))
+    // Deflation runs driver-side over the same ≤ dims² collected cells as
+    // [[powerIteration]] — every quantity below is the exact integer op
+    // sequence of the former distributed frames (Long `/` ≡ SQL `div`;
+    // inner-join key semantics preserved via Map.get), so the result is
+    // bit-identical while the job count drops from ~2·nIters+4 join+agg
+    // rounds to the ONE co-moment aggregation.
+    val cm = coMomentCells(df, vecCol, dims)
+    val u = powerLoopLocal(cm, dims, nIters)
+    var uD = 0L
+    u.valuesIterator.foreach { vj => uD += vj * vj / 1000000L }
+    val cu = scala.collection.mutable.LinkedHashMap[Int, Long]()
+    cm.foreach { case (i, j, c) =>
+      u.get(j).foreach { vj => cu(i) = cu.getOrElse(i, 0L) + c * vj / 1000000L }
+    }
+    var uN = 0L
+    cu.foreach { case (i, cui) => u.get(i).foreach { ui => uN += ui * cui / 1000000L } }
+    val lam = uN * 1000000L / uD
+    val cm2 = cm.flatMap { case (i, j, c) =>
+      for (ui <- u.get(i); uj <- u.get(j))
+        yield (i, j, c - ((lam * ui / 1000000L) * uj / uD))
+    }
+    toDimFrame(df.sparkSession, powerLoopLocal(cm2, dims, nIters), "v2_micro")
   }
 
   /**
@@ -275,19 +301,34 @@ object Embeddings {
   def directionDrift(
       a: DataFrame, b: DataFrame, vecCol: String,
       dims: Int, nIters: Int = 3): DataFrame = {
-    val ua = powerIteration(a, vecCol, dims, nIters)
-      .select(col("dim"), col("v_micro").as("__a"))
-    val ub = powerIteration(b, vecCol, dims, nIters)
-      .select(col("dim"), col("v_micro").as("__b"))
-    ua.join(ub, "dim")
-      .agg(sum(expr("__a * __b div 1000000L")).as("__dot"),
-        sum(expr("__a * __a div 1000000L")).as("__na"),
-        sum(expr("__b * __b div 1000000L")).as("__nb"))
-      .select(
-        expr("CAST(floor(CAST(__dot AS DOUBLE) / sqrt(CAST(__na AS DOUBLE) * __nb) " +
-          "* 1000000.0) AS BIGINT)").as("cos_micro"),
-        col("__dot").as("dot_micro"), col("__na").as("na_micro"),
-        col("__nb").as("nb_micro"))
+    // Both directions are driver-local maps now (see [[powerIteration]]);
+    // the cosine is the same ≤ dims-term integer fold + one canonical double
+    // chain, so the single-row result frame is built from literals — the two
+    // corpus-sized co-moment aggregations are the only jobs left.
+    val ua = powerLoopLocal(coMomentCells(a, vecCol, dims), dims, nIters)
+    val ub = powerLoopLocal(coMomentCells(b, vecCol, dims), dims, nIters)
+    val common = ua.keySet.intersect(ub.keySet).toSeq.sorted
+    val spark = a.sparkSession
+    import spark.implicits._
+    if (common.isEmpty) {
+      // former shape: inner join empty -> global agg emits one all-null row
+      Seq(Tuple4(Option.empty[Long], Option.empty[Long],
+        Option.empty[Long], Option.empty[Long]))
+        .toDF("cos_micro", "dot_micro", "na_micro", "nb_micro")
+    } else {
+      var dot = 0L; var na = 0L; var nb = 0L
+      common.foreach { d =>
+        val x = ua(d); val y = ub(d)
+        dot += x * y / 1000000L; na += x * x / 1000000L; nb += y * y / 1000000L
+      }
+      val cosD = math.floor(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble)
+        * 1000000.0)
+      // mirror the former ANSI CAST(double AS BIGINT): NaN / out-of-range is
+      // an error, not a silent 0 (degenerate all-zero direction on one side)
+      if (cosD.isNaN || cosD < Long.MinValue.toDouble || cosD > Long.MaxValue.toDouble)
+        throw new ArithmeticException(s"cos_micro cast overflow: $cosD")
+      Seq((cosD.toLong, dot, na, nb)).toDF("cos_micro", "dot_micro", "na_micro", "nb_micro")
+    }
   }
 
   /**
@@ -311,9 +352,8 @@ object Embeddings {
   def removeTopComponent(
       df: DataFrame, idCol: String, vecCol: String,
       dims: Int, nIters: Int = 3): DataFrame = {
-    val u = powerIteration(df, vecCol, dims, nIters)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val uv: Array[Double] = (0 until dims).map(d => u(d.toLong) / 1000000.0).toArray
+    val u = powerLoopLocal(coMomentCells(df, vecCol, dims), dims, nIters)
+    val uv: Array[Double] = (0 until dims).map(d => u(d) / 1000000.0).toArray
     var nu2 = 0.0
     var d = 0
     while (d < dims) { nu2 += uv(d) * uv(d); d += 1 } // ascending, engine-identical
