@@ -199,8 +199,18 @@ object Bm25 {
     // sums are associative and exp excludes each query's original terms, so
     // the split is exact) — the dominant hit-relation aggregation is ONE
     // exchange subtree, reused by the feedback window and the round-2 union.
+    // localCheckpoint, not just shared-lazily: scores0 anchors BOTH rounds
+    // (feedback window AND the round-2 union), so an unmaterialized frame
+    // puts the whole postings→contrib→agg subtree in the final plan twice —
+    // the r16 shape was a 356-operator plan whose codegen+planning dominated
+    // the COLD pass (24.5 s cold vs 5.2 s warm isolated at sf0.1). Cutting
+    // the lineage here splits the query into two ~half-size plans and lets
+    // round 2 read the round-1 aggregation's blocks instead of re-planning
+    // it (the exchange was runtime-reused before, but the operator tree —
+    // and its codegen — was not).
     val scores0 = contribFor(slice0, qt0w)
       .groupBy(col("__q"), col("__d")).agg(sum(col("__c")).as("score_micro"))
+      .localCheckpoint(true)
     val wfb = Window.partitionBy(col("__q"))
       .orderBy(col("score_micro").desc, col("__d").asc)
     val fb = scores0.withColumn("__rn", row_number().over(wfb))
@@ -211,9 +221,14 @@ object Bm25 {
       .agg(sum(col("tf")).as("__s"))
       .join(qt0.withColumn("__orig", lit(1)), Seq("query_id", "term"), "left_anti")
     val we = Window.partitionBy(col("query_id")).orderBy(col("__s").desc, col("term").asc)
+    // Same lineage-cut argument as scores0: `exp` (≤ fbTerms·|queries| rows)
+    // is consumed by expVocab AND expw — unmaterialized, the whole
+    // feedback-vote subtree (broadcast(fb) ⋈ postings → sum → anti-join →
+    // window) would be planned and codegen'd twice in round 2's plan.
     val exp = votes.withColumn("__rn", row_number().over(we))
       .filter(col("__rn") <= fbTerms)
       .select(col("query_id"), col("term"))
+      .localCheckpoint(true)
     // Round 2 touches postings only for the expansion vocabulary (complete
     // posting lists per term, so df/idf are the same corpus properties the
     // whole-vocabulary pass would compute).
