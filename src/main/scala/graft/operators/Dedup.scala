@@ -326,17 +326,6 @@ object Dedup {
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
 
-  /** Internal: exact Jaccard for given candidate doc pairs (columns __a < __b).
-    * Expands candidates by the left side's shingles — right cost model only when
-    * candidates ≪ all-pairs (the LSH path). */
-  private def verifyJaccard(tokens: DataFrame, cnt: DataFrame, candidates: DataFrame): DataFrame = {
-    val ta = tokens.select(col("__id").as("__a"), col("__sh"))
-    val tb = tokens.select(col("__id").as("__b"), col("__sh"))
-    val inter = candidates.join(ta, "__a").join(tb, Seq("__b", "__sh"))
-      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__i"))
-    jaccardFromInter(cnt, inter)
-  }
-
   /**
    * Brute-force near-dup pairs: 3-word-shingle Jaccard ≥ threshold, candidates
    * from the shingle inverted index (docs sharing ≥ 1 shingle). Output:
@@ -524,14 +513,35 @@ object Dedup {
 
   /** Shared banding core of [[minHashLshPairs]] / [[lshAuditReport]]:
     * (distinct candidate pairs `(__a, __b)`, exact-Jaccard-verified pairs
-    * `(__a, __b, jaccard)` — unthresholded). */
+    * `(__a, __b, jaccard)` — unthresholded).
+    *
+    * Verification joins the candidate pairs to the materialized PER-DOC
+    * SHINGLE ARRAYS and computes `size(array_intersect(...))` inline —
+    * shingles are distinct within a doc ([[graft.functions.TextFunctions
+    * .shingles3Array]] builds a LinkedHashSet), so the intersection size is
+    * exactly the count the former exploded shape aggregated. The former
+    * shape shuffled the EXPLODED shingle relation twice (by __a, then by
+    * (__b, __sh) — ~32 rows per doc per candidate on the wire), aggregated
+    * per pair, and joined the set sizes back on two more exchanges; this
+    * shape moves one compact array per candidate side and needs NO
+    * aggregation and NO size join at all (sizes read off the arrays) —
+    * guide §2.3/§2.4: shuffle fewer bytes at coarser granularity, remove
+    * exchanges outright. Candidates are banding-bounded, so per-pair array
+    * shipping is the same cost model the edit-distance verify already uses. */
   private def lshCandVerified(
       df: DataFrame, idCol: String, textCol: String,
       bandRows: Int): (DataFrame, DataFrame) = {
     val (shs, cand) = lshBandCandidates(df, idCol, textCol, bandRows)
-    val t = shs.select(col("__id"), explode(col("__shs")).as("__sh"))
-    val cnt = shs.select(col("__id"), size(col("__shs")).cast("long").as("__n"))
-    (cand, verifyJaccard(t, cnt, cand))
+    val verified = cand
+      .join(shs.select(col("__id").as("__a"), col("__shs").as("__sa")), "__a")
+      .join(shs.select(col("__id").as("__b"), col("__shs").as("__sb")), "__b")
+      .select(col("__a"), col("__b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("__i"),
+        size(col("__sa")).cast("long").as("__na"),
+        size(col("__sb")).cast("long").as("__nb"))
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
+    (cand, verified)
   }
 
   /**
