@@ -317,15 +317,23 @@ object SimSearch {
    *         enforced at runtime.
    */
   def signFingerprints(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // Per-row OR-fold instead of posexplode + bit_or groupBy (r17): the sign
+    // word is a function of one row's array, so the former shape paid a
+    // full-relation exchange (and a 16-rows-per-vector explode) for an
+    // aggregation whose groups were single vectors. The codegen'd fold
+    // computes the identical Long — OR is order-independent — with ZERO
+    // exchanges on either side of [[topKBinary]]'s broadcast (guide §2.4).
+    // The >64-dims guard is the same plan-time raise_error branch the
+    // exploded shape carried (d > 63 ⟺ size > 64).
     df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(idCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
       .select(col(idCol),
-        when(col("__d") > 63, raise_error(lit(
-          "signFingerprints: vector has more than 64 dimensions")))
-          .otherwise(col("__d")).as("__d"), col("__x"))
-      .groupBy(col(idCol))
-      .agg(expr("bit_or(CASE WHEN __x > 0 THEN shiftleft(CAST(1 AS BIGINT), __d) " +
-        "ELSE CAST(0 AS BIGINT) END)").as("sig"))
+        when(size(col(vecCol)) > 64, raise_error(lit(
+          "signFingerprints: vector has more than 64 dimensions")).cast("long"))
+          .otherwise(expr(
+            s"aggregate(sequence(0, size($vecCol) - 1), CAST(0 AS BIGINT), " +
+            s"(acc, d) -> acc | (CASE WHEN $vecCol[d] > 0 " +
+            "THEN shiftleft(CAST(1 AS BIGINT), d) ELSE CAST(0 AS BIGINT) END))"))
+          .as("sig"))
 
   /**
    * Brute-force HAMMING top-k over [[signFingerprints]] — ANN on the binary
