@@ -1751,13 +1751,22 @@ object CorpusStats {
     val isl = w.join(broadcast(stop), Seq("__w"), "left")
       .filter(col("__stop").isNull)
       .withColumn("__isl", col("__p") - row_number().over(win))
-    val plen = isl.groupBy(col("__id"), col("__isl")).agg(count(lit(1)).as("__plen"))
-    val occ = isl.join(plen, Seq("__id", "__isl"))
-    val wsc = occ.groupBy(col("__id"), col("__w"))
-      .agg(expr("sum(__plen) * 1000 DIV count(1)").as("__wsc"))
+    // Per-group quantities as WINDOWS over the one doc-keyed exchange (r17):
+    // the former groupBy(plen)/groupBy(wsc) + join-back shape re-shuffled
+    // and re-joined the token relation three times; hash(__id) partitioning
+    // already clusters every sub-key ((__id,__isl), (__id,__w)), so the
+    // window forms attach the IDENTICAL per-group values (count/sum over a
+    // group is the same number on every member row) with zero further
+    // exchanges and no joins — text_keyphrases 30 → 6 Exchange nodes.
+    val wPhrase = Window.partitionBy(col("__id"), col("__isl"))
+    val wWord = Window.partitionBy(col("__id"), col("__w"))
+    val occ = isl.withColumn("__plen", count(lit(1)).over(wPhrase))
+      .withColumn("__sumplen", sum(col("__plen")).over(wWord))
+      .withColumn("__cnt", count(lit(1)).over(wWord))
+      .withColumn("__wsc", expr("__sumplen * 1000 DIV __cnt"))
     val top = Window.partitionBy(col("__id"))
       .orderBy(col("score_milli").desc, col("phrase").asc)
-    occ.join(wsc, Seq("__id", "__w"))
+    occ
       .groupBy(col("__id"), col("__isl"))
       .agg(sum(col("__wsc")).as("score_milli"),
         expr("array_join(transform(sort_array(collect_list(struct(__p, __w))), " +
