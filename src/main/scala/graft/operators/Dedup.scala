@@ -1954,10 +1954,15 @@ object Dedup {
    * the gate carries the rebuilt doc as an md5 so no rewritten text rides
    * the compare.
    *
-   * Scale shape: one line explode (ids + line digests shuffle, text ships
-   * once into the digest), one digest-keyed distinct-doc count, one
-   * doc-keyed regroup — [[lineDedupWithinDoc]]'s plan with a corpus-level
-   * frequency join instead of a within-doc window.
+   * Scale shape: one line explode, one digest-keyed exchange on which TWO
+   * stacked windows compute the exact distinct-doc frequency (a lag-based
+   * first-occurrence marker ordered by doc id, summed over the digest
+   * partition — null ids marked 0 so the count matches COUNT(DISTINCT)),
+   * one doc-keyed regroup. The former shape computed the explode lineage
+   * twice (once into a countDistinct aggregate, once as the join probe) and
+   * paid two aggregation exchanges plus a frequency join that degenerates
+   * to a second full shuffle of the line relation once the distinct-line
+   * table outgrows the broadcast threshold.
    *
    * @return one row per doc with ≥ 1 non-empty line:
    *         (idCol, n_lines non-empty, kept_lines, clean_md5)
@@ -1972,8 +1977,18 @@ object Dedup {
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
       .where(length(col("__ln")) > 0)
       .withColumn("__h", md5(col("__ln")))
-    val freq = lines.groupBy(col("__h")).agg(countDistinct(col("__id")).as("__df"))
-    lines.join(freq, "__h")
+    import org.apache.spark.sql.expressions.Window
+    // Exact COUNT(DISTINCT __id) per digest without a join-back: ids arrive
+    // sorted within each __h partition, so a row is the first occurrence of
+    // its id iff lag differs (null-safe; null ids contribute 0, matching
+    // countDistinct). Both windows share the single hash(__h) exchange.
+    val byHOrd = Window.partitionBy(col("__h")).orderBy(col("__id"))
+    val byH = Window.partitionBy(col("__h"))
+    lines
+      .withColumn("__df",
+        sum(when(col("__id").isNotNull &&
+            !(lag(col("__id"), 1).over(byHOrd) <=> col("__id")), 1L)
+          .otherwise(0L)).over(byH))
       .withColumn("__keep",
         when(size(wordsCol(col("__ln"))) >= minWords && col("__df") < maxLineDf, 1L)
           .otherwise(0L))
