@@ -207,11 +207,14 @@ object ConnectedComponents {
       .union(e.select(col("__v").as("__u"), col("__u").as("__v")))
     val w = Window.partitionBy(col("__u"))
     // min over Γ(u) ∪ {u}; only rows with a strictly-larger neighbor emit,
-    // and m ≤ u < v makes an emitted self-edge impossible — no filter needed
+    // and m ≤ u < v makes an emitted self-edge impossible — no filter needed.
+    // __mv marks a REWIRED row (m ≠ u ⇔ the emitted edge differs from the
+    // input edge) — the exact per-round fixed-point signal runStar aggregates.
     sym.select(col("__u"), col("__v"),
         least(col("__u"), min(col("__v")).over(w)).as("__m"))
       .filter(col("__v") > col("__u"))
-      .select(col("__v").as("__u"), col("__m").as("__v"))
+      .select(col("__v").as("__u"), col("__m").as("__v"),
+        (col("__m") =!= col("__u")).as("__mv"))
   }
 
   /** Small-star: on downward-pointing edges, every smaller neighbor of u is
@@ -225,10 +228,13 @@ object ConnectedComponents {
     * covers exactly the old moved ∪ minN set. */
   private def smallStar(e: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("__u"))
-    e.select(col("__u"), col("__v"), min(col("__v")).over(w).as("__m"))
+    // input = largeStar output, so __mv is present; OR this star's own
+    // rewires (v ≠ m ⇔ the emitted edge differs from the input edge) into it
+    e.select(col("__u"), col("__v"), col("__mv"), min(col("__v")).over(w).as("__m"))
       .select(
         when(col("__v") === col("__m"), col("__u")).otherwise(col("__v")).as("__u"),
-        col("__m").as("__v"))
+        col("__m").as("__v"),
+        (col("__mv") || (col("__v") =!= col("__m"))).as("__mv"))
   }
 
   /** [[largeStar]] re-expressed as groupBy-min + shuffle join — the SKEW-SAFE
@@ -261,7 +267,8 @@ object ConnectedComponents {
     val (mins, handle) = checkpointWithHandle(mins0, reliable)
     val out = sym.join(mins, Seq("__u"))
       .filter(col("__v") > col("__u"))
-      .select(col("__v").as("__u"), col("__m").as("__v"))
+      .select(col("__v").as("__u"), col("__m").as("__v"),
+        (col("__m") =!= col("__u")).as("__mv"))
     (out, handle)
   }
 
@@ -274,7 +281,8 @@ object ConnectedComponents {
     val out = e.join(mins, Seq("__u"))
       .select(
         when(col("__v") === col("__m"), col("__u")).otherwise(col("__v")).as("__u"),
-        col("__m").as("__v"))
+        col("__m").as("__v"),
+        (col("__mv") || (col("__v") =!= col("__m"))).as("__mv"))
     (out, handle)
   }
 
@@ -285,28 +293,28 @@ object ConnectedComponents {
    * [[run]]: (idCol, component), component = min node id reachable.
    *
    * Per round: large-star + small-star — ONE window exchange each (r16; was
-   * ~5 exchanges of groupBy + join + distinct per round), then a checksum
-   * action for convergence: (count, order-independent XOR of xxhash64(u, v),
-   * XOR of independently-seeded xxhash64(42, u, v)) — XOR, not SUM, so it
-   * cannot overflow under ANSI mode. The triple matches across rounds only
-   * when the edge MULTISET is unchanged; multiset equality implies set
-   * equality, which for this monotone contraction means a fixed point, i.e. a
-   * forest of stars — and at a fixed point the (distinct-free) star maps
-   * preserve multiplicities exactly, so the checksum stabilizes on the same
-   * round the set does. The stop is PROBABILISTIC: two different edge sets
-   * colliding on both 64-bit XOR-multiset hashes AND the count would end the
-   * loop early with non-minimal labels — probability ~2^-128 per check, far
-   * below hardware fault rates. No collect(), no driver-side graph state.
+   * ~5 exchanges of groupBy + join + distinct per round). Convergence (r17)
+   * is an EXACT per-round movement flag, not a checksum: both star maps are
+   * per-row, and a row either re-emits its input edge or rewires it to a
+   * strictly-smaller endpoint sum, so `bool_or(__mv)` over the round's
+   * output (one boolean carried through the two window selects — no extra
+   * exchange) is false iff the round was the identity on the edge multiset,
+   * i.e. a star-forest fixed point. This replaces the former
+   * (count, xxhash64-XOR, seeded-XOR) multiset checksum: deterministic
+   * (the checksum stop was probabilistic, ~2^-128 false-stop), needs no
+   * prev-round state, and stops on the FIRST identity round — the checksum
+   * needed two equal checks, i.e. up to `2·checkEvery` extra rounds. No
+   * collect() of edges, no driver-side graph state.
    *
-   * The checksum runs every `checkEvery` rounds (default 2), not every round:
+   * The check runs every `checkEvery` rounds (default 2), not every round:
    * on small graphs the per-action job submission is the measured floor
    * (FloorProbe, r15 — ~0.4 s/round of pure scheduling), and a lazy
-   * checkpoint chain of `checkEvery` rounds materializes in the ONE checksum
+   * checkpoint chain of `checkEvery` rounds materializes in the ONE check
    * job. The trade is up to `checkEvery - 1` extra (cheap, already-fixed-
    * point) rounds after convergence in exchange for half the driver
    * round-trips — at real scale rounds dominate and `checkEvery = 1`
    * recovers the per-round check. Superseded checkpoint generations are
-   * released at each checksum, once the chain ahead of them is materialized
+   * released at each check, once the chain ahead of them is materialized
    * (releasing a local checkpoint's blocks before a dependent is
    * materialized would make the chain unrecomputable).
    *
@@ -361,7 +369,6 @@ object ConnectedComponents {
     var (e, eHandle) = checkpointWithHandle(
       edges.select(col(aCol).as("__u"), col(bCol).as("__v"))
         .filter(col("__u") =!= col("__v")), reliable)
-    var prev: (Long, Long, Long) = (-1L, 0L, 0L)
     var round = 0
     var converged = e.isEmpty
     // NOTE (r14, measured): sizing the per-round frames to the edge count
@@ -392,19 +399,15 @@ object ConnectedComponents {
       round += 1
       onRound(round)
       if (round % checkEvery == 0 || round == maxRounds) {
-        // leading literal 42 = an independent seed for the second hash: both
-        // 64-bit XOR multisets must collide (with equal counts) for a false stop
-        val chkRow = e
-          .agg(count(lit(1)),
-            coalesce(bit_xor(xxhash64(col("__u"), col("__v"))), lit(0L)),
-            coalesce(bit_xor(xxhash64(lit(42), col("__u"), col("__v"))), lit(0L))).head()
-        val chk = (chkRow.getLong(0), chkRow.getLong(1), chkRow.getLong(2))
-        // the checksum materialized every pending generation's successor —
+        // exact fixed-point test: did ANY row of the latest round rewire?
+        // (empty round output ⇒ no movement possible ⇒ converged)
+        val moved = e
+          .agg(coalesce(bool_or(col("__mv")), lit(false))).head().getBoolean(0)
+        // the check materialized every pending generation's successor —
         // the superseded blocks are now safe to free
         pendingRelease.foreach(releaseGeneration)
         pendingRelease = Nil
-        converged = chk == prev
-        prev = chk
+        converged = !moved
       }
     }
     // pendingRelease is provably empty here: converged is only set at a
