@@ -2024,8 +2024,11 @@ object Dedup {
       .select(col("__g"),
         posexplode(graft.functions.TextFunctions.minHashSigUdf(col("__shs")))
           .as(Seq("__j", "__v")))
+    // tiny (|groups| × K rows) but consumed by BOTH sides of the pair join —
+    // uncut, the whole per-doc shingle+MinHash pass over the corpus runs twice
     val gsig = docSigs.groupBy(col("__g"), col("__j"))
       .agg(min(col("__v")).as("__mh"))
+      .localCheckpoint()
     val sizes = df.filter(col(groupCol).isNotNull && col(textCol).isNotNull)
       .groupBy(col(groupCol).as("__g")).agg(count(lit(1)).as("__n"))
     val k = graft.functions.TextFunctions.MinHashK
@@ -2064,6 +2067,9 @@ object Dedup {
         s"transform(sequence(0, size(__ws) - $n), i -> array_join(slice(__ws, i + 1, $n), ' '))"))
         .as("__gram"))
       .select(col("__g"), md5(col("__gram")).as("__h")).distinct()
+      // consumed THREE times (both pair-join sides + the per-group counts) —
+      // uncut, each consumer re-runs the full corpus gram explode + distinct
+      .localCheckpoint()
     val counts = g.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     g.as("a").join(g.as("b"),
         col("a.__h") === col("b.__h") && col("a.__g") < col("b.__g"))
