@@ -848,28 +848,14 @@ object Dedup {
    */
   def duplicateSpans(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 20, minDocs: Long = 2L, materializeGrams: Boolean = false): DataFrame = {
+      k: Int = 20, minDocs: Long = 2L): DataFrame = {
     require(minDocs >= 2L, s"minDocs must be >= 2, got $minDocs")
-    import org.apache.spark.sql.expressions.Window
-    // The gram relation is consumed twice (dup-hash aggregate + probe side of
-    // the join-back). Default = recompute: the O(len·k) hash pass re-runs,
-    // but materializing costs gram-relation-sized (≈ corpus-sized) executor
-    // storage — at 100 TB that trade usually loses unless the cluster is
-    // compute-bound, so it's a knob, not the default (contrast
-    // minHashLshPairs, where the materialized relation is shingle-sized and
-    // consumed 4×). MEASURED r15 (judge directive #3, sf0.1 warm BenchOne,
-    // 5 reps): recompute 2.88-3.75 s vs materializeGrams=true 3.24-3.89 s —
-    // the localCheckpoint write of the ~85k-span gram relation costs more
-    // than the second codegen'd hash pass saves, at this SF and at the 100 TB
-    // storage argument above. Recompute stays the default; dead end recorded.
-    val g0 = df.select(col(idCol).as("__id"),
+    val g = df.select(col(idCol).as("__id"),
         posexplode(charGrams(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
-    val g = if (materializeGrams) g0.localCheckpoint(true) else g0
-    val dup = dupHashes(g, minDocs)
-    val d = g.join(dup, "__h").select(col("__id"), col("__p"))
-    spansFromMarked(d, k).select(col("__id").as(idCol),
-      col("span_start"), col("span_end"), col("n_grams"))
+    spansFromMarked(markDuplicatedByDocs(g, minDocs), k)
+      .select(col("__id").as(idCol),
+        col("span_start"), col("span_end"), col("n_grams"))
   }
 
   /**
@@ -890,9 +876,11 @@ object Dedup {
     val g = df.select(col(idCol).as("__id"),
         posexplode(charGrams(col(textCol), k)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
-    val dup = g.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= minOccurrences).select(col("__h"))
-    val d = g.join(dup, "__h").select(col("__id"), col("__p"))
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    // occurrence rule as a window over the ONE hash(__h) exchange — see
+    // markDuplicatedByDocs for why this beats the aggregate + join-back
+    val d = g.withColumn("__n", count(lit(1)).over(byH))
+      .filter(col("__n") >= minOccurrences).select(col("__id"), col("__p"))
     spansFromMarked(d, k).select(col("__id").as(idCol),
       col("span_start"), col("span_end"), col("n_grams"))
   }
@@ -930,11 +918,10 @@ object Dedup {
     val g = df.select(col(idCol).as("__id"),
         posexplode(wordGrams(wordsCol(col(textCol)), n)).as(Seq("__i", "__h")))
       .select(col("__id"), (col("__i") + 1).cast("long").as("__p"), col("__h"))
-    val dup = dupHashes(g, minDocs)
-    val d = g.join(dup, "__h").select(col("__id"), col("__p"))
-    spansFromMarked(d, n).select(col("__id").as(idCol),
-      col("span_start").as("word_start"), col("span_end").as("word_end"),
-      col("n_grams"))
+    spansFromMarked(markDuplicatedByDocs(g, minDocs), n)
+      .select(col("__id").as(idCol),
+        col("span_start").as("word_start"), col("span_end").as("word_end"),
+        col("n_grams"))
   }
 
   /** The span-dedup gram identity: per gram position, an (h1, h2) PAIR of
@@ -957,20 +944,36 @@ object Dedup {
       graft.functions.WordGramHashPairsExpr(
         org.apache.spark.sql.GraftBridge.expression(ws), n))
 
-  /** Gram hashes present in ≥ `minDocs` DISTINCT docs, from the gram
-    * relation `g(__id, __p, __h)`. For the common minDocs = 2 (any
-    * cross-doc repeat — the gate default), `count_distinct(__id) ≥ 2` is
-    * exactly `min(__id) ≠ max(__id)`: ONE plain hash aggregation with
-    * map-side partials instead of the distinct-expansion two-phase plan
-    * (r15; the (__h, __id)-keyed dedup exchange drops out entirely —
-    * at 100 TB that was a second gram-relation-sized shuffle). */
-  private def dupHashes(g: DataFrame, minDocs: Long): DataFrame =
-    if (minDocs == 2L)
-      g.groupBy(col("__h")).agg(min(col("__id")).as("__lo"), max(col("__id")).as("__hi"))
-        .filter(col("__lo") =!= col("__hi")).select(col("__h"))
-    else
-      g.groupBy(col("__h")).agg(count_distinct(col("__id")).as("__df"))
-        .filter(col("__df") >= minDocs).select(col("__h"))
+  /** Gram positions of the relation `g(__id, __p, __h)` whose hash occurs
+    * in ≥ `minDocs` DISTINCT docs, decided by windows over ONE hash(__h)
+    * exchange (r17). The former aggregate + join-back shape computed the
+    * O(len·k) gram lineage TWICE (once into the aggregate, once as the
+    * probe) and built a driver-collected broadcast of the duplicated-hash
+    * set — a relation that outgrows the broadcast cap on boilerplate-heavy
+    * corpora, where the join degenerates to a SECOND full gram shuffle
+    * (r15's materializeGrams localCheckpoint probe was the recorded dead
+    * end for de-duplicating that lineage by storage; the window shape
+    * removes the second consumer instead). minDocs = 2 (the gate default)
+    * is `min(__id) ≠ max(__id)` over the hash partition — no ordering
+    * beyond the partition sort; the general rule sums lag-based
+    * first-occurrence markers ordered by __id (null ids contribute 0,
+    * matching count_distinct). */
+  private def markDuplicatedByDocs(g: DataFrame, minDocs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byH = Window.partitionBy(col("__h"))
+    val flagged =
+      if (minDocs == 2L)
+        g.withColumn("__dup",
+          min(col("__id")).over(byH) =!= max(col("__id")).over(byH))
+      else {
+        val byHOrd = Window.partitionBy(col("__h")).orderBy(col("__id"))
+        g.withColumn("__dup",
+          sum(when(col("__id").isNotNull &&
+              !(lag(col("__id"), 1).over(byHOrd) <=> col("__id")), 1L)
+            .otherwise(0L)).over(byH) >= minDocs)
+      }
+    flagged.filter(col("__dup")).select(col("__id"), col("__p"))
+  }
 
   /** Gaps-and-islands merge of marked gram positions `(__id, __p)` into
     * maximal spans — shared by [[duplicateSpans]] and

@@ -900,12 +900,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(spans(1L) == ((4L, 33L, 11L)), s"got $spans")
     assert(spans(2L) == ((3L, 32L, 11L)), s"got $spans")
     assert(!spans.contains(3L) && !spans.contains(4L), s"got $spans")
-    // raising minDocs past the pair count empties the result
+    // raising minDocs past the pair count empties the result (this also
+    // exercises the general lag-marker distinct-doc window branch)
     assert(Dedup.duplicateSpans(df, "doc_id", "text", k = 20, minDocs = 3L).isEmpty)
-    // the materialize-grams knob is plan-only: identical result
-    val mat = Dedup.duplicateSpans(df, "doc_id", "text", k = 20, materializeGrams = true)
+    // a third doc carrying the shared passage (twice, to exercise the
+    // within-doc distinct-count of the lag-marker branch) satisfies
+    // minDocs = 3 for exactly that passage's grams
+    val m3 = Dedup.duplicateSpans(
+        docsDf(Seq((1L, "AAA" + shared + "BBBB"), (2L, "cc" + shared + "dddddd"),
+          (5L, "x" + shared + "y" + shared),
+          (3L, "uvwxyz!!uniquepassagehere@@##uniquepassagehere@@xx"))),
+        "doc_id", "text", k = 20, minDocs = 3L)
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(mat == spans)
+    assert(m3.keySet == Set(1L, 2L, 5L) && m3(1L) == ((4L, 33L, 11L)), s"got $m3")
   }
 
   test("semDedup: drops larger-id in-cluster near-dups, keeps cross-cluster ones") {
