@@ -975,6 +975,26 @@ object Dedup {
     flagged.filter(col("__dup")).select(col("__id"), col("__p"))
   }
 
+  /** Adds `outCol` = COUNT(DISTINCT idCol) among the rows sharing `keyCol`,
+    * as stacked windows on ONE hash(keyCol) exchange: ids arrive sorted
+    * within a key partition, so a row is its id's first occurrence iff lag
+    * differs (null-safe; null ids contribute 0, matching count_distinct),
+    * and the running sum over the unordered partition frame is the distinct
+    * count. The join-back-free frequency attach shared by the
+    * line/paragraph/chunk/CDC dedup family (r17) — the former
+    * aggregate + join-back shape computed each explode lineage twice and
+    * paid two aggregation exchanges plus the join. */
+  private def withDistinctIdCount(
+      df: DataFrame, keyCol: String, idCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byK = Window.partitionBy(col(keyCol))
+    val byKOrd = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn(outCol,
+      sum(when(col(idCol).isNotNull &&
+          !(lag(col(idCol), 1).over(byKOrd) <=> col(idCol)), 1L)
+        .otherwise(0L)).over(byK))
+  }
+
   /** Gaps-and-islands merge of marked gram positions `(__id, __p)` into
     * maximal spans — shared by [[duplicateSpans]] and
     * [[Decontaminate.contaminatedSpans]]. Doc-partitioned window only.
@@ -1530,20 +1550,19 @@ object Dedup {
   def paragraphDedup(
       df: DataFrame, idCol: String, textCol: String, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // One lineage, one hash(__h) exchange ([[withDistinctIdCount]]), one doc
+    // regroup. Empty lines share the md5('') partition whose count the flag
+    // ignores (they can never be dup — the pre-r17 shape excluded them from
+    // the frequency aggregate entirely).
     val lines = df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
-    val keyed = lines.where(length(col("__ln")) > 0)
-      .select(col("__id"), col("__p"), md5(col("__ln")).as("__h"))
-    val dupKeys = keyed.groupBy(col("__h"))
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("__h"), lit(1L).as("__dup"))
-    val flagged = keyed.join(dupKeys, Seq("__h"), "left")
-      .where(col("__dup").isNotNull)
-      .select(col("__id"), col("__p"), col("__dup"))
-    lines.join(flagged, Seq("__id", "__p"), "left")
+      .withColumn("__h", md5(col("__ln")))
+    val flagged = withDistinctIdCount(lines, "__h", "__id", "__nd")
+      .withColumn("__dup",
+        when(length(col("__ln")) > 0 && col("__nd") >= minDocs, 1L))
+    flagged
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(coalesce(col("__dup"), lit(0L))).as("n_cut"),
@@ -1568,33 +1587,28 @@ object Dedup {
           s"transform(sequence(0, CAST((size(__ws) + ${W - 1}) DIV $W AS INT) - 1), " +
           s"i -> array_join(slice(__ws, i * $W + 1, $W), ' '))")).as(Seq("__ci", "__chunk")))
     val keyed = chunks.withColumn("__ck", md5(col("__chunk")))
-    // join on the key NAME (usingColumns), not a recomputed expression — the
-    // dup-key frame derives from `chunks`, and a condition re-evaluating
-    // md5(__chunk) binds ambiguously across the self-join's shared lineage
-    val dupKeys = keyed
-      .groupBy(col("__ck"))
-      .agg(countDistinct(col("__id")).as("__nd"), min(col("__id")).as("__kd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("__ck"), col("__kd"), lit(1L).as("__isdup"))
+    // All three per-key facts — distinct-doc count ([[withDistinctIdCount]]),
+    // canonical doc __kd = min(__id), canonical index __kc = min __ci among
+    // the canonical doc's copies — ride ONE hash(__ck) exchange as windows;
+    // the former shape re-ran the chunk explode lineage for the dup-key
+    // aggregate and (under keepFirst) a keeper aggregate, plus two join-backs.
     // keepFirst: the canonical occurrence of a duplicated chunk — (min doc,
     // then min chunk index within that doc) — SURVIVES; all other copies cut.
     // (CCNet removes every copy, RefinedWeb-style pipelines keep one; both
     // semantics are one flag apart on the same machinery.)
-    val keeperKeys =
-      if (!keepFirst) null
-      else keyed.join(dupKeys.select(col("__ck"), col("__kd")), Seq("__ck"))
-        .filter(col("__id") === col("__kd"))
-        .groupBy(col("__ck"))
-        .agg(min(col("__ci")).as("__kc"))
-    val flagged0 = keyed
-      .join(dupKeys, Seq("__ck"), "left")
+    val byCk = org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))
+    val counted = withDistinctIdCount(keyed, "__ck", "__id", "__nd")
+      .withColumn("__isdup", col("__nd") >= minDocs)
     val flagged =
-      (if (!keepFirst) flagged0.withColumn("__keep0", lit(null))
-       else flagged0.join(keeperKeys, Seq("__ck"), "left")
+      (if (!keepFirst) counted.withColumn("__keep0", lit(null))
+       else counted
+         .withColumn("__kd", min(col("__id")).over(byCk))
+         .withColumn("__kc",
+           min(when(col("__id") === col("__kd"), col("__ci"))).over(byCk))
          .withColumn("__keep0",
            when(col("__id") === col("__kd") && col("__ci") === col("__kc"), lit(1L))))
       .select(col("__id"), col("__ci"), col("__chunk"),
-        when(col("__isdup").isNotNull && col("__keep0").isNull, 1L)
+        when(col("__isdup") && col("__keep0").isNull, 1L)
           .otherwise(0L).as("__dup"))
     val perDoc = flagged.groupBy(col("__id"))
       .agg(
@@ -1937,14 +1951,13 @@ object Dedup {
         col("__seg.s").as("__s"), (col("__seg.e") - col("__seg.s") + 1).as("__l"),
         md5(expr("substring(__t, CAST(__seg.s AS INT), CAST(__seg.e - __seg.s + 1 AS INT))"))
           .as("__ck"))
-    val dupKeys = chunks.groupBy(col("__ck"))
-      .agg(countDistinct(col("__id")).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select(col("__ck"), lit(1L).as("__isdup"))
-    chunks.join(dupKeys, Seq("__ck"), "left")
+    // distinct-doc verdict as windows over ONE hash(__ck) exchange — the
+    // former aggregate + join-back ran the (expensive) rolling-hash boundary
+    // lineage twice; see [[withDistinctIdCount]]
+    withDistinctIdCount(chunks, "__ck", "__id", "__nd")
       .select(col("__id").as(idCol), col("__ci").as("chunk_idx"),
         col("__s").as("chunk_start"), col("__l").as("chunk_len"),
-        coalesce(col("__isdup"), lit(0L)).as("is_dup"))
+        when(col("__nd") >= minDocs, 1L).otherwise(0L).as("is_dup"))
   }
 
   /**
