@@ -2113,13 +2113,20 @@ object Dedup {
   def stitchPairs(
       df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val ws = df.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
+    // Materialize the slim (id, head digest, tail digest) frame ONCE: both
+    // join sides would otherwise re-scan the input, and CollapseProject
+    // inlines the tokenizer regex into every boundary expression AND the
+    // null-filters the join adds — measured ~5 regex evaluations per row
+    // per side before the cut (doc_stitch_pairs plan: 4 corpus scans → 1).
+    val bounds = df.select(col(idCol).as("__id"), wordsCol(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= k)
-    val heads = ws.select(col("__id").as("id_b"),
-      md5(array_join(slice(col("__ws"), 1, k), " ")).as("boundary_md5"))
-    val tails = ws.select(col("__id").as("id_a"),
-      md5(array_join(slice(col("__ws"), -k, k), " ")).as("boundary_md5"))
-    tails.join(heads, "boundary_md5")
+      .select(col("__id"),
+        md5(array_join(slice(col("__ws"), 1, k), " ")).as("__head"),
+        md5(array_join(slice(col("__ws"), -k, k), " ")).as("__tail"))
+      .localCheckpoint()
+    bounds.select(col("__id").as("id_a"), col("__tail").as("boundary_md5"))
+      .join(bounds.select(col("__id").as("id_b"), col("__head").as("boundary_md5")),
+        "boundary_md5")
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"), col("boundary_md5"))
   }
