@@ -666,14 +666,17 @@ object CorpusStats {
         .select(col("__id"), col("__t"),
           explode(expr("transform(sequence(0, size(__ws) - 2), " +
             "i -> concat(__ws[i], ' ', __ws[i + 1]))")).as("__w"))
-    def dist(side: DataFrame): DataFrame =
-      side.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val tCnt = dist(toks.filter(col("__t")))
-    val rCnt = dist(toks.filter(!col("__t")))
-    val vocab = tCnt.select(col("__w"), col("__c").as("__ct"))
-      .join(rCnt.select(col("__w"), col("__c").as("__cr")), Seq("__w"), "full_outer")
-      .select(col("__w"), coalesce(col("__ct"), lit(0L)).as("__ct"),
-        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    // Both sides' counts in ONE conditional aggregation over one token pass
+    // (the former two filtered groupBys + full-outer vocab join re-ran the
+    // tokenizer explode per side), checkpointed because the weight table and
+    // the totals row both read it — vocab-sized, so the materialization is
+    // safe at any corpus size. Rows with a NULL target predicate count to
+    // neither side and are excluded up front, exactly as the two filters did.
+    val vocab = toks.filter(col("__t").isNotNull)
+      .groupBy(col("__w"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
+      .localCheckpoint()
     val tot = vocab.agg(sum(col("__ct")).as("__NT"), sum(col("__cr")).as("__NR"),
       count(lit(1)).as("__V"))
     def q(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
@@ -786,9 +789,15 @@ object CorpusStats {
     pmiTopK(bi, uni, minCount, topK)
   }
 
-  /** Shared micro-nat PMI ranking tail of [[collocations]]/[[cooccurrence]]. */
+  /** Shared micro-nat PMI ranking tail of [[collocations]]/[[cooccurrence]].
+    * Both inputs are checkpointed: each is an already-aggregated
+    * vocab-/pair-vocab-sized table with multiple consumers here (totals +
+    * joins), and uncut every consumer re-ran the caller's corpus tokenize +
+    * explode lineage (collocations: 10 corpus scans → 2). */
   private def pmiTopK(
-      bi: DataFrame, uni: DataFrame, minCount: Long, topK: Int): DataFrame = {
+      bi0: DataFrame, uni0: DataFrame, minCount: Long, topK: Int): DataFrame = {
+    val uni = uni0.localCheckpoint()
+    val bi = bi0.localCheckpoint()
     val n1 = uni.agg(sum(col("__c1")).as("__N1"))
     val n2 = bi.agg(sum(col("n_pair")).as("__N2"))
     def q(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
