@@ -250,10 +250,15 @@ object EventStats {
    */
   def associationRules(
       events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    // checkpointed: the basket relation (already distinct — bounded by
+    // baskets × types, not by raw events) has FOUR consumers below (totals,
+    // per-type counts, both self-join sides); uncut, each re-scans the
+    // event log and re-pays the distinct exchange
     val b = events.filter(col(userCol).isNotNull && col(typeCol).isNotNull)
       .select(col(userCol).as("__u"), to_date(EventTime.tsCol(events)).as("__day"),
         col(typeCol).as("__t"))
       .distinct()
+      .localCheckpoint()
     val n = b.select(col("__u"), col("__day")).distinct()
       .agg(count(lit(1)).as("__N"))
     val per = b.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
