@@ -50,7 +50,9 @@ object CorpusStats {
   /** @return (idCol, xent) — add-one-smoothed unigram cross-entropy in nats. */
   def unigramLogLoss(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("__w"))
-    val cnt = w.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    // vocab-sized, two consumers (totals + cost table) — uncut, each re-ran
+    // the corpus tokenize + explode (r17)
+    val cnt = w.groupBy(col("__w")).agg(count(lit(1)).as("__c")).localCheckpoint()
     val tot = cnt.agg(sum(col("__c")).as("__N"), count(lit(1)).as("__V"))
     val q = cnt.crossJoin(broadcast(tot))
       .select(col("__w"),
@@ -87,9 +89,10 @@ object CorpusStats {
       docs: DataFrame, idCol: String, textCol: String,
       refFilter: org.apache.spark.sql.Column): DataFrame = {
     val w = docs.select(col(idCol).as("__id"), explode(wordsCol(col(textCol))).as("__w"))
+    // vocab-sized, two consumers (totals + cost table) — see unigramLogLoss
     val cnt = docs.filter(refFilter)
       .select(explode(wordsCol(col(textCol))).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c")).localCheckpoint()
     val tot = cnt.agg(sum(col("__c")).as("__N"), count(lit(1)).as("__V"))
     val q = cnt.crossJoin(broadcast(tot))
       .select(col("__w"),
@@ -252,8 +255,12 @@ object CorpusStats {
           slice(col("__ws"), lit(2), size(col("__ws")) - 1),
           (a, bw) => struct(a.as("w1"), bw.as("w2")))).as("__bg"))
       .select(col("__id"), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    // ONE bigram aggregation, checkpointed (vocab²-bounded): the w1 context
+    // counts are its per-w1 rollup (Σ_w2 c2 = occurrences of w1 as a bigram
+    // head) — the former separate groupBy re-ran the corpus bigram explode
     val c2 = b.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__c2"))
-    val c1 = b.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+      .localCheckpoint()
+    val c1 = c2.groupBy(col("__w1")).agg(sum(col("__c2")).as("__c1"))
     val vv = ws.select(explode(col("__ws")).as("__w"))
       .agg(count_distinct(col("__w")).as("__V"))
     val q = c2.join(c1, "__w1").crossJoin(broadcast(vv))
@@ -296,8 +303,11 @@ object CorpusStats {
             element_at(col("__ws"), i + 2).as("w3")))).as("__tg"))
       .select(col("__id"), col("__tg.w1").as("__w1"), col("__tg.w2").as("__w2"),
         col("__tg.w3").as("__w3"))
+    // same derivation as bigramLogLoss: ctx2 = Σ_w3 c3 rolls up from the
+    // checkpointed trigram table instead of re-exploding the corpus
     val c3 = t.groupBy(col("__w1"), col("__w2"), col("__w3")).agg(count(lit(1)).as("__c3"))
-    val ctx2 = t.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__cc"))
+      .localCheckpoint()
+    val ctx2 = c3.groupBy(col("__w1"), col("__w2")).agg(sum(col("__c3")).as("__cc"))
     val vv = ws.select(explode(col("__ws")).as("__w"))
       .agg(count_distinct(col("__w")).as("__V"))
     val q = c3.join(ctx2, Seq("__w1", "__w2")).crossJoin(broadcast(vv))
@@ -1685,8 +1695,10 @@ object CorpusStats {
         .as("__p"))
       .select(col("__id"), col("__p.v").as("__v"), col("__p.w").as("__w"))
     val train = docs.filter(trainFilter)
+    // vocab-sized with THREE consumers (totals, seen-bigram context join,
+    // fallback table) — uncut, each re-ran the train tokenize (r17)
     val uni = train.select(explode(wordsCol(col(textCol))).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("__cw"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cw")).localCheckpoint()
     val tot = uni.agg(sum(col("__cw")).as("__N"), count(lit(1)).as("__V"))
     val big = train.select(wordsCol(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 2)
