@@ -205,10 +205,14 @@ object EventStats {
    * @return (week yyyy-MM-dd, n_active, n_retained, n_incoming, n_churned)
    */
   def weeklyChurn(events: DataFrame, userCol: String): DataFrame = {
+    // (week × user)-bounded distinct relation with FOUR consumers (weekly
+    // counts, spine bounds, both self-join sides) — checkpointed so the
+    // event log scans once
     val act = events.filter(col(userCol).isNotNull)
       .select(date_trunc("week", EventTime.tsCol(events)).as("__w"),
         col(userCol).as("__u"))
       .distinct()
+      .localCheckpoint()
     val wk = act.groupBy(col("__w")).agg(count(lit(1)).as("n_active"))
     // Dense week spine min..max: a week where the WHOLE base churned still
     // gets a row (n_active=0, n_churned=prev) instead of vanishing, and a
@@ -423,15 +427,20 @@ object EventStats {
    * @return (typeCol, day, n_events, baseline_micro, resid_micro)
    */
   def seasonalBaseline(events: DataFrame, typeCol: String): DataFrame = {
+    // (type × day)-bounded with three consumers (spine bounds, type list,
+    // densify join) — checkpointed so the event log scans once; same for the
+    // densified frame (baseline rollup + final join)
     val ec = events.filter(col(typeCol).isNotNull)
       .groupBy(col(typeCol).as("__t"), to_date(EventTime.tsCol(events)).as("__d"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val spine = ec.agg(min(col("__d")).as("__lo"), max(col("__d")).as("__hi"))
       .select(explode(expr("sequence(__lo, __hi, INTERVAL 1 DAY)")).as("__d"))
     val dense = spine.crossJoin(ec.select(col("__t")).distinct())
       .join(ec, Seq("__t", "__d"), "left")
       .select(col("__t"), col("__d"), coalesce(col("__n"), lit(0L)).as("__n"))
       .withColumn("__dw", expr("weekday(__d)"))
+      .localCheckpoint()
     val bl = dense.groupBy(col("__t"), col("__dw"))
       .agg(expr("CAST(CAST(sum(__n) AS DECIMAL(38,0)) * 1000000 DIV count(*) AS BIGINT)")
         .as("baseline_micro"))
