@@ -766,10 +766,16 @@ object Dedup {
     val fp =
       if (maxDocFrequency <= 0L) fpAll
       else {
-        // winnowFingerprints emits distinct values per doc, so count = doc freq
-        val keep = fpAll.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFrequency).select(col("__fp"))
-        fpAll.join(keep, "__fp")
+        // winnowFingerprints emits distinct values per doc, so count = doc
+        // freq. A window over hash(__fp) instead of aggregate + semi-join
+        // (r17): the cap filter then leaves the relation ALREADY partitioned
+        // (and sorted) on the join key, so the pair self-join below adds no
+        // exchange of its own.
+        import org.apache.spark.sql.expressions.Window
+        fpAll.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy(col("__fp"))))
+          .filter(col("__df") <= maxDocFrequency)
+          .select(col("__id"), col("__fp"))
       }
     fp.select(col("__id").as("__a"), col("__fp"))
       .join(fp.select(col("__id").as("__b"), col("__fp")), "__fp")
@@ -802,9 +808,13 @@ object Dedup {
     val fp =
       if (maxDocFrequency <= 0L) fpAll
       else {
-        val keep = fpAll.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFrequency).select(col("__fp"))
-        fpAll.join(keep, "__fp")
+        // same window-shaped cap as [[winnowPairs]] — the self-join below
+        // reuses the hash(__fp) partitioning the window establishes
+        import org.apache.spark.sql.expressions.Window
+        fpAll.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy(col("__fp"))))
+          .filter(col("__df") <= maxDocFrequency)
+          .select(col("__id"), col("__fp"), col("__p"))
       }
     fp.select(col("__id").as("__a"), col("__fp"), col("__p").as("pos_a"))
       .join(fp.select(col("__id").as("__b"), col("__fp"), col("__p").as("pos_b")), "__fp")
