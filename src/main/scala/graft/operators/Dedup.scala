@@ -359,13 +359,18 @@ object Dedup {
       .localCheckpoint(true)
     val t = shs.select(col("__id"), explode(col("__shs")).as("__sh"))
     val cnt = shs.select(col("__id"), size(col("__shs")).cast("long").as("__n"))
-    // shingles are distinct per doc, so count-per-shingle = doc frequency
+    // shingles are distinct per doc, so count-per-shingle = doc frequency.
+    // The cap is a count window over hash(__sh) (r17, the winnowPairs
+    // shape): the filtered relation stays partitioned and sorted on the
+    // join key, so the inverted-index self-join below adds no exchange.
     val tIdx =
       if (maxDocFrequency <= 0L) t
       else {
-        val keep = t.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDocFrequency).select(col("__sh"))
-        t.join(keep, "__sh")
+        import org.apache.spark.sql.expressions.Window
+        t.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy(col("__sh"))))
+          .filter(col("__df") <= maxDocFrequency)
+          .select(col("__id"), col("__sh"))
       }
     // ONE pass over the inverted index: intersection counts straight off the
     // shingle equi-join (no candidate materialization + re-expansion).
