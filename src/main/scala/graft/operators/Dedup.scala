@@ -630,7 +630,12 @@ object Dedup {
     val k = graft.functions.TextFunctions.MinHashK
     require(bandRows > 0 && k % bandRows == 0,
       s"bandRows must divide MinHashK=$k, got $bandRows")
+    // the signature frame (~K Longs/doc, bounded) feeds the band build AND
+    // both estimate joins — checkpointed so a caller handing a LAZY frame
+    // (signatures built inline from text) pays the shingle+MinHash pass
+    // once, matching the persisted-frame posture this operator documents
     val s0 = sigs.select(col(idCol).as("__id"), col(sigCol).as("__sig"))
+      .localCheckpoint()
     val bands = sigBands(s0, bandRows, k / bandRows)
     val cand = bands.select(col("__id").as("__a"), col("__band"), col("__bkey"))
       .join(bands.select(col("__id").as("__b"), col("__band"), col("__bkey")),
@@ -660,8 +665,12 @@ object Dedup {
     require(bandRows > 0 && k % bandRows == 0,
       s"bandRows must divide MinHashK=$k, got $bandRows")
     val nBands = k / bandRows
+    // same lazy-caller guard as [[nearDupFromSignatures]]: each side feeds
+    // its band build and its estimate join
     val a = sigsA.select(col(idColA).as("__id"), col(sigColA).as("__sig"))
+      .localCheckpoint()
     val b = sigsB.select(col(idColB).as("__id"), col(sigColB).as("__sig"))
+      .localCheckpoint()
     val cand = sigBands(a, bandRows, nBands).select(
         col("__id").as("__a"), col("__band"), col("__bkey"))
       .join(sigBands(b, bandRows, nBands).select(
