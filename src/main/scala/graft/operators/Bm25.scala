@@ -654,8 +654,12 @@ object Bm25 {
     val tf = index(docs, idCol, textCol)
       .select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
         col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    // vocab-sized collection frequencies, checkpointed: the corpus total is
+    // its own rollup (Σ cf = Σ tf), so the postings lineage runs twice
+    // (cf build + scoring join) instead of three times (r17)
     val cf = tf.groupBy(col("__w")).agg(sum(col("__tf")).as("__cf"))
-    val tot = tf.agg(sum(col("__tf")).as("__T"))
+      .localCheckpoint()
+    val tot = cf.agg(sum(col("__cf")).as("__T"))
     val qt = queries
       .select(col(qidCol).as("__q"), explode(wordsCol(col(qtextCol))).as("__w"))
       .distinct()
