@@ -613,7 +613,11 @@ object CorpusStats {
    */
   def sourceKlDivergence(docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
     val w = docs.select(col(sourceCol).as("__src"), explode(wordsCol(col(textCol))).as("__w"))
+    // (source × word)-bounded with three consumers (corpus-word rollup,
+    // per-source totals, contribution join) — checkpointed so the corpus
+    // tokenize runs once (r17); every other table rolls up from it
     val csw = w.groupBy(col("__src"), col("__w")).agg(count(lit(1)).as("__csw"))
+      .localCheckpoint()
     val cw = csw.groupBy(col("__w")).agg(sum(col("__csw")).as("__cw"))
     val ns = csw.groupBy(col("__src")).agg(sum(col("__csw")).as("__ns"))
     val n = cw.agg(sum(col("__cw")).as("__N"))
