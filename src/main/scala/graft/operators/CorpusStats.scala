@@ -1157,8 +1157,10 @@ object CorpusStats {
           lit(nBins.toLong - 1L)).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(out))
     val spark = base.sparkSession
-    val b = binned(base, "__nb")
-    val c = binned(cur, "__nc")
+    // nBins-bounded bin tables, each with two consumers (totals + densify
+    // join) — checkpointed so each input scans once (r17)
+    val b = binned(base, "__nb").localCheckpoint()
+    val c = binned(cur, "__nc").localCheckpoint()
     val tb = b.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
     val tc = c.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
     spark.range(nBins).select(col("id").as("bin"))
@@ -1508,8 +1510,10 @@ object CorpusStats {
           lit(nBins.toLong - 1L)).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(out))
     val spark = base.sparkSession
-    val b = binned(base, "__nb")
-    val c = binned(cur, "__nc")
+    // nBins-bounded bin tables, each with two consumers (totals + densify
+    // join) — checkpointed so each input scans once (r17)
+    val b = binned(base, "__nb").localCheckpoint()
+    val c = binned(cur, "__nc").localCheckpoint()
     val tb = b.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
     val tc = c.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
     val cumW = Window.orderBy(col("bin"))
@@ -1552,8 +1556,11 @@ object CorpusStats {
       .select(col("__g"),
         least(greatest(floor((col("__v") - lit(lo)) / lit(w)).cast("long"), lit(0L)),
           lit(nBins.toLong - 1L)).as("bin"))
+    // (groups × nBins)-bounded, checkpointed: the corpus-wide bins and the
+    // per-group totals are its own rollups, so the input scans once (r17)
     val perGroup = binnedRows.groupBy(col("__g"), col("bin")).agg(count(lit(1)).as("__ng"))
-    val corpus = binnedRows.groupBy(col("bin")).agg(count(lit(1)).as("__nc"))
+      .localCheckpoint()
+    val corpus = perGroup.groupBy(col("bin")).agg(sum(col("__ng")).as("__nc"))
     val totals = perGroup.groupBy(col("__g")).agg(sum(col("__ng")).as("__tg"))
     val tc = corpus.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
     val spine = totals.crossJoin(
