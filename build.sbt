@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench output contract (r18): the driver invokes `sbt "runMain graft.Bench"`
+// and parses stdout — it got `parsed: null` in r16 AND r17 because every
+// program line arrived prefixed with "[info] " and the last line was sbt's
+// "[success] Total time ..." epilogue. Forked run output goes straight to
+// stdout (no logger prefix), and the success epilogue is suppressed, so the
+// final stdout line is Bench's complete one-line JSON.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,10 +23,30 @@ import org.apache.spark.sql.SparkSession
  *    `warm_run_index`/`warm_run_rep` (r17) describe the sweep that PRODUCED
  *    the reported min — each sweep shuffles differently, so attributing the
  *    min to a fixed sweep's positions would mislabel it.
- *  - SPARK_GRAFT_BENCH_OUT=<path> — ALSO write the JSON line to a round-pinned
- *    file (e.g. BENCH_BUILDER_r13.json). BENCH_LOCAL.json remains the driver's
- *    contract file and is overwritten by every run, including the driver's —
- *    the round-pinned path is the receipt of record that survives.
+ *  - SPARK_GRAFT_BENCH_OUT=<path> — write the JSON line ONLY to that
+ *    round-pinned file (e.g. BENCH_BUILDER_r18.json), NOT to
+ *    BENCH_LOCAL.json: receipt runs (8-core sweeps, mid-round probes) must
+ *    never clobber the driver's contract file (the r17 process defect —
+ *    VERDICT r17 "What's wrong" #4). A run without the env var (the
+ *    driver's) writes BENCH_LOCAL.json as before.
+ *
+ * Output contract (r18, VERDICT r17 item 1 — the driver's parser got
+ * `parsed: null` in BOTH prior rounds): the FINAL stdout line is ONE
+ * complete single-line JSON object with the FULL per-query map, printed
+ * after spark.stop(), with nothing after it. Exactly one stdout line
+ * carries `"metric":"total"` (the preview line is `"total_preview"`), so a
+ * parser that takes the last line, the last JSON line, or the unique
+ * metric:total line all agree. The `[info] ` prefix and the `[success]`
+ * epilogue that made every r16/r17 stdout line unparseable are removed in
+ * build.sbt (forked run output goes straight to stdout; showSuccess off).
+ *
+ * Load-control probe (r18, VERDICT r17 item 10): a fixed corpus- and
+ * SF-independent control computation is timed immediately after warmup and
+ * again after all sweeps; `control_first_sec`/`control_last_sec` in the
+ * JSON let a judge separate box load from plan changes without
+ * hand-comparing run tails (the r17 387 s driver run was box contention —
+ * proving that burned the round's adjudication budget). Top-level fields
+ * only: the `queries` map stays exactly the declared-query timings.
  */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,6 +69,17 @@ object Bench {
     // Warmup: JVM + codegen + parquet footer reads out of the measured path.
     try spark.read.parquet(s"$sfDir/part.parquet").count()
     catch { case _: Throwable => () }
+    // Fixed control computation, independent of SF_DIR and of every declared
+    // query: a range scan + arithmetic + aggregation across 8 partitions.
+    // Its time moves with box load / scheduling overhead, never with plan
+    // changes to the queries — the judge's load-vs-plans separator.
+    def controlProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4000000L, 1L, 8)
+        .selectExpr("sum(id * 3 + 1) as s", "count(1) as c").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val controlFirst = controlProbe()
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val warmT = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -115,6 +146,7 @@ object Bench {
         }
       }
     }
+    val controlLast = controlProbe()
     // Stop Spark BEFORE printing: shutdown-hook log lines emitted after the
     // JSON would consume the driver's tail-limited output capture and clip
     // the head of the (single, long) JSON line — the exact BENCH_r6–r8
@@ -141,36 +173,29 @@ object Bench {
       val ci = coldIdx.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
       s""","run_index":$ci"""
     }
+    val controlPart =
+      s""","control_first_sec":${"%.3f".format(controlFirst)},"control_last_sec":${"%.3f".format(controlLast)}"""
     val line =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}$warmPart$idxPart}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)}$warmPart$idxPart$controlPart}"""
 
-    // Durable copy the driver ships whole (cwd = repo root under the driver's
-    // sbt invocation): survives any stdout truncation.
+    // Receipt runs (SPARK_GRAFT_BENCH_OUT set — the driver never sets it)
+    // write ONLY their round-pinned path; the contract file BENCH_LOCAL.json
+    // is written only by contract runs, so an 8-core sweep can never clobber
+    // it again (r17 "What's wrong" #4).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try {
-      val w = new java.io.PrintWriter("BENCH_LOCAL.json", "UTF-8")
+      val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(line) finally w.close()
     } catch { case _: Throwable => () }
-    // Round-pinned builder receipt (driver never sets this env var, so it can
-    // never clobber it — the r12 process defect).
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      try {
-        val w = new java.io.PrintWriter(p, "UTF-8")
-        try w.println(line) finally w.close()
-      } catch { case _: Throwable => () }
-    }
 
-    // Output layout, tuned for the driver's ~4.5 KB TAIL-limited capture (the
-    // r6-r9 BENCH artifacts all lost the head of a single long line, and r9's
-    // `parsed` was null because the line it tried to parse was head-clipped):
-    //   1. the canonical FULL one-line JSON first — intact in any unbounded
-    //      capture, and always in BENCH_LOCAL.json above;
-    //   2. per-query chunk lines in REVERSE alphabetical chunk order, so the
-    //      alphabetically-first queries land closest to the end and survive
-    //      the tail window;
-    //   3. LAST: a compact summary line (same shape, `queries` = the 40
-    //      slowest, errors complete) small enough to always survive whole —
-    //      a parser that reads the last JSON line gets valid, parseable data.
-    println(line)
+    // Output layout (r18 contract, VERDICT r17 item 1):
+    //   1. per-query chunk lines (human tail diagnostics; no "metric" key);
+    //   2. a compact PREVIEW line — metric "total_preview", 40 slowest —
+    //      that survives whole inside a small tail window;
+    //   3. LAST, nothing after it: the canonical FULL one-line JSON, the
+    //      only line carrying "metric":"total". A parser that takes the
+    //      last stdout line, the last parseable JSON line, or the unique
+    //      metric:total line gets the same complete object.
     timings.toSeq.grouped(20).toSeq.reverse.foreach { chunk =>
       val c = chunk.map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
       println(s"""{"bench_chunk":$c}""")
@@ -178,6 +203,7 @@ object Bench {
     val slowest = timings.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => s"${jstr(k)}:${"%.3f".format(v)}" }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"queries_note":"40 slowest of ${timings.size}; full map in BENCH_LOCAL.json and the bench_chunk lines above"}""")
+      s"""{"metric":"total_preview","value":${"%.3f".format(total)},"unit":"sec","queries":$slowest,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"sf":${jstr(sfDir)},"queries_note":"preview: 40 slowest of ${timings.size}; the FULL map is the final stdout line and $outPath"}""")
+    println(line)
   }
 }
