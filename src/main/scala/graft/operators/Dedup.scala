@@ -1575,14 +1575,20 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     // One lineage, one hash(__h) exchange ([[withDistinctIdCount]]), one doc
-    // regroup. Empty lines share the md5('') partition whose count the flag
-    // ignores (they can never be dup — the pre-r17 shape excluded them from
-    // the frequency aggregate entirely).
+    // regroup. Empty lines can never be dup (the length > 0 guard below
+    // ignores their count), so their key is SALTED per doc (r18, ADVICE r17:
+    // a space-prefixed per-doc key — md5 output is 32 hex chars, so no
+    // collision with a real digest is possible): un-salted, every blank line
+    // landed in the single md5('') window partition, which AQE cannot split
+    // — a serialized one-task sort on blank-heavy corpora. Their __nd is
+    // computed against the salted key and never read.
     val lines = df
       .where(col(textCol).isNotNull)
       .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
-      .withColumn("__h", md5(col("__ln")))
+      .withColumn("__h",
+        when(length(col("__ln")) > 0, md5(col("__ln")))
+          .otherwise(concat(lit(" "), col("__id").cast("string"))))
     val flagged = withDistinctIdCount(lines, "__h", "__id", "__nd")
       .withColumn("__dup",
         when(length(col("__ln")) > 0 && col("__nd") >= minDocs, 1L))
@@ -1948,20 +1954,40 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val P = 1000000007L
     val b = 257L
+    // Boundary detection as ONE compiled pass (r18, guide §1.2 "per-task
+    // work" / §4): the former expression shape evaluated, per position, an
+    // interpreted `filter` lambda with `window` boxed `element_at` probes —
+    // HigherOrderFunction lambdas do not whole-stage-codegen, so every doc
+    // paid O(len·w) interpreted ops plus O(len) boxed Longs. The closed JVM
+    // loop below evaluates the LITERAL same expression — Σ_{j<w}
+    // c(i−j)·(b^j mod P), one `% P % m` on the full sum — in primitive
+    // longs, so the boundary set is bit-identical for every input
+    // (including any exotic `ascii` output; no algebraic re-centering that
+    // could shift a negative residue's representative). Codes still come
+    // from split+ascii, keeping the documented code-unit semantics exactly.
     val pow = Array.iterate(1L, window)(x => x * b % P)
-    // H(i) over codes cs[i-j] (1-based list positions), unrolled w terms
-    val hsum = (0 until window).map(j => s"element_at(__cs, CAST(i - $j AS INT)) * ${pow(j)}L")
-      .mkString(" + ")
+    val boundaryUdf = udf { (cs: Seq[Long]) =>
+      val n = cs.length
+      if (n < window) Seq.empty[Long]
+      else {
+        val a = cs.toArray
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = window // 1-based position of the window's last char
+        while (i <= n) {
+          var s = 0L
+          var j = 0
+          while (j < window) { s += a(i - j - 1) * pow(j); j += 1 }
+          if (s % P % avgChunk == avgChunk - 1) out += i.toLong
+          i += 1
+        }
+        out.toSeq
+      }
+    }
     val chunks = df
       .where(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("__id"), col(textCol).as("__t"),
         expr(s"transform(split($textCol, ''), ch -> ascii(ch))").as("__cs"))
-      .select(col("__id"), col("__t"),
-        // sequence(w, len) flips DESCENDING when len < w — guard to empty
-        expr(s"""CASE WHEN length(__t) >= $window THEN
-                   filter(sequence(CAST($window AS BIGINT), length(__t)),
-                          i -> ($hsum) % $P % $avgChunk = ${avgChunk - 1})
-                 ELSE array() END""").as("__bs0"))
+      .select(col("__id"), col("__t"), boundaryUdf(col("__cs")).as("__bs0"))
       // boundary list + the forced end-of-doc boundary, deduped when the
       // hash already fires on the last position
       .select(col("__id"), col("__t"),
