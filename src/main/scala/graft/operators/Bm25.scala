@@ -89,14 +89,33 @@ object Bm25 {
   def topK(
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // = build-the-index-then-search: the postings relation is consumed twice
     // (totals + the query-term semi-join), and recomputing the tokenizer for
     // those two narrow passes benchmarks ~2.3× FASTER than materializing it
     // (the old localCheckpoint cost more than both recomputes at sf0.1:
     // 4.5 s vs 1.9 s). Persist [[index]]'s output yourself when the corpus
     // is searched repeatedly — that's the encode-once path.
-    topKIndexed(index(docs, idCol, textCol), queries, qidCol, qtextCol, k, k1, b)
+    //
+    // Corpus totals come from the DOC-level pass, not the postings (r18,
+    // guide §2.3 "aggregate before you shuffle"): (N, Σdl) only needs one
+    // (doc, dl) row per doc, and deriving it through [[index]] paid the
+    // per-row tf-map UDF + the term explode — dl× more rows — before the
+    // distinct threw that fanout away. Same distinct-(doc, dl) set for every
+    // input (same size > 0 filter, same dl), so scores are bit-identical;
+    // the fused path just skips the UDF+explode on one of its three
+    // tokenizer passes. [[topKIndexed]] keeps the postings-derived totals —
+    // an index consumer has nothing else to read them from.
+    val ws = docs.select(col(idCol).as("__d"), wordsCol(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    val tot = ws.select(col("__d"), size(col("__ws")).cast("long").as("__dl"))
+      .distinct()
+      .agg(sum(col("__dl")).as("__tw"), count(lit(1)).as("__nd"))
+    val idx = index(docs, idCol, textCol)
+    val tf = idx.select(col("doc").as("__d"), col("dl").cast("long").as("__dl"),
+      col("term").as("__w"), col("tf").cast("long").as("__tf"))
+    scoreHits(tf, tot, queries, qidCol, qtextCol, k, k1, b)
+  }
 
   /** [[topKIndexed]] with a precomputed `(query_id, term)` vocabulary — the
     * search face for computed queries (expansion, reformulation). */
@@ -208,8 +227,16 @@ object Bm25 {
     // round 2 read the round-1 aggregation's blocks instead of re-planning
     // it (the exchange was runtime-reused before, but the operator tree —
     // and its codegen — was not).
+    // Checkpointed PARTITIONED BY __q (r18, guide §2.4 "two operations keyed
+    // the same way can share one exchange"): localCheckpoint preserves the
+    // physical partitioning in its LogicalRDD, so the feedback top-fbDocs
+    // window (partitionBy __q) runs directly on the checkpoint blocks with
+    // no exchange — the extra repartition ships the already-aggregated
+    // per-(query, doc) rows once instead of re-exchanging them in the next
+    // job. Values are untouched; only block placement changes.
     val scores0 = contribFor(slice0, qt0w)
       .groupBy(col("__q"), col("__d")).agg(sum(col("__c")).as("score_micro"))
+      .repartition(col("__q"))
       .localCheckpoint(true)
     val wfb = Window.partitionBy(col("__q"))
       .orderBy(col("score_micro").desc, col("__d").asc)

@@ -20,12 +20,18 @@ object Fusion {
    * absent from a list simply contributes nothing for that list (the
    * standard convention). Output ranks the union by fused score.
    *
-   * Plan shape: ONE full-outer join of two k·nQueries-row relations on
-   * (query, id) + one window over ≤ 2k rows per query — corpus-independent
-   * cost; the expensive parts are the upstream rankings. Deterministic:
-   * `1/(kRrf+rank)` is one exact double division, the two-term sum has a
-   * fixed order (left list + right list), ties break by id — mirrored 1:1
-   * in the `hybrid_rrf` oracle.
+   * Plan shape (r18, guide §2.4): UNION + one partially-aggregating groupBy
+   * over the two k·nQueries-row relations + one window over ≤ 2k rows per
+   * query — corpus-independent cost; the expensive parts are the upstream
+   * rankings. The former full-outer join shape paid two exchanges + sorts
+   * (full-outer cannot broadcast) where the union's sum pays one
+   * map-side-combined exchange. Deterministic and bit-identical to the join
+   * shape: `1/(kRrf+rank)` is one exact double division, each (query, id)
+   * group sums at most TWO doubles (addition of two doubles is commutative
+   * in IEEE — non-associativity needs ≥ 3 terms), a candidate absent from
+   * one list contributes nothing (the join shape added literal 0.0, and
+   * x + 0.0 ≡ x for the strictly-positive RRF terms), ties break by id —
+   * mirrored 1:1 in the `hybrid_rrf` oracle.
    *
    * @param kRrf rank-smoothing constant (60 per the paper)
    * @return (queryCol, idCol, rrf_score rounded to 6, rank 1..k)
@@ -36,14 +42,10 @@ object Fusion {
       k: Int, kRrf: Int = 60): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(kRrf >= 0, s"kRrf must be >= 0, got $kRrf")
-    val an = a.select(col(queryCol).as("__q"), col(idCol).as("__d"),
-      col(rankCol).cast("long").as("__ra"))
-    val bn = b.select(col(queryCol).as("__q"), col(idCol).as("__d"),
-      col(rankCol).cast("long").as("__rb"))
-    val fused = an.join(bn, Seq("__q", "__d"), "full_outer")
-      .withColumn("__score",
-        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__ra").cast("double")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("__rb").cast("double")), lit(0.0)))
+    def leg(df: DataFrame) = df.select(col(queryCol).as("__q"), col(idCol).as("__d"),
+      (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("long").cast("double"))).as("__c"))
+    val fused = leg(a).unionByName(leg(b))
+      .groupBy(col("__q"), col("__d")).agg(sum(col("__c")).as("__score"))
     val w = Window.partitionBy(col("__q")).orderBy(col("__score").desc, col("__d").asc)
     fused.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
       .select(col("__q").as(queryCol), col("__d").as(idCol),
