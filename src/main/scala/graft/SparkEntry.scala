@@ -458,7 +458,16 @@ object SparkEntry {
       val emb = rd(s, dir, "embeddings")
       val base = s"${sys.props("java.io.tmpdir")}/graft_graph/" +
         s"ge_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
+      // REBALANCE before the write (r18, guide §6): the persisted edge table
+      // is written once and read many times, and the un-hinted write emitted
+      // one near-empty file per shuffle partition (32 files of a few KB at
+      // sf0.1 — 32 write tasks, 32 footers for every later read). The hint
+      // lets AQE size the output splits from the DATA (advisory partition
+      // bytes), so the same code writes 1 file here and ~64 MB files at
+      // 100 TB. Row content is untouched; labels are partition-order
+      // independent (oracle-pinned).
       Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3)
+        .hint("rebalance")
         .write.mode("overwrite").parquet(base)
       GraphRank.labelPropagation(emb.select(col("vec_id")), "vec_id",
         s.read.parquet(base), "id_a", "id_b", rounds = 3)
@@ -470,6 +479,7 @@ object SparkEntry {
       val base = s"${sys.props("java.io.tmpdir")}/graft_graph/" +
         s"gk_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
       Dedup.mutualKnnEdges(emb, "vec_id", "embedding", 3)
+        .hint("rebalance") // data-sized output files — see graph_from_table
         .write.mode("overwrite").parquet(base)
       GraphRank.kCorePeel(emb.select(col("vec_id")), "vec_id",
         s.read.parquet(base), "id_a", "id_b", kcore = 2, rounds = 3)
@@ -968,6 +978,7 @@ object SparkEntry {
       val base = s"${sys.props("java.io.tmpdir")}/graft_dedup/" +
         s"de_${ProcessHandle.current().pid()}_${orcRunNonce.incrementAndGet()}"
       Dedup.minHashLshPairs(docs, "doc_id", "text", 0.8)
+        .hint("rebalance") // data-sized output files — see graph_from_table
         .write.mode("overwrite").parquet(base)
       ConnectedComponents.run(docs, "doc_id", s.read.parquet(base), "id_a", "id_b")
     }),
