@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
  * O(n/cores) and O(n) per round.
  *
  * Writes per-rep JSON lines + a summary to `CC_SKEW.json`.
- * Run: `tools/run_main.sh CCSkewBench [maxN]` (maxN defaults to 4M edges).
+ * Run: `tools/run_main.sh CCSkewBench [maxN] [fixtureFilter] [out]` (maxN
+ * defaults to 4M edges; `fixtureFilter` restricts to "broom"/"star" for
+ * targeted receipts — r18 uses `star <n> CC_SKEW_CPUS{8,32}.json` at two
+ * core counts so receipt runs never clobber the r17 receipt of record).
  *
  * MEASURED VERDICT (r17, local[32], receipt of record in CC_SKEW.json,
  * taken AFTER the mins lineage-cut that makes the join shape actually
@@ -51,6 +54,8 @@ import org.apache.spark.sql.functions._
 object CCSkewBench {
   def main(args: Array[String]): Unit = {
     val maxN = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val fixtureFilter = if (args.length > 1) Some(args(1)) else None
+    val outPath = if (args.length > 2) args(2) else "CC_SKEW.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -76,6 +81,8 @@ object CCSkewBench {
     // asymmetry the receipt exists to document
     val fixtures: Seq[(String, Long)] =
       Seq(("broom", 1000000L), ("broom", maxN), ("star", maxN), ("star", 2 * maxN))
+        .filter { case (g, _) => fixtureFilter.forall(_ == g) }
+        .distinct
     fixtures.foreach { case (graph, n) =>
       val nodes = spark.range(n + 1).select(col("id"))
       Seq(false, true).foreach { skewSafe =>
@@ -109,7 +116,7 @@ object CCSkewBench {
       }
     }
     spark.stop()
-    val w = new java.io.PrintWriter("CC_SKEW.json", "UTF-8")
+    val w = new java.io.PrintWriter(outPath, "UTF-8")
     try { w.print(out); w.print(summary) } finally w.close()
     print(summary)
   }
