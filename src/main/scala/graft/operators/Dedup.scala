@@ -982,6 +982,17 @@ object Dedup {
     * beyond the partition sort; the general rule sums lag-based
     * first-occurrence markers ordered by __id (null ids contribute 0,
     * matching count_distinct). */
+  /** Skew hazard (r18, documented per ADVICE r17): the dup verdict is a
+    * window over one hash(__h) exchange — a single gram hash shared by a
+    * large row fraction (whole-corpus boilerplate) lands in ONE window
+    * partition that AQE cannot split (measured shape cost in
+    * `HotKeyBench` — plans/r18/HOTKEY_BENCH_*.json: a 10%-of-rows key costs
+    * +29% at local[32], and serializes O(hot rows) into one task at cluster
+    * scale). The span family keeps the window form because its gram relation
+    * is O(len·k) rows of hash+position (no text payload) and the saved
+    * second gram lineage dominates (r17 receipts: 6.5 → 2.0 s warm);
+    * [[withDistinctIdCount]] documents the aggregate fallback shape to
+    * mirror if a corpus with a degenerate hot gram ever needs it. */
   private def markDuplicatedByDocs(g: DataFrame, minDocs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byH = Window.partitionBy(col("__h"))
@@ -1007,16 +1018,39 @@ object Dedup {
     * count. The join-back-free frequency attach shared by the
     * line/paragraph/chunk/CDC dedup family (r17) — the former
     * aggregate + join-back shape computed each explode lineage twice and
-    * paid two aggregation exchanges plus the join. */
+    * paid two aggregation exchanges plus the join.
+    *
+    * Skew hazard + knob (r18, ADVICE r17 / VERDICT item 3, measured in
+    * `HotKeyBench` — plans/r18/HOTKEY_BENCH_*.json): the window carries the
+    * FULL row through the key exchange and a hot key (boilerplate
+    * line/chunk shared by a large row fraction) lands in ONE window
+    * partition that AQE cannot split — a 10%-of-rows key costs +29% at
+    * local[32] and, on a cluster, serializes O(hot rows) into one task
+    * regardless of cluster size. `skewSafe = true` switches to the
+    * aggregate + join-back shape: the count_distinct's internal (key, id)
+    * exchange spreads a hot key across its id values (inherently salted)
+    * and the probe join is AQE-skew-splittable — at the price of running
+    * `df`'s lineage twice (why window stays the default: on real text the
+    * saved tokenize/explode pass dominates — the r17 wins). Precondition
+    * (both shapes, all callers): non-null `keyCol`.
+    * EXACTNESS: count_distinct ignores null ids, matching the lag-marker's
+    * null handling; parity is test-pinned (Round18OptSpec). */
   private def withDistinctIdCount(
-      df: DataFrame, keyCol: String, idCol: String, outCol: String): DataFrame = {
+      df: DataFrame, keyCol: String, idCol: String, outCol: String,
+      skewSafe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byK = Window.partitionBy(col(keyCol))
-    val byKOrd = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
-    df.withColumn(outCol,
-      sum(when(col(idCol).isNotNull &&
-          !(lag(col(idCol), 1).over(byKOrd) <=> col(idCol)), 1L)
-        .otherwise(0L)).over(byK))
+    if (skewSafe) {
+      val counts = df.select(col(keyCol), col(idCol))
+        .groupBy(col(keyCol)).agg(count_distinct(col(idCol)).as(outCol))
+      df.join(counts, Seq(keyCol), "left")
+    } else {
+      val byK = Window.partitionBy(col(keyCol))
+      val byKOrd = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+      df.withColumn(outCol,
+        sum(when(col(idCol).isNotNull &&
+            !(lag(col(idCol), 1).over(byKOrd) <=> col(idCol)), 1L)
+          .otherwise(0L)).over(byK))
+    }
   }
 
   /** Gaps-and-islands merge of marked gram positions `(__id, __p)` into
@@ -1572,12 +1606,13 @@ object Dedup {
    * @return (idCol, n_lines, n_cut, clean_md5 — md5 of the rejoined text)
    */
   def paragraphDedup(
-      df: DataFrame, idCol: String, textCol: String, minDocs: Int = 2): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, minDocs: Int = 2,
+      skewSafe: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     // One lineage, one hash(__h) exchange ([[withDistinctIdCount]]), one doc
     // regroup. Empty lines can never be dup (the length > 0 guard below
     // ignores their count), so their key is SALTED per doc (r18, ADVICE r17:
-    // a space-prefixed per-doc key — md5 output is 32 hex chars, so no
+    // a NUL-prefixed per-doc key — md5 output is 32 hex chars, so no
     // collision with a real digest is possible): un-salted, every blank line
     // landed in the single md5('') window partition, which AQE cannot split
     // — a serialized one-task sort on blank-heavy corpora. Their __nd is
@@ -1588,8 +1623,8 @@ object Dedup {
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
       .withColumn("__h",
         when(length(col("__ln")) > 0, md5(col("__ln")))
-          .otherwise(concat(lit(" "), col("__id").cast("string"))))
-    val flagged = withDistinctIdCount(lines, "__h", "__id", "__nd")
+          .otherwise(concat(lit("\u0000"), col("__id").cast("string"))))
+    val flagged = withDistinctIdCount(lines, "__h", "__id", "__nd", skewSafe)
       .withColumn("__dup",
         when(length(col("__ln")) > 0 && col("__nd") >= minDocs, 1L))
     flagged
@@ -1604,7 +1639,8 @@ object Dedup {
 
   def chunkDedup(
       df: DataFrame, idCol: String, textCol: String,
-      chunkWords: Int = 40, minDocs: Int = 2, keepFirst: Boolean = false): DataFrame = {
+      chunkWords: Int = 40, minDocs: Int = 2, keepFirst: Boolean = false,
+      skewSafe: Boolean = false): DataFrame = {
     require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val W = chunkWords
@@ -1627,16 +1663,36 @@ object Dedup {
     // (CCNet removes every copy, RefinedWeb-style pipelines keep one; both
     // semantics are one flag apart on the same machinery.)
     val byCk = org.apache.spark.sql.expressions.Window.partitionBy(col("__ck"))
-    val counted = withDistinctIdCount(keyed, "__ck", "__id", "__nd")
-      .withColumn("__isdup", col("__nd") >= minDocs)
-    val flagged =
-      (if (!keepFirst) counted.withColumn("__keep0", lit(null))
-       else counted
-         .withColumn("__kd", min(col("__id")).over(byCk))
-         .withColumn("__kc",
-           min(when(col("__id") === col("__kd"), col("__ci"))).over(byCk))
-         .withColumn("__keep0",
-           when(col("__id") === col("__kd") && col("__ci") === col("__kc"), lit(1L))))
+    // skewSafe (r18 — see [[withDistinctIdCount]]): ALL per-key facts come
+    // from one aggregate + join-back, including keepFirst's canonical
+    // occurrence as min(struct(id, ci)) — the lexicographic struct minimum
+    // IS (min doc, then min chunk index within that doc), exactly the two
+    // stacked windows' answer, and the aggregate's exchanges are
+    // map-side-combined / AQE-splittable where a hot chunk's window
+    // partition is one unsplittable task.
+    val flagged0 =
+      if (skewSafe) {
+        val perKey = keyed.select(col("__ck"), col("__id"), col("__ci"))
+          .groupBy(col("__ck"))
+          .agg(count_distinct(col("__id")).as("__nd"),
+            min(struct(col("__id").as("kd"), col("__ci").as("kc"))).as("__k"))
+        val joined = keyed.join(perKey, Seq("__ck"), "left")
+          .withColumn("__isdup", col("__nd") >= minDocs)
+        if (!keepFirst) joined.withColumn("__keep0", lit(null))
+        else joined.withColumn("__keep0",
+          when(col("__id") === col("__k.kd") && col("__ci") === col("__k.kc"), lit(1L)))
+      } else {
+        val counted = withDistinctIdCount(keyed, "__ck", "__id", "__nd")
+          .withColumn("__isdup", col("__nd") >= minDocs)
+        if (!keepFirst) counted.withColumn("__keep0", lit(null))
+        else counted
+          .withColumn("__kd", min(col("__id")).over(byCk))
+          .withColumn("__kc",
+            min(when(col("__id") === col("__kd"), col("__ci"))).over(byCk))
+          .withColumn("__keep0",
+            when(col("__id") === col("__kd") && col("__ci") === col("__kc"), lit(1L)))
+      }
+    val flagged = flagged0
       .select(col("__id"), col("__ci"), col("__chunk"),
         when(col("__isdup") && col("__keep0").isNull, 1L)
           .otherwise(0L).as("__dup"))
@@ -1948,7 +2004,8 @@ object Dedup {
    */
   def cdcChunks(
       df: DataFrame, idCol: String, textCol: String,
-      window: Int = 8, avgChunk: Int = 64, minDocs: Int = 2): DataFrame = {
+      window: Int = 8, avgChunk: Int = 64, minDocs: Int = 2,
+      skewSafe: Boolean = false): DataFrame = {
     require(window >= 2 && window <= 32, s"window must be in [2,32], got $window")
     require(avgChunk >= 2, s"avgChunk must be >= 2, got $avgChunk")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
@@ -2004,7 +2061,7 @@ object Dedup {
     // distinct-doc verdict as windows over ONE hash(__ck) exchange — the
     // former aggregate + join-back ran the (expensive) rolling-hash boundary
     // lineage twice; see [[withDistinctIdCount]]
-    withDistinctIdCount(chunks, "__ck", "__id", "__nd")
+    withDistinctIdCount(chunks, "__ck", "__id", "__nd", skewSafe)
       .select(col("__id").as(idCol), col("__ci").as("chunk_idx"),
         col("__s").as("chunk_start"), col("__l").as("chunk_len"),
         when(col("__nd") >= minDocs, 1L).otherwise(0L).as("is_dup"))
@@ -2035,7 +2092,8 @@ object Dedup {
    */
   def lineRuleClean(
       df: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 3, maxLineDf: Long = 2L): DataFrame = {
+      minWords: Int = 3, maxLineDf: Long = 2L,
+      skewSafe: Boolean = false): DataFrame = {
     require(minWords >= 0, s"minWords must be >= 0, got $minWords")
     require(maxLineDf >= 1, s"maxLineDf must be >= 1, got $maxLineDf")
     val lines = df.where(col(textCol).isNotNull)
@@ -2043,18 +2101,10 @@ object Dedup {
         posexplode(split(col(textCol), "\n")).as(Seq("__p", "__ln")))
       .where(length(col("__ln")) > 0)
       .withColumn("__h", md5(col("__ln")))
-    import org.apache.spark.sql.expressions.Window
-    // Exact COUNT(DISTINCT __id) per digest without a join-back: ids arrive
-    // sorted within each __h partition, so a row is the first occurrence of
-    // its id iff lag differs (null-safe; null ids contribute 0, matching
-    // countDistinct). Both windows share the single hash(__h) exchange.
-    val byHOrd = Window.partitionBy(col("__h")).orderBy(col("__id"))
-    val byH = Window.partitionBy(col("__h"))
-    lines
-      .withColumn("__df",
-        sum(when(col("__id").isNotNull &&
-            !(lag(col("__id"), 1).over(byHOrd) <=> col("__id")), 1L)
-          .otherwise(0L)).over(byH))
+    // Exact COUNT(DISTINCT __id) per digest — the shared window form (one
+    // hash(__h) exchange) with the hot-key skewSafe fallback; see
+    // [[withDistinctIdCount]] for the measured trade.
+    withDistinctIdCount(lines, "__h", "__id", "__df", skewSafe)
       .withColumn("__keep",
         when(size(wordsCol(col("__ln"))) >= minWords && col("__df") < maxLineDf, 1L)
           .otherwise(0L))
