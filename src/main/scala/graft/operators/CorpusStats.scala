@@ -30,6 +30,24 @@ import graft.functions.TextFunctions.wordsCol
  */
 object CorpusStats {
 
+  /** Materialize INDEPENDENT frames as concurrent jobs (guide §2.6 — overlap
+    * independent jobs so one pass's straggler tail back-fills with the
+    * other's tasks): serial eager `localCheckpoint`s cost one full cluster
+    * wave each, which at small scale is the dominant cost of the
+    * checkpoint-the-bounded-table idiom (measured on `cooccurrence`, r18:
+    * the two-wave shape ran SLOWER warm than cold in both r17 sweeps).
+    * Results are positionally aligned with the input; contents don't depend
+    * on materialization order. Callers must pass frames with NO dependency
+    * on each other. */
+  private def checkpointConcurrently(dfs: Seq[DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(dfs.map(df => Future(df.localCheckpoint()))),
+      Duration.Inf)
+  }
+
   /**
    * Corpus vocabulary table: per word, collection frequency (total
    * occurrences), document frequency, and dense frequency rank (ties broken
@@ -819,13 +837,7 @@ object CorpusStats {
     * don't depend on which job materializes first). */
   private def pmiTopK(
       bi0: DataFrame, uni0: DataFrame, minCount: Long, topK: Int): DataFrame = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val Seq(uni, bi) =
-      Await.result(
-        Future.sequence(Seq(uni0, bi0).map(df => Future(df.localCheckpoint()))),
-        Duration.Inf)
+    val Seq(uni, bi) = checkpointConcurrently(Seq(uni0, bi0))
     val n1 = uni.agg(sum(col("__c1")).as("__N1"))
     val n2 = bi.agg(sum(col("n_pair")).as("__N2"))
     def q(c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
@@ -1173,8 +1185,8 @@ object CorpusStats {
     val spark = base.sparkSession
     // nBins-bounded bin tables, each with two consumers (totals + densify
     // join) — checkpointed so each input scans once (r17)
-    val b = binned(base, "__nb").localCheckpoint()
-    val c = binned(cur, "__nc").localCheckpoint()
+    val Seq(b, c) = checkpointConcurrently(
+      Seq(binned(base, "__nb"), binned(cur, "__nc")))
     val tb = b.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
     val tc = c.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
     spark.range(nBins).select(col("id").as("bin"))
@@ -1526,8 +1538,8 @@ object CorpusStats {
     val spark = base.sparkSession
     // nBins-bounded bin tables, each with two consumers (totals + densify
     // join) — checkpointed so each input scans once (r17)
-    val b = binned(base, "__nb").localCheckpoint()
-    val c = binned(cur, "__nc").localCheckpoint()
+    val Seq(b, c) = checkpointConcurrently(
+      Seq(binned(base, "__nb"), binned(cur, "__nc")))
     val tb = b.agg(coalesce(sum(col("__nb")), lit(0L)).as("__tb"))
     val tc = c.agg(coalesce(sum(col("__nc")), lit(0L)).as("__tc"))
     val cumW = Window.orderBy(col("bin"))
