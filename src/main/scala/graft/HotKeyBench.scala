@@ -30,6 +30,11 @@ object HotKeyBench {
     val linesPerDoc = if (args.length > 1) args(1).toInt else 10
     val reps = if (args.length > 2) args(2).toInt else 3
     val outPath = if (args.length > 3) args(3) else "HOTKEY_BENCH.json"
+    // "hot" (default): one boilerplate line in every doc — 1/linesPerDoc of
+    // all rows in ONE key. "unique": same volume, no shared line — the
+    // control that attributes the window-vs-aggjoin gap to the hot key
+    // rather than to the window form itself.
+    val mode = if (args.length > 4) args(4) else "hot"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,24 +48,33 @@ object HotKeyBench {
     import spark.implicits._
 
     // one boilerplate line everywhere + unique filler lines per doc
+    // (mode=unique: the boilerplate slot becomes one more unique line)
+    val firstLine =
+      if (mode == "unique") concat(lit("unique line 0 of doc "), col("id"))
+      else lit("COPYRIGHT BOILERPLATE NAVIGATION FOOTER")
     val docs = spark.range(0L, nDocs.toLong, 1L, 32).select(col("id").as("doc_id"),
       concat_ws("\n",
-        (Seq(lit("COPYRIGHT BOILERPLATE NAVIGATION FOOTER")) ++
+        (Seq(firstLine) ++
           (1 until linesPerDoc).map(i =>
             concat(lit(s"unique line $i of doc "), col("id")))): _*).as("text"))
       .localCheckpoint(true) // fixture cost out of both timed shapes
 
-    def time(f: => Long): Double = {
-      val t0 = System.nanoTime(); val n = f; require(n >= 0)
+    // noop sink (guide §1.4), NOT count(): count lets the optimizer prune
+    // the unused aggregate columns — and with them the very window / join
+    // under test (a left join on a unique key is join-eliminated once its
+    // columns are pruned).
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // current shape: windows over one hash(line-digest) exchange
-    def windowShape(): Long =
-      graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text", 2).count()
+    def windowShape(): DataFrame =
+      graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text", 2)
     // pre-r17 shape: distinct-doc counts per digest as an aggregate, dup
     // digests broadcast-joined back onto the line relation (AQE-splittable /
     // map-side-combined — the shape ADVICE r17 suggests as a skewSafe knob)
-    def aggJoinShape(): Long = {
+    def aggJoinShape(): DataFrame = {
       val lines = docs
         .where(col("text").isNotNull)
         .select(col("doc_id").as("__id"),
@@ -75,7 +89,6 @@ object HotKeyBench {
         .groupBy(col("__id"))
         .agg(count(lit(1)).as("n_lines"),
           sum(coalesce(col("__dup"), lit(0L))).as("n_cut"))
-        .count()
     }
 
     val res = (1 to reps).map { r =>
@@ -85,8 +98,8 @@ object HotKeyBench {
       (w, a)
     }
     val line =
-      s"""{"bench":"hotkey_window_vs_aggjoin","cpus":$cpus,"n_docs":$nDocs,""" +
-      s""""lines_per_doc":$linesPerDoc,"hot_row_fraction":${1.0 / linesPerDoc},""" +
+      s"""{"bench":"hotkey_window_vs_aggjoin","mode":"$mode","cpus":$cpus,"n_docs":$nDocs,""" +
+      s""""lines_per_doc":$linesPerDoc,"hot_row_fraction":${if (mode == "unique") 0.0 else 1.0 / linesPerDoc},""" +
       s""""window_sec":[${res.map(r => f"${r._1}%.3f").mkString(",")}],""" +
       s""""aggjoin_sec":[${res.map(r => f"${r._2}%.3f").mkString(",")}]}"""
     println(line)

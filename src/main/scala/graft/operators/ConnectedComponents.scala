@@ -340,6 +340,22 @@ object ConnectedComponents {
    *                      megacomponent then serializes the fused window's
    *                      per-key sort into one task, while the join shape
    *                      shards it across the cluster).
+   *                      CROSSOVER (r18 receipt,
+   *                      plans/r18/CC_SKEW_STAR_cpus{8,32}.json): on ONE box
+   *                      there is none up to the 4M-edge pure star — the
+   *                      window shape wins ~2× at BOTH 32 and 8 cores. But
+   *                      its time is core-count-INSENSITIVE (9.0 s at 32
+   *                      cores, 9.4 s at 8 — quartering the cores costs 5%),
+   *                      which is the serialization signature: the hot key's
+   *                      single-task sort is the floor and extra local cores
+   *                      cannot buy it down. The crossover is therefore a
+   *                      CLUSTER property — once executors × cores exceed
+   *                      what one task can use, the window shape's
+   *                      megacomponent round cost stays O(hot edges) serial
+   *                      while the join shape's exchanges scale out — so
+   *                      `skewSafe=true` is insurance priced at ~2× local,
+   *                      bought exactly when the graph is megacomponent-
+   *                      shaped AND the deployment is multi-node.
    */
   def runStar(
       nodes: DataFrame, idCol: String,
