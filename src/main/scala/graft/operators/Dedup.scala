@@ -882,6 +882,17 @@ object Dedup {
         col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** Source-compatibility overload for the r15 `materializeGrams` knob that
+    * r17 removed with the window rewrite (the knob was a measured dead end:
+    * the window shape has ONE gram consumer, so there is nothing left to
+    * materialize). The argument is ignored. */
+  @deprecated("materializeGrams is a no-op since the r17 window rewrite " +
+    "removed the second gram consumer; call the overload without it", "r18")
+  def duplicateSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Long, materializeGrams: Boolean): DataFrame =
+    duplicateSpans(df, idCol, textCol, k, minDocs)
+
   /**
    * [[duplicateSpans]] counting TOTAL occurrences instead of distinct docs:
    * a gram is duplicated when it appears ≥ `minOccurrences` times anywhere
